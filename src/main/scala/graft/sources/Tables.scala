@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+import scala.util.{Failure, Success, Try}
+
+/** Parquet table readers over a scale-factor directory, plus the
+  * error-tolerant multi-source union (SURVEY.md §2.1 S5, reference
+  * `app.py:294-301` — iterate sources, skip the ones that fail) and the
+  * session-level result cache (S8, `app.py:223`,
+  * `devcontainer.json:19`).
+  *
+  * Scale note: each reader is a plain declarative parquet scan so
+  * Catalyst can push filters/limits and prune columns into the source;
+  * nothing here forces materialization on the driver.
+  */
+object Tables {
+
+  /** `spark.read.parquet(s"$dir/$name.parquet")` — the single choke
+    * point for table access so options (e.g. corrupt-file tolerance)
+    * apply uniformly.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** S5 — error-tolerant multi-source union: read every path that can
+    * be read, silently skip the ones that can't (missing file, bad
+    * footer, permission), and union the survivors by name. Mirrors the
+    * reference's per-source `except (NotFound, Forbidden, BadRequest):
+    * continue` loop (`app.py:294-301`).
+    *
+    * Returns None when no source was readable (reference yields an
+    * empty result in that case, `app.py:303`).
+    */
+  def unionTolerant(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
+    val readable = paths.flatMap { p =>
+      Try(spark.read.parquet(p)) match {
+        case Success(df) => Some(df)
+        case Failure(_)  => None
+      }
+    }
+    readable.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** S5 file-level analog: a single multi-path scan that tolerates
+    * corrupt/missing files inside the glob (Spark-native form — one
+    * scan node, full pushdown, instead of N unioned scans).
+    */
+  def readTolerant(spark: SparkSession, schema: Option[StructType], paths: String*): DataFrame = {
+    val r0 = spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+    val r = schema.fold(r0)(r0.schema)
+    r.parquet(paths: _*)
+  }
+
+  /** S8 — in-memory result store: persist + register under a stable
+    * name derived from normalized params (reference normalizes the
+    * cache key by sorting the query tuple, `app.py:205`). TTL policy is
+    * the caller's concern (session layer), as in the reference.
+    */
+  def cacheResult(df: DataFrame, name: String, params: Seq[String] = Nil): DataFrame = {
+    val key = (name +: params.sorted).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.createOrReplaceTempView(key)
+    persisted
+  }
+}

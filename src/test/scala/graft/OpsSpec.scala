@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Agg, Match, Score, Text, TopK}
+
+/** Unit tests for the op library over tiny in-memory frames —
+  * the edge cases the reference encodes (SURVEY.md §5.2).
+  */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("X1 cleanText collapses whitespace and trims, idempotent") {
+    val df = Seq("  a \t b\n c  ", "x", " ", "").toDF("t")
+      .select(Text.cleanText(col("t")).as("c"))
+    assert(df.as[String].collect().toSeq == Seq("a b c", "x", "", ""))
+    // clean(clean(x)) == clean(x)
+    val twice = Seq("  a \t b\n c  ").toDF("t")
+      .select(Text.cleanText(Text.cleanText(col("t"))).as("c"))
+    assert(twice.as[String].head == "a b c")
+  }
+
+  test("F5 containsKeyword is case-insensitive") {
+    val df = Seq("Hello WORLD", "nope").toDF("t")
+    val hits = df.filter(Match.containsKeyword(col("t"), "world")).count()
+    assert(hits == 1)
+  }
+
+  test("A3 matchedKeywords preserves input order; X11 firstMatch takes first") {
+    val df = Seq("the quick brown fox").toDF("t")
+    val kws = Seq("Brown", "missing", "Quick")
+    val got = df.select(Match.matchedKeywords(col("t"), kws).as("m")).as[Seq[String]].head
+    assert(got == Seq("brown", "quick"))
+    val first = df.select(Match.firstMatch(col("t"), kws).as("f")).as[String].head
+    assert(first == "brown")
+    val none = df.select(Match.firstMatch(col("t"), Seq("zzz")).as("f"))
+      .collect().head.isNullAt(0)
+    assert(none)
+  }
+
+  test("X10 relevanceScore additive, range 0..6") {
+    val df = Seq(
+      (1, Seq(Score.FoundViaDirect)),
+      (2, Seq(Score.FoundViaDirect, Score.FoundViaPost)),
+      (3, Seq(Score.FoundViaDirect, Score.FoundViaPost, Score.FoundViaComment)),
+      (4, Seq.empty[String]),
+    ).toDF("id", "via").select(col("id"), Score.relevanceScore(col("via")).as("s"))
+    val m = df.as[(Int, Int)].collect().toMap
+    assert(m == Map(1 -> 1, 2 -> 3, 3 -> 6, 4 -> 0))
+  }
+
+  test("W2 perGroupTopK respects k and ordering") {
+    val df = Seq(("a", 1), ("a", 3), ("a", 2), ("b", 9)).toDF("g", "v")
+    val top = TopK.perGroupTopK(df, Seq(col("g")), Seq(desc("v")), 2)
+      .orderBy("g", "v").as[(String, Int)].collect().toSeq
+    assert(top == Seq(("a", 2), ("a", 3), ("b", 9)))
+  }
+
+  test("A1 dedupFirstWins takes attributes from the lowest ordinal") {
+    val df = Seq(("x", 1, 100L), ("x", 2, 200L), ("y", 5, 50L)).toDF("k", "ord", "members")
+    val got = Agg.dedupFirstWins(df, col("k"), col("ord"), Seq(col("members")))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 100L), ("y", 50L)))
+  }
+
+  test("A2 collectSetSorted dedupes and sorts") {
+    val df = Seq(("u", "b"), ("u", "a"), ("u", "b")).toDF("k", "v")
+    val got = df.groupBy("k").agg(Agg.collectSetSorted(col("v")).as("s"))
+      .select("s").as[Seq[String]].head
+    assert(got == Seq("a", "b"))
+  }
+
+  test("X7 truncateEllipsis only truncates long values") {
+    val df = Seq("abcdef", "ab").toDF("t")
+      .select(Text.truncateEllipsis(col("t"), 4).as("c"))
+    assert(df.as[String].collect().toSeq == Seq("abcd...", "ab"))
+  }
+
+  test("X8 stripPrefix only strips leading prefix") {
+    val df = Seq("r/scala", "nor/scala").toDF("t")
+      .select(Text.stripPrefix(col("t"), "r/").as("c"))
+    assert(df.as[String].collect().toSeq == Seq("scala", "nor/scala"))
+  }
+
+  test("F6 parseQueryLines strips, drops blanks, dedupes, sorts") {
+    assert(Text.parseQueryLines("  b \n\n a \n b \n   \n") == Seq("a", "b"))
+    assert(Text.parseQueryLines("") == Seq())
+  }
+
+  test("S5 unionTolerant skips unreadable paths") {
+    val ok = s"$sfDir/orders.parquet"
+    val got = sources.Tables.unionTolerant(spark, Seq(ok, "/nonexistent/nope.parquet"))
+    assert(got.isDefined && got.get.count() == spark.read.parquet(ok).count())
+    assert(sources.Tables.unionTolerant(spark, Seq("/nonexistent/a")).isEmpty)
+  }
+}
