@@ -214,6 +214,122 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q13 — S1/F5 keyword search scan: the engine's core predicate,
+    * case-insensitive substring over document text (`app.py:58,98,133`)
+    * with projection + limit pushed to the parquet scan.
+    */
+  private val q13KeywordSearch: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .filter(Match.containsKeyword(col("text"), "spark"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
+  /** q14 — A3 matched-keyword set + X11 first-match + F7 relevance
+    * hits, all row-local array HOFs (`app.py:98,132-142`).
+    */
+  private val q14MatchedKeywords: Q = (s, dir) => {
+    val kws = Seq("spark", "merge", "stream")
+    Tables.documents(s, dir)
+      .withColumn("matched", Match.matchedKeywords(col("text"), kws))
+      .filter(size(col("matched")) > 0)
+      .select(
+        col("doc_id"),
+        Text.joinSorted(col("matched")).as("matched"),
+        Match.firstMatch(col("text"), kws).as("first_match"),
+        Match.relevanceHits(col("text"), kws).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q15 — X1/X2/X7 text cleaning projection: whitespace-normalize,
+    * lowercase, truncate+ellipsis (`app.py:94-96`,
+    * `devcontainer.json:75`).
+    */
+  private val q15CleanProject: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        Text.truncateEllipsis(lower(Text.cleanText(col("text"))), 80).as("snippet"),
+        length(Text.cleanText(col("text"))).as("clean_len"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+  }
+
+  /** q16 — A1/A2/X5 community-style rollup: first-wins attribute via
+    * min_by, sorted collect_set joined for display
+    * (`app.py:42-43,51-52,68`).
+    */
+  private val q16FoundViaAgg: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min_by(col("n_chars"), col("doc_id")).as("first_chars"),
+        Text.joinSorted(Agg.collectSetSorted(col("lang"))).as("langs"))
+      .orderBy(col("source"))
+  }
+
+  /** q17 — X10 additive relevance score + O1 multi-key desc sort
+    * (`app.py:22-27,67,71`): channel membership becomes weighted
+    * summands, communities ranked by score.
+    */
+  private val q17RelevanceScore: Q = (s, dir) => {
+    val score =
+      when(Match.containsKeyword(col("text"), "data"), 1).otherwise(0) +
+      when(Match.containsKeyword(col("text"), "table"), 2).otherwise(0) +
+      when(Match.containsKeyword(col("text"), "stream"), 3).otherwise(0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), score.as("relevance_score"))
+      .filter(col("relevance_score") > 0)
+      .orderBy(desc("relevance_score"), asc("doc_id"))
+      .limit(200)
+  }
+
+  /** q18 — A2 collect_set over events: the Found-Via accumulation
+    * shape at scale (`groupBy(user_id).agg(collect_set(event_type))`,
+    * FIXTURES.md). Partial-aggregated map-side; one shuffle on user_id.
+    */
+  private val q18EventTypeSets: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        Text.joinSorted(Agg.collectSetSorted(col("event_type"))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q19 — X14 ⊕ JSON extraction from `events.props`
+    * (`get_json_object`, pushable column-level op; no UDF).
+    */
+  private val q19JsonExtract: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 6).as("avg_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q20 — ⊕ tumbling-window aggregation over the events stream table
+    * (batch form; Structured Streaming variant in graft.streaming).
+    * Hour buckets via `window()`; start emitted as a formatted string
+    * for cross-engine schema stability.
+    */
+  private val q20HourlyWindow: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -228,6 +344,14 @@ object SparkEntry {
     "q10_time_window_count" -> q10TimeWindowCount,
     "q11_distinct_count"    -> q11DistinctCount,
     "q12_union_counts"      -> q12UnionCounts,
+    "q13_keyword_search"    -> q13KeywordSearch,
+    "q14_matched_keywords"  -> q14MatchedKeywords,
+    "q15_clean_project"     -> q15CleanProject,
+    "q16_found_via_agg"     -> q16FoundViaAgg,
+    "q17_relevance_score"   -> q17RelevanceScore,
+    "q18_event_type_sets"   -> q18EventTypeSets,
+    "q19_json_extract"      -> q19JsonExtract,
+    "q20_hourly_window"     -> q20HourlyWindow,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,5 +441,64 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_totalprice < 50000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_keyword_search" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE contains(lower(text), 'spark')
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q14_matched_keywords" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(['spark', 'merge', 'stream'],
+        |                k -> contains(lower(text), k)) AS ml
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(ml), ', ') AS matched,
+        |  ml[1] AS first_match,
+        |  CAST(len(ml) AS INTEGER) AS hits
+        |FROM m WHERE len(ml) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q15_clean_project" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(clean) > 80
+        |       THEN substring(clean, 1, 80) || '...' ELSE clean END AS snippet,
+        |  CAST(length(clean) AS INTEGER) AS clean_len
+        |FROM c ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q16_found_via_agg" ->
+      """SELECT source, count(*) AS n_docs,
+        |  arg_min(n_chars, doc_id) AS first_chars,
+        |  array_to_string(list_sort(list(DISTINCT lang)), ', ') AS langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q17_relevance_score" ->
+      """SELECT doc_id, source,
+        |  (CASE WHEN contains(lower(text), 'data') THEN 1 ELSE 0 END
+        |   + CASE WHEN contains(lower(text), 'table') THEN 2 ELSE 0 END
+        |   + CASE WHEN contains(lower(text), 'stream') THEN 3 ELSE 0 END)
+        |  AS relevance_score
+        |FROM documents
+        |WHERE (CASE WHEN contains(lower(text), 'data') THEN 1 ELSE 0 END
+        |   + CASE WHEN contains(lower(text), 'table') THEN 2 ELSE 0 END
+        |   + CASE WHEN contains(lower(text), 'stream') THEN 3 ELSE 0 END) > 0
+        |ORDER BY relevance_score DESC, doc_id LIMIT 200""".stripMargin,
+    "q18_event_type_sets" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ', ') AS types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
   )
 }
