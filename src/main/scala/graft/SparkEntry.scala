@@ -330,6 +330,32 @@ object SparkEntry {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q21 — ⊕ A7 exact dedup with deterministic min-wins survivor
+    * (distributed form of the reference's first-wins upsert,
+    * `app.py:42,51`).
+    */
+  private val q21DedupExact: Q = (s, dir) => {
+    ext.Dedup.exactDedup(Tables.documents(s, dir),
+        Seq(col("source"), col("lang")), col("doc_id"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** q22 — ⊕ A7 MinHash+LSH near-duplicate pairs over document text:
+    * shingle → 8 md5-minhashes → 4 two-row bands → band-bucket
+    * self-join → exact-Jaccard verify (≥0.8). No all-pairs compare.
+    */
+  private val q22MinhashNearDup: Q = (s, dir) => {
+    ext.Dedup.nearDupPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+  }
+
+  /** q23 — ⊕ A7 SimHash near-dup pairs (custom Catalyst expression;
+    * no SQL oracle — the driver records a rows-only check. Cross-checked
+    * against the MinHash pipeline in DedupSpec.)
+    */
+  private val q23SimhashNearDup: Q = (s, dir) => {
+    ext.Dedup.simhashNearDup(Tables.documents(s, dir), col("doc_id"), col("text"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -352,6 +378,9 @@ object SparkEntry {
     "q18_event_type_sets"   -> q18EventTypeSets,
     "q19_json_extract"      -> q19JsonExtract,
     "q20_hourly_window"     -> q20HourlyWindow,
+    "q21_dedup_exact"       -> q21DedupExact,
+    "q22_minhash_neardup"   -> q22MinhashNearDup,
+    "q23_simhash_neardup"   -> q23SimhashNearDup,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,5 +529,47 @@ object SparkEntry {
         |FROM events
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT source, lang, min(doc_id) AS kept_id, count(*) AS n_dups
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "q22_minhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        |    len(sa.sh) AS la, len(sb.sh) AS lb
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+        |FROM j
+        |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

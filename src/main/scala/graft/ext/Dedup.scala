@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** ⊕ Deduplication operators (SURVEY.md §2.4 A7 / north star): exact
+  * dedup, and MinHash+LSH near-duplicate detection over text.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup is a hash-aggregate on the dedup key (one shuffle,
+  *    map-side partial) — never a global sort.
+  *  - Near-dup never compares all pairs. Each doc expands to
+  *    `numBands` (band_idx, band_key) rows; candidate generation is a
+  *    self-equi-join on the band key (shuffle on band keys, join
+  *    fan-out bounded by bucket sizes). Only candidates get the exact
+  *    Jaccard verification, via two joins back to the (id → shingles)
+  *    side rather than carrying shingle arrays through the band
+  *    shuffle.
+  *  - All hashing is md5-based (deterministic, engine-portable): a
+  *    MinHash only needs a random-ish total order per hash function,
+  *    and the lexicographic min of `md5(seed || shingle)` hex strings
+  *    is exactly that. This keeps the whole pipeline expressible as
+  *    Catalyst expressions (codegen'd, no UDF) AND as ANSI SQL for the
+  *    DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup with deterministic min-wins survivor (the reference's
+    * first-wins upsert `app.py:42,51` made distributed: `min_by` on an
+    * explicit ordinal instead of arrival order).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[Column], ordinal: Column): DataFrame =
+    df.groupBy(keys: _*).agg(
+      min(ordinal).as("kept_id"),
+      count(lit(1)).as("n_dups"))
+
+  /** Whitespace-tokenize after normalization. */
+  def tokens(text: Column): Column = split(Text.cleanText(lower(text)), " ")
+
+  /** Distinct k-word shingles of a token array; empty when the doc is
+    * shorter than k tokens (guards Spark's descending `sequence`).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = tokens(text)
+    val idx = sequence(lit(1), size(w) - lit(k - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(w, i + lit(o))): _*))
+    array_distinct(when(size(w) >= k, grams).otherwise(array()))
+  }
+
+  /** One MinHash value: lexicographic min of `md5('<seed>|' || s)`
+    * over the shingle set.
+    */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** LSH band keys: hash of `rowsPerBand` consecutive minhashes.
+    * numHashes/rowsPerBand bands; a pair collides iff equal on ALL
+    * hashes of some band.
+    */
+  def bandKeys(shingleCol: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand).map(r => minhash(shingleCol, b * rowsPerBand + r))
+      struct(lit(b).as("band_idx"), md5(concat(hs: _*)).as("band_key"))
+    }
+    array(bands: _*)
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** ⊕ SimHash near-dup pipeline: 64-bit signature per doc (custom
+    * Catalyst expression, [[graft.functions.SimHash64]]), banded into
+    * four 16-bit segments. By pigeonhole, any pair within Hamming
+    * distance ≤ 3 agrees on at least one segment, so candidate
+    * generation is again an equi-join on (segment_idx, segment_value) —
+    * no all-pairs compare — followed by an exact `bit_count(a^b)`
+    * verify. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def simhashNearDup(df: DataFrame, id: Column, text: Column,
+                     maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"),
+      graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig"))
+    val segs = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("seg_idx"),
+            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("seg_val"))): _*)).as("seg"))
+      .select(col("id"), col("sig"), col("seg.seg_idx"), col("seg.seg_val"))
+    val l = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("seg_idx", "seg_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
+    * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
+    * id_a < id_b, deterministic order.
+    *
+    * @param df       input with an id column and a text column
+    * @param numHashes   MinHash signature length (default 8)
+    * @param rowsPerBand minhashes per LSH band (default 2 → 4 bands;
+    *                    collision prob at jaccard s is 1-(1-s^2)^4)
+    */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column,
+                   shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.8): DataFrame = {
+    val docs = df.select(id.as("id"), shingles(text, shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = docs.select(col("id"),
+        explode(bandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val l = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val r = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // Verify stage: candidates are few — fetch shingles per side.
+    val withA = cand.join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+    val withB = withA.join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withB
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

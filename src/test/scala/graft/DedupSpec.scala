@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.functions.SimHash64
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: distinct 3-grams, empty under k tokens") {
+    val df = Seq("a b c d", "a b", "x y z x y z").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq())
+    assert(got(2).toSet == Set("x y z", "y z x", "z x y"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("minhash of identical shingle sets is equal") {
+    val df = Seq("p q r s t", "p q r s t", "zz yy xx ww vv").toDF("t")
+      .select(Dedup.minhash(Dedup.shingles(col("t"), 3), 0).as("h"))
+    val hs = df.as[String].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("simhash64: identical tokens equal; near docs within small hamming") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    val far = "completely different words about database engines and shuffles here"
+    val df = Seq(base, base, near, far).toDF("t")
+      .select(SimHash64.simhash64(split(col("t"), " ")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)),
+      s"near ${ham(hs(0), hs(2))} !< far ${ham(hs(0), hs(3))}")
+  }
+
+  test("minhash near-dup pipeline finds planted pairs on sf0.001") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "expected planted near-dup pairs")
+    assert(pairs.forall(_._3 >= 0.8))
+  }
+
+  test("simhash pipeline agrees with minhash on high-sim pairs") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val mh = Dedup.nearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashNearDup(docs, col("doc_id"), col("text"), maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // SimHash is an approximation — require substantial overlap, not equality.
+    val overlap = mh.intersect(sh).size.toDouble / math.max(1, mh.size)
+    assert(overlap >= 0.6, s"simhash recall vs minhash: $overlap (mh=${mh.size}, sh=${sh.size})")
+  }
+
+  test("exactDedup keeps min ordinal per key") {
+    val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
+    val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("k1", 2L, 2L), ("k2", 9L, 1L)))
+  }
+}
