@@ -356,6 +356,33 @@ object SparkEntry {
     ext.Dedup.simhashNearDup(Tables.documents(s, dir), col("doc_id"), col("text"))
   }
 
+  /** q24 — ⊕ X15 exact brute-force kNN over embeddings: broadcast
+    * query vectors, codegen'd double-fold dot product, per-query top-k
+    * (W2 pattern). The exact baseline the ANN variants are judged
+    * against.
+    */
+  private val q24KnnBrute: Q = (s, dir) => {
+    ext.Similarity.bruteForceKnn(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), queryIds = Seq(0L, 1L, 2L), k = 10)
+  }
+
+  /** q25 — ⊕ X15/A7 embedding-cosine near-dup pairs: exact O(n²)
+    * baseline with per-row normalization (norms never recomputed per
+    * pair). The LSH scale path is q26.
+    */
+  private val q25CosinePairs: Q = (s, dir) => {
+    ext.Similarity.cosinePairs(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), threshold = 0.42)
+  }
+
+  /** q26 — ⊕ X15 ANN via random-hyperplane LSH (no SQL oracle —
+    * rows-only; recall vs the exact q25 asserted in SimilaritySpec).
+    */
+  private val q26AnnLsh: Q = (s, dir) => {
+    ext.Similarity.annLsh(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), dim = 64, threshold = 0.42)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -381,6 +408,9 @@ object SparkEntry {
     "q21_dedup_exact"       -> q21DedupExact,
     "q22_minhash_neardup"   -> q22MinhashNearDup,
     "q23_simhash_neardup"   -> q23SimhashNearDup,
+    "q24_knn_brute"         -> q24KnnBrute,
+    "q25_cosine_pairs"      -> q25CosinePairs,
+    "q26_ann_lsh"           -> q26AnnLsh,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -570,6 +600,44 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
         |FROM j
         |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q24_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM n WHERE sq > 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, nv AS qv FROM nv WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1),
+        |                                  i -> qv[i] * a.nv[i])), 4) AS cos_sim
+        |  FROM nv a CROSS JOIN q
+        |  WHERE a.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin,
+    "q25_cosine_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM n WHERE sq > 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum(list_transform(range(1, len(a.nv) + 1),
+        |                                  i -> a.nv[i] * b.nv[i])), 4) AS cos_sim
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM pairs
+        |WHERE cos_sim >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

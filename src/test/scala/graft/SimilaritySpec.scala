@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dot/norm/cosine basics") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(2.0, 0.0), Seq(4.0, 0.0)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+    val got = df.as[(Double, Double)].collect().toSeq
+    assert(got == Seq((0.0, 0.0), (8.0, 1.0)))
+  }
+
+  test("normalize yields unit vectors; zero vector -> null") {
+    val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)).toDF("v")
+      .select(Similarity.normalize(Similarity.vecD(col("v"))).as("nv"))
+    val rows = df.collect()
+    val nv = rows(0).getSeq[Double](0)
+    assert(math.abs(math.hypot(nv(0), nv(1)) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("bruteForceKnn returns k neighbors per query, self excluded") {
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val knn = Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"), Seq(0L, 1L), 5)
+      .as[(Long, Long, Double)].collect()
+    val byQ = knn.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L))
+    assert(byQ.values.forall(_.length == 5))
+    assert(knn.forall { case (q, n, _) => q != n })
+  }
+
+  test("annLsh results are a subset of exact pairs with decent recall") {
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosinePairs(em, col("vec_id"), col("embedding"), 0.42)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLsh(em, col("vec_id"), col("embedding"), 64, 0.42)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact), s"ANN produced non-exact pairs: ${ann -- exact}")
+    if (exact.nonEmpty) {
+      val recall = ann.size.toDouble / exact.size
+      // Random-ish fixture embeddings at sim≈0.42 (≈65°): expected
+      // recall 1-(1-p^6)^16 ≈ 0.67 with p≈0.64. Assert a loose floor.
+      assert(recall >= 0.3, s"recall $recall (${ann.size}/${exact.size})")
+    }
+  }
+}
