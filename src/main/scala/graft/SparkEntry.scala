@@ -383,6 +383,62 @@ object SparkEntry {
       col("vec_id"), col("embedding"), dim = 64, threshold = 0.42)
   }
 
+  private val topicLexicons: Seq[(String, Seq[String])] = Seq(
+    "storage"   -> Seq("table", "row", "column", "key", "part"),
+    "exec"      -> Seq("scan", "filter", "join", "sort", "merge", "hash"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "general"   -> Seq("query", "data", "value"))
+
+  /** q27 — ⊕ lexicon-argmax classification (train-free language/topic
+    * ID): deterministic tie-break by label priority.
+    */
+  private val q27LangId: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ext.TextAnalysis.classifyByLexicon(col("text"), topicLexicons).as("topic"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q28 — ⊕ quality scoring: token count, type-token ratio, mean
+    * token length, composite score — row-local arithmetic only.
+    */
+  private val q28QualityScore: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(ext.TextAnalysis.tokenCount(col("text")) > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q29 — ⊕ token counting per source: whitespace tokens + BPE-ish
+    * subword units, aggregated per source.
+    */
+  private val q29TokenStats: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum(ext.TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        sum(ext.TextAnalysis.unitCount(col("text"))).as("total_units"),
+        round(avg(ext.TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q30 — ⊕ document fingerprinting: md5 of normalized content +
+    * per-fingerprint multiplicity (exact-dup detector at scale: the
+    * fingerprint is the dedup key, so the heavy dedup shuffle carries
+    * 32-byte keys instead of full documents).
+    */
+  private val q30Fingerprint: Q = (s, dir) => {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val counts = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_same"))
+    fp.join(counts, "fp")
+      .select(col("doc_id"), col("fp"), col("n_same"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -411,6 +467,10 @@ object SparkEntry {
     "q24_knn_brute"         -> q24KnnBrute,
     "q25_cosine_pairs"      -> q25CosinePairs,
     "q26_ann_lsh"           -> q26AnnLsh,
+    "q27_lang_id"           -> q27LangId,
+    "q28_quality_score"     -> q28QualityScore,
+    "q29_token_stats"       -> q29TokenStats,
+    "q30_fingerprint"       -> q30Fingerprint,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -639,5 +699,60 @@ object SparkEntry {
         |SELECT id_a, id_b, cos_sim FROM pairs
         |WHERE cos_sim >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> list_contains(['table','row','column','key','part'], x))) AS s1,
+        |    len(list_filter(w, x -> list_contains(['scan','filter','join','sort','merge','hash'], x))) AS s2,
+        |    len(list_filter(w, x -> list_contains(['stream','window','batch'], x))) AS s3,
+        |    len(list_filter(w, x -> list_contains(['query','data','value'], x))) AS s4
+        |  FROM t),
+        |g AS (SELECT doc_id, s1, s2, s3, s4, greatest(s1, s2, s3, s4) AS best FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s1 = best AND best > 0 THEN 'storage'
+        |       WHEN s2 = best AND best > 0 THEN 'exec'
+        |       WHEN s3 = best AND best > 0 THEN 'streaming'
+        |       WHEN s4 = best AND best > 0 THEN 'general'
+        |       ELSE 'und' END AS topic
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q28_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_tokens,
+        |    CAST(len(w) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) AS d,
+        |    (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w) AS ml
+        |  FROM t WHERE len(w) > 0)
+        |SELECT doc_id, n_tokens,
+        |  round(least(n / 20.0, 1.0) * (d / n)
+        |        * (CASE WHEN ml BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q29_token_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS nt,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS nu
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nu) AS BIGINT) AS total_units,
+        |  round(avg(nt), 4) AS avg_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q30_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+        |FROM fp ORDER BY doc_id LIMIT 200""".stripMargin,
   )
 }

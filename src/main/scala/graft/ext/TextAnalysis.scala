@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** ⊕ Text-analysis operators for LLM-data pipelines (north star):
+  * language/topic ID by lexicon hits, quality scoring, token counting,
+  * and content fingerprinting. All pure Catalyst column expressions —
+  * row-local, codegen'd, shuffle-free; they scale with the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column = split(Text.cleanText(lower(text)), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-unit count: letter runs, single digits, and
+    * punctuation marks each count as one unit (regex kept to classes
+    * portable between Java and RE2-style engines).
+    */
+  def unitCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Lexicon-hit score: number of tokens that appear in `lexicon`. */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(w => lit(w.toLowerCase)): _*)
+    size(filter(tokens(text), t => array_contains(lex, t)))
+  }
+
+  /** Language/topic ID by lexicon argmax (n-gram-heuristic language ID
+    * in the classic train-free form: score each label by
+    * characteristic-token hits, pick the max; ties break by label
+    * order, so classification is deterministic).
+    *
+    * @param lexicons (label, characteristic tokens) in priority order
+    */
+  def classifyByLexicon(text: Column, lexicons: Seq[(String, Seq[String])],
+                        fallback: String = "und"): Column = {
+    val scores = lexicons.map { case (label, lex) => label -> lexiconHits(text, lex) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(fallback): Column) { case ((label, s), rest) =>
+      when(s === best && best > 0, lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Quality features: token count, type-token ratio, mean token
+    * length, and a composite [0,1] score (long-enough, diverse,
+    * word-sized tokens). The score form mirrors common heuristic
+    * quality filters (length + lexical-diversity gates) from public
+    * data-pipeline literature.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val distinctN = size(array_distinct(toks)).cast("double")
+    val ttr = distinctN / n
+    val meanLen = (length(Text.cleanText(text)).cast("double") - (n - 1)) / n
+    val lenGate = least(n / lit(20.0), lit(1.0))
+    val wordGate = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.5)
+    round(lenGate * ttr * wordGate, 4)
+  }
+
+  /** Content fingerprint: md5 of the case-folded, whitespace-normalized
+    * text. Identical content (modulo spacing/case) → identical
+    * fingerprint; engine-portable.
+    */
+  def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
+}
