@@ -439,6 +439,52 @@ object SparkEntry {
       .limit(200)
   }
 
+  /** documents → posts-shaped adapter: the fixture stand-in for the
+    * Reddit relations (FIXTURES.md: `source` ≈ subreddit, `text` ≈
+    * title, `n_chars` ≈ score), used to drive the composed pipelines
+    * through the oracle harness.
+    */
+  private def docsAsPosts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").cast("string").as("post_id"),
+      col("source").as("subreddit"),
+      col("text").as("title"),
+      lit("").as("selftext"),
+      concat(lit("author_"), (col("doc_id") % 7).cast("string")).as("author"),
+      col("n_chars").as("score"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("created_utc"),
+      concat(lit("/r/"), col("source"), lit("/"), col("doc_id").cast("string")).as("permalink"))
+
+  private def emptyComments(s: SparkSession): DataFrame =
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.model.Schemas.comments)
+
+  /** q31 — pipeline B (buying-signal scan, `app.py:74-151`) composed
+    * end-to-end over the documents adapter: per-subreddit top-k budget,
+    * tombstone filters, matched-keyword projection, branch union.
+    */
+  private val q31SignalScanDocs: Q = (s, dir) => {
+    pipelines.SignalScan.run(docsAsPosts(s, dir), emptyComments(s),
+      pipelines.SignalScan.Params(
+        subreddits = (0 until 20).map(i => s"src$i"),
+        keywords = Seq("spark", "merge"),
+        postLimit = 5))
+  }
+
+  /** q32 — pipeline A (community discovery, `app.py:31-72`) composed
+    * over the adapter (post channel; comment scan exercised in golden
+    * tests): per-query post budget → community rollup → score → links.
+    */
+  private val q32CommunityDiscoveryDocs: Q = (s, dir) => {
+    val subs = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("subscribers"))
+      .select(col("source").as("display_name"), col("subscribers"),
+        lit(false).as("over18"), lit("").as("description"))
+    pipelines.CommunityDiscovery.run(subs, docsAsPosts(s, dir), emptyComments(s),
+      pipelines.CommunityDiscovery.Params(
+        queries = Seq("spark", "stream"), postLimit = 10, scanComments = false))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -471,6 +517,8 @@ object SparkEntry {
     "q28_quality_score"     -> q28QualityScore,
     "q29_token_stats"       -> q29TokenStats,
     "q30_fingerprint"       -> q30Fingerprint,
+    "q31_signal_scan"       -> q31SignalScanDocs,
+    "q32_community_discovery" -> q32CommunityDiscoveryDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -754,5 +802,56 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
         |FROM fp ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q31_signal_scan" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_title,
+        |    n_chars AS score,
+        |    'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+        |    '/r/' || source || '/' || CAST(doc_id AS VARCHAR) AS permalink
+        |  FROM documents),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY subreddit
+        |                               ORDER BY score DESC, post_id) AS rn
+        |  FROM p),
+        |m AS (
+        |  SELECT *, list_filter(['spark', 'merge'],
+        |                        k -> contains(lower(clean_title || ' '), k)) AS ml
+        |  FROM top WHERE rn <= 5)
+        |SELECT subreddit AS "Subreddit",
+        |  array_to_string(list_sort(ml), ', ') AS "Match",
+        |  'Post' AS "Type", clean_title AS "Text", author AS "Author",
+        |  'https://reddit.com' || permalink AS "Link"
+        |FROM m WHERE len(ml) > 0
+        |ORDER BY "Subreddit", "Type", "Link", "Match"""".stripMargin,
+    "q32_community_discovery" ->
+      """WITH subs AS (
+        |  SELECT source AS display_name, count(*) AS subscribers
+        |  FROM documents GROUP BY source),
+        |p AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+        |    lower(text) || ' ' AS content, n_chars AS score
+        |  FROM documents),
+        |q AS (SELECT unnest(['spark', 'stream']) AS query),
+        |hits AS (
+        |  SELECT p.post_id, p.subreddit, p.score, q.query, s.subscribers
+        |  FROM p CROSS JOIN q
+        |  JOIN subs s ON s.display_name = p.subreddit
+        |  WHERE contains(p.content, q.query)),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |                               ORDER BY score DESC, post_id) AS rn
+        |  FROM hits),
+        |agg AS (
+        |  SELECT subreddit AS community, max(subscribers) AS members
+        |  FROM top WHERE rn <= 10 GROUP BY subreddit)
+        |SELECT 'r/' || community AS "Community",
+        |  2 AS "Relevance Score",
+        |  'Relevant Post' AS "Found Via",
+        |  members AS "Members",
+        |  'https://www.reddit.com/r/' || community AS "Community Link",
+        |  'https://www.reddit.com/r/' || community || '/top/?t=month' AS "Top Posts (Month)"
+        |FROM agg
+        |ORDER BY "Relevance Score" DESC, "Members" DESC, "Community"""".stripMargin,
   )
 }
