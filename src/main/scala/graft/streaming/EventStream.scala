@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** ⊕ Structured Streaming surface over the events table (north star;
+  * the reference itself has no streams — SURVEY.md §2.7 maps its
+  * cooperative cancel/progress loops to job-group cancel + listeners).
+  *
+  * Batch/stream parity: these transforms take a DataFrame and work
+  * identically on `spark.read` and `spark.readStream` inputs — the
+  * batch forms are what q20 oracle-checks; the streaming forms add
+  * watermarks for state eviction (without a watermark, windowed state
+  * grows unboundedly at 100 TB/day event rates).
+  */
+object EventStream {
+
+  /** events schema as ingested by the streaming reader (ts already a
+    * proper timestamp; see Tables.events for the ns-parquet caveat).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event parquet
+    * (each new file = one micro-batch at scale).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling/sliding window counts with late-data watermark:
+    * state for a window is dropped `lateness` after its end.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     slide: Option[String] = None,
+                     lateness: String = "30 minutes"): DataFrame = {
+    val w = slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s))
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(w, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Exactly-once-per-id dedup within the watermark horizon
+    * (`dropDuplicates` keeps per-key state only until the watermark
+    * passes — bounded state, unlike an unbounded global distinct).
+    */
+  def dedupWithinWatermark(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows: events within `gap` of each other merge into one
+    * session per user.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("user_id"), col("n_events"), col("sum_value"))
+
+  // --- custom state: running per-user anomaly counter -----------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserErrorState(errors: Long)
+  case class ErrorAlert(user_id: Long, total_errors: Long)
+
+  /** `flatMapGroupsWithState` example (SURVEY.md §2.7 ⊕): emit an
+    * alert each time a user's cumulative `error` count crosses a
+    * multiple of `every`. Custom state the built-in windows can't
+    * express: monotone cross-batch counters with on-change emission.
+    */
+  def errorAlerts(events: org.apache.spark.sql.Dataset[Event], every: Long = 3)
+      : org.apache.spark.sql.Dataset[ErrorAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type") === "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserErrorState]) =>
+          val prev = state.getOption.getOrElse(UserErrorState(0L)).errors
+          val next = prev + batch.size
+          state.update(UserErrorState(next))
+          // one alert per crossed multiple of `every`
+          ((prev / every + 1) to (next / every)).map(k => ErrorAlert(userId, k * every)).iterator
+      }
+  }
+}
