@@ -30,19 +30,21 @@ object Similarity {
   /** Cast to array<double> for portable arithmetic. */
   def vecD(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product (codegen'd HOFs, no UDF). */
+  /** Sequential-fold dot product. Custom codegen'd expression
+    * ([[graft.functions.DotProduct]]) — same fold order as the
+    * `aggregate(zip_with(...))` HOF form (bit-equal results) but ~100×
+    * cheaper per pair, which dominates similarity joins.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** L2-normalize; null-safe for zero vectors (returns null → filtered
-    * by consumers).
+  /** L2-normalize; null for zero vectors (filtered by consumers).
+    * Custom one-pass expression — see [[graft.functions.L2Normalize]]
+    * for why the HOF form is quadratic per row.
     */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n > 0, transform(a, x => x / n))
-  }
+  def normalize(a: Column): Column = graft.functions.L2Normalize.l2_normalize(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
