@@ -485,6 +485,63 @@ object SparkEntry {
         queries = Seq("spark", "stream"), postLimit = 10, scanComments = false))
   }
 
+  /** q33 — S4 tree/array flatten: `posexplode` is the engine form of
+    * the reference's comment-forest flatten (`comments.list()`,
+    * `app.py:115-116`), with the position ordinal standing in for BFS
+    * order (flat_idx) and the placeholder-prune filter
+    * (`replace_more(limit=0)`) as a post-explode predicate.
+    */
+  private val q33ExplodeFlatten: Q = (s, dir) => {
+    val toks = split(graft.ops.Text.cleanText(lower(col("text"))), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .filter(col("word") =!= "a")                                   // placeholder prune
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_first"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(50)
+  }
+
+  /** q34 — ⊕ A6 sketch aggregates: HLL++ approx distinct + exact
+    * anchor (no SQL oracle — sketch estimates are engine-specific;
+    * rows-only check here, accuracy bound asserted in CoreQueriesSpec).
+    */
+  private val q34ApproxDistinct: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q35 — TPC-H Q5-shaped multi-join chain: fact⋈fact⋈fact with two
+    * broadcast dims and a co-membership predicate; the canonical
+    * "would this survive 100×" join-order test (Catalyst + AQE pick
+    * broadcast for nation/region, shuffle joins for the facts).
+    */
+  private val q35MultiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+                 c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -519,6 +576,9 @@ object SparkEntry {
     "q30_fingerprint"       -> q30Fingerprint,
     "q31_signal_scan"       -> q31SignalScanDocs,
     "q32_community_discovery" -> q32CommunityDiscoveryDocs,
+    "q33_explode_flatten"   -> q33ExplodeFlatten,
+    "q34_approx_distinct"   -> q34ApproxDistinct,
+    "q35_multi_join"        -> q35MultiJoin,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -853,5 +913,32 @@ object SparkEntry {
         |  'https://www.reddit.com/r/' || community || '/top/?t=month' AS "Top Posts (Month)"
         |FROM agg
         |ORDER BY "Relevance Score" DESC, "Members" DESC, "Community"""".stripMargin,
+    "q33_explode_flatten" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1),
+        |                          i -> {'word': w[i], 'pos': i - 1})) AS u
+        |  FROM t)
+        |SELECT u.word AS word, count(*) AS n,
+        |  CAST(sum(CASE WHEN u.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+        |FROM e WHERE u.word <> 'a'
+        |GROUP BY u.word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "q35_multi_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
   )
 }

@@ -18,6 +18,21 @@ import graft.ops.{Match, Text, TopK}
   */
 object SignalScan {
 
+  /** X12 — preset → (postLimit, commentLimit) map (`app.py:274-277`;
+    * v1 `devcontainer.json:212-216`). "Standard" is the default
+    * (`app.py:252`).
+    */
+  val presets: Map[String, (Int, Int)] = Map(
+    "Fast"     -> ((10, 20)),
+    "Standard" -> ((50, 100)),
+    "Deep"     -> ((100, 500)))
+
+  def paramsForPreset(preset: String, subreddits: Seq[String],
+                      keywords: Seq[String]): Params = {
+    val (p, c) = presets.getOrElse(preset, presets("Standard"))
+    Params(subreddits, keywords, postLimit = p, commentLimit = c)
+  }
+
   case class Params(
       subreddits: Seq[String],      // X8-stripped names (app.py:296)
       keywords: Seq[String],

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Control
+import graft.pipelines.SignalScan
+import graft.sources.Tables
+
+/** Session-layer surface: cancellation, progress, result cache,
+  * tolerant reads, presets, sketch accuracy (SURVEY.md §3.4, §2.1 S5/S8,
+  * §2.6 X12, §2.4 A6).
+  */
+class ControlSpec extends SparkSuite {
+
+  test("runCancellable: cancel aborts the job group") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fut = Future {
+      Control.runCancellable(spark, "slow-scan") {
+        spark.range(1L << 42).groupBy(col("id") % 97).count().collect()
+      }
+    }
+    // Cancel repeatedly until the job dies — a single cancel can race
+    // job submission (planning happens before any job exists to kill).
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!fut.isCompleted && System.nanoTime() < deadline) {
+      Control.cancel(spark, "slow-scan")
+      Thread.sleep(250)
+    }
+    val err = intercept[Exception](Await.result(fut, 10.seconds))
+    assert(err.getMessage != null)
+  }
+
+  test("withTaskProgress observes task completions") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = Control.withTaskProgress(spark.sparkContext)(n => seen.set(n))
+    try {
+      spark.range(1000).repartition(4).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.get() < 4 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get() >= 4)
+    } finally Control.removeListener(spark.sparkContext, l)
+  }
+
+  test("S8 cacheResult: persists and registers a view keyed by sorted params") {
+    val df = Tables.orders(spark, sfDir).limit(10)
+    val cached = Tables.cacheResult(df, "audience", Seq("b query", "a query"))
+    try {
+      assert(cached.storageLevel.useMemory)
+      val viaView = spark.table("audience_a_query_b_query")
+      assert(viaView.count() == 10)
+    } finally cached.unpersist()
+  }
+
+  test("S5 readTolerant: scan skips corrupt files in the directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tolerant")
+    val good = Tables.orders(spark, sfDir).limit(7)
+    good.write.mode("overwrite").parquet(s"$dir/data")
+    // plant a corrupt "parquet" file next to the real ones
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/part-corrupt.parquet"),
+      "this is not parquet".getBytes)
+    val df = Tables.readTolerant(spark, Some(good.schema), s"$dir/data")
+    assert(df.count() == 7)
+  }
+
+  test("X12 presets match the reference budgets") {
+    assert(SignalScan.presets("Fast") == ((10, 20)))
+    assert(SignalScan.presets("Standard") == ((50, 100)))
+    assert(SignalScan.presets("Deep") == ((100, 500)))
+    val p = SignalScan.paramsForPreset("unknown", Seq("x"), Seq("k"))
+    assert(p.postLimit == 50 && p.commentLimit == 100)
+  }
+
+  test("A6 approx_count_distinct within default rsd of exact") {
+    val rows = SparkEntry.queries("q34_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
