@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large equi-joins (north-star 100 TB design):
+  * when one join key carries a disproportionate share of rows (a viral
+  * post's comments, a bot account's events), a plain hash join puts the
+  * whole key on one task. AQE's skew-join split handles many cases at
+  * runtime; explicit salting is the deterministic fallback when the
+  * skewed side can't be split (e.g. followed by a per-key window) or
+  * AQE is unavailable.
+  *
+  * Salting: the skewed (probe) side gets a uniform salt in [0, n);
+  * the build side is replicated n× (one copy per salt value); the join
+  * key becomes (key, salt), spreading each hot key over n tasks. Cost:
+  * build side shuffles n× its size — use only when build ≪ probe and
+  * broadcast is too big.
+  */
+object Skew {
+
+  /** Inner equi-join `big ⋈ small` on `key`, salted `n` ways. Result
+    * equals `big.join(small, key)` row-for-row; only the physical
+    * distribution changes. The salt is `pmod(hash(monotonic row id),
+    * n)`-free: `rand(seed)` is used (per-row, deterministic per seed &
+    * partition layout) since ANY per-row assignment preserves join
+    * correctness — each big-side row meets every small-side replica
+    * exactly once via its own salt value.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 n: Int = 16, seed: Long = 42L): DataFrame = {
+    require(n > 0)
+    val saltedBig = big.withColumn("_salt", floor(rand(seed) * n).cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Top-k keys by frequency — the diagnostic used to decide whether a
+    * join needs salting (and which keys AQE will split).
+    */
+  def keyHistogram(df: DataFrame, key: Column, k: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n_rows"))
+      .orderBy(desc("n_rows"))
+      .limit(k)
+}

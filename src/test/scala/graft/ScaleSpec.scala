@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.sinks.Bucketed
+import graft.sources.Tables
+
+/** Scale-lever tests: salted joins preserve semantics; bucketed writes
+  * eliminate join-time shuffles (asserted on the physical plan).
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("saltedJoin equals plain join") {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val plain = li.join(o, "k").agg(
+      count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2)).head
+    val salted = Skew.saltedJoin(li, o, "k", n = 8).agg(
+      count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2)).head
+    assert(plain == salted)
+  }
+
+  test("keyHistogram surfaces the heaviest keys") {
+    val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), 3)
+      .collect()
+    assert(h.length == 3)
+    assert(h.map(_.getLong(1)).toSeq == h.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
+  test("bucketed co-located join plans without Exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    Bucketed.write(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")), "graft_b_orders", "o_orderkey", 4)
+    Bucketed.write(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "graft_b_lineitem", "o_orderkey", 4)
+    // force the non-broadcast path: bucketing matters exactly when the
+    // build side is too big to broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.coLocatedJoin(spark, "graft_b_orders", "graft_b_lineitem", "o_orderkey")
+      val expected = Tables.lineitem(spark, sfDir).count()
+      assert(joined.count() == expected)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
