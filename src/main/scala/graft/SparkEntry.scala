@@ -542,6 +542,22 @@ object SparkEntry {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** q36 — rollup/grouping-sets aggregation (not in the reference;
+    * Catalyst's HashAggregate handles multi-level grouping natively —
+    * SURVEY §2.4 "strictly more capable"). Null grouping keys are
+    * projected to 'ALL' for engine-portable output.
+    */
+  private val q36Rollup: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -579,6 +595,7 @@ object SparkEntry {
     "q33_explode_flatten"   -> q33ExplodeFlatten,
     "q34_approx_distinct"   -> q34ApproxDistinct,
     "q35_multi_join"        -> q35MultiJoin,
+    "q36_rollup"            -> q36Rollup,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -940,5 +957,12 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q36_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

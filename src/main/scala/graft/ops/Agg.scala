@@ -31,7 +31,7 @@ object Agg {
     * @param attrs    attribute columns to take from the first row
     */
   def dedupFirstWins(df: DataFrame, key: Column, ordinal: Column, attrs: Seq[Column]): DataFrame = {
-    val aggs = attrs.map(a => min_by(a, ordinal).as(a.toString))
+    val aggs = min(ordinal).as("first_ordinal") +: attrs.map(a => min_by(a, ordinal).as(a.toString))
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -58,8 +58,8 @@ class OpsSpec extends SparkSuite {
   test("A1 dedupFirstWins takes attributes from the lowest ordinal") {
     val df = Seq(("x", 1, 100L), ("x", 2, 200L), ("y", 5, 50L)).toDF("k", "ord", "members")
     val got = Agg.dedupFirstWins(df, col("k"), col("ord"), Seq(col("members")))
-      .orderBy("k").as[(String, Long)].collect().toSeq
-    assert(got == Seq(("x", 100L), ("y", 50L)))
+      .orderBy("k").as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("x", 1, 100L), ("y", 5, 50L)))
   }
 
   test("A2 collectSetSorted dedupes and sorts") {
