@@ -430,11 +430,10 @@ object SparkEntry {
     * 32-byte keys instead of full documents).
     */
   private val q30Fingerprint: Q = (s, dir) => {
-    val fp = Tables.documents(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, dir)
       .select(col("doc_id"), ext.TextAnalysis.fingerprint(col("text")).as("fp"))
-    val counts = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_same"))
-    fp.join(counts, "fp")
-      .select(col("doc_id"), col("fp"), col("n_same"))
+      .withColumn("n_same", count(lit(1)).over(w))  // one shuffle, no join
       .orderBy(col("doc_id"))
       .limit(200)
   }

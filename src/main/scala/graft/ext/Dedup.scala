@@ -67,12 +67,14 @@ object Dedup {
 
   /** LSH band keys: hash of `rowsPerBand` consecutive minhashes.
     * numHashes/rowsPerBand bands; a pair collides iff equal on ALL
-    * hashes of some band.
+    * hashes of some band. Takes a precomputed signature column
+    * ([[graft.functions.MinHashSig]] — one pass over the shingles
+    * instead of one per seed).
     */
-  def bandKeys(shingleCol: Column, numHashes: Int, rowsPerBand: Int): Column = {
+  def bandKeys(sigCol: Column, numHashes: Int, rowsPerBand: Int): Column = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val hs = (0 until rowsPerBand).map(r => minhash(shingleCol, b * rowsPerBand + r))
+      val hs = (0 until rowsPerBand).map(r => sigCol.getItem(b * rowsPerBand + r))
       struct(lit(b).as("band_idx"), md5(concat(hs: _*)).as("band_key"))
     }
     array(bands: _*)
@@ -103,7 +105,7 @@ object Dedup {
       .select(col("id"), col("sig"), col("seg.seg_idx"), col("seg.seg_val"))
     val l = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("seg_idx", "seg_val"))
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("seg_idx", "seg_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -126,21 +128,27 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     val docs = df.select(id.as("id"), shingles(text, shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val bands = docs.select(col("id"),
-        explode(bandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_key"))
-    val l = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-    val r = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band_idx", "band_key"))
+    // Shingle sets ride along through the band shuffle: both self-join
+    // sides shuffle on the same (band_idx, band_key) partitioning, so
+    // ReuseExchange evaluates the tokenize+shingle+signature subtree
+    // ONCE (verified in plans) — re-joining a non-materialized docs
+    // side would recompute it per join instead.
+    val bands = docs.select(col("id"), col("sh"),
+        graft.functions.MinHashSig.minhash_sig(col("sh"), numHashes).as("sig"))
+      .select(col("id"), col("sh"),
+        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_key"))
+    val l = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // shuffle (not broadcast) join: both sides then need the SAME
+    // hash partitioning on the band key, and ReuseExchange computes the
+    // shingle+signature subtree once instead of once per side — at
+    // scale a broadcast of the full band table is wrong anyway.
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // Verify stage: candidates are few — fetch shingles per side.
-    val withA = cand.join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-    val withB = withA.join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withB
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .distinct()  // same pair from multiple bands → identical jaccard
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -116,7 +116,7 @@ object Similarity {
       .select(col("id"), col("nv"), col("tb.table_idx"), col("tb.bucket"))
     val l = bucketed.select(col("table_idx"), col("bucket"), col("id").as("id_a"), col("nv").as("nv_a"))
     val r = bucketed.select(col("table_idx"), col("bucket"), col("id").as("id_b"), col("nv").as("nv_b"))
-    l.join(r, Seq("table_idx", "bucket"))
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("nv_a"), col("nv_b")), roundTo).as("cos_sim"))

@@ -33,6 +33,14 @@ object Scratch {
     time("8 minhash")(sh.select((0 until 8).map(i => Dedup.minhash(col("sh"), i).as(s"h$i")): _*).count())
     time("bands")(sh.select(col("id"), explode(Dedup.bandKeys(col("sh"), 8, 2)).as("b")).count())
     time("full pipeline")(Dedup.nearDupPairs(docs, col("doc_id"), col("text")).count())
+    locally {
+      val q = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      q.count()
+      val p = q.queryExecution.executedPlan.toString
+      println("REUSED_EXCHANGE=" + p.contains("ReusedExchange"))
+      println(p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Scan parquet")).mkString("\n"))
+    }
 
     val em = Tables.embeddings(spark, dir)
     import graft.ext.Similarity
