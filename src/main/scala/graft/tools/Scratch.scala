@@ -48,6 +48,17 @@ object Scratch {
     time("normalize")(nv.count())
     time("norm+join cross 1k")(nv.limit(1000).crossJoin(nv.limit(1000).select(col("nv").as("nv2")))
       .select(Similarity.dot(col("nv"), col("nv2")).as("d")).filter(col("d") > 2).count())
+    Seq("q01_pricing_summary", "q13_keyword_search", "q35_multi_join", "q06_topk_per_group")
+      .foreach { q =>
+        println(s"===== $q =====")
+        val plan = graft.SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.toString
+        println(plan.linesIterator.filter(l =>
+          l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Join") || l.contains("WindowGroupLimit") ||
+          l.contains("TakeOrdered")).mkString("\n"))
+      }
+
     val knn = graft.SparkEntry.queries("q24_knn_brute")(spark, dir)
     time("q24 warm 1")(knn.count())
     time("q24 warm 2")(graft.SparkEntry.queries("q24_knn_brute")(spark, dir).count())
