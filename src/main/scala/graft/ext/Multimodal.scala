@@ -69,11 +69,12 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // real codec: init decoder context here, once per partition
+        // decoder context init: once per partition, not per row
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.collect { case (id, kind, payload) if payload != null =>
+          md.reset()
           MediaFeature(id, kind, payload.length.toLong,
-            java.security.MessageDigest.getInstance("MD5").digest(payload)
-              .map("%02x".format(_)).mkString,
+            md.digest(payload).map("%02x".format(_)).mkString,
             StubCodec.decode(payload))
         }
       }
@@ -87,10 +88,14 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val total = length(col("payload"))
+    // integer frame boundaries: start_i = floor(i*total/n), end_i =
+    // floor((i+1)*total/n) — frames exactly partition the payload
+    // (Column./ is double division; floor() keeps the math integral)
     val frames = transform(sequence(lit(0), lit(n - 1)), i => {
-      val start = (i * total) / n + 1
-      val len = ((i + 1) * total) / n - (i * total) / n
-      struct(i.as("frame_idx"), substring(col("payload"), start, len).as("frame"))
+      val lo = floor((i.cast("long") * total) / n)
+      val hi = floor(((i.cast("long") + 1) * total) / n)
+      struct(i.as("frame_idx"),
+        substring(col("payload"), (lo + 1).cast("int"), (hi - lo).cast("int")).as("frame"))
     })
     media
       .filter(col("payload").isNotNull && total >= n)
@@ -114,15 +119,18 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms")))
   }
 
-  /** Payload-aware repartition: target ~`targetBytes` of payload per
-    * partition (row-count partitioning is wrong when payloads vary
-    * 1000×). Uses a cumulative-bucket approximation: rows are assigned
-    * round-robin weighted by size via range partitioning on a
-    * size-scaled key.
+  /** Payload-aware repartition: choose the partition COUNT from total
+    * payload bytes (~`targetBytes` per partition — row-count sizing is
+    * wrong when payloads vary 1000×) and distribute round-robin.
+    * Approximation: partitions are balanced in expectation, not
+    * bin-packed — a single payload larger than `targetBytes` still
+    * owns its partition's overage.
     */
   def repartitionByBytes(media: DataFrame, targetBytes: Long): DataFrame = {
-    val totalBytes = media.agg(sum(length(col("payload")))).head.getLong(0)
+    require(targetBytes > 0)
+    val totalBytes = Option(media.agg(sum(length(col("payload")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
-    media.repartition(parts, col("media_id"))
+    media.repartition(parts)  // no column → round-robin distribution
   }
 }

@@ -43,13 +43,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
 
-  /** Static so generated code can call it directly. Nulls inside the
-    * arrays contribute 0 (matches zip_with/aggregate null arithmetic
-    * closely enough for our non-null fixtures; declared inputs are
-    * non-null vectors).
+  /** Static so generated code can call it directly. Mismatched
+    * dimensions throw — silently truncating to the shorter vector
+    * would mask configuration bugs (e.g. hyperplanes of the wrong
+    * dim) as quietly-wrong similarities.
     */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"dot_product dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

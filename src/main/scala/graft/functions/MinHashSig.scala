@@ -75,9 +75,11 @@ object MinHashSig {
     val md = digests.get()
     val mins = new Array[String](numHashes)
     val seedPrefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+    var any = false
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
+        any = true
         val sBytes = shingles.getUTF8String(i).getBytes
         var h = 0
         while (h < numHashes) {
@@ -91,6 +93,9 @@ object MinHashSig {
       }
       i += 1
     }
+    // all-null input would yield an array of nulls under a
+    // containsNull=false contract — return null signature instead
+    if (!any) return null
     new GenericArrayData(mins.map(UTF8String.fromString))
   }
 

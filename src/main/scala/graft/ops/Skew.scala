@@ -21,16 +21,20 @@ object Skew {
 
   /** Inner equi-join `big ⋈ small` on `key`, salted `n` ways. Result
     * equals `big.join(small, key)` row-for-row; only the physical
-    * distribution changes. The salt is `pmod(hash(monotonic row id),
-    * n)`-free: `rand(seed)` is used (per-row, deterministic per seed &
-    * partition layout) since ANY per-row assignment preserves join
-    * correctness — each big-side row meets every small-side replica
-    * exactly once via its own salt value.
+    * distribution changes. The salt must be DETERMINISTIC per row
+    * (`rand()` feeding a shuffle key is the SPARK-23207 hazard: a
+    * partial stage retry re-rolls salts and duplicates/loses rows), so
+    * it is `pmod(xxhash64(all columns), n)` — any per-row assignment
+    * preserves correctness since each big-side row meets every
+    * small-side replica exactly once via its own salt value.
+    * (Fully-identical duplicate rows share a salt; acceptable — skew
+    * from exact duplicates is bounded by the duplicate count.)
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 n: Int = 16, seed: Long = 42L): DataFrame = {
+                 n: Int = 16): DataFrame = {
     require(n > 0)
-    val saltedBig = big.withColumn("_salt", floor(rand(seed) * n).cast("int"))
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(n.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

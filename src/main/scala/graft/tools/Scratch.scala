@@ -31,7 +31,9 @@ object Scratch {
       .filter(size(col("sh")) > 0)
     time("1 minhash")(sh.select(Dedup.minhash(col("sh"), 0).as("h")).filter(col("h").isNotNull).count())
     time("8 minhash")(sh.select((0 until 8).map(i => Dedup.minhash(col("sh"), i).as(s"h$i")): _*).count())
-    time("bands")(sh.select(col("id"), explode(Dedup.bandKeys(col("sh"), 8, 2)).as("b")).count())
+    time("bands")(sh.select(col("id"),
+      explode(Dedup.bandKeys(
+        graft.functions.MinHashSig.minhash_sig(col("sh"), 8), 8, 2)).as("b")).count())
     time("full pipeline")(Dedup.nearDupPairs(docs, col("doc_id"), col("text")).count())
     locally {
       val q = Dedup.nearDupPairs(docs, col("doc_id"), col("text"))

@@ -38,6 +38,21 @@ class MultimodalSpec extends SparkSuite {
     assert(!byId.contains(4L))
   }
 
+  test("sampleFrames partitions exactly when payload size is not divisible by n") {
+    val rows = Seq(Row(9L, "audio", Array.tabulate(11)(_.toByte),
+      Row(null, null, 8000, 100)))
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val frames = Multimodal.sampleFrames(df, 3)
+      .orderBy("frame_idx")
+      .select("frame_bytes").collect().map(_.getInt(0)).toSeq
+    assert(frames.sum == 11, s"frames $frames must cover all 11 bytes")
+    assert(frames == Seq(3, 4, 4))
+    // reassembled frames equal the original payload (no gaps/overlap)
+    val bytes = Multimodal.sampleFrames(df, 3).orderBy("frame_idx")
+      .select("frame").collect().flatMap(_.getAs[Array[Byte]](0)).toSeq
+    assert(bytes == Array.tabulate(11)(_.toByte).toSeq)
+  }
+
   test("resizeMeta clamps to max side preserving aspect") {
     val resized = Multimodal.resizeMeta(media(), 400)
       .select(col("media_id"), col("meta.width"), col("meta.height"))
