@@ -34,6 +34,17 @@ object EventStream {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** X14 full form: parse `props` into a typed struct with an explicit
+    * schema (`from_json`) — unlike `get_json_object`, one parse serves
+    * any number of fields, and the declared schema keeps the column
+    * prunable/codegen-typed downstream.
+    */
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  def withParsedProps(events: DataFrame): DataFrame =
+    events.withColumn("props_parsed",
+      org.apache.spark.sql.functions.from_json(col("props"), propsSchema))
+
   /** Tumbling/sliding window counts with late-data watermark:
     * state for a window is dropped `lateness` after its end.
     */

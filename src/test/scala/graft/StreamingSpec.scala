@@ -67,6 +67,40 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("file-based readStream processes parquet drops as micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val q = EventStream.windowedCounts(
+        EventStream.readStream(spark, dir), "1 hour", None, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("file_win_out").start()
+    try {
+      import spark.implicits._
+      // first file lands in the watched dir → first micro-batch
+      Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+        .toDF().withColumn("props", lit("{}"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // second drop advances the watermark and closes the 10:00 window
+      Seq(Event(2, ts("2024-01-01 13:00:00"), 2, "view", 1.0))
+        .toDF().withColumn("props", lit("{}"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("file_win_out")
+        .select("window_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("withParsedProps parses the JSON column once into a typed struct") {
+    import spark.implicits._
+    val df = Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      .toDF().withColumn("props", lit("""{"k": 41}"""))
+    val got = EventStream.withParsedProps(df)
+      .select(col("props_parsed.k")).as[Long].head
+    assert(got == 41L)
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
