@@ -557,6 +557,33 @@ object SparkEntry {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q37 — ⊕ multimodal frame sampling through the oracle harness:
+    * documents' text bytes stand in for payloads (ASCII fixture →
+    * byte length == char length); the frame-boundary arithmetic is
+    * SQL-expressible even though binary slicing isn't, so the oracle
+    * checks the exact partition-into-frames math.
+    */
+  private val q37FrameSample: Q = (s, dir) => {
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"), lit("text").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    ext.Multimodal.sampleFrames(media, 4)
+      .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+      .limit(400)
+  }
+
+  /** q38 — ⊕ X15 ANN via IVF (k-means inverted file; no SQL oracle —
+    * rows-only; recall vs exact kNN asserted in SimilaritySpec).
+    */
+  private val q38AnnIvf: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val cents = ext.Similarity.ivfTrain(em, col("vec_id"), col("embedding"), k = 16, iters = 2)
+    ext.Similarity.ivfSearch(em, col("vec_id"), col("embedding"), cents,
+      queryIds = Seq(0L, 1L, 2L), nprobe = 4, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -595,6 +622,8 @@ object SparkEntry {
     "q34_approx_distinct"   -> q34ApproxDistinct,
     "q35_multi_join"        -> q35MultiJoin,
     "q36_rollup"            -> q36Rollup,
+    "q37_frame_sample"      -> q37FrameSample,
+    "q38_ann_ivf"           -> q38AnnIvf,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -963,5 +992,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q37_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, length(text) AS L FROM documents),
+        |f AS (
+        |  SELECT media_id, CAST(unnest(range(0, 4)) AS INTEGER) AS frame_idx, L
+        |  FROM m WHERE L >= 4)
+        |SELECT media_id, frame_idx,
+        |  CAST(floor((frame_idx + 1) * L / 4.0)
+        |       - floor(frame_idx * L / 4.0) AS INTEGER) AS frame_bytes
+        |FROM f ORDER BY media_id, frame_idx LIMIT 400""".stripMargin,
   )
 }

@@ -92,6 +92,87 @@ object Similarity {
     Seq.fill(numTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  // --- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** Deterministic k-means on normalized vectors: seeds = the k
+    * lowest-id vectors, `iters` Lloyd rounds. Each round is one
+    * DataFrame aggregation (assign = row-local argmax of centroid
+    * similarity; recompute = per-cluster mean) with only the k×dim
+    * centroid matrix collected to the driver — the vector table never
+    * moves. Returns the centroids (normalized).
+    */
+  def ivfTrain(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+    var centroids = nv.orderBy(col("id")).limit(k)
+      .select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = nv.withColumn("cluster", assignCluster(col("nv"), centroids))
+      // componentwise mean, fully distributed: explode to (cluster,
+      // pos, v), partial-aggregated avg per component, reassemble in
+      // pos order (struct array_sort orders by first field)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map { i =>
+        means.get(i).map(normalizeLocal).getOrElse(centroids(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def normalizeLocal(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n <= 0) v else v.map(_ / n)
+  }
+
+  /** Row-local cluster assignment: argmax of dot(nv, centroid_i) over
+    * the centroid literals (ties → lowest index, deterministic).
+    */
+  private[ext] def assignCluster(nv: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = array(centroids.map(c => dot(nv, array(c.map(lit(_)): _*))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** ⊕ IVF search: assign every vector to its nearest centroid (the
+    * inverted file), pick each query's `nprobe` closest centroids on
+    * the driver (centroid matrix is tiny), and brute-force only inside
+    * the probed clusters. At scale the assignment column is the
+    * partition/bucket key: a probe touches nprobe/k of the data.
+    */
+  def ivfSearch(df: DataFrame, id: Column, vec: Column,
+                centroids: Array[Array[Double]], queryIds: Seq[Long],
+                nprobe: Int, k: Int, roundTo: Int = 4): DataFrame = {
+    val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+      .withColumn("cluster", assignCluster(col("nv"), centroids))
+    val queries = nv.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("nv").as("q_nv")).collect()
+    val probed = queries.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      val order = centroids.zipWithIndex
+        .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, s) => (-s, i) }.take(nprobe).map(_._1)
+      (r.getLong(0), q, order.toSet)
+    }
+    val perQuery = probed.map { case (qid, q, clusters) =>
+      val qLit = array(q.map(lit(_)): _*)
+      nv.filter(col("cluster").isin(clusters.toSeq: _*) && col("id") =!= qid)
+        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
+          round(dot(col("nv"), qLit), roundTo).as("cos_sim"))
+    }
+    val scored = perQuery.reduce(_.unionByName(_))
+    graft.ops.TopK.perGroupTopK(scored,
+        Seq(col("query_id")), Seq(desc("cos_sim"), asc("neighbor_id")), k)
+      .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
+  }
+
   /** ⊕ ANN via random-hyperplane LSH (Charikar 2002): for each of
     * `numTables` tables, a `bitsPerTable`-bit bucket key from
     * projection signs; same-bucket pairs are candidates; exact cosine

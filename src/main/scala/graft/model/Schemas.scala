@@ -39,6 +39,15 @@ object Schemas {
     StructField("author", StringType, nullable = true),
     StructField("permalink", StringType, nullable = true)))
 
+  /** Metadata struct of the multimodal media schema
+    * (ext.Multimodal.mediaSchema's `meta` field).
+    */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", IntegerType, nullable = true)))
+
   /** Output of pipeline A (community discovery), app.py:72. */
   val communities: StructType = StructType(Seq(
     StructField("Community", StringType, nullable = false),

@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkSuite {
     assert(knn.forall { case (q, n, _) => q != n })
   }
 
+  test("IVF: assignments cover all vectors; search recall vs brute force") {
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfTrain(em, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // centroids are normalized
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    val exact = Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"), Seq(0L, 1L), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfSearch(em, col("vec_id"), col("embedding"), cents,
+        Seq(0L, 1L), nprobe = 6, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(
+      Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"), Seq(0L, 1L), 500)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall (probing 6/8 clusters)")
+  }
+
   test("annLsh results are a subset of exact pairs with decent recall") {
     val em = sources.Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosinePairs(em, col("vec_id"), col("embedding"), 0.42)
