@@ -584,6 +584,23 @@ object SparkEntry {
       queryIds = Seq(0L, 1L, 2L), nprobe = 4, k = 10)
   }
 
+  /** q39 — ⊕ sessionization (batch form of
+    * [[graft.streaming.EventStream.sessionCounts]]): `session_window`
+    * merges events within a 10-minute gap; oracled by the classic
+    * gaps-and-islands SQL (new session when the gap to the previous
+    * event is ≥ the window gap — Spark merges strictly-closer events).
+    */
+  private val q39Sessionize: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -624,6 +641,7 @@ object SparkEntry {
     "q36_rollup"            -> q36Rollup,
     "q37_frame_sample"      -> q37FrameSample,
     "q38_ann_ivf"           -> q38AnnIvf,
+    "q39_sessionize"        -> q39Sessionize,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1002,5 +1020,23 @@ object SparkEntry {
         |  CAST(floor((frame_idx + 1) * L / 4.0)
         |       - floor(frame_idx * L / 4.0) AS INTEGER) AS frame_bytes
         |FROM f ORDER BY media_id, frame_idx LIMIT 400""".stripMargin,
+    "q39_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }
