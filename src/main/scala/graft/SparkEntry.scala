@@ -601,6 +601,17 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q40 — ⊕ A7 winnowing (rolling-hash) fingerprint near-dup pairs
+    * (no SQL oracle — rolling state isn't portable SQL; rows-only,
+    * cross-checked against MinHash pairs in DedupSpec).
+    */
+  private val q40WinnowNearDup: Q = (s, dir) => {
+    // long grams + high share floor: the fixture vocabulary is tiny, so
+    // short substrings recur across unrelated docs
+    ext.Dedup.winnowNearDup(Tables.documents(s, dir), col("doc_id"), col("text"),
+      k = 24, w = 8, minShared = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -642,6 +653,7 @@ object SparkEntry {
     "q37_frame_sample"      -> q37FrameSample,
     "q38_ann_ivf"           -> q38AnnIvf,
     "q39_sessionize"        -> q39Sessionize,
+    "q40_winnow_neardup"    -> q40WinnowNearDup,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -114,6 +114,28 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ⊕ Winnowing near-dup: documents sharing ≥ `minShared` rolling-hash
+    * fingerprints ([[graft.functions.Winnow]] — MOSS scheme). Candidate
+    * generation is an equi-join on single fingerprint values (explode →
+    * shuffle on the fingerprint, same no-O(n²) shape as the LSH
+    * pipelines); the shared count is exact. Catches long shared
+    * substrings even when documents differ elsewhere — complementary
+    * to set-based MinHash.
+    */
+  def winnowNearDup(df: DataFrame, id: Column, text: Column,
+                    k: Int = 12, w: Int = 6, minShared: Int = 5): DataFrame = {
+    val fps = df.select(id.as("id"),
+        explode(graft.functions.Winnow.winnow(Text.cleanText(lower(text)), k, w)).as("fp"))
+    val l = fps.select(col("fp"), col("id").as("id_a"))
+    val r = fps.select(col("fp"), col("id").as("id_b"))
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
     * id_a < id_b, deterministic order.

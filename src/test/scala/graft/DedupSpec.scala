@@ -62,6 +62,36 @@ class DedupSpec extends SparkSuite {
     assert(overlap >= 0.6, s"simhash recall vs minhash: $overlap (mh=${mh.size}, sh=${sh.size})")
   }
 
+  test("winnow fingerprints: identical texts match; shared substrings overlap") {
+    import graft.functions.Winnow
+    val long = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    val containing = "PREFIX " + long + " SUFFIX"
+    val other = "completely unrelated content about database engines and columns"
+    val df = Seq(long, long, containing, other).toDF("t")
+      .select(Winnow.winnow(col("t"), 8, 4).as("f"))
+    val fps = df.as[Seq[Long]].collect()
+    assert(fps(0) == fps(1))
+    // containment: most of the contained text's fingerprints survive
+    val overlap = fps(0).toSet.intersect(fps(2).toSet).size.toDouble / fps(0).size
+    assert(overlap >= 0.7, s"containment overlap $overlap")
+    assert(fps(0).toSet.intersect(fps(3).toSet).size <= 1)
+    // short text → null
+    val short = Seq("abc").toDF("t").select(Winnow.winnow(col("t"), 8, 4).as("f"))
+    assert(short.collect().head.isNullAt(0))
+  }
+
+  test("winnow near-dup pipeline finds the planted pairs") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val win = Dedup.winnowNearDup(docs, col("doc_id"), col("text"),
+        k = 24, w = 8, minShared = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.nearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(win.nonEmpty)
+    val recall = mh.intersect(win).size.toDouble / math.max(1, mh.size)
+    assert(recall >= 0.8, s"winnow recall vs minhash: $recall (${win.size} vs ${mh.size})")
+  }
+
   test("exactDedup keeps min ordinal per key") {
     val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
     val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))
