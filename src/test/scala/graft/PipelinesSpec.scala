@@ -75,13 +75,13 @@ class PipelinesSpec extends SparkSuite {
   }
 
   test("pipeline A: comment budget excludes late comments") {
-    // commentLimit=1 → only c1 (flat_idx 0) scanned per post; c5 (idx 1) missed
+    // commentLimit=1 → only flat_idx 0 scanned per post: c4 ("I can
+    // recommend...") lacks the full query word, and c5 (which has it)
+    // sits at flat_idx 1, outside the budget → no comment channel,
+    // score = post only = 2
     val out = CommunityDiscovery.run(subreddits, posts, comments,
       CommunityDiscovery.Params(queries = Seq("recommendation"), commentLimit = 1))
     val ih = out.filter(col("Community") === "r/indiehackers").collect().head
-    // c4 (flat_idx 0) contains 'recommend' but NOT 'recommendation'... it does
-    // contain 'recommendation'? "I can recommend a cheap alternative" — no.
-    // So no comment channel: score = post only = 2
     assert(ih.getInt(1) == 2)
   }
 
