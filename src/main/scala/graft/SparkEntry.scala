@@ -612,6 +612,21 @@ object SparkEntry {
       k = 24, w = 8, minShared = 10)
   }
 
+  /** q41 — X4/X7/X8/X9 scalar string functions in one projection
+    * (URL templating, truncate+ellipsis, prefix strip, startswith —
+    * `app.py:69-70`, `devcontainer.json:75`, `app.py:296,41`).
+    */
+  private val q41StringFuncs: Q = (s, dir) => {
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      ops.Text.stripPrefix(col("source"), "src").as("src_num"),
+      ops.Text.urlOf("https://example.com/", col("source")).as("url"),
+      ops.Text.truncateEllipsis(col("text"), 40).as("preview"),
+      col("source").startsWith("src1").as("is_src1x"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -654,6 +669,7 @@ object SparkEntry {
     "q38_ann_ivf"           -> q38AnnIvf,
     "q39_sessionize"        -> q39Sessionize,
     "q40_winnow_neardup"    -> q40WinnowNearDup,
+    "q41_string_funcs"      -> q41StringFuncs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1050,5 +1066,13 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q41_string_funcs" ->
+      """SELECT doc_id,
+        |  regexp_replace(source, '^src', '') AS src_num,
+        |  'https://example.com/' || source AS url,
+        |  CASE WHEN length(text) > 40
+        |       THEN substring(text, 1, 40) || '...' ELSE text END AS preview,
+        |  starts_with(source, 'src1') AS is_src1x
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
   )
 }
