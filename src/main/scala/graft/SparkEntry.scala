@@ -627,6 +627,20 @@ object SparkEntry {
       .limit(200)
   }
 
+  /** q42 — date/time function breadth (X13 family): component
+    * extraction + day truncation + grouping by calendar month.
+    */
+  private val q42DatetimeFuncs: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -670,6 +684,7 @@ object SparkEntry {
     "q39_sessionize"        -> q39Sessionize,
     "q40_winnow_neardup"    -> q40WinnowNearDup,
     "q41_string_funcs"      -> q41StringFuncs,
+    "q42_datetime_funcs"    -> q42DatetimeFuncs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1074,5 +1089,10 @@ object SparkEntry {
         |       THEN substring(text, 1, 40) || '...' ELSE text END AS preview,
         |  starts_with(source, 'src1') AS is_src1x
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q42_datetime_funcs" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
   )
 }
