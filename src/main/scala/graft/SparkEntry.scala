@@ -503,16 +503,26 @@ object SparkEntry {
   }
 
   /** q34 — ⊕ A6 sketch aggregates: HLL++ approx distinct + exact
-    * anchor (no SQL oracle — sketch estimates are engine-specific;
-    * rows-only check here, accuracy bound asserted in CoreQueriesSpec).
+    * anchor. Sketch estimates are engine-specific, so the oracle-able
+    * output is (exact values) + (booleans asserting the approx columns
+    * sit within 3·rsd of exact); DuckDB emits the exact values and
+    * literal TRUE — a hash mismatch means the sketch left its error
+    * bound. Point estimates additionally bound-checked in
+    * CoreQueriesSpec.
     */
   private val q34ApproxDistinct: Q = (s, dir) => {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),          // rsd 0.05
+        approx_count_distinct(col("l_suppkey"), 0.01).as("asup"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (col("ap") >= col("exact_parts") * 0.85 &&
+          col("ap") <= col("exact_parts") * 1.15).as("approx_parts_ok"),
+        (col("asup") >= col("exact_supps") * 0.97 &&
+          col("asup") <= col("exact_supps") * 1.03).as("approx_supps_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -575,13 +585,14 @@ object SparkEntry {
   }
 
   /** q38 — ⊕ X15 ANN via IVF (k-means inverted file; no SQL oracle —
-    * rows-only; recall vs exact kNN asserted in SimilaritySpec).
+    * rows-only; recall vs exact kNN asserted in SimilaritySpec). The
+    * normalized+assigned table is cached once in the model and shared
+    * by the Lloyd rounds and the single-pass search.
     */
   private val q38AnnIvf: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
-    val cents = ext.Similarity.ivfTrain(em, col("vec_id"), col("embedding"), k = 16, iters = 2)
-    ext.Similarity.ivfSearch(em, col("vec_id"), col("embedding"), cents,
-      queryIds = Seq(0L, 1L, 2L), nprobe = 4, k = 10)
+    val model = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 16, iters = 2)
+    ext.Similarity.ivfSearch(model, queryIds = Seq(0L, 1L, 2L), nprobe = 4, k = 10)
   }
 
   /** q39 — ⊕ sessionization (batch form of
@@ -913,6 +924,48 @@ object SparkEntry {
         |SELECT id_a, id_b, cos_sim FROM pairs
         |WHERE cos_sim >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
+    // q26 — the full SRP-LSH pipeline in SQL: the ±1 plane components
+    // re-derive from the same md5-parity rule as Similarity.planeComp,
+    // so bucketing, candidate generation, and the exact-cosine verify
+    // are all hard-checked (same approach that oracles q22's banding).
+    "q26_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM n WHERE sq > 0),
+        |comp AS (
+        |  SELECT t.t, b.b, d.d,
+        |    CASE WHEN strpos('13579bdf',
+        |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)
+        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
+        |         THEN -1.0 ELSE 1.0 END AS c
+        |  FROM (SELECT unnest(range(0, 16)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM comp GROUP BY t, b),
+        |proj AS (
+        |  SELECT nv.vec_id, pl.t, pl.b,
+        |    list_sum(list_transform(range(1, 65), i -> nv.nv[i] * pl.pv[i])) AS dp
+        |  FROM nv CROSS JOIN pl),
+        |bk AS (
+        |  SELECT vec_id, t AS table_idx,
+        |    CAST(sum(CASE WHEN dp >= 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM bk a JOIN bk c USING (table_idx, bucket)
+        |  WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |                                  i -> x.nv[i] * y.nv[i])), 4) AS cos_sim
+        |  FROM cand JOIN nv x ON x.vec_id = id_a JOIN nv y ON y.vec_id = id_b)
+        |SELECT id_a, id_b, cos_sim FROM pairs
+        |WHERE cos_sim >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
     "q27_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1033,6 +1086,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN u.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
         |FROM e WHERE u.word <> 'a'
         |GROUP BY u.word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    // q34 — exact columns hard-compared; the sketch columns are
+    // asserted within 3·rsd of exact on the Spark side and emitted as
+    // literal TRUE here, so an out-of-bounds estimate hash-mismatches.
+    "q34_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS approx_parts_ok,
+        |  TRUE AS approx_supps_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q35_multi_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

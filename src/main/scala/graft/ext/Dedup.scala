@@ -86,13 +86,41 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
+  /** Single-scan bucketed candidate-pair generation shared by the
+    * near-dup pipelines: group the bucketed rows on the bucket key,
+    * collect the (id, payload) members, and expand in-bucket pairs
+    * (id_a < id_b) with two explodes.
+    *
+    * Why not a self-equi-join on the bucket key: the two join sides are
+    * the same expensive subtree (tokenize → shingle → signature) under
+    * different aliases, and in practice neither ReuseExchange nor scan
+    * dedup fires for them — the chain is scanned AND evaluated twice
+    * (measured ~2× the whole query cost at sf0.1). Grouping evaluates
+    * it once and shuffles once; the in-bucket pair fan-out is identical
+    * to the join's.
+    *
+    * Scale note: one bucket becomes one `collect_list` row, so bucket
+    * sizes must stay bounded — which is exactly the LSH design contract
+    * (bands/segments spread near-uniformly). Degenerate keys (e.g. the
+    * empty document) must be filtered by the caller BEFORE this point.
+    */
+  private[ext] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+                               member: Column): DataFrame =
+    bucketed
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(member).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+
   /** ⊕ SimHash near-dup pipeline: 64-bit signature per doc (custom
     * Catalyst expression, [[graft.functions.SimHash64]]), banded into
     * four 16-bit segments. By pigeonhole, any pair within Hamming
     * distance ≤ 3 agrees on at least one segment, so candidate
-    * generation is again an equi-join on (segment_idx, segment_value) —
-    * no all-pairs compare — followed by an exact `bit_count(a^b)`
-    * verify. Returns (id_a, id_b, hamming), id_a < id_b.
+    * generation groups on (segment_idx, segment_value) — no all-pairs
+    * compare — followed by an exact `bit_count(a^b)` verify (filtered
+    * BEFORE the cross-segment dedup so the distinct only sees
+    * near-pairs). Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
                      maxHamming: Int = 3): DataFrame = {
@@ -103,14 +131,12 @@ object Dedup {
           struct(lit(i).as("seg_idx"),
             shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("seg_val"))): _*)).as("seg"))
       .select(col("id"), col("sig"), col("seg.seg_idx"), col("seg.seg_val"))
-    val l = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = segs.select(col("seg_idx"), col("seg_val"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("seg_idx", "seg_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+    bucketPairs(segs, Seq("seg_idx", "seg_val"), struct(col("id"), col("sig")))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -126,11 +152,9 @@ object Dedup {
                     k: Int = 12, w: Int = 6, minShared: Int = 5): DataFrame = {
     val fps = df.select(id.as("id"),
         explode(graft.functions.Winnow.winnow(Text.cleanText(lower(text)), k, w)).as("fp"))
-    val l = fps.select(col("fp"), col("id").as("id_a"))
-    val r = fps.select(col("fp"), col("id").as("id_b"))
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    bucketPairs(fps, Seq("fp"), struct(col("id")))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
@@ -148,30 +172,30 @@ object Dedup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.8): DataFrame = {
+    // No eager `filter(size(sh) > 0)` here: predicate pushdown would
+    // substitute the whole tokenize+shingle chain into the parquet
+    // scan's data filter and re-evaluate it per row (measured; see
+    // bucketPairs scaladoc). Empty shingle sets get a null signature
+    // ([[graft.functions.MinHashSig]]) and are dropped by the cheap
+    // null-key filter AFTER the banding step instead.
     val docs = df.select(id.as("id"), shingles(text, shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // Shingle sets ride along through the band shuffle: both self-join
-    // sides shuffle on the same (band_idx, band_key) partitioning, so
-    // ReuseExchange evaluates the tokenize+shingle+signature subtree
-    // ONCE (verified in plans) — re-joining a non-materialized docs
-    // side would recompute it per join instead.
     val bands = docs.select(col("id"), col("sh"),
         graft.functions.MinHashSig.minhash_sig(col("sh"), numHashes).as("sig"))
       .select(col("id"), col("sh"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
       .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_key"))
-    val l = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // shuffle (not broadcast) join: both sides then need the SAME
-    // hash partitioning on the band key, and ReuseExchange computes the
-    // shingle+signature subtree once instead of once per side — at
-    // scale a broadcast of the full band table is wrong anyway.
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-      .distinct()  // same pair from multiple bands → identical jaccard
+      .filter(col("band_key").isNotNull)
+    // Shingle sets ride along through the ONE band shuffle (groupBy),
+    // so tokenize+shingle+signature is evaluated exactly once and the
+    // exact-Jaccard verify never re-reads the source. Thresholding
+    // runs BEFORE the cross-band pair dedup so distinct only sees the
+    // (few) passing pairs.
+    bucketPairs(bands, Seq("band_idx", "band_key"), struct(col("id"), col("sh")))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .distinct()  // same pair from multiple bands → identical jaccard
       .orderBy(col("id_a"), col("id_b"))
   }
 }

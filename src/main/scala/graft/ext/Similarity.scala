@@ -50,9 +50,18 @@ object Similarity {
 
   /** Exact all-pairs cosine ≥ threshold (id_a < id_b). O(n²) — the
     * small-n baseline and near-dup verifier; use [[annLsh]] at scale.
+    *
+    * Guarded: refuses above `maxRows` input rows so the cartesian plan
+    * cannot be reached accidentally at scale (the guard is an eager
+    * count — acceptable for an explicitly small-n baseline). Raise the
+    * limit consciously to override.
     */
   def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-                  roundTo: Int = 4): DataFrame = {
+                  roundTo: Int = 4, maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosinePairs is an O(n^2) exact baseline; got $n rows > maxRows=$maxRows. " +
+        "Use annLsh/ivf for large inputs, or raise maxRows explicitly.")
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
     val l = nv.select(col("id").as("id_a"), col("nv").as("nv_a"))
@@ -84,26 +93,49 @@ object Similarity {
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
-  /** Deterministic hyperplanes: unit-free gaussian-ish components from
-    * a seeded LCG (java.util.Random is stable across platforms).
+  /** Deterministic ±1 hyperplane component for (table, bit, dim-index):
+    * sign from md5 parity of `"t|b|d"` (low bit of the first digest
+    * byte). Rademacher sign projections are a standard SRP-LSH variant
+    * (Achlioptas 2001, database-friendly random projections), and —
+    * unlike seeded gaussians — the rule is re-computable in ANSI SQL,
+    * so the whole bucketing pipeline is oracle-checkable.
     */
-  private[ext] def planes(numTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
-    val rnd = new java.util.Random(42L)
-    Seq.fill(numTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+  private[ext] def planeComp(t: Int, b: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t|$b|$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
   }
 
+  private[ext] def planes(numTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] =
+    Seq.tabulate(numTables)(t => Seq.tabulate(bitsPerTable)(b =>
+      Array.tabulate(dim)(d => planeComp(t, b, d))))
+
   // --- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** Trained IVF index: the k×dim centroid matrix plus the
+    * cluster-assigned (and cached) normalized vector table. The
+    * assignment column is the partition key of the inverted file — at
+    * scale it would be the bucketing/partition column of the stored
+    * table, so a probe touches nprobe/k of the data.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]], assigned: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
 
   /** Deterministic k-means on normalized vectors: seeds = the k
     * lowest-id vectors, `iters` Lloyd rounds. Each round is one
     * DataFrame aggregation (assign = row-local argmax of centroid
     * similarity; recompute = per-cluster mean) with only the k×dim
     * centroid matrix collected to the driver — the vector table never
-    * moves. Returns the centroids (normalized).
+    * moves. The normalized table is persisted across the rounds (each
+    * round is a separate action; without the cache every round re-reads
+    * and re-normalizes the source), and the returned model carries the
+    * final cluster assignment, also persisted, for [[ivfSearch]].
     */
-  def ivfTrain(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3): Array[Array[Double]] = {
+  def ivfFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3): IvfModel = {
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
+      .persist()
     var centroids = nv.orderBy(col("id")).limit(k)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -124,7 +156,10 @@ object Similarity {
         means.get(i).map(normalizeLocal).getOrElse(centroids(i))
       }.toArray
     }
-    centroids
+    val assigned = nv.withColumn("cluster", assignCluster(col("nv"), centroids)).persist()
+    assigned.count()  // materialize before dropping the upstream cache
+    nv.unpersist()
+    IvfModel(centroids, assigned)
   }
 
   private def normalizeLocal(v: Array[Double]): Array[Double] = {
@@ -140,44 +175,44 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
-  /** ⊕ IVF search: assign every vector to its nearest centroid (the
-    * inverted file), pick each query's `nprobe` closest centroids on
-    * the driver (centroid matrix is tiny), and brute-force only inside
-    * the probed clusters. At scale the assignment column is the
-    * partition/bucket key: a probe touches nprobe/k of the data.
+  /** ⊕ IVF search, single-pass: each query row computes its `nprobe`
+    * closest centroids IN the plan (the centroid matrix is a literal),
+    * explodes to (query, probed_cluster), and one broadcast join
+    * against the cluster-assigned table scores only the probed
+    * clusters. Plan size and scan count are constant in the number of
+    * queries — no per-query driver-side plan assembly.
     */
-  def ivfSearch(df: DataFrame, id: Column, vec: Column,
-                centroids: Array[Array[Double]], queryIds: Seq[Long],
+  def ivfSearch(model: IvfModel, queryIds: Seq[Long],
                 nprobe: Int, k: Int, roundTo: Int = 4): DataFrame = {
-    val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
-      .filter(col("nv").isNotNull)
-      .withColumn("cluster", assignCluster(col("nv"), centroids))
-    val queries = nv.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("nv").as("q_nv")).collect()
-    val probed = queries.map { r =>
-      val q = r.getSeq[Double](1).toArray
-      val order = centroids.zipWithIndex
-        .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
-        .sortBy { case (i, s) => (-s, i) }.take(nprobe).map(_._1)
-      (r.getLong(0), q, order.toSet)
-    }
-    val perQuery = probed.map { case (qid, q, clusters) =>
-      val qLit = array(q.map(lit(_)): _*)
-      nv.filter(col("cluster").isin(clusters.toSeq: _*) && col("id") =!= qid)
-        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
-          round(dot(col("nv"), qLit), roundTo).as("cos_sim"))
-    }
-    val scored = perQuery.reduce(_.unionByName(_))
+    val cents = model.centroids
+    // (negated sim, idx) structs sort lexicographically = sim desc,
+    // idx-asc tie-break — deterministic probe order
+    val ranked = array_sort(array(cents.indices.map(i =>
+      struct((-dot(col("nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
+        lit(i).as("idx"))): _*))
+    val probes = transform(slice(ranked, 1, nprobe), s => s.getField("idx"))
+    val probed = model.assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("nv").as("q_nv"),
+        explode(probes).as("cluster"))
+    val scored = model.assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("q_nv"), col("nv")), roundTo).as("cos_sim"))
     graft.ops.TopK.perGroupTopK(scored,
         Seq(col("query_id")), Seq(desc("cos_sim"), asc("neighbor_id")), k)
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
-  /** ⊕ ANN via random-hyperplane LSH (Charikar 2002): for each of
-    * `numTables` tables, a `bitsPerTable`-bit bucket key from
-    * projection signs; same-bucket pairs are candidates; exact cosine
-    * verifies. Recall for similarity s: 1-(1-p^b)^L with
-    * p = 1 - arccos(s)/π.
+  /** ⊕ ANN via random-hyperplane LSH (Charikar 2002, with ±1
+    * Rademacher planes — [[planeComp]]): for each of `numTables`
+    * tables, a `bitsPerTable`-bit bucket key from projection signs;
+    * same-bucket pairs are candidates; exact cosine verifies. Recall
+    * for similarity s: 1-(1-p^b)^L with p = 1 - arccos(s)/π.
+    *
+    * Candidate generation is the single-scan grouped form
+    * ([[Dedup.bucketPairs]]): one evaluation of the 96 projections per
+    * row, one shuffle on (table_idx, bucket), in-bucket pair expansion,
+    * threshold BEFORE the cross-table dedup.
     */
   def annLsh(df: DataFrame, id: Column, vec: Column, dim: Int,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
@@ -195,14 +230,13 @@ object Similarity {
     val bucketed = nv.select(col("id"), col("nv"),
         explode(array(buckets: _*)).as("tb"))
       .select(col("id"), col("nv"), col("tb.table_idx"), col("tb.bucket"))
-    val l = bucketed.select(col("table_idx"), col("bucket"), col("id").as("id_a"), col("nv").as("nv_a"))
-    val r = bucketed.select(col("table_idx"), col("bucket"), col("id").as("id_b"), col("nv").as("nv_b"))
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("table_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("nv_a"), col("nv_b")), roundTo).as("cos_sim"))
-      .distinct()
+    Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"),
+        struct(col("id"), col("nv")))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.nv"), col("b.nv")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -37,23 +37,35 @@ class SimilaritySpec extends SparkSuite {
 
   test("IVF: assignments cover all vectors; search recall vs brute force") {
     val em = sources.Tables.embeddings(spark, sfDir)
-    val cents = Similarity.ivfTrain(em, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val model = Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val cents = model.centroids
     assert(cents.length == 8 && cents.forall(_.length == 64))
     // centroids are normalized
     cents.foreach { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       assert(math.abs(n - 1.0) < 1e-9)
     }
+    // every vector got a cluster in [0, k)
+    val nVec = em.count()
+    assert(model.assigned.filter(col("cluster").between(0, 7)).count() == nVec)
     val exact = Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"), Seq(0L, 1L), 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfSearch(em, col("vec_id"), col("embedding"), cents,
-        Seq(0L, 1L), nprobe = 6, k = 10)
+    val ivf = Similarity.ivfSearch(model, Seq(0L, 1L), nprobe = 6, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.subsetOf(
       Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"), Seq(0L, 1L), 500)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet))
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall $recall (probing 6/8 clusters)")
+    model.unpersist()
+  }
+
+  test("cosinePairs refuses oversized inputs (O(n^2) guard)") {
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(em, col("vec_id"), col("embedding"), 0.42, maxRows = 10)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
   }
 
   test("annLsh results are a subset of exact pairs with decent recall") {
