@@ -458,6 +458,33 @@ object SparkEntry {
     s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       graft.model.Schemas.comments)
 
+  /** documents → comments-shaped adapter: 4 deterministic comments per
+    * doc (flat_idx 0..3) with planted tombstones (`[deleted]` bodies
+    * and authors), nulls, and empty-after-clean bodies so every
+    * comment-branch filter (F3/F4) and the budget-before-filter
+    * ordering (`app.py:116-124`) is exercised through the oracle.
+    * Bodies are shifted substrings of the doc text so keyword hits
+    * vary by comment.
+    */
+  private def docsAsComments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("idx", explode(array((0 until 4).map(lit(_)): _*)))
+      .select(
+        concat(col("doc_id").cast("string"), lit("_"), col("idx").cast("string")).as("comment_id"),
+        col("doc_id").cast("string").as("post_id"),
+        col("doc_id").cast("string").as("parent_id"),
+        col("idx").cast("int").as("flat_idx"),
+        when(col("idx") === 1 && col("doc_id") % 13 === 0, lit("[deleted]"))
+          .when(col("idx") === 2 && col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .when(col("idx") === 3 && col("doc_id") % 5 === 0, lit(" "))
+          .otherwise(col("text").substr(col("idx") * 20 + 1, lit(80))).as("body"),
+        when((col("doc_id") + col("idx")) % 11 === 0, lit("[deleted]"))
+          .otherwise(concat(lit("c_author_"), ((col("doc_id") + col("idx")) % 7).cast("string"))).as("author"),
+        when((col("doc_id") + col("idx")) % 17 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("/r/"), col("source"), lit("/"),
+            col("doc_id").cast("string"), lit("/c"), col("idx").cast("string"))).as("permalink"))
+
   /** q31 — pipeline B (buying-signal scan, `app.py:74-151`) composed
     * end-to-end over the documents adapter: per-subreddit top-k budget,
     * tombstone filters, matched-keyword projection, branch union.
@@ -652,6 +679,54 @@ object SparkEntry {
       .orderBy(col("y"), col("m"))
   }
 
+  /** q43 — pipeline B end-to-end WITH the comment branch (J2
+    * parent-join + W1 head-k budget + F3/F4 tombstone filters + X11
+    * first-match + X7 truncate — `app.py:113-142`): the
+    * budget-THEN-filter ordering SURVEY §7.4 flags as easy to get
+    * subtly wrong, hard-checked against the gaps-free SQL mirror.
+    */
+  private val q43SignalScanComments: Q = (s, dir) => {
+    pipelines.SignalScan.run(docsAsPosts(s, dir), docsAsComments(s, dir),
+      pipelines.SignalScan.Params(
+        subreddits = (0 until 20).map(i => s"src$i"),
+        keywords = Seq("spark", "merge"),
+        postLimit = 5, commentLimit = 2, truncateTo = Some(60)))
+  }
+
+  /** q45 — pipeline A end-to-end with ALL three discovery channels
+    * live (direct-search + post + comment evidence, `app.py:31-72`):
+    * exercises F1/F2 exclusions, the J3 budget-then-semi-join comment
+    * probe, and the additive X10 score over a multi-channel set.
+    */
+  private val q45CommunityComments: Q = (s, dir) => {
+    val subs = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("subscribers"), min(col("text")).as("description"))
+      .select(col("source").as("display_name"), col("subscribers"),
+        (col("source") === "src7").as("over18"), col("description"))
+    pipelines.CommunityDiscovery.run(subs, docsAsPosts(s, dir), docsAsComments(s, dir),
+      pipelines.CommunityDiscovery.Params(queries = Seq("spark", "stream"),
+        directLimit = 5, postLimit = 10, commentLimit = 2, scanComments = true))
+  }
+
+  /** q44 — ⊕ multimodal decode driver-checked end-to-end: binary
+    * payloads built from document text (ASCII fixture → bytes ==
+    * chars), run through the real `mapPartitions` decode boundary
+    * ([[graft.ext.Multimodal.decodeFeatures]]); byte length, md5
+    * checksum, and all 8 stub-codec features are recomputed by the
+    * oracle from the text bytes.
+    */
+  private val q44MediaDecode: Q = (s, dir) => {
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until ext.Multimodal.StubCodec.dim).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id") +: col("n_bytes") +: col("checksum") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -696,6 +771,9 @@ object SparkEntry {
     "q40_winnow_neardup"    -> q40WinnowNearDup,
     "q41_string_funcs"      -> q41StringFuncs,
     "q42_datetime_funcs"    -> q42DatetimeFuncs,
+    "q43_signal_scan_comments" -> q43SignalScanComments,
+    "q44_media_decode"      -> q44MediaDecode,
+    "q45_community_comments" -> q45CommunityComments,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1157,5 +1235,189 @@ object SparkEntry {
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    // q43 — SignalScan with the comment branch: note the comment
+    // budget (crn <= 2) is computed over ALL comments of a post BEFORE
+    // the tombstone filters, mirroring the reference's
+    // `comments.list()[:k]`-then-filter ordering (app.py:116-124).
+    "q43_signal_scan_comments" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_title,
+        |    n_chars AS score,
+        |    'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+        |    '/r/' || source || '/' || CAST(doc_id AS VARCHAR) AS permalink
+        |  FROM documents),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY subreddit
+        |                               ORDER BY score DESC, post_id) AS rn
+        |  FROM p),
+        |tp AS (SELECT * FROM top WHERE rn <= 5),
+        |postm AS (
+        |  SELECT *, list_filter(['spark', 'merge'],
+        |                        k -> contains(lower(clean_title || ' '), k)) AS ml
+        |  FROM tp),
+        |postrows AS (
+        |  SELECT subreddit AS "Subreddit",
+        |    array_to_string(list_sort(ml), ', ') AS "Match",
+        |    'Post' AS "Type", clean_title AS "Text", author AS "Author",
+        |    'https://reddit.com' || permalink AS "Link"
+        |  FROM postm WHERE len(ml) > 0),
+        |c AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, i.idx AS flat_idx,
+        |    CASE WHEN i.idx = 1 AND doc_id % 13 = 0 THEN '[deleted]'
+        |         WHEN i.idx = 2 AND doc_id % 7 = 0 THEN NULL
+        |         WHEN i.idx = 3 AND doc_id % 5 = 0 THEN ' '
+        |         ELSE substring(text, CAST(i.idx * 20 + 1 AS INTEGER), 80) END AS body,
+        |    CASE WHEN (doc_id + i.idx) % 11 = 0 THEN '[deleted]'
+        |         ELSE 'c_author_' || CAST((doc_id + i.idx) % 7 AS VARCHAR) END AS author,
+        |    CASE WHEN (doc_id + i.idx) % 17 = 0 THEN NULL
+        |         ELSE '/r/' || source || '/' || CAST(doc_id AS VARCHAR)
+        |              || '/c' || CAST(i.idx AS VARCHAR) END AS permalink
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS idx) i),
+        |ch AS (
+        |  SELECT *, row_number() OVER (PARTITION BY post_id
+        |                               ORDER BY flat_idx) AS crn
+        |  FROM c),
+        |cj AS (
+        |  SELECT ch.*, tp.subreddit FROM ch JOIN tp USING (post_id)
+        |  WHERE ch.crn <= 2),
+        |cf AS (
+        |  SELECT subreddit, author, permalink,
+        |    trim(regexp_replace(body, '\s+', ' ', 'g')) AS clean_body
+        |  FROM cj
+        |  WHERE body IS NOT NULL AND author IS NOT NULL
+        |    AND author <> '[deleted]' AND permalink IS NOT NULL
+        |    AND body NOT IN ('[deleted]', '[removed]')),
+        |cm AS (
+        |  SELECT *,
+        |    CASE WHEN contains(lower(clean_body), 'spark') THEN 'spark'
+        |         WHEN contains(lower(clean_body), 'merge') THEN 'merge' END AS first_kw
+        |  FROM cf WHERE length(clean_body) > 0),
+        |crows AS (
+        |  SELECT subreddit AS "Subreddit", first_kw AS "Match",
+        |    'Comment' AS "Type",
+        |    CASE WHEN length(clean_body) > 60
+        |         THEN substring(clean_body, 1, 60) || '...'
+        |         ELSE clean_body END AS "Text",
+        |    author AS "Author", 'https://reddit.com' || permalink AS "Link"
+        |  FROM cm WHERE first_kw IS NOT NULL)
+        |SELECT * FROM (SELECT * FROM postrows UNION ALL SELECT * FROM crows)
+        |ORDER BY "Subreddit", "Type", "Link", "Match"""".stripMargin,
+    // q44 — the stub decode recomputed from text bytes (ASCII fixture:
+    // code point == byte value): md5 checksum, byte length, and the
+    // per-(i mod 8) byte means, with the same double→float→double
+    // narrowing as StubCodec so values hash-match exactly.
+    "q44_media_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS checksum
+        |  FROM documents),
+        |e AS (
+        |  SELECT media_id, text, unnest(range(1, length(text) + 1)) AS i FROM b),
+        |v AS (
+        |  SELECT media_id, (i - 1) % 8 AS j,
+        |    ascii(substr(text, CAST(i AS INTEGER), 1)) AS val
+        |  FROM e),
+        |f AS (
+        |  SELECT media_id, j,
+        |    CAST(CAST(sum(val) AS DOUBLE) / count(*) / 255.0 AS REAL) AS fv
+        |  FROM v GROUP BY media_id, j),
+        |feat AS (
+        |  SELECT media_id,
+        |    round(CAST(max(CASE WHEN j = 0 THEN fv END) AS DOUBLE), 6) AS f0,
+        |    round(CAST(max(CASE WHEN j = 1 THEN fv END) AS DOUBLE), 6) AS f1,
+        |    round(CAST(max(CASE WHEN j = 2 THEN fv END) AS DOUBLE), 6) AS f2,
+        |    round(CAST(max(CASE WHEN j = 3 THEN fv END) AS DOUBLE), 6) AS f3,
+        |    round(CAST(max(CASE WHEN j = 4 THEN fv END) AS DOUBLE), 6) AS f4,
+        |    round(CAST(max(CASE WHEN j = 5 THEN fv END) AS DOUBLE), 6) AS f5,
+        |    round(CAST(max(CASE WHEN j = 6 THEN fv END) AS DOUBLE), 6) AS f6,
+        |    round(CAST(max(CASE WHEN j = 7 THEN fv END) AS DOUBLE), 6) AS f7
+        |  FROM f GROUP BY media_id)
+        |SELECT b.media_id, b.n_bytes, b.checksum,
+        |  f0, f1, f2, f3, f4, f5, f6, f7
+        |FROM b JOIN feat USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+    // q45 — CommunityDiscovery with direct + post + comment channels.
+    // Note commentHits filters tombstones BEFORE the head-k budget
+    // (CommunityDiscovery.scala:88-91), unlike q43's branch — the SQL
+    // mirrors each pipeline's own ordering.
+    "q45_community_comments" ->
+      """WITH subs AS (
+        |  SELECT source AS display_name, count(*) AS subscribers,
+        |    min(text) AS description,
+        |    (source = 'src7') AS over18
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT unnest(['spark', 'stream']) AS query),
+        |direct AS (
+        |  SELECT display_name AS community, subscribers,
+        |    'Direct Search' AS found_via
+        |  FROM (
+        |    SELECT s.*, q.query,
+        |      row_number() OVER (PARTITION BY q.query
+        |                         ORDER BY s.subscribers DESC, s.display_name) AS rn
+        |    FROM subs s CROSS JOIN q
+        |    WHERE NOT starts_with(s.display_name, 'u_')
+        |      AND contains(lower(s.display_name || ' ' || s.description), q.query))
+        |  WHERE rn <= 5),
+        |p AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+        |    lower(text) || ' ' AS content, n_chars AS score
+        |  FROM documents),
+        |mp AS (
+        |  SELECT post_id, query, subreddit AS community, subscribers
+        |  FROM (
+        |    SELECT p.*, q.query, s.subscribers,
+        |      row_number() OVER (PARTITION BY q.query
+        |                         ORDER BY p.score DESC, p.post_id) AS rn
+        |    FROM p CROSS JOIN q
+        |    JOIN subs s ON s.display_name = p.subreddit
+        |    WHERE contains(p.content, q.query)
+        |      AND NOT s.over18 AND NOT starts_with(p.subreddit, 'u_'))
+        |  WHERE rn <= 10),
+        |postch AS (
+        |  SELECT community, subscribers, 'Relevant Post' AS found_via FROM mp),
+        |c AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, i.idx AS flat_idx,
+        |    CASE WHEN i.idx = 1 AND doc_id % 13 = 0 THEN '[deleted]'
+        |         WHEN i.idx = 2 AND doc_id % 7 = 0 THEN NULL
+        |         WHEN i.idx = 3 AND doc_id % 5 = 0 THEN ' '
+        |         ELSE substring(text, CAST(i.idx * 20 + 1 AS INTEGER), 80) END AS body
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS idx) i),
+        |firstk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY post_id
+        |                                 ORDER BY flat_idx) AS crn
+        |    FROM c
+        |    WHERE body IS NOT NULL AND body NOT IN ('[deleted]', '[removed]'))
+        |  WHERE crn <= 2),
+        |matching AS (
+        |  SELECT DISTINCT m.post_id, m.query
+        |  FROM firstk f JOIN (SELECT DISTINCT post_id, query FROM mp) m
+        |    ON f.post_id = m.post_id AND contains(lower(f.body), m.query)),
+        |commch AS (
+        |  SELECT community, subscribers, 'Relevant Comment' AS found_via
+        |  FROM mp WHERE EXISTS (SELECT 1 FROM matching x
+        |                        WHERE x.post_id = mp.post_id AND x.query = mp.query)),
+        |allch AS (
+        |  SELECT * FROM direct UNION ALL
+        |  SELECT * FROM postch UNION ALL
+        |  SELECT * FROM commch),
+        |agg AS (
+        |  SELECT community, max(subscribers) AS members,
+        |    list_sort(list(DISTINCT found_via)) AS via
+        |  FROM allch GROUP BY community)
+        |SELECT 'r/' || community AS "Community",
+        |  CAST(CASE WHEN list_contains(via, 'Direct Search') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(via, 'Relevant Post') THEN 2 ELSE 0 END
+        |     + CASE WHEN list_contains(via, 'Relevant Comment') THEN 3 ELSE 0 END
+        |    AS INTEGER) AS "Relevance Score",
+        |  array_to_string(via, ', ') AS "Found Via",
+        |  members AS "Members",
+        |  'https://www.reddit.com/r/' || community AS "Community Link",
+        |  'https://www.reddit.com/r/' || community || '/top/?t=month'
+        |    AS "Top Posts (Month)"
+        |FROM agg
+        |ORDER BY "Relevance Score" DESC, "Members" DESC, "Community"""".stripMargin,
   )
 }

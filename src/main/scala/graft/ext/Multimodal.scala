@@ -56,7 +56,11 @@ object Multimodal {
         counts(i % dim) += 1
         i += 1
       }
-      Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toFloat / counts(j) / 255f))
+      // double-precision mean narrowed to float at the end: the same
+      // value is reproducible in ANSI SQL (DuckDB CAST(... AS REAL)),
+      // so the decode path is oracle-checkable byte-for-byte
+      Array.tabulate(dim)(j =>
+        if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j) / 255.0).toFloat)
     }
   }
 

@@ -73,12 +73,15 @@ class ControlSpec extends SparkSuite {
   }
 
   test("A6 approx_count_distinct within default rsd of exact") {
+    // q34 emits (flag, exact_parts, exact_supps, approx_parts_ok,
+    // approx_supps_ok): the 3·rsd bound check runs inside the query so
+    // the oracle can hash-compare it; here we assert it held.
     val rows = SparkEntry.queries("q34_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.15,
-        s"approx $approx vs exact $exact")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getBoolean(3), s"approx_parts out of bounds for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx_supps out of bounds for ${r.getString(0)}")
     }
   }
 }
