@@ -123,18 +123,28 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms")))
   }
 
-  /** Payload-aware repartition: choose the partition COUNT from total
-    * payload bytes (~`targetBytes` per partition — row-count sizing is
-    * wrong when payloads vary 1000×) and distribute round-robin.
-    * Approximation: partitions are balanced in expectation, not
-    * bin-packed — a single payload larger than `targetBytes` still
-    * owns its partition's overage.
+  /** Payload-aware repartition with a known byte total: choose the
+    * partition COUNT from total payload bytes (~`targetBytes` per
+    * partition — row-count sizing is wrong when payloads vary 1000×)
+    * and distribute round-robin. Approximation: partitions are
+    * balanced in expectation, not bin-packed — a single payload larger
+    * than `targetBytes` still owns its partition's overage.
     */
-  def repartitionByBytes(media: DataFrame, targetBytes: Long): DataFrame = {
+  def repartitionByBytes(media: DataFrame, targetBytes: Long, totalBytes: Long): DataFrame = {
     require(targetBytes > 0)
-    val totalBytes = Option(media.agg(sum(length(col("payload")))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
     media.repartition(parts)  // no column → round-robin distribution
+  }
+
+  /** Sizing convenience that MEASURES the byte total first — this runs
+    * an eager aggregation job (a full extra pass over the payload
+    * column) at call time, so call it once at a pipeline boundary, not
+    * inside a composed transform. Prefer the `totalBytes` overload
+    * when the size is already known (e.g. from file metadata).
+    */
+  def repartitionByBytes(media: DataFrame, targetBytes: Long): DataFrame = {
+    val totalBytes = Option(media.agg(sum(length(col("payload")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    repartitionByBytes(media, targetBytes, totalBytes)
   }
 }

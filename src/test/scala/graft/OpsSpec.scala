@@ -92,4 +92,21 @@ class OpsSpec extends SparkSuite {
     assert(got.isDefined && got.get.count() == spark.read.parquet(ok).count())
     assert(sources.Tables.unionTolerant(spark, Seq("/nonexistent/a")).isEmpty)
   }
+
+  test("X13 timeFilter maps the reference enum to window predicates") {
+    import graft.ops.Time
+    val now = lit("2024-06-15 00:00:00").cast("timestamp")
+    val df = Seq("2024-06-14 12:00:00", "2024-06-01 00:00:00",
+        "2024-01-01 00:00:00", "2022-01-01 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    def n(f: String): Long = df.filter(Time.timeFilter(col("ts"), f, now)).count()
+    assert(n("day") == 1 && n("week") == 1 && n("month") == 2 &&
+      n("year") == 3 && n("all") == 4)
+    intercept[IllegalArgumentException](Time.timeFilter(col("ts"), "hour", now))
+    // sinceTs agrees with the predicate form
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-15 00:00:00")
+    assert(Time.sinceTs("all", ts0).isEmpty)
+    assert(Time.sinceTs("week", ts0).get ==
+      java.sql.Timestamp.valueOf("2024-06-08 00:00:00"))
+  }
 }
