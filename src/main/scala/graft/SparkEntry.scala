@@ -618,7 +618,8 @@ object SparkEntry {
     */
   private val q38AnnIvf: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
-    val model = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 16, iters = 2)
+    val model = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
     ext.Similarity.ivfSearch(model, queryIds = Seq(0L, 1L, 2L), nprobe = 4, k = 10)
   }
 
@@ -775,6 +776,104 @@ object SparkEntry {
     "q44_media_decode"      -> q44MediaDecode,
     "q45_community_comments" -> q45CommunityComments,
   )
+
+  /** `B^j mod M` power table for the q40 winnowing oracle — the
+    * Karp-Rabin gram hash re-derives per position as
+    * `Σ c_j · B^(k-1-j) mod M` (same value as the rolling form in
+    * [[graft.functions.Winnow]], recomputed without rolling state so
+    * it is plain SQL). Emitted as a literal list, highest power first.
+    */
+  private def winnowPowerList(k: Int): String = {
+    val M = BigInt((1L << 61) - 1)
+    val B = BigInt(1000003L)
+    (0 until k).map(j => B.modPow(BigInt(k - 1 - j), M)).mkString("[", ",", "]")
+  }
+
+  /** `2^b` literals (b = 0..63) for the q23 SimHash oracle — bit
+    * extraction and segment reassembly stay integral (DuckDB `power()`
+    * returns double; 2^63 exceeds signed BIGINT, so the list carries
+    * HUGEINT-parsed decimals).
+    */
+  private def pow2List: String =
+    (0 until 64).map(b => BigInt(1) << b).mkString("[", ",", "]")
+
+  /** q38's oracle: the whole IVF pipeline — seeds, two unrolled Lloyd
+    * rounds, final assignment, probe selection, in-cluster scoring —
+    * as chained CTEs. Works because [[graft.ext.Similarity.ivfFit]]
+    * quantizes centroids to 9 decimals at every step: summation order
+    * is engine-specific at the last ulp, but both engines land on the
+    * same quantized centroids, and every downstream dot/argmax is then
+    * bit-equal (same fold order).
+    */
+  private def ivfOracleSql: String = {
+    val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    def assign(nvSrc: String, cents: String): String =
+      s"""  SELECT vec_id, nv, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cluster
+         |  FROM (SELECT vec_id, nv,
+         |          list_transform($cents.cs, c -> $dot) AS sims
+         |        FROM $nvSrc CROSS JOIN $cents)""".stripMargin
+    def lloyd(assigned: String, prev: String, out: String): String =
+      s"""m_$out AS (
+         |  SELECT cluster, u.pos AS pos, round(avg(u.val), 9) AS m
+         |  FROM (SELECT cluster,
+         |          unnest(list_transform(range(1, 65), i -> {'pos': i, 'val': nv[i]})) AS u
+         |        FROM $assigned)
+         |  GROUP BY cluster, u.pos),
+         |g_$out AS (
+         |  SELECT cluster, list(m ORDER BY pos) AS mean FROM m_$out GROUP BY cluster),
+         |n_$out AS (
+         |  SELECT cluster,
+         |    CASE WHEN sq > 0 THEN list_transform(mean, x -> round(x / sqrt(sq), 9))
+         |         ELSE mean END AS cent
+         |  FROM (SELECT cluster, mean, list_sum(list_transform(mean, x -> x * x)) AS sq
+         |        FROM g_$out)),
+         |$out AS (
+         |  SELECT list(COALESCE(n_$out.cent, $prev.cs[cid.i + 1]) ORDER BY cid.i) AS cs
+         |  FROM (SELECT unnest(range(0, 16)) AS i) cid
+         |  LEFT JOIN n_$out ON n_$out.cluster = cid.i
+         |  CROSS JOIN $prev)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),
+       |c0 AS (
+       |  SELECT list_transform(list(nv ORDER BY vec_id),
+       |                        v -> list_transform(v, x -> round(x, 9))) AS cs
+       |  FROM (SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT 16)),
+       |a0 AS (
+       |${assign("nv", "c0")}),
+       |${lloyd("a0", "c0", "c1")},
+       |a1 AS (
+       |${assign("nv", "c1")}),
+       |${lloyd("a1", "c1", "c2")},
+       |af AS (
+       |${assign("nv", "c2")}),
+       |qs AS (
+       |  SELECT vec_id AS query_id, nv AS qnv,
+       |    list_transform(c2.cs, c -> $dot) AS sims
+       |  FROM nv CROSS JOIN c2 WHERE vec_id IN (0, 1, 2)),
+       |pq AS (
+       |  SELECT query_id, qnv,
+       |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
+       |  FROM qs),
+       |probes AS (
+       |  SELECT query_id, qnv, u.idx AS cluster
+       |  FROM (SELECT query_id, qnv, u,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY u.sim DESC, u.idx) AS rn
+       |        FROM pq)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), i -> p.qnv[i] * af.nv[i])), 4) AS cos_sim
+       |  FROM af JOIN probes p ON af.cluster = p.cluster
+       |  WHERE af.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -964,6 +1063,62 @@ object SparkEntry {
         |FROM j
         |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // q23 — SimHash re-derived in SQL: FNV-1a 64 per shingle emulated
+    // in HUGEINT (the XOR-with-a-byte step only touches the low 7
+    // bits, so `xor(acc % 128, byte)` on BIGINT + wrapping multiply
+    // mod 2^64 on HUGEINT reproduces the 64-bit hash exactly), 64-bit
+    // majority vote, four 16-bit segments, pigeonhole candidate join,
+    // exact Hamming verify. Like q22, docs with < 3 tokens are out of
+    // scope (none in the fixture).
+    "q23_simhash_neardup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |fh AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+        |      (acc, c) -> ((acc // 128) * 128
+        |                   + xor(CAST(acc % 128 AS BIGINT), CAST(c AS BIGINT)))
+        |                  * 1099511628211 % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM shx),
+        |votes AS (
+        |  SELECT doc_id, b.b,
+        |    CASE WHEN sum(CASE WHEN (h // $pow2List[CAST(b.b + 1 AS INTEGER)]) % 2 = 1
+        |                       THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM fh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b < 16 THEN bit * ($pow2List[CAST(b + 1 AS INTEGER)]) ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN bit * ($pow2List[CAST(b - 15 AS INTEGER)]) ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN bit * ($pow2List[CAST(b - 31 AS INTEGER)]) ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN b >= 48 THEN bit * ($pow2List[CAST(b - 47 AS INTEGER)]) ELSE 0 END) AS BIGINT) AS s3
+        |  FROM votes GROUP BY doc_id),
+        |segl AS (
+        |  SELECT doc_id, unnest([{'i': 0, 'v': s0}, {'i': 1, 'v': s1},
+        |                         {'i': 2, 'v': s2}, {'i': 3, 'v': s3}]) AS u
+        |  FROM sigs),
+        |segs AS (SELECT doc_id, u.i AS i, u.v AS v FROM segl),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM segs a JOIN segs b USING (i, v)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(bit_count(xor(x.s0, y.s0)) + bit_count(xor(x.s1, y.s1))
+        |       + bit_count(xor(x.s2, y.s2)) + bit_count(xor(x.s3, y.s3)) AS INTEGER) AS hamming
+        |  FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q24_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1204,6 +1359,7 @@ object SparkEntry {
         |  CAST(floor((frame_idx + 1) * L / 4.0)
         |       - floor(frame_idx * L / 4.0) AS INTEGER) AS frame_bytes
         |FROM f ORDER BY media_id, frame_idx LIMIT 400""".stripMargin,
+    "q38_ann_ivf" -> ivfOracleSql,
     "q39_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value,
@@ -1222,6 +1378,40 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // q40 — winnowing re-derived in SQL: per-position Karp-Rabin gram
+    // hash (power-table form of the rolling hash, HUGEINT mod 2^61-1),
+    // then the window minimum over w=8 grams via a windowed min() —
+    // the selected VALUES are identical to the monotonic-deque form
+    // (the rightmost-on-ties rule only affects positions, and the
+    // fingerprint set is distinct values). Assumes every cleaned text
+    // has >= w+k-1 chars (fixture min is 44), so the short-text
+    // global-min fallback never fires.
+    "q40_winnow_neardup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, c, unnest(range(1, length(c) - 24 + 2)) AS p FROM t
+        |  WHERE length(c) >= 24),
+        |hs AS (
+        |  SELECT doc_id, p,
+        |    CAST(list_sum(list_transform(range(0, 24),
+        |      j -> (CAST(ascii(substr(c, CAST(p + j AS INTEGER), 1)) AS HUGEINT)
+        |            * ${winnowPowerList(24)}[CAST(j + 1 AS INTEGER)])
+        |           % 2305843009213693951)) % 2305843009213693951 AS BIGINT) AS h
+        |  FROM g),
+        |mins AS (
+        |  SELECT doc_id, p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn
+        |  FROM hs),
+        |fps AS (SELECT DISTINCT doc_id, mn AS fp FROM mins WHERE p >= 8),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs
+        |WHERE n_shared >= 10 ORDER BY id_a, id_b""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

@@ -132,13 +132,25 @@ object Similarity {
     * and re-normalizes the source), and the returned model carries the
     * final cluster assignment, also persisted, for [[ivfSearch]].
     */
-  def ivfFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3): IvfModel = {
+  /** @param quantize when set, round every centroid component to this
+    *   many decimals after each update (seeds, each Lloyd round). The
+    *   cluster structure is insensitive to 1e-9 jitter, but summation
+    *   order is engine-specific — quantized centroids make the whole
+    *   train+assign+search pipeline reproducible in ANSI SQL, which is
+    *   what lets the q38 oracle hash-compare the results.
+    */
+  def ivfFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3,
+             quantize: Option[Int] = None): IvfModel = {
+    def q(v: Array[Double]): Array[Double] = quantize.fold(v) { dp =>
+      val scale = math.pow(10, dp)
+      v.map(x => math.rint(x * scale) / scale)
+    }
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
       .persist()
     var centroids = nv.orderBy(col("id")).limit(k)
       .select(col("nv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(r => q(r.getSeq[Double](0).toArray))
     for (_ <- 0 until iters) {
       val assigned = nv.withColumn("cluster", assignCluster(col("nv"), centroids))
       // componentwise mean, fully distributed: explode to (cluster,
@@ -153,7 +165,7 @@ object Similarity {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       centroids = centroids.indices.map { i =>
-        means.get(i).map(normalizeLocal).getOrElse(centroids(i))
+        means.get(i).map(m => q(normalizeLocal(q(m)))).getOrElse(centroids(i))
       }.toArray
     }
     val assigned = nv.withColumn("cluster", assignCluster(col("nv"), centroids)).persist()
