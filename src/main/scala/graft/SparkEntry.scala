@@ -728,6 +728,21 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q46 — ⊕ the composed training-data curation pipeline
+    * ([[graft.ext.Curation]]): quality gate → topic gate → exact dedup
+    * (min-id per fingerprint) → MinHash near-dup removal
+    * (canonical-min survivor) → per-source accounting. Every stage is
+    * individually oracled (q27/q28/q30/q22); this checks the
+    * COMPOSITION end-to-end.
+    */
+  private val q46Curation: Q = (s, dir) => {
+    val kept = ext.Curation.curate(Tables.documents(s, dir),
+      col("doc_id"), col("source"), col("text"),
+      ext.Curation.Params(minTokens = 25, minQuality = 0.35,
+        topics = Seq("exec", "storage", "streaming"), lexicons = topicLexicons))
+    ext.Curation.stats(kept)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -775,6 +790,7 @@ object SparkEntry {
     "q43_signal_scan_comments" -> q43SignalScanComments,
     "q44_media_decode"      -> q44MediaDecode,
     "q45_community_comments" -> q45CommunityComments,
+    "q46_curation"          -> q46Curation,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1528,6 +1544,85 @@ object SparkEntry {
         |  f0, f1, f2, f3, f4, f5, f6, f7
         |FROM b JOIN feat USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    // q46 — the curation pipeline composed from its individually
+    // oracled stages: q28's quality formula, q27's lexicon argmax,
+    // q30's fingerprint, q22's MinHash-LSH chain over the survivors,
+    // the canonical-min drop rule, and the per-source rollup.
+    "q46_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source, clean, w,
+        |    CAST(len(w) AS INTEGER) AS n_tokens,
+        |    round(least(CAST(len(w) AS DOUBLE) / 20.0, 1.0)
+        |          * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |          * (CASE WHEN (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w)
+        |                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality,
+        |    len(list_filter(w, x -> list_contains(['table','row','column','key','part'], x))) AS s1,
+        |    len(list_filter(w, x -> list_contains(['scan','filter','join','sort','merge','hash'], x))) AS s2,
+        |    len(list_filter(w, x -> list_contains(['stream','window','batch'], x))) AS s3,
+        |    len(list_filter(w, x -> list_contains(['query','data','value'], x))) AS s4,
+        |    md5(clean) AS fp
+        |  FROM t WHERE len(w) > 0),
+        |lab AS (
+        |  SELECT *, greatest(s1, s2, s3, s4) AS best FROM feat),
+        |topic AS (
+        |  SELECT *, CASE WHEN s1 = best AND best > 0 THEN 'storage'
+        |                 WHEN s2 = best AND best > 0 THEN 'exec'
+        |                 WHEN s3 = best AND best > 0 THEN 'streaming'
+        |                 WHEN s4 = best AND best > 0 THEN 'general'
+        |                 ELSE 'und' END AS topic
+        |  FROM lab),
+        |gated AS (
+        |  SELECT doc_id, source, w, n_tokens, quality, fp FROM topic
+        |  WHERE n_tokens >= 25 AND quality >= 0.35
+        |    AND topic IN ('exec', 'storage', 'streaming')),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM gated)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM exact WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM (SELECT id_a, id_b,
+        |          len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        |          len(sa.sh) AS la, len(sb.sh) AS lb
+        |        FROM cand JOIN sh sa ON sa.doc_id = id_a
+        |                  JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+        |kept AS (
+        |  SELECT * FROM exact
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.id_b = exact.doc_id))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
+        |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // q45 — CommunityDiscovery with direct + post + comment channels.
     // Note commentHits filters tombstones BEFORE the head-k budget
     // (CommunityDiscovery.scala:88-91), unlike q43's branch — the SQL

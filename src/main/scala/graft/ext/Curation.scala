@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ⊕ Training-data curation pipeline (north star): the composition a
+  * 100 TB pretraining-data job actually runs, as ONE declarative
+  * DataFrame program — quality gate → topic/language gate → exact
+  * dedup → near-dup removal → per-source accounting.
+  *
+  * Stage order is part of the contract (and of the cost model):
+  * row-local gates run first so the dedup shuffles only move
+  * survivors; exact dedup (cheap, one hash shuffle on a 32-byte
+  * fingerprint) runs before the LSH pipeline so near-dup never pays
+  * for byte-identical copies.
+  *
+  * Shuffle inventory at scale: gates are scan-local; exact dedup is
+  * one shuffle on `fp`; near-dup is the [[Dedup.nearDupPairs]]
+  * single-scan band shuffle over survivors + one broadcast-able
+  * anti-join of the (small) drop list; stats is one partial-aggregated
+  * shuffle on `source`.
+  */
+object Curation {
+
+  /** @param topics      classifier labels to KEEP (see
+    *                    [[TextAnalysis.classifyByLexicon]])
+    * @param jaccard     near-dup threshold for the MinHash pipeline
+    * @param maxBucket   LSH skew backstop, see [[Dedup.bucketPairs]]
+    */
+  case class Params(
+      minTokens: Int = 25,
+      minQuality: Double = 0.35,
+      topics: Seq[String] = Nil,        // empty = keep all labels
+      lexicons: Seq[(String, Seq[String])] = Nil,
+      jaccard: Double = 0.8,
+      maxBucket: Int = Int.MaxValue)
+
+  /** Survivors of the full pipeline, with their curation features
+    * (n_tokens, quality, topic) attached. Near-dup survivor rule:
+    * a document is dropped iff it near-pairs with ANY lower-id
+    * document (canonical-min rule) — the standard single-pass
+    * approximation of connected-component dedup (iterative union-find
+    * is a multi-job fixpoint; the greedy rule over-drops only inside
+    * chains a<b<c where a~b, b~c, a≁c, and never under-drops).
+    */
+  def curate(docs: DataFrame, id: Column, source: Column, text: Column,
+             p: Params): DataFrame = {
+    val scored = docs.select(
+      id.as("doc_id"), source.as("source"), text.as("text"),
+      TextAnalysis.tokenCount(text).as("n_tokens"),
+      TextAnalysis.qualityScore(text).as("quality"),
+      (if (p.lexicons.nonEmpty)
+         TextAnalysis.classifyByLexicon(text, p.lexicons)
+       else lit("und")).as("topic"),
+      TextAnalysis.fingerprint(text).as("fp"))
+    val gated = scored
+      .filter(col("n_tokens") >= p.minTokens && col("quality") >= p.minQuality)
+      .filter(if (p.topics.nonEmpty) col("topic").isin(p.topics: _*) else lit(true))
+    // exact dedup: min-id survivor per content fingerprint (W1 head on
+    // the 32-byte fp key — the text itself never shuffles)
+    val exact = graft.ops.TopK.perGroupHead(gated, col("fp"), col("doc_id"), 1)
+    // near-dup removal among exact survivors
+    val pairs = Dedup.nearDupPairs(exact, col("doc_id"), col("text"),
+      threshold = p.jaccard, maxBucket = p.maxBucket)
+    val drops = pairs.select(col("id_b").as("doc_id")).distinct()
+    exact.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-source accounting of the kept set — the numbers a curation
+    * run reports (doc counts, token budget, mean quality).
+    *
+    * avg_quality is computed in exact integer arithmetic: quality
+    * values are 4-decimal multiples, so their mean regularly lands
+    * EXACTLY on a .00005 rounding boundary where engines' double
+    * `round()` rules diverge (HALF_UP vs half-even). Summing the
+    * 1e-4-unit integers and applying HALF_UP as
+    * `floor((2a + b) / (2b))` is boundary-free and engine-portable.
+    */
+  def stats(kept: DataFrame): DataFrame =
+    kept.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(round(col("quality") * 10000).cast("long")).as("q4"))
+      .select(col("source"), col("n_kept"), col("total_tokens"),
+        (expr("(2 * q4 + n_kept) div (2 * n_kept)").cast("double") / 10000.0)
+          .as("avg_quality"))
+      .orderBy(col("source"))
+}

@@ -12,12 +12,10 @@ import graft.ops.Text
   *  - Exact dedup is a hash-aggregate on the dedup key (one shuffle,
   *    map-side partial) — never a global sort.
   *  - Near-dup never compares all pairs. Each doc expands to
-  *    `numBands` (band_idx, band_key) rows; candidate generation is a
-  *    self-equi-join on the band key (shuffle on band keys, join
-  *    fan-out bounded by bucket sizes). Only candidates get the exact
-  *    Jaccard verification, via two joins back to the (id → shingles)
-  *    side rather than carrying shingle arrays through the band
-  *    shuffle.
+  *    `numBands` (band_idx, band_key) rows; candidate generation
+  *    groups on the band key in ONE shuffle and expands in-bucket
+  *    pairs ([[bucketPairs]] — fan-out bounded by bucket sizes), and
+  *    only candidates get the exact verification.
   *  - All hashing is md5-based (deterministic, engine-portable): a
   *    MinHash only needs a random-ish total order per hash function,
   *    and the lexicographic min of `md5(seed || shingle)` hex strings
@@ -103,13 +101,21 @@ object Dedup {
     * sizes must stay bounded — which is exactly the LSH design contract
     * (bands/segments spread near-uniformly). Degenerate keys (e.g. the
     * empty document) must be filtered by the caller BEFORE this point.
+    * `maxBucket` is the backstop for keys that slip through: buckets
+    * above it are EXCLUDED from pair generation (a degenerate bucket
+    * of b members contributes b² pairs of near-identical rows — at
+    * 100 TB that is both an OOM on the collect_list row and a
+    * quadratic blowup; such rows belong in exact dedup instead). The
+    * default is unlimited so oracle-checked semantics stay exact;
+    * callers at scale should set it consciously.
     */
   private[ext] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
-                               member: Column): DataFrame =
+                               member: Column,
+                               maxBucket: Int = Int.MaxValue): DataFrame =
     bucketed
       .groupBy(bucketCols.map(col): _*)
       .agg(collect_list(member).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
 
@@ -123,7 +129,7 @@ object Dedup {
     * near-pairs). Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = df.select(id.as("id"),
       graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig"))
     val segs = sigs.select(col("id"), col("sig"),
@@ -131,7 +137,7 @@ object Dedup {
           struct(lit(i).as("seg_idx"),
             shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("seg_val"))): _*)).as("seg"))
       .select(col("id"), col("sig"), col("seg.seg_idx"), col("seg.seg_val"))
-    bucketPairs(segs, Seq("seg_idx", "seg_val"), struct(col("id"), col("sig")))
+    bucketPairs(segs, Seq("seg_idx", "seg_val"), struct(col("id"), col("sig")), maxBucket)
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
@@ -149,10 +155,11 @@ object Dedup {
     * to set-based MinHash.
     */
   def winnowNearDup(df: DataFrame, id: Column, text: Column,
-                    k: Int = 12, w: Int = 6, minShared: Int = 5): DataFrame = {
+                    k: Int = 12, w: Int = 6, minShared: Int = 5,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val fps = df.select(id.as("id"),
         explode(graft.functions.Winnow.winnow(Text.cleanText(lower(text)), k, w)).as("fp"))
-    bucketPairs(fps, Seq("fp"), struct(col("id")))
+    bucketPairs(fps, Seq("fp"), struct(col("id")), maxBucket)
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -171,7 +178,7 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-                   threshold: Double = 0.8): DataFrame = {
+                   threshold: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
     // No eager `filter(size(sh) > 0)` here: predicate pushdown would
     // substitute the whole tokenize+shingle chain into the parquet
     // scan's data filter and re-evaluate it per row (measured; see
@@ -190,7 +197,7 @@ object Dedup {
     // exact-Jaccard verify never re-reads the source. Thresholding
     // runs BEFORE the cross-band pair dedup so distinct only sees the
     // (few) passing pairs.
-    bucketPairs(bands, Seq("band_idx", "band_key"), struct(col("id"), col("sh")))
+    bucketPairs(bands, Seq("band_idx", "band_key"), struct(col("id"), col("sh")), maxBucket)
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))

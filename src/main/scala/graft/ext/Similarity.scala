@@ -228,7 +228,7 @@ object Similarity {
     */
   def annLsh(df: DataFrame, id: Column, vec: Column, dim: Int,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
-             roundTo: Int = 4): DataFrame = {
+             roundTo: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
     val ps = planes(numTables, bitsPerTable, dim)
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
@@ -243,7 +243,7 @@ object Similarity {
         explode(array(buckets: _*)).as("tb"))
       .select(col("id"), col("nv"), col("tb.table_idx"), col("tb.bucket"))
     Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"),
-        struct(col("id"), col("nv")))
+        struct(col("id"), col("nv")), maxBucket)
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dot(col("a.nv"), col("b.nv")), roundTo).as("cos_sim"))

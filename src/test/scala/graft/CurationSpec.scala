@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Curation
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val lex = Seq("tech" -> Seq("spark", "query"), "other" -> Seq("cat"))
+
+  test("curate: gates, exact dedup, and near-dup removal compose") {
+    val base = "spark query engine runs a fast distributed query plan " +
+      "over columnar data with vectorized execution and shuffle stages"
+    val docs = Seq(
+      (1L, "a", base),                                  // kept (canonical)
+      (2L, "a", base),                                  // exact dup of 1 -> dropped
+      (3L, "b", base + " extra trailing words here"),   // near-dup of 1 -> dropped
+      (4L, "b", "too short"),                           // token gate
+      (5L, "c", ("cat " * 30).trim),                    // repetitive -> low quality
+      (6L, "c", "the cat sat on a mat while another cat " +
+        "watched birds fly over green hills during a quiet warm evening")
+      // ^ 'other' topic -> topic gate
+    ).toDF("doc_id", "source", "text")
+    val kept = Curation.curate(docs, col("doc_id"), col("source"), col("text"),
+      Curation.Params(minTokens = 10, minQuality = 0.3,
+        topics = Seq("tech"), lexicons = lex, jaccard = 0.5))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("stats: integer-exact HALF_UP mean quality") {
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "s", "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.curate(docs, col("doc_id"), col("source"), col("text"),
+      Curation.Params(minTokens = 1, minQuality = 0.0))
+    val r = Curation.stats(kept).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 2)
+    // mean of the two 4-dp qualities, HALF_UP at 1e-4
+    val qs = kept.select("quality").as[Double].collect().sorted
+    val expected = math.floor((2 * qs.map(q => math.rint(q * 10000)).sum + 2) / 4.0) / 10000.0
+    assert(r(0).getDouble(3) == expected)
+  }
+}

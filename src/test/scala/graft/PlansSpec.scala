@@ -47,6 +47,25 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("near-dup pipelines scan the source exactly once (no aliased self-join double-eval)") {
+    // regression guard for the bucketPairs restructure: the old
+    // self-equi-join form scanned + evaluated the shingle/signature
+    // subtree once per join side, and the size(sh)>0 filter was pushed
+    // into the scan (re-evaluating the chain as a DataFilter)
+    val docs = sources.Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+        "minhash" -> ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text")),
+        "simhash" -> ext.Dedup.simhashNearDup(docs, col("doc_id"), col("text")),
+        "winnow"  -> ext.Dedup.winnowNearDup(docs, col("doc_id"), col("text")))) {
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"$name: expected 1 parquet scan, got $scans")
+      assert(!plan.contains("DataFilters: [(size("),
+        s"$name: expensive chain pushed into scan DataFilters")
+    }
+  }
+
   test("GraftExtensions registers the rule at session build time") {
     val s = SparkSession.builder()
       .master("local[2]")
