@@ -79,6 +79,27 @@ object EventStream {
       .select(col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins
+    * the (small, slowly-changing) dimension — the streaming analog of
+    * the J1 post→subreddit lookup. The dim side is re-read per batch
+    * by Spark, so dimension updates are picked up without restarting
+    * the query; no streaming state is kept for the join itself.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Streaming near-exact dedup by content fingerprint within the
+    * watermark horizon — the streaming form of the q30/q21 exact-dedup
+    * path: state is one 32-byte md5 per distinct payload per horizon,
+    * not the payload itself.
+    */
+  def dedupByFingerprint(docs: DataFrame, tsCol: String, textCol: String,
+                         lateness: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   // --- custom state: running per-user anomaly counter -----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

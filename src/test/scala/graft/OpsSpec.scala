@@ -93,6 +93,30 @@ class OpsSpec extends SparkSuite {
     assert(sources.Tables.unionTolerant(spark, Seq("/nonexistent/a")).isEmpty)
   }
 
+  test("Jsonl: declared-schema tolerant read round-trips and flags corrupt lines") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id": 1, "text": "alpha"}
+        |not json at all
+        |{"id": 2, "text": "beta"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField(sources.Jsonl.corruptCol, StringType)))
+    val df = sources.Jsonl.read(spark, schema, f.getAbsolutePath)
+    assert(df.count() == 3)
+    val good = sources.Jsonl.wellFormed(df)
+    assert(good.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // write round-trip
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    sources.Jsonl.write(good, out)
+    val back = sources.Jsonl.read(spark,
+      StructType(schema.filterNot(_.name == sources.Jsonl.corruptCol)), out)
+    assert(back.count() == 2)
+  }
+
   test("X13 timeFilter maps the reference enum to window predicates") {
     import graft.ops.Time
     val now = lit("2024-06-15 00:00:00").cast("timestamp")

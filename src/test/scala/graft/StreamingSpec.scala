@@ -101,6 +101,42 @@ class StreamingSpec extends SparkSuite {
     assert(got == 41L)
   }
 
+  test("enriched: stream-static broadcast join attaches dim columns per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = EventStream.enriched(
+      mem.toDF().withColumn("props", lit("{}")), dim, "user_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:01"), 3, "view", 1.0))  // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
+  test("dedupByFingerprint keeps one row per normalized content") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("ts", "text")
+    val out = EventStream.dedupByFingerprint(docs, "ts", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fpdedup_out").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "Hello   World"),
+        (ts("2024-01-01 10:00:01"), "hello world"),   // same after clean+fold
+        (ts("2024-01-01 10:00:02"), "different doc"))
+      q.processAllAvailable()
+      assert(spark.table("fpdedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
