@@ -57,8 +57,13 @@ object Curation {
       .filter(col("n_tokens") >= p.minTokens && col("quality") >= p.minQuality)
       .filter(if (p.topics.nonEmpty) col("topic").isin(p.topics: _*) else lit(true))
     // exact dedup: min-id survivor per content fingerprint (W1 head on
-    // the 32-byte fp key — the text itself never shuffles)
+    // the 32-byte fp key — the text itself never shuffles). The
+    // survivor set feeds TWO consumers (near-dup pair generation and
+    // the final anti-join); persisted so the gate+dedup subtree is
+    // scanned and evaluated once, not once per consumer — at scale
+    // this is the checkpoint a curation job would write anyway.
     val exact = graft.ops.TopK.perGroupHead(gated, col("fp"), col("doc_id"), 1)
+      .persist()
     // near-dup removal among exact survivors
     val pairs = Dedup.nearDupPairs(exact, col("doc_id"), col("text"),
       threshold = p.jaccard, maxBucket = p.maxBucket)
