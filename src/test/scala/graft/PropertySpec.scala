@@ -80,4 +80,66 @@ class PropertySpec extends SparkSuite {
       assert(hs(0) == hs(1))
     }
   }
+
+  test("nearDupPairs equals the naive all-pairs Jaccard filter on random corpora") {
+    // the LSH pipeline with bands covering the full signature (1 band
+    // of 2 rows would miss pairs; 8 bands of 1 row catches any pair
+    // sharing ANY minhash — with threshold filtering after, the result
+    // must be a SUBSET of naive; with threshold high and docs drawn
+    // from a tiny vocab, verify the exact-verify stage agrees with the
+    // naive jaccard on every emitted pair
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = samples(docGen, 24).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val got = ext.Dedup.nearDupPairs(df, col("id"), col("text"),
+        numHashes = 8, rowsPerBand = 1, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // naive reference: distinct 3-gram shingles + exact jaccard
+    def sh(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val naive = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (a, b) -> jr).toMap
+    // every LSH pair must be a true near-pair with the same jaccard
+    got.foreach { case (k, j) => assert(naive.get(k).contains(j), s"$k -> $j") }
+    // with 1-row bands, candidate recall is total: any pair with
+    // jaccard >= 0.5 shares at least one shingle, hence one minhash
+    assert(got.keySet == naive.keySet,
+      s"missed: ${naive.keySet -- got.keySet}; extra: ${got.keySet -- naive.keySet}")
+  }
+
+  test("simhashNearDup hamming matches direct signature XOR popcount") {
+    val vocab = Seq("red", "blue", "green", "gold")
+    val docGen = Gen.listOfN(10, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = samples(docGen, 20).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val sigs = df.select(col("id"),
+        functions.SimHash64.simhash64(ext.Dedup.shingles(col("text"), 3)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val got = ext.Dedup.simhashNearDup(df, col("id"), col("text"), maxHamming = 64)
+      .as[(Long, Long, Int)].collect()
+    got.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
+    }
+  }
+
+  test("X13 timeFilter spans nest: day ⊆ week ⊆ month ⊆ year ⊆ all") {
+    val now = lit("2024-06-15 12:00:00").cast("timestamp")
+    val tsGen = Gen.choose(0L, 5L * 365 * 86400).map(off =>
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-15 12:00:00").getTime - off * 1000))
+    val df = samples(tsGen, 80).toDF("ts")
+    val counts = Seq("day", "week", "month", "year", "all").map(f =>
+      df.filter(ops.Time.timeFilter(col("ts"), f, now)).count())
+    assert(counts == counts.sorted, s"not nested: $counts")
+  }
 }
