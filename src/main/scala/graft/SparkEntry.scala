@@ -743,6 +743,26 @@ object SparkEntry {
     ext.Curation.stats(kept)
   }
 
+  /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
+    * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
+    * bounded-state per-group top-k as a hash aggregate — every
+    * partition folds to ≤ k entries before the shuffle. Oracled
+    * against the equivalent `row_number()` SQL.
+    */
+  private val q47TopkAggregator: Q = (s, dir) => {
+    val topk = functions.TopKByWeight.topK(3)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(topk(col("id"), col("w")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("rnk", "e")))
+      .select(col("l_returnflag"), (col("rnk") + 1).as("rnk"),
+        col("e.id").as("id"), col("e.w").as("w"))
+      .orderBy(col("l_returnflag"), col("rnk"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -791,6 +811,7 @@ object SparkEntry {
     "q44_media_decode"      -> q44MediaDecode,
     "q45_community_comments" -> q45CommunityComments,
     "q46_curation"          -> q46Curation,
+    "q47_topk_aggregator"   -> q47TopkAggregator,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1623,6 +1644,18 @@ object SparkEntry {
         |  CAST((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
         |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "q47_topk_aggregator" ->
+      """SELECT l_returnflag, rnk, id, w FROM (
+        |  SELECT l_returnflag,
+        |    l_orderkey * 100 + l_linenumber AS id,
+        |    round(l_extendedprice * (1.0 - l_discount), 2) AS w,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY round(l_extendedprice * (1.0 - l_discount), 2) DESC,
+        |               l_orderkey * 100 + l_linenumber) AS INTEGER) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3
+        |ORDER BY l_returnflag, rnk""".stripMargin,
     // q45 — CommunityDiscovery with direct + post + comment channels.
     // Note commentHits filters tombstones BEFORE the head-k budget
     // (CommunityDiscovery.scala:88-91), unlike q43's branch — the SQL

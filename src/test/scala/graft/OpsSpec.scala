@@ -117,6 +117,24 @@ class OpsSpec extends SparkSuite {
     assert(back.count() == 2)
   }
 
+  test("TopKByWeight aggregator agrees with the window top-k pattern") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0), ("b", 6L, 3.0))
+      .toDF("g", "id", "w")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(functions.TopKByWeight.topK(2)(col("id"), col("w")).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.id"), col("e.w"))
+      .as[(String, Long, Double)].collect().toSet
+    val viaWindow = ops.TopK.perGroupTopK(df,
+        Seq(col("g")), Seq(desc("w"), asc("id")), 2)
+      .as[(String, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // tie at the boundary: (2, 9.0) before (3, 9.0) by id
+    assert(viaAgg.contains(("a", 2L, 9.0)) && viaAgg.contains(("a", 3L, 9.0)))
+  }
+
   test("X13 timeFilter maps the reference enum to window predicates") {
     import graft.ops.Time
     val now = lit("2024-06-15 00:00:00").cast("timestamp")
