@@ -763,6 +763,18 @@ object SparkEntry {
       .orderBy(col("l_returnflag"), col("rnk"))
   }
 
+  /** q48 — ⊕ A7 duplicate-cluster formation: connected components of
+    * the q22 near-dup graph via iterative min-label propagation
+    * ([[graft.ext.Dedup.dupClusters]]), oracled against a recursive
+    * transitive-closure CTE. The transitive case matters: pair lists
+    * alone under-count duplicates when a~b and b~c but a≁c.
+    */
+  private val q48DupClusters: Q = (s, dir) => {
+    val pairs = ext.Dedup.nearDupPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"))
+    ext.Dedup.dupClusters(pairs)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -812,6 +824,7 @@ object SparkEntry {
     "q45_community_comments" -> q45CommunityComments,
     "q46_curation"          -> q46Curation,
     "q47_topk_aggregator"   -> q47TopkAggregator,
+    "q48_dup_clusters"      -> q48DupClusters,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1449,6 +1462,57 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM pairs
         |WHERE n_shared >= 10 ORDER BY id_a, id_b""".stripMargin,
+    // q48 — q22's pair chain + undirected closure via WITH RECURSIVE;
+    // cluster_id = min reachable id, exactly the fixpoint the Spark
+    // min-label propagation converges to.
+    "q48_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        |      len(sa.sh) AS la, len(sb.sh) AS lb
+        |    FROM cand JOIN sh sa ON sa.doc_id = id_a
+        |              JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |rec AS (
+        |  SELECT v, v AS m FROM nodes
+        |  UNION
+        |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT v AS doc_id, cluster_id, cluster_size
+        |FROM comp JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

@@ -167,6 +167,50 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ⊕ Duplicate-cluster formation: connected components of the
+    * near-dup pair graph by iterative min-label propagation — each
+    * round every node takes the min label among itself and its
+    * neighbors (one join + one min-aggregate per round), converging in
+    * O(component diameter) rounds. Near-dup components are shallow in
+    * practice (dup clusters, not social graphs), so the round count
+    * stays small; for adversarially long chains the
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") halves diameters per round —
+    * same join/agg building blocks, swap in if profiling demands it.
+    * Deterministic output: cluster_id = min member id.
+    *
+    * Returns (doc_id, cluster_id, cluster_size) for every node that
+    * appears in a pair, ordered by doc_id. Runs the propagation loop
+    * EAGERLY (each round is an action, like [[Similarity.ivfFit]]).
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIters: Int = 50): DataFrame = {
+    val dir = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("cluster_id", col("v")).persist()
+    var changed = labels.count()  // materialize; enter the loop
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNbr = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("cluster_id"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("v"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
     * id_a < id_b, deterministic order.

@@ -92,6 +92,15 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.8, s"winnow recall vs minhash: $recall (${win.size} vs ${mh.size})")
   }
 
+  test("dupClusters: transitive chains collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = ext.Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("exactDedup keeps min ordinal per key") {
     val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
     val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))
