@@ -50,4 +50,28 @@ class ScaleSpec extends SparkSuite {
       assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("day-partitioned write prunes partitions at planning time") {
+    import graft.sinks.Partitioned
+    val dir = java.nio.file.Files.createTempDirectory("bydate").toFile.getAbsolutePath
+    val events = Tables.events(spark, sfDir)
+    Partitioned.writeByDay(events, "ts", dir)
+    val days = events.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    assert(days.length >= 2, s"fixture spans ${days.length} day(s)")
+    val firstDay = days.head
+    val pruned = spark.read.parquet(dir)
+      .filter(Partitioned.dayRange(firstDay, days(1)))
+    val expected = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === firstDay).count()
+    assert(pruned.count() == expected)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (directory
+    // pruning), NOT in DataFilters/PushedFilters (row-level work)
+    val scanLine = plan.linesIterator.find(_.contains("Scan parquet")).get
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("p_date"), s"no partition pruning in:\n$scanLine")
+  }
 }
