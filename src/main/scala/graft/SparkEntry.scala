@@ -775,6 +775,47 @@ object SparkEntry {
     ext.Dedup.dupClusters(pairs)
   }
 
+  /** q49 — ⊕ A6 quantile sketch (Greenwald-Khanna via
+    * `percentile_approx`): like q34, the engine-specific estimates are
+    * asserted within the sketch's accuracy contract in-query (rank
+    * error ≤ 1/accuracy) and emitted as booleans; DuckDB computes the
+    * exact rank bounds and literal TRUE. Exact median anchors the
+    * comparison.
+    */
+  private val q49QuantileSketch: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    // accuracy 100 → rank error ε·n with ε = 1/100; bound via exact
+    // quantiles at p ± ε computed per group
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100)), 2).as("ap50"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.9), lit(100)), 2).as("ap90"),
+        // bounds at p ± 2ε (ε = 1/accuracy): GK guarantees rank error
+        // ≤ εn; the extra ε absorbs exact-percentile interpolation
+        round(expr("percentile(l_extendedprice, 0.48)"), 2).as("lo50"),
+        round(expr("percentile(l_extendedprice, 0.52)"), 2).as("hi50"),
+        round(expr("percentile(l_extendedprice, 0.88)"), 2).as("lo90"),
+        round(expr("percentile(l_extendedprice, 0.92)"), 2).as("hi90"))
+      .select(col("l_returnflag"), col("n"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+        (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q50 — ⊕ deterministic hash-bucket sampling
+    * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
+    * aggregated per type. The sample membership itself is the thing
+    * under test — partitioning-independent and re-derivable in SQL, so
+    * the oracle recomputes the exact same subset.
+    */
+  private val q50HashSample: Q = (s, dir) => {
+    ops.Sampling.byHash(Tables.events(s, dir), "event_id", rate = 0.1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -825,6 +866,8 @@ object SparkEntry {
     "q46_curation"          -> q46Curation,
     "q47_topk_aggregator"   -> q47TopkAggregator,
     "q48_dup_clusters"      -> q48DupClusters,
+    "q49_quantile_sketch"   -> q49QuantileSketch,
+    "q50_hash_sample"       -> q50HashSample,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1513,6 +1556,30 @@ object SparkEntry {
         |SELECT v AS doc_id, cluster_id, cluster_size
         |FROM comp JOIN sizes USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // q49 — exact anchor columns hard-compared; sketch columns bound-
+    // checked in-query (see q34's pattern).
+    "q49_quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q50 — the hash-bucket membership rule re-derived in SQL: value
+    // of the first 5 md5 hex digits via positional strpos arithmetic.
+    "q50_hash_sample" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |    md5(CAST(event_id AS VARCHAR) || '|0') AS hh
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, value,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |  FROM h)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM b WHERE bucket < 104857
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

@@ -135,6 +135,29 @@ class OpsSpec extends SparkSuite {
     assert(viaAgg.contains(("a", 2L, 9.0)) && viaAgg.contains(("a", 3L, 9.0)))
   }
 
+  test("Sampling.byHash is partitioning-independent and rate-accurate") {
+    val df = (1L to 4000L).toDF("k")
+    val a = ops.Sampling.byHash(df, "k", 0.25).as[Long].collect().toSet
+    val b = ops.Sampling.byHash(df.repartition(13), "k", 0.25).as[Long].collect().toSet
+    assert(a == b, "sample changed under repartitioning")
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03, s"rate off: ${a.size}")
+    // nested rates: a 10% sample is a subset of the 25% sample
+    val c = ops.Sampling.byHash(df, "k", 0.10).as[Long].collect().toSet
+    assert(c.subsetOf(a))
+    // edge rates
+    assert(ops.Sampling.byHash(df, "k", 0.0).count() == 0)
+    assert(ops.Sampling.byHash(df, "k", 1.0).count() == 4000)
+  }
+
+  test("Sampling.stratified respects per-stratum fractions") {
+    val df = (1 to 2000).map(i => (if (i % 4 == 0) "rare" else "common", i))
+      .toDF("cls", "v")
+    val got = ops.Sampling.stratified(df, "cls", Map("common" -> 0.1, "rare" -> 1.0))
+    val byCls = got.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("rare") == 500)  // keep-all stratum is exact
+    assert(byCls("common") > 75 && byCls("common") < 225)
+  }
+
   test("X13 timeFilter maps the reference enum to window predicates") {
     import graft.ops.Time
     val now = lit("2024-06-15 00:00:00").cast("timestamp")
