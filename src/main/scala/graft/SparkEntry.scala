@@ -816,6 +816,17 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** q51 — ⊕ one-pass column profile ([[graft.ops.Profile]]) over
+    * documents: null/distinct/min/max for four columns in a single
+    * scan+aggregate (exact-distinct form; the HLL form is the scale
+    * default). Columns chosen to avoid doubles so min/max stringify
+    * identically across engines.
+    */
+  private val q51ColumnProfile: Q = (s, dir) => {
+    ops.Profile.summarize(Tables.documents(s, dir),
+      Seq("doc_id", "source", "lang", "n_chars"), exact = true)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -868,6 +879,7 @@ object SparkEntry {
     "q48_dup_clusters"      -> q48DupClusters,
     "q49_quantile_sketch"   -> q49QuantileSketch,
     "q50_hash_sample"       -> q50HashSample,
+    "q51_column_profile"    -> q51ColumnProfile,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1580,6 +1592,25 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM b WHERE bucket < 104857
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q51_column_profile" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id,
+        |  count(DISTINCT doc_id) AS distinct_doc_id,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_doc_id,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_doc_id,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source,
+        |  count(DISTINCT source) AS distinct_source,
+        |  min(source) AS min_source,
+        |  max(source) AS max_source,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+        |  count(DISTINCT lang) AS distinct_lang,
+        |  min(lang) AS min_lang,
+        |  max(lang) AS max_lang,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars,
+        |  count(DISTINCT n_chars) AS distinct_n_chars,
+        |  CAST(min(n_chars) AS VARCHAR) AS min_n_chars,
+        |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
+        |FROM documents""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

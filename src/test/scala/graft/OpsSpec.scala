@@ -135,6 +135,16 @@ class OpsSpec extends SparkSuite {
     assert(viaAgg.contains(("a", 2L, 9.0)) && viaAgg.contains(("a", 3L, 9.0)))
   }
 
+  test("Profile.summarize: one row, exact vs sketch distincts agree on small data") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null)).toDF("id", "s")
+    val ex = ops.Profile.summarize(df, Seq("id", "s"), exact = true).collect()(0)
+    assert(ex.getAs[Long]("nulls_id") == 0 && ex.getAs[Long]("nulls_s") == 1)
+    assert(ex.getAs[Long]("distinct_id") == 3 && ex.getAs[Long]("distinct_s") == 1)
+    assert(ex.getAs[String]("min_id") == "1" && ex.getAs[String]("max_s") == "a")
+    val ap = ops.Profile.summarize(df, Seq("id", "s")).collect()(0)
+    assert(ap.getAs[Long]("distinct_id") == 3)  // HLL exact at tiny cardinality
+  }
+
   test("Sampling.byHash is partitioning-independent and rate-accurate") {
     val df = (1L to 4000L).toDF("k")
     val a = ops.Sampling.byHash(df, "k", 0.25).as[Long].collect().toSet
