@@ -827,6 +827,20 @@ object SparkEntry {
       Seq("doc_id", "source", "lang", "n_chars"), exact = true)
   }
 
+  /** q52 — ⊕ token-budget shard packing
+    * ([[graft.ext.Curation.packShards]]): documents packed into
+    * ~2000-token shards per source by running-total assignment,
+    * rolled up to per-shard accounting.
+    */
+  private val q52ShardPacking: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ext.Curation.packShards(docs, col("source"), col("doc_id"), col("n_tokens"), 2000)
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -880,6 +894,7 @@ object SparkEntry {
     "q49_quantile_sketch"   -> q49QuantileSketch,
     "q50_hash_sample"       -> q50HashSample,
     "q51_column_profile"    -> q51ColumnProfile,
+    "q52_shard_packing"     -> q52ShardPacking,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1611,6 +1626,20 @@ object SparkEntry {
         |  CAST(min(n_chars) AS VARCHAR) AS min_n_chars,
         |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
         |FROM documents""".stripMargin,
+    "q52_shard_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT source, CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM p GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

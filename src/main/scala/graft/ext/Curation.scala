@@ -71,6 +71,27 @@ object Curation {
     exact.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** ⊕ Token-budget shard packing (context-window assembly for
+    * pretraining): within each `groupCol`, documents in `orderCol`
+    * order are packed into shards of ~`budget` tokens by running-total
+    * assignment — `shard = floor(start_offset / budget)` where
+    * start_offset is the cumulative token count BEFORE the doc. One
+    * window (single shuffle on the group key, streaming running sum);
+    * a doc straddling a boundary goes to the shard its first token
+    * lands in (shards overflow by at most one doc, never split one).
+    */
+  def packShards(docs: DataFrame, groupCol: Column, orderCol: Column,
+                 nTokens: Column, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("_start", coalesce(sum(nTokens).over(w), lit(0L)))
+      .withColumn("shard_id", (col("_start") / budget).cast("long"))
+      .drop("_start")
+  }
+
   /** Per-source accounting of the kept set — the numbers a curation
     * run reports (doc counts, token budget, mean quality).
     *

@@ -27,6 +27,19 @@ class CurationSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("packShards: running-total assignment fills budget without splitting docs") {
+    val docs = Seq(
+      (1L, "s", 800L), (2L, "s", 800L), (3L, "s", 800L),  // starts 0,800,1600 -> shard 0
+      (4L, "s", 3000L),                                   // start 2400 -> shard 1 (overflows)
+      (5L, "s", 100L),                                    // start 5400 -> shard 2
+      (6L, "t", 50L))                                     // own group -> shard 0
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Curation.packShards(docs, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 2000)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
+  }
+
   test("stats: integer-exact HALF_UP mean quality") {
     val docs = Seq(
       (1L, "s", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
