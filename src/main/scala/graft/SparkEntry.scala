@@ -841,6 +841,15 @@ object SparkEntry {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** q53 — ⊕ A7 asymmetric containment pairs
+    * ([[graft.ext.Dedup.containmentPairs]]): the smaller shingle set
+    * ≥90% inside the larger — the quote-inclusion case Jaccard
+    * misses. 1-row bands for high candidate recall.
+    */
+  private val q53Containment: Q = (s, dir) => {
+    ext.Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -895,6 +904,7 @@ object SparkEntry {
     "q50_hash_sample"       -> q50HashSample,
     "q51_column_profile"    -> q51ColumnProfile,
     "q52_shard_packing"     -> q52ShardPacking,
+    "q53_containment"       -> q53Containment,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1640,6 +1650,45 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM p GROUP BY source, shard_id
         |ORDER BY source, shard_id""".stripMargin,
+    // q53 — q22's shingle/signature chain with 1-row bands and a
+    // containment (not Jaccard) verify; smaller set on the left.
+    "q53_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b + 1]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
+        |v AS (
+        |  SELECT
+        |    CASE WHEN len(sa.sh) <= len(sb.sh) THEN id_a ELSE id_b END AS id_small,
+        |    CASE WHEN len(sa.sh) <= len(sb.sh) THEN id_b ELSE id_a END AS id_big,
+        |    round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+        |          / least(len(sa.sh), len(sb.sh)), 4) AS containment
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT DISTINCT id_small, id_big, containment FROM v
+        |WHERE containment >= 0.9
+        |ORDER BY id_small, id_big""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

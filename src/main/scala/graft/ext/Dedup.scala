@@ -167,6 +167,43 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ⊕ Asymmetric containment detection: pairs where the SMALLER
+    * shingle set is mostly inside the larger one —
+    * `containment(A→B) = |A∩B| / |A|` — which Jaccard misses when
+    * sizes differ (a tweet quoted inside an article has tiny Jaccard
+    * but containment ≈ 1). Candidate generation reuses the same
+    * banded-minhash bucket grouping; verification computes containment
+    * of the smaller set in the larger. Returns (id_small, id_big,
+    * containment); note banding recall is Jaccard-driven, so extreme
+    * size ratios need more bands/hashes — documented trade, same as
+    * every LSH containment scheme short of a dedicated
+    * containment-LSH.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
+                       threshold: Double = 0.9, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select(id.as("id"), shingles(text, shingleK).as("sh"))
+    val bands = docs.select(col("id"), col("sh"),
+        graft.functions.MinHashSig.minhash_sig(col("sh"), numHashes).as("sig"))
+      .select(col("id"), col("sh"),
+        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
+      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_key"))
+      .filter(col("band_key").isNotNull)
+    val ordered = bucketPairs(bands, Seq("band_idx", "band_key"),
+        struct(col("id"), col("sh")), maxBucket)
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        when(size(col("a.sh")) <= size(col("b.sh")), col("a.id")).otherwise(col("b.id")).as("id_small"),
+        when(size(col("a.sh")) <= size(col("b.sh")), col("b.id")).otherwise(col("a.id")).as("id_big"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          least(size(col("a.sh")), size(col("b.sh"))).cast("double")).as("raw"))
+    ordered
+      .select(col("id_small"), col("id_big"), round(col("raw"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+      .distinct()
+      .orderBy(col("id_small"), col("id_big"))
+  }
+
   /** ⊕ Duplicate-cluster formation: connected components of the
     * near-dup pair graph by iterative min-label propagation — each
     * round every node takes the min label among itself and its

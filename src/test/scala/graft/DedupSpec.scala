@@ -101,6 +101,23 @@ class DedupSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("containmentPairs finds quote-inclusion that Jaccard misses") {
+    val small = "the quick brown fox jumps over the lazy dog tonight"
+    val big = ("unrelated preamble text goes here first with many words " * 3) +
+      small + (" and then a long unrelated continuation follows afterwards " * 3)
+    val docs = Seq((1L, small), (2L, big), (3L, "completely different content on other topics"))
+      .toDF("doc_id", "text")
+    val got = ext.Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists { case (s, b, c) => s == 1L && b == 2L && c >= 0.8 },
+      s"containment pair missing: ${got.toSeq}")
+    // but the Jaccard pipeline does NOT pair them at 0.8
+    val jac = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
+
   test("exactDedup keeps min ordinal per key") {
     val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
     val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))
