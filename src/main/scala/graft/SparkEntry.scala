@@ -850,6 +850,53 @@ object SparkEntry {
     ext.Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
   }
 
+  /** q54 — full-outer reconciliation join: daily order counts vs
+    * daily event counts, keeping days present on either side (the
+    * audit/diff join shape; completes the join-type matrix beyond
+    * inner/semi/anti/left).
+    */
+  private val q54FullOuter: Q = (s, dir) => {
+    val od = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("d"))
+      .limit(100)
+  }
+
+  /** q55 — set operations INTERSECT / EXCEPT (distinct forms): sources
+    * that have high-quality docs vs sources that have short docs.
+    */
+  private val q55SetOps: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val withLong = docs.filter(col("n_chars") >= 300).select(col("source"))
+    val withShort = docs.filter(col("n_chars") < 120).select(col("source"))
+    val both = withLong.intersect(withShort).withColumn("set_op", lit("both"))
+    val onlyLong = withLong.except(withShort).withColumn("set_op", lit("only_long"))
+    both.unionByName(onlyLong)
+      .select(col("set_op"), col("source"))
+      .orderBy(col("set_op"), col("source"))
+  }
+
+  /** q56 — pivot (explicit value list → deterministic schema): per
+    * user-bucket event counts pivoted by event type.
+    */
+  private val q56Pivot: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -905,6 +952,9 @@ object SparkEntry {
     "q51_column_profile"    -> q51ColumnProfile,
     "q52_shard_packing"     -> q52ShardPacking,
     "q53_containment"       -> q53Containment,
+    "q54_full_outer"        -> q54FullOuter,
+    "q55_set_ops"           -> q55SetOps,
+    "q56_pivot"             -> q56Pivot,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1689,6 +1739,39 @@ object SparkEntry {
         |SELECT DISTINCT id_small, id_big, containment FROM v
         |WHERE containment >= 0.9
         |ORDER BY id_small, id_big""".stripMargin,
+    "q54_full_outer" ->
+      """WITH od AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ed AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(od.d, ed.d) AS d,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed ON od.d = ed.d
+        |ORDER BY d LIMIT 100""".stripMargin,
+    "q55_set_ops" ->
+      """WITH wl AS (SELECT source FROM documents WHERE n_chars >= 300),
+        |ws AS (SELECT source FROM documents WHERE n_chars < 120),
+        |both_s AS (
+        |  SELECT 'both' AS set_op, source FROM (
+        |    SELECT source FROM wl INTERSECT SELECT source FROM ws)),
+        |only_l AS (
+        |  SELECT 'only_long' AS set_op, source FROM (
+        |    SELECT source FROM wl EXCEPT SELECT source FROM ws))
+        |SELECT set_op, source FROM both_s
+        |UNION ALL SELECT set_op, source FROM only_l
+        |ORDER BY set_op, source""".stripMargin,
+    "q56_pivot" ->
+      """SELECT CAST(user_id % 10 AS INTEGER) AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,
