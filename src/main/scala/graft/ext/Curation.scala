@@ -62,6 +62,10 @@ object Curation {
     // the final anti-join); persisted so the gate+dedup subtree is
     // scanned and evaluated once, not once per consumer — at scale
     // this is the checkpoint a curation job would write anyway.
+    // Cache lifecycle: the entry lives until session end (survivors
+    // are the smallest set in the pipeline); a caller needing eager
+    // reclamation should write/checkpoint the result and unpersist
+    // via its own handle.
     val exact = graft.ops.TopK.perGroupHead(gated, col("fp"), col("doc_id"), 1)
       .persist()
     // near-dup removal among exact survivors

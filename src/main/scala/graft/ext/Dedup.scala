@@ -218,7 +218,11 @@ object Dedup {
     *
     * Returns (doc_id, cluster_id, cluster_size) for every node that
     * appears in a pair, ordered by doc_id. Runs the propagation loop
-    * EAGERLY (each round is an action, like [[Similarity.ivfFit]]).
+    * EAGERLY (each round is an action, like [[Similarity.ivfFit]]);
+    * throws if maxIters is reached before the fixpoint rather than
+    * returning partially-propagated labels. The final label table
+    * (nodes-in-pairs only — small) stays cached for the returned
+    * plan's lifetime.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 50): DataFrame = {
@@ -241,6 +245,10 @@ object Dedup {
       labels = next
       iters += 1
     }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters rounds ($changed labels still " +
+        "moving) — component diameter exceeds maxIters; raise it or switch to a " +
+        "large-star/small-star contraction for adversarially long chains")
     edges.unpersist()
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))

@@ -58,9 +58,12 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
                   roundTo: Int = 4, maxRows: Long = 100000L): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"cosinePairs is an O(n^2) exact baseline; got $n rows > maxRows=$maxRows. " +
+    // bounded probe, not a full count: LocalLimit early-terminates the
+    // scan at maxRows+1 rows, so the guard never pays more than the
+    // limit it enforces
+    val over = df.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count() > maxRows
+    require(!over,
+      s"cosinePairs is an O(n^2) exact baseline; input exceeds maxRows=$maxRows. " +
         "Use annLsh/ivf for large inputs, or raise maxRows explicitly.")
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)

@@ -36,7 +36,11 @@ object TopKByWeight {
     require(k > 0, "k must be positive")
     override def zero: Buf = Buf(Nil)
     override def reduce(b: Buf, a: Entry): Buf =
-      Buf((a +: b.items).sorted(better).take(k))
+      // O(1) early reject once the buffer is full: items stay sorted
+      // best-first, so a candidate no better than the current k-th
+      // (the common case on large groups) never triggers a re-sort
+      if (b.items.length >= k && better.lteq(b.items.last, a)) b
+      else Buf((a +: b.items).sorted(better).take(k))
     override def merge(b1: Buf, b2: Buf): Buf =
       Buf((b1.items ++ b2.items).sorted(better).take(k))
     override def finish(b: Buf): Seq[Entry] = b.items

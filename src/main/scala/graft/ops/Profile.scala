@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "Profile.summarize needs at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),

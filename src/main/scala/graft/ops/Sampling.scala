@@ -36,6 +36,9 @@ object Sampling {
     val bucket = conv(substring(
         md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt.toString))),
         1, 5), 16, 10).cast("long")
-    df.filter(bucket < (rate * (1L << 20)).toLong)
+    // null keys are EXCLUDED explicitly (a null key has no stable
+    // identity to sample on — rate=1.0 keeps every non-null-key row);
+    // coalesce the key upstream to opt nulls in
+    df.filter(col(keyCol).isNotNull && bucket < (rate * (1L << 20)).toLong)
   }
 }

@@ -157,6 +157,9 @@ class OpsSpec extends SparkSuite {
     // edge rates
     assert(ops.Sampling.byHash(df, "k", 0.0).count() == 0)
     assert(ops.Sampling.byHash(df, "k", 1.0).count() == 4000)
+    // null keys are excluded explicitly (no stable identity to sample on)
+    val withNulls = Seq(Some(1L), None, Some(2L)).toDF("k")
+    assert(ops.Sampling.byHash(withNulls, "k", 1.0).count() == 2)
   }
 
   test("Sampling.stratified respects per-stratum fractions") {

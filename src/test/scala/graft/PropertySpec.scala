@@ -112,10 +112,17 @@ class PropertySpec extends SparkSuite {
     } yield (a, b) -> jr).toMap
     // every LSH pair must be a true near-pair with the same jaccard
     got.foreach { case (k, j) => assert(naive.get(k).contains(j), s"$k -> $j") }
-    // with 1-row bands, candidate recall is total: any pair with
-    // jaccard >= 0.5 shares at least one shingle, hence one minhash
-    assert(got.keySet == naive.keySet,
-      s"missed: ${naive.keySet -- got.keySet}; extra: ${got.keySet -- naive.keySet}")
+    // recall: 1-row bands catch a pair iff it agrees on ≥1 of the 8
+    // minhashes — probability 1-(1-j)^8 ≥ 0.996 at j ≥ 0.5, NOT
+    // guaranteed (a shared shingle need not be any hash's argmin).
+    // Inputs are seed-pinned, so assert a high floor rather than
+    // exactness to stay robust to generator changes.
+    assert(got.keySet.subsetOf(naive.keySet))
+    if (naive.nonEmpty) {
+      val recall = got.size.toDouble / naive.size
+      assert(recall >= 0.9,
+        s"recall $recall; missed: ${naive.keySet -- got.keySet}")
+    }
   }
 
   test("simhashNearDup hamming matches direct signature XOR popcount") {
