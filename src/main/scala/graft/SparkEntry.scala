@@ -897,6 +897,41 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q57 — S6 CSV sink hard-checked end-to-end: write documents to
+    * CSV ([[graft.sinks.Csv]]), read the CSV back, aggregate — the
+    * oracle aggregates the original table directly, so any quoting /
+    * escaping / header / type round-trip loss hash-mismatches.
+    */
+  private val q57CsvRoundtrip: Q = (s, dir) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toFile.getAbsolutePath
+    sinks.Csv.write(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
+    // reader mirrors the writer's defaults (quote '"', escape '\');
+    // multiLine covers quoted newlines inside text fields
+    s.read.option("header", "true").option("inferSchema", "false")
+      .option("multiLine", "true")
+      .csv(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("source"))
+  }
+
+  /** q58 — S5 error-tolerant multi-source union hard-checked: one
+    * readable path + one missing path must yield exactly the readable
+    * table's contents (the reference's skip-bad-source loop,
+    * `app.py:294-301`).
+    */
+  private val q58TolerantUnion: Q = (s, dir) => {
+    val df = Tables.unionTolerant(s, Seq(
+      s"$dir/documents.parquet",
+      s"$dir/__no_such_source__.parquet")).get
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -955,6 +990,8 @@ object SparkEntry {
     "q54_full_outer"        -> q54FullOuter,
     "q55_set_ops"           -> q55SetOps,
     "q56_pivot"             -> q56Pivot,
+    "q57_csv_roundtrip"     -> q57CsvRoundtrip,
+    "q58_tolerant_union"    -> q58TolerantUnion,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1772,6 +1809,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q57 — the oracle never sees the CSV: it aggregates the source
+    // table, so the Spark side's write→read round trip must be
+    // lossless for the hashes to match.
+    "q57_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q58_tolerant_union" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,
