@@ -932,6 +932,19 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q59 — X12 preset map driving the full pipeline: the "Fast"
+    * preset's (10, 20) budgets flow through
+    * [[graft.pipelines.SignalScan.paramsForPreset]] into the composed
+    * scan; the oracle hardcodes the same budgets, so a preset-table
+    * regression hash-mismatches.
+    */
+  private val q59PresetScan: Q = (s, dir) => {
+    pipelines.SignalScan.run(docsAsPosts(s, dir), docsAsComments(s, dir),
+      pipelines.SignalScan.paramsForPreset("Fast",
+        subreddits = (0 until 20).map(i => s"src$i"),
+        keywords = Seq("spark", "merge")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -992,6 +1005,7 @@ object SparkEntry {
     "q56_pivot"             -> q56Pivot,
     "q57_csv_roundtrip"     -> q57CsvRoundtrip,
     "q58_tolerant_union"    -> q58TolerantUnion,
+    "q59_preset_scan"       -> q59PresetScan,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1820,6 +1834,70 @@ object SparkEntry {
     "q58_tolerant_union" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q59 — q43's mirror with the "Fast" preset constants (postLimit
+    // 10, commentLimit 20) and no truncation (preset path leaves
+    // truncateTo unset).
+    "q59_preset_scan" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_title,
+        |    n_chars AS score,
+        |    'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+        |    '/r/' || source || '/' || CAST(doc_id AS VARCHAR) AS permalink
+        |  FROM documents),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY subreddit
+        |                               ORDER BY score DESC, post_id) AS rn
+        |  FROM p),
+        |tp AS (SELECT * FROM top WHERE rn <= 10),
+        |postm AS (
+        |  SELECT *, list_filter(['spark', 'merge'],
+        |                        k -> contains(lower(clean_title || ' '), k)) AS ml
+        |  FROM tp),
+        |postrows AS (
+        |  SELECT subreddit AS "Subreddit",
+        |    array_to_string(list_sort(ml), ', ') AS "Match",
+        |    'Post' AS "Type", clean_title AS "Text", author AS "Author",
+        |    'https://reddit.com' || permalink AS "Link"
+        |  FROM postm WHERE len(ml) > 0),
+        |c AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS post_id, i.idx AS flat_idx,
+        |    CASE WHEN i.idx = 1 AND doc_id % 13 = 0 THEN '[deleted]'
+        |         WHEN i.idx = 2 AND doc_id % 7 = 0 THEN NULL
+        |         WHEN i.idx = 3 AND doc_id % 5 = 0 THEN ' '
+        |         ELSE substring(text, CAST(i.idx * 20 + 1 AS INTEGER), 80) END AS body,
+        |    CASE WHEN (doc_id + i.idx) % 11 = 0 THEN '[deleted]'
+        |         ELSE 'c_author_' || CAST((doc_id + i.idx) % 7 AS VARCHAR) END AS author,
+        |    CASE WHEN (doc_id + i.idx) % 17 = 0 THEN NULL
+        |         ELSE '/r/' || source || '/' || CAST(doc_id AS VARCHAR)
+        |              || '/c' || CAST(i.idx AS VARCHAR) END AS permalink
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS idx) i),
+        |ch AS (
+        |  SELECT *, row_number() OVER (PARTITION BY post_id
+        |                               ORDER BY flat_idx) AS crn
+        |  FROM c),
+        |cj AS (
+        |  SELECT ch.*, tp.subreddit FROM ch JOIN tp USING (post_id)
+        |  WHERE ch.crn <= 20),
+        |cf AS (
+        |  SELECT subreddit, author, permalink,
+        |    trim(regexp_replace(body, '\s+', ' ', 'g')) AS clean_body
+        |  FROM cj
+        |  WHERE body IS NOT NULL AND author IS NOT NULL
+        |    AND author <> '[deleted]' AND permalink IS NOT NULL
+        |    AND body NOT IN ('[deleted]', '[removed]')),
+        |cm AS (
+        |  SELECT *,
+        |    CASE WHEN contains(lower(clean_body), 'spark') THEN 'spark'
+        |         WHEN contains(lower(clean_body), 'merge') THEN 'merge' END AS first_kw
+        |  FROM cf WHERE length(clean_body) > 0),
+        |crows AS (
+        |  SELECT subreddit AS "Subreddit", first_kw AS "Match",
+        |    'Comment' AS "Type", clean_body AS "Text",
+        |    author AS "Author", 'https://reddit.com' || permalink AS "Link"
+        |  FROM cm WHERE first_kw IS NOT NULL)
+        |SELECT * FROM (SELECT * FROM postrows UNION ALL SELECT * FROM crows)
+        |ORDER BY "Subreddit", "Type", "Link", "Match"""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,
