@@ -945,6 +945,23 @@ object SparkEntry {
         keywords = Seq("spark", "merge")))
   }
 
+  /** q60 — S7 export-enrichment sink hard-checked: enrich (the v1
+    * CRM-workflow constant columns) → CSV → read back; the oracle
+    * emits the constants as literals over the original table, so a
+    * changed constant, lost column, or round-trip corruption
+    * hash-mismatches.
+    */
+  private val q60EnrichedExport: Q = (s, dir) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_enr").toFile.getAbsolutePath
+    sinks.Csv.writeEnriched(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source")), out)
+    s.read.option("header", "true").option("inferSchema", "false").csv(out)
+      .groupBy(col("source"), col("Status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("Priority") === "" || col("Priority").isNull, 1L).otherwise(0L)).as("n_blank_priority"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1006,6 +1023,7 @@ object SparkEntry {
     "q57_csv_roundtrip"     -> q57CsvRoundtrip,
     "q58_tolerant_union"    -> q58TolerantUnion,
     "q59_preset_scan"       -> q59PresetScan,
+    "q60_enriched_export"   -> q60EnrichedExport,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1898,6 +1916,12 @@ object SparkEntry {
         |  FROM cm WHERE first_kw IS NOT NULL)
         |SELECT * FROM (SELECT * FROM postrows UNION ALL SELECT * FROM crows)
         |ORDER BY "Subreddit", "Type", "Link", "Match"""".stripMargin,
+    // q60 — the enrichment constants re-stated as literals; the Spark
+    // side must round-trip them through CSV intact.
+    "q60_enriched_export" ->
+      """SELECT source, 'Not Started' AS "Status", count(*) AS n,
+        |  count(*) AS n_blank_priority
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,
