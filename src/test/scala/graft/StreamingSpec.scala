@@ -137,6 +137,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("parquet file sink + checkpoint: restart resumes exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val base = java.nio.file.Files.createTempDirectory("ckpt_test").toFile.getAbsolutePath
+    def start() = mem.toDF().withColumn("props", lit("{}"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:01"), 2, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: already-committed batches must not
+    // be re-emitted; new data must flow
+    val q2 = start()
+    try {
+      mem.addData(Event(3, ts("2024-01-01 10:00:02"), 3, "click", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"expected exactly-once 1,2,3; got $got")
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
