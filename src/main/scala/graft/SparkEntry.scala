@@ -348,9 +348,12 @@ object SparkEntry {
     ext.Dedup.nearDupPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
   }
 
-  /** q23 — ⊕ A7 SimHash near-dup pairs (custom Catalyst expression;
-    * no SQL oracle — the driver records a rows-only check. Cross-checked
-    * against the MinHash pipeline in DedupSpec.)
+  /** q23 — ⊕ A7 SimHash near-dup pairs (custom Catalyst expression).
+    * Hard-oracled: the FNV-1a-64 per-shingle hash and the bit-vote
+    * signature are re-derived in HUGEINT arithmetic in the DuckDB SQL,
+    * so signatures, segment banding, and the Hamming verify all
+    * hash-compare; also cross-checked against the MinHash pipeline in
+    * DedupSpec.
     */
   private val q23SimhashNearDup: Q = (s, dir) => {
     ext.Dedup.simhashNearDup(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -375,12 +378,17 @@ object SparkEntry {
       col("vec_id"), col("embedding"), threshold = 0.42)
   }
 
-  /** q26 — ⊕ X15 ANN via random-hyperplane LSH (no SQL oracle —
-    * rows-only; recall vs the exact q25 asserted in SimilaritySpec).
+  /** q26 — ⊕ X15 ANN via random-hyperplane LSH. Hard-oracled: the ±1
+    * Rademacher planes re-derive from md5 parity in the DuckDB SQL, so
+    * bucketing + candidate generation + exact verify all hash-compare;
+    * recall vs the exact q25 additionally asserted in SimilaritySpec.
+    * All 16 bucket keys come from one codegen expression
+    * ([[graft.functions.LshBuckets]]); maxBucket=10000 skew backstop
+    * (mirrored in the oracle SQL's bucket-count HAVING).
     */
   private val q26AnnLsh: Q = (s, dir) => {
     ext.Similarity.annLsh(Tables.embeddings(s, dir),
-      col("vec_id"), col("embedding"), dim = 64, threshold = 0.42)
+      col("vec_id"), col("embedding"), threshold = 0.42)
   }
 
   private val topicLexicons: Seq[(String, Seq[String])] = Seq(
@@ -611,10 +619,13 @@ object SparkEntry {
       .limit(400)
   }
 
-  /** q38 — ⊕ X15 ANN via IVF (k-means inverted file; no SQL oracle —
-    * rows-only; recall vs exact kNN asserted in SimilaritySpec). The
-    * normalized+assigned table is cached once in the model and shared
-    * by the Lloyd rounds and the single-pass search.
+  /** q38 — ⊕ X15 ANN via IVF (k-means inverted file). Hard-oracled:
+    * centroid quantization (`quantize = Some(9)`) makes the unrolled
+    * Lloyd rounds reproducible in ANSI SQL, so train + assign + search
+    * all hash-compare; recall vs exact kNN additionally asserted in
+    * SimilaritySpec. The normalized+assigned table is cached once in
+    * the model and shared by the Lloyd rounds and the single-pass
+    * search.
     */
   private val q38AnnIvf: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
@@ -640,9 +651,12 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  /** q40 — ⊕ A7 winnowing (rolling-hash) fingerprint near-dup pairs
-    * (no SQL oracle — rolling state isn't portable SQL; rows-only,
-    * cross-checked against MinHash pairs in DedupSpec).
+  /** q40 — ⊕ A7 winnowing (rolling-hash) fingerprint near-dup pairs.
+    * Hard-oracled: the Karp-Rabin rolling hash is re-derived in the
+    * DuckDB SQL with a precomputed power table and the winnow-window
+    * min as a ROWS window function, so fingerprints and shared counts
+    * hash-compare; also cross-checked against MinHash pairs in
+    * DedupSpec.
     */
   private val q40WinnowNearDup: Q = (s, dir) => {
     // long grams + high share floor: the fixture vocabulary is tiny, so
@@ -1297,9 +1311,13 @@ object SparkEntry {
         |bands AS (
         |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
         |  WHERE a.doc_id < bb.doc_id
         |  GROUP BY 1, 2),
         |j AS (
@@ -1357,9 +1375,11 @@ object SparkEntry {
         |                         {'i': 2, 'v': s2}, {'i': 3, 'v': s3}]) AS u
         |  FROM sigs),
         |segs AS (SELECT doc_id, u.i AS i, u.v AS v FROM segl),
+        |ssz AS (
+        |  SELECT i, v FROM segs GROUP BY i, v HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM segs a JOIN segs b USING (i, v)
+        |  FROM segs a JOIN ssz USING (i, v) JOIN segs b USING (i, v)
         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         |ham AS (
         |  SELECT id_a, id_b,
@@ -1436,9 +1456,13 @@ object SparkEntry {
         |  SELECT vec_id, t AS table_idx,
         |    CAST(sum(CASE WHEN dp >= 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id, t),
+        |bsz AS (
+        |  SELECT table_idx, bucket FROM bk
+        |  GROUP BY table_idx, bucket HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
-        |  FROM bk a JOIN bk c USING (table_idx, bucket)
+        |  FROM bk a JOIN bsz USING (table_idx, bucket)
+        |            JOIN bk c USING (table_idx, bucket)
         |  WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
         |pairs AS (
         |  SELECT id_a, id_b,
@@ -1655,9 +1679,11 @@ object SparkEntry {
         |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn
         |  FROM hs),
         |fps AS (SELECT DISTINCT doc_id, mn AS fp FROM mins WHERE p >= 8),
+        |fsz AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM fps a JOIN fsz ON a.fp = fsz.fp
+        |             JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM pairs
         |WHERE n_shared >= 10 ORDER BY id_a, id_b""".stripMargin,
@@ -1687,9 +1713,13 @@ object SparkEntry {
         |bands AS (
         |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
         |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
         |pairs AS (
         |  SELECT id_a, id_b FROM (
@@ -1794,9 +1824,13 @@ object SparkEntry {
         |bands AS (
         |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b + 1]) AS band_key
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
         |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
         |v AS (
         |  SELECT
@@ -2097,9 +2131,13 @@ object SparkEntry {
         |bands AS (
         |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bands bb USING (band_idx, band_key)
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
         |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
         |pairs AS (
         |  SELECT id_a, id_b

@@ -33,7 +33,7 @@ object Curation {
       topics: Seq[String] = Nil,        // empty = keep all labels
       lexicons: Seq[(String, Seq[String])] = Nil,
       jaccard: Double = 0.8,
-      maxBucket: Int = Int.MaxValue)
+      maxBucket: Int = Dedup.DefaultMaxBucket)
 
   /** Survivors of the full pipeline, with their curation features
     * (n_tokens, quality, topic) attached. Near-dup survivor rule:

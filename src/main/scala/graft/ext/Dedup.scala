@@ -25,6 +25,16 @@ import graft.ops.Text
   */
 object Dedup {
 
+  /** Default skew/OOM backstop for [[bucketPairs]]-based candidate
+    * generation: buckets larger than this are excluded from pair
+    * expansion (see the bucketPairs scaladoc for why). 10k members =
+    * ≤100M candidate pairs and a ~single-digit-MB collect_list row —
+    * survivable; beyond it a bucket is degenerate input (empty-ish
+    * docs, a hot segment) that belongs in exact dedup. Each oracle SQL
+    * mirrors the cap with a bucket-count HAVING clause.
+    */
+  val DefaultMaxBucket: Int = 10000
+
   /** Exact dedup with deterministic min-wins survivor (the reference's
     * first-wins upsert `app.py:42,51` made distributed: `min_by` on an
     * explicit ordinal instead of arrival order).
@@ -105,9 +115,11 @@ object Dedup {
     * above it are EXCLUDED from pair generation (a degenerate bucket
     * of b members contributes b² pairs of near-identical rows — at
     * 100 TB that is both an OOM on the collect_list row and a
-    * quadratic blowup; such rows belong in exact dedup instead). The
-    * default is unlimited so oracle-checked semantics stay exact;
-    * callers at scale should set it consciously.
+    * quadratic blowup; such rows belong in exact dedup instead).
+    * Every public entry point defaults `maxBucket` to
+    * [[Dedup.DefaultMaxBucket]] (10000) and each oracle SQL mirrors
+    * the cap with a bucket-count HAVING, so the backstop is part of
+    * the checked semantics, not an unreachable option.
     */
   private[ext] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
                                member: Column,
@@ -129,7 +141,7 @@ object Dedup {
     * near-pairs). Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
-                     maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+                     maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = df.select(id.as("id"),
       graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig"))
     val segs = sigs.select(col("id"), col("sig"),
@@ -156,7 +168,7 @@ object Dedup {
     */
   def winnowNearDup(df: DataFrame, id: Column, text: Column,
                     k: Int = 12, w: Int = 6, minShared: Int = 5,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val fps = df.select(id.as("id"),
         explode(graft.functions.Winnow.winnow(Text.cleanText(lower(text)), k, w)).as("fp"))
     bucketPairs(fps, Seq("fp"), struct(col("id")), maxBucket)
@@ -181,7 +193,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
                        shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 1,
-                       threshold: Double = 0.9, maxBucket: Int = Int.MaxValue): DataFrame = {
+                       threshold: Double = 0.9, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val docs = df.select(id.as("id"), shingles(text, shingleK).as("sh"))
     val bands = docs.select(col("id"), col("sh"),
         graft.functions.MinHashSig.minhash_sig(col("sh"), numHashes).as("sig"))
@@ -267,7 +279,7 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-                   threshold: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
+                   threshold: Double = 0.8, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // No eager `filter(size(sh) > 0)` here: predicate pushdown would
     // substitute the whole tokenize+shingle chain into the parquet
     // scan's data filter and re-evaluate it per row (measured; see

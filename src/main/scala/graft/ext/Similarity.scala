@@ -101,17 +101,12 @@ object Similarity {
     * byte). Rademacher sign projections are a standard SRP-LSH variant
     * (Achlioptas 2001, database-friendly random projections), and —
     * unlike seeded gaussians — the rule is re-computable in ANSI SQL,
-    * so the whole bucketing pipeline is oracle-checkable.
+    * so the whole bucketing pipeline is oracle-checkable. Single source
+    * of truth lives in [[graft.functions.LshBuckets.planeComp]] (the
+    * codegen expression that evaluates the planes per row).
     */
-  private[ext] def planeComp(t: Int, b: Int, d: Int): Double = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$t|$b|$d".getBytes("UTF-8"))
-    if ((h(0) & 1) == 0) 1.0 else -1.0
-  }
-
-  private[ext] def planes(numTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] =
-    Seq.tabulate(numTables)(t => Seq.tabulate(bitsPerTable)(b =>
-      Array.tabulate(dim)(d => planeComp(t, b, d))))
+  private[ext] def planeComp(t: Int, b: Int, d: Int): Double =
+    graft.functions.LshBuckets.planeComp(t, b, d)
 
   // --- IVF (inverted-file) ANN ---------------------------------------------
 
@@ -225,26 +220,26 @@ object Similarity {
     * for similarity s: 1-(1-p^b)^L with p = 1 - arccos(s)/π.
     *
     * Candidate generation is the single-scan grouped form
-    * ([[Dedup.bucketPairs]]): one evaluation of the 96 projections per
-    * row, one shuffle on (table_idx, bucket), in-bucket pair expansion,
-    * threshold BEFORE the cross-table dedup.
+    * ([[Dedup.bucketPairs]]): ALL numTables bucket keys come from ONE
+    * pass over the vector ([[graft.functions.LshBuckets]] — a single
+    * codegen expression, not numTables×bitsPerTable separate projection
+    * expressions), one shuffle on (table_idx, bucket), in-bucket pair
+    * expansion, threshold BEFORE the cross-table dedup.
+    *
+    * `maxBucket` (default 10000) is the skew/OOM backstop at scale: a
+    * degenerate bucket of b members is b² candidate pairs AND one
+    * b-element `collect_list` row, so buckets above the cap are
+    * excluded from pair generation (mirror the cap in any SQL oracle
+    * via a bucket-count HAVING).
     */
-  def annLsh(df: DataFrame, id: Column, vec: Column, dim: Int,
+  def annLsh(df: DataFrame, id: Column, vec: Column,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
-             roundTo: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val ps = planes(numTables, bitsPerTable, dim)
+             roundTo: Int = 4, maxBucket: Int = 10000): DataFrame = {
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
-    val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
-      val key = tablePlanes.zipWithIndex.map { case (p, b) =>
-        val planeLit = array(p.map(lit(_)): _*)
-        when(dot(col("nv"), planeLit) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table_idx"), key.as("bucket"))
-    }
     val bucketed = nv.select(col("id"), col("nv"),
-        explode(array(buckets: _*)).as("tb"))
-      .select(col("id"), col("nv"), col("tb.table_idx"), col("tb.bucket"))
+      posexplode(graft.functions.LshBuckets.lsh_buckets(col("nv"), numTables, bitsPerTable))
+        .as(Seq("table_idx", "bucket")))
     Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"),
         struct(col("id"), col("nv")), maxBucket)
       .filter(col("a.id") < col("b.id"))

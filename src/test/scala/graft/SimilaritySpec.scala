@@ -72,7 +72,7 @@ class SimilaritySpec extends SparkSuite {
     val em = sources.Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosinePairs(em, col("vec_id"), col("embedding"), 0.42)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val ann = Similarity.annLsh(em, col("vec_id"), col("embedding"), 64, 0.42)
+    val ann = Similarity.annLsh(em, col("vec_id"), col("embedding"), 0.42)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(ann.subsetOf(exact), s"ANN produced non-exact pairs: ${ann -- exact}")
     if (exact.nonEmpty) {

@@ -18,6 +18,17 @@ class BucketPairsSpec extends graft.SparkSuite {
     assert(pairs(2) == Set((10L, 11L)))
   }
 
+  test("near-dup entry points honor the maxBucket backstop") {
+    // 8 identical docs: every LSH band bucket is one degenerate
+    // 8-member bucket. Under the cap they all pair; a cap below the
+    // bucket size excludes the bucket entirely (degenerate input
+    // belongs in exact dedup, not quadratic pair expansion).
+    val docs = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(docs, col("doc_id"), col("text")).count() == 28)
+    assert(Dedup.nearDupPairs(docs, col("doc_id"), col("text"), maxBucket = 4).count() == 0)
+  }
+
   test("bucketPairs keeps fingerprint multiplicity (winnow n_shared contract)") {
     // two docs sharing the same fp value twice each -> 4 in-bucket
     // ordered pairs, matching the old join-based count semantics
