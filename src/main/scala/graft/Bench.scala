@@ -20,10 +20,11 @@ object Bench {
       SparkEntry.queries.get("q01_pricing_summary")
         .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
     } catch { case _: Throwable => () }
-    // Two timed passes per query, report the min: this machine shows
+    // Three timed passes per query, report the min: this machine shows
     // bursty external load (same-binary totals measured 49.7s vs 89.5s
-    // in back-to-back runs), and min-of-2 steady-state is the standard
-    // way to keep the metric about the plan, not the neighbor.
+    // in back-to-back runs; round-2 showed 2-4x phantom "regressions"
+    // on four queries that vanished on re-measurement), and min-of-N
+    // steady-state keeps the metric about the plan, not the neighbor.
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
@@ -33,14 +34,13 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      val b = timeOnce(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(3)(timeOnce(name, fn))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: measure the dedup/ANN family's scaling slope from sf0.1
+  * to a synthetic sf1 (10× documents + embeddings) and print a
+  * sf0.1→sf1 ratio table for BASELINE.md.
+  *
+  * The sf1 fixtures are a deterministic 10× blow-up of the driver's
+  * sf0.1 parquet (written under /tmp, never /root/testdata), built so
+  * the workload SHAPE is preserved rather than degenerate:
+  *  - documents: copy c ∈ 0..9 suffixes every token with `_c<c>` (c>0),
+  *    so each copy-group has exactly sf0.1's internal near-dup
+  *    structure but NO cross-copy near-dups — true pair count scales
+  *    exactly 10×, the honest setting for a scaling-slope measurement
+  *    (identical copies would make every pair count grow 100×).
+  *  - embeddings: copy c circular-shifts the vector by c positions —
+  *    norm and component distribution preserved, cross-copy cosine low,
+  *    so the q25/q26 pair structure also replicates per copy-group.
+  *
+  * Timing protocol matches Bench: shared warmed session, count() as
+  * the action, min of 3 passes per (query, sf).
+  */
+object ScaleBench {
+
+  private val family = Seq(
+    "q22_minhash_neardup", "q23_simhash_neardup", "q26_ann_lsh",
+    "q40_winnow_neardup", "q48_dup_clusters", "q53_containment")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.ShortCircuitExists.install(spark)
+
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    buildIfMissing(spark, sf01, sf1)
+
+    // warm (JVM, codegen, parquet footers) — same as Bench
+    graft.SparkEntry.entry(spark).count()
+    graft.SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+
+    def minOf3(q: String, dir: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%6s")
+    family.foreach { q =>
+      val a = minOf3(q, sf01)
+      val b = minOf3(q, sf1)
+      println(f"$q%-24s $a%8.2f $b%8.2f ${b / a}%6.1fx")
+    }
+    spark.stop()
+  }
+
+  /** 10× deterministic blow-up of sf0.1 documents+embeddings. */
+  def buildIfMissing(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(fs, "embeddings.parquet").exists()) return
+    fs.mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val em = spark.read.parquet(s"$src/embeddings.parquet")
+    val copies = (0 until 10).map(lit(_))
+    val docs10 = docs.select(col("*"), explode(array(copies: _*)).as("c"))
+      .select(
+        (col("c") * 10000000L + col("doc_id")).as("doc_id"),
+        // copy 0 keeps the original text; copies 1..9 suffix every
+        // token so shingles (and therefore near-dup pairs) never cross
+        // copy groups
+        when(col("c") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_c"), col("c").cast("string"))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dim = 64
+    val em10 = em.select(col("*"), explode(array(copies: _*)).as("c"))
+      .select(
+        (col("c") * 10000000L + col("vec_id")).as("vec_id"),
+        // circular shift by c: same norm/distribution, low cross-copy
+        // cosine, so pair structure replicates per copy group
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => try_element_at(col("embedding"), ((i + col("c")) % dim) + 1))
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    docs10.repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    em10.repartition(4).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[scalebench] built $dst: ${spark.read.parquet(s"$dst/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$dst/embeddings.parquet").count()} vectors")
+  }
+}
