@@ -976,6 +976,52 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q61 — X14 full form: struct-TYPED JSON parse
+    * ([[graft.streaming.EventStream.withParsedProps]], `from_json` with
+    * an explicit schema) projected at row level — the scalar
+    * `get_json_object` form is q19; this oracles the typed path the
+    * streaming pipeline uses.
+    */
+  private val q61TypedJson: Q = (s, dir) => {
+    graft.streaming.EventStream.withParsedProps(Tables.events(s, dir))
+      .filter(col("props_parsed").isNotNull && col("props_parsed.k") % 7 === 0)
+      .select(col("event_id"), col("event_type"),
+        col("props_parsed.k").as("k"), (col("props_parsed.k") * 2).as("k2"))
+      .orderBy(col("event_id"))
+      .limit(300)
+  }
+
+  /** q62 — ⊕ REAL media decode for one kind: valid 24-bpp BMPs are
+    * synthesized per document from a pixel formula
+    * ([[graft.ext.BmpCodec.encode]]), decoded by the real pure-JVM
+    * parser ([[graft.ext.BmpCodec.decode]] behind
+    * [[graft.ext.Multimodal.decodeImages]]'s `mapPartitions`
+    * boundary), and the oracle recomputes every feature from the
+    * formula alone — header layout, bottom-up row order (top-half
+    * mean), padding exclusion (channel means) and size math (n_bytes)
+    * are all hash-checked. Other kinds keep the documented StubCodec.
+    */
+  private val q62BmpDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 3).toInt
+        id -> ext.BmpCodec.encode(w, h, (x, y) => (
+          ((id * 13 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 11 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 7 + 3 * x + 5 * y) % 256).toInt))
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id") +: col("width") +: col("height") +:
+        col("n_bytes") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1038,6 +1084,8 @@ object SparkEntry {
     "q58_tolerant_union"    -> q58TolerantUnion,
     "q59_preset_scan"       -> q59PresetScan,
     "q60_enriched_export"   -> q60EnrichedExport,
+    "q61_typed_json"        -> q61TypedJson,
+    "q62_bmp_decode"        -> q62BmpDecode,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -1956,6 +2004,50 @@ object SparkEntry {
       """SELECT source, 'Not Started' AS "Status", count(*) AS n,
         |  count(*) AS n_blank_priority
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q61_typed_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  CAST(props->>'$.k' AS BIGINT) * 2 AS k2
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) % 7 = 0
+        |ORDER BY event_id LIMIT 300""".stripMargin,
+    // q62 — the BMP decode oracle never parses the binary: it
+    // recomputes the expected features straight from the pixel formula
+    // the Spark side encoded, so the real parser must read the header,
+    // honor bottom-up row order (f6 = top-half blue mean) and skip row
+    // padding (channel means) to hash-match. CAST(... AS REAL) marks
+    // the same double→float narrowing points as BmpCodec.features.
+    "q62_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(3 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 7)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(sum((doc_id*7  + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mb,
+        |    CAST(sum((doc_id*11 + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mg,
+        |    CAST(sum((doc_id*13 + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mr,
+        |    CAST(sum(CASE WHEN y < (h+1)//2 THEN (doc_id*7 + 3*x + 5*y) % 256 ELSE 0 END) AS DOUBLE)
+        |      / (w * ((h+1)//2)) / 255.0 AS mbt
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(54 + ((w*3 + 3)//4)*4*h AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*mb + 0.587*mg + 0.299*mr AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

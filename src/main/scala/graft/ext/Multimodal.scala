@@ -66,7 +66,12 @@ object Multimodal {
 
   /** Decode stage: mapPartitions so a real codec would init once per
     * partition. Null payloads are dropped (error-tolerance, S5
-    * semantics).
+    * semantics). Structurally valid 24-bpp BMP payloads take the REAL
+    * decoder ([[BmpCodec]] — pure JVM, pixel-derived features); all
+    * other payloads keep the documented [[StubCodec]] byte-mean fake.
+    * The BMP validator requires declared-file-size == payload-length
+    * plus full header checks, so arbitrary bytes cannot false-positive
+    * into the image path.
     */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -79,9 +84,30 @@ object Multimodal {
           md.reset()
           MediaFeature(id, kind, payload.length.toLong,
             md.digest(payload).map("%02x".format(_)).mkString,
-            StubCodec.decode(payload))
+            BmpCodec.decode(payload).map(BmpCodec.features)
+              .getOrElse(StubCodec.decode(payload)))
         }
       }
+  }
+
+  case class ImageFeature(media_id: Long, width: Int, height: Int,
+                          n_bytes: Long, features: Array[Float])
+
+  /** Image-decode stage exposing the parsed dimensions: same
+    * `mapPartitions` batch boundary as [[decodeFeatures]], but rows
+    * whose payload is not a valid BMP are DROPPED (the error-tolerant
+    * S5 semantics a real decode stage needs — one corrupt file must
+    * not fail the job).
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Option(payload).flatMap(BmpCodec.decode).map(d =>
+          ImageFeature(id, d.width, d.height, payload.length.toLong,
+            BmpCodec.features(d)))
+      })
   }
 
   /** Frame-sampling stage: split a payload into `n` contiguous byte

@@ -83,13 +83,56 @@ object Tables {
 
   /** S8 — in-memory result store: persist + register under a stable
     * name derived from normalized params (reference normalizes the
-    * cache key by sorting the query tuple, `app.py:205`). TTL policy is
-    * the caller's concern (session layer), as in the reference.
+    * cache key by sorting the query tuple, `app.py:205`). Entries
+    * registered here never expire; use [[cacheResultWithTtl]] for the
+    * reference's TTL semantics.
     */
-  def cacheResult(df: DataFrame, name: String, params: Seq[String] = Nil): DataFrame = {
-    val key = (name +: params.sorted).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+  def cacheResult(df: DataFrame, name: String, params: Seq[String] = Nil): DataFrame =
+    cacheResultWithTtl(df, name, params, ttlSeconds = Long.MaxValue)
+
+  /** The reference's cache TTL (`devcontainer.json:19` — 3600 s). */
+  val DefaultTtlSeconds: Long = 3600L
+
+  private def cacheKey(name: String, params: Seq[String]): String =
+    (name +: params.sorted).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** entry key → (createdAt ms, ttl s, the persisted plan) */
+  private val cacheMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]()
+
+  /** S8 with the reference's TTL policy: the entry is served by
+    * [[cachedResult]] until `ttlSeconds` after creation, then evicted
+    * LAZILY on the first access past the deadline (unpersist + view
+    * drop) — expiry-on-read, exactly the reference's session-cache
+    * behavior (`app.py:223`, ttl `devcontainer.json:19`). `now` is
+    * injectable for deterministic tests; eviction never runs a
+    * background thread.
+    */
+  def cacheResultWithTtl(df: DataFrame, name: String, params: Seq[String],
+                         ttlSeconds: Long = DefaultTtlSeconds,
+                         now: () => Long = () => System.currentTimeMillis()): DataFrame = {
+    val key = cacheKey(name, params)
     val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
     persisted.createOrReplaceTempView(key)
+    cacheMeta.put(key, (now(), ttlSeconds, persisted))
     persisted
+  }
+
+  /** Read path of the S8 store: Some(live entry), or None after lazy
+    * TTL eviction (or if never cached). Callers recompute and
+    * re-[[cacheResultWithTtl]] on None — the reference's
+    * check-then-recompute loop.
+    */
+  def cachedResult(spark: SparkSession, name: String, params: Seq[String] = Nil,
+                   now: () => Long = () => System.currentTimeMillis()): Option[DataFrame] = {
+    val key = cacheKey(name, params)
+    Option(cacheMeta.get(key)).flatMap { case (created, ttl, df) =>
+      if (ttl != Long.MaxValue && now() - created >= ttl * 1000L) {
+        cacheMeta.remove(key)
+        df.unpersist()
+        spark.catalog.dropTempView(key)
+        None
+      } else Some(df)
+    }
   }
 }

@@ -52,6 +52,22 @@ class ControlSpec extends SparkSuite {
     } finally cached.unpersist()
   }
 
+  test("S8 TTL: entry expires lazily on access at exactly ttl (injected clock)") {
+    val df = Tables.orders(spark, sfDir).limit(5)
+    var t = 1000L
+    val clock = () => t
+    Tables.cacheResultWithTtl(df, "aud_ttl", Seq("q"), ttlSeconds = 3600, now = clock)
+    assert(Tables.cachedResult(spark, "aud_ttl", Seq("q"), clock).isDefined)
+    t += 3599 * 1000L   // 1s before the deadline: still served
+    assert(Tables.cachedResult(spark, "aud_ttl", Seq("q"), clock).isDefined)
+    assert(spark.table("aud_ttl_q").count() == 5)
+    t += 1000L          // exactly ttl after creation: evicted on read
+    assert(Tables.cachedResult(spark, "aud_ttl", Seq("q"), clock).isEmpty)
+    // eviction dropped the temp view and stays evicted
+    assert(intercept[Exception](spark.table("aud_ttl_q")).getMessage != null)
+    assert(Tables.cachedResult(spark, "aud_ttl", Seq("q"), clock).isEmpty)
+  }
+
   test("S5 readTolerant: scan skips corrupt files in the directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tolerant")
     val good = Tables.orders(spark, sfDir).limit(7)

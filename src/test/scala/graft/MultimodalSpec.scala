@@ -53,6 +53,47 @@ class MultimodalSpec extends SparkSuite {
     assert(bytes == Array.tabulate(11)(_.toByte).toSeq)
   }
 
+  test("BmpCodec: encode->decode roundtrip recovers dimensions and channel means") {
+    import graft.ext.BmpCodec
+    // width 5 -> 15 data bytes/row, padded to 16: exercises padding
+    val w = 5; val h = 4
+    val payload = BmpCodec.encode(w, h, (x, y) => (10 * x, 20 * y, x + y))
+    assert(payload.length == 54 + 16 * h)
+    val d = BmpCodec.decode(payload).get
+    assert(d.width == w && d.height == h)
+    val px = for { y <- 0 until h; x <- 0 until w } yield (10 * x, 20 * y, x + y)
+    def mean(f: ((Int, Int, Int)) => Int) = px.map(f).sum.toDouble / px.size / 255.0
+    assert(math.abs(d.meanR - mean(_._1)) < 1e-12)
+    assert(math.abs(d.meanG - mean(_._2)) < 1e-12)
+    assert(math.abs(d.meanB - mean(_._3)) < 1e-12)
+    // top-half blue mean: rows y=0,1 (bottom-up storage must be undone)
+    val top = for { y <- 0 until 2; x <- 0 until w } yield x + y
+    assert(math.abs(d.meanBTop - top.sum.toDouble / top.size / 255.0) < 1e-12)
+  }
+
+  test("BmpCodec: rejects non-BMP payloads; decodeFeatures dispatches by content") {
+    import graft.ext.BmpCodec
+    assert(BmpCodec.decode("BMnot really a bitmap at all".getBytes).isEmpty)
+    assert(BmpCodec.decode(Array.tabulate(100)(_.toByte)).isEmpty)
+    assert(BmpCodec.decode(null).isEmpty)
+    // truncated valid header fails the size check
+    val ok = BmpCodec.encode(3, 2, (_, _) => (1, 2, 3))
+    assert(BmpCodec.decode(ok.dropRight(1)).isEmpty)
+    // decodeFeatures: BMP rows get pixel features, text rows keep stub
+    val rows = Seq(
+      Row(1L, "image", ok, Row(null, null, null, null)),
+      Row(2L, "image", "plain text".getBytes, Row(null, null, null, null)))
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val feats = Multimodal.decodeFeatures(df).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).features(4) == (3 / 100.0).toFloat)  // f4 = width/100
+    assert(feats(2L).features sameElements
+      Multimodal.StubCodec.decode("plain text".getBytes))
+    // decodeImages drops the non-BMP row instead of failing
+    val imgs = Multimodal.decodeImages(df).collect()
+    assert(imgs.map(_.media_id).toSeq == Seq(1L))
+    assert(imgs.head.width == 3 && imgs.head.height == 2)
+  }
+
   test("resizeMeta clamps to max side preserving aspect") {
     val resized = Multimodal.resizeMeta(media(), 400)
       .select(col("media_id"), col("meta.width"), col("meta.height"))
