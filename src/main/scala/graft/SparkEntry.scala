@@ -1022,6 +1022,34 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q63 — ⊕ REAL audio decode: valid 16-bit PCM WAVs are synthesized
+    * per document from a sample formula ([[graft.ext.WavCodec.encode]];
+    * mono and stereo alternate by id), decoded by the real pure-JVM
+    * parser behind [[graft.ext.Multimodal.decodeWaves]], and the
+    * oracle recomputes every feature from the formula alone — chunk
+    * walk, channel de-interleaving (per-channel means), signed LE16
+    * sample decode and size math are all hash-checked.
+    */
+  private val q63WavDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ch = (1 + id % 2).toInt
+        val n = (40 + id % 50).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        id -> ext.WavCodec.encode(ch, rate, n,
+          (i, c) => (((id * 13 + 17L * i + 23L * c) % 4001) - 2000).toInt)
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeWaves(media).toDF()
+      .select(col("media_id") +: col("channels") +: col("sample_rate") +:
+        col("n_frames") +: col("n_bytes") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1086,6 +1114,7 @@ object SparkEntry {
     "q60_enriched_export"   -> q60EnrichedExport,
     "q61_typed_json"        -> q61TypedJson,
     "q62_bmp_decode"        -> q62BmpDecode,
+    "q63_wav_decode"        -> q63WavDecode,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2011,6 +2040,44 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(props->>'$.k' AS BIGINT) % 7 = 0
         |ORDER BY event_id LIMIT 300""".stripMargin,
+    // q63 — like q62, the WAV oracle never parses the binary: expected
+    // features come straight from the sample formula, so the decoder's
+    // chunk walk, de-interleaving (f0/f1 per-channel means), signed
+    // LE16 decode (negative samples) and 44-byte size math must all be
+    // right to hash-match.
+    "q63_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |    CAST(40 + doc_id % 50 AS INTEGER) AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, ch, n, rate, i.i AS i, c.c AS c,
+        |    ((doc_id*13 + 17*i.i + 23*c.c) % 4001) - 2000 AS s
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 90)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS c) c
+        |  WHERE i.i < n AND c.c < ch),
+        |st AS (
+        |  SELECT doc_id, ch, n, rate,
+        |    CAST(sum(CASE WHEN c = 0 THEN s ELSE 0 END) AS DOUBLE) / n AS m0,
+        |    CAST(sum(CASE WHEN c = 1 THEN s ELSE 0 END) AS DOUBLE) / n AS m1,
+        |    CAST(sum(abs(s)) AS DOUBLE) / (n * ch) AS ma,
+        |    CAST(max(abs(s)) AS INTEGER) AS pk
+        |  FROM sm GROUP BY doc_id, ch, n, rate)
+        |SELECT doc_id AS media_id, ch AS channels, rate AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(44 + n*ch*2 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(m0/32768.0 AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(m1/32768.0 AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(ma/32768.0 AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(CAST(pk AS DOUBLE)/32768.0 AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(n/1000.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(rate/100000.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(ch/10.0 AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(n AS DOUBLE)/rate AS REAL) AS DOUBLE), 6) AS f7
+        |FROM st ORDER BY media_id""".stripMargin,
     // q62 — the BMP decode oracle never parses the binary: it
     // recomputes the expected features straight from the pixel formula
     // the Spark side encoded, so the real parser must read the header,

@@ -85,6 +85,7 @@ object Multimodal {
           MediaFeature(id, kind, payload.length.toLong,
             md.digest(payload).map("%02x".format(_)).mkString,
             BmpCodec.decode(payload).map(BmpCodec.features)
+              .orElse(WavCodec.decode(payload).map(WavCodec.features))
               .getOrElse(StubCodec.decode(payload)))
         }
       }
@@ -92,6 +93,24 @@ object Multimodal {
 
   case class ImageFeature(media_id: Long, width: Int, height: Int,
                           n_bytes: Long, features: Array[Float])
+
+  case class AudioFeature(media_id: Long, channels: Int, sample_rate: Int,
+                          n_frames: Long, n_bytes: Long, features: Array[Float])
+
+  /** Audio-decode stage exposing the parsed stream parameters: same
+    * `mapPartitions` boundary, rows whose payload is not a valid
+    * 16-bit PCM WAV are DROPPED (S5 error tolerance).
+    */
+  def decodeWaves(media: DataFrame): Dataset[AudioFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Option(payload).flatMap(WavCodec.decode).map(d =>
+          AudioFeature(id, d.channels, d.sampleRate, d.frames.toLong,
+            payload.length.toLong, WavCodec.features(d)))
+      })
+  }
 
   /** Image-decode stage exposing the parsed dimensions: same
     * `mapPartitions` batch boundary as [[decodeFeatures]], but rows

@@ -94,6 +94,34 @@ class MultimodalSpec extends SparkSuite {
     assert(imgs.head.width == 3 && imgs.head.height == 2)
   }
 
+  test("WavCodec: stereo roundtrip de-interleaves channels; negatives decode signed") {
+    import graft.ext.WavCodec
+    // ch0 ramps positive, ch1 ramps negative: a decoder that mixes or
+    // swaps channels (or reads unsigned) gets different means
+    val payload = WavCodec.encode(2, 8000, 100, (i, c) => if (c == 0) i * 3 else -(i * 5))
+    assert(payload.length == 44 + 100 * 2 * 2)
+    val d = WavCodec.decode(payload).get
+    assert(d.channels == 2 && d.sampleRate == 8000 && d.frames == 100)
+    val exp0 = (0 until 100).map(_ * 3).sum.toDouble / 100
+    val exp1 = (0 until 100).map(i => -(i * 5)).sum.toDouble / 100
+    assert(d.meanCh0 == exp0 && d.meanCh1 == exp1)
+    assert(d.peak == 99 * 5)
+  }
+
+  test("WavCodec: rejects non-WAV payloads and malformed chunks") {
+    import graft.ext.WavCodec
+    assert(WavCodec.decode("RIFFxxxxWAVEnot a fmt chunk here".getBytes).isEmpty)
+    assert(WavCodec.decode(Array.tabulate(100)(_.toByte)).isEmpty)
+    assert(WavCodec.decode(null).isEmpty)
+    val ok = WavCodec.encode(1, 8000, 10, (i, _) => i)
+    assert(WavCodec.decode(ok).isDefined)
+    assert(WavCodec.decode(ok.dropRight(1)).isEmpty)   // RIFF size mismatch
+    // a BMP payload must not enter the audio path (and vice versa)
+    val bmp = graft.ext.BmpCodec.encode(3, 2, (_, _) => (1, 2, 3))
+    assert(WavCodec.decode(bmp).isEmpty)
+    assert(graft.ext.BmpCodec.decode(ok).isEmpty)
+  }
+
   test("resizeMeta clamps to max side preserving aspect") {
     val resized = Multimodal.resizeMeta(media(), 400)
       .select(col("media_id"), col("meta.width"), col("meta.height"))
