@@ -17,6 +17,13 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  /** Single source of truth for the LSH/fingerprint bucket-size cap:
+    * every oracle SQL `HAVING count(*) <= $MaxBucketCap` below
+    * interpolates this so the Scala default ([[graft.ext.Dedup.DefaultMaxBucket]])
+    * and the DuckDB mirrors can never drift.
+    */
+  private val MaxBucketCap: Int = graft.ext.Dedup.DefaultMaxBucket
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Community-discovery-shaped: per-source keyword relevance over
     * `documents` (SURVEY.md §3.2 mapped onto the fixture tables).
@@ -1365,7 +1372,7 @@ object SparkEntry {
       """SELECT source, lang, min(doc_id) AS kept_id, count(*) AS n_dups
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q22_minhash_neardup" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |  FROM documents),
@@ -1390,7 +1397,7 @@ object SparkEntry {
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
         |bsz AS (
         |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
         |  FROM bands a JOIN bsz USING (band_idx, band_key)
@@ -1453,7 +1460,7 @@ object SparkEntry {
         |  FROM sigs),
         |segs AS (SELECT doc_id, u.i AS i, u.v AS v FROM segl),
         |ssz AS (
-        |  SELECT i, v FROM segs GROUP BY i, v HAVING count(*) <= 10000),
+        |  SELECT i, v FROM segs GROUP BY i, v HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM segs a JOIN ssz USING (i, v) JOIN segs b USING (i, v)
@@ -1508,7 +1515,7 @@ object SparkEntry {
     // so bucketing, candidate generation, and the exact-cosine verify
     // are all hard-checked (same approach that oracles q22's banding).
     "q26_ann_lsh" ->
-      """WITH e AS (
+      raw"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (
         |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
@@ -1535,7 +1542,7 @@ object SparkEntry {
         |  FROM proj GROUP BY vec_id, t),
         |bsz AS (
         |  SELECT table_idx, bucket FROM bk
-        |  GROUP BY table_idx, bucket HAVING count(*) <= 10000),
+        |  GROUP BY table_idx, bucket HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
         |  FROM bk a JOIN bsz USING (table_idx, bucket)
@@ -1756,7 +1763,7 @@ object SparkEntry {
         |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn
         |  FROM hs),
         |fps AS (SELECT DISTINCT doc_id, mn AS fp FROM mins WHERE p >= 8),
-        |fsz AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10000),
+        |fsz AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $MaxBucketCap),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |  FROM fps a JOIN fsz ON a.fp = fsz.fp
@@ -1768,7 +1775,7 @@ object SparkEntry {
     // cluster_id = min reachable id, exactly the fixpoint the Spark
     // min-label propagation converges to.
     "q48_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
+      raw"""WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |  FROM documents),
@@ -1792,7 +1799,7 @@ object SparkEntry {
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
         |bsz AS (
         |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
         |  FROM bands a JOIN bsz USING (band_idx, band_key)
@@ -1879,7 +1886,7 @@ object SparkEntry {
     // q53 — q22's shingle/signature chain with 1-row bands and a
     // containment (not Jaccard) verify; smaller set on the left.
     "q53_containment" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |  FROM documents),
@@ -1903,7 +1910,7 @@ object SparkEntry {
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
         |bsz AS (
         |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
         |  FROM bands a JOIN bsz USING (band_idx, band_key)
@@ -2236,7 +2243,7 @@ object SparkEntry {
     // q30's fingerprint, q22's MinHash-LSH chain over the survivors,
     // the canonical-min drop rule, and the per-source rollup.
     "q46_curation" ->
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id, source,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -2292,7 +2299,7 @@ object SparkEntry {
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
         |bsz AS (
         |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= 10000),
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
         |cand AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
         |  FROM bands a JOIN bsz USING (band_idx, band_key)

@@ -81,11 +81,15 @@ object BmpCodec {
     val compression = buf.getInt(30)
     if (fileSize != payload.length || hdrSize != 40 || planes != 1 ||
         bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0 ||
-        offset < 54) return None
+        rawHeight == Int.MinValue || offset < 54) return None
     val topDown = rawHeight < 0
     val h = math.abs(rawHeight)
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (offset.toLong + rowSize.toLong * h > payload.length) return None
+    // Row size in Long: a header width > ~715M overflows `width * 3` in
+    // Int, making rowSize small/negative and defeating the bounds check.
+    val rowSizeL = ((width * 3L + 3L) / 4L) * 4L
+    if (rowSizeL > Int.MaxValue ||
+        offset.toLong + rowSizeL * h > payload.length) return None
+    val rowSize = rowSizeL.toInt
     val topHalf = (h + 1) / 2
     var sb = 0L; var sg = 0L; var sr = 0L; var sbTop = 0L
     var row = 0

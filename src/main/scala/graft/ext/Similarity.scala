@@ -234,7 +234,7 @@ object Similarity {
     */
   def annLsh(df: DataFrame, id: Column, vec: Column,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
-             roundTo: Int = 4, maxBucket: Int = 10000): DataFrame = {
+             roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
     val bucketed = nv.select(col("id"), col("nv"),

@@ -76,7 +76,9 @@ object WavCodec {
     while (pos + 8 <= payload.length && (!fmtOk || dataOff < 0)) {
       val id = tag(payload, pos)
       val size = buf.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > payload.length) return None
+      // Long arithmetic: a declared size near Int.MaxValue must fail the
+      // bounds check, not wrap negative and walk pos off the payload.
+      if (size < 0 || pos.toLong + 8L + size > payload.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -114,7 +114,10 @@ object Tables {
     val key = cacheKey(name, params)
     val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
     persisted.createOrReplaceTempView(key)
-    cacheMeta.put(key, (now(), ttlSeconds, persisted))
+    // Replacing a live entry must release its persisted blocks — the
+    // temp view swap alone would leak the old persist until shutdown.
+    Option(cacheMeta.put(key, (now(), ttlSeconds, persisted)))
+      .foreach { case (_, _, old) => if (old ne persisted) old.unpersist() }
     persisted
   }
 
@@ -127,7 +130,9 @@ object Tables {
                    now: () => Long = () => System.currentTimeMillis()): Option[DataFrame] = {
     val key = cacheKey(name, params)
     Option(cacheMeta.get(key)).flatMap { case (created, ttl, df) =>
-      if (ttl != Long.MaxValue && now() - created >= ttl * 1000L) {
+      // Compare in seconds: `ttl * 1000L` overflows for large non-
+      // sentinel ttls, which would read as instant expiry.
+      if (ttl != Long.MaxValue && (now() - created) / 1000L >= ttl) {
         cacheMeta.remove(key)
         df.unpersist()
         spark.catalog.dropTempView(key)

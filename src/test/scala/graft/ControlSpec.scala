@@ -68,6 +68,32 @@ class ControlSpec extends SparkSuite {
     assert(Tables.cachedResult(spark, "aud_ttl", Seq("q"), clock).isEmpty)
   }
 
+  test("S8 TTL: re-caching a live key unpersists the replaced entry; huge ttl never overflows") {
+    var t = 1000L
+    val clock = () => t
+    val first = Tables.cacheResultWithTtl(
+      Tables.orders(spark, sfDir).limit(3), "aud_swap", Seq("q"),
+      ttlSeconds = 3600, now = clock)
+    assert(first.storageLevel.useMemory)
+    val second = Tables.cacheResultWithTtl(
+      Tables.orders(spark, sfDir).limit(4), "aud_swap", Seq("q"),
+      ttlSeconds = 3600, now = clock)
+    try {
+      // the displaced entry's persisted blocks are released, not leaked
+      assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(spark.table("aud_swap_q").count() == 4)
+      // a large non-sentinel ttl must not overflow ttl*1000 into instant expiry
+      Tables.cacheResultWithTtl(
+        Tables.orders(spark, sfDir).limit(2), "aud_big", Seq("q"),
+        ttlSeconds = Long.MaxValue / 2, now = clock)
+      t += 86400L * 1000L
+      assert(Tables.cachedResult(spark, "aud_big", Seq("q"), clock).isDefined)
+    } finally {
+      second.unpersist()
+      Tables.cachedResult(spark, "aud_big", Seq("q"), clock).foreach(_.unpersist())
+    }
+  }
+
   test("S5 readTolerant: scan skips corrupt files in the directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tolerant")
     val good = Tables.orders(spark, sfDir).limit(7)

@@ -122,6 +122,31 @@ class MultimodalSpec extends SparkSuite {
     assert(graft.ext.BmpCodec.decode(ok).isEmpty)
   }
 
+  test("codecs reject crafted headers whose sizes overflow Int arithmetic") {
+    import graft.ext.{BmpCodec, WavCodec}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV: a chunk declaring size near Int.MaxValue must fail the bounds
+    // check, not wrap `pos + 8 + size` negative and walk off the payload.
+    val wav = ByteBuffer.allocate(100).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(92)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(Int.MaxValue - 15)
+    assert(WavCodec.decode(wav.array()).isEmpty)
+    // BMP: width > ~715M overflows `width * 3`; rowSize must be computed
+    // in Long so the pixel-bounds check rejects it instead of AIOOBE.
+    val bmp = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      .putInt(40).putInt(0x2AAAAAAB).putInt(1)           // 715827883 x 1
+      .putShort(1).putShort(24).putInt(0)
+    assert(BmpCodec.decode(bmp.array()).isEmpty)
+    // BMP: height = Int.MinValue survives math.abs as negative — reject.
+    val bmp2 = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bmp2.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(Int.MinValue)
+      .putShort(1).putShort(24).putInt(0)
+    assert(BmpCodec.decode(bmp2.array()).isEmpty)
+  }
+
   test("resizeMeta clamps to max side preserving aspect") {
     val resized = Multimodal.resizeMeta(media(), 400)
       .select(col("media_id"), col("meta.width"), col("meta.height"))

@@ -49,13 +49,25 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    argv = sys.argv[1:]
+    args = []
+    max_ratio = 2.0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith('--max-ratio'):
+            if '=' in a:
+                max_ratio = float(a.split('=', 1)[1])
+            else:  # space-separated form: consume the value token too
+                i += 1
+                max_ratio = float(argv[i])
+        elif a.startswith('--'):
+            raise SystemExit(f"unknown option {a}\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         raise SystemExit(__doc__)
-    max_ratio = 2.0
-    for a in sys.argv[1:]:
-        if a.startswith('--max-ratio'):
-            max_ratio = float(a.split('=', 1)[1] if '=' in a else sys.argv[sys.argv.index(a) + 1])
     floor = 0.2
 
     new, old = load(args[0]), load(args[1])
