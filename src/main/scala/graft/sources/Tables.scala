@@ -112,12 +112,19 @@ object Tables {
                          ttlSeconds: Long = DefaultTtlSeconds,
                          now: () => Long = () => System.currentTimeMillis()): DataFrame = {
     val key = cacheKey(name, params)
-    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.createOrReplaceTempView(key)
+    var persisted: DataFrame = null
+    // compute() serializes writers per key, so the persist → view swap →
+    // old-entry unpersist sequence is atomic w.r.t. a concurrent
+    // cacheResultWithTtl for the same key — without it the loser's
+    // unpersist could release the DataFrame currently backing the view.
     // Replacing a live entry must release its persisted blocks — the
     // temp view swap alone would leak the old persist until shutdown.
-    Option(cacheMeta.put(key, (now(), ttlSeconds, persisted)))
-      .foreach { case (_, _, old) => if (old ne persisted) old.unpersist() }
+    cacheMeta.compute(key, (_, old) => {
+      persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.createOrReplaceTempView(key)
+      if (old != null && (old._3 ne persisted)) old._3.unpersist()
+      (now(), ttlSeconds, persisted)
+    })
     persisted
   }
 

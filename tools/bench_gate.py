@@ -55,12 +55,18 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith('--max-ratio'):
+        if a == '--max-ratio' or a.startswith('--max-ratio='):
             if '=' in a:
-                max_ratio = float(a.split('=', 1)[1])
+                raw = a.split('=', 1)[1]
             else:  # space-separated form: consume the value token too
+                if i + 1 >= len(argv):
+                    raise SystemExit(f"--max-ratio needs a value\n{__doc__}")
                 i += 1
-                max_ratio = float(argv[i])
+                raw = argv[i]
+            try:
+                max_ratio = float(raw)
+            except ValueError:
+                raise SystemExit(f"--max-ratio: not a number: {raw!r}\n{__doc__}")
         elif a.startswith('--'):
             raise SystemExit(f"unknown option {a}\n{__doc__}")
         else:
