@@ -1057,6 +1057,73 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q64 — ⊕ backward as-of join ([[graft.ops.AsOf.asofJoinBackward]]):
+    * each purchase event aligned to the latest same-user click at or
+    * before it (ties → greatest click id), unmatched purchases kept
+    * with nulls. One shuffle + sort on user_id, zero join fan-out —
+    * the merge-as-of plan. Oracle: left join + range predicate +
+    * row_number() pick, which is the same greatest-at-or-before rule
+    * spelled out in portable SQL.
+    */
+  private val q64AsofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val c = ev.filter(col("event_type") === "click").drop("event_type")
+    graft.ops.AsOf.asofJoinBackward(p, c,
+        key = "user_id", leftTs = "ts", rightTs = "ts", tie = "event_id")
+      .select(
+        col("l.event_id").as("purchase_id"),
+        col("l.user_id").as("user_id"),
+        date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("l.value"), 4).as("purchase_value"),
+        col("r.event_id").as("click_id"),
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        round(col("r.value"), 4).as("click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** q65 — ⊕ banded range join ([[graft.ops.AsOf.rangePairsBackward]]):
+    * same-user clicks in the 24 h before each error event, aggregated
+    * per error, zeros kept via a join back onto the error side. The
+    * range condition never becomes a per-user cross product: right
+    * rows explode to ≤2 epoch buckets and the join is equi on
+    * (user, bucket).
+    */
+  private val q65RangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click").drop("event_type")
+    val agg = graft.ops.AsOf.rangePairsBackward(e, c,
+        key = "user_id", leftTs = "ts", rightTs = "ts", windowSec = 86400L)
+      .groupBy(col("l.event_id").as("error_id"))
+      .agg(count(lit(1)).as("n_prior_clicks"), sum(col("r.value")).as("sum_v"))
+    e.join(agg, e("event_id") === agg("error_id"), "left")
+      .select(e("event_id").as("error_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+        coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"),
+        round(coalesce(col("sum_v"), lit(0.0)), 4).as("click_value_sum"))
+      .orderBy(col("error_id"))
+  }
+
+  /** q66 — ⊕ end-to-end embedding near-dup dedup: LSH-bucketed cosine
+    * candidate pairs ([[graft.ext.Similarity.annLsh]], q26's exact
+    * configuration) fed into connected-component cluster formation
+    * ([[graft.ext.Dedup.dupClusters]]) — the full "dedup by embedding
+    * similarity" path a training-data pipeline runs, as one composed
+    * query. Oracle: q26's pair derivation + q48's recursive-CTE
+    * closure.
+    */
+  private val q66EmbeddingDedup: Q = (s, dir) => {
+    val pairs = ext.Similarity.annLsh(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), threshold = 0.42)
+    ext.Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1122,6 +1189,9 @@ object SparkEntry {
     "q61_typed_json"        -> q61TypedJson,
     "q62_bmp_decode"        -> q62BmpDecode,
     "q63_wav_decode"        -> q63WavDecode,
+    "q64_asof_join"         -> q64AsofJoin,
+    "q65_range_join"        -> q65RangeJoin,
+    "q66_embedding_dedup"   -> q66EmbeddingDedup,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2122,6 +2192,102 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q64 — the as-of rule spelled out portably: left join on
+    // (user, click.ts <= purchase.ts), keep the row_number()-1 pick
+    // ordered by (ts DESC, event_id DESC) — exactly the
+    // greatest-at-or-before + greatest-id tie-break the Spark window
+    // computes. Unmatched purchases survive the LEFT JOIN as one
+    // all-null click row.
+    "q64_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |    round(p.value, 4) AS purchase_value,
+        |    c.event_id AS click_id,
+        |    strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |    round(c.value, 4) AS click_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, purchase_ts, purchase_value,
+        |       click_id, click_ts, click_value
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // q65 — direct range-predicate join + per-error aggregate; the
+    // engine's epoch-bucket banding is an execution detail the oracle
+    // doesn't need (same result set).
+    "q65_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT e.event_id AS error_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+        |  CAST(count(c.event_id) AS BIGINT) AS n_prior_clicks,
+        |  round(coalesce(sum(c.value), 0.0), 4) AS click_value_sum
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.ts >= e.ts - INTERVAL 24 HOUR AND c.ts < e.ts
+        |GROUP BY 1, 2, 3 ORDER BY error_id""".stripMargin,
+    // q66 — q26's LSH pair derivation (same planes, cap, threshold)
+    // piped into q48's recursive-CTE transitive closure: cluster_id =
+    // min reachable vec_id over the cosine>=0.42 near-dup graph.
+    "q66_embedding_dedup" ->
+      raw"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM n WHERE sq > 0),
+        |comp AS (
+        |  SELECT t.t, b.b, d.d,
+        |    CASE WHEN strpos('13579bdf',
+        |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)
+        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
+        |         THEN -1.0 ELSE 1.0 END AS c
+        |  FROM (SELECT unnest(range(0, 16)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM comp GROUP BY t, b),
+        |proj AS (
+        |  SELECT nv.vec_id, pl.t, pl.b,
+        |    list_sum(list_transform(range(1, 65), i -> nv.nv[i] * pl.pv[i])) AS dp
+        |  FROM nv CROSS JOIN pl),
+        |bk AS (
+        |  SELECT vec_id, t AS table_idx,
+        |    CAST(sum(CASE WHEN dp >= 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |bsz AS (
+        |  SELECT table_idx, bucket FROM bk
+        |  GROUP BY table_idx, bucket HAVING count(*) <= $MaxBucketCap),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM bk a JOIN bsz USING (table_idx, bucket)
+        |            JOIN bk c USING (table_idx, bucket)
+        |  WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(list_sum(list_transform(range(1, 65),
+        |                                    i -> x.nv[i] * y.nv[i])), 4) AS cos_sim
+        |    FROM cand JOIN nv x ON x.vec_id = id_a JOIN nv y ON y.vec_id = id_b)
+        |  WHERE cos_sim >= 0.42),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |rec AS (
+        |  SELECT v, v AS m FROM nodes
+        |  UNION
+        |  SELECT g.dst AS v, r.m FROM rec r JOIN edges g ON g.src = r.v),
+        |cl AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+        |SELECT v AS vec_id, cluster_id, cluster_size
+        |FROM cl JOIN sizes USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,
