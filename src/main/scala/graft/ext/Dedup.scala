@@ -235,32 +235,44 @@ object Dedup {
     * returning partially-propagated labels. The final label table
     * (nodes-in-pairs only — small) stays cached for the returned
     * plan's lifetime.
+    *
+    * Convergence detection: labels are monotonically non-increasing
+    * under min-propagation, so the fixpoint is reached exactly when
+    * `sum(cluster_id)` stops decreasing — ONE aggregate on the new
+    * label table per round (which also materializes its cache), no
+    * old-vs-new join. The sum is exact decimal(38,0), overflow-proof
+    * at any node count.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 50): DataFrame = {
     val dir = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     val edges = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("cluster_id", col("v")).persist()
-    var changed = labels.count()  // materialize; enter the loop
+    var prevSum = labelSum(labels)  // materialize; enter the loop
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (!converged && iters < maxIters) {
       val viaNbr = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("cluster_id"))
       val next = labels.unionByName(viaNbr)
         .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("v"))
-        .filter(col("cluster_id") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iters += 1
     }
-    require(changed == 0,
-      s"dupClusters did not converge in $maxIters rounds ($changed labels still " +
-        "moving) — component diameter exceeds maxIters; raise it or switch to a " +
-        "large-star/small-star contraction for adversarially long chains")
+    require(converged,
+      s"dupClusters did not converge in $maxIters rounds (label sum still " +
+        "decreasing) — component diameter exceeds maxIters; raise it or switch to " +
+        "a large-star/small-star contraction for adversarially long chains")
     edges.unpersist()
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
