@@ -33,7 +33,14 @@ object Bench {
           -1.0  // -1 marks a failed query so a partial run can't pass as clean
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for iterating on a
+    // subset (e.g. SPARK_GRAFT_ONLY=q48,q25); full runs leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(SparkEntry.queries) { ps =>
+      SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

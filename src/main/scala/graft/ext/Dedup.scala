@@ -222,38 +222,59 @@ object Dedup {
     * neighbors (one join + one min-aggregate per round), converging in
     * O(component diameter) rounds. Near-dup components are shallow in
     * practice (dup clusters, not social graphs), so the round count
-    * stays small; for adversarially long chains the
-    * large-star/small-star variant (Kiveris et al., "Connected
+    * stays small; for adversarially long chains a pointer-jumping /
+    * large-star–small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") halves diameters per round —
-    * same join/agg building blocks, swap in if profiling demands it.
-    * Deterministic output: cluster_id = min member id.
+    * same join/agg building blocks, swap in if profiling demands it
+    * (measured here: the extra self-join per round costs more than it
+    * saves on shallow graphs). Deterministic output:
+    * cluster_id = min member id.
     *
     * Returns (doc_id, cluster_id, cluster_size) for every node that
     * appears in a pair, ordered by doc_id. Runs the propagation loop
     * EAGERLY (each round is an action, like [[Similarity.ivfFit]]);
     * throws if maxIters is reached before the fixpoint rather than
-    * returning partially-propagated labels. The final label table
-    * (nodes-in-pairs only — small) stays cached for the returned
-    * plan's lifetime.
+    * returning partially-propagated labels.
+    *
+    * Iteration state lives in `localCheckpoint`ed tables, NOT
+    * persist(): each round's label table must be unreferenced when the
+    * next one lands, and unpersisting a cached parent recompiles the
+    * dependent cache entries — measured here, every round's
+    * "cached" table silently replayed the WHOLE lineage (pair
+    * generation included) on each action, 2-3× the query. Checkpoint
+    * blocks truncate the lineage instead: rounds build on stored
+    * blocks, the returned plan is shallow, and dead blocks are freed
+    * by the ContextCleaner. (localCheckpoint is executor-local; a
+    * multi-node deployment that must survive executor loss swaps in
+    * `checkpoint()` with a reliable dir — same shape.)
     *
     * Convergence detection: labels are monotonically non-increasing
     * under min-propagation, so the fixpoint is reached exactly when
     * `sum(cluster_id)` stops decreasing — ONE aggregate on the new
-    * label table per round (which also materializes its cache), no
-    * old-vs-new join. The sum is exact decimal(38,0), overflow-proof
-    * at any node count.
+    * label table per round, no old-vs-new join. The sum is exact
+    * decimal(38,0), overflow-proof at any node count.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 50): DataFrame = {
     val dir = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-    val edges = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    // Symmetrize by exploding each pair to both directions in ONE scan
+    // — a union of `dir` with its swap would evaluate the (often
+    // expensive) upstream pair-generation subtree once per branch.
+    // Checkpoint pre-partitioned on the join key (LogicalRDD keeps the
+    // partitioning), so every round's edge⋈label join reuses it
+    // instead of re-exchanging the edges.
+    val edges = dir.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()  // eager: pair generation runs exactly once
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("cluster_id", col("v")).persist()
-    var prevSum = labelSum(labels)  // materialize; enter the loop
+      .withColumn("cluster_id", col("v")).localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -261,19 +282,20 @@ object Dedup {
         .select(col("dst").as("v"), col("cluster_id"))
       val next = labels.unionByName(viaNbr)
         .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       iters += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[dupClusters] round $iters sum=$s converged=$converged")
     }
     require(converged,
       s"dupClusters did not converge in $maxIters rounds (label sum still " +
         "decreasing) — component diameter exceeds maxIters; raise it or switch to " +
-        "a large-star/small-star contraction for adversarially long chains")
-    edges.unpersist()
+        "a pointer-jumping / large-star-small-star contraction for adversarially " +
+        "long chains")
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
