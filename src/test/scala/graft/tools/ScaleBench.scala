@@ -26,7 +26,8 @@ object ScaleBench {
 
   private val family = Seq(
     "q22_minhash_neardup", "q23_simhash_neardup", "q26_ann_lsh",
-    "q40_winnow_neardup", "q48_dup_clusters", "q53_containment")
+    "q40_winnow_neardup", "q48_dup_clusters", "q53_containment",
+    "q64_asof_join", "q65_range_join", "q66_embedding_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,9 +63,30 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** 10× deterministic blow-up of sf0.1 documents+embeddings. */
+  /** 10× deterministic blow-up of sf0.1 documents+embeddings+events. */
   def buildIfMissing(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new java.io.File(dst)
+    if (!new java.io.File(fs, "events.parquet").exists()) {
+      fs.mkdirs()
+      // events: 10× by user-offset copies — more USERS at the same
+      // per-user event density, which is how event data actually
+      // grows; per-key as-of/range work stays constant while key
+      // count scales. Timestamps are kept verbatim.
+      // Tables.events expects the fixture layout: ts as raw NANOSECOND
+      // longs (it converts ns→µs at the reader), so write the copies
+      // back in that shape.
+      val ev = graft.sources.Tables.events(spark, src)
+      val evCopies = (0 until 10).map(lit(_))
+      val ev10 = ev.select(col("*"), explode(array(evCopies: _*)).as("c"))
+        .select(
+          (col("c") * 10000000L + col("event_id")).as("event_id"),
+          (expr("unix_micros(ts)") * 1000L).as("ts"),
+          (col("c") * 100000L + col("user_id")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev10.repartition(8).write.mode("overwrite").parquet(s"$dst/events.parquet")
+      println(s"[scalebench] built $dst/events.parquet: " +
+        s"${spark.read.parquet(s"$dst/events.parquet").count()} events")
+    }
     if (new java.io.File(fs, "embeddings.parquet").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity}
+import graft.ext.Similarity
 import graft.sources.Tables
 
 /** Dev-only micro-profiler for the bench hotspots (not part of the
-  * library surface; invoked manually while tuning). Currently: the
-  * q66 tail — where does time go after the propagation loop ends?
+  * library surface; invoked manually while tuning). Currently: does
+  * ivfFit's nv.unpersist() invalidate the assigned cache (the same
+  * recompile-on-unpersist trap dupClusters hit)?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -26,25 +27,19 @@ object Scratch {
       r
     }
 
-    // warmup
-    graft.SparkEntry.entry(spark).count()
+    graft.SparkEntry.entry(spark).count()  // warmup
 
     val em = Tables.embeddings(spark, dir)
-    val pairs = Similarity.annLsh(em, col("vec_id"), col("embedding"), threshold = 0.42)
-    time("annLsh count")(pairs.count())
-    time("annLsh count (warm)")(
-      Similarity.annLsh(em, col("vec_id"), col("embedding"), threshold = 0.42).count())
-
-    val p2 = Similarity.annLsh(em, col("vec_id"), col("embedding"), threshold = 0.42)
-    val clustered = time("dupClusters construction (loop)")(Dedup.dupClusters(p2))
-    time("final count (join+orderBy)")(clustered.count())
-    time("final count again (cached)")(clustered.count())
-
-    val p3 = Similarity.annLsh(em, col("vec_id"), col("embedding"), threshold = 0.42)
-    val c3 = time("dupClusters construction 2")(Dedup.dupClusters(p3))
-    time("q66-shaped select+orderBy count")(
-      c3.select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
-        .orderBy(col("vec_id")).count())
+    val model = time("ivfFit")(
+      Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 16, quantize = Some(6)))
+    time("assigned count 1")(model.assigned.count())
+    time("assigned count 2 (should be ~0)")(model.assigned.count())
+    time("ivfSearch")(
+      Similarity.ivfSearch(model, Seq(0L, 1L, 2L), nprobe = 4, k = 10).count())
+    time("ivfSearch again")(
+      Similarity.ivfSearch(model, Seq(0L, 1L, 2L), nprobe = 4, k = 10).count())
+    time("q38 end-to-end")(graft.SparkEntry.queries("q38_ann_ivf")(spark, dir).count())
+    time("q38 end-to-end again")(graft.SparkEntry.queries("q38_ann_ivf")(spark, dir).count())
     spark.stop()
   }
 }
