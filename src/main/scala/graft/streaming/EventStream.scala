@@ -100,6 +100,34 @@ object EventStream {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** ⊕ Stream-stream interval join — the streaming analog of the batch
+    * banded range join ([[graft.ops.AsOf.rangePairsBackward]] / q65):
+    * each error pairs with same-user clicks from the preceding
+    * `windowSec` seconds. Both inputs carry watermarks and the join
+    * condition bounds event time on BOTH sides, so Spark can evict
+    * buffered rows once the watermark passes — state stays bounded at
+    * any input rate (an unbounded-time stream-stream join would
+    * buffer forever). Append-mode output; matches emit once both
+    * watermarks clear the pair.
+    */
+  def errorsWithRecentClicks(errors: DataFrame, clicks: DataFrame,
+                             windowSec: Long = 600,
+                             lateness: String = "30 minutes"): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", lateness)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    e.join(c,
+        col("user_id") === col("click_user_id") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $windowSec SECOND") &&
+        col("click_ts") < col("error_ts"))
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   // --- custom state: running per-user anomaly counter -----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

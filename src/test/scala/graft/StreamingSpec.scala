@@ -165,6 +165,34 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L), s"expected exactly-once 1,2,3; got $got")
   }
 
+  test("stream-stream interval join pairs errors with recent same-user clicks, bounded window") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val out = EventStream.errorsWithRecentClicks(
+      errs.toDF().withColumn("props", lit("{}")),
+      clicks.toDF().withColumn("props", lit("{}")),
+      windowSec = 600)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(
+        Event(100, ts("2024-01-01 09:56:00"), 1, "click", 1.0),  // in window (4m before)
+        Event(101, ts("2024-01-01 09:40:00"), 1, "click", 1.0),  // too old (20m before)
+        Event(102, ts("2024-01-01 09:57:00"), 2, "click", 1.0),  // wrong user
+        Event(103, ts("2024-01-01 10:00:00"), 1, "click", 1.0))  // equal ts -> excluded ([t-w, t))
+      errs.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "error", 0))
+      q.processAllAvailable()
+      // advance BOTH watermarks so the join emits/evicts
+      clicks.addData(Event(199, ts("2024-01-01 12:00:00"), 9, "click", 1.0))
+      errs.addData(Event(99, ts("2024-01-01 12:00:00"), 9, "error", 0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
