@@ -1124,6 +1124,48 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q67 — ⊕ forward as-of join with tolerance
+    * ([[graft.ops.AsOf.asofJoinForward]]): each signup aligned to the
+    * user's FIRST purchase at-or-after it (ties → smallest id), nulled
+    * when it lands more than 72 h later. Tolerance applies post-match,
+    * which is equivalent to bounding the join window: any other
+    * at-or-after candidate is even further away. Same single-exchange
+    * merge plan as q64.
+    */
+  private val q67AsofForward: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+    val su = ev.filter(col("event_type") === "signup").drop("event_type")
+    val p = ev.filter(col("event_type") === "purchase").drop("event_type")
+    graft.ops.AsOf.asofJoinForward(su, p,
+        key = "user_id", leftTs = "ts", rightTs = "ts", tie = "event_id",
+        toleranceSec = Some(72L * 3600L))
+      .select(
+        col("l.event_id").as("signup_id"),
+        col("l.user_id").as("user_id"),
+        date_format(col("l.ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        col("r.event_id").as("purchase_id"),
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("r.value"), 4).as("first_purchase_value"))
+      .orderBy(col("signup_id"))
+  }
+
+  /** q68 — grouping-sets completion alongside q36's ROLLUP: CUBE over
+    * (source, lang) computes all four grouping combinations in one
+    * pass — Spark expands to grouping sets and partial-aggregates
+    * map-side, same single shuffle as a plain aggregate.
+    */
+  private val q68Cube: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1192,6 +1234,8 @@ object SparkEntry {
     "q64_asof_join"         -> q64AsofJoin,
     "q65_range_join"        -> q65RangeJoin,
     "q66_embedding_dedup"   -> q66EmbeddingDedup,
+    "q67_asof_forward"      -> q67AsofForward,
+    "q68_cube"              -> q68Cube,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2288,6 +2332,33 @@ object SparkEntry {
         |SELECT v AS vec_id, cluster_id, cluster_size
         |FROM cl JOIN sizes USING (cluster_id)
         |ORDER BY vec_id""".stripMargin,
+    // q67 — forward mirror of q64's rule: earliest at-or-after pick
+    // (ts ASC, event_id ASC), with the 72 h tolerance folded into the
+    // join window (equivalent to the engine's post-match gate).
+    "q67_asof_forward" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT s.event_id AS signup_id, s.user_id,
+        |    strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |    p.event_id AS purchase_id,
+        |    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |    round(p.value, 4) AS first_purchase_value,
+        |    row_number() OVER (PARTITION BY s.event_id
+        |                       ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 72 HOUR)
+        |SELECT signup_id, user_id, signup_ts, purchase_id, purchase_ts,
+        |       first_purchase_value
+        |FROM j WHERE rn = 1 ORDER BY signup_id""".stripMargin,
+    "q68_cube" ->
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY source, lang""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

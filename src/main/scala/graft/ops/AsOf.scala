@@ -30,7 +30,9 @@ object AsOf {
     * the greatest `rightTs` at-or-before its `leftTs` for the same
     * `key` (ties on the timestamp broken by the greatest `tie`, so the
     * result is deterministic), or null when no earlier right row
-    * exists.
+    * exists. With `toleranceSec`, a match further than that before the
+    * left timestamp is nulled out — equivalent to bounding the match
+    * window, since any other candidate is even further away.
     *
     * Returns one row per left row with two struct columns: `l` (the
     * full left row) and `r` (the matched right row, nullable).
@@ -44,7 +46,24 @@ object AsOf {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
                        key: String, leftTs: String, rightTs: String,
-                       tie: String): DataFrame = {
+                       tie: String, toleranceSec: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, tie, forward = false, toleranceSec)
+
+  /** Forward as-of join: the mirror of [[asofJoinBackward]] — each left
+    * row picks the right row with the SMALLEST `rightTs` at-or-after
+    * its `leftTs` (ties → smallest `tie`), nulled beyond
+    * `toleranceSec` when set. Same single-exchange merge plan, with
+    * `first(ignoreNulls)` over the forward frame.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      key: String, leftTs: String, rightTs: String,
+                      tie: String, toleranceSec: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, tie, forward = true, toleranceSec)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       tie: String, forward: Boolean,
+                       toleranceSec: Option[Long]): DataFrame = {
     val l = left.select(
       col(key).as("__k"), col(leftTs).as("__t"),
       lit(1).as("__is_l"),
@@ -57,12 +76,29 @@ object AsOf {
     // unionByName fills the side-specific columns (l / r / __tie) with
     // correctly-typed nulls on the other side.
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__is_l").asc, col("__tie").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("r", last(col("r"), ignoreNulls = true).over(w))
-      .filter(col("__is_l") === 1)
-      .select(col("l"), col("r"))
+    // Inclusive at-boundary semantics: right rows at an equal timestamp
+    // sort INTO the left row's frame (before it when looking back,
+    // after it when looking forward); `tie` orders equal-timestamp
+    // right rows so last()/first() picks the greatest/smallest id.
+    val w0 = Window.partitionBy(col("__k"))
+    val matched =
+      if (forward)
+        first(col("r"), ignoreNulls = true).over(
+          w0.orderBy(col("__t").asc, col("__is_l").desc, col("__tie").asc_nulls_first)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("r"), ignoreNulls = true).over(
+          w0.orderBy(col("__t").asc, col("__is_l").asc, col("__tie").asc_nulls_last)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val base = u.withColumn("r", matched).filter(col("__is_l") === 1)
+    val gated = toleranceSec.fold(base) { tol =>
+      val rts = col("r").getField(rightTs)
+      val ok =
+        if (forward) rts <= col("__t") + expr(s"INTERVAL $tol SECOND")
+        else rts >= col("__t") - expr(s"INTERVAL $tol SECOND")
+      base.withColumn("r", when(col("r").isNotNull && ok, col("r")))
+    }
+    gated.select(col("l"), col("r"))
   }
 
   /** Banded backward interval join: all (left, right) pairs with the

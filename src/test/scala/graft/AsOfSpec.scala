@@ -43,6 +43,41 @@ class AsOfSpec extends SparkSuite {
       103L -> None))        // no right rows for key at all
   }
 
+  test("asofJoinForward picks smallest at-or-after ts, smallest id on ties; tolerance nulls far matches") {
+    val fwd = AsOf.asofJoinForward(left, right,
+        key = "k", leftTs = "t", rightTs = "t", tie = "id")
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(
+      100L -> Some(201L),   // 11:00 is the first at-or-after 10:00
+      101L -> Some(202L),   // equal-ts 12:00 included; smallest id wins (202 < 203)
+      102L -> Some(204L),   // 09:30 right after the 09:00 left row
+      103L -> None))        // key with no right rows
+    val tol = AsOf.asofJoinForward(left, right,
+        key = "k", leftTs = "t", rightTs = "t", tie = "id",
+        toleranceSec = Some(1800L))  // 30 min
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(tol == Map(
+      100L -> None,         // 11:00 is 60 min after 10:00 -> beyond tolerance
+      101L -> Some(202L),   // equal ts, 0 min
+      102L -> Some(204L),   // 30 min, inclusive boundary
+      103L -> None))
+  }
+
+  test("asofJoinBackward tolerance mirrors the bounded-window join") {
+    val tol = AsOf.asofJoinBackward(left, right,
+        key = "k", leftTs = "t", rightTs = "t", tie = "id",
+        toleranceSec = Some(1800L))
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(tol == Map(
+      100L -> Some(200L),   // 09:30, 30 min back, inclusive boundary
+      101L -> Some(203L),   // equal ts
+      102L -> None,
+      103L -> None))
+  }
+
   test("rangePairsBackward matches the naive range join on a randomized fixture") {
     // Deterministic pseudo-random rows across bucket boundaries: the
     // 60 s window vs 1000 s of spread exercises same-bucket,
@@ -68,6 +103,21 @@ class AsOfSpec extends SparkSuite {
 
     assert(naive.nonEmpty, "fixture produced no in-range pairs — widen it")
     assert(got == naive)
+  }
+
+  test("asofJoinBackward plan: no join operator, one hash exchange (union rides the shuffle)") {
+    val plan = AsOf.asofJoinBackward(left, right, "k", "t", "t", tie = "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("rangePairsBackward plan: equi-join on (key, bucket), never cartesian/nested-loop") {
+    val plan = AsOf.rangePairsBackward(left, right, "k", "t", "t", windowSec = 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must stay equi-shaped:\n$plan")
   }
 
   test("asofJoinBackward agrees with the naive greatest-at-or-before join") {
