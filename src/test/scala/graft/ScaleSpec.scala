@@ -74,4 +74,24 @@ class ScaleSpec extends SparkSuite {
       scanLine.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
         .contains("p_date"), s"no partition pruning in:\n$scanLine")
   }
+
+  test("IVF inverted file as a cluster-partitioned layout: probe prunes to nprobe clusters") {
+    // The 100 TB form of ivfSearch: the cluster assignment is the
+    // PARTITION column of the stored table, so probing nprobe of k
+    // clusters is directory pruning — the scan never touches the other
+    // k - nprobe partitions' files.
+    import graft.ext.Similarity
+    val em = Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toFile.getAbsolutePath
+    model.assigned.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cluster").isin(0, 1))
+    val expected = model.assigned.filter(col("cluster").isin(0, 1)).count()
+    assert(probed.count() == expected && expected > 0)
+    val scan = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("Scan parquet")).get
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("cluster"), s"probe filter not in PartitionFilters:\n$scan")
+    model.unpersist()
+  }
 }
