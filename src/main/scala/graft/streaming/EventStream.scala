@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** ⊕ Structured Streaming surface over the events table (north star;
@@ -154,5 +155,38 @@ object EventStream {
           // one alert per crossed multiple of `every`
           ((prev / every + 1) to (next / every)).map(k => ErrorAlert(userId, k * every)).iterator
       }
+  }
+
+  /** [[errorAlerts]] on the Spark 4 arbitrary-state API v2
+    * (`transformWithState` + `StatefulProcessor`): same on-change
+    * semantics, state as a named typed `ValueState` cell. The v2 API
+    * requires the RocksDB state store provider — the store you would
+    * run at 100 TB state anyway (HDFS-backed keeps all state on heap);
+    * it also adds per-state TTL and timers, which the v1 API cannot
+    * express per cell.
+    */
+  class ErrorAlertProcessor(every: Long)
+      extends StatefulProcessor[Long, Event, ErrorAlert] {
+    @transient private var errors: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      errors = getHandle.getValueState[Long]("errors",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[ErrorAlert] = {
+      val prev = if (errors.exists()) errors.get() else 0L
+      val next = prev + rows.size
+      errors.update(next)
+      ((prev / every + 1) to (next / every)).map(k => ErrorAlert(userId, k * every)).iterator
+    }
+  }
+
+  def errorAlertsV2(events: org.apache.spark.sql.Dataset[Event], every: Long = 3)
+      : org.apache.spark.sql.Dataset[ErrorAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type") === "error")
+      .groupByKey(_.user_id)
+      .transformWithState(new ErrorAlertProcessor(every),
+        TimeMode.None(), OutputMode.Append())
   }
 }

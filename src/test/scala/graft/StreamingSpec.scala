@@ -193,6 +193,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("errorAlertsV2 (transformWithState + RocksDB store) matches the v1 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the v2 state API is RocksDB-only
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val alerts = EventStream.errorAlertsV2(mem.toDS(), every = 2)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("alerts_v2_out").start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "error", 0),
+                  Event(2, ts("2024-01-01 10:00:01"), 7, "click", 0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 10:01:00"), 7, "error", 0),
+                  Event(4, ts("2024-01-01 10:01:30"), 7, "error", 0),
+                  Event(5, ts("2024-01-01 10:02:00"), 7, "error", 0))
+      q.processAllAvailable()
+      val got = spark.table("alerts_v2_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((7L, 2L), (7L, 4L)))
+    } finally {
+      q.stop()
+      prevProvider.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
