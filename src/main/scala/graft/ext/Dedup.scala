@@ -47,7 +47,19 @@ object Dedup {
   /** Whitespace-tokenize after normalization. */
   def tokens(text: Column): Column = split(Text.cleanText(lower(text)), " ")
 
-  /** Distinct k-word shingles of a token array.
+  /** Distinct k-word shingles of the cleaned lower-cased text — ONE
+    * custom codegen expression ([[graft.functions.ShingleSet]]): the
+    * tokenize→shift→zip→distinct chain under every near-dup query,
+    * computed in a single pass per row instead of materializing the
+    * token array plus k shifted slices plus k-1 zipped intermediates.
+    * Byte-identical to [[shinglesComposed]] (equivalence
+    * property-tested) and to the DuckDB oracle mirrors.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.ShingleSet.shingle_set(text, k)
+
+  /** The composable built-in form [[graft.functions.ShingleSet]]
+    * replicates — kept as the equivalence-test reference.
     *
     * Implementation note: built by `zip_with`-ing k shifted `slice`s of
     * the token array rather than `transform(sequence(...), i ->
@@ -58,7 +70,7 @@ object Dedup {
     * row-level, so tokenization runs a constant number of times per
     * row.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  private[graft] def shinglesComposed(text: Column, k: Int = 3): Column = {
     val w = tokens(text)
     val n = size(w)
     // slice o (1-based start o+1) has length n-k+1 when n >= k

@@ -16,6 +16,21 @@ class DedupSpec extends SparkSuite {
     assert(got(2).toSet == Set("x y z", "y z x", "z x y"))
   }
 
+  test("ShingleSet expression is byte-identical to the composable form on fixture docs") {
+    // real corpus + adversarial whitespace/case/short/empty rows
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(Seq("", " ", "A  \t B\nC", "one two", "MiXeD Case MiXeD Case MiXeD",
+        "x y z x y z").toDF("text"))
+    Seq(2, 3).foreach { k =>
+      val diff = docs.select(
+          Dedup.shingles(col("text"), k).as("fast"),
+          Dedup.shinglesComposed(col("text"), k).as("ref"))
+        .filter(not(col("fast") <=> col("ref")))
+        .count()
+      assert(diff == 0, s"k=$k: $diff rows differ between ShingleSet and composed form")
+    }
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y")

@@ -2,13 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.Similarity
+import graft.ext.Dedup
 import graft.sources.Tables
 
 /** Dev-only micro-profiler for the bench hotspots (not part of the
-  * library surface; invoked manually while tuning). Currently: does
-  * ivfFit's nv.unpersist() invalidate the assigned cache (the same
-  * recompile-on-unpersist trap dupClusters hit)?
+  * library surface; invoked manually while tuning). Currently: stage
+  * decomposition of the MinHash near-dup chain (shared by
+  * q22/q46/q48/q53).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,23 +23,24 @@ object Scratch {
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
-
     graft.SparkEntry.entry(spark).count()  // warmup
 
-    val em = Tables.embeddings(spark, dir)
-    val model = time("ivfFit")(
-      Similarity.ivfFit(em, col("vec_id"), col("embedding"), k = 16, quantize = Some(6)))
-    time("assigned count 1")(model.assigned.count())
-    time("assigned count 2 (should be ~0)")(model.assigned.count())
-    time("ivfSearch")(
-      Similarity.ivfSearch(model, Seq(0L, 1L, 2L), nprobe = 4, k = 10).count())
-    time("ivfSearch again")(
-      Similarity.ivfSearch(model, Seq(0L, 1L, 2L), nprobe = 4, k = 10).count())
-    time("q38 end-to-end")(graft.SparkEntry.queries("q38_ann_ivf")(spark, dir).count())
-    time("q38 end-to-end again")(graft.SparkEntry.queries("q38_ann_ivf")(spark, dir).count())
+    val docs = Tables.documents(spark, dir)
+    (1 to 2).foreach { pass =>
+      println(s"--- pass $pass ---")
+      time("tokens only")(docs.select(size(Dedup.tokens(col("text"))).as("n")).agg(sum(col("n"))).collect())
+      time("shingles")(docs.select(size(Dedup.shingles(col("text"), 3)).as("n")).agg(sum(col("n"))).collect())
+      val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      time("shingles+minhash sig")(sh.select(
+        graft.functions.MinHashSig.minhash_sig(col("sh"), 8).as("sig")).filter(col("sig").isNotNull).count())
+      time("...+bands explode")(sh.select(col("id"), col("sh"),
+          graft.functions.MinHashSig.minhash_sig(col("sh"), 8).as("sig"))
+        .select(col("id"), explode(Dedup.bandKeys(col("sig"), 8, 2)).as("b")).count())
+      time("full nearDupPairs")(Dedup.nearDupPairs(docs, col("doc_id"), col("text")).count())
+    }
     spark.stop()
   }
 }
