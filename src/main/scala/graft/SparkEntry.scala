@@ -1166,6 +1166,26 @@ object SparkEntry {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** q69 — Spark 4 VARIANT path for semi-structured JSON (X14 modern
+    * form): `parse_json` once into the binary VARIANT encoding, then
+    * typed `variant_get` extraction — the parse cost is paid once per
+    * row and every path extraction is a cheap binary traversal,
+    * unlike per-path `get_json_object` re-parses (q19's scalar form)
+    * or a rigid `from_json` schema (q61's typed form).
+    */
+  private val q69Variant: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .withColumn("k_parity",
+        when(pmod(col("k"), lit(2)) === 0, lit("even")).otherwise(lit("odd")))
+      .groupBy(col("event_type"), col("k_parity"))
+      .agg(round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("k_parity"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1236,6 +1256,7 @@ object SparkEntry {
     "q66_embedding_dedup"   -> q66EmbeddingDedup,
     "q67_asof_forward"      -> q67AsofForward,
     "q68_cube"              -> q68Cube,
+    "q69_variant_json"      -> q69Variant,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2359,6 +2380,15 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (source, lang)
         |ORDER BY source, lang""".stripMargin,
+    // q69 — the VARIANT extraction is plain typed JSON-path access to
+    // the oracle (the binary encoding is an engine detail).
+    "q69_variant_json" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |SELECT event_type,
+        |  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS k_parity,
+        |  round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY event_type, k_parity""".stripMargin,
     "q41_string_funcs" ->
       """SELECT doc_id,
         |  regexp_replace(source, '^src', '') AS src_num,

@@ -49,4 +49,19 @@ object Control {
 
   def removeListener(sc: SparkContext, l: SparkListener): Unit =
     sc.removeSparkListener(l)
+
+  /** In-plan pipeline metrics via `Dataset.observe` + `Observation`:
+    * the metric aggregates ride the SAME job as the consuming action —
+    * no second scan, no `.count()` side trips — and `Observation.get`
+    * blocks until the action that materialized the plan delivers them.
+    * This is the scale-correct form of the reference's incremental
+    * counters: at 100 TB a separate counting pass doubles the read.
+    * Returns the instrumented frame plus the observation handle.
+    */
+  def withObservedMetrics(df: org.apache.spark.sql.DataFrame, name: String,
+                          metrics: org.apache.spark.sql.Column*)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

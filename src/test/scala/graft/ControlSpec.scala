@@ -126,4 +126,19 @@ class ControlSpec extends SparkSuite {
       assert(r.getBoolean(4), s"approx_supps out of bounds for ${r.getString(0)}")
     }
   }
+
+  test("withObservedMetrics: metric aggregates ride the consuming action, no second scan") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val (instrumented, obs) = Control.withObservedMetrics(li, "li_metrics",
+      count(lit(1)).as("rows"),
+      round(sum(col("l_quantity")), 2).as("qty"))
+    // one action drives both the query and the metrics
+    val selected = instrumented.filter(col("l_quantity") >= 25).count()
+    val m = obs.get
+    val expectedRows = li.count()
+    val expectedQty = li.agg(round(sum(col("l_quantity")), 2)).head.getDouble(0)
+    assert(m("rows") == expectedRows)   // metrics see ALL rows pre-filter
+    assert(m("qty") == expectedQty)
+    assert(selected > 0 && selected < expectedRows)
+  }
 }
