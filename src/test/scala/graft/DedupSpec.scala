@@ -20,7 +20,13 @@ class DedupSpec extends SparkSuite {
     // real corpus + adversarial whitespace/case/short/empty rows
     val docs = graft.sources.Tables.documents(spark, sfDir).select(col("text"))
       .unionByName(Seq("", " ", "A  \t B\nC", "one two", "MiXeD Case MiXeD Case MiXeD",
-        "x y z x y z").toDF("text"))
+        "x y z x y z",
+        // unicode: accents/case folding, NBSP (  is NOT \s — stays
+        // inside tokens), fullwidth letters, control char at the edge
+        "Café NAÏVE straße İstanbul café",
+        "a b c d e f g",
+        "ctrl lead and trail x y",
+        "ＡＢ ＣＤ ＥＦ Ｇ").toDF("text"))
     Seq(2, 3).foreach { k =>
       val diff = docs.select(
           Dedup.shingles(col("text"), k).as("fast"),

@@ -27,7 +27,8 @@ object ScaleBench {
   private val family = Seq(
     "q22_minhash_neardup", "q23_simhash_neardup", "q26_ann_lsh",
     "q40_winnow_neardup", "q48_dup_clusters", "q53_containment",
-    "q64_asof_join", "q65_range_join", "q66_embedding_dedup")
+    "q64_asof_join", "q65_range_join", "q66_embedding_dedup",
+    "q67_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
