@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null input → null; fewer than k tokens → empty array (not null).
   */
 case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle_set needs k >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
