@@ -40,6 +40,10 @@ object Bench {
     val selected = only.fold(SparkEntry.queries) { ps =>
       SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
     }
+    // A typo'd filter must not emit a clean-looking total=0 JSON line
+    // that downstream gates would accept.
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} matched no queries")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)

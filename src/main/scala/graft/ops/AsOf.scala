@@ -68,7 +68,12 @@ object AsOf {
       col(key).as("__k"), col(leftTs).as("__t"),
       lit(1).as("__is_l"),
       struct(left.columns.map(col): _*).as("l"))
-    val r = right.select(
+    // Null-key right rows can never match under SQL join semantics
+    // (and the window partition WOULD group them with null-key left
+    // rows) — drop them; null-key left rows then sit in a partition
+    // with no right payload and keep a null match, exactly the
+    // LEFT JOIN behavior the oracle form specifies.
+    val r = right.filter(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTs).as("__t"),
       lit(0).as("__is_l"),
       col(tie).cast("long").as("__tie"),

@@ -112,7 +112,6 @@ object Tables {
                          ttlSeconds: Long = DefaultTtlSeconds,
                          now: () => Long = () => System.currentTimeMillis()): DataFrame = {
     val key = cacheKey(name, params)
-    var persisted: DataFrame = null
     // compute() serializes writers per key, so the persist → view swap →
     // old-entry unpersist sequence is atomic w.r.t. a concurrent
     // cacheResultWithTtl for the same key — without it the loser's
@@ -120,12 +119,11 @@ object Tables {
     // Replacing a live entry must release its persisted blocks — the
     // temp view swap alone would leak the old persist until shutdown.
     cacheMeta.compute(key, (_, old) => {
-      persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
       persisted.createOrReplaceTempView(key)
       if (old != null && (old._3 ne persisted)) old._3.unpersist()
       (now(), ttlSeconds, persisted)
-    })
-    persisted
+    })._3
   }
 
   /** Read path of the S8 store: Some(live entry), or None after lazy
@@ -136,13 +134,18 @@ object Tables {
   def cachedResult(spark: SparkSession, name: String, params: Seq[String] = Nil,
                    now: () => Long = () => System.currentTimeMillis()): Option[DataFrame] = {
     val key = cacheKey(name, params)
-    Option(cacheMeta.get(key)).flatMap { case (created, ttl, df) =>
+    Option(cacheMeta.get(key)).flatMap { case entry @ (created, ttl, df) =>
       // Compare in seconds: `ttl * 1000L` overflows for large non-
       // sentinel ttls, which would read as instant expiry.
       if (ttl != Long.MaxValue && (now() - created) / 1000L >= ttl) {
-        cacheMeta.remove(key)
-        df.unpersist()
-        spark.catalog.dropTempView(key)
+        // Conditional remove: only evict the EXACT entry we judged
+        // expired. An unconditional remove could race a concurrent
+        // cacheResultWithTtl and destroy (remove + drop the view of)
+        // the fresh entry it just installed, leaking its persist.
+        if (cacheMeta.remove(key, entry)) {
+          df.unpersist()
+          spark.catalog.dropTempView(key)
+        }
         None
       } else Some(df)
     }

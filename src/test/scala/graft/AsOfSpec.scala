@@ -65,6 +65,21 @@ class AsOfSpec extends SparkSuite {
       103L -> None))
   }
 
+  test("null join keys never match (SQL join semantics), left null-key rows kept unmatched") {
+    val ln = Seq((Some(1L), 300L), (None, 301L)).map { case (k, id) =>
+      (id, k, ts("2024-01-01 10:00:00"))
+    }.toDF("id", "k", "t")
+    val rn = Seq((Some(1L), 400L), (None, 401L)).map { case (k, id) =>
+      (id, k, ts("2024-01-01 09:00:00"), 1.0)
+    }.toDF("id", "k", "t", "v")
+    val got = AsOf.asofJoinBackward(ln, rn, "k", "t", "t", tie = "id")
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // keyed row matches its keyed partner; the null-key left row is
+    // kept but never pairs with the null-key right row
+    assert(got == Map(300L -> Some(400L), 301L -> None))
+  }
+
   test("asofJoinBackward tolerance mirrors the bounded-window join") {
     val tol = AsOf.asofJoinBackward(left, right,
         key = "k", leftTs = "t", rightTs = "t", tie = "id",

@@ -138,7 +138,10 @@ class ControlSpec extends SparkSuite {
     val expectedRows = li.count()
     val expectedQty = li.agg(round(sum(col("l_quantity")), 2)).head.getDouble(0)
     assert(m("rows") == expectedRows)   // metrics see ALL rows pre-filter
-    assert(m("qty") == expectedQty)
+    // two independent jobs sum doubles in different partition orders;
+    // compare within a rounding step rather than exactly
+    assert(math.abs(m("qty").asInstanceOf[Double] - expectedQty) <= 0.02,
+      s"qty ${m("qty")} vs $expectedQty")
     assert(selected > 0 && selected < expectedRows)
   }
 }

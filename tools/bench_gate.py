@@ -83,6 +83,11 @@ def main():
     only_old = sorted(set(oq) - set(nq))
 
     failures = []
+    # a new query with no baseline is informational UNLESS it failed —
+    # a -1 must never pass the gate just because it is new
+    for q in only_new:
+        if nq[q] < 0:
+            failures.append((q, nq[q], float('nan'), 'failed run (-1, new query)'))
     for q in shared:
         a, b = nq[q], oq[q]
         if a < 0 or b < 0:
