@@ -72,8 +72,12 @@ object AsOf {
     // (and the window partition WOULD group them with null-key left
     // rows) — drop them; null-key left rows then sit in a partition
     // with no right payload and keep a null match, exactly the
-    // LEFT JOIN behavior the oracle form specifies.
-    val r = right.filter(col(key).isNotNull).select(
+    // LEFT JOIN behavior the oracle form specifies. Null-TIMESTAMP
+    // right rows are dropped for the same reason: `r.ts <= l.ts` is
+    // never true on null, but ascending-nulls-first ordering would
+    // put them at the front of every backward frame where
+    // last(ignoreNulls) could pick them up as a phantom match.
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as("__k"), col(rightTs).as("__t"),
       lit(0).as("__is_l"),
       col(tie).cast("long").as("__tie"),

@@ -134,20 +134,25 @@ object Tables {
   def cachedResult(spark: SparkSession, name: String, params: Seq[String] = Nil,
                    now: () => Long = () => System.currentTimeMillis()): Option[DataFrame] = {
     val key = cacheKey(name, params)
-    Option(cacheMeta.get(key)).flatMap { case entry @ (created, ttl, df) =>
-      // Compare in seconds: `ttl * 1000L` overflows for large non-
-      // sentinel ttls, which would read as instant expiry.
-      if (ttl != Long.MaxValue && (now() - created) / 1000L >= ttl) {
-        // Conditional remove: only evict the EXACT entry we judged
-        // expired. An unconditional remove could race a concurrent
-        // cacheResultWithTtl and destroy (remove + drop the view of)
-        // the fresh entry it just installed, leaking its persist.
-        if (cacheMeta.remove(key, entry)) {
+    // Expiry runs INSIDE compute(): unpersist + view drop happen while
+    // holding the same per-key bin that serializes writers, so a
+    // concurrent cacheResultWithTtl can never install a fresh entry /
+    // temp view between this reader's "expired" judgment and its view
+    // drop (the earlier remove-then-drop form had exactly that window
+    // and could drop the WRITER'S fresh view). Remapping to null
+    // removes the entry atomically.
+    Option(cacheMeta.compute(key, (_, entry) => {
+      if (entry == null) null
+      else {
+        val (created, ttl, df) = entry
+        // Compare in seconds: `ttl * 1000L` overflows for large non-
+        // sentinel ttls, which would read as instant expiry.
+        if (ttl != Long.MaxValue && (now() - created) / 1000L >= ttl) {
           df.unpersist()
           spark.catalog.dropTempView(key)
-        }
-        None
-      } else Some(df)
-    }
+          null
+        } else entry
+      }
+    })).map(_._3)
   }
 }

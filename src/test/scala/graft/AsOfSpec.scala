@@ -80,6 +80,27 @@ class AsOfSpec extends SparkSuite {
     assert(got == Map(300L -> Some(400L), 301L -> None))
   }
 
+  test("null right timestamps never match (r.ts <= l.ts is never true on null)") {
+    // A null-ts right row sorts to the FRONT of the ascending backward
+    // frame; without the right-side isNotNull filter, last(ignoreNulls)
+    // would return it as a phantom match for left rows that have no
+    // genuine at-or-before candidate (divergence vs the SQL form when
+    // toleranceSec is None — the tolerance gate masked it otherwise).
+    val rn = Seq(
+      (500L, 1L, Option.empty[Timestamp], 9.0),           // null ts, key 1
+      (501L, 2L, Option(ts("2024-01-01 11:00:00")), 1.0)  // later than left 102
+    ).toDF("id", "k", "t", "v")
+    val got = AsOf.asofJoinBackward(left, rn, "k", "t", "t", tie = "id")
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> None, 101L -> None, 102L -> None, 103L -> None))
+    val fwd = AsOf.asofJoinForward(left, rn, "k", "t", "t", tie = "id")
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(100L -> None, 101L -> None,
+      102L -> Some(501L), 103L -> None))
+  }
+
   test("asofJoinBackward tolerance mirrors the bounded-window join") {
     val tol = AsOf.asofJoinBackward(left, right,
         key = "k", leftTs = "t", rightTs = "t", tie = "id",
