@@ -1186,6 +1186,124 @@ object SparkEntry {
       .orderBy(col("event_type"), col("k_parity"))
   }
 
+  /** q70 — ⊕ explicit runtime-filter join pruning
+    * ([[graft.ops.RuntimeFilter.bloomPrune]]): a bloom filter built
+    * from the selective part-dim keys is evaluated inside the
+    * lineitem scan's filter, so non-matching fact rows die BEFORE the
+    * join's exchange — the ship-small-filter-to-big-scan move that
+    * keeps selective fact⋈dim joins viable at 100 TB. Bloom admits
+    * false positives only, and the exact join removes them, so the
+    * composed result is byte-identical to the unpruned join — which
+    * is exactly what the oracle states.
+    */
+  private val q70BloomPrune: Q = (s, dir) => {
+    val dim = Tables.part(s, dir).filter(col("p_size") >= 45)
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pruned = graft.ops.RuntimeFilter.bloomPrune(
+      li, col("l_partkey"), dim, col("p_partkey"),
+      expectedItems = 100000L, numBits = 800000L)
+    pruned.join(broadcast(dim), pruned("l_partkey") === dim("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q71 — ⊕ PII redaction ([[graft.ext.Redact]]): emails, URLs, IPv4
+    * addresses, phone numbers counted and masked. The fixture text
+    * carries no PII, so PII-bearing text is DERIVED deterministically
+    * from fixture columns (the q44 synthetic-payload trick) — both
+    * engines build the identical string, then count/redact it with the
+    * identical regex automata (patterns restricted to Java∩RE2
+    * constructs). Row-local, codegen'd, shuffle-free.
+    */
+  private val q71PiiRedact: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val pii = concat_ws(" ", col("text"),
+      when(d % 3 === 0, concat(lit("contact user"), str(d),
+        lit("@mail"), str(d % 7), lit(".example.com"))),
+      when(d % 4 === 0, concat(lit("see https://docs.example/"), str(d % 13),
+        lit("/p?id="), str(d))),
+      when(d % 5 === 0, concat(lit("call +1 555-"), str(d % 9000 + 1000))),
+      when(d % 7 === 0, concat(lit("host 10."), str(d % 256), lit(".0."), str(d % 100))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pii.as("pii"))
+      .select(col("doc_id"),
+        ext.Redact.countEmails(col("pii")).as("n_emails"),
+        ext.Redact.countUrls(col("pii")).as("n_urls"),
+        ext.Redact.countIpv4(col("pii")).as("n_ips"),
+        ext.Redact.countPhones(col("pii")).as("n_phones"),
+        md5(ext.Redact.redactAll(col("pii"))).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q72 — ⊕ token-window chunking ([[graft.ext.Chunker.chunkTokens]]):
+    * each document split into 16-token windows overlapping by 4 — the
+    * pre-embedding segmentation step. sequence→explode→slice, all
+    * codegen'd built-ins; fan-out is row-local (no shuffle), so
+    * chunking scales with the scan.
+    */
+  private val q72Chunking: Q = (s, dir) => {
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), ext.TextAnalysis.tokens(col("text")).as("toks"))
+    ext.Chunker.chunkTokens(toked, col("toks"), chunkSize = 16, overlap = 4)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+        md5(array_join(col("chunk_tokens"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q73 — ⊕ BM25 relevance ranking ([[graft.ext.TextRank.bm25]]):
+    * corpus statistics (N, avgdl, per-term df) in ONE single-row
+    * aggregate broadcast back over the corpus; per-document tf is a
+    * row-local array `filter` — the only shuffle is the final top-k
+    * sort. Upgrades the reference's substring relevance ordering
+    * (SURVEY F7) to the probabilistic ranking function.
+    */
+  private val q73Bm25Rank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    ext.TextRank.bm25(docs, ext.TextAnalysis.tokens(col("text")),
+        terms = Seq("spark", "merge", "vector"))
+      .select(col("doc_id"), col("dl"),
+        col("tf_0").as("tf_spark"), col("tf_1").as("tf_merge"),
+        col("tf_2").as("tf_vector"), col("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(50)
+  }
+
+  /** q74 — ⊕ CDC merge/upsert ([[graft.ops.Merge.applyChanges]]): an
+    * order-derived changeset (I/U/D ops, last-writer-wins on the order
+    * date) applied to the customer snapshot — Delta/Iceberg MERGE
+    * semantics as one window + one full-outer join. The changeset
+    * derivation is mirrored in the oracle so both engines apply the
+    * identical delta.
+    */
+  private val q74MergeUpsert: Q = (s, dir) => {
+    // c_acctbal / o_totalprice pass through UNROUNDED: both engines
+    // read the identical parquet doubles, and any arithmetic (e.g.
+    // /10 then round) lands on .xx5 decimal boundaries where Spark's
+    // shortest-repr HALF_UP and DuckDB's rounding disagree.
+    val snap = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val o = Tables.orders(s, dir)
+    val changes = o.select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("cust_"), col("o_orderkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"),
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+      // reads it as the same instant DuckDB's epoch() computes.
+      unix_seconds(col("o_orderdate").cast("timestamp")).as("seq"),
+      when(col("o_orderkey") % 10 < 2, "D")
+        .when(col("o_custkey") % 3 === 0, "I")
+        .otherwise("U").as("op"),
+      col("o_orderkey").as("chg_id"))
+    graft.ops.Merge.applyChanges(snap, changes, "c_custkey", "seq", "op", "chg_id")
+      .orderBy(col("c_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1257,6 +1375,11 @@ object SparkEntry {
     "q67_asof_forward"      -> q67AsofForward,
     "q68_cube"              -> q68Cube,
     "q69_variant_json"      -> q69Variant,
+    "q70_bloom_prune"       -> q70BloomPrune,
+    "q71_pii_redact"        -> q71PiiRedact,
+    "q72_chunking"          -> q72Chunking,
+    "q73_bm25_rank"         -> q73Bm25Rank,
+    "q74_merge_upsert"      -> q74MergeUpsert,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2681,5 +2804,103 @@ object SparkEntry {
         |    AS "Top Posts (Month)"
         |FROM agg
         |ORDER BY "Relevance Score" DESC, "Members" DESC, "Community"""".stripMargin,
+    // q70: the bloom pre-filter passes a superset and the exact join
+    // removes the false positives — the composed result IS the plain
+    // join, which is what the oracle states.
+    "q70_bloom_prune" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // q71: the four regexes are INTERPOLATED from graft.ext.Redact so
+    // the oracle evaluates the exact automaton the Spark side does —
+    // the patterns cannot drift (they use only Java∩RE2 constructs).
+    "q71_pii_redact" ->
+      s"""WITH p AS (
+        |  SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'see https://docs.example/'
+        |      || CAST(doc_id % 13 AS VARCHAR) || '/p?id=' || CAST(doc_id AS VARCHAR) END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'call +1 555-'
+        |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'host 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) END) AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '${ext.Redact.EmailRe}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '${ext.Redact.UrlRe}')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(pii, '${ext.Redact.Ipv4Re}')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(pii, '${ext.Redact.PhoneRe}')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '${ext.Redact.UrlRe}', '<URL>', 'g'),
+        |    '${ext.Redact.EmailRe}', '<EMAIL>', 'g'),
+        |    '${ext.Redact.Ipv4Re}', '<IP>', 'g'),
+        |    '${ext.Redact.PhoneRe}', '<PHONE>', 'g')) AS red_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q72: starts 1, 1+step, … up to max(n-overlap, 1); chunk_idx =
+    // (start-1)/step is exact (starts are multiples of step plus 1).
+    "q72_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[s:s+15]) AS INTEGER) AS chunk_len,
+        |  md5(array_to_string(toks[s:s+15], ' ')) AS chunk_md5
+        |FROM d, UNNEST(range(1, greatest(len(toks) - 4, 1) + 1, 12)) AS t(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q73: expression trees mirrored operation-for-operation (same
+    // associativity), so doubles agree bit-for-bit pre-rounding; tf,
+    // dl, df, N are exact ints, avgdl one division of exact sums.
+    "q73_bm25_rank" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |  FROM d),
+        |st AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t)
+        |SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+        |  CAST(tf0 AS INTEGER) AS tf_spark,
+        |  CAST(tf1 AS INTEGER) AS tf_merge,
+        |  CAST(tf2 AS INTEGER) AS tf_vector,
+        |  round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |      + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |FROM t, st ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    "q74_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'cust_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS seq,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+        |         WHEN o_custkey % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+        |    o_orderkey AS chg_id
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                                 ORDER BY seq DESC, chg_id DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_name ELSE s.c_name END AS c_name,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal
+        |FROM snap s FULL OUTER JOIN latest c ON s.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

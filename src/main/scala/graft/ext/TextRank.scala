@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ⊕ BM25 relevance ranking over a document corpus (north-star text
+  * op): the standard probabilistic lexical ranking function
+  * (Robertson/Spärck Jones; the BM25 form with the +1-smoothed idf,
+  * as used by Lucene). Upgrades the reference's substring relevance
+  * ordering (SURVEY F7, `app.py:47` sort="relevance") to a principled
+  * corpus-statistics score.
+  *
+  * Plan shape at scale — two passes over the corpus, zero wide rows:
+  *  1. ONE tiny aggregate computes every corpus statistic the score
+  *     needs (N, avg document length, per-term document frequencies)
+  *     as a single row — partial/final hash agg, one reduce to one
+  *     row, broadcast back via a literal-free cross join.
+  *  2. Per-document term frequencies are row-local array ops
+  *     (`filter` HOF over the token array — codegen'd, no explode, no
+  *     shuffle), so the scoring pass is scan-speed; the only shuffle
+  *     in the whole query is the final top-k sort.
+  * An inverted-index formulation (explode → groupBy term) would
+  * shuffle |corpus| token rows to compute the same df values — the
+  * single-row statistics aggregate is the 100 TB-friendly shape when
+  * the query term set is small (the interactive-search case).
+  *
+  * Determinism: tf/dl/df/N are exact integers; avgdl is one double
+  * division of exact sums; the per-term score terms are combined in
+  * fixed literal order — both engines evaluate the identical
+  * expression tree, so results agree bit-for-bit before the final
+  * rounding.
+  */
+object TextRank {
+
+  /** Score every document against `terms`, returning the input columns
+    * plus `dl` (token count), one `tf_<i>` per term, and `bm25`
+    * (rounded to 6 dp for engine-portable comparison).
+    *
+    * @param tokens ArrayType(StringType) column of document tokens
+    *               (lowercased; e.g. [[TextAnalysis.tokens]])
+    */
+  def bm25(df: DataFrame, tokens: Column, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val toked = df.withColumn("__toks", tokens)
+      .withColumn("dl", size(col("__toks")))
+    val withTf = terms.zipWithIndex.foldLeft(toked) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$i",
+        size(filter(col("__toks"), x => x === lit(t.toLowerCase))))
+    }
+    // One aggregate row: corpus size, average doc length, per-term dfs.
+    val statAggs =
+      count(lit(1)).as("__n") +:
+      avg(col("dl")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * tf * (lit(k1) + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("bm25", round(score, 6))
+      .drop("__toks" +: "__n" +: "__avgdl" +: terms.indices.map(i => s"__df_$i"): _*)
+  }
+}

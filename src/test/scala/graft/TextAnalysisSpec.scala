@@ -46,4 +46,58 @@ class TextAnalysisSpec extends SparkSuite {
                TextAnalysis.fingerprint(col("q"))).as("eq"))
     assert(df.as[Boolean].collect().toSeq == Seq(true, false))
   }
+
+  test("Redact: counts and masks each PII kind; clean text untouched") {
+    val s = "mail a.b+c@ex-1.org or x@y.io, see https://a.b/c?d=1&e=f " +
+      "from 192.168.0.1 call +31 555 1234 end"
+    val df = Seq(s, "no pii here").toDF("t").select(
+      graft.ext.Redact.countEmails(col("t")).as("e"),
+      graft.ext.Redact.countUrls(col("t")).as("u"),
+      graft.ext.Redact.countIpv4(col("t")).as("i"),
+      graft.ext.Redact.countPhones(col("t")).as("p"),
+      graft.ext.Redact.redactAll(col("t")).as("r"))
+    val rows = df.collect()
+    assert((rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2), rows(0).getInt(3))
+      == (2, 1, 1, 1))
+    val red = rows(0).getString(4)
+    assert(red == "mail <EMAIL> or <EMAIL>, see <URL> from <IP> call <PHONE> end")
+    assert(rows(1).getString(4) == "no pii here")
+  }
+
+  test("Redact: URL masked before its host can re-match as email/IP") {
+    // the dotted numeric path would count as an IP if the URL were not
+    // masked first
+    val s = "ref https://10.0.0.1/a@b.cd end"
+    val df = Seq(s).toDF("t")
+      .select(graft.ext.Redact.redactAll(col("t")).as("r"))
+    assert(df.as[String].head() == "ref <URL> end")
+  }
+
+  test("bm25: higher tf ranks higher; rare term outscores common term") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "common common common filler filler filler"),
+      (4L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val scored = graft.ext.TextRank.bm25(docs,
+        TextAnalysis.tokens(col("text")), Seq("rare", "common"))
+      .select(col("doc_id"), col("bm25"))
+      .as[(Long, Double)].collect().toMap
+    // doc1 holds the only 'rare' occurrence -> top score
+    assert(scored(1L) > scored(3L) && scored(3L) > scored(2L))
+    assert(scored(4L) == 0.0)
+    // more occurrences of the same term -> strictly higher (same dl)
+    assert(scored(3L) > scored(2L))
+  }
+
+  test("bm25: single aggregate + broadcast, no per-term shuffle") {
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val plan = graft.ext.TextRank.bm25(docs,
+        TextAnalysis.tokens(col("text")), Seq("a", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"bm25 must not explode tokens:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats row must broadcast:\n$plan")
+  }
 }
