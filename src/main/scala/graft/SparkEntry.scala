@@ -1304,6 +1304,61 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** q75 — ⊕ SCD-type-2 history ([[graft.ops.Merge.scd2History]]):
+    * the q74 changeset rendered as versioned validity intervals —
+    * `valid_from`/`valid_to`/`version`/`is_current` per change, one
+    * window shuffle (row_number and lead share the sort).
+    */
+  private val q75Scd2History: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val changes = o.select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("cust_"), col("o_orderkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"),
+      unix_seconds(col("o_orderdate").cast("timestamp")).as("seq"),
+      col("o_orderkey").as("chg_id"))
+    graft.ops.Merge.scd2History(changes, "c_custkey", "seq", "chg_id")
+      .select(col("c_custkey"), col("version"), col("c_name"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  /** q76 — ⊕ rolling time-window features
+    * ([[graft.ops.Time.trailingWindow]]): per-user trailing-1-hour
+    * event count and value sum — the feature-engineering aggregate —
+    * as a RANGE frame over integral epoch seconds (engine-portable
+    * peer semantics; both engines floor the fractional seconds). One
+    * shuffle on user_id; the frame is one ordered scan per partition.
+    */
+  private val q76RollingWindow: Q = (s, dir) => {
+    val w = graft.ops.Time.trailingWindow(
+      col("user_id"), unix_seconds(col("ts")), spanSec = 3600L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_1h"), col("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q77 — ⊕ Misra-Gries frequent items
+    * ([[graft.functions.FreqItems]]): heavy hitters over event_type
+    * with capacity 8. The distinct-key count (5) never exceeds the
+    * capacity, so no decrement fires anywhere in the merge tree and
+    * the sketch is EXACT regardless of partitioning — the oracle is
+    * the plain groupBy count. The approximation bounds under overflow
+    * are property-tested in FreqItemsSpec.
+    */
+  private val q77FreqItems: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .agg(graft.functions.FreqItems.freqItems(8)(col("event_type")).as("fi"))
+      .select(explode(col("fi")).as("x"))
+      .select(col("x.item").as("event_type"), col("x.est").as("est"))
+      .orderBy(desc("est"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1380,6 +1435,9 @@ object SparkEntry {
     "q72_chunking"          -> q72Chunking,
     "q73_bm25_rank"         -> q73Bm25Rank,
     "q74_merge_upsert"      -> q74MergeUpsert,
+    "q75_scd2_history"      -> q75Scd2History,
+    "q76_rolling_window"    -> q76RollingWindow,
+    "q77_freq_items"        -> q77FreqItems,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2902,5 +2960,44 @@ object SparkEntry {
         |FROM snap s FULL OUTER JOIN latest c ON s.c_custkey = c.c_custkey
         |WHERE c.op IS NULL OR c.op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+    "q75_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'cust_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS seq,
+        |    o_orderkey AS chg_id
+        |  FROM orders)
+        |SELECT c_custkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  c_name, c_acctbal,
+        |  seq AS valid_from,
+        |  lead(seq, 1) OVER w AS valid_to,
+        |  (lead(seq, 1) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY c_custkey ORDER BY seq, chg_id)
+        |ORDER BY c_custkey, version""".stripMargin,
+    // q76: floor(epoch(ts)) mirrors Spark's unix_seconds truncation —
+    // a bare CAST(DOUBLE AS BIGINT) would ROUND fractional seconds in
+    // DuckDB and shift frame boundaries.
+    "q76_rolling_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q77: capacity (8) exceeds the distinct event_type count, so the
+    // MG sketch is exact and the oracle is the plain grouped count.
+    "q77_freq_items" ->
+      """SELECT event_type, count(*) AS est
+        |FROM events GROUP BY event_type
+        |ORDER BY est DESC, event_type""".stripMargin,
   )
 }

@@ -54,4 +54,28 @@ object Merge {
         when(col("__op").isNotNull, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)
       }: _*)
   }
+
+  /** ⊕ SCD-type-2 history build: turn a change log into versioned
+    * validity intervals per key — each change row becomes a version
+    * with `valid_from` = its own `seqCol`, `valid_to` = the NEXT
+    * change's `seqCol` (null while current), a dense 1-based
+    * `version`, and an `is_current` flag. The dimension-history shape
+    * every warehouse keeps next to the merged snapshot
+    * ([[applyChanges]] produces the "current" view; this produces the
+    * full history).
+    *
+    * One window shuffle on the key — `row_number` and `lead` share
+    * the single (key, seq, tie) sort. `tieCol` makes equal-`seqCol`
+    * changes a well-defined sequence, same contract as
+    * [[applyChanges]].
+    */
+  def scd2History(changes: DataFrame, key: String,
+                  seqCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).asc, col(tieCol).asc)
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -33,6 +33,27 @@ object Time {
         ts >= (now - expr(span))
     }
 
+  /** ⊕ Trailing time-window frame for rolling per-key features
+    * (rolling counts/sums over "the last `spanSec` seconds" — the
+    * standard session/feature-engineering aggregate): a RANGE frame
+    * over integral epoch seconds, `[ts - spanSec, ts]` inclusive.
+    *
+    * Takes the ORDER column as epoch seconds (e.g.
+    * `unix_seconds(col("ts"))`) rather than a timestamp: integral
+    * range frames are engine-portable (no interval arithmetic inside
+    * the frame spec) and make the peer-row semantics exact. One
+    * shuffle on the partition key; within a partition the frame is
+    * evaluated by a single ordered scan.
+    */
+  def trailingWindow(partition: Column, epochSeconds: Column,
+                     spanSec: Long): org.apache.spark.sql.expressions.WindowSpec = {
+    require(spanSec >= 0, s"spanSec must be non-negative, got $spanSec")
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(partition)
+      .orderBy(epochSeconds.asc)
+      .rangeBetween(-spanSec, org.apache.spark.sql.expressions.Window.currentRow)
+  }
+
   /** The lower bound itself (for APIs that want a `sinceTs` value,
     * e.g. [[graft.pipelines.SignalScan.Params]]); None for `"all"`.
     */

@@ -58,6 +58,33 @@ class MergeSpec extends SparkSuite {
     assert(got == List((1L, None, 11.0)))
   }
 
+  test("scd2History: dense versions, chained intervals, one current row per key") {
+    val hist = Merge.scd2History(changes, "k", "seq", "chg_id")
+      .select(col("k"), col("version"), col("name"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Int, String, Long, Option[Long], Boolean)]
+      .collect().groupBy(_._1)
+    // key 2 has two versions: bob_v2 [100, 200), bob_v3 [200, ∞)
+    val k2 = hist(2L).sortBy(_._2).toList
+    assert(k2.map(r => (r._2, r._3, r._4, r._5, r._6)) == List(
+      (1, "bob_v2", 100L, Some(200L), false),
+      (2, "bob_v3", 200L, None, true)))
+    hist.values.foreach { rows =>
+      // versions dense from 1 in seq order
+      assert(rows.map(_._2).sorted.toList == (1 to rows.length).toList)
+      // exactly one open (current) interval per key
+      assert(rows.count(_._6) == 1)
+      // valid_to chains to the next version's valid_from
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4))
+        case _ =>
+      }
+    }
+    // equal-seq ties (key 6) ordered by chg_id
+    val k6 = hist(6L).sortBy(_._2).map(_._3).toList
+    assert(k6 == List("frank_a", "frank_b"))
+  }
+
   test("plan: one window exchange on the delta, join, no extra shuffles") {
     val plan = Merge.applyChanges(snapshot, changes, "k", "seq", "op", "chg_id")
       .queryExecution.executedPlan.toString

@@ -187,4 +187,24 @@ class OpsSpec extends SparkSuite {
     assert(Time.sinceTs("week", ts0).get ==
       java.sql.Timestamp.valueOf("2024-06-08 00:00:00"))
   }
+
+  test("Time.trailingWindow: inclusive [ts-span, ts] frame per key, peers included") {
+    import graft.ops.Time
+    // per-key epochs; span 10 -> frames computed by hand
+    val df = Seq(
+      ("a", 0L), ("a", 5L), ("a", 10L), ("a", 11L), ("a", 30L),
+      ("b", 100L), ("b", 100L), ("b", 111L)  // peers at 100 count together
+    ).toDF("k", "es")
+    val got = df.withColumn("n",
+        count(lit(1)).over(Time.trailingWindow(col("k"), col("es"), 10L)))
+      .select("k", "es", "n").as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    assert(got(("a", 0L)) == Set(1L))
+    assert(got(("a", 10L)) == Set(3L))   // 0, 5, 10 all inside [0,10]
+    assert(got(("a", 11L)) == Set(3L))   // 5, 10, 11 (0 falls out)
+    assert(got(("a", 30L)) == Set(1L))
+    assert(got(("b", 100L)) == Set(2L))  // equal-es peers share the frame
+    assert(got(("b", 111L)) == Set(1L))  // [101,111] excludes the 100s
+    intercept[IllegalArgumentException](Time.trailingWindow(col("k"), col("es"), -1L))
+  }
 }
