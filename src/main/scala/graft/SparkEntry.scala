@@ -1359,6 +1359,35 @@ object SparkEntry {
       .orderBy(desc("est"), col("event_type"))
   }
 
+  /** q78 — ⊕ repeated n-gram ratio
+    * ([[graft.ext.TextAnalysis.dupNgramRatio]]): the Gopher-style
+    * internal-repetition/boilerplate gate — 1 − distinct/total word
+    * trigrams per document. Distinct grams via the single-pass
+    * ShingleSet codegen expression; row-local, rides the scan.
+    */
+  private val q78DupNgrams: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ext.TextAnalysis.dupNgramRatio(col("text"), 3).as("dup3"))
+      .withColumn("is_boiler", col("dup3") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79 — ⊕ embedding centroid outlier screen
+    * ([[graft.ext.Similarity.centroidScores]]): per-label centroids
+    * (one n·d-value shuffle, 9-dp quantized — the q38 trick), then a
+    * broadcast join + one-pass codegen cosine per vector. The oracle
+    * re-derives the centroids and the normalize/dot chain with the
+    * established sequential-fold vector SQL.
+    */
+  private val q79CentroidOutliers: Q = (s, dir) => {
+    ext.Similarity.centroidScores(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("cos_centroid") < 0.1).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1438,6 +1467,8 @@ object SparkEntry {
     "q75_scd2_history"      -> q75Scd2History,
     "q76_rolling_window"    -> q76RollingWindow,
     "q77_freq_items"        -> q77FreqItems,
+    "q78_dup_ngrams"        -> q78DupNgrams,
+    "q79_centroid_outliers" -> q79CentroidOutliers,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -2999,5 +3030,54 @@ object SparkEntry {
       """SELECT event_type, count(*) AS est
         |FROM events GROUP BY event_type
         |ORDER BY est DESC, event_type""".stripMargin,
+    // q78: distinct trigrams mirror the q22/q23 shingle derivation;
+    // total = max(len(w) - 2, 0) so sub-trigram docs score 0.0.
+    "q78_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      len(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |    ELSE 0 END AS d,
+        |    greatest(len(w) - 2, 0) AS t
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t > 0 THEN round(1 - CAST(d AS DOUBLE) / t, 6)
+        |         ELSE 0.0 END AS dup3
+        |  FROM g)
+        |SELECT doc_id, dup3, dup3 > 0.3 AS is_boiler
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q79: centroids quantized to 9 dp on both sides (q38's trick)
+    // so summation-order ulps can't surface; the normalize/dot chain
+    // is the q24/q25 sequential-fold vector SQL.
+    "q79_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM e),
+        |c AS (
+        |  SELECT label, i, round(avg(x), 9) AS cx FROM d GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(cx ORDER BY i) AS cv FROM c GROUP BY label),
+        |n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS nv
+        |  FROM e),
+        |nc AS (
+        |  SELECT label,
+        |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS ncv
+        |  FROM cent),
+        |sc AS (
+        |  SELECT vec_id, n.label AS label,
+        |    round(list_sum(list_transform(range(1, len(nv)+1),
+        |                                  j -> nv[j] * ncv[j])), 6) AS cos_centroid
+        |  FROM n JOIN nc ON n.label = nc.label)
+        |SELECT vec_id, label, cos_centroid, cos_centroid < 0.1 AS is_outlier
+        |FROM sc ORDER BY vec_id""".stripMargin,
   )
 }

@@ -256,4 +256,39 @@ object Similarity {
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding
+    * quality control: vectors far from their group's mean direction
+    * are mislabeled/degenerate candidates (the standard
+    * "distance-to-centroid" outlier screen run before training on
+    * pooled embeddings).
+    *
+    * Plan shape at scale:
+    *  1. Centroids: one posexplode → groupBy(group, dim) average.
+    *     The shuffle moves n·d scalar values once — the lower bound
+    *     for exact mean pooling — and reduces to a groups×d table.
+    *     Components are quantized to 9 decimals (the q38/ivfFit
+    *     trick) so cross-engine summation-order ulps can't surface.
+    *  2. Scoring: centroid table re-assembled per group (array_sort
+    *     by dim index) and BROADCAST back; the cosine is the one-pass
+    *     codegen'd [[dot]]/[[normalize]] pair — row-local, no second
+    *     shuffle of the vectors.
+    *
+    * Appends `cos_centroid` (rounded to 6 dp); callers threshold it
+    * for the outlier flag.
+    */
+  def centroidScores(df: DataFrame, idCol: String, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val e = df.select(col(idCol), col(groupCol), vecD(col(vecCol)).as("__v"))
+    val cent = e.select(col(groupCol), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col(groupCol), col("__i"))
+      .agg(round(avg(col("__x")), 9).as("__cx"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__cx")))),
+        s => s.getField("__cx")).as("__cv"))
+    e.join(broadcast(cent), groupCol)
+      .withColumn("cos_centroid",
+        round(dot(normalize(col("__v")), normalize(col("__cv"))), 6))
+      .drop("__v", "__cv")
+  }
 }

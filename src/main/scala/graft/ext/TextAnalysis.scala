@@ -69,4 +69,24 @@ object TextAnalysis {
     * fingerprint; engine-portable.
     */
   def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
+
+  /** ⊕ Repeated n-gram ratio — the classic boilerplate/repetition
+    * signal (Gopher-style "fraction of duplicate n-grams" quality
+    * gate): `1 − distinct_ngrams / total_ngrams`, 0.0 for documents
+    * shorter than `n` tokens. High values mark templated or looping
+    * text that near-dup passes miss because the repetition is
+    * INTERNAL to the document.
+    *
+    * Distinct grams come from the single-pass [[graft.functions.ShingleSet]]
+    * codegen expression; the total is arithmetic on the token count —
+    * the whole signal is row-local and shuffle-free, so it rides the
+    * scan like the other quality features.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val total = greatest(tokenCount(text) - (n - 1), lit(0)).cast("double")
+    val distinctN =
+      size(graft.functions.ShingleSet.shingle_set(text, n)).cast("double")
+    when(total > 0, round(lit(1.0) - distinctN / total, 6)).otherwise(lit(0.0))
+  }
 }

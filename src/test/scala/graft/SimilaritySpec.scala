@@ -82,4 +82,35 @@ class SimilaritySpec extends SparkSuite {
       assert(recall >= 0.3, s"recall $recall (${ann.size}/${exact.size})")
     }
   }
+
+  test("centroidScores: aligned vectors near 1, opposed vector negative") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(-1.0f, 0.0f)),   // opposes the group direction
+      (4L, 1, Seq(0.0f, 2.0f)),
+      (5L, 1, Seq(0.0f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidScores(df, "vec_id", "label", "embedding")
+      .select(col("vec_id"), col("cos_centroid"))
+      .as[(Long, Double)].collect().toMap
+    // group 0 centroid ≈ (0.3, 0.033): aligned vectors score high,
+    // the opposed one is strongly negative
+    assert(got(1L) > 0.9 && got(2L) > 0.9)
+    assert(got(3L) < -0.9)
+    // group 1: both vectors are exactly the centroid direction
+    assert(math.abs(got(4L) - 1.0) < 1e-6 && math.abs(got(5L) - 1.0) < 1e-6)
+  }
+
+  test("centroidScores plan: centroid side broadcasts; vectors shuffle only for the dim agg") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 1, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val plan = Similarity.centroidScores(df, "vec_id", "label", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"centroid join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vectors must not sort-merge:\n$plan")
+  }
 }

@@ -91,6 +91,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(scored(3L) > scored(2L))
   }
 
+  test("dupNgramRatio: hand-computed repetition fractions; short docs 0") {
+    val df = Seq(
+      "a b a b a b",        // grams: aba, bab, aba, bab -> 2/4 distinct -> 0.5
+      "x x x x",            // grams: xxx, xxx -> 1/2 -> 0.5
+      "one two three four", // all distinct -> 0.0
+      "a b",                // shorter than n -> 0.0
+      ""                    // empty -> 0.0
+    ).toDF("t").select(TextAnalysis.dupNgramRatio(col("t"), 3).as("r"))
+    assert(df.as[Double].collect().toSeq == Seq(0.5, 0.5, 0.0, 0.0, 0.0))
+    intercept[IllegalArgumentException](TextAnalysis.dupNgramRatio(col("t"), 0))
+  }
+
   test("bm25: single aggregate + broadcast, no per-term shuffle") {
     val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
     val plan = graft.ext.TextRank.bm25(docs,
