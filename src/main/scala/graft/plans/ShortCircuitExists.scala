@@ -60,10 +60,14 @@ object ShortCircuitExists extends Rule[LogicalPlan] {
   }
 }
 
-/** Session-extension registration (SURVEY §4 surface: the one custom
-  * Rule this engine carries).
+/** Session-extension registration (SURVEY §4 surface): the one custom
+  * optimizer Rule plus the SQL-function bindings for every custom
+  * codegen expression ([[graft.functions.GraftFunctions]] — shared
+  * with the live-session `install` path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ShortCircuitExists)
+    graft.functions.GraftFunctions.all.foreach(e.injectFunction)
+  }
 }

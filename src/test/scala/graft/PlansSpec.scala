@@ -79,4 +79,39 @@ class PlansSpec extends SparkSuite {
       size(filter(array(lit("spark")), k => col("t").contains(k))) > 0)
     assert(df.count() == 1)
   }
+
+  test("GraftFunctions.install: SQL bindings agree with the Column API") {
+    graft.functions.GraftFunctions.install(spark)
+    Seq(("the quick brown fox jumps over the lazy dog", Seq(1.0f, 2.0f, 2.0f)))
+      .toDF("t", "v").createOrReplaceTempView("gf_probe")
+    val got = spark.sql(
+      """SELECT shingle_set(t, 3) AS sh,
+        |  simhash64(split(t, ' ')) AS sim,
+        |  minhash_sig(shingle_set(t, 3), 4) AS mh,
+        |  dot_product(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) AS dp,
+        |  l2_normalize(CAST(v AS ARRAY<DOUBLE>)) AS nv,
+        |  winnow(t, 8, 4) AS wn
+        |FROM gf_probe""".stripMargin).collect()(0)
+    val viaColumns = Seq(("the quick brown fox jumps over the lazy dog", Seq(1.0f, 2.0f, 2.0f)))
+      .toDF("t", "v")
+      .select(
+        graft.functions.ShingleSet.shingle_set(col("t"), 3).as("sh"),
+        graft.functions.SimHash64.simhash64(split(col("t"), " ")).as("sim"),
+        graft.functions.MinHashSig.minhash_sig(
+          graft.functions.ShingleSet.shingle_set(col("t"), 3), 4).as("mh"),
+        graft.functions.DotProduct.dot_product(
+          col("v").cast("array<double>"), col("v").cast("array<double>")).as("dp"),
+        graft.functions.L2Normalize.l2_normalize(col("v").cast("array<double>")).as("nv"),
+        graft.functions.Winnow.winnow(col("t"), 8, 4).as("wn"))
+      .collect()(0)
+    assert(got.getSeq[String](0) == viaColumns.getSeq[String](0))
+    assert(got.getLong(1) == viaColumns.getLong(1))
+    assert(got.getSeq[String](2) == viaColumns.getSeq[String](2))
+    assert(got.getDouble(3) == viaColumns.getDouble(3) && got.getDouble(3) == 9.0)
+    assert(got.getSeq[Double](4) == viaColumns.getSeq[Double](4))
+    assert(got.getSeq[Long](5) == viaColumns.getSeq[Long](5))
+    // shape args must be integer literals
+    val err = intercept[Exception](spark.sql("SELECT shingle_set('x', 'k')").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
 }

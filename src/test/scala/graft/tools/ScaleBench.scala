@@ -28,7 +28,11 @@ object ScaleBench {
     "q22_minhash_neardup", "q23_simhash_neardup", "q26_ann_lsh",
     "q40_winnow_neardup", "q48_dup_clusters", "q53_containment",
     "q64_asof_join", "q65_range_join", "q66_embedding_dedup",
-    "q67_asof_forward")
+    "q67_asof_forward",
+    // round-6 additions: runtime-filter join, BM25's two-pass agg,
+    // CDC merge + SCD2 windows, rolling range frame, centroid screen
+    "q70_bloom_prune", "q73_bm25_rank", "q74_merge_upsert",
+    "q75_scd2_history", "q76_rolling_window", "q79_centroid_outliers")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,6 +91,39 @@ object ScaleBench {
       ev10.repartition(8).write.mode("overwrite").parquet(s"$dst/events.parquet")
       println(s"[scalebench] built $dst/events.parquet: " +
         s"${spark.read.parquet(s"$dst/events.parquet").count()} events")
+    }
+    if (!new java.io.File(fs, "orders.parquet").exists()) {
+      // TPC-H side (q70/q74/q75): 10× by KEY-OFFSET copies — more
+      // customers/orders/parts at the same per-key density, join FKs
+      // offset consistently so each copy group joins only within
+      // itself (per-key work constant, key count 10×).
+      val copies = (0 until 10).map(lit(_))
+      def ten(df: DataFrame): DataFrame =
+        df.select(col("*"), explode(array(copies: _*)).as("c"))
+      ten(spark.read.parquet(s"$src/orders.parquet")).select(
+        (col("c") * 10000000L + col("o_orderkey")).as("o_orderkey"),
+        (col("c") * 1000000L + col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      ten(spark.read.parquet(s"$src/customer.parquet")).select(
+        (col("c") * 1000000L + col("c_custkey")).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .repartition(4).write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      ten(spark.read.parquet(s"$src/lineitem.parquet")).select(
+        (col("c") * 10000000L + col("l_orderkey")).as("l_orderkey"),
+        (col("c") * 1000000L + col("l_partkey")).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      ten(spark.read.parquet(s"$src/part.parquet")).select(
+        (col("c") * 1000000L + col("p_partkey")).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+        .repartition(4).write.mode("overwrite").parquet(s"$dst/part.parquet")
+      println(s"[scalebench] built $dst TPC-H tables: " +
+        s"${spark.read.parquet(s"$dst/lineitem.parquet").count()} lineitems")
     }
     if (new java.io.File(fs, "embeddings.parquet").exists()) return
     fs.mkdirs()
