@@ -1388,6 +1388,53 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q80 — ⊕ vocabulary construction
+    * ([[graft.ext.TextAnalysis.vocabulary]]): per-token corpus tf/df
+    * with a min-df gate, top 100 by frequency — the canonical
+    * map-side-combine word count (explode → partial agg → one token
+    * shuffle).
+    */
+  private val q80Vocabulary: Q = (s, dir) => {
+    ext.TextAnalysis.vocabulary(
+        Tables.documents(s, dir), col("doc_id"), col("text"), minDocFreq = 3L)
+      .orderBy(desc("tf"), col("token"))
+      .limit(100)
+  }
+
+  /** q81 — ⊕ deterministic train/val/test split
+    * ([[graft.ops.Sampling.assignSplit]]): each event lands in a split
+    * by its event_id's md5 bucket against cumulative 0.8/0.1/0.1
+    * weights — reproducible on any partitioning; the oracle re-derives
+    * the bucket digit-by-digit (q50's arithmetic) and applies the same
+    * thresholds. Aggregated to per-(split, type) counts.
+    */
+  private val q81SplitAssign: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("split", graft.ops.Sampling.assignSplit("event_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
+  /** q82 — ⊕ per-group percentile normalization: quality scores
+    * percent-ranked WITHIN each source (the per-domain quality
+    * threshold trick — a fixed global cutoff over-prunes clean
+    * domains and under-prunes noisy ones). Total order (quality,
+    * doc_id) makes ranks engine-identical; one window shuffle on
+    * source.
+    */
+  private val q82QualityPercentile: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val q = ext.TextAnalysis.qualityScore(col("text"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), q.as("quality"))
+      .withColumn("pctl", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("pctl") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1469,6 +1516,9 @@ object SparkEntry {
     "q77_freq_items"        -> q77FreqItems,
     "q78_dup_ngrams"        -> q78DupNgrams,
     "q79_centroid_outliers" -> q79CentroidOutliers,
+    "q80_vocabulary"        -> q80Vocabulary,
+    "q81_split_assign"      -> q81SplitAssign,
+    "q82_quality_pctl"      -> q82QualityPercentile,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -3079,5 +3129,66 @@ object SparkEntry {
         |  FROM n JOIN nc ON n.label = nc.label)
         |SELECT vec_id, label, cos_centroid, cos_centroid < 0.1 AS is_outlier
         |FROM sc ORDER BY vec_id""".stripMargin,
+    "q80_vocabulary" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY token)
+        |SELECT token, tf, df FROM v WHERE df >= 3
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    // q81: bucket arithmetic is q50's digit-by-digit md5 mirror; the
+    // thresholds are round(0.8*2^20)=838861 and round(0.9*2^20)=943718,
+    // exactly assignSplit's cumulative bounds.
+    "q81_split_assign" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(event_id AS VARCHAR) || '|0') AS hh
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |  FROM h),
+        |sp AS (
+        |  SELECT event_type,
+        |    CASE WHEN bucket < 838861 THEN 'train'
+        |         WHEN bucket < 943718 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, event_type, count(*) AS n
+        |FROM sp GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin,
+    // q82: quality formula is q28's oracle; percent_rank over the
+    // total order (quality, doc_id) is the same exact rational in
+    // both engines.
+    "q82_quality_pctl" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) AS d,
+        |    (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w) AS ml
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(least(n / 20.0, 1.0) * (d / n)
+        |          * (CASE WHEN ml BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |  FROM f),
+        |p AS (
+        |  SELECT doc_id, source, quality,
+        |    round(percent_rank() OVER (PARTITION BY source
+        |                               ORDER BY quality, doc_id), 6) AS pctl
+        |  FROM q)
+        |SELECT doc_id, source, quality, pctl, pctl >= 0.2 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Text
@@ -89,4 +89,23 @@ object TextAnalysis {
       size(graft.functions.ShingleSet.shingle_set(text, n)).cast("double")
     when(total > 0, round(lit(1.0) - distinctN / total, 6)).otherwise(lit(0.0))
   }
+
+  /** ⊕ Corpus vocabulary: per-token total frequency (`tf`) and
+    * document frequency (`df`), gated by a minimum document
+    * frequency — tokenizer-vocabulary construction / corpus-stats
+    * scan.
+    *
+    * Plan shape: the canonical map-side-combine word count — explode
+    * to (doc, token), partial hash-aggregate per partition, ONE
+    * shuffle on the token, final aggregate. `countDistinct(doc)` adds
+    * the standard distinct expand; tf and df still travel through the
+    * same single exchange. Output is vocabulary-sized (≪ corpus), so
+    * the downstream top-k sort is cheap.
+    */
+  def vocabulary(df: DataFrame, id: Column, text: Column,
+                 minDocFreq: Long = 1L): DataFrame =
+    df.select(id.as("__id"), explode(tokens(text)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDocFreq)
 }

@@ -33,12 +33,47 @@ object Sampling {
     */
   def byHash(df: DataFrame, keyCol: String, rate: Double, salt: Long = 0L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    val bucket = conv(substring(
-        md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt.toString))),
-        1, 5), 16, 10).cast("long")
     // null keys are EXCLUDED explicitly (a null key has no stable
     // identity to sample on — rate=1.0 keeps every non-null-key row);
     // coalesce the key upstream to opt nulls in
-    df.filter(col(keyCol).isNotNull && bucket < (rate * (1L << 20)).toLong)
+    df.filter(col(keyCol).isNotNull &&
+      hashBucket(keyCol, salt) < (rate * (1L << 20)).toLong)
+  }
+
+  /** The md5 bucket both sampling forms share: first 5 hex digits of
+    * `md5(key || '|' || salt)` as a uniform long in [0, 2^20).
+    */
+  def hashBucket(keyCol: String, salt: Long = 0L): org.apache.spark.sql.Column =
+    conv(substring(
+      md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt.toString))),
+      1, 5), 16, 10).cast("long")
+
+  /** ⊕ Deterministic train/val/test split assignment: the key's
+    * [[hashBucket]] falls into cumulative weight ranges and the row
+    * gets that split's label — the reproducibility contract a 100 TB
+    * training corpus needs (same key → same split on every rerun,
+    * any partitioning, and CONSISTENTLY across tables sharing the
+    * key, so features and labels never straddle a split). Null keys
+    * get a null label.
+    *
+    * @param splits (label, weight) in order; weights must sum to 1
+    *               within 1e-9 so every bucket is covered
+    */
+  def assignSplit(keyCol: String, splits: Seq[(String, Double)],
+                  salt: Long = 0L): org.apache.spark.sql.Column = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val m = (1L << 20).toDouble
+    val bucket = hashBucket(keyCol, salt)
+    // cumulative upper bounds; the last split takes everything left so
+    // floating-point edge crumbs can't leave a bucket unlabeled
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val bounded = splits.map(_._1).zip(cum.map(c => math.round(c * m)))
+    val cases = bounded.init.foldRight(lit(bounded.last._1): org.apache.spark.sql.Column) {
+      case ((label, hi), rest) => when(bucket < hi, lit(label)).otherwise(rest)
+    }
+    when(col(keyCol).isNotNull, cases)
   }
 }

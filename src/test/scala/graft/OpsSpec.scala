@@ -188,6 +188,30 @@ class OpsSpec extends SparkSuite {
       java.sql.Timestamp.valueOf("2024-06-08 00:00:00"))
   }
 
+  test("Sampling.assignSplit: covers every row, rate-accurate, partitioning-independent") {
+    import graft.ops.Sampling
+    val keys = (1L to 4000L).toDF("k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = keys.withColumn("s", Sampling.assignSplit("k", splits))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4000L)           // every key labeled
+    assert(math.abs(counts("train") - 3200L) < 200)
+    assert(math.abs(counts("val") - 400L) < 120)
+    assert(math.abs(counts("test") - 400L) < 120)
+    // same assignment regardless of layout
+    val a = keys.withColumn("s", Sampling.assignSplit("k", splits))
+      .as[(Long, String)].collect().toMap
+    val b = keys.repartition(13).withColumn("s", Sampling.assignSplit("k", splits))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    // null key -> null label
+    val n = Seq(Option.empty[Long]).toDF("k")
+      .select(Sampling.assignSplit("k", splits)).as[Option[String]].head()
+    assert(n.isEmpty)
+    intercept[IllegalArgumentException](Sampling.assignSplit("k", Seq("a" -> 0.5)))
+    intercept[IllegalArgumentException](Sampling.assignSplit("k", Nil))
+  }
+
   test("Time.trailingWindow: inclusive [ts-span, ts] frame per key, peers included") {
     import graft.ops.Time
     // per-key epochs; span 10 -> frames computed by hand

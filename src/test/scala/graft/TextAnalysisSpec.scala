@@ -91,6 +91,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(scored(3L) > scored(2L))
   }
 
+  test("vocabulary: tf/df hand-computed, min-df gate applied") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana date")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, col("doc_id"), col("text"), minDocFreq = 2L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // apple/cherry/date have df=1 -> gated out; banana tf=4, df=3
+    assert(v == Map("banana" -> (4L, 3L)))
+    val all = TextAnalysis.vocabulary(docs, col("doc_id"), col("text"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(all == Map("apple" -> (2L, 1L), "banana" -> (4L, 3L),
+      "cherry" -> (1L, 1L), "date" -> (1L, 1L)))
+  }
+
   test("dupNgramRatio: hand-computed repetition fractions; short docs 0") {
     val df = Seq(
       "a b a b a b",        // grams: aba, bab, aba, bab -> 2/4 distinct -> 0.5
