@@ -1435,6 +1435,56 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q83 — ⊕ composed training-prep pipeline: PII redaction → quality
+    * gate → token-window chunking → exact chunk dedup (min-key
+    * survivor) → deterministic split assignment → per-split stats.
+    * One query touching five round-6 operators in their natural
+    * order, the q46-style composition check. Inputs reuse q71's
+    * synthetic-PII derivation so the redaction stage has real work.
+    *
+    * Stage order is the scale-correct one: the CHEAP quality gate
+    * runs on the raw text first so the expensive 4-pass regex chain
+    * only touches survivors — and, equally important on Spark, a
+    * filter on a derived column would inline its whole defining
+    * expression into both the scan filter and the projection
+    * (alias substitution has no cost model), re-running the regex
+    * chain per reference.
+    *
+    * Plan: stages 1-3 are row-local (regex, arithmetic, explode);
+    * the dedup groupBy is the first shuffle (on a 32-byte md5, not
+    * the chunk text); the final stats agg is the second. Nothing
+    * else moves data.
+    */
+  private val q83PrepPipeline: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val pii = concat_ws(" ", col("text"),
+      when(d % 3 === 0, concat(lit("contact user"), str(d),
+        lit("@mail"), str(d % 7), lit(".example.com"))),
+      when(d % 4 === 0, concat(lit("see https://docs.example/"), str(d % 13),
+        lit("/p?id="), str(d))))
+    val red = Tables.documents(s, dir)
+      .filter(ext.TextAnalysis.qualityScore(col("text")) >= 0.3)
+      .select(col("doc_id"), ext.Redact.redactAll(pii).as("red"))
+    val chunks = ext.Chunker.chunkTokens(
+        red.select(col("doc_id"), ext.TextAnalysis.tokens(col("red")).as("toks")),
+        col("toks"), chunkSize = 16, overlap = 4)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(array_join(col("chunk_tokens"), " ")).as("chunk_md5"))
+    // exact chunk dedup: the (doc_id, chunk_idx)-smallest copy survives
+    val kept = chunks.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_idx").as("chunk_idx"),
+        col("chunk_md5"))
+    kept
+      .withColumn("split", graft.ops.Sampling.assignSplit("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("split"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1519,6 +1569,7 @@ object SparkEntry {
     "q80_vocabulary"        -> q80Vocabulary,
     "q81_split_assign"      -> q81SplitAssign,
     "q82_quality_pctl"      -> q82QualityPercentile,
+    "q83_prep_pipeline"     -> q83PrepPipeline,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -3163,6 +3214,71 @@ object SparkEntry {
         |SELECT split, event_type, count(*) AS n
         |FROM sp GROUP BY split, event_type
         |ORDER BY split, event_type""".stripMargin,
+    // q83: every stage's mirror is proven elsewhere — q71's pii
+    // derivation + interpolated redaction patterns, q28's quality
+    // formula, q72's chunk windows, q21-style min-survivor dedup as a
+    // row_number pick, q50's bucket arithmetic with q81's thresholds.
+    "q83_prep_pipeline" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |qf AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      CAST(len(w) AS DOUBLE) AS n,
+        |      CAST(len(list_distinct(w)) AS DOUBLE) AS d,
+        |      (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w) AS ml
+        |    FROM t)
+        |  WHERE round(least(n / 20.0, 1.0) * (d / n)
+        |        * (CASE WHEN ml BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.3),
+        |p AS (
+        |  SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'see https://docs.example/'
+        |      || CAST(doc_id % 13 AS VARCHAR) || '/p?id=' || CAST(doc_id AS VARCHAR) END) AS pii
+        |  FROM qf),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii,
+        |      '${ext.Redact.UrlRe}', '<URL>', 'g'),
+        |      '${ext.Redact.EmailRe}', '<EMAIL>', 'g'),
+        |      '${ext.Redact.Ipv4Re}', '<IP>', 'g'),
+        |      '${ext.Redact.PhoneRe}', '<PHONE>', 'g') AS red
+        |  FROM p),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(red, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM r),
+        |ch AS (
+        |  SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(w[s:s+15], ' ')) AS chunk_md5
+        |  FROM w2, UNNEST(range(1, greatest(len(w) - 4, 1) + 1, 12)) AS u(s)),
+        |ded AS (
+        |  SELECT doc_id, chunk_idx, chunk_md5 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk_md5
+        |                                 ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|0') AS hh FROM ded),
+        |b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |  FROM h),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 838861 THEN 'train'
+        |         WHEN bucket < 943718 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     // q82: quality formula is q28's oracle; percent_rank over the
     // total order (quality, doc_id) is the same exact rational in
     // both engines.
