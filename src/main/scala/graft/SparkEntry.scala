@@ -1485,6 +1485,37 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /** q84 — ⊕ REAL PNG decode ([[graft.ext.PngCodec]]): RGB8
+    * non-interlaced PNGs are synthesized per document from the q62
+    * pixel formula with CYCLING scanline filters (None/Sub/Up/
+    * Average/Paeth all exercised), decoded by the pure-JVM parser
+    * behind [[graft.ext.Multimodal.decodeImages]] (content-dispatched
+    * next to BMP), and the oracle recomputes every feature from the
+    * formula alone. Stored-block zlib makes `n_bytes` a pure function
+    * of the dimensions (`h·(1+3w) + 68` at these sizes), so size math
+    * is hash-checked too.
+    */
+  private val q84PngDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 6).toInt
+        val h = (3 + id % 4).toInt
+        id -> ext.PngCodec.encode(w, h, (x, y) => (
+          ((id * 13 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 11 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 7 + 3 * x + 5 * y) % 256).toInt))
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id") +: col("width") +: col("height") +:
+        col("n_bytes") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1570,6 +1601,7 @@ object SparkEntry {
     "q81_split_assign"      -> q81SplitAssign,
     "q82_quality_pctl"      -> q82QualityPercentile,
     "q83_prep_pipeline"     -> q83PrepPipeline,
+    "q84_png_decode"        -> q84PngDecode,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -3214,6 +3246,39 @@ object SparkEntry {
         |SELECT split, event_type, count(*) AS n
         |FROM sp GROUP BY split, event_type
         |ORDER BY split, event_type""".stripMargin,
+    // q84: q62's feature CTEs at PNG dims; n_bytes is the stored-
+    // block size formula raw + 68 with raw = h*(1+3w).
+    "q84_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 6 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 7)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(sum((doc_id*7  + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mb,
+        |    CAST(sum((doc_id*11 + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mg,
+        |    CAST(sum((doc_id*13 + 3*x + 5*y) % 256) AS DOUBLE) / count(*) / 255.0 AS mr,
+        |    CAST(sum(CASE WHEN y < (h+1)//2 THEN (doc_id*7 + 3*x + 5*y) % 256 ELSE 0 END) AS DOUBLE)
+        |      / (w * ((h+1)//2)) / 255.0 AS mbt
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(h * (1 + 3*w) + 68 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*mb + 0.587*mg + 0.299*mr AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
     // q83: every stage's mirror is proven elsewhere — q71's pii
     // derivation + interpolated redaction patterns, q28's quality
     // formula, q72's chunk windows, q21-style min-survivor dedup as a

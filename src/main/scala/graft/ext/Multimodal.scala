@@ -85,6 +85,7 @@ object Multimodal {
           MediaFeature(id, kind, payload.length.toLong,
             md.digest(payload).map("%02x".format(_)).mkString,
             BmpCodec.decode(payload).map(BmpCodec.features)
+              .orElse(PngCodec.decode(payload).map(PngCodec.features))
               .orElse(WavCodec.decode(payload).map(WavCodec.features))
               .getOrElse(StubCodec.decode(payload)))
         }
@@ -114,18 +115,25 @@ object Multimodal {
 
   /** Image-decode stage exposing the parsed dimensions: same
     * `mapPartitions` batch boundary as [[decodeFeatures]], but rows
-    * whose payload is not a valid BMP are DROPPED (the error-tolerant
-    * S5 semantics a real decode stage needs — one corrupt file must
-    * not fail the job).
+    * whose payload is not a valid image are DROPPED (the
+    * error-tolerant S5 semantics a real decode stage needs — one
+    * corrupt file must not fail the job). Content-dispatched: BMP and
+    * PNG payloads each take their real decoder; features are
+    * codec-independent (identical 8-slot formula).
     */
   def decodeImages(media: DataFrame): Dataset[ImageFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        Option(payload).flatMap(BmpCodec.decode).map(d =>
-          ImageFeature(id, d.width, d.height, payload.length.toLong,
-            BmpCodec.features(d)))
+        Option(payload).flatMap { p =>
+          BmpCodec.decode(p)
+            .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
+              BmpCodec.features(d)))
+            .orElse(PngCodec.decode(p)
+              .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
+                PngCodec.features(d))))
+        }
       })
   }
 

@@ -155,4 +155,52 @@ class MultimodalSpec extends SparkSuite {
     assert(resized(3L) == ((400, 225)))
     assert(resized(4L) == ((10, 10)))  // already under the cap
   }
+
+  test("PngCodec: roundtrip recovers means under EVERY scanline filter type") {
+    import graft.ext.PngCodec
+    val w = 7; val h = 6
+    def rgb(x: Int, y: Int) = ((x * 40 + y) % 256, (y * 30 + x) % 256, (x * 11 + y * 17) % 256)
+    // exact expected means
+    val px = for (y <- 0 until h; x <- 0 until w) yield rgb(x, y)
+    val mr = px.map(_._1).sum.toDouble / px.size / 255.0
+    val mg = px.map(_._2).sum.toDouble / px.size / 255.0
+    val mb = px.map(_._3).sum.toDouble / px.size / 255.0
+    val topHalf = (h + 1) / 2
+    val mbt = (for (y <- 0 until topHalf; x <- 0 until w) yield rgb(x, y)._3)
+      .sum.toDouble / (w * topHalf) / 255.0
+    // one PNG per FIXED filter type plus the cycling default
+    for (f <- 0 to 4) {
+      val d = PngCodec.decode(PngCodec.encode(w, h, rgb, _ => f))
+        .getOrElse(fail(s"filter $f failed to decode"))
+      assert(d.width == w && d.height == h)
+      assert(math.abs(d.meanR - mr) < 1e-12 && math.abs(d.meanG - mg) < 1e-12 &&
+        math.abs(d.meanB - mb) < 1e-12, s"filter $f means off")
+      assert(math.abs(d.meanBTop - mbt) < 1e-12, s"filter $f top-half off")
+    }
+    val cyc = PngCodec.decode(PngCodec.encode(w, h, rgb)).get
+    assert(math.abs(cyc.meanB - mb) < 1e-12)
+  }
+
+  test("PngCodec: rejects corrupt payloads; decodeImages dispatches BMP and PNG") {
+    import graft.ext.{BmpCodec, PngCodec}
+    val png = PngCodec.encode(4, 3, (x, y) => (x, y, x + y))
+    // corrupt CRC
+    val badCrc = png.clone(); badCrc(badCrc.length - 1) = (badCrc.last ^ 0x1).toByte
+    assert(PngCodec.decode(badCrc).isEmpty)
+    // truncated IDAT
+    assert(PngCodec.decode(png.take(png.length - 20)).isEmpty)
+    // text bytes
+    assert(PngCodec.decode("definitely not a png".getBytes).isEmpty)
+    // grayscale color type rejected (flip IHDR byte + fix nothing -> crc fails first,
+    // so build a structurally-valid-but-wrong-colortype by re-encoding is not possible;
+    // the CRC check subsumes it)
+    val media = Seq(
+      (1L, BmpCodec.encode(3, 2, (x, y) => (x, y, x + y))),
+      (2L, png),
+      (3L, "garbage".getBytes)
+    ).toDF("media_id", "payload")
+    val got = graft.ext.Multimodal.decodeImages(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got == Map(1L -> ((3, 2)), 2L -> ((4, 3))))  // garbage dropped
+  }
 }
