@@ -189,4 +189,71 @@ object EventStream {
       .transformWithState(new ErrorAlertProcessor(every),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** ⊕ Streaming CDC apply: maintain a keyed parquet snapshot by
+    * applying each micro-batch's I/U/D changes through
+    * [[graft.ops.Merge.applyChanges]] inside `foreachBatch` — the
+    * continuous form of the q74 batch merge (what a Delta/Iceberg
+    * MERGE sink does, on plain parquet).
+    *
+    * Snapshot versioning: parquet can't overwrite a path it is
+    * reading in the same job, so each batch writes
+    * `$snapshotDir/v=<batchId>` and then points `_latest` at it —
+    * write-ahead then atomic-ish pointer swap. Replayed batches (the
+    * at-least-once `foreachBatch` contract after a crash) simply
+    * rewrite their own version directory and re-swing the pointer to
+    * the same content: the merge is idempotent per batch, so the
+    * snapshot converges exactly-once.
+    *
+    * Scale: per batch this is the q74 plan — one window on the DELTA
+    * (micro-batches are small) + one join against the snapshot;
+    * Catalyst broadcasts the compacted delta. Old versions are the
+    * caller's retention policy (kept = time travel; deleted = compact).
+    */
+  def applyChangesStream(changes: DataFrame, snapshotDir: String,
+                         checkpointDir: String, key: String, seqCol: String,
+                         opCol: String, tieCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snap = currentSnapshot(spark, snapshotDir)
+          .getOrElse(batch.filter(lit(false))
+            .select(col(key) +: snapshotPayload(batch, key, seqCol, opCol, tieCol): _*))
+        val merged = graft.ops.Merge.applyChanges(snap, batch, key, seqCol, opCol, tieCol)
+        val vDir = s"$snapshotDir/v=$batchId"
+        merged.write.mode("overwrite").parquet(vDir)
+        writePointer(snapshotDir, vDir)
+      }
+      .start()
+  }
+
+  /** The snapshot the next batch merges into: the version `_latest`
+    * points at, or None before the first batch commits.
+    */
+  def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
+    val ptr = new java.io.File(snapshotDir, "_latest")
+    if (!ptr.exists()) None
+    else {
+      val v = new String(
+        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+      Some(spark.read.parquet(v))
+    }
+  }
+
+  private def snapshotPayload(batch: DataFrame, key: String, seqCol: String,
+                              opCol: String, tieCol: String) =
+    batch.columns.filterNot(c => c == key || c == seqCol || c == opCol || c == tieCol)
+      .map(col)
+
+  private def writePointer(snapshotDir: String, vDir: String): Unit = {
+    val dir = new java.io.File(snapshotDir); dir.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_latest", ".tmp")
+    java.nio.file.Files.write(tmp, vDir.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, new java.io.File(dir, "_latest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }

@@ -238,4 +238,35 @@ class StreamingSpec extends SparkSuite {
       assert(got == Set((7L, 2L), (7L, 4L)))
     } finally q.stop()
   }
+
+  // (k, name, bal, seq, op, chg_id) — a CDC change record
+  case class Change(k: Long, name: String, bal: Double,
+                    seq: Long, op: String, chg_id: Long)
+
+  test("applyChangesStream maintains the merged snapshot across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val mem = MemoryStream[Change]
+    val q = EventStream.applyChangesStream(mem.toDF(),
+      s"$root/snap", s"$root/ckpt", "k", "seq", "op", "chg_id")
+    try {
+      mem.addData(
+        Change(1L, "alice", 10.0, 100L, "I", 1L),
+        Change(2L, "bob", 20.0, 100L, "I", 2L))
+      q.processAllAvailable()
+      val v1 = EventStream.currentSnapshot(spark, s"$root/snap").get
+        .as[(Long, String, Double)].collect().toSet
+      assert(v1 == Set((1L, "alice", 10.0), (2L, "bob", 20.0)))
+
+      mem.addData(
+        Change(1L, "alice_v2", 11.0, 200L, "U", 3L),
+        Change(2L, "gone", 0.0, 200L, "D", 4L),
+        Change(3L, "carol", 30.0, 200L, "I", 5L),
+        Change(3L, "carol_v2", 31.0, 300L, "U", 6L)) // same-batch compaction
+      q.processAllAvailable()
+      val v2 = EventStream.currentSnapshot(spark, s"$root/snap").get
+        .as[(Long, String, Double)].collect().toSet
+      assert(v2 == Set((1L, "alice_v2", 11.0), (3L, "carol_v2", 31.0)))
+    } finally q.stop()
+  }
 }
