@@ -1516,6 +1516,23 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q85 — ⊕ exponential time-decay score
+    * ([[graft.ops.Time.decayedScore]]): recency-weighted engagement
+    * per user via the running-sum reformulation
+    * `exp(−λt)·Σ vᵢ·exp(λtᵢ)` — O(n) with ONE window instead of the
+    * naive per-row frame recomputation. Timestamps rebased to days
+    * since 2024-01-01 so the inner exponentials stay in range.
+    */
+  private val q85DecayScore: Q = (s, dir) => {
+    val t = (unix_seconds(col("ts")) - lit(1704067200L)) / lit(86400.0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("decay_score", round(graft.ops.Time.decayedScore(
+        col("user_id"), t, col("event_id"), col("value"), lambda = 0.1), 4))
+      .select(col("event_id"), col("user_id"), col("decay_score"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1602,6 +1619,7 @@ object SparkEntry {
     "q82_quality_pctl"      -> q82QualityPercentile,
     "q83_prep_pipeline"     -> q83PrepPipeline,
     "q84_png_decode"        -> q84PngDecode,
+    "q85_decay_score"       -> q85DecayScore,
   )
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
@@ -3246,6 +3264,20 @@ object SparkEntry {
         |SELECT split, event_type, count(*) AS n
         |FROM sp GROUP BY split, event_type
         |ORDER BY split, event_type""".stripMargin,
+    // q85: same reformulated expression tree (operand order included)
+    // on both engines; floor(epoch) for Spark's truncation semantics;
+    // (t, event_id) total order fixes the prefix-sum sequence.
+    "q85_decay_score" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) / 86400.0 AS t
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(exp(t * -0.1) * sum(value * exp(t * 0.1))
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS decay_score
+        |FROM e ORDER BY event_id""".stripMargin,
     // q84: q62's feature CTEs at PNG dims; n_bytes is the stored-
     // block size formula raw + 68 with raw = h*(1+3w).
     "q84_png_decode" ->

@@ -54,6 +54,33 @@ object Time {
       .rangeBetween(-spanSec, org.apache.spark.sql.expressions.Window.currentRow)
   }
 
+  /** ⊕ Exponential time-decay score per key: at each event,
+    * `score = Σ_{i ≤ now} value_i · exp(−λ·(t_now − t_i))` — the
+    * standard recency-weighted engagement/feature signal.
+    *
+    * The naive form recomputes the whole weighted sum per row (O(n²)
+    * per key, and SQL window aggregates can't reference the current
+    * row's timestamp inside the frame anyway). The algebraic
+    * reformulation `exp(−λ·t_now) · Σ value_i · exp(λ·t_i)` turns it
+    * into ONE running window sum over `u_i = value_i·exp(λ·t_i)` —
+    * one shuffle on the key, one ordered pass per partition, O(n).
+    *
+    * `tRef` rebases timestamps (days since a fixed epoch) so
+    * `exp(λ·t)` stays in range — with raw epoch seconds the inner
+    * terms overflow double. λ is per `tUnit` of the rebased axis.
+    */
+  def decayedScore(partition: Column, t: Column, tie: Column, value: Column,
+                   lambda: Double): Column = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    // (t, tie) is a TOTAL order: with a ROWS frame, equal-t rows would
+    // otherwise receive order-dependent prefix sums
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partition).orderBy(t.asc, tie.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    exp(t * -lambda) * sum(value * exp(t * lambda)).over(w)
+  }
+
   /** The lower bound itself (for APIs that want a `sinceTs` value,
     * e.g. [[graft.pipelines.SignalScan.Params]]); None for `"all"`.
     */

@@ -212,6 +212,31 @@ class OpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.assignSplit("k", Nil))
   }
 
+  test("Time.decayedScore matches the naive per-row weighted sum") {
+    import graft.ops.Time
+    // deterministic pseudo-random fixture, multiple keys, tied times
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (i % 4).toLong, (i * 7919 % 20) / 2.0, (i * 104729 % 50) / 10.0)
+    } // (id, key, t, value)
+    val df = rows.toDF("id", "k", "t", "v")
+    val got = df.withColumn("s",
+        Time.decayedScore(col("k"), col("t"), col("id"), col("v"), lambda = 0.3))
+      .select("id", "s").as[(Long, Double)].collect().toMap
+    // naive reference: for each row, sum over rows at-or-before it in
+    // (t, id) order within the key
+    val naive = rows.map { case (id, k, t, _) =>
+      val s = rows.filter { case (id2, k2, t2, _) =>
+        k2 == k && (t2 < t || (t2 == t && id2 <= id))
+      }.map { case (_, _, t2, v2) => v2 * math.exp(-0.3 * (t - t2)) }.sum
+      id -> s
+    }.toMap
+    rows.foreach { case (id, _, _, _) =>
+      assert(math.abs(got(id) - naive(id)) < 1e-9, s"row $id: ${got(id)} vs ${naive(id)}")
+    }
+    intercept[IllegalArgumentException](
+      Time.decayedScore(col("k"), col("t"), col("id"), col("v"), lambda = 0.0))
+  }
+
   test("Time.trailingWindow: inclusive [ts-span, ts] frame per key, peers included") {
     import graft.ops.Time
     // per-key epochs; span 10 -> frames computed by hand
