@@ -1533,6 +1533,28 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** q86 — ⊕ approximate kNN-graph construction: LSH candidate pairs
+    * (q26's exact configuration, threshold 0.3) symmetrized and
+    * rank-limited to each vector's top-3 neighbors — the neighbor
+    * graph a diversity/dedup pass walks. Candidate generation stays
+    * banded (never all-pairs); the per-vector top-k is one window
+    * over the pair list (WindowGroupLimit pushes the rank filter
+    * map-side).
+    */
+  private val q86KnnGraph: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ext.Similarity.annLsh(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), threshold = 0.3)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))
+    sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("cos_sim"), col("nbr"))))
+      .filter(col("rn") <= 3)
+      .select(col("src"), col("nbr"), col("cos_sim"))
+      .orderBy(col("src"), desc("cos_sim"), col("nbr"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1620,7 +1642,52 @@ object SparkEntry {
     "q83_prep_pipeline"     -> q83PrepPipeline,
     "q84_png_decode"        -> q84PngDecode,
     "q85_decay_score"       -> q85DecayScore,
+    "q86_knn_graph"         -> q86KnnGraph,
   )
+
+  /** Shared CTE chain: q26's full SRP-LSH derivation up to the
+    * verified candidate `pairs(id_a, id_b, cos_sim)` — reused by the
+    * q86 kNN-graph oracle so the two can never drift.
+    */
+  private def annLshPairsCte: String =
+    raw"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM n WHERE sq > 0),
+        |comp AS (
+        |  SELECT t.t, b.b, d.d,
+        |    CASE WHEN strpos('13579bdf',
+        |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)
+        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
+        |         THEN -1.0 ELSE 1.0 END AS c
+        |  FROM (SELECT unnest(range(0, 16)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM comp GROUP BY t, b),
+        |proj AS (
+        |  SELECT nv.vec_id, pl.t, pl.b,
+        |    list_sum(list_transform(range(1, 65), i -> nv.nv[i] * pl.pv[i])) AS dp
+        |  FROM nv CROSS JOIN pl),
+        |bk AS (
+        |  SELECT vec_id, t AS table_idx,
+        |    CAST(sum(CASE WHEN dp >= 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |bsz AS (
+        |  SELECT table_idx, bucket FROM bk
+        |  GROUP BY table_idx, bucket HAVING count(*) <= $MaxBucketCap),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM bk a JOIN bsz USING (table_idx, bucket)
+        |            JOIN bk c USING (table_idx, bucket)
+        |  WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |                                  i -> x.nv[i] * y.nv[i])), 4) AS cos_sim
+        |  FROM cand JOIN nv x ON x.vec_id = id_a JOIN nv y ON y.vec_id = id_b)""".stripMargin
 
   /** `B^j mod M` power table for the q40 winnowing oracle — the
     * Karp-Rabin gram hash re-derives per position as
@@ -2012,48 +2079,27 @@ object SparkEntry {
     // re-derive from the same md5-parity rule as Similarity.planeComp,
     // so bucketing, candidate generation, and the exact-cosine verify
     // are all hard-checked (same approach that oracles q22's banding).
+    // NOTE: the shared CTE is stripMargin'd once inside the helper;
+    // the tails are stripped separately and concatenated so the CTE's
+    // `||` operators are never re-stripped.
     "q26_ann_lsh" ->
-      raw"""WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
-        |nv AS (
-        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
-        |  FROM n WHERE sq > 0),
-        |comp AS (
-        |  SELECT t.t, b.b, d.d,
-        |    CASE WHEN strpos('13579bdf',
-        |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)
-        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
-        |         THEN -1.0 ELSE 1.0 END AS c
-        |  FROM (SELECT unnest(range(0, 16)) AS t) t
-        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
-        |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM comp GROUP BY t, b),
-        |proj AS (
-        |  SELECT nv.vec_id, pl.t, pl.b,
-        |    list_sum(list_transform(range(1, 65), i -> nv.nv[i] * pl.pv[i])) AS dp
-        |  FROM nv CROSS JOIN pl),
-        |bk AS (
-        |  SELECT vec_id, t AS table_idx,
-        |    CAST(sum(CASE WHEN dp >= 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY vec_id, t),
-        |bsz AS (
-        |  SELECT table_idx, bucket FROM bk
-        |  GROUP BY table_idx, bucket HAVING count(*) <= $MaxBucketCap),
-        |cand AS (
-        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
-        |  FROM bk a JOIN bsz USING (table_idx, bucket)
-        |            JOIN bk c USING (table_idx, bucket)
-        |  WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b,
-        |    round(list_sum(list_transform(range(1, 65),
-        |                                  i -> x.nv[i] * y.nv[i])), 4) AS cos_sim
-        |  FROM cand JOIN nv x ON x.vec_id = id_a JOIN nv y ON y.vec_id = id_b)
-        |SELECT id_a, id_b, cos_sim FROM pairs
-        |WHERE cos_sim >= 0.42
-        |ORDER BY id_a, id_b""".stripMargin,
+      (annLshPairsCte + "\n" +
+        """SELECT id_a, id_b, cos_sim FROM pairs
+          |WHERE cos_sim >= 0.42
+          |ORDER BY id_a, id_b""".stripMargin),
+    // q86: same pair derivation, symmetrized, per-vector top-3
+    "q86_knn_graph" ->
+      (annLshPairsCte + ",\n" +
+        """sym AS (
+          |  SELECT id_a AS src, id_b AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3
+          |  UNION ALL
+          |  SELECT id_b AS src, id_a AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3)
+          |SELECT src, nbr, cos_sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY src
+          |                               ORDER BY cos_sim DESC, nbr) AS rn
+          |  FROM sym)
+          |WHERE rn <= 3
+          |ORDER BY src, cos_sim DESC, nbr""".stripMargin),
     "q27_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,
