@@ -149,4 +149,32 @@ class PropertySpec extends SparkSuite {
       df.filter(ops.Time.timeFilter(col("ts"), f, now)).count())
     assert(counts == counts.sorted, s"not nested: $counts")
   }
+
+  test("applyChanges equals the naive LWW reference on random changesets") {
+    // (key, name-ish payload, seq, op, chg_id) with colliding keys and
+    // tied seqs so compaction and tie-break both matter
+    val changeGen = for {
+      k <- Gen.choose(0L, 15L)
+      p <- Gen.choose(0, 99)
+      seq <- Gen.choose(0L, 5L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (k, s"p$p", seq, op)
+    val caseGen = Gen.listOfN(40, changeGen)
+
+    samples(caseGen, 8).zipWithIndex.foreach { case (chs0, ci) =>
+      val chs = chs0.zipWithIndex.map { case ((k, p, seq, op), i) =>
+        (k, p, seq, op, i.toLong) // unique chg_id
+      }
+      val snapshot = (0L to 9L).map(k => (k, s"orig$k")).toDF("k", "name")
+      val changes = chs.toDF("k", "name", "seq", "op", "chg_id")
+      val got = graft.ops.Merge.applyChanges(snapshot, changes, "k", "seq", "op", "chg_id")
+        .as[(Long, String)].collect().toMap
+
+      val latest = chs.groupBy(_._1).view.mapValues(_.maxBy(c => (c._3, c._5))).toMap
+      val naive = ((0L to 9L).map(k => k -> s"orig$k").toMap ++
+        latest.collect { case (k, (_, p, _, op, _)) if op != "D" => k -> p })
+        .removedAll(latest.collect { case (k, (_, _, _, "D", _)) => k })
+      assert(got == naive, s"case $ci: $got vs $naive")
+    }
+  }
 }
