@@ -166,10 +166,14 @@ object PngCodec {
       pos += 12 + len
     }
     if (!sawIhdr || !sawIend) return None
-    val stride = width * 3
-    val rawLen = height.toLong * (1 + stride)
-    if (rawLen > Int.MaxValue) return None
-    val raw = new Array[Byte](rawLen.toInt)
+    // Long arithmetic first: width ≥ 715,827,883 overflows Int stride to
+    // negative, which would sail past a post-hoc rawLen guard and throw
+    // NegativeArraySizeException at allocation (task crash, not None).
+    val strideL = width.toLong * 3
+    val rawLenL = height.toLong * (1L + strideL)
+    if (strideL >= Int.MaxValue || rawLenL > Int.MaxValue) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
     try {

@@ -38,8 +38,15 @@ object Merge {
   def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
                    seqCol: String, opCol: String, tieCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == key)
+    // Fail loudly on malformed changesets: any op outside {I,U,D}
+    // (including null) raises at execution instead of silently
+    // upserting a typo'd code into the snapshot.
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol)).otherwise(raise_error(
+        concat(lit(s"Merge.applyChanges: unexpected $opCol value '"),
+               coalesce(col(opCol), lit("null")), lit("' (expected I|U|D)")))))
     // Compact the changeset: last writer per key wins.
-    val latest = changes
+    val latest = checked
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(desc(seqCol), desc(tieCol))))
       .filter(col("__rn") === 1)

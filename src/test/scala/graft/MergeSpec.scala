@@ -47,6 +47,25 @@ class MergeSpec extends SparkSuite {
     assert(got == snapshot.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("applyChanges fails loudly on op codes outside {I,U,D}") {
+    // A typo'd op must raise at execution, not silently upsert.
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    val typo = Seq((2L, "x", 1.0, 100L, "X", 1L))
+      .toDF("k", "name", "bal", "seq", "op", "chg_id")
+    val e1 = intercept[Throwable] {
+      Merge.applyChanges(snapshot, typo, "k", "seq", "op", "chg_id").collect()
+    }
+    assert(chain(e1).contains("expected I|U|D"))
+    // null op is equally malformed
+    val nul = Seq((2L, "x", 1.0, 100L, Option.empty[String], 1L))
+      .toDF("k", "name", "bal", "seq", "op", "chg_id")
+    val e2 = intercept[Throwable] {
+      Merge.applyChanges(snapshot, nul, "k", "seq", "op", "chg_id").collect()
+    }
+    assert(chain(e2).contains("expected I|U|D"))
+  }
+
   test("upsert replaces the FULL row (no column patching)") {
     // A change row carrying a null payload column must null the
     // snapshot value, not keep it — MERGE semantics are full-row.

@@ -203,4 +203,37 @@ class MultimodalSpec extends SparkSuite {
       .map(f => f.media_id -> ((f.width, f.height))).toMap
     assert(got == Map(1L -> ((3, 2)), 2L -> ((4, 3))))  // garbage dropped
   }
+
+  test("PngCodec: CRC-valid header with overflowing dimensions returns None, not a crash") {
+    import graft.ext.PngCodec
+    // Hand-build a structurally valid (signature + CRC-correct chunks) PNG
+    // whose IHDR dimensions overflow Int stride / rawLen arithmetic. Before
+    // the Long-arithmetic guard this threw NegativeArraySizeException out of
+    // decode — crashing the task instead of honoring the skip-corrupt contract.
+    def chunk(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length); bb.put(tpe.getBytes("US-ASCII")); bb.put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    def ihdr(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13)
+      bb.putInt(w); bb.putInt(h)
+      bb.put(8.toByte); bb.put(2.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      bb.array()
+    }
+    def png(w: Int, h: Int): Array[Byte] =
+      sig ++ chunk("IHDR", ihdr(w, h)) ++ chunk("IDAT", Array.emptyByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    // width*3 overflows Int (715,827,883 * 3 > Int.MaxValue)
+    assert(PngCodec.decode(png(715827883, 1)).isEmpty)
+    // stride fine, height*(1+stride) overflows Int
+    assert(PngCodec.decode(png(100000, 100000)).isEmpty)
+    // sanity: the guard doesn't reject plausible large-but-valid dims outright
+    // (this one fails later for lack of IDAT data, still None, still no throw)
+    assert(PngCodec.decode(png(1024, 768)).isEmpty)
+  }
 }
