@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -199,11 +200,23 @@ object EventStream {
     * Snapshot versioning: parquet can't overwrite a path it is
     * reading in the same job, so each batch writes
     * `$snapshotDir/v=<batchId>` and then points `_latest` at it —
-    * write-ahead then atomic-ish pointer swap. Replayed batches (the
-    * at-least-once `foreachBatch` contract after a crash) simply
-    * rewrite their own version directory and re-swing the pointer to
-    * the same content: the merge is idempotent per batch, so the
-    * snapshot converges exactly-once.
+    * write-ahead then pointer swap (see [[writePointer]] for the
+    * atomicity contract per filesystem).
+    *
+    * Crash replay (the at-least-once `foreachBatch` contract): if the
+    * process dies AFTER the pointer swing but BEFORE the streaming
+    * checkpoint commits, the replayed batch would read `_latest` —
+    * now its own `v=<batchId>` dir — and overwrite the same path,
+    * which Spark rejects ("Cannot overwrite a path that is also being
+    * read from") and every restart would re-fail. So the batch
+    * SHORT-CIRCUITS when the pointer already equals its own version
+    * dir: the pointer swings only after the version write completes,
+    * so pointer == vDir proves the batch's full effect is on disk and
+    * replay is a no-op. Dying between version-write and pointer swing
+    * instead leaves the pointer at v=<prev>; the replay then re-merges
+    * from v=<prev> and overwrites the orphaned v=<batchId> (legal —
+    * it is not being read). Either way the snapshot converges
+    * exactly-once.
     *
     * Scale: per batch this is the q74 plan — one window on the DELTA
     * (micro-batches are small) + one join against the snapshot;
@@ -219,27 +232,52 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val snap = currentSnapshot(spark, snapshotDir)
-          .getOrElse(batch.filter(lit(false))
-            .select(col(key) +: snapshotPayload(batch, key, seqCol, opCol, tieCol): _*))
-        val merged = graft.ops.Merge.applyChanges(snap, batch, key, seqCol, opCol, tieCol)
-        val vDir = s"$snapshotDir/v=$batchId"
-        merged.write.mode("overwrite").parquet(vDir)
-        writePointer(snapshotDir, vDir)
+        applyChangesBatch(spark, batch, batchId, snapshotDir,
+          key, seqCol, opCol, tieCol)
       }
       .start()
+  }
+
+  /** One micro-batch of the CDC apply — the `foreachBatch` body,
+    * visible so crash-replay sequences can be driven deterministically
+    * in tests. Idempotent per (batchId, batch-content): see the replay
+    * contract on [[applyChangesStream]].
+    */
+  def applyChangesBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                        snapshotDir: String, key: String, seqCol: String,
+                        opCol: String, tieCol: String): Unit = {
+    val vDir = s"$snapshotDir/v=$batchId"
+    val current = currentSnapshotPath(spark, snapshotDir)
+    if (current.contains(vDir)) return // replay after pointer swing: committed
+    val snap = current.map(spark.read.parquet(_))
+      .getOrElse(batch.filter(lit(false))
+        .select(col(key) +: snapshotPayload(batch, key, seqCol, opCol, tieCol): _*))
+    val merged = graft.ops.Merge.applyChanges(snap, batch, key, seqCol, opCol, tieCol)
+    merged.write.mode("overwrite").parquet(vDir)
+    writePointer(spark, snapshotDir, vDir)
   }
 
   /** The snapshot the next batch merges into: the version `_latest`
     * points at, or None before the first batch commits.
     */
-  def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
-    val ptr = new java.io.File(snapshotDir, "_latest")
-    if (!ptr.exists()) None
+  def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    currentSnapshotPath(spark, snapshotDir).map(spark.read.parquet(_))
+
+  /** The version path `_latest` points at, or None before the first
+    * commit. Hadoop [[FileSystem]] API throughout — the snapshot of a
+    * 100 TB corpus lives on HDFS/S3/ABFS, not the driver's local disk.
+    */
+  def currentSnapshotPath(spark: SparkSession, snapshotDir: String): Option[String] = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new Path(dir, "_latest")
+    if (!fs.exists(ptr)) None
     else {
-      val v = new String(
-        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
-      Some(spark.read.parquet(v))
+      val len = fs.getFileStatus(ptr).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim)
     }
   }
 
@@ -248,12 +286,34 @@ object EventStream {
     batch.columns.filterNot(c => c == key || c == seqCol || c == opCol || c == tieCol)
       .map(col)
 
-  private def writePointer(snapshotDir: String, vDir: String): Unit = {
-    val dir = new java.io.File(snapshotDir); dir.mkdirs()
-    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_latest", ".tmp")
-    java.nio.file.Files.write(tmp, vDir.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, new java.io.File(dir, "_latest").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** Swing `_latest` to `vDir`: write-temp-then-rename via
+    * [[FileContext]] with `Rename.OVERWRITE`.
+    *
+    * Atomicity contract: on HDFS, ABFS and POSIX local filesystems
+    * the overwrite-rename is atomic — readers see the old pointer or
+    * the new one, never a partial file. On S3A, rename is
+    * copy-then-delete and `Rename.OVERWRITE` deletes the destination
+    * first, so there is a small window where `_latest` is absent and
+    * [[currentSnapshotPath]] returns None; concurrent READERS on S3
+    * should retry-on-missing or resolve versions by listing `v=*`.
+    * The WRITER is immune: only the single streaming query mutates
+    * the pointer, and a crash inside the window replays the batch,
+    * which rebuilds the same content (see [[applyChangesStream]]).
+    * The temp name is deterministic per version (no clock/random) so
+    * a crashed attempt's leftover temp is simply overwritten by the
+    * retry.
+    */
+  private def writePointer(spark: SparkSession, snapshotDir: String,
+                           vDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s"_latest.tmp.${new Path(vDir).getName}")
+    val out = fs.create(tmp, true)
+    try out.write(vDir.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(dir, "_latest")),
+      Options.Rename.OVERWRITE)
   }
 }

@@ -269,4 +269,50 @@ class StreamingSpec extends SparkSuite {
       assert(v2 == Set((1L, "alice_v2", 11.0), (3L, "carol_v2", 31.0)))
     } finally q.stop()
   }
+
+  test("CDC apply: crash-replay AFTER pointer swing short-circuits (no overwrite-while-reading wedge)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_replay").toString
+    val snapDir = s"$root/snap"
+    val cols = Seq("k", "name", "bal", "seq", "op", "chg_id")
+    val b0 = Seq((1L, "alice", 10.0, 100L, "I", 1L),
+                 (2L, "bob", 20.0, 100L, "I", 2L)).toDF(cols: _*)
+    val b1 = Seq((1L, "alice_v2", 11.0, 200L, "U", 3L)).toDF(cols: _*)
+    EventStream.applyChangesBatch(spark, b0, 0L, snapDir, "k", "seq", "op", "chg_id")
+    EventStream.applyChangesBatch(spark, b1, 1L, snapDir, "k", "seq", "op", "chg_id")
+    val committed = EventStream.currentSnapshot(spark, snapDir).get
+      .as[(Long, String, Double)].collect().toSet
+    assert(committed == Set((1L, "alice_v2", 11.0), (2L, "bob", 20.0)))
+    // Simulated crash between pointer swing and checkpoint commit:
+    // foreachBatch re-delivers batch 1. Pointer already names v=1, so the
+    // batch must no-op — before the short-circuit this threw "Cannot
+    // overwrite a path that is also being read from" on EVERY restart.
+    EventStream.applyChangesBatch(spark, b1, 1L, snapDir, "k", "seq", "op", "chg_id")
+    assert(EventStream.currentSnapshotPath(spark, snapDir).contains(s"$snapDir/v=1"))
+    val replayed = EventStream.currentSnapshot(spark, snapDir).get
+      .as[(Long, String, Double)].collect().toSet
+    assert(replayed == committed)
+  }
+
+  test("CDC apply: crash BETWEEN version write and pointer swing replays cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_crash").toString
+    val snapDir = s"$root/snap"
+    val cols = Seq("k", "name", "bal", "seq", "op", "chg_id")
+    val b0 = Seq((1L, "alice", 10.0, 100L, "I", 1L)).toDF(cols: _*)
+    val b1 = Seq((1L, "alice_v2", 11.0, 200L, "U", 3L),
+                 (2L, "bob", 20.0, 200L, "I", 4L)).toDF(cols: _*)
+    EventStream.applyChangesBatch(spark, b0, 0L, snapDir, "k", "seq", "op", "chg_id")
+    // Simulate batch 1 dying after its version write but BEFORE the pointer
+    // swing: v=1 exists (even with different/garbage content from a partial
+    // attempt) while _latest still names v=0.
+    Seq((9L, "partial", 0.0)).toDF("k", "name", "bal")
+      .write.mode("overwrite").parquet(s"$snapDir/v=1")
+    assert(EventStream.currentSnapshotPath(spark, snapDir).contains(s"$snapDir/v=0"))
+    // Replay of batch 1 must re-merge from v=0, overwrite the orphaned v=1,
+    // and swing the pointer — converging to the same exactly-once result.
+    EventStream.applyChangesBatch(spark, b1, 1L, snapDir, "k", "seq", "op", "chg_id")
+    assert(EventStream.currentSnapshotPath(spark, snapDir).contains(s"$snapDir/v=1"))
+    val got = EventStream.currentSnapshot(spark, snapDir).get
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "alice_v2", 11.0), (2L, "bob", 20.0)))
+  }
 }
