@@ -1117,7 +1117,7 @@ object SparkEntry {
     * closure.
     */
   private val q66EmbeddingDedup: Q = (s, dir) => {
-    val pairs = ext.Similarity.annLsh(Tables.embeddings(s, dir),
+    val pairs = ext.Similarity.annLshPairs(Tables.embeddings(s, dir),
       col("vec_id"), col("embedding"), threshold = 0.42)
     ext.Dedup.dupClusters(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
@@ -1540,13 +1540,20 @@ object SparkEntry {
     * banded (never all-pairs); the per-vector top-k is one window
     * over the pair list (WindowGroupLimit pushes the rank filter
     * map-side).
+    *
+    * Symmetrization is one row-local `explode(array(struct(a,b),
+    * struct(b,a)))` over the UNSORTED pair form — not a `unionByName`
+    * of the subtree, which planned pair expansion + cosine verify
+    * twice (ReuseExchange only saved the shuffles).
     */
   private val q86KnnGraph: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val pairs = ext.Similarity.annLsh(Tables.embeddings(s, dir),
+    val pairs = ext.Similarity.annLshPairs(Tables.embeddings(s, dir),
       col("vec_id"), col("embedding"), threshold = 0.3)
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim")),
+        struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cos_sim").as("cos_sim"))
     sym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(desc("cos_sim"), col("nbr"))))

@@ -241,7 +241,21 @@ object Similarity {
     */
   def annLsh(df: DataFrame, id: Column, vec: Column,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
-             roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+             roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    annLshPairs(df, id, vec, threshold, numTables, bitsPerTable, roundTo, maxBucket)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[annLsh]] without the terminal global sort — the form
+    * compositional consumers want: q66 re-aggregates the pairs into
+    * clusters and q86 re-windows them per vector, so a presentation
+    * `orderBy` (range-partition + sort) between pair generation and
+    * the consumer's own shuffle is dead cost. The cross-table
+    * `distinct` stays — it is semantics (a pair colliding in several
+    * LSH tables must surface once), not presentation.
+    */
+  def annLshPairs(df: DataFrame, id: Column, vec: Column,
+                  threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
+                  roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
     val bucketed = nv.select(col("id"), col("nv"),
@@ -254,7 +268,6 @@ object Similarity {
         round(dot(col("a.nv"), col("b.nv")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding

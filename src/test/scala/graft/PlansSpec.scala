@@ -66,6 +66,21 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("q86 kNN-graph symmetrizes with ONE pair-generation subtree") {
+    // regression guard for the explode symmetrization: the old
+    // unionByName(pairs, pairs.swapped) form planned the LSH bucketing,
+    // pair expansion and cosine verify TWICE (ReuseExchange only saved
+    // the shuffles). One lsh_buckets generate + one parquet scan = one
+    // subtree.
+    val df = SparkEntry.queries("q86_knn_graph")(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+    val lshGens = plan.linesIterator.count(_.contains("lshbuckets"))
+    assert(lshGens == 1, s"expected 1 lshbuckets generate, got $lshGens")
+  }
+
   test("GraftExtensions registers the rule at session build time") {
     val s = SparkSession.builder()
       .master("local[2]")
