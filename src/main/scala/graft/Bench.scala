@@ -51,7 +51,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"}"""
+    println(line)
+    // Also persist the full line: the driver's fixed-size stdout tail
+    // capture truncated BENCH_r06.json (lost q01-q24 + the total), so
+    // the on-disk record must not depend on the console.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

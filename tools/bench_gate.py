@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
 """Per-query bench regression gate.
 
-Usage: python3 tools/bench_gate.py BENCH_new.json BENCH_old.json [--max-ratio 2.0]
+Usage: python3 tools/bench_gate.py BENCH_new.json BENCH_old.json [--max-ratio 2.0] [--no-retime]
 
 Compares the per-query seconds of two Bench JSON outputs (the one-line
 {"metric":"total",...,"queries":{...}} format) and FAILS (exit 1),
 loudly, if any query shared by both runs regressed by more than
 --max-ratio (default 2x). Queries present in only one run are listed
 informationally and never fail the gate (new queries have no baseline).
+
+Flagged ratio regressions are AUTO-RETIMED once (a fresh Bench run
+restricted to the flagged queries via SPARK_GRAFT_ONLY, same sf dir as
+the new run) before the gate reports: this machine shows bursty
+external load, and rounds 2/4/6 each burned a triage cycle on 2-4x
+"regressions" that vanished on an idle re-run. A flag that clears on
+re-time is reported as phantom, not failed. --no-retime skips this
+(e.g. when the binary that produced BENCH_new is no longer current).
 
 Sub-0.2s queries are ignored for the ratio check: at that floor the
 timing is dominated by the fixed per-job cost and a 2x swing is noise,
@@ -18,7 +26,9 @@ the round-2 q24/q31 "regressions" slipped in silently because nothing
 compared the new numbers against the previous round.
 """
 import json
+import os
 import re
+import subprocess
 import sys
 
 
@@ -48,14 +58,42 @@ def load(path):
     return {'queries': qs}
 
 
+def retime(queries, sf_dir):
+    """Re-run Bench restricted to `queries` (min-of-3 inside Bench) and
+    return its per-query seconds. Empty dict on any failure — the gate
+    then falls back to the original (flagged) numbers."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY=','.join(sorted(queries)),
+               SPARK_GRAFT_CPUS=os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    print(f"  re-timing {len(queries)} flagged quer"
+          f"{'y' if len(queries) == 1 else 'ies'} on {sf_dir} ...")
+    try:
+        proc = subprocess.run(['sbt', '-batch', 'runMain graft.Bench'],
+                              cwd=repo, env=env, capture_output=True,
+                              text=True, timeout=1800)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"  retime run failed ({e}); keeping original numbers")
+        return {}
+    for line in reversed(proc.stdout.splitlines()):
+        if '"metric"' in line:
+            return json.loads(line[line.index('{'):]).get('queries', {})
+    print("  retime produced no bench JSON; keeping original numbers")
+    return {}
+
+
 def main():
     argv = sys.argv[1:]
     args = []
     max_ratio = 2.0
+    do_retime = True
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == '--max-ratio' or a.startswith('--max-ratio='):
+        if a == '--no-retime':
+            do_retime = False
+        elif a == '--max-ratio' or a.startswith('--max-ratio='):
             if '=' in a:
                 raw = a.split('=', 1)[1]
             else:  # space-separated form: consume the value token too
@@ -82,21 +120,40 @@ def main():
     only_new = sorted(set(nq) - set(oq))
     only_old = sorted(set(oq) - set(nq))
 
-    failures = []
-    # a new query with no baseline is informational UNLESS it failed —
-    # a -1 must never pass the gate just because it is new
-    for q in only_new:
-        if nq[q] < 0:
-            failures.append((q, nq[q], float('nan'), 'failed run (-1, new query)'))
-    for q in shared:
-        a, b = nq[q], oq[q]
-        if a < 0 or b < 0:
-            failures.append((q, a, b, 'failed run (-1)'))
-            continue
-        if max(a, b) < floor:
-            continue
-        if b > 0 and a / b > max_ratio:
-            failures.append((q, a, b, f'{a / b:.2f}x'))
+    def find_failures(times):
+        fails = []
+        # a new query with no baseline is informational UNLESS it failed —
+        # a -1 must never pass the gate just because it is new
+        for q in only_new:
+            if times[q] < 0:
+                fails.append((q, times[q], float('nan'), 'failed run (-1, new query)'))
+        for q in shared:
+            a, b = times[q], oq[q]
+            if a < 0 or b < 0:
+                fails.append((q, a, b, 'failed run (-1)'))
+                continue
+            if max(a, b) < floor:
+                continue
+            if b > 0 and a / b > max_ratio:
+                fails.append((q, a, b, f'{a / b:.2f}x'))
+        return fails
+
+    failures = find_failures(nq)
+    # Ratio flags get ONE re-measurement before the gate believes them
+    # (-1 hard failures are real and are never retimed away).
+    ratio_flagged = [q for q, a, b, why in failures if why.endswith('x')]
+    if ratio_flagged and do_retime:
+        fresh = retime(ratio_flagged, new.get('sf', '/root/testdata/sf0.1'))
+        cleared = []
+        for q in ratio_flagged:
+            if q in fresh and 0 <= fresh[q] < nq[q]:
+                if fresh[q] / oq[q] <= max_ratio or max(fresh[q], oq[q]) < floor:
+                    cleared.append((q, nq[q], fresh[q]))
+                nq[q] = fresh[q]
+        for q, was, now in cleared:
+            print(f"  phantom regression (load burst): {q} {was:.2f}s "
+                  f"-> {now:.2f}s on re-time, within gate")
+        failures = find_failures(nq)
 
     print(f"bench gate: {len(shared)} shared queries, "
           f"new total {sum(v for v in nq.values() if v >= 0):.1f}s "
