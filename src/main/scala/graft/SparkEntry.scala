@@ -1562,6 +1562,39 @@ object SparkEntry {
       .orderBy(col("src"), desc("cos_sim"), col("nbr"))
   }
 
+  /** q87 — ⊕ REAL entropy-coded decode ([[graft.ext.GifCodec]]):
+    * palette GIFs are synthesized per document with a REAL LZW
+    * compressor (variable-width codes, clear/EOI), decoded by the
+    * from-scratch LZW decompressor behind
+    * [[graft.ext.Multimodal.decodeImages]] (content-dispatched next
+    * to BMP/PNG), and the oracle recomputes every feature from the
+    * palette + index formulas alone — so a wrong bit anywhere in the
+    * entropy decode shifts a channel mean and fails the hash. Unlike
+    * q84's stored-block PNG, `n_bytes` is NOT emitted: the size of an
+    * entropy-coded payload is data-dependent, which is the point.
+    */
+  private val q87GifDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 6).toInt
+        val h = (3 + id % 4).toInt
+        val pal = Array.tabulate(64)(i => (
+          ((id * 13 + 5 * i) % 256).toInt,
+          ((id * 11 + 7 * i) % 256).toInt,
+          ((id * 7 + 3 * i) % 256).toInt))
+        id -> ext.GifCodec.encode(w, h, pal,
+          (x, y) => ((id + 3 * x + 5 * y) % 64).toInt)
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id") +: col("width") +: col("height") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1650,6 +1683,7 @@ object SparkEntry {
     "q84_png_decode"        -> q84PngDecode,
     "q85_decay_score"       -> q85DecayScore,
     "q86_knn_graph"         -> q86KnnGraph,
+    "q87_gif_decode"        -> q87GifDecode,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3355,6 +3389,44 @@ object SparkEntry {
         |  FROM px GROUP BY doc_id, w, h)
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  CAST(h * (1 + 3*w) + 68 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*mb + 0.587*mg + 0.299*mr AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
+    // q87: q84's CTE shape, but channel values go through the palette
+    // indirection — pixel -> LZW-coded palette index -> palette entry —
+    // so the oracle checks the ENTROPY DECODE bit-for-bit (a wrong
+    // index anywhere shifts a mean). No n_bytes: entropy-coded size is
+    // data-dependent by design.
+    "q87_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 6 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 7)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y, (doc_id + 3*x + 5*y) % 64 AS i
+        |  FROM px),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(sum((doc_id*7  + 3*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mb,
+        |    CAST(sum((doc_id*11 + 7*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mg,
+        |    CAST(sum((doc_id*13 + 5*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mr,
+        |    CAST(sum(CASE WHEN y < (h+1)//2 THEN (doc_id*7 + 3*i) % 256 ELSE 0 END) AS DOUBLE)
+        |      / (w * ((h+1)//2)) / 255.0 AS mbt
+        |  FROM pix GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
         |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
         |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
         |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,

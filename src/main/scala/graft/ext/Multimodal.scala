@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads + typed metadata, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): [[StubCodec]] is a deterministic fake that "decodes" a
-  * payload into a fixed-length feature vector from its bytes. What IS
-  * real — and tested — is the Spark-side shape: the schema, the
-  * binary-safe column ops, the `mapPartitions` batch boundary where a
-  * native decoder would amortize per-batch init (model load, codec
+  * Four REAL pure-JVM codecs are content-dispatched on the decode
+  * path — [[BmpCodec]] (24-bpp BMP), [[PngCodec]] (RGB8 PNG, all five
+  * scanline filters, any zlib stream), [[GifCodec]] (palette GIF with
+  * a from-scratch variable-width LZW decompressor — real entropy
+  * coding), [[WavCodec]] (16-bit PCM WAV). [[StubCodec]] remains ONLY
+  * as the labeled fallback for media kinds with no real decoder
+  * (e.g. video), "decoding" a payload into a deterministic
+  * byte-derived vector. Equally load-bearing is the Spark-side shape:
+  * the schema, the binary-safe column ops, the `mapPartitions` batch
+  * boundary where a codec amortizes per-batch init (model load, codec
   * context), and the partition sizing so one partition's payloads fit
   * in executor memory.
   *
@@ -86,6 +90,7 @@ object Multimodal {
             md.digest(payload).map("%02x".format(_)).mkString,
             BmpCodec.decode(payload).map(BmpCodec.features)
               .orElse(PngCodec.decode(payload).map(PngCodec.features))
+              .orElse(GifCodec.decode(payload).map(GifCodec.features))
               .orElse(WavCodec.decode(payload).map(WavCodec.features))
               .getOrElse(StubCodec.decode(payload)))
         }
@@ -117,8 +122,8 @@ object Multimodal {
     * `mapPartitions` batch boundary as [[decodeFeatures]], but rows
     * whose payload is not a valid image are DROPPED (the
     * error-tolerant S5 semantics a real decode stage needs — one
-    * corrupt file must not fail the job). Content-dispatched: BMP and
-    * PNG payloads each take their real decoder; features are
+    * corrupt file must not fail the job). Content-dispatched: BMP,
+    * PNG and GIF payloads each take their real decoder; features are
     * codec-independent (identical 8-slot formula).
     */
   def decodeImages(media: DataFrame): Dataset[ImageFeature] = {
@@ -133,6 +138,9 @@ object Multimodal {
             .orElse(PngCodec.decode(p)
               .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
                 PngCodec.features(d))))
+            .orElse(GifCodec.decode(p)
+              .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
+                GifCodec.features(d))))
         }
       })
   }

@@ -204,6 +204,62 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Map(1L -> ((3, 2)), 2L -> ((4, 3))))  // garbage dropped
   }
 
+  test("GifCodec: LZW roundtrip recovers means; width growth, dict reset and KwKwK exercised") {
+    import graft.ext.GifCodec
+    def pal(n: Int) = Array.tabulate(n)(i => ((5 * i) % 256, (7 * i) % 256, (3 * i) % 256))
+    def expected(w: Int, h: Int, palette: Array[(Int, Int, Int)], idx: (Int, Int) => Int) = {
+      val px = for (y <- 0 until h; x <- 0 until w) yield palette(idx(x, y))
+      val top = for (y <- 0 until (h + 1) / 2; x <- 0 until w) yield palette(idx(x, y))
+      (px.map(_._1).sum.toDouble / px.size / 255.0,
+       px.map(_._2).sum.toDouble / px.size / 255.0,
+       px.map(_._3).sum.toDouble / px.size / 255.0,
+       top.map(_._3).sum.toDouble / top.size / 255.0)
+    }
+    def check(w: Int, h: Int, palette: Array[(Int, Int, Int)], idx: (Int, Int) => Int): Unit = {
+      val d = GifCodec.decode(GifCodec.encode(w, h, palette, idx))
+        .getOrElse(fail(s"${w}x$h palette=${palette.length} failed to decode"))
+      val (mr, mg, mb, mbt) = expected(w, h, palette, idx)
+      assert(d.width == w && d.height == h)
+      assert(math.abs(d.meanR - mr) < 1e-12 && math.abs(d.meanG - mg) < 1e-12 &&
+        math.abs(d.meanB - mb) < 1e-12 && math.abs(d.meanBTop - mbt) < 1e-12,
+        s"${w}x$h means off")
+    }
+    // small image, 64-color palette (the q87 shape)
+    check(7, 5, pal(64), (x, y) => (3 * x + 5 * y) % 64)
+    // uniform image: immediate KwKwK chains (aaaa... encodes cScSS...)
+    check(9, 4, pal(8), (_, _) => 5)
+    // 2-color palette -> minCode clamps to 2
+    check(6, 6, pal(2), (x, y) => (x + y) % 2)
+    // non-power-of-two palette padded up
+    check(8, 3, pal(100), (x, y) => (x * 11 + y * 17) % 100)
+    // large noisy image: >4096 dict entries forces mid-stream clear +
+    // reset, and every code width 7..12 is traversed along the way
+    check(90, 80, pal(64), (x, y) => (3 * x + 5 * y + (x * y % 11)) % 64)
+  }
+
+  test("GifCodec: rejects corrupt payloads; decodeImages dispatches GIF") {
+    import graft.ext.GifCodec
+    val gif = GifCodec.encode(4, 3,
+      Array.tabulate(4)(i => (i * 60, i * 50, i * 40)), (x, y) => (x + y) % 4)
+    assert(GifCodec.decode(gif).isDefined)
+    assert(GifCodec.decode(gif.take(gif.length - 1)).isEmpty)   // no trailer
+    assert(GifCodec.decode(gif ++ Array(0.toByte)).isEmpty)     // trailing garbage
+    val badSig = gif.clone(); badSig(3) = '9'.toByte
+    assert(GifCodec.decode(badSig).isEmpty)
+    assert(GifCodec.decode("GIF87a but not really a gif".getBytes).isEmpty)
+    assert(GifCodec.decode(Array[Byte]()).isEmpty)
+    // truncated mid-LZW-stream: structurally walks but pixel count short
+    val cut = gif.take(gif.length - 4) ++ Array(0.toByte, 0x3b.toByte)
+    assert(GifCodec.decode(cut).isEmpty)
+    val media = Seq(
+      (1L, gif),
+      (2L, "garbage".getBytes)
+    ).toDF("media_id", "payload")
+    val got = graft.ext.Multimodal.decodeImages(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got == Map(1L -> ((4, 3))))
+  }
+
   test("PngCodec: CRC-valid header with overflowing dimensions returns None, not a crash") {
     import graft.ext.PngCodec
     // Hand-build a structurally valid (signature + CRC-correct chunks) PNG
