@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *    partitions (the union rides the same exchange). Cost is
   *    sort-merge-shaped — O(n log n) per partition, zero join fan-out —
   *    which is the plan you want when both sides are huge. A hot key
-  *    skews its window partition; pre-filter or salt upstream if a
-  *    single key exceeds a partition (same contract as any window op).
+  *    skews its window partition, but the per-row work (running
+  *    `last`) is O(1), so this is measured skew-IMMUNE up to a key
+  *    owning 25% of 12M rows (`tools/SkewBench`, BASELINE.md §skew:
+  *    0.9× vs uniform — the hot partition costs less than its
+  *    shuffle). Pre-filter or salt upstream only if a single key's
+  *    rows exceed an executor's memory.
   *  - [[rangePairsBackward]] buckets time into `windowSec`-wide epoch
   *    buckets: each right row is exploded to the ≤2 buckets it can
   *    serve, the join is a plain equi-join on (key, bucket), and the

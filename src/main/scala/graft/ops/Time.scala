@@ -44,6 +44,15 @@ object Time {
     * the frame spec) and make the peer-row semantics exact. One
     * shuffle on the partition key; within a partition the frame is
     * evaluated by a single ordered scan.
+    *
+    * Hot-key warning (measured, `tools/SkewBench` / BASELINE.md §skew):
+    * this is the window family's breaking point — a key owning 25% of
+    * 12M rows is 32× slower than uniform (the range-frame peer scan is
+    * superlinear in in-window density). Mitigate by pre-aggregating to
+    * per-(key, epochSecond) partials first (map-side combine splits
+    * the hot key; frame density caps at distinct timestamps per span),
+    * or for sum-like aggregates rephrase as a difference of two
+    * running sums and chunk them like [[withDecayedScoreChunked]].
     */
   def trailingWindow(partition: Column, epochSeconds: Column,
                      spanSec: Long): org.apache.spark.sql.expressions.WindowSpec = {
@@ -79,6 +88,54 @@ object Time {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     exp(t * -lambda) * sum(value * exp(t * lambda)).over(w)
+  }
+
+  /** ⊕ Hot-key-safe form of [[decayedScore]]: the single-window form
+    * puts ALL of a key's rows in one window partition, so one viral
+    * user serializes one task (measured: a key owning 10% of 12M rows
+    * makes the plain window ~linear in that key's size —
+    * `tools/SkewBench`). This variant splits each key by TIME CHUNK
+    * and reassembles the running sum in two passes:
+    *
+    *  1. within-chunk running sum, windowed over `(key, chunk)` — the
+    *     hot key spreads across its chunks (shuffle key has chunk in
+    *     it), each task bounded by rows-per-chunk, not rows-per-key;
+    *  2. chunk TOTALS (one row per (key, chunk) — tiny) get a running
+    *     offset over strictly-prior chunks, windowed per key; the
+    *     offset joins back on `(key, chunk)` and adds to the
+    *     within-chunk prefix. AQE can split the join if a single
+    *     (key, chunk) is still hot — unlike a window partition, an
+    *     equi-join IS skew-splittable.
+    *
+    * Same semantics as [[decayedScore]] up to floating-point
+    * summation order (chunked reassociation; property-tested to
+    * ~1e-9 relative). `chunkSpan` is in units of `tCol`: pick it so a
+    * hot key's densest span lands ≥ `shuffle.partitions` chunks.
+    */
+  def withDecayedScoreChunked(df: org.apache.spark.sql.DataFrame,
+                              key: String, tCol: String, tieCol: String,
+                              valueCol: String, lambda: Double,
+                              chunkSpan: Double,
+                              out: String = "decay_score"): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .withColumn("__chunk", floor(col(tCol) / chunkSpan).cast("long"))
+      .withColumn("__u", col(valueCol) * exp(col(tCol) * lambda))
+    val w1 = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(col(tCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("__within", sum(col("__u")).over(w1))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col(key), col("__chunk"))
+      .agg(sum(col("__u")).as("__ct"))
+      .withColumn("__offset", coalesce(sum(col("__ct")).over(wOff), lit(0.0)))
+      .select(col(key), col("__chunk"), col("__offset"))
+    within.join(offsets, Seq(key, "__chunk"))
+      .withColumn(out, exp(col(tCol) * -lambda) * (col("__offset") + col("__within")))
+      .drop("__chunk", "__u", "__within", "__offset")
   }
 
   /** The lower bound itself (for APIs that want a `sinceTs` value,

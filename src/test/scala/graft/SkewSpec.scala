@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Time
+
+/** Hot-key behavior of the window family: the chunked decay variant
+  * must agree with the single-window form (up to reassociation ulps)
+  * on data WITH a planted hot key, and its first pass must really
+  * shuffle on (key, chunk) — that split is the whole mitigation.
+  */
+class SkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixture(hotShare: Int) = {
+    // 3000 rows, ~hotShare% owned by user 0, rest spread over 500 keys
+    val rnd = new scala.util.Random(42)
+    (1 to 3000).map { i =>
+      val k = if (rnd.nextInt(100) < hotShare) 0L else 1L + rnd.nextInt(500)
+      (i.toLong, k, rnd.nextDouble() * 30.0, rnd.nextDouble() * 10.0)
+    }.toDF("event_id", "user_id", "t", "value")
+  }
+
+  test("withDecayedScoreChunked == decayedScore on hot-key data (1e-9 relative)") {
+    for (hotShare <- Seq(0, 50)) {
+      val df = fixture(hotShare)
+      val plain = df.withColumn("ds",
+          Time.decayedScore(col("user_id"), col("t"), col("event_id"), col("value"), 0.1))
+        .select(col("event_id"), col("ds")).as[(Long, Double)].collect().toMap
+      val chunked = Time.withDecayedScoreChunked(df,
+          "user_id", "t", "event_id", "value", lambda = 0.1, chunkSpan = 5.0, out = "ds")
+        .select(col("event_id"), col("ds")).as[(Long, Double)].collect().toMap
+      assert(plain.keySet == chunked.keySet)
+      plain.foreach { case (id, v) =>
+        val c = chunked(id)
+        assert(math.abs(v - c) <= 1e-9 * math.max(1.0, math.abs(v)),
+          s"hotShare=$hotShare event $id: plain=$v chunked=$c")
+      }
+    }
+  }
+
+  test("chunked pass 1 shuffles on (key, chunk), not key alone") {
+    val df = Time.withDecayedScoreChunked(fixture(50),
+      "user_id", "t", "event_id", "value", lambda = 0.1, chunkSpan = 5.0)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the within-chunk window's exchange must carry __chunk in its key
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning(user_id") && l.contains("__chunk")),
+      s"no (user_id, __chunk) exchange in plan:\n${plan.take(2000)}")
+  }
+
+  test("a single chunk degenerates to the plain form (all rows in chunk 0)") {
+    val df = fixture(50)
+    val plain = df.withColumn("ds",
+        Time.decayedScore(col("user_id"), col("t"), col("event_id"), col("value"), 0.1))
+      .select(col("event_id"), col("ds")).as[(Long, Double)].collect().toMap
+    val oneChunk = Time.withDecayedScoreChunked(df,
+        "user_id", "t", "event_id", "value", lambda = 0.1, chunkSpan = 1e9, out = "ds")
+      .select(col("event_id"), col("ds")).as[(Long, Double)].collect().toMap
+    plain.foreach { case (id, v) =>
+      assert(math.abs(v - oneChunk(id)) <= 1e-9 * math.max(1.0, math.abs(v)))
+    }
+  }
+}
