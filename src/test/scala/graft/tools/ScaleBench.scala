@@ -24,16 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val family = Seq(
-    "q22_minhash_neardup", "q23_simhash_neardup", "q26_ann_lsh",
-    "q40_winnow_neardup", "q48_dup_clusters", "q53_containment",
-    "q64_asof_join", "q65_range_join", "q66_embedding_dedup",
-    "q67_asof_forward",
-    // round-6 additions: runtime-filter join, BM25's two-pass agg,
-    // CDC merge + SCD2 windows, rolling range frame, centroid screen
-    "q70_bloom_prune", "q73_bm25_rank", "q74_merge_upsert",
-    "q75_scd2_history", "q76_rolling_window", "q79_centroid_outliers")
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -59,18 +49,41 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // FULL suite by default (VERDICT r6 #1); SPARK_GRAFT_ONLY filters
+    // by comma-separated name prefixes for iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(graft.SparkEntry.queries.keys.toSeq.sorted) { ps =>
+      graft.SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.startsWith))
+    }
+    val md = new StringBuilder
+    md ++= "| query | sf0.1 | sf1 (10x data) | time ratio |\n|---|---|---|---|\n"
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%6s")
-    family.foreach { q =>
+    selected.foreach { q =>
       val a = minOf3(q, sf01)
       val b = minOf3(q, sf1)
       println(f"$q%-24s $a%8.2f $b%8.2f ${b / a}%6.1fx")
+      md ++= f"| $q | $a%.2f s | $b%.2f s | ${b / a}%.1f× |%n"
     }
+    // persist the table so the console record can't be lost/truncated
+    val out = java.nio.file.Paths.get("target", "scalebench_last.md")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, md.toString.getBytes("UTF-8"))
     spark.stop()
   }
 
   /** 10× deterministic blow-up of sf0.1 documents+embeddings+events. */
   def buildIfMissing(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new java.io.File(dst)
+    // fixed dims (region 5 / nation 25 / supplier): copied verbatim —
+    // dimension tables don't grow with fact data, and the fact-side
+    // FK offsets are built so every copy group still joins cleanly
+    for (t <- Seq("region", "nation", "supplier")
+         if !new java.io.File(fs, s"$t.parquet").exists()) {
+      fs.mkdirs()
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
     if (!new java.io.File(fs, "events.parquet").exists()) {
       fs.mkdirs()
       // events: 10× by user-offset copies — more USERS at the same
