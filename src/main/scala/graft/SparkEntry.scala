@@ -1595,6 +1595,29 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q88 — ⊕ hot-key-safe chunked decay score
+    * ([[graft.ops.Time.withDecayedScoreChunked]]): q85's recency
+    * weighting computed by the skew-immune two-pass form — within-
+    * chunk running sums keyed by (user, week-chunk) so a hot user
+    * spreads across tasks, chunk totals reassembled through a
+    * running offset + equi-join. The oracle mirrors the SAME
+    * two-pass expression tree (within-window sum, row_number-picked
+    * chunk total, offset window, identical operand order), so the
+    * mitigation's exact arithmetic is hash-checked — and its result
+    * set equals q85's by construction.
+    */
+  private val q88DecayChunked: Q = (s, dir) => {
+    val t = (unix_seconds(col("ts")) - lit(1704067200L)) / lit(86400.0)
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("td", t)
+    graft.ops.Time.withDecayedScoreChunked(base,
+        "user_id", "td", "event_id", "value",
+        lambda = 0.1, chunkSpan = 7.0, out = "ds")
+      .select(col("event_id"), col("user_id"), round(col("ds"), 4).as("decay_score"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1684,6 +1707,7 @@ object SparkEntry {
     "q85_decay_score"       -> q85DecayScore,
     "q86_knn_graph"         -> q86KnnGraph,
     "q87_gif_decode"        -> q87GifDecode,
+    "q88_decay_chunked"     -> q88DecayChunked,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3398,6 +3422,43 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
+    // window order within (user, chunk), chunk total picked by
+    // reversed row_number (never a re-folded GROUP BY sum), offset as
+    // a running window over chunk totals, same operand order in the
+    // final expression. floor(epoch) matches Spark's truncation.
+    "q88_decay_chunked" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) / 86400.0 AS t
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, t,
+        |    CAST(floor(t / 7.0) AS BIGINT) AS chunk,
+        |    value * exp(t * 0.1) AS u
+        |  FROM e),
+        |w AS (
+        |  SELECT *, sum(u) OVER (PARTITION BY user_id, chunk ORDER BY t, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS within
+        |  FROM c),
+        |tot AS (
+        |  SELECT user_id, chunk, within AS ct FROM (
+        |    SELECT user_id, chunk, within,
+        |      row_number() OVER (PARTITION BY user_id, chunk
+        |                         ORDER BY t DESC, event_id DESC) AS rn
+        |    FROM w)
+        |  WHERE rn = 1),
+        |off AS (
+        |  SELECT user_id, chunk,
+        |    coalesce(sum(ct) OVER (PARTITION BY user_id ORDER BY chunk
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0.0) AS offs
+        |  FROM tot)
+        |SELECT w.event_id, w.user_id,
+        |  round(exp(w.t * -0.1) * (off.offs + w.within), 4) AS decay_score
+        |FROM w JOIN off ON w.user_id = off.user_id AND w.chunk = off.chunk
+        |ORDER BY w.event_id""".stripMargin,
     // q87: q84's CTE shape, but channel values go through the palette
     // indirection — pixel -> LZW-coded palette index -> palette entry —
     // so the oracle checks the ENTROPY DECODE bit-for-bit (a wrong

@@ -127,11 +127,20 @@ object Time {
       .orderBy(col(tCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = d.withColumn("__within", sum(col("__u")).over(w1))
+    // Chunk total = the LAST within-chunk prefix value, picked by a
+    // row_number over the reversed order — deterministic in both
+    // engines (a groupBy SUM would re-fold __u in partitioning-
+    // dependent order, breaking bit-equality with the SQL oracle) and
+    // it rides w1's (key, chunk) exchange: same partition keys, one
+    // extra in-partition sort, NO extra shuffle.
+    val wLast = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(col(tCol).desc, col(tieCol).desc)
     val wOff = Window.partitionBy(col(key)).orderBy(col("__chunk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy(col(key), col("__chunk"))
-      .agg(sum(col("__u")).as("__ct"))
-      .withColumn("__offset", coalesce(sum(col("__ct")).over(wOff), lit(0.0)))
+    val offsets = within
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .withColumn("__offset", coalesce(sum(col("__within")).over(wOff), lit(0.0)))
       .select(col(key), col("__chunk"), col("__offset"))
     within.join(offsets, Seq(key, "__chunk"))
       .withColumn(out, exp(col(tCol) * -lambda) * (col("__offset") + col("__within")))
