@@ -1618,6 +1618,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** q89 — ⊕ hot-key-safe rolling features
+    * ([[graft.ops.Time.trailingSumsByTime]]): q76's trailing 1-hour
+    * count+sum computed via per-second pre-aggregation — the
+    * mitigation for the sliding-RANGE-frame skew breaking point. The
+    * oracle is the PLAIN single-window form (q76's SQL shape), so the
+    * hash check proves the preagg form's exact equivalence, which
+    * rests on integral epoch seconds making same-second rows frame
+    * peers.
+    */
+  private val q89RollingPreagg: Q = (s, dir) => {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("es", unix_seconds(col("ts")))
+    graft.ops.Time.trailingSumsByTime(base, "user_id", "es", "value",
+        spanSec = 3600L, outN = "n_1h", outSum = "v_raw")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_1h"), round(col("v_raw"), 4).as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1708,6 +1729,7 @@ object SparkEntry {
     "q86_knn_graph"         -> q86KnnGraph,
     "q87_gif_decode"        -> q87GifDecode,
     "q88_decay_chunked"     -> q88DecayChunked,
+    "q89_rolling_preagg"    -> q89RollingPreagg,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3422,6 +3444,22 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q89: deliberately the PLAIN single-window form (q76's shape) —
+    // Spark runs the per-second preagg form, so a hash match is a
+    // proof of the forms' equivalence, not a mirrored computation.
+    "q89_rolling_preagg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
     // window order within (user, chunk), chunk total picked by
     // reversed row_number (never a re-folded GROUP BY sum), offset as

@@ -90,6 +90,45 @@ object Time {
     exp(t * -lambda) * sum(value * exp(t * lambda)).over(w)
   }
 
+  /** ⊕ Hot-key-safe trailing count+sum: the mitigation for
+    * [[trailingWindow]]'s measured breaking point (32× under a
+    * 25%-share hot key, `tools/SkewBench` — Spark's sliding RANGE
+    * frame RE-AGGREGATES the whole frame per distinct bound, so cost
+    * is O(rows × in-frame peers) per partition, superlinear in
+    * hot-key density).
+    *
+    * Pre-aggregate to per-(key, epochSecond) partials — map-side
+    * combinable, so the hot key's reduce work spreads across input
+    * partitions — then run the RANGE frame over the PER-SECOND rows
+    * (≤ one per second per key: both the partition row count and the
+    * in-frame peer count collapse to distinct-seconds, the quadratic
+    * term's cap) and join the trailing values back on
+    * (key, epochSecond). EXACT, not approximate: with integral epoch
+    * seconds, same-second rows are RANGE-frame PEERS and already
+    * share one trailing value in the plain form — q89 hash-checks
+    * this equivalence by running THIS form against the plain form's
+    * SQL. The bigger rows-per-second is (the 100 TB regime for
+    * rolling features), the bigger the win; at ~1 row/sec it only
+    * re-shapes the shuffle.
+    */
+  def trailingSumsByTime(df: org.apache.spark.sql.DataFrame,
+                         key: String, epochSecCol: String, valueCol: String,
+                         spanSec: Long,
+                         outN: String = "n_trailing",
+                         outSum: String = "sum_trailing"): org.apache.spark.sql.DataFrame = {
+    require(spanSec >= 0, s"spanSec must be non-negative, got $spanSec")
+    import org.apache.spark.sql.expressions.Window
+    val partials = df.groupBy(col(key), col(epochSecCol))
+      .agg(count(lit(1)).as("__pn"), sum(col(valueCol)).as("__psum"))
+    val w = Window.partitionBy(col(key)).orderBy(col(epochSecCol).asc)
+      .rangeBetween(-spanSec, Window.currentRow)
+    val trail = partials
+      .withColumn(outN, sum(col("__pn")).over(w))
+      .withColumn(outSum, sum(col("__psum")).over(w))
+      .select(col(key), col(epochSecCol), col(outN), col(outSum))
+    df.join(trail, Seq(key, epochSecCol))
+  }
+
   /** ⊕ Hot-key-safe form of [[decayedScore]]: the single-window form
     * puts ALL of a key's rows in one window partition, so one viral
     * user serializes one task (measured: a key owning 10% of 12M rows

@@ -49,6 +49,33 @@ class SkewSpec extends SparkSuite {
       s"no (user_id, __chunk) exchange in plan:\n${plan.take(2000)}")
   }
 
+  test("trailingSumsByTime == plain RANGE window, incl. same-second peers and a hot key") {
+    // coarse seconds force many same-second rows (the frame-peer case
+    // the equivalence rests on) and user 0 owns ~half the rows
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      val k = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(50)
+      (i.toLong, k, (rnd.nextInt(600) * 6).toLong, rnd.nextDouble() * 10.0)
+    }.toDF("event_id", "user_id", "es", "value")
+    val plain = df
+      .withColumn("n", count(lit(1)).over(
+        Time.trailingWindow(col("user_id"), col("es"), 120)))
+      .withColumn("v", sum(col("value")).over(
+        Time.trailingWindow(col("user_id"), col("es"), 120)))
+      .select(col("event_id"), col("n"), col("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pre = Time.trailingSumsByTime(df, "user_id", "es", "value", 120, "n", "v")
+      .select(col("event_id"), col("n"), col("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plain.keySet == pre.keySet)
+    plain.foreach { case (id, (n, v)) =>
+      val (pn, pv) = pre(id)
+      assert(pn == n, s"event $id: count $pn != $n")
+      assert(math.abs(pv - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"event $id: sum $pv != $v")
+    }
+  }
+
   test("a single chunk degenerates to the plain form (all rows in chunk 0)") {
     val df = fixture(50)
     val plain = df.withColumn("ds",

@@ -80,6 +80,22 @@ object SkewBench {
       df.withColumn("s", sum(col("value")).over(
           graft.ops.Time.trailingWindow(col("user_id"), col("t").cast("long"), 3600)))
         .filter(col("s") >= 0).count()
+    // dense-time variant: ~30 rows/sec — the regime where per-second
+    // pre-aggregation collapses both partition rows and frame peers.
+    // Span capped at 120 s: the hot key's plain sliding frame costs
+    // O(rows × in-frame peers) (Spark re-aggregates per bound change),
+    // and at span 3600 the 25%-share case is ~10^11 peer scans —
+    // unrunnable, which is itself the finding.
+    def dense(df: DataFrame): DataFrame =
+      df.withColumn("es", (col("t").cast("long") / 30L) * 1L)
+    def rollingDense(df: DataFrame): Long =
+      dense(df).withColumn("s", sum(col("value")).over(
+          graft.ops.Time.trailingWindow(col("user_id"), col("es"), 120)))
+        .filter(col("s") >= 0).count()
+    def rollingPreagg(df: DataFrame): Long =
+      graft.ops.Time.trailingSumsByTime(dense(df),
+          "user_id", "es", "value", 120, "n", "s")
+        .filter(col("s") >= 0).count()
     def decay(df: DataFrame): Long =
       df.withColumn("ds", graft.ops.Time.decayedScore(
           col("user_id"), col("t") / 86400.0, col("event_id"), col("value"), 0.1))
@@ -93,8 +109,9 @@ object SkewBench {
     println(f"rows=$n keys=$nKeys hot-key share=$hotPct%%  (min of 3, local[$cpus])")
     println(f"${"op"}%-10s ${"uniform"}%8s ${"skewed"}%8s ${"ratio"}%6s")
     val ops = Seq[(String, DataFrame => Long)](
-      "asof" -> asof, "merge" -> merge, "rolling" -> rolling, "decay" -> decay,
-      "decay-ch" -> decayChunked)
+      "asof" -> asof, "merge" -> merge, "rolling" -> rolling,
+      "roll-dense" -> rollingDense, "roll-pa" -> rollingPreagg,
+      "decay" -> decay, "decay-ch" -> decayChunked)
     ops.foreach { case (name, f) =>
       val a = time(s"$name-uni")(f(uni))
       val b = time(s"$name-skw")(f(skw))
