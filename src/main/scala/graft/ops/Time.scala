@@ -162,6 +162,11 @@ object Time {
     val d = df
       .withColumn("__chunk", floor(col(tCol) / chunkSpan).cast("long"))
       .withColumn("__u", col(valueCol) * exp(col(tCol) * lambda))
+      // join-key null filters, applied ONCE before the window so both
+      // join branches stay byte-identical subtrees — otherwise the
+      // join pushes isnotnull(floor(...)) into only one branch's scan
+      // and exchange/stage reuse can't dedupe the double subtree
+      .filter(col(key).isNotNull && col("__chunk").isNotNull)
     val w1 = Window.partitionBy(col(key), col("__chunk"))
       .orderBy(col(tCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

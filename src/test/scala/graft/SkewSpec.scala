@@ -38,15 +38,33 @@ class SkewSpec extends SparkSuite {
     }
   }
 
-  test("chunked pass 1 shuffles on (key, chunk), not key alone") {
-    val df = Time.withDecayedScoreChunked(fixture(50),
-      "user_id", "t", "event_id", "value", lambda = 0.1, chunkSpan = 5.0)
+  test("chunked pass 1 shuffles on (key, chunk); AQE reuses the shared subtree's exchange") {
+    // through parquet: a LocalRelation fixture folds filters into
+    // the relation on one branch only, defeating the very subtree
+    // identity this test asserts (the real callers scan files)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    fixture(50).write.mode("overwrite").parquet(dir)
+    // project value away like real consumers (q88): keeping it alive
+    // on one branch only would desynchronize column pruning between
+    // the two subtrees and legitimately block reuse
+    val df = Time.withDecayedScoreChunked(spark.read.parquet(dir),
+        "user_id", "t", "event_id", "value", lambda = 0.1, chunkSpan = 5.0)
+      .select(col("event_id"), col("user_id"), col("decay_score"))
     df.count()
+    // finalize the adaptive plan on df's own queryExecution (count()
+    // executes a derived agg plan, leaving this one isFinalPlan=false)
+    df.queryExecution.executedPlan.execute().count()
     val plan = df.queryExecution.executedPlan.toString
     // the within-chunk window's exchange must carry __chunk in its key
     assert(plan.linesIterator.exists(l =>
       l.contains("hashpartitioning(user_id") && l.contains("__chunk")),
       s"no (user_id, __chunk) exchange in plan:\n${plan.take(2000)}")
+    // the offsets branch must REUSE the within branch's shuffle —
+    // the early join-key null filter keeps both subtrees identical;
+    // without it the join pushes isnotnull(floor(...)) into one
+    // scan only and the source is read+shuffled twice
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch re-plans the pair subtree:\n${plan.take(3000)}")
   }
 
   test("trailingSumsByTime == plain RANGE window, incl. same-second peers and a hot key") {
