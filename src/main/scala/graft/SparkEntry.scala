@@ -1639,6 +1639,37 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** q90 — ⊕ REAL baseline-DCT JPEG decode ([[graft.ext.JpegCodec]]):
+    * block-constant grayscale JPEGs are synthesized per document with
+    * the real entropy encoder (FDCT, quantization, canonical Huffman
+    * with byte stuffing) and decoded by the from-scratch baseline
+    * decoder behind [[graft.ext.Multimodal.decodeImages]] — Huffman
+    * tables rebuilt from DHT, DC difference coding, AC EOB, IDCT.
+    * Block-constant content with the all-8s quant table round-trips
+    * BIT-EXACTLY (DC = 8·(v−128) divides evenly), so the oracle
+    * recomputes every feature from the block formula; a wrong bit
+    * anywhere in the Huffman/DCT path shifts a mean and fails the
+    * hash. The lossy color path is tolerance-tested in
+    * MultimodalSpec.
+    */
+  private val q90JpegDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 * (1 + id % 3)).toInt
+        val h = (8 * (1 + id % 2)).toInt
+        id -> ext.JpegCodec.encodeGray(w, h,
+          (x, y) => ((id * 31 + (x / 8) * 7 + (y / 8) * 11) % 256).toInt)
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id") +: col("width") +: col("height") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1730,6 +1761,7 @@ object SparkEntry {
     "q87_gif_decode"        -> q87GifDecode,
     "q88_decay_chunked"     -> q88DecayChunked,
     "q89_rolling_preagg"    -> q89RollingPreagg,
+    "q90_jpeg_decode"       -> q90JpegDecode,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3442,6 +3474,43 @@ object SparkEntry {
         |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
         |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
+    // q90: grayscale block-constant JPEG — the all-8s quant table
+    // makes the DC-only roundtrip bit-exact, so features are a pure
+    // function of the block formula (x//8, y//8). Channel means are
+    // all the gray mean; f3's weighted sum keeps the same operand
+    // order as JpegCodec.features.
+    "q90_jpeg_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 24)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (doc_id*31 + (x//8)*7 + (y//8)*11) % 256 AS v
+        |  FROM px),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(sum(v) AS DOUBLE) / count(*) / 255.0 AS m,
+        |    CAST(sum(CASE WHEN y < (h+1)//2 THEN v ELSE 0 END) AS DOUBLE)
+        |      / (w * ((h+1)//2)) / 255.0 AS mt
+        |  FROM pix GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*m + 0.587*m + 0.299*m AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
     // q89: deliberately the PLAIN single-window form (q76's shape) —

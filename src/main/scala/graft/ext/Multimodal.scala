@@ -91,6 +91,7 @@ object Multimodal {
             BmpCodec.decode(payload).map(BmpCodec.features)
               .orElse(PngCodec.decode(payload).map(PngCodec.features))
               .orElse(GifCodec.decode(payload).map(GifCodec.features))
+              .orElse(JpegCodec.decode(payload).map(JpegCodec.features))
               .orElse(WavCodec.decode(payload).map(WavCodec.features))
               .getOrElse(StubCodec.decode(payload)))
         }
@@ -141,6 +142,9 @@ object Multimodal {
             .orElse(GifCodec.decode(p)
               .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
                 GifCodec.features(d))))
+            .orElse(JpegCodec.decode(p)
+              .map(d => ImageFeature(id, d.width, d.height, p.length.toLong,
+                JpegCodec.features(d))))
         }
       })
   }

@@ -260,6 +260,69 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Map(1L -> ((4, 3))))
   }
 
+  test("JpegCodec: block-constant grayscale roundtrip is BIT-EXACT; smooth RGB within tolerance") {
+    import graft.ext.JpegCodec
+    // block-constant gray: DC-only blocks, quant 8 divides 8*(v-128)
+    // exactly -> decode must reproduce every pixel, so means are EXACT
+    val w = 24; val h = 16
+    def g(x: Int, y: Int) = (31 + (x / 8) * 7 + (y / 8) * 11) % 256
+    val d = JpegCodec.decode(JpegCodec.encodeGray(w, h, g))
+      .getOrElse(fail("gray decode failed"))
+    val px = for (y <- 0 until h; x <- 0 until w) yield g(x, y)
+    val mean = px.sum.toDouble / px.size / 255.0
+    val top = (for (y <- 0 until (h + 1) / 2; x <- 0 until w) yield g(x, y))
+    val mbt = top.sum.toDouble / top.size / 255.0
+    assert(d.width == w && d.height == h)
+    assert(d.meanR == mean && d.meanG == mean && d.meanB == mean, "gray roundtrip not exact")
+    assert(d.meanBTop == mbt)
+    // non-multiple-of-8 dims: edge blocks replicate, crop must be exact
+    val d2 = JpegCodec.decode(JpegCodec.encodeGray(13, 9, (x, y) => ((x / 8) * 50 + (y / 8) * 90) % 256))
+      .getOrElse(fail("cropped decode failed"))
+    assert(d2.width == 13 && d2.height == 9)
+    // full lossy path: smooth RGB gradient through FDCT/quant/Huffman/
+    // IDCT/color transform — channel means within JPEG loss tolerance
+    val wc = 32; val hc = 24
+    def rgb(x: Int, y: Int) = (x * 8 % 256, y * 10 % 256, (x * 4 + y * 4) % 256)
+    val dc = JpegCodec.decode(JpegCodec.encodeRgb(wc, hc, rgb))
+      .getOrElse(fail("rgb decode failed"))
+    val cpx = for (y <- 0 until hc; x <- 0 until wc) yield rgb(x, y)
+    val mr = cpx.map(_._1).sum.toDouble / cpx.size / 255.0
+    val mg = cpx.map(_._2).sum.toDouble / cpx.size / 255.0
+    val mb = cpx.map(_._3).sum.toDouble / cpx.size / 255.0
+    assert(math.abs(dc.meanR - mr) < 0.02 && math.abs(dc.meanG - mg) < 0.02 &&
+      math.abs(dc.meanB - mb) < 0.02, s"rgb means off: ${dc.meanR} vs $mr")
+  }
+
+  test("JpegCodec: rejects corrupt payloads; decodeImages dispatches JPEG") {
+    import graft.ext.JpegCodec
+    val jpg = JpegCodec.encodeGray(16, 8, (x, y) => (x * 16 + y) % 256)
+    assert(JpegCodec.decode(jpg).isDefined)
+    assert(JpegCodec.decode(jpg.take(jpg.length - 1)).isEmpty)  // no EOI
+    assert(JpegCodec.decode(jpg ++ Array(0.toByte)).isEmpty)    // trailing garbage
+    assert(JpegCodec.decode("not a jpeg at all".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array[Byte]()).isEmpty)
+    // progressive (SOF2) rejected: flip the SOF0 marker byte
+    val sofAt = {
+      var i = 2
+      while (!((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val prog = jpg.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+    // dimension-overflow guard: patch SOF dims to 65535x65535
+    val big = jpg.clone()
+    big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte
+    big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte
+    assert(JpegCodec.decode(big).isEmpty)
+    val media = Seq(
+      (1L, jpg),
+      (2L, "garbage".getBytes)
+    ).toDF("media_id", "payload")
+    val got = graft.ext.Multimodal.decodeImages(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got == Map(1L -> ((16, 8))))
+  }
+
   test("PngCodec: CRC-valid header with overflowing dimensions returns None, not a crash") {
     import graft.ext.PngCodec
     // Hand-build a structurally valid (signature + CRC-correct chunks) PNG
