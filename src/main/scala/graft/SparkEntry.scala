@@ -1670,6 +1670,23 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q91 — ⊕ train/test contamination check
+    * ([[graft.ext.Dedup.contaminationPairs]]): split the corpus by
+    * doc-id parity into "train" and "test", report every (test,
+    * train) pair sharing ≥3 distinct trigram shingles with the
+    * contained-in-train fraction — the benchmark-leakage screen run
+    * before evaluation. Exact (shingle equi-join, no banding);
+    * stopword-like shingles capped by train doc-frequency.
+    */
+  private val q91Contamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    ext.Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), k = 3, minOverlap = 3)
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1762,6 +1779,7 @@ object SparkEntry {
     "q88_decay_chunked"     -> q88DecayChunked,
     "q89_rolling_preagg"    -> q89RollingPreagg,
     "q90_jpeg_decode"       -> q90JpegDecode,
+    "q91_contamination"     -> q91Contamination,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3476,6 +3494,37 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q91: q22's toks/sh shingle derivation; posting-list cap via
+    // HAVING; count(*) per pair = distinct-shingle overlap because
+    // shingles are list_distinct per doc on both sides.
+    "q91_contamination" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks),
+        |tr AS (
+        |  SELECT doc_id AS train_id, unnest(sh) AS s
+        |  FROM sh WHERE doc_id % 2 = 0),
+        |cap AS (
+        |  SELECT s FROM tr GROUP BY s HAVING count(*) <= 10000),
+        |te AS (
+        |  SELECT doc_id AS test_id, len(sh) AS n_test, unnest(sh) AS s
+        |  FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0),
+        |j AS (
+        |  SELECT te.test_id, tr.train_id, te.n_test, count(*) AS n_overlap
+        |  FROM te
+        |  JOIN cap ON te.s = cap.s
+        |  JOIN tr ON te.s = tr.s
+        |  GROUP BY te.test_id, tr.train_id, te.n_test)
+        |SELECT test_id, train_id, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / n_test, 4) AS overlap_frac
+        |FROM j WHERE n_overlap >= 3
+        |ORDER BY test_id, train_id""".stripMargin,
     // q90: grayscale block-constant JPEG — the all-8s quant table
     // makes the DC-only roundtrip bit-exact, so features are a pure
     // function of the block formula (x//8, y//8). Channel means are

@@ -352,4 +352,54 @@ object Dedup {
       .distinct()  // same pair from multiple bands → identical jaccard
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** ⊕ Train/test CONTAMINATION check: for every (test, train)
+    * document pair sharing at least `minOverlap` distinct k-word
+    * shingles, report the overlap count and the fraction of the TEST
+    * document's shingles found in the train document — the
+    * benchmark-leakage screen every LLM training pipeline runs before
+    * evaluation (an eval example whose shingles are largely contained
+    * in some training document is contaminated).
+    *
+    * This is EXACT (no MinHash banding): candidate generation is an
+    * equi-join on the shingle itself, so recall is 100% at
+    * `minOverlap` granularity — affordable because the test corpus is
+    * typically orders of magnitude smaller than the train corpus, and
+    * the shuffle key is the shingle, never the document.
+    *
+    * Plan shape at scale: one shuffle of the TRAIN side on the
+    * shingle (groupBy: doc-frequency cap + per-shingle posting list
+    * in the same pass), one shuffle of the test side on the shingle,
+    * one equi-join, then a groupBy on the (test, train) pair. The
+    * `maxDocsPerShingle` cap drops stopword-like shingles that
+    * appear in more than that many train documents — they carry no
+    * contamination signal and their posting lists are the skew/OOM
+    * risk (mirror the cap in any SQL oracle via a HAVING).
+    */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+                         id: Column, text: Column, k: Int = 3,
+                         minOverlap: Int = 1,
+                         maxDocsPerShingle: Int = DefaultMaxBucket): DataFrame = {
+    // TRAIN: one shuffle on the shingle; cap + posting list together
+    val posting = train
+      .select(id.as("train_id"), explode(shingles(text, k)).as("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(col("train_id")).as("__ids"), count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocsPerShingle)
+      .select(col("sh"), explode(col("__ids")).as("train_id"))
+    val te = test
+      .select(id.as("test_id"), shingles(text, k).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("test_id"), size(col("__shs")).as("n_test_shingles"),
+        explode(col("__shs")).as("sh"))
+    // shingles are DISTINCT per doc on both sides, so count(*) per
+    // (test, train) pair is exactly |S_test ∩ S_train|
+    te.join(posting, "sh")
+      .groupBy(col("test_id"), col("train_id"), col("n_test_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("test_id"), col("train_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_test_shingles"), 4)
+          .as("overlap_frac"))
+  }
 }

@@ -139,6 +139,37 @@ class DedupSpec extends SparkSuite {
     assert(!jac.exists { case (a, b, _) => a == 1L && b == 2L })
   }
 
+  test("contaminationPairs: exact overlap counts, fraction, cap and minOverlap") {
+    // test doc 10 is fully contained in train doc 1; doc 12 shares a
+    // 4-word phrase with doc 1 (2 trigrams); doc 14 is clean
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different training content about other things")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // contained: 6 of 6
+      (12L, "unrelated words then beta gamma delta epsilon here"), // 2 shared trigrams
+      (14L, "nothing in common with anything above at all")
+    ).toDF("doc_id", "text")
+    val got = ext.Dedup.contaminationPairs(train, test, col("doc_id"), col("text"),
+        k = 3, minOverlap = 1)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.contains((10L, 1L, 6L, 1.0)), s"full containment missing: $got")
+    assert(got.exists { case (t, tr, n, f) => t == 12L && tr == 1L && n == 2L },
+      s"partial overlap missing: $got")
+    assert(!got.exists(_._1 == 14L), "clean doc flagged")
+    // minOverlap filters the partial pair out
+    val strict = ext.Dedup.contaminationPairs(train, test, col("doc_id"), col("text"),
+        k = 3, minOverlap = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(strict.map(r => (r._1, r._2)) == Set((10L, 1L)))
+    // a doc-frequency cap of 0 drops every shingle -> no pairs
+    val capped = ext.Dedup.contaminationPairs(train, test, col("doc_id"), col("text"),
+        k = 3, minOverlap = 1, maxDocsPerShingle = 0)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("exactDedup keeps min ordinal per key") {
     val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
     val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))

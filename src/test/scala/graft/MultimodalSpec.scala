@@ -323,6 +323,42 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Map(1L -> ((16, 8))))
   }
 
+  test("codec fuzz: random corruption and cross-codec bytes never throw — None or a clean decode") {
+    // the decode contract every codec shares: one corrupt file must
+    // not fail the job, so decode() may only return None (or a valid
+    // Decoded if the mutation kept the file well-formed) — NEVER throw
+    import graft.ext._
+    val rnd = new scala.util.Random(12345)
+    val valid: Seq[(String, Array[Byte])] = Seq(
+      "bmp" -> BmpCodec.encode(9, 7, (x, y) => (x * 20 % 256, y * 30 % 256, (x + y) % 256)),
+      "png" -> PngCodec.encode(9, 7, (x, y) => (x * 20 % 256, y * 30 % 256, (x + y) % 256)),
+      "gif" -> GifCodec.encode(9, 7,
+        Array.tabulate(16)(i => (i * 16, i * 8, i * 4)), (x, y) => (x + y) % 16),
+      "jpg" -> JpegCodec.encodeGray(16, 16, (x, y) => (x * 16 + y) % 256),
+      "wav" -> WavCodec.encode(2, 8000, 50, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
+    def all(p: Array[Byte]): Unit = {
+      BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
+      JpegCodec.decode(p); WavCodec.decode(p)
+    }
+    for ((_, payload) <- valid) {
+      // byte mutations
+      for (_ <- 1 to 400) {
+        val m = payload.clone()
+        for (_ <- 0 to rnd.nextInt(8))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        all(m)
+      }
+      // truncations and extensions
+      for (cut <- Seq(1, 2, payload.length / 3, payload.length / 2, payload.length - 1))
+        all(payload.take(cut))
+      all(payload ++ Array.fill(7)(rnd.nextInt(256).toByte))
+      // every codec fed every OTHER codec's valid bytes
+      all(payload)
+    }
+    // pure random byte soup, varied lengths
+    for (_ <- 1 to 300) all(Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte))
+  }
+
   test("PngCodec: CRC-valid header with overflowing dimensions returns None, not a crash") {
     import graft.ext.PngCodec
     // Hand-build a structurally valid (signature + CRC-correct chunks) PNG
