@@ -1687,6 +1687,23 @@ object SparkEntry {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** q92 — ⊕ deterministic weighted sample
+    * ([[graft.ops.Sampling.weightedSample]]): per language, the 5
+    * documents drawn with probability proportional to length
+    * (`n_chars`) via A-Res priorities `ln(h)/w` over the md5 hash
+    * bucket — the reproducible quality/length-weighted curation draw.
+    * The oracle re-derives the md5 bucket with q50's digit arithmetic
+    * and the identical priority expression; the priority itself is
+    * NOT an output column (cross-libm ulps), only the selection.
+    */
+  private val q92WeightedSample: Q = (s, dir) => {
+    graft.ops.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("lang")), "doc_id", col("n_chars").cast("double"), k = 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1780,6 +1797,7 @@ object SparkEntry {
     "q89_rolling_preagg"    -> q89RollingPreagg,
     "q90_jpeg_decode"       -> q90JpegDecode,
     "q91_contamination"     -> q91Contamination,
+    "q92_weighted_sample"   -> q92WeightedSample,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3494,6 +3512,30 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q92: q50's md5 digit arithmetic re-derives the hash bucket; the
+    // A-Res priority ln(h)/w uses the identical expression tree and
+    // stays internal (cross-libm ulps) — only the selection is output.
+    "q92_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR) || '|0') AS hh
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS DOUBLE) + 0.5)
+        |      / 1048576.0) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM b)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+        |  FROM p)
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     // q91: q22's toks/sh shingle derivation; posting-list cap via
     // HAVING; count(*) per pair = distinct-shingle overlap because
     // shingles are list_distinct per doc on both sides.

@@ -48,6 +48,36 @@ object Sampling {
       md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt.toString))),
       1, 5), 16, 10).cast("long")
 
+  /** ⊕ Deterministic weighted sample WITHOUT replacement
+    * (Efraimidis–Spirakis A-Res): per group, keep the `k` rows with
+    * the largest priority `ln(h)/w`, where `h` is the key's
+    * [[hashBucket]] mapped into (0,1) — the order-equivalent log form
+    * of the classic `h^(1/w)` key (both monotone: larger weight pulls
+    * the priority toward 0). Inclusion probability is proportional to
+    * weight, and the sample is REPRODUCIBLE: same keys + salt → same
+    * sample under any partitioning or cluster size, which Bernoulli
+    * `rand()` sampling cannot promise (the quality-weighted curation
+    * draw a 100 TB corpus rerun must be able to repeat).
+    *
+    * Rows with null keys or non-positive/null weights are excluded —
+    * a weight of 0 has no well-defined inverse and a null key no
+    * stable identity. One shuffle (the per-group top-k window, rank
+    * pushed map-side by WindowGroupLimit); the weight column is any
+    * expression (quality score, token count, dedup-cluster size).
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[org.apache.spark.sql.Column],
+                     keyCol: String, weight: org.apache.spark.sql.Column,
+                     k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = (hashBucket(keyCol, salt).cast("double") + 0.5) / (1L << 20).toDouble
+    val pri = log(h) / weight
+    graft.ops.TopK.perGroupTopK(
+        df.filter(col(keyCol).isNotNull && weight.isNotNull && weight > 0)
+          .withColumn("__pri", pri),
+        groupCols, Seq(desc("__pri"), asc(keyCol)), k)
+      .drop("__pri")
+  }
+
   /** ⊕ Deterministic train/val/test split assignment: the key's
     * [[hashBucket]] falls into cumulative weight ranges and the row
     * gets that split's label — the reproducibility contract a 100 TB

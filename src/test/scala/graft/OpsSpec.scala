@@ -145,6 +145,34 @@ class OpsSpec extends SparkSuite {
     assert(ap.getAs[Long]("distinct_id") == 3)  // HLL exact at tiny cardinality
   }
 
+  test("Sampling.weightedSample: deterministic, weight-proportional, guards nulls") {
+    // 200 keys, weight 9 for ids < 20, weight 1 otherwise
+    val df = (1L to 200L).map(i => (i, if (i < 20) 9.0 else 1.0, "g"))
+      .toDF("id", "w", "g")
+    def draw(salt: Long) = ops.Sampling.weightedSample(
+        df, Seq(col("g")), "id", col("w"), k = 20, salt = salt)
+      .select("id").as[Long].collect().toSet
+    // layout-independent: same sample under any partitioning
+    val a = draw(0)
+    val b = ops.Sampling.weightedSample(df.repartition(13), Seq(col("g")),
+        "id", col("w"), k = 20, salt = 0)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size == 20)
+    // weight-proportional: across many salts, heavy keys (9x weight,
+    // 19 of 200 keys) occupy far more than their 9.5% of k=20 slots
+    val heavyShare = (0L until 30L).map(s => draw(s).count(_ < 20)).sum / (30.0 * 20)
+    assert(heavyShare > 0.3, s"heavy keys drew only $heavyShare of slots")
+    // zero/negative/null weights and null keys are excluded
+    val guarded = ops.Sampling.weightedSample(
+        Seq((Some(1L), Some(1.0)), (Some(2L), Some(0.0)), (Some(3L), Some(-1.0)),
+            (Some(4L), None), (None, Some(1.0)))
+          .toDF("id", "w").withColumn("g", lit("g")),
+        Seq(col("g")), "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(guarded == Set(1L))
+  }
+
   test("Sampling.byHash is partitioning-independent and rate-accurate") {
     val df = (1L to 4000L).toDF("k")
     val a = ops.Sampling.byHash(df, "k", 0.25).as[Long].collect().toSet
