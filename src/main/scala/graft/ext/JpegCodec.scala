@@ -181,13 +181,16 @@ object JpegCodec {
     body.foreach(out.write)
   }
 
-  /** Encode planes(c)(x, y) ∈ 0..255 (1 plane = grayscale, 3 = YCbCr
-    * already converted) as a baseline 4:4:4 JPEG.
+  /** Core encoder: per-component planes at their OWN resolutions with
+    * sampling factors `samp` (MCU-interleaved per T.81; edge blocks
+    * replicate the plane's last row/column).
     */
-  private def encodePlanes(width: Int, height: Int,
-                           planes: Array[(Int, Int) => Int]): Array[Byte] = {
+  private def encodeSampled(width: Int, height: Int,
+                            samp: Array[(Int, Int)],
+                            planeW: Array[Int], planeH: Array[Int],
+                            plane: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    val nComp = planes.length
+    val nComp = samp.length
     require(nComp == 1 || nComp == 3)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
@@ -197,7 +200,7 @@ object JpegCodec {
     segment(out, 0xc0,
       Array(8, (height >> 8) & 0xff, height & 0xff,
         (width >> 8) & 0xff, width & 0xff, nComp) ++
-        (1 to nComp).flatMap(c => Seq(c, 0x11, 0)))
+        (0 until nComp).flatMap(c => Seq(c + 1, (samp(c)._1 << 4) | samp(c)._2, 0)))
     // DHT: DC table 0 (class 0) and AC table 0 (class 1)
     segment(out, 0xc4, (0x00 +: DcBits.drop(1)) ++ DcVals)
     segment(out, 0xc4, (0x10 +: AcBits.drop(1)) ++ AcVals)
@@ -210,46 +213,66 @@ object JpegCodec {
     val entropy = new java.io.ByteArrayOutputStream()
     val bw = new BitWriter(entropy)
     val dcPred = new Array[Int](nComp)
-    val bxs = (width + 7) / 8
-    val bys = (height + 7) / 8
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val block = new Array[Double](64)
     val zz = new Array[Int](64)
-    var by = 0
-    while (by < bys) {
-      var bx = 0
-      while (bx < bxs) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var c = 0
         while (c < nComp) {
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              // edge blocks replicate the last row/column (standard)
-              val px = math.min(bx * 8 + x, width - 1)
-              val py = math.min(by * 8 + y, height - 1)
-              block(y * 8 + x) = planes(c)(px, py) - 128.0
-              x += 1
+          val (sh, sv) = samp(c)
+          var iv = 0
+          while (iv < sv) {
+            var ih = 0
+            while (ih < sh) {
+              val baseX = (mx * sh + ih) * 8
+              val baseY = (my * sv + iv) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val px = math.min(baseX + x, planeW(c) - 1)
+                  val py = math.min(baseY + y, planeH(c) - 1)
+                  block(y * 8 + x) = plane(c, px, py) - 128.0
+                  x += 1
+                }
+                y += 1
+              }
+              val f = fdct(block)
+              var k = 0
+              while (k < 64) {
+                zz(k) = math.round(f(Zigzag(k)) / Quant(Zigzag(k))).toInt
+                k += 1
+              }
+              dcPred(c) = encodeBlock(bw, zz, dcPred(c), dcCodes, acCodes)
+              ih += 1
             }
-            y += 1
+            iv += 1
           }
-          val f = fdct(block)
-          var k = 0
-          while (k < 64) {
-            zz(k) = math.round(f(Zigzag(k)) / Quant(Zigzag(k))).toInt
-            k += 1
-          }
-          dcPred(c) = encodeBlock(bw, zz, dcPred(c), dcCodes, acCodes)
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bw.flush()
     entropy.toByteArray.foreach(b => out.write(b & 0xff))
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  /** Encode planes(c)(x, y) ∈ 0..255 (1 plane = grayscale, 3 = YCbCr
+    * already converted) as a baseline 4:4:4 JPEG.
+    */
+  private def encodePlanes(width: Int, height: Int,
+                           planes: Array[(Int, Int) => Int]): Array[Byte] =
+    encodeSampled(width, height, Array.fill(planes.length)((1, 1)),
+      Array.fill(planes.length)(width), Array.fill(planes.length)(height),
+      (c, x, y) => planes(c)(x, y))
 
   /** Grayscale encode — the bit-exact path for block-constant content. */
   def encodeGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] =
@@ -271,6 +294,44 @@ object JpegCodec {
       clamp255(math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt)
     }
     encodePlanes(width, height, Array(yp, cb, cr))
+  }
+
+  /** RGB encode with 4:2:0 chroma subsampling — the layout virtually
+    * every camera/web JPEG uses: full-resolution Y, Cb/Cr averaged
+    * over each 2×2 pixel quad and stored at half resolution, MCUs
+    * interleaved as 4 Y blocks + 1 Cb + 1 Cr.
+    */
+  def encodeRgb420(width: Int, height: Int,
+                   rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    def ycc(x: Int, y: Int): (Double, Double, Double) = {
+      val (r, g, b) = rgb(x, y)
+      (0.299 * r + 0.587 * g + 0.114 * b,
+       128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+       128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    }
+    def avgChroma(sel: ((Double, Double, Double)) => Double)(cx: Int, cy: Int): Int = {
+      var s = 0.0; var n = 0
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          val px = cx * 2 + dx; val py = cy * 2 + dy
+          if (px < width && py < height) { s += sel(ycc(px, py)); n += 1 }
+          dx += 1
+        }
+        dy += 1
+      }
+      clamp255(math.round(s / n).toInt)
+    }
+    encodeSampled(width, height,
+      Array((2, 2), (1, 1), (1, 1)),
+      Array(width, cw, cw), Array(height, ch, ch),
+      (c, x, y) => c match {
+        case 0 => clamp255(math.round(ycc(x, y)._1).toInt)
+        case 1 => avgChroma(_._2)(x, y)
+        case _ => avgChroma(_._3)(x, y)
+      })
   }
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
@@ -353,6 +414,8 @@ object JpegCodec {
     val huffDc = scala.collection.mutable.Map[Int, HuffTable]()
     val huffAc = scala.collection.mutable.Map[Int, HuffTable]()
     var compQuant: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var sofSeen = false
@@ -407,13 +470,20 @@ object JpegCodec {
           if (nComp != 1 && nComp != 3) return None
           if (bodyLen != 6 + 3 * nComp) return None
           compQuant = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
             val hv = u8(body + 7 + 3 * c)
-            if (hv != 0x11) return None // 4:4:4 only
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
             compQuant(c) = u8(body + 8 + 3 * c)
             c += 1
           }
+          // 4:4:4 (all 1x1) or 4:2:0 (luma 2x2, chroma 1x1) only
+          val is444 = compH.forall(_ == 1) && compV.forall(_ == 1)
+          val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+          if (!is444 && !is420) return None
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
           return None // progressive / arithmetic / hierarchical
         case 0xdd => return None // restart intervals out of scope
@@ -446,78 +516,93 @@ object JpegCodec {
 
     val totalL = width.toLong * height
     if (totalL > Int.MaxValue / 4) return None
-    val bxs = (width + 7) / 8
-    val bys = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](width * height))
+    val hMax = compH.max; val vMax = compV.max
+    // per-component plane dims: ceil(width * h / Hmax) etc.
+    val planeW = Array.tabulate(nComp)(c => (width * compH(c) + hMax - 1) / hMax)
+    val planeH = Array.tabulate(nComp)(c => (height * compV(c) + vMax - 1) / vMax)
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val br = new BitReader(payload, scanStart)
     val dcPred = new Array[Int](nComp)
     val zz = new Array[Int](64)
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
 
-    var by = 0
-    while (by < bys) {
-      var bx = 0
-      while (bx < bxs) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var ci = 0
         while (ci < nComp) {
           val q = quant(compQuant(ci))
           val dct = huffDc(compDc(ci)); val act = huffAc(compAc(ci))
-          java.util.Arrays.fill(zz, 0)
-          val cat = br.decode(dct)
-          if (br.bad || cat < 0 || cat > 11) return None
-          dcPred(ci) += extend(br.bits(cat), cat)
-          zz(0) = dcPred(ci)
-          var k = 1
-          while (k < 64) {
-            val rs = br.decode(act)
-            if (br.bad || rs < 0) return None
-            val run = rs >> 4; val size = rs & 0x0f
-            if (size == 0) {
-              if (rs == 0x00) k = 64            // EOB
-              else if (rs == 0xf0) k += 16      // ZRL
-              else return None
-            } else {
-              k += run
-              if (k > 63) return None
-              zz(k) = extend(br.bits(size), size)
-              k += 1
+          val pw = planeW(ci); val ph = planeH(ci)
+          var iv = 0
+          while (iv < compV(ci)) {
+            var ih = 0
+            while (ih < compH(ci)) {
+              java.util.Arrays.fill(zz, 0)
+              val cat = br.decode(dct)
+              if (br.bad || cat < 0 || cat > 11) return None
+              dcPred(ci) += extend(br.bits(cat), cat)
+              zz(0) = dcPred(ci)
+              var k = 1
+              while (k < 64) {
+                val rs = br.decode(act)
+                if (br.bad || rs < 0) return None
+                val run = rs >> 4; val size = rs & 0x0f
+                if (size == 0) {
+                  if (rs == 0x00) k = 64            // EOB
+                  else if (rs == 0xf0) k += 16      // ZRL
+                  else return None
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  zz(k) = extend(br.bits(size), size)
+                  k += 1
+                }
+              }
+              if (br.bad) return None
+              // dequant + dezigzag
+              var i = 0
+              while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * q(Zigzag(i)); i += 1 }
+              // IDCT: f = C^T * F * C  (separable)
+              var yy = 0
+              while (yy < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0; var u = 0
+                  while (u < 8) { s += Basis(u)(x) * coef(yy * 8 + u); u += 1 }
+                  tmp(yy * 8 + x) = s; x += 1
+                }
+                yy += 1
+              }
+              val baseX = (mx * compH(ci) + ih) * 8
+              val baseY = (my * compV(ci) + iv) * 8
+              var y2 = 0
+              while (y2 < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0; var v = 0
+                  while (v < 8) { s += Basis(v)(y2) * tmp(v * 8 + x); v += 1 }
+                  val px = baseX + x; val py = baseY + y2
+                  if (px < pw && py < ph)
+                    planes(ci)(py * pw + px) =
+                      clamp255(math.round(s + 128.0).toInt)
+                  x += 1
+                }
+                y2 += 1
+              }
+              ih += 1
             }
-          }
-          if (br.bad) return None
-          // dequant + dezigzag
-          var i = 0
-          while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * q(Zigzag(i)); i += 1 }
-          // IDCT: f = C^T * F * C  (separable)
-          var yy = 0
-          while (yy < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0; var u = 0
-              while (u < 8) { s += Basis(u)(x) * coef(yy * 8 + u); u += 1 }
-              tmp(yy * 8 + x) = s; x += 1
-            }
-            yy += 1
-          }
-          var y2 = 0
-          while (y2 < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0; var v = 0
-              while (v < 8) { s += Basis(v)(y2) * tmp(v * 8 + x); v += 1 }
-              val px = bx * 8 + x; val py = by * 8 + y2
-              if (px < width && py < height)
-                planes(ci)(py * width + px) =
-                  clamp255(math.round(s + 128.0).toInt)
-              x += 1
-            }
-            y2 += 1
+            iv += 1
           }
           ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     // entropy data must be followed (after 1-bit padding) by EOI
     var p = br.pos
@@ -525,25 +610,33 @@ object JpegCodec {
     if (u8(p) != 0xff || u8(p + 1) != 0xd9) return None
     if (p + 2 != payload.length) return None
 
-    // means (grayscale: all channels = the gray plane)
+    // means; chroma read at its own resolution (nearest-neighbor
+    // upsample: for 4:2:0 pixel (x, y) samples chroma (x/2, y/2))
     var sr = 0L; var sg = 0L; var sb = 0L; var sbTop = 0L
     val topRows = (height + 1) / 2
-    var i = 0
-    val n = width * height
-    while (i < n) {
-      val (r, g, b) =
-        if (nComp == 1) { val v = planes(0)(i); (v, v, v) }
-        else {
-          val yv = planes(0)(i); val cbv = planes(1)(i) - 128; val crv = planes(2)(i) - 128
-          (clamp255(math.round(yv + 1.402 * crv).toInt),
-           clamp255(math.round(yv - 0.344136 * cbv - 0.714136 * crv).toInt),
-           clamp255(math.round(yv + 1.772 * cbv).toInt))
-        }
-      sr += r; sg += g; sb += b
-      if (i / width < topRows) sbTop += b
-      i += 1
+    var yP = 0
+    while (yP < height) {
+      var xP = 0
+      while (xP < width) {
+        val (r, g, b) =
+          if (nComp == 1) { val v = planes(0)(yP * planeW(0) + xP); (v, v, v) }
+          else {
+            val yv = planes(0)(yP * planeW(0) + xP)
+            val cbx = xP * compH(1) / hMax; val cby = yP * compV(1) / vMax
+            val crx = xP * compH(2) / hMax; val cry = yP * compV(2) / vMax
+            val cbv = planes(1)(cby * planeW(1) + cbx) - 128
+            val crv = planes(2)(cry * planeW(2) + crx) - 128
+            (clamp255(math.round(yv + 1.402 * crv).toInt),
+             clamp255(math.round(yv - 0.344136 * cbv - 0.714136 * crv).toInt),
+             clamp255(math.round(yv + 1.772 * cbv).toInt))
+          }
+        sr += r; sg += g; sb += b
+        if (yP < topRows) sbTop += b
+        xP += 1
+      }
+      yP += 1
     }
-    val nd = n.toDouble
+    val nd = (width.toLong * height).toDouble
     Some(Decoded(width, height, sb / nd / 255.0, sg / nd / 255.0, sr / nd / 255.0,
       sbTop.toDouble / (width.toLong * topRows) / 255.0))
   }

@@ -291,6 +291,19 @@ class MultimodalSpec extends SparkSuite {
     val mb = cpx.map(_._3).sum.toDouble / cpx.size / 255.0
     assert(math.abs(dc.meanR - mr) < 0.02 && math.abs(dc.meanG - mg) < 0.02 &&
       math.abs(dc.meanB - mb) < 0.02, s"rgb means off: ${dc.meanR} vs $mr")
+    // 4:2:0: subsampled chroma + interleaved MCUs (4Y+Cb+Cr) decode to
+    // the same means within tolerance, incl. non-MCU-aligned dims
+    for ((w4, h4) <- Seq((32, 24), (21, 13))) {
+      val px4 = for (y <- 0 until h4; x <- 0 until w4) yield rgb(x, y)
+      val d4 = JpegCodec.decode(JpegCodec.encodeRgb420(w4, h4, rgb))
+        .getOrElse(fail(s"4:2:0 ${w4}x$h4 decode failed"))
+      assert(d4.width == w4 && d4.height == h4)
+      val m4r = px4.map(_._1).sum.toDouble / px4.size / 255.0
+      val m4g = px4.map(_._2).sum.toDouble / px4.size / 255.0
+      val m4b = px4.map(_._3).sum.toDouble / px4.size / 255.0
+      assert(math.abs(d4.meanR - m4r) < 0.03 && math.abs(d4.meanG - m4g) < 0.03 &&
+        math.abs(d4.meanB - m4b) < 0.03, s"4:2:0 ${w4}x$h4 means off: ${d4.meanR} vs $m4r")
+    }
   }
 
   test("JpegCodec: rejects corrupt payloads; decodeImages dispatches JPEG") {
