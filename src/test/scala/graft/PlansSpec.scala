@@ -81,6 +81,28 @@ class PlansSpec extends SparkSuite {
     assert(lshGens == 1, s"expected 1 lshbuckets generate, got $lshGens")
   }
 
+  test("whole-surface plan sweep: no unexpected cartesian product or scalar UDF in ANY query") {
+    // every declared query's physical plan, checked in one sweep —
+    // a new query with an accidental O(n^2) join or a non-codegen
+    // ScalaUDF fails here before it ever reaches the driver.
+    // Whitelisted cartesians are the labeled exact baselines (q24/q25,
+    // maxRows-guarded) and BM25's single-row corpus-stats cross (q73).
+    val cartesianOk = Set("q24_knn_brute", "q25_cosine_pairs", "q73_bm25_rank")
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, sfDir)
+      val physical = df.queryExecution.executedPlan.toString
+      if (!cartesianOk(name))
+        assert(!physical.contains("CartesianProduct") && !physical.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded join:\n${physical.take(1500)}")
+      assert(!physical.contains("BatchEvalPython"), s"$name plans a Python UDF")
+      val hasScalaUdf = df.queryExecution.analyzed.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+        case _ => false
+      })
+      assert(!hasScalaUdf, s"$name uses a scalar ScalaUDF (zero-UDF contract)")
+    }
+  }
+
   test("GraftExtensions registers the rule at session build time") {
     val s = SparkSession.builder()
       .master("local[2]")
