@@ -188,7 +188,9 @@ object JpegCodec {
   private def encodeSampled(width: Int, height: Int,
                             samp: Array[(Int, Int)],
                             planeW: Array[Int], planeH: Array[Int],
-                            plane: (Int, Int, Int) => Int): Array[Byte] = {
+                            plane: (Int, Int, Int) => Int,
+                            restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 65535)
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     val nComp = samp.length
     require(nComp == 1 || nComp == 3)
@@ -204,6 +206,8 @@ object JpegCodec {
     // DHT: DC table 0 (class 0) and AC table 0 (class 1)
     segment(out, 0xc4, (0x00 +: DcBits.drop(1)) ++ DcVals)
     segment(out, 0xc4, (0x10 +: AcBits.drop(1)) ++ AcVals)
+    if (restartInterval > 0) // DRI: restart every Ri MCUs
+      segment(out, 0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     // SOS: every component uses DC table 0 / AC table 0
     segment(out, 0xda,
       Array(nComp) ++ (1 to nComp).flatMap(c => Seq(c, 0x00)) ++ Array(0, 63, 0))
@@ -218,10 +222,19 @@ object JpegCodec {
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val block = new Array[Double](64)
     val zz = new Array[Int](64)
+    var mcuIdx = 0
+    var rstN = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          // byte-align, emit RSTn (bare marker, no stuffing), reset DC
+          bw.flush()
+          entropy.write(0xff); entropy.write(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
         var c = 0
         while (c < nComp) {
           val (sh, sv) = samp(c)
@@ -255,6 +268,7 @@ object JpegCodec {
           }
           c += 1
         }
+        mcuIdx += 1
         mx += 1
       }
       my += 1
@@ -269,14 +283,16 @@ object JpegCodec {
     * already converted) as a baseline 4:4:4 JPEG.
     */
   private def encodePlanes(width: Int, height: Int,
-                           planes: Array[(Int, Int) => Int]): Array[Byte] =
+                           planes: Array[(Int, Int) => Int],
+                           restartInterval: Int = 0): Array[Byte] =
     encodeSampled(width, height, Array.fill(planes.length)((1, 1)),
       Array.fill(planes.length)(width), Array.fill(planes.length)(height),
-      (c, x, y) => planes(c)(x, y))
+      (c, x, y) => planes(c)(x, y), restartInterval)
 
   /** Grayscale encode — the bit-exact path for block-constant content. */
-  def encodeGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] =
-    encodePlanes(width, height, Array((x, y) => gray(x, y) & 0xff))
+  def encodeGray(width: Int, height: Int, gray: (Int, Int) => Int,
+                 restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(width, height, Array((x, y) => gray(x, y) & 0xff), restartInterval)
 
   /** RGB encode via the JFIF integer color transform (lossy ±1). */
   def encodeRgb(width: Int, height: Int,
@@ -382,6 +398,7 @@ object JpegCodec {
       while (i < count) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    def align(): Unit = { buf = 0; n = 0 } // drop intra-byte padding
     def decode(t: HuffTable): Int = {
       var code = bit()
       var len = 1
@@ -419,6 +436,7 @@ object JpegCodec {
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var sofSeen = false
+    var restartInterval = 0
     var scanStart = -1
 
     while (scanStart < 0) {
@@ -486,7 +504,9 @@ object JpegCodec {
           if (!is444 && !is420) return None
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
           return None // progressive / arithmetic / hierarchical
-        case 0xdd => return None // restart intervals out of scope
+        case 0xdd => // DRI: restart interval in MCUs
+          if (bodyLen != 2) return None
+          restartInterval = u16(body)
         case 0xda => // SOS
           if (!sofSeen || bodyLen < 1 + 2 * 1 + 3) return None
           val ns = u8(body)
@@ -529,10 +549,23 @@ object JpegCodec {
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
 
+    var mcuIdx = 0
+    var rstN = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          // byte-align (discard 1-padding), consume the expected RSTn
+          // (cycling index per T.81), reset DC predictors
+          br.align()
+          if (br.pos + 2 > payload.length) return None
+          if ((payload(br.pos) & 0xff) != 0xff ||
+              (payload(br.pos + 1) & 0xff) != 0xd0 + rstN) return None
+          br.pos += 2
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
         var ci = 0
         while (ci < nComp) {
           val q = quant(compQuant(ci))
@@ -600,6 +633,7 @@ object JpegCodec {
           }
           ci += 1
         }
+        mcuIdx += 1
         mx += 1
       }
       my += 1

@@ -306,6 +306,28 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("JpegCodec: restart markers (DRI/RSTn) decode bit-exactly; wrong RST index rejected") {
+    import graft.ext.JpegCodec
+    // 6x2 MCUs of block-constant gray, restart every 2 MCUs: the
+    // stream byte-aligns at each boundary, cycles RST0..RSTn and
+    // resets DC prediction — decode must still be bit-exact
+    val w = 48; val h = 16
+    def g(x: Int, y: Int) = (7 + (x / 8) * 23 + (y / 8) * 41) % 256
+    val jpg = JpegCodec.encodeGray(w, h, g, restartInterval = 2)
+    val d = JpegCodec.decode(jpg).getOrElse(fail("DRI decode failed"))
+    val px = for (y <- 0 until h; x <- 0 until w) yield g(x, y)
+    val mean = px.sum.toDouble / px.size / 255.0
+    assert(d.width == w && d.height == h)
+    assert(d.meanR == mean, s"DRI roundtrip not exact: ${d.meanR} vs $mean")
+    // corrupt ONE restart marker's index -> the cycling check fails
+    val rstAt = jpg.indices.drop(2).find(i =>
+      (jpg(i - 1) & 0xff) == 0xff && (jpg(i) & 0xff) == 0xd0).get
+    val bad = jpg.clone(); bad(rstAt) = 0xd5.toByte
+    assert(JpegCodec.decode(bad).isEmpty)
+    // interval 0 in DRI = restarts disabled; plain stream still fine
+    assert(JpegCodec.decode(JpegCodec.encodeGray(16, 8, g)).isDefined)
+  }
+
   test("JpegCodec: rejects corrupt payloads; decodeImages dispatches JPEG") {
     import graft.ext.JpegCodec
     val jpg = JpegCodec.encodeGray(16, 8, (x, y) => (x * 16 + y) % 256)
@@ -348,6 +370,8 @@ class MultimodalSpec extends SparkSuite {
       "gif" -> GifCodec.encode(9, 7,
         Array.tabulate(16)(i => (i * 16, i * 8, i * 4)), (x, y) => (x + y) % 16),
       "jpg" -> JpegCodec.encodeGray(16, 16, (x, y) => (x * 16 + y) % 256),
+      "jpg-dri" -> JpegCodec.encodeGray(32, 16, (x, y) => (x * 16 + y) % 256,
+        restartInterval = 1),
       "wav" -> WavCodec.encode(2, 8000, 50, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
     def all(p: Array[Byte]): Unit = {
       BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
