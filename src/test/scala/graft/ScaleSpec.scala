@@ -51,6 +51,36 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("CDC merge against a BUCKETED snapshot: only the delta shuffles") {
+    // the applyChanges scale claim made concrete: with the snapshot
+    // bucketed by key, the full-outer join reads the snapshot's bucket
+    // layout directly — the one hash Exchange left in the plan is the
+    // delta's compaction window, i.e. the 100 TB side never moves
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_b_snapshot")
+    val snap = (1L to 2000L).map(k => (k, s"name$k", k * 1.5)).toDF("k", "name", "bal")
+    Bucketed.write(snap, "graft_b_snapshot", "k", 4)
+    val changes = Seq(
+      (5L, "upd5", 1.0, 100L, "U", 1L),
+      (2001L, "new", 2.0, 100L, "I", 2L),
+      (7L, "gone", 0.0, 100L, "D", 3L)
+    ).toDF("k", "name", "bal", "seq", "op", "chg_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = graft.ops.Merge.applyChanges(
+        spark.table("graft_b_snapshot"), changes, "k", "seq", "op", "chg_id")
+      assert(merged.count() == 2000) // 2000 - 1 delete + 1 insert
+      assert(merged.filter(col("k") === 5L).select("name").as[String].head() == "upd5")
+      val plan = merged.queryExecution.executedPlan.toString
+      val hashExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+      assert(hashExchanges == 1,
+        s"expected ONLY the delta's window exchange, got $hashExchanges:\n${plan.take(2500)}")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("day-partitioned write prunes partitions at planning time") {
     import graft.sinks.Partitioned
     val dir = java.nio.file.Files.createTempDirectory("bydate").toFile.getAbsolutePath
