@@ -1704,6 +1704,24 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** q93 — ⊕ character-bigram LM quality proxy
+    * ([[graft.ext.TextAnalysis.charBigramLm]]/[[graft.ext.TextAnalysis.lmScore]]):
+    * train the bigram model on the even-id half of the corpus, score
+    * EVERY document by mean log-probability (so the out-of-vocabulary
+    * floor path is exercised by odd-id docs) — the CCNet-style
+    * perplexity screen that flags alien scripts/base64/mojibake.
+    * Oracle mirrors the count → ln(c/total) → join → avg tree; the
+    * cross-partition double mean is rounded on both sides (the q01
+    * convention).
+    */
+  private val q93LmQuality: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = ext.TextAnalysis.charBigramLm(
+      docs.filter(col("doc_id") % 2 === 0), col("text"))
+    ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), model)
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1798,6 +1816,7 @@ object SparkEntry {
     "q90_jpeg_decode"       -> q90JpegDecode,
     "q91_contamination"     -> q91Contamination,
     "q92_weighted_sample"   -> q92WeightedSample,
+    "q93_lm_quality"        -> q93LmQuality,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3512,6 +3531,31 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q93: identical tree — clean/lower, substring bigrams, count,
+    // ln(c/total), left join, coalesce to the ln(0.5/total) floor,
+    // avg rounded 4dp on both sides (cross-partition double mean).
+    "q93_lm_quality" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
+        |cnt AS (
+        |  SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
+        |tot AS (SELECT sum(c) AS total FROM cnt),
+        |model AS (
+        |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |  FROM cnt CROSS JOIN tot),
+        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot)
+        |SELECT bg.doc_id,
+        |  round(avg(coalesce(model.logp, flr.f)), 4) AS lm_score
+        |FROM bg CROSS JOIN flr
+        |LEFT JOIN model ON bg.bg = model.bg
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
     // q92: q50's md5 digit arithmetic re-derives the hash bucket; the
     // A-Res priority ln(h)/w uses the identical expression tree and
     // stays internal (cross-libm ulps) — only the selection is output.

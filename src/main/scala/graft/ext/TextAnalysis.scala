@@ -108,4 +108,70 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df"))
       .filter(col("df") >= minDocFreq)
+
+  /** Character bigrams of the cleaned lower-cased text, row-local and
+    * O(len): `zip_with` over two slices of the split-to-chars array,
+    * whose lambda touches ONLY its element variables. The obvious
+    * `transform(sequence(...), i => clean.substr(i, 2))` form captures
+    * the whole clean-regex subtree inside the lambda and Catalyst
+    * re-evaluates it per element — O(len²) per row, measured 16 s for
+    * the q93 scan at sf0.1 vs ~1 s for this form (the ShingleSet
+    * lesson, avoided here without a custom expression). Docs shorter
+    * than 2 cleaned chars yield an empty array.
+    */
+  def charBigrams(text: Column): Column = {
+    val c = graft.ops.Text.cleanText(lower(text))
+    val chars = split(c, "")
+    val n = size(chars)
+    when(length(c) >= 2,
+      zip_with(slice(chars, lit(1), n - 1), slice(chars, lit(2), n - 1),
+        (a, b) => concat(a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** ⊕ Corpus-trained character-bigram language model: (bigram,
+    * log-probability) over the training docs — the CCNet-style
+    * "perplexity proxy" screen (docs whose character statistics
+    * diverge from the corpus score low: alien scripts, base64 blobs,
+    * mojibake, boilerplate).
+    *
+    * Plan shape: the canonical map-side-combine count (explode →
+    * partial agg → ONE shuffle on the bigram) plus the q73 trick for
+    * the normalizer — a single-row total broadcast-crossed back, so
+    * `logp = ln(count / total)` is row-local. Output is
+    * vocabulary-sized (≤ alphabet², tiny).
+    */
+  def charBigramLm(train: DataFrame, text: Column): DataFrame = {
+    val counts = train.select(explode(charBigrams(text)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__total"))
+    counts.crossJoin(broadcast(total)) // single-row normalizer
+      .select(col("bg"),
+        log(col("__c").cast("double") / col("__total").cast("double")).as("logp"),
+        col("__total"))
+  }
+
+  /** ⊕ Score docs against a [[charBigramLm]] model: per-doc MEAN
+    * bigram log-probability (rounded; higher = more corpus-like).
+    * Unseen bigrams take the floor `ln(0.5 / total)` — half a count,
+    * the additive-smoothing convention — so out-of-vocabulary text is
+    * penalized, not dropped. Docs with no bigrams are excluded (no
+    * evidence either way).
+    *
+    * Plan shape: explode to (doc, bigram), BROADCAST-join the tiny
+    * model, one groupBy on the doc id. The corpus side never
+    * re-shuffles on content.
+    */
+  def lmScore(docs: DataFrame, id: Column, text: Column,
+              model: DataFrame, roundTo: Int = 4): DataFrame = {
+    // the OOV floor is one value for the whole model: single-row agg,
+    // broadcast-crossed like the normalizer itself (q73 pattern)
+    val floorRow = model.agg(
+      log(lit(0.5) / max(col("__total")).cast("double")).as("__floor"))
+    docs.select(id.as("doc_id"), explode(charBigrams(text)).as("bg"))
+      .crossJoin(broadcast(floorRow))
+      .join(broadcast(model.select(col("bg"), col("logp"))), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(coalesce(col("logp"), col("__floor"))), roundTo).as("lm_score"))
+  }
 }

@@ -128,4 +128,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"stats row must broadcast:\n$plan")
   }
+
+  test("charBigramLm/lmScore: corpus-like text outscores alien text; OOV floor applies") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the rain in spain stays mainly in the plain"),
+      (3L, "every good boy does fine and the dog runs home")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.charBigramLm(train, col("text"))
+    // model sanity: probabilities over observed bigrams sum to 1
+    val psum = model.select(sum(exp(col("logp")))).as[Double].head()
+    assert(math.abs(psum - 1.0) < 1e-9)
+    val probe = Seq(
+      (10L, "the dog jumps over the plain"),      // corpus-like
+      (11L, "zzqx vvkk wwpp qqzz xxjj zzvv kkqq") // alien bigrams -> floor
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScore(probe, col("doc_id"), col("text"), model)
+      .as[(Long, Double)].collect().toMap
+    assert(scores(10L) > scores(11L),
+      s"corpus-like text must outscore alien text: $scores")
+    // the alien doc's score must sit near the OOV floor
+    val total = model.select(max(col("__total"))).as[Long].head().toDouble
+    val floor = math.log(0.5 / total)
+    assert(scores(11L) <= floor + 1.5, s"alien score ${scores(11L)} far above floor $floor")
+    // doc with <2 cleaned chars is excluded, not scored as 0
+    val tiny = TextAnalysis.lmScore(
+      Seq((20L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text"), model)
+    assert(tiny.count() == 0)
+  }
 }
