@@ -86,8 +86,10 @@ class PlansSpec extends SparkSuite {
     // a new query with an accidental O(n^2) join or a non-codegen
     // ScalaUDF fails here before it ever reaches the driver.
     // Whitelisted cartesians are the labeled exact baselines (q24/q25,
-    // maxRows-guarded) and BM25's single-row corpus-stats cross (q73).
-    val cartesianOk = Set("q24_knn_brute", "q25_cosine_pairs", "q73_bm25_rank")
+    // maxRows-guarded) and the single-row stats crosses: BM25's corpus
+    // aggregate (q73) and the LM model's normalizer/OOV floor (q93).
+    val cartesianOk = Set("q24_knn_brute", "q25_cosine_pairs", "q73_bm25_rank",
+      "q93_lm_quality")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
