@@ -44,9 +44,38 @@ object Bench {
     // that downstream gates would accept.
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} matched no queries")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Previous run's per-query times (same sf only): rounds 2/4/6/7 all
+    // shipped official BENCH_rN records contaminated by sustained external
+    // load bursts that defeat even min-of-3 (e.g. r7 recorded q48 at 8.22s
+    // vs a real 1.49s). The record must defend itself: any query measuring
+    // >2x its predecessor gets one more min-of-3 pass before the line is
+    // emitted, and the final value is the min across all passes.
+    val prevTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty  // different scale factor: not comparable
+        else """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val results = firstPass.map { case (name, t) =>
+      val prev = prevTimes.getOrElse(name, -1.0)
+      // 0.2s floor: sub-floor queries sit at the per-job scheduling noise
+      // level where a 2x swing is not evidence of load contamination.
+      if (t > 0 && prev > 0 && t > 2 * prev && t > 0.2) {
+        System.err.println(f"[bench] $name%s $t%.2fs is >2x last run's $prev%.2fs; re-timing once")
+        val ts = Seq.fill(3)(timeOnce(name, selected(name)))
+        val re = if (ts.exists(_ < 0)) t else math.min(t, ts.min)
+        if (re < t) System.err.println(f"[bench] $name%s re-timed $t%.2fs -> $re%.2fs (load burst)")
+        name -> re
+      } else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -367,26 +367,37 @@ object Dedup {
     * typically orders of magnitude smaller than the train corpus, and
     * the shuffle key is the shingle, never the document.
     *
-    * Plan shape at scale: one shuffle of the TRAIN side on the
-    * shingle (groupBy: doc-frequency cap + per-shingle posting list
-    * in the same pass), one shuffle of the test side on the shingle,
-    * one equi-join, then a groupBy on the (test, train) pair. The
-    * `maxDocsPerShingle` cap drops stopword-like shingles that
-    * appear in more than that many train documents — they carry no
-    * contamination signal and their posting lists are the skew/OOM
-    * risk (mirror the cap in any SQL oracle via a HAVING).
+    * Plan shape at scale: the doc-frequency cap is applied in TWO
+    * passes so no posting list is ever materialized for a shingle
+    * that will be dropped. Pass 1 is a `count(*)` per shingle —
+    * partial (map-side) aggregation means a stopword-like shingle in
+    * millions of train docs costs one long per mapper, never a
+    * buffered list. Pass 2 semi-joins the exploded (shingle,
+    * train_id) rows against the surviving shingles, so a hot
+    * shingle's rows are discarded at the join probe without ever
+    * being collected into one aggregation buffer row. Then one
+    * shuffle of the test side on the shingle, one equi-join, and a
+    * groupBy on the (test, train) pair. The `maxDocsPerShingle` cap
+    * drops stopword-like shingles that appear in more than that many
+    * train documents — they carry no contamination signal (mirror
+    * the cap in any SQL oracle via a HAVING).
     */
   def contaminationPairs(train: DataFrame, test: DataFrame,
                          id: Column, text: Column, k: Int = 3,
                          minOverlap: Int = 1,
                          maxDocsPerShingle: Int = DefaultMaxBucket): DataFrame = {
-    // TRAIN: one shuffle on the shingle; cap + posting list together
-    val posting = train
+    // TRAIN, pass 1: per-shingle doc frequency via count(*) — partial
+    // aggregation keeps a hot shingle to one long per mapper (never a
+    // buffered posting list). Pass 2: semi-join the exploded rows
+    // against the shingles that survive the cap.
+    val exploded = train
       .select(id.as("train_id"), explode(shingles(text, k)).as("sh"))
+    val surviving = exploded
       .groupBy(col("sh"))
-      .agg(collect_list(col("train_id")).as("__ids"), count(lit(1)).as("__df"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocsPerShingle)
-      .select(col("sh"), explode(col("__ids")).as("train_id"))
+      .select(col("sh"))
+    val posting = exploded.join(surviving, Seq("sh"), "left_semi")
     val te = test
       .select(id.as("test_id"), shingles(text, k).as("__shs"))
       .filter(size(col("__shs")) > 0)

@@ -502,8 +502,11 @@ object JpegCodec {
           val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
             compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
           if (!is444 && !is420) return None
-        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-          return None // progressive / arithmetic / hierarchical
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 =>
+          // progressive / arithmetic / hierarchical SOFn, and the
+          // reserved JPG marker 0xC8 — nothing but SOF0 may reach
+          // the baseline path
+          return None
         case 0xdd => // DRI: restart interval in MCUs
           if (bodyLen != 2) return None
           restartInterval = u16(body)
@@ -519,7 +522,11 @@ object JpegCodec {
             compDc(c) = tables >> 4; compAc(c) = tables & 0x0f
             c += 1
           }
+          // Ss=0, Se=63 (full spectral), Ah=Al=0 (no successive
+          // approximation) — anything else is a progressive scan
+          // header and must not false-positive into baseline decode
           if (u8(body + 1 + 2 * ns) != 0 || u8(body + 2 + 2 * ns) != 63) return None
+          if (u8(body + 3 + 2 * ns) != 0) return None
           scanStart = pos + 2 + len
         case _ => () // APPn / COM / others: skip
       }

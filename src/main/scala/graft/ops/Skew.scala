@@ -47,4 +47,27 @@ object Skew {
     df.groupBy(key).agg(count(lit(1)).as("n_rows"))
       .orderBy(desc("n_rows"))
       .limit(k)
+
+  /** Share of rows owned by the single most frequent key (a null key
+    * counts as a key — it hot-spots a window partition like any
+    * other). The scalar feeding [[graft.ops.Time]]'s auto-selecting
+    * skew wrappers. `fraction < 1` probes a deterministic sample
+    * (fixed seed — same input, same decision); the probe itself is
+    * skew-immune because `count(*)` partial-aggregates map-side, so a
+    * hot key costs one long per input partition, and the two-level
+    * aggregate never collects rows to the driver (the result is a
+    * single scalar row).
+    */
+  def maxKeyShare(df: DataFrame, key: Column, fraction: Double = 1.0,
+                  seed: Long = 42L): Double = {
+    require(fraction > 0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val s = if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed)
+            else df
+    val r = s.groupBy(key).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__max"), sum(col("__n")).as("__tot"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
 }

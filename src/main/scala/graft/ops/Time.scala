@@ -110,6 +110,12 @@ object Time {
     * SQL. The bigger rows-per-second is (the 100 TB regime for
     * rolling features), the bigger the win; at ~1 row/sec it only
     * re-shapes the shuffle.
+    *
+    * Null keys/timestamps are handled null-safely (`<=>` join-back):
+    * a null key is one group and null epoch seconds are mutual RANGE
+    * peers, exactly as the plain window form groups them — no rows
+    * are dropped (TimeNullSpec proves row-for-row equivalence on a
+    * null-bearing fixture).
     */
   def trailingSumsByTime(df: org.apache.spark.sql.DataFrame,
                          key: String, epochSecCol: String, valueCol: String,
@@ -125,8 +131,16 @@ object Time {
     val trail = partials
       .withColumn(outN, sum(col("__pn")).over(w))
       .withColumn(outSum, sum(col("__psum")).over(w))
-      .select(col(key), col(epochSecCol), col(outN), col(outSum))
-    df.join(trail, Seq(key, epochSecCol))
+      .select(col(key).as("__tk"), col(epochSecCol).as("__tt"),
+        col(outN), col(outSum))
+    // Null-safe join-back: an inner equality join would silently drop
+    // rows with a null key or null epoch second that the plain window
+    // form keeps (window partitioning groups nulls). <=> is still an
+    // equi-join condition (EqualNullSafe extracts join keys), so the
+    // physical plan stays a hash/sort-merge join, and it infers no
+    // isnotnull constraints into the branches.
+    df.join(trail, col(key) <=> col("__tk") && col(epochSecCol) <=> col("__tt"))
+      .drop("__tk", "__tt")
   }
 
   /** ⊕ Hot-key-safe form of [[decayedScore]]: the single-window form
@@ -150,6 +164,8 @@ object Time {
     * summation order (chunked reassociation; property-tested to
     * ~1e-9 relative). `chunkSpan` is in units of `tCol`: pick it so a
     * hot key's densest span lands ≥ `shuffle.partitions` chunks.
+    * Null keys/timestamps pass through null-safely like the plain
+    * form — no rows dropped (TimeNullSpec).
     */
   def withDecayedScoreChunked(df: org.apache.spark.sql.DataFrame,
                               key: String, tCol: String, tieCol: String,
@@ -162,11 +178,6 @@ object Time {
     val d = df
       .withColumn("__chunk", floor(col(tCol) / chunkSpan).cast("long"))
       .withColumn("__u", col(valueCol) * exp(col(tCol) * lambda))
-      // join-key null filters, applied ONCE before the window so both
-      // join branches stay byte-identical subtrees — otherwise the
-      // join pushes isnotnull(floor(...)) into only one branch's scan
-      // and exchange/stage reuse can't dedupe the double subtree
-      .filter(col(key).isNotNull && col("__chunk").isNotNull)
     val w1 = Window.partitionBy(col(key), col("__chunk"))
       .orderBy(col(tCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -186,10 +197,95 @@ object Time {
       .filter(col("__rn") === 1)
       .withColumn("__offset", coalesce(sum(col("__within")).over(wOff), lit(0.0)))
       .select(col(key), col("__chunk"), col("__offset"))
-    within.join(offsets, Seq(key, "__chunk"))
+    // Null-safe join-back (<=>): rows with a null key or null t (null
+    // chunk) pass through like the plain [[decayedScore]] form — a
+    // null key is one window group; a null t yields a null score in
+    // BOTH forms (exp(null·λ) poisons the row's own term while sum()
+    // skips it for its peers). <=> infers no isnotnull constraints,
+    // so the two join branches stay byte-identical subtrees and
+    // exchange/stage reuse still dedupes them (previously this needed
+    // an explicit null filter, which silently dropped those rows).
+    val offs = offsets.withColumnRenamed(key, "__ok")
+      .withColumnRenamed("__chunk", "__oc")
+    within.join(offs, col(key) <=> col("__ok") && col("__chunk") <=> col("__oc"))
       .withColumn(out, exp(col(tCol) * -lambda) * (col("__offset") + col("__within")))
-      .drop("__chunk", "__u", "__within", "__offset")
+      .drop("__chunk", "__u", "__within", "__offset", "__ok", "__oc")
   }
+
+  /** Plain single-window trailing count+sum over [[trailingWindow]] —
+    * the uniform-key form [[trailingSumsAuto]] picks when no key is
+    * hot. Kept as a named op so the auto wrapper's two arms are the
+    * exact forms q89 hash-proved equivalent.
+    */
+  def trailingSums(df: org.apache.spark.sql.DataFrame,
+                   key: String, epochSecCol: String, valueCol: String,
+                   spanSec: Long,
+                   outN: String = "n_trailing",
+                   outSum: String = "sum_trailing"): org.apache.spark.sql.DataFrame = {
+    val w = trailingWindow(col(key), col(epochSecCol), spanSec)
+    df.withColumn(outN, sum(lit(1L)).over(w))
+      .withColumn(outSum, sum(col(valueCol)).over(w))
+  }
+
+  /** Hot-key share above which the skew-safe window forms win.
+    * Measured (`tools/SkewBench`, BASELINE.md §skew): the plain RANGE
+    * frame was 32× slower at a 25% single-key share and the plain
+    * running window ~5× at 10%; both stay flat below a few percent.
+    * ~1/32 of a stage's rows is the documented switch-over — at 32
+    * shuffle partitions that is exactly the share where one key
+    * saturates one task.
+    */
+  val HotKeyShareThreshold: Double = 1.0 / 32
+
+  /** The decision probe for the auto wrappers: does any single key own
+    * ≥ `threshold` of the rows? One cheap aggregate pass (optionally
+    * sampled — deterministic seed, so same input → same plan choice);
+    * see [[Skew.maxKeyShare]] for why the probe itself is skew-immune.
+    */
+  def isHotKeyed(df: org.apache.spark.sql.DataFrame, key: Column,
+                 threshold: Double = HotKeyShareThreshold,
+                 sampleFraction: Double = 1.0): Boolean =
+    Skew.maxKeyShare(df, key, sampleFraction) >= threshold
+
+  /** ⊕ Auto-selecting trailing count+sum: probes the key histogram and
+    * picks the plain window ([[trailingSums]]) under uniform keys or
+    * the per-second pre-aggregated form ([[trailingSumsByTime]]) when
+    * a key owns ≥ `threshold` of the rows — the forms are exact
+    * equivalents (q89 hash-proof), so the choice is purely physical.
+    * A 100 TB operator can't require a human to read a histogram
+    * before every run; this makes the documented switch-over
+    * executable. Cost: one extra aggregate pass over `df` (or a
+    * sample) — cache `df` upstream if it is itself expensive.
+    */
+  def trailingSumsAuto(df: org.apache.spark.sql.DataFrame,
+                       key: String, epochSecCol: String, valueCol: String,
+                       spanSec: Long,
+                       outN: String = "n_trailing",
+                       outSum: String = "sum_trailing",
+                       threshold: Double = HotKeyShareThreshold,
+                       sampleFraction: Double = 1.0): org.apache.spark.sql.DataFrame =
+    if (isHotKeyed(df, col(key), threshold, sampleFraction))
+      trailingSumsByTime(df, key, epochSecCol, valueCol, spanSec, outN, outSum)
+    else
+      trailingSums(df, key, epochSecCol, valueCol, spanSec, outN, outSum)
+
+  /** ⊕ Auto-selecting decayed score: plain single-window
+    * [[decayedScore]] under uniform keys, time-chunked
+    * [[withDecayedScoreChunked]] when a key owns ≥ `threshold` of the
+    * rows (q88 hash-proved the forms equivalent). Same probe contract
+    * as [[trailingSumsAuto]].
+    */
+  def decayedScoreAuto(df: org.apache.spark.sql.DataFrame,
+                       key: String, tCol: String, tieCol: String,
+                       valueCol: String, lambda: Double, chunkSpan: Double,
+                       out: String = "decay_score",
+                       threshold: Double = HotKeyShareThreshold,
+                       sampleFraction: Double = 1.0): org.apache.spark.sql.DataFrame =
+    if (isHotKeyed(df, col(key), threshold, sampleFraction))
+      withDecayedScoreChunked(df, key, tCol, tieCol, valueCol, lambda, chunkSpan, out)
+    else
+      df.withColumn(out,
+        decayedScore(col(key), col(tCol), col(tieCol), col(valueCol), lambda))
 
   /** The lower bound itself (for APIs that want a `sinceTs` value,
     * e.g. [[graft.pipelines.SignalScan.Params]]); None for `"all"`.

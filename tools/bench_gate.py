@@ -44,18 +44,34 @@ def load(path):
     for line in reversed(txt.splitlines()):
         if '"metric"' in line:
             return json.loads(line[line.index('{'):])
+    wrapper_sf = None
     try:
         wrapper = json.loads(txt)
         if isinstance(wrapper, dict) and isinstance(wrapper.get('parsed'), dict):
             return wrapper['parsed']
-        tail = wrapper.get('tail', '') if isinstance(wrapper, dict) else ''
+        if isinstance(wrapper, dict):
+            tail = wrapper.get('tail', '')
+            wrapper_sf = wrapper.get('sf')
+        else:
+            tail = ''
     except json.JSONDecodeError:
         tail = txt
     qs = {m.group(1): float(m.group(2))
           for m in re.finditer(r'"(q\d+[a-z0-9_]*)":(-?\d+(?:\.\d+)?)', tail)}
     if not qs:
         raise SystemExit(f"no bench JSON line found in {path}")
-    return {'queries': qs}
+    out = {'queries': qs}
+    # Propagate the scale-factor dir so a retime re-measures on the SAME
+    # sf the flagged run used (a truncated tail usually keeps the
+    # trailing "sf":"..." field; the wrapper may also record it). If
+    # neither survives, main() skips the retime rather than silently
+    # re-measuring on the default sf.
+    m = re.search(r'"sf":"([^"]*)"', tail)
+    if m:
+        out['sf'] = m.group(1)
+    elif isinstance(wrapper_sf, str):
+        out['sf'] = wrapper_sf
+    return out
 
 
 def retime(queries, sf_dir):
@@ -142,8 +158,16 @@ def main():
     # Ratio flags get ONE re-measurement before the gate believes them
     # (-1 hard failures are real and are never retimed away).
     ratio_flagged = [q for q, a, b, why in failures if why.endswith('x')]
+    if ratio_flagged and do_retime and 'sf' not in new:
+        # unknown scale factor (fully truncated tail): a retime on a
+        # guessed sf dir would compare apples to oranges
+        print(f"  WARNING: {args[0]} records no sf dir; skipping auto-retime "
+              f"of {len(ratio_flagged)} flagged quer"
+              f"{'y' if len(ratio_flagged) == 1 else 'ies'} "
+              "(re-run the gate against a full bench record to retime)")
+        do_retime = False
     if ratio_flagged and do_retime:
-        fresh = retime(ratio_flagged, new.get('sf', '/root/testdata/sf0.1'))
+        fresh = retime(ratio_flagged, new['sf'])
         cleared = []
         for q in ratio_flagged:
             if q in fresh and 0 <= fresh[q] < nq[q]:
