@@ -1722,6 +1722,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q94 — ⊕ REAL compressed-audio decode ([[graft.ext.AdpcmCodec]]):
+    * IMA ADPCM WAVs are synthesized per document from a unit-step
+    * triangle formula and decoded behind
+    * [[graft.ext.Multimodal.decodeWaves]]. At step index 0 (step = 7)
+    * nibble deltas 0/±1 reconstruct EXACTLY and the index stays
+    * pinned, so the triangle signal round-trips bit-exactly through
+    * the real step-table recurrence — every sample after a block
+    * header flows through nibble → delta → predictor, yet the oracle
+    * can recompute all features from the formula alone (same
+    * formula-oracle trick as q90's block-constant JPEG). Frames fill
+    * whole 9-sample blocks so the size math is closed-form.
+    */
+  private val q94AdpcmDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ch = (1 + id % 2).toInt
+        val n = (9 * (5 + id % 7)).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        id -> ext.AdpcmCodec.encode(ch, rate, n,
+          (i, c) => (((id * 13 + 23L * c) % 4001) - 2000).toInt +
+            math.abs((i % 20) - 10))
+      }).toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio").as("kind"), col("payload"),
+        lit(null).cast(graft.model.Schemas.mediaMeta).as("meta"))
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeWaves(media).toDF()
+      .select(col("media_id") +: col("channels") +: col("sample_rate") +:
+        col("n_frames") +: col("n_bytes") +: featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1817,6 +1850,7 @@ object SparkEntry {
     "q91_contamination"     -> q91Contamination,
     "q92_weighted_sample"   -> q92WeightedSample,
     "q93_lm_quality"        -> q93LmQuality,
+    "q94_adpcm_decode"      -> q94AdpcmDecode,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -2794,6 +2828,46 @@ object SparkEntry {
         |SELECT doc_id AS media_id, ch AS channels, rate AS sample_rate,
         |  CAST(n AS BIGINT) AS n_frames,
         |  CAST(44 + n*ch*2 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(m0/32768.0 AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(m1/32768.0 AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(ma/32768.0 AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(CAST(pk AS DOUBLE)/32768.0 AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(n/1000.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(rate/100000.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(ch/10.0 AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(n AS DOUBLE)/rate AS REAL) AS DOUBLE), 6) AS f7
+        |FROM st ORDER BY media_id""".stripMargin,
+    // q94 — q63's formula-oracle shape for the IMA ADPCM decoder: the
+    // unit-step triangle signal (consecutive deltas ∈ {-1,0,1}) is
+    // exactly representable at step index 0, so the REAL nibble/step-
+    // table reconstruction must be bit-exact to hash-match. n_bytes is
+    // the closed-form container size: 60-byte headers + (n/9) blocks
+    // of 8·ch bytes (4-byte per-channel header + one 4-byte nibble
+    // word per channel).
+    "q94_adpcm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |    CAST(9 * (5 + doc_id % 7) AS INTEGER) AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, ch, n, rate, i.i AS i, c.c AS c,
+        |    ((doc_id*13 + 23*c.c) % 4001) - 2000 + abs((i.i % 20) - 10) AS s
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 99)) AS i) i
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS c) c
+        |  WHERE i.i < n AND c.c < ch),
+        |st AS (
+        |  SELECT doc_id, ch, n, rate,
+        |    CAST(sum(CASE WHEN c = 0 THEN s ELSE 0 END) AS DOUBLE) / n AS m0,
+        |    CAST(sum(CASE WHEN c = 1 THEN s ELSE 0 END) AS DOUBLE) / n AS m1,
+        |    CAST(sum(abs(s)) AS DOUBLE) / (n * ch) AS ma,
+        |    CAST(max(abs(s)) AS INTEGER) AS pk
+        |  FROM sm GROUP BY doc_id, ch, n, rate)
+        |SELECT doc_id AS media_id, ch AS channels, rate AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(60 + (n / 9) * 8 * ch AS BIGINT) AS n_bytes,
         |  round(CAST(CAST(m0/32768.0 AS REAL) AS DOUBLE), 6) AS f0,
         |  round(CAST(CAST(m1/32768.0 AS REAL) AS DOUBLE), 6) AS f1,
         |  round(CAST(CAST(ma/32768.0 AS REAL) AS DOUBLE), 6) AS f2,

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads + typed metadata, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * Four REAL pure-JVM codecs are content-dispatched on the decode
+  * Six REAL pure-JVM codecs are content-dispatched on the decode
   * path — [[BmpCodec]] (24-bpp BMP), [[PngCodec]] (RGB8 PNG, all five
   * scanline filters, any zlib stream), [[GifCodec]] (palette GIF with
   * a from-scratch variable-width LZW decompressor — real entropy
-  * coding), [[WavCodec]] (16-bit PCM WAV). [[StubCodec]] remains ONLY
+  * coding), [[JpegCodec]] (baseline DCT JPEG), [[WavCodec]] (16-bit
+  * PCM WAV), [[AdpcmCodec]] (IMA ADPCM compressed audio — the
+  * step-table recurrence, not a fixed-layout read). [[StubCodec]]
+  * remains ONLY
   * as the labeled fallback for media kinds with no real decoder
   * (e.g. video), "decoding" a payload into a deterministic
   * byte-derived vector. Equally load-bearing is the Spark-side shape:
@@ -93,6 +96,7 @@ object Multimodal {
               .orElse(GifCodec.decode(payload).map(GifCodec.features))
               .orElse(JpegCodec.decode(payload).map(JpegCodec.features))
               .orElse(WavCodec.decode(payload).map(WavCodec.features))
+              .orElse(AdpcmCodec.decode(payload).map(WavCodec.features))
               .getOrElse(StubCodec.decode(payload)))
         }
       }
@@ -106,16 +110,21 @@ object Multimodal {
 
   /** Audio-decode stage exposing the parsed stream parameters: same
     * `mapPartitions` boundary, rows whose payload is not a valid
-    * 16-bit PCM WAV are DROPPED (S5 error tolerance).
+    * 16-bit PCM WAV or IMA ADPCM WAV ([[AdpcmCodec]] — real
+    * compressed-audio decode) are DROPPED (S5 error tolerance). The
+    * two formats are disjoint on the fmt chunk's audioFormat field,
+    * so dispatch order carries no semantics.
     */
   def decodeWaves(media: DataFrame): Dataset[AudioFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        Option(payload).flatMap(WavCodec.decode).map(d =>
-          AudioFeature(id, d.channels, d.sampleRate, d.frames.toLong,
-            payload.length.toLong, WavCodec.features(d)))
+        Option(payload)
+          .flatMap(p => WavCodec.decode(p).orElse(AdpcmCodec.decode(p)))
+          .map(d =>
+            AudioFeature(id, d.channels, d.sampleRate, d.frames.toLong,
+              payload.length.toLong, WavCodec.features(d)))
       })
   }
 

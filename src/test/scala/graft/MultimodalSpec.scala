@@ -122,6 +122,93 @@ class MultimodalSpec extends SparkSuite {
     assert(graft.ext.BmpCodec.decode(ok).isEmpty)
   }
 
+  test("AdpcmCodec: unit-step triangle roundtrips BIT-EXACTLY (q94's oracle premise)") {
+    import graft.ext.AdpcmCodec
+    // consecutive deltas ∈ {-1,0,1} are exactly representable at step
+    // index 0 (step 7: 7>>3 = 0, 7>>3 + 7>>2 = 1), and every magnitude
+    // < 4 keeps the index pinned — so the real nibble decode must
+    // reproduce the source samples exactly, across blocks and channels
+    def s(i: Int, c: Int): Int = (if (c == 0) 500 else -800) + math.abs((i % 20) - 10)
+    val payload = AdpcmCodec.encode(2, 8000, 99, s)
+    assert(payload.length == 60 + (99 / 9) * 8 * 2)
+    val d = AdpcmCodec.decode(payload).get
+    assert(d.channels == 2 && d.sampleRate == 8000 && d.frames == 99)
+    val exp0 = (0 until 99).map(s(_, 0)).sum.toDouble / 99
+    val exp1 = (0 until 99).map(s(_, 1)).sum.toDouble / 99
+    assert(d.meanCh0 == exp0, s"${d.meanCh0} != $exp0")
+    assert(d.meanCh1 == exp1, s"${d.meanCh1} != $exp1")
+    val expAbs = (0 until 99).flatMap(i => Seq(s(i, 0).abs, s(i, 1).abs)).sum.toDouble / 198
+    assert(d.meanAbs == expAbs)
+    assert(d.peak == 800) // ch1 peaks at tri=0: |-800 + 0|
+  }
+
+  test("AdpcmCodec: hand-derived step-table vector decodes exactly") {
+    import graft.ext.AdpcmCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // One mono block built byte-by-byte (NOT via encode), with the
+    // expected samples derived by hand from the public IMA recurrence:
+    // pred=0, index=3 (step 10):
+    //   nib 5 (0b0101): diff = 10>>3 + 10 + 10>>2 = 13 → 13,  idx 3+4=7  (step 14)
+    //   nib 0:          diff = 14>>3 = 1           → 14,  idx 6        (step 13)
+    //   nib 8:          diff = -(13>>3) = -1       → 13,  idx 5        (step 12)
+    //   nib 15:         diff = -(1+12+6+3) = -22   → -9,  idx 5+8=13   (step 25)
+    //   nib 0 ×4:       +3 → -6 (idx 12, step 23); +2 → -4 (idx 11, 21);
+    //                   +2 → -2 (idx 10, step 19); +2 → 0  (idx 9)
+    val nibbles = Seq(5, 0, 8, 15, 0, 0, 0, 0)
+    val expected = Seq(0, 13, 14, 13, -9, -6, -4, -2, 0)
+    val buf = ByteBuffer.allocate(68).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(60)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x0011).putShort(1).putInt(8000).putInt(7111)
+      .putShort(8).putShort(4).putShort(2).putShort(9)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(9)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(0).put(3.toByte).put(0.toByte) // header: pred 0, index 3
+    for (i <- 0 until 4)
+      buf.put((nibbles(2 * i) | (nibbles(2 * i + 1) << 4)).toByte) // low nibble first
+    val d = AdpcmCodec.decode(buf.array()).get
+    assert(d.frames == 9)
+    assert(d.meanCh0 == expected.sum.toDouble / 9, s"${d.meanCh0}")
+    assert(d.meanAbs == expected.map(_.abs).sum.toDouble / 9)
+    assert(d.peak == 14)
+  }
+
+  test("AdpcmCodec: lossy regime tracks a large-delta waveform within step bounds") {
+    import graft.ext.AdpcmCodec
+    // a ±4000-swing square-ish wave forces the index up the table and
+    // through clamping: decode is lossy but must stay within ~the
+    // largest step of the source (tracking, not garbage)
+    def s(i: Int): Int = if ((i / 8) % 2 == 0) 4000 else -4000
+    val payload = AdpcmCodec.encode(1, 8000, 81, (i, _) => s(i))
+    val d = AdpcmCodec.decode(payload).get
+    assert(d.frames == 81)
+    // mean of the source is ~0 (up/down blocks balance within ±500)
+    assert(math.abs(d.meanCh0) < 1500, s"mean drifted: ${d.meanCh0}")
+    assert(d.meanAbs > 2000 && d.meanAbs < 6000, s"meanAbs off: ${d.meanAbs}")
+    assert(d.peak <= 32767)
+  }
+
+  test("AdpcmCodec: rejects non-ADPCM payloads; PCM and ADPCM WAVs are disjoint") {
+    import graft.ext.{AdpcmCodec, WavCodec}
+    assert(AdpcmCodec.decode(null).isEmpty)
+    assert(AdpcmCodec.decode(Array.tabulate(100)(_.toByte)).isEmpty)
+    val pcm = WavCodec.encode(1, 8000, 10, (i, _) => i)
+    assert(AdpcmCodec.decode(pcm).isEmpty)       // audioFormat 1 != 17
+    val adpcm = AdpcmCodec.encode(1, 8000, 9, (i, _) => i)
+    assert(WavCodec.decode(adpcm).isEmpty)       // audioFormat 17 != 1
+    assert(AdpcmCodec.decode(adpcm).isDefined)
+    assert(AdpcmCodec.decode(adpcm.dropRight(1)).isEmpty)  // RIFF size mismatch
+    // step index > 88 in a block header must be rejected, not index OOB
+    val bad = adpcm.clone()
+    bad(62) = 90.toByte                          // header index byte of block 0
+    assert(AdpcmCodec.decode(bad).isEmpty)
+    // nonzero reserved header byte → reject (strictness contract)
+    val bad2 = adpcm.clone()
+    bad2(63) = 1.toByte
+    assert(AdpcmCodec.decode(bad2).isEmpty)
+  }
+
   test("codecs reject crafted headers whose sizes overflow Int arithmetic") {
     import graft.ext.{BmpCodec, WavCodec}
     import java.nio.{ByteBuffer, ByteOrder}
@@ -372,10 +459,11 @@ class MultimodalSpec extends SparkSuite {
       "jpg" -> JpegCodec.encodeGray(16, 16, (x, y) => (x * 16 + y) % 256),
       "jpg-dri" -> JpegCodec.encodeGray(32, 16, (x, y) => (x * 16 + y) % 256,
         restartInterval = 1),
-      "wav" -> WavCodec.encode(2, 8000, 50, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
+      "wav" -> WavCodec.encode(2, 8000, 50, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
+      "adpcm" -> AdpcmCodec.encode(2, 8000, 45, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
     def all(p: Array[Byte]): Unit = {
       BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
-      JpegCodec.decode(p); WavCodec.decode(p)
+      JpegCodec.decode(p); WavCodec.decode(p); AdpcmCodec.decode(p)
     }
     for ((_, payload) <- valid) {
       // byte mutations

@@ -315,4 +315,48 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, String, Double)].collect().toSet
     assert(got == Set((1L, "alice_v2", 11.0), (2L, "bob", 20.0)))
   }
+
+  test("streaming windowedCounts == q20's oracled batch aggregation after watermark close") {
+    // Ties the streaming path to the ORACLED batch semantics: the exact
+    // events slice q20 is hash-checked on (sf0.01) is streamed through
+    // windowedCounts, and every closed window must carry identical
+    // (n, sum_value) to the batch groupBy(window(ts), event_type) form.
+    val batchEvents = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_bseq").toString
+    batchEvents.write.mode("append").parquet(dir)
+    val q = EventStream.windowedCounts(
+        EventStream.readStream(spark, dir), "1 hour", None, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bseq_out").start()
+    try {
+      q.processAllAvailable()
+      // sentinel a decade past max(ts): advances the watermark so EVERY
+      // real window closes and is emitted; the sentinel's own window can
+      // never close, so it cannot contaminate the comparison
+      batchEvents.limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 3650 DAYS"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("bseq_out")
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got.keySet == expected.keySet,
+        s"windows differ: missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+      expected.foreach { case (k, (n, s)) =>
+        val (gn, gs) = got(k)
+        assert(gn == n, s"$k: count $gn != $n")
+        // incremental (per-micro-batch) summation reassociates doubles
+        assert(math.abs(gs - s) <= 1e-6 * math.max(1.0, math.abs(s)),
+          s"$k: sum $gs != $s")
+      }
+    } finally q.stop()
+  }
 }

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.ext._
 
-/** Dev-only heavy fuzzer for the five codecs (the in-suite fuzz test
+/** Dev-only heavy fuzzer for the six codecs (the in-suite fuzz test
   * runs a fixed-seed subset; this drives many seeds/iterations).
   * Usage: Test/runMain graft.tools.FuzzCodecs [seed] [iters]
   */
@@ -19,13 +19,15 @@ object FuzzCodecs {
       JpegCodec.encodeRgb(24, 16, (x, y) => (x * 9 % 256, y * 7 % 256, (x * y) % 256)),
       JpegCodec.encodeRgb420(24, 16, (x, y) => (x * 9 % 256, y * 7 % 256, (x * y) % 256)),
       JpegCodec.encodeGray(32, 16, (x, y) => (x + y) % 256, restartInterval = 1),
-      WavCodec.encode(2, 8000, 100, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
+      WavCodec.encode(2, 8000, 100, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
+      AdpcmCodec.encode(2, 8000, 99, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
+      AdpcmCodec.encode(1, 8000, 45, (f, _) => 100 + math.abs((f % 20) - 10)))
     var crashes = 0
     def all(p: Array[Byte], what: String): Unit =
       for ((n, f) <- Seq[(String, Array[Byte] => Any)](
           "bmp" -> BmpCodec.decode, "png" -> PngCodec.decode,
           "gif" -> GifCodec.decode, "jpg" -> JpegCodec.decode,
-          "wav" -> WavCodec.decode)) {
+          "wav" -> WavCodec.decode, "adpcm" -> AdpcmCodec.decode)) {
         try f(p)
         catch { case e: Throwable =>
           crashes += 1
