@@ -50,8 +50,11 @@ object Bench {
     // vs a real 1.49s). The record must defend itself: any query measuring
     // >2x its predecessor gets one more min-of-3 pass before the line is
     // emitted, and the final value is the min across all passes.
-    val prevTimes: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("target", "bench_last.json")
+    // Per-sf history file, so an iteration run at another scale factor
+    // can't clobber the record the next official (sf0.1) run compares
+    // against; plain bench_last.json is read as a same-sf fallback.
+    val sfSlug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    def readPrev(p: java.nio.file.Path): Map[String, Double] = try {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -61,6 +64,11 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+    val prevTimes: Map[String, Double] = {
+      val bySf = readPrev(java.nio.file.Paths.get("target", s"bench_last_$sfSlug.json"))
+      if (bySf.nonEmpty) bySf
+      else readPrev(java.nio.file.Paths.get("target", "bench_last.json"))
+    }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Seq.fill(3)(timeOnce(name, fn))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -85,12 +93,16 @@ object Bench {
     // Also persist the full line: the driver's fixed-size stdout tail
     // capture truncated BENCH_r06.json (lost q01-q24 + the total), so
     // the on-disk record must not depend on the console.
-    try {
-      val out = java.nio.file.Paths.get("target", "bench_last.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // Partial (SPARK_GRAFT_ONLY) runs don't update the history files:
+    // a subset record would strip most queries of their retime baseline.
+    if (only.isEmpty) try {
+      for (name <- Seq("bench_last.json", s"bench_last_$sfSlug.json")) {
+        val out = java.nio.file.Paths.get("target", name)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write target/bench_last*.json: ${e.getMessage}")
     }
     spark.stop()
   }

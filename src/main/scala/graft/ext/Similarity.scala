@@ -238,6 +238,15 @@ object Similarity {
     * b-element `collect_list` row, so buckets above the cap are
     * excluded from pair generation (mirror the cap in any SQL oracle
     * via a bucket-count HAVING).
+    *
+    * FIXED `bitsPerTable` DOES NOT SCALE (measured, BASELINE.md
+    * §second-decade): candidate pairs are Σ b²/2 over buckets ≈
+    * n²/2^(bits+1) per table, so at 6 bits the sf1→sf10 decade grew
+    * pair work 100× for 10× data (5.49G candidates, 55× wall-clock).
+    * Use [[annLshPairsSized]] at corpus scale — it derives bits from
+    * a count so per-bucket occupancy (and therefore pair work per
+    * row) stays constant; the oracled q26/q66/q86 pin 6 bits only
+    * because the sf-fixture oracle mirrors that constant.
     */
   def annLsh(df: DataFrame, id: Column, vec: Column,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
@@ -269,6 +278,44 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  /** Bucket-key width that holds per-bucket occupancy ≈ `targetBucket`
+    * rows at corpus size `n`: `ceil(log2(n / targetBucket))`, floored
+    * at 6 (the fixture-scale default). Pair work per table is
+    * Σ b²/2 ≈ n·targetBucket/2 — LINEAR in n once bits track log₂(n),
+    * vs quadratic at any fixed width (measured: 6 bits at sf10 is
+    * 5.49G candidate pairs; 10 bits — what this returns for n=200k,
+    * targetBucket=200 — is 404M, back on the linear slope).
+    *
+    * The recall trade: P(true pair collides per table) = p^bits with
+    * p = 1 − arccos(s)/π, so +1 bit costs ×p recall per table;
+    * compensate with `numTables` (recall = 1-(1-p^bits)^L) or accept
+    * it — at corpus scale near-dup thresholds sit at s ≥ 0.9
+    * (p ≈ 0.86), where 10 bits × 16 tables still gives ~0.9 recall,
+    * while the 0.42-threshold fixture setting is a small-corpus
+    * choice that fixed bits serve fine.
+    */
+  def bitsForCorpus(n: Long, targetBucket: Int = 200): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.max(6, math.ceil(math.log(ratio) / math.log(2.0)).toInt)
+  }
+
+  /** ⊕ [[annLshPairs]] with the bucket width derived from the corpus
+    * size ([[bitsForCorpus]]) instead of a fixed constant — the
+    * 100 TB form: one cheap `count()` pass, then bits = log₂(n/target),
+    * which keeps candidate-pair work per input row constant as the
+    * corpus grows (a fixed width is quadratic — see [[annLsh]] doc).
+    * Like the auto skew wrappers ([[graft.ops.Time.trailingSumsAuto]]),
+    * this makes the documented scale guidance executable instead of
+    * advisory; cache `df` upstream if it is itself expensive.
+    */
+  def annLshPairsSized(df: DataFrame, id: Column, vec: Column,
+                       threshold: Double, targetBucket: Int = 200,
+                       numTables: Int = 16, roundTo: Int = 4,
+                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    annLshPairs(df, id, vec, threshold, numTables,
+      bitsForCorpus(df.count(), targetBucket), roundTo, maxBucket)
 
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding
     * quality control: vectors far from their group's mean direction

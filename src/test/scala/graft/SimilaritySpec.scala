@@ -113,4 +113,21 @@ class SimilaritySpec extends SparkSuite {
       s"centroid join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"vectors must not sort-merge:\n$plan")
   }
+
+  test("bitsForCorpus holds occupancy constant; sized pairs == fixed-bit pairs at fixture scale") {
+    import org.apache.spark.sql.functions._
+    // width tracks log2(n/target): +1 decade of rows = +log2(10) bits
+    assert(Similarity.bitsForCorpus(1000) == 6)          // floor
+    assert(Similarity.bitsForCorpus(200000) == 10)
+    assert(Similarity.bitsForCorpus(2000000) == 14)      // next decade: +4 bits (ceil)
+    assert(Similarity.bitsForCorpus(200000, targetBucket = 50) == 12)
+    // at fixture size the derived width IS the default 6, so the sized
+    // form must return byte-identical pairs to the oracled fixed form
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val fixed = Similarity.annLshPairs(em, col("vec_id"), col("embedding"), 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sized = Similarity.annLshPairsSized(em, col("vec_id"), col("embedding"), 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed.nonEmpty && sized == fixed)
+  }
 }

@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only: measure the dedup/ANN family's scaling slope from sf0.1
   * to a synthetic sf1 (10× documents + embeddings) and print a
-  * sf0.1→sf1 ratio table for BASELINE.md.
+  * sf0.1→sf1 ratio table for BASELINE.md. `SPARK_GRAFT_DECADE=2`
+  * measures the SECOND decade instead (sf1 → sf10, a 100× blow-up of
+  * sf0.1) for the spot-listed worst sf1 slopes — one more decade
+  * distinguishes a flattening fixed cost from compounding super-root
+  * growth (VERDICT r7 #2). sf10 holds only the tables those queries
+  * scan (documents, embeddings, orders, lineitem).
   *
   * The sf1 fixtures are a deterministic 10× blow-up of the driver's
   * sf0.1 parquet (written under /tmp, never /root/testdata), built so
@@ -36,40 +41,156 @@ object ScaleBench {
 
     val sf01 = "/root/testdata/sf0.1"
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val decade2 = sys.env.get("SPARK_GRAFT_DECADE").contains("2")
     buildIfMissing(spark, sf01, sf1)
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+    if (decade2) buildSf10IfMissing(spark, sf01, sf10)
 
     // warm (JVM, codegen, parquet footers) — same as Bench
     graft.SparkEntry.entry(spark).count()
     graft.SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001").count()
 
+    // The decade-2 run measures the five worst sf1 slopes (VERDICT r7
+    // #2) in BOTH forms where a sized form exists: the registered
+    // fixed-6-bit LSH queries (whose second decade is quadratic by
+    // construction — kept to show the compounding) and the
+    // bitsForCorpus-sized variants that are the actual 100 TB path.
+    import org.apache.spark.sql.{DataFrame, SparkSession => SS}
+    val sizedVariants: Map[String, (SS, String) => DataFrame] = Map(
+      "q26_ann_lsh_SIZED" -> ((s: SS, dir: String) =>
+        graft.ext.Similarity.annLshPairsSized(
+          graft.sources.Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), threshold = 0.42)),
+      "q66_embedding_dedup_SIZED" -> ((s: SS, dir: String) =>
+        graft.ext.Dedup.dupClusters(
+          graft.ext.Similarity.annLshPairsSized(
+            graft.sources.Tables.embeddings(s, dir),
+            col("vec_id"), col("embedding"), threshold = 0.42))),
+      "q86_knn_graph_SIZED" -> ((s: SS, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = graft.ext.Similarity.annLshPairsSized(
+          graft.sources.Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        pairs.select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim")),
+            struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))).as("e"))
+          .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cos_sim").as("cos_sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src")).orderBy(desc("cos_sim"), col("nbr"))))
+          .filter(col("rn") <= 3)
+      }))
+    val allQueries = graft.SparkEntry.queries ++ sizedVariants
+
     def minOf3(q: String, dir: String): Double =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, dir).count()
+        allQueries(q)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
 
     // FULL suite by default (VERDICT r6 #1); SPARK_GRAFT_ONLY filters
-    // by comma-separated name prefixes for iteration.
+    // by comma-separated name prefixes for iteration. Decade 2 defaults
+    // to the five worst sf1 slopes plus the sized LSH variants — sf10
+    // only carries the tables they scan.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = only.fold(graft.SparkEntry.queries.keys.toSeq.sorted) { ps =>
-      graft.SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.startsWith))
+      .orElse(if (decade2) Some(Seq("q26", "q86", "q40", "q66", "q04")) else None)
+    val universe =
+      if (decade2) allQueries.keys.toSeq.sorted
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val selected = only.fold(universe) { ps =>
+      universe.filter(n => ps.exists(n.startsWith))
     }
+    val (loDir, hiDir, loName, hiName) =
+      if (decade2) (sf1, sf10, "sf1", "sf10 (100x sf0.1)")
+      else (sf01, sf1, "sf0.1", "sf1 (10x data)")
     val md = new StringBuilder
-    md ++= "| query | sf0.1 | sf1 (10x data) | time ratio |\n|---|---|---|---|\n"
-    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%6s")
+    md ++= s"| query | $loName | $hiName | time ratio |\n|---|---|---|---|\n"
+    println(f"${"query"}%-24s ${loName}%8s ${"hi"}%8s ${"ratio"}%6s")
     selected.foreach { q =>
-      val a = minOf3(q, sf01)
-      val b = minOf3(q, sf1)
+      val a = minOf3(q, loDir)
+      val b = minOf3(q, hiDir)
       println(f"$q%-24s $a%8.2f $b%8.2f ${b / a}%6.1fx")
       md ++= f"| $q | $a%.2f s | $b%.2f s | ${b / a}%.1f× |%n"
     }
     // persist the table so the console record can't be lost/truncated
-    val out = java.nio.file.Paths.get("target", "scalebench_last.md")
+    val out = java.nio.file.Paths.get("target",
+      if (decade2) "scalebench_sf10_last.md" else "scalebench_last.md")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, md.toString.getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** 100× deterministic blow-up of sf0.1 — documents, embeddings,
+    * orders, lineitem only (what q26/q86/q40/q66/q04 scan). Built
+    * DIRECTLY from sf0.1 with 100 copy groups, NOT by re-applying the
+    * 10× transform to sf1: composing circular shifts would collide
+    * (shift a + shift b ≡ shift a' + b' mod 64 makes identical
+    * cross-group vectors, manufacturing near-dup pairs that don't
+    * exist at 10×), which would change the workload shape between
+    * decades. Copies 64..99 reuse shifts 0..35 NEGATED — negation
+    * keeps norms and flips cosine to −1, which no near-dup/kNN
+    * threshold accepts, so true pair count still scales exactly 100×.
+    */
+  def buildSf10IfMissing(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new java.io.File(dst)
+    val copies = (0 until 100).map(lit(_))
+    def hundred(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(array(copies: _*)).as("c"))
+    if (!new java.io.File(fs, "documents.parquet").exists()) {
+      fs.mkdirs()
+      // ZERO-PADDED copy suffix: with variable-width suffixes, copy 1
+      // and copies 10..19 share every k-gram ending at the common
+      // "_c1" prefix (measured: distinct winnow fingerprints grew only
+      // 4.8× for 10× docs and q40's candidate pairs grew 45×) —
+      // fixed-width suffixes keep copy groups gram-disjoint so true
+      // pair count scales exactly 100×, the honest slope setting.
+      val docs10 = hundred(spark.read.parquet(s"$src/documents.parquet"))
+        .select(
+          (col("c") * 100000000L + col("doc_id")).as("doc_id"),
+          when(col("c") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_c"), lpad(col("c").cast("string"), 2, "0"))))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      docs10.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"[scalebench] built $dst/documents.parquet: " +
+        s"${spark.read.parquet(s"$dst/documents.parquet").count()} docs")
+    }
+    if (!new java.io.File(fs, "embeddings.parquet").exists()) {
+      fs.mkdirs()
+      val dim = 64
+      val em10 = hundred(spark.read.parquet(s"$src/embeddings.parquet"))
+        .select(
+          (col("c") * 100000000L + col("vec_id")).as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => try_element_at(col("embedding"), ((i + col("c") % 64) % dim) + 1)
+              * when(col("c") >= 64, lit(-1.0f)).otherwise(lit(1.0f)))
+            .cast("array<float>").as("embedding"),
+          col("label"))
+      em10.repartition(16).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(s"[scalebench] built $dst/embeddings.parquet: " +
+        s"${spark.read.parquet(s"$dst/embeddings.parquet").count()} vectors")
+    }
+    if (!new java.io.File(fs, "orders.parquet").exists()) {
+      fs.mkdirs()
+      hundred(spark.read.parquet(s"$src/orders.parquet")).select(
+        (col("c") * 10000000L + col("o_orderkey")).as("o_orderkey"),
+        (col("c") * 1000000L + col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+        .repartition(16).write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      hundred(spark.read.parquet(s"$src/lineitem.parquet")).select(
+        (col("c") * 10000000L + col("l_orderkey")).as("l_orderkey"),
+        (col("c") * 1000000L + col("l_partkey")).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      println(s"[scalebench] built $dst TPC-H tables: " +
+        s"${spark.read.parquet(s"$dst/lineitem.parquet").count()} lineitems")
+    }
   }
 
   /** 10× deterministic blow-up of sf0.1 documents+embeddings+events. */
