@@ -177,6 +177,17 @@ object Dedup {
     * pipelines); the shared count is exact. Catches long shared
     * substrings even when documents differ elsewhere — complementary
     * to set-based MinHash.
+    *
+    * Scale note: a fingerprint's bucket size IS its document
+    * frequency, so a boilerplate substring shared by a large corpus
+    * fraction (license headers, navigation text) gives a posting list
+    * ∝ n and quadratic pair work from that one fingerprint.
+    * `maxBucket` caps each fingerprint's contribution at
+    * maxBucket²/2 pairs — total pair work stays linear in corpus size
+    * at the cap — and LOWERING it is the first lever on
+    * boilerplate-heavy corpora: a fingerprint shared by thousands of
+    * documents identifies boilerplate, not near-duplication (the same
+    * stopword argument as [[contaminationPairs]]'s doc-frequency cap).
     */
   def winnowNearDup(df: DataFrame, id: Column, text: Column,
                     k: Int = 12, w: Int = 6, minShared: Int = 5,

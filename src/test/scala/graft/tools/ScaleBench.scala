@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   * The sf1 fixtures are a deterministic 10× blow-up of the driver's
   * sf0.1 parquet (written under /tmp, never /root/testdata), built so
   * the workload SHAPE is preserved rather than degenerate:
-  *  - documents: copy c ∈ 0..9 suffixes every token with `_c<c>` (c>0),
-  *    so each copy-group has exactly sf0.1's internal near-dup
-  *    structure but NO cross-copy near-dups — true pair count scales
-  *    exactly 10×, the honest setting for a scaling-slope measurement
-  *    (identical copies would make every pair count grow 100×).
+  *  - documents: copy c ∈ 0..9 rewrites the text through a per-copy
+  *    AFFINE CHAR CIPHER (letter i → a·i+b mod 26; bijective, spaces
+  *    and lengths untouched), so each copy-group has EXACTLY sf0.1's
+  *    internal gram/shingle structure (token lengths, window spans,
+  *    n-gram diversity all preserved — a token SUFFIX, the previous
+  *    design, lengthened tokens and collapsed the k-gram space of the
+  *    tiny fixture vocabulary, which changed per-group near-dup
+  *    density BETWEEN scales and confounded the q40 slope 49×) but NO
+  *    cross-copy near-dups: two distinct affine maps agree on at most
+  *    2 of 26 letters, so no real k-gram survives translation into
+  *    another group. True pair count scales exactly 10×, the honest
+  *    setting for a scaling-slope measurement.
   *  - embeddings: copy c circular-shifts the vector by c positions —
   *    norm and component distribution preserved, cross-copy cosine low,
   *    so the q25/q26 pair structure also replicates per copy-group.
@@ -139,19 +146,18 @@ object ScaleBench {
       df.select(col("*"), explode(array(copies: _*)).as("c"))
     if (!new java.io.File(fs, "documents.parquet").exists()) {
       fs.mkdirs()
-      // ZERO-PADDED copy suffix: with variable-width suffixes, copy 1
-      // and copies 10..19 share every k-gram ending at the common
-      // "_c1" prefix (measured: distinct winnow fingerprints grew only
-      // 4.8× for 10× docs and q40's candidate pairs grew 45×) —
-      // fixed-width suffixes keep copy groups gram-disjoint so true
-      // pair count scales exactly 100×, the honest slope setting.
+      // Affine-cipher translation, NOT token suffixes: suffixes
+      // lengthen tokens, which collapses the k-gram space of the tiny
+      // fixture vocabulary and RAISES per-group fingerprint occupancy
+      // with suffix width — measured as a phantom 49× pair blow-up on
+      // q40 between the 3-char (sf1) and 4-char (sf10) suffix widths.
+      // The cipher is a bijection on letters: token lengths, gram
+      // diversity and within-group near-dup density are EXACTLY
+      // sf0.1's in every copy group, and groups stay gram-disjoint.
       val docs10 = hundred(spark.read.parquet(s"$src/documents.parquet"))
         .select(
           (col("c") * 100000000L + col("doc_id")).as("doc_id"),
-          when(col("c") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1_c"), lpad(col("c").cast("string"), 2, "0"))))
-            .as("text"),
+          cipherText(col("text"), col("c"), 100).as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
       docs10.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
@@ -192,6 +198,29 @@ object ScaleBench {
         s"${spark.read.parquet(s"$dst/lineitem.parquet").count()} lineitems")
     }
   }
+
+  /** Affine-cipher alphabet for copy `c`: letter index i →
+    * (a·i + b) mod 26 with a coprime to 26 — a bijection that keeps
+    * token lengths and therefore gram structure identical across copy
+    * groups. Copy 0 is the identity (a=1, b=0): original text.
+    */
+  private val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  def cipherAlphabet(c: Int): String = {
+    val a = coprimes(c / 26 % coprimes.length)
+    val b = c % 26
+    (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
+  }
+  private val abc = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-copy text transform: translate through [[cipherAlphabet]],
+    * dispatched on the copy column by a when-chain (translate needs
+    * literal alphabets). Identity for copy 0.
+    */
+  def cipherText(text: org.apache.spark.sql.Column,
+                 c: org.apache.spark.sql.Column, nCopies: Int): org.apache.spark.sql.Column =
+    (1 until nCopies).foldLeft(when(c === 0, text)) { (acc, i) =>
+      acc.when(c === i, translate(text, abc, cipherAlphabet(i)))
+    }
 
   /** 10× deterministic blow-up of sf0.1 documents+embeddings+events. */
   def buildIfMissing(spark: SparkSession, src: String, dst: String): Unit = {
@@ -267,13 +296,10 @@ object ScaleBench {
     val docs10 = docs.select(col("*"), explode(array(copies: _*)).as("c"))
       .select(
         (col("c") * 10000000L + col("doc_id")).as("doc_id"),
-        // copy 0 keeps the original text; copies 1..9 suffix every
-        // token so shingles (and therefore near-dup pairs) never cross
-        // copy groups
-        when(col("c") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_c"), col("c").cast("string"))))
-          .as("text"),
+        // copy 0 keeps the original text; copies 1..9 translate it
+        // through a bijective affine char cipher — identical gram/
+        // shingle structure per group, zero cross-group grams
+        cipherText(col("text"), col("c"), 10).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val dim = 64
