@@ -1755,6 +1755,44 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q95 — ⊕ corpus-sized LSH ([[graft.ext.Similarity.annLshPairsSized]]):
+    * the 100 TB form of q26 — bucket width derived from a count
+    * (log₂(n/target)) so candidate-pair work stays linear in corpus
+    * size (the fixed 6-bit form is measured quadratic past sf1,
+    * BASELINE.md §second-decade). At oracle scale the derived width
+    * IS 6, so the oracle is exactly q26's pair CTE chain — the hash
+    * match proves the sizing path changes nothing at fixture scale
+    * while the sf10 measurement proves it changes everything at
+    * corpus scale.
+    */
+  private val q95AnnLshSized: Q = (s, dir) => {
+    ext.Similarity.annLshPairsSized(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.42)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q96 — ⊕ auto-selected rolling features
+    * ([[graft.ops.Time.trailingSumsAuto]]): q76's trailing 1-hour
+    * count+sum through the histogram-probing wrapper. The events
+    * fixture is HOT at sf0.001 (one user owns ~9% > the 1/32
+    * threshold) and uniform at sf0.01/sf0.1, so the driver's own
+    * scale ladder exercises BOTH arms — and the oracle is the PLAIN
+    * single-window SQL at every sf, so the hash match proves arm
+    * selection is invisible to semantics (the q89 equivalence, now
+    * chosen by the engine instead of a human).
+    */
+  private val q96RollingAuto: Q = (s, dir) => {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("es", unix_seconds(col("ts")))
+    graft.ops.Time.trailingSumsAuto(base, "user_id", "es", "value",
+        spanSec = 3600L, outN = "n_1h", outSum = "v_raw")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_1h"), round(col("v_raw"), 4).as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1851,6 +1889,8 @@ object SparkEntry {
     "q92_weighted_sample"   -> q92WeightedSample,
     "q93_lm_quality"        -> q93LmQuality,
     "q94_adpcm_decode"      -> q94AdpcmDecode,
+    "q95_ann_lsh_sized"     -> q95AnnLshSized,
+    "q96_rolling_auto"      -> q96RollingAuto,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -2291,6 +2331,15 @@ object SparkEntry {
     // the tails are stripped separately and concatenated so the CTE's
     // `||` operators are never re-stripped.
     "q26_ann_lsh" ->
+      (annLshPairsCte + "\n" +
+        """SELECT id_a, id_b, cos_sim FROM pairs
+          |WHERE cos_sim >= 0.42
+          |ORDER BY id_a, id_b""".stripMargin),
+    // q95: EXACTLY q26's oracle — bitsForCorpus(n) is 6 at every
+    // oracle scale factor, so the sized path must reproduce the
+    // fixed-width pairs bit-for-bit (the sizing only diverges at
+    // corpus scale, where it is the fix for the measured quadratic).
+    "q95_ann_lsh_sized" ->
       (annLshPairsCte + "\n" +
         """SELECT id_a, id_b, cos_sim FROM pairs
           |WHERE cos_sim >= 0.42
@@ -3726,6 +3775,23 @@ object SparkEntry {
     // Spark runs the per-second preagg form, so a hash match is a
     // proof of the forms' equivalence, not a mirrored computation.
     "q89_rolling_preagg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q96: the SAME plain-window SQL as q89 — Spark picks the arm
+    // (plain under uniform keys, preagg past the 1/32 hot share) and
+    // the hash match proves the choice is invisible to semantics at
+    // whichever sf the driver runs.
+    "q96_rolling_auto" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, value,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es
