@@ -1793,6 +1793,21 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** q97 — ⊕ cross-corpus repeated-span removal
+    * ([[graft.ext.Dedup.removeRepeatedSpans]]): the span-level exact
+    * dedup LLM training pipelines run after doc-level dedup — every
+    * 10-token window occurring ≥2 times across the corpus is removed
+    * from every document (the fixture's planted near-dups share such
+    * runs, so ~1000 windows flag at sf0.01). All-integer/string
+    * arithmetic — no doubles anywhere — so the oracle compare is
+    * exact, including the rebuilt `text_clean`.
+    */
+  private val q97SpanRemoval: Q = (s, dir) => {
+    ext.Dedup.removeRepeatedSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 10, minDf = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1891,6 +1906,7 @@ object SparkEntry {
     "q94_adpcm_decode"      -> q94AdpcmDecode,
     "q95_ann_lsh_sized"     -> q95AnnLshSized,
     "q96_rolling_auto"      -> q96RollingAuto,
+    "q97_span_removal"      -> q97SpanRemoval,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3734,6 +3750,42 @@ object SparkEntry {
         |  round(CAST(n_overlap AS DOUBLE) / n_test, 4) AS overlap_frac
         |FROM j WHERE n_overlap >= 3
         |ORDER BY test_id, train_id""".stripMargin,
+    // q97: the same md5 window keys, HAVING count(*) >= 2 as the
+    // repetition gate, DISTINCT covered positions, and the kept-token
+    // rebuild via a 0-based position anti-join — all integer/string
+    // arithmetic, so text_clean itself is hash-compared exactly.
+    "q97_span_removal" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i.i AS pos, md5(array_to_string(w[i.i+1:i.i+10], ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(w) - 9, 0))) AS i) i
+        |  WHERE len(w) >= 10),
+        |rep AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT win.doc_id, win.pos + j.j AS cj
+        |  FROM win JOIN rep ON win.h = rep.h,
+        |       LATERAL (SELECT unnest(range(0, 10)) AS j) j),
+        |tok AS (
+        |  SELECT doc_id, w[x.j + 1] AS tok, x.j AS j
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(w))) AS j) x),
+        |kept AS (
+        |  SELECT tok.doc_id,
+        |    array_to_string(list(tok.tok ORDER BY tok.j), ' ') AS text_clean
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.cj
+        |  WHERE cov.cj IS NULL
+        |  GROUP BY tok.doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(rem.n_removed, 0) AS INTEGER) AS n_removed,
+        |  coalesce(kept.text_clean, '') AS text_clean
+        |FROM t
+        |LEFT JOIN rem ON t.doc_id = rem.doc_id
+        |LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // q90: grayscale block-constant JPEG — the all-8s quant table
     // makes the DC-only roundtrip bit-exact, so features are a pure
     // function of the block formula (x//8, y//8). Channel means are

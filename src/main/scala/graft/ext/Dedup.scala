@@ -424,4 +424,59 @@ object Dedup {
         round(col("n_overlap").cast("double") / col("n_test_shingles"), 4)
           .as("overlap_frac"))
   }
+
+  /** ⊕ Cross-corpus repeated-span removal — the span-level EXACT
+    * dedup of the "deduplicating training data" pipelines: any
+    * k-token window whose exact text occurs ≥ `minDf` times across
+    * the corpus (occurrence count, so within-document repetition
+    * counts too) is duplication/boilerplate, and every token it
+    * covers is dropped from every document. Document-level dedup
+    * ([[exactDedup]], MinHash/SimHash) cannot catch this: two
+    * distinct documents sharing one quoted paragraph both keep it.
+    *
+    * Plan shape at scale (the q91 two-pass shape): each window is
+    * keyed by md5 of its text — a fixed 32-byte shuffle key instead
+    * of k tokens — and the repetition pass is a `count(*)` per key,
+    * partial-aggregated map-side, so a corpus-wide boilerplate span
+    * costs one long per mapper, never a posting list. Pass 2
+    * semi-joins the (doc, pos) windows against the repeated keys, so
+    * covered positions explode only for FLAGGED windows; reassembly
+    * is row-local (an index filter over the token array — no second
+    * text shuffle). Nothing is O(n²); the shuffle key is span
+    * content, never the document.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, text_clean)`. Exactness:
+    * md5 collisions aside, identical to keying by the window string
+    * (the q97 oracle mirrors the same md5).
+    */
+  def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
+                          k: Int = 10, minDf: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = df.select(id.as("doc_id"), tokens(text).as("__w"))
+      .withColumn("__n", size(col("__w")))
+    val wins = base
+      .filter(col("__n") >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => md5(array_join(slice(col("__w"), i + 1, lit(k)), " "))))
+        .as(Seq("pos", "__h")))
+    val repeated = wins.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"))
+    val covered = wins.join(repeated, Seq("__h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("__j"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("__j")).as("__cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        col("__n").as("n_tokens"),
+        size(col("__cov")).as("n_removed"),
+        array_join(filter(col("__w"),
+          (t, j) => not(array_contains(col("__cov"), j))), " ").as("text_clean"))
+  }
 }

@@ -176,4 +176,34 @@ class DedupSpec extends SparkSuite {
       .orderBy("k").as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("k1", 2L, 2L), ("k2", 9L, 1L)))
   }
+
+  test("removeRepeatedSpans: cross-doc and within-doc k-windows, short docs kept whole") {
+    // k=3, minDf=2. d1/d2 share the 4-token run "a b c d" (two repeated
+    // 3-windows covering 4 positions in each); d3 is unique; d4 is
+    // shorter than k; d5 repeats its only window WITHIN the doc (df=2
+    // by occurrence count) so it empties out entirely.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z a b c d q"),
+      (3L, "u v w"),
+      (4L, "p q"),
+      (5L, "m m m m")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6, 4, "e f"),        // cov {0,1,2,3} from windows at pos 0,1
+      (2L, 8, 4, "x y z q"),    // cov {3,4,5,6}
+      (3L, 3, 0, "u v w"),
+      (4L, 2, 0, "p q"),        // < k tokens: no windows, passes through
+      (5L, 4, 4, "")            // within-doc repetition empties the doc
+    ), s"got $got")
+    // minDf above every window's occurrence count removes nothing
+    val none = Dedup.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDf = 3)
+      .agg(sum(col("n_removed"))).as[Long].head()
+    assert(none == 0L)
+  }
 }
