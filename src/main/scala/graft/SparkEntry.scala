@@ -1808,6 +1808,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q98 — ⊕ auto-selected decayed score
+    * ([[graft.ops.Time.decayedScoreAuto]]): q85's exponential decay
+    * through the same histogram probe as q96 — chunked two-pass
+    * ([[graft.ops.Time.withDecayedScoreChunked]], q88's form) under a
+    * hot key, plain single-window under uniform keys. Oracle is
+    * q85's PLAIN running-sum SQL at every sf; the events fixture is
+    * hot at sf0.001 and uniform at sf0.01/0.1, so both arms are
+    * driver-gated against one semantics (q96's proof, decay family).
+    */
+  private val q98DecayAuto: Q = (s, dir) => {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("t",
+        (unix_seconds(col("ts")) - lit(1704067200L)) / lit(86400.0))
+    graft.ops.Time.decayedScoreAuto(base, "user_id", "t", "event_id",
+        "value", lambda = 0.1, chunkSpan = 1.0, out = "decay_raw")
+      .select(col("event_id"), col("user_id"),
+        round(col("decay_raw"), 4).as("decay_score"))
+      .orderBy(col("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1907,6 +1928,7 @@ object SparkEntry {
     "q95_ann_lsh_sized"     -> q95AnnLshSized,
     "q96_rolling_auto"      -> q96RollingAuto,
     "q97_span_removal"      -> q97SpanRemoval,
+    "q98_decay_auto"        -> q98DecayAuto,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3856,6 +3878,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // q98: deliberately q85's PLAIN running-sum SQL — the auto wrapper
+    // must be semantically invisible whichever arm the probe picks
+    // (chunked at the hot sf0.001, plain at sf0.01/0.1).
+    "q98_decay_auto" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) / 86400.0 AS t
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(exp(t * -0.1) * sum(value * exp(t * 0.1))
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS decay_score
+        |FROM e ORDER BY event_id""".stripMargin,
     // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
     // window order within (user, chunk), chunk total picked by
     // reversed row_number (never a re-folded GROUP BY sum), offset as
