@@ -1829,6 +1829,54 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** q99 — ⊕ REAL video-frame decode + sampling
+    * ([[graft.ext.GifCodec.decodeAnimated]] via
+    * [[graft.ext.Multimodal.decodeVideoFrames]]): animated GIFs are
+    * synthesized per document (full-screen base frame + up to three
+    * 3×2 delta frames with a TRANSPARENT index, all through the real
+    * LZW compressor), decoded with full player-side compositing, and
+    * every 2nd composited frame is kept. The oracle recomputes each
+    * emitted frame's channel means from the paint-order formulas
+    * alone (latest covering opaque delta wins, else the base image),
+    * so a wrong bit in LZW, transparency, rect placement or
+    * compositing order shifts a mean and fails the hash. This is the
+    * frame-sample path made real: sampling happens AFTER decode
+    * because delta frames need their predecessors.
+    */
+  private val q99VideoFrames: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + id % 4).toInt
+        val h = (4 + id % 3).toInt
+        val nf = (2 + id % 3).toInt
+        val pal = Array.tabulate(64)(i => (
+          ((id * 13 + 5 * i) % 256).toInt,
+          ((id * 11 + 7 * i) % 256).toInt,
+          ((id * 7 + 3 * i) % 256).toInt))
+        val frames = (0 until nf).map { g =>
+          if (g == 0)
+            ext.GifCodec.AnimFrame(0, 0, w, h, delayCs = 10, disposal = 1,
+              index = (x, y) => ((id + 3 * x + 5 * y) % 64).toInt)
+          else {
+            val lg = ((id + 2 * g) % (w - 2)).toInt
+            val tg = ((id + 3 * g) % (h - 1)).toInt
+            ext.GifCodec.AnimFrame(lg, tg, 3, 2, delayCs = 10 + g,
+              disposal = 1, transparentIdx = 0,
+              index = (fx, fy) =>
+                ((id + 7 * g + 3 * (lg + fx) + 5 * (tg + fy)) % 64).toInt)
+          }
+        }
+        id -> ext.GifCodec.encodeAnimated(w, h, pal, frames)
+      }).toDF("media_id", "payload")
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeVideoFrames(media, every = 2).toDF()
+      .select(Seq(col("media_id"), col("frame_idx"), col("delay_cs"),
+        col("n_frames"), col("width"), col("height")) ++ featCols: _*)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1929,6 +1977,7 @@ object SparkEntry {
     "q96_rolling_auto"      -> q96RollingAuto,
     "q97_span_removal"      -> q97SpanRemoval,
     "q98_decay_auto"        -> q98DecayAuto,
+    "q99_video_frames"      -> q99VideoFrames,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3892,6 +3941,70 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
         |    AS decay_score
         |FROM e ORDER BY event_id""".stripMargin,
+    // q99: animated-GIF compositing from the paint-order formulas —
+    // for each sampled frame f, a pixel shows the LATEST delta frame
+    // g <= f whose 3x2 rect covers it with a non-transparent index
+    // (i_g != 0), else the full-screen base image. Channel means then
+    // go through q87's palette formulas and REAL-narrowing chain.
+    "q99_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(6 + doc_id % 4 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf, f.f AS f
+        |  FROM d, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+        |  WHERE f.f < nf AND f.f % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, f, x.x AS x, y.y AS y
+        |  FROM fr
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |pix AS (
+        |  SELECT doc_id, w, h, nf, f, x, y,
+        |    CASE
+        |      WHEN f >= 3
+        |        AND x BETWEEN (doc_id + 6) % (w-2) AND (doc_id + 6) % (w-2) + 2
+        |        AND y BETWEEN (doc_id + 9) % (h-1) AND (doc_id + 9) % (h-1) + 1
+        |        AND (doc_id + 21 + 3*x + 5*y) % 64 != 0
+        |        THEN (doc_id + 21 + 3*x + 5*y) % 64
+        |      WHEN f >= 2
+        |        AND x BETWEEN (doc_id + 4) % (w-2) AND (doc_id + 4) % (w-2) + 2
+        |        AND y BETWEEN (doc_id + 6) % (h-1) AND (doc_id + 6) % (h-1) + 1
+        |        AND (doc_id + 14 + 3*x + 5*y) % 64 != 0
+        |        THEN (doc_id + 14 + 3*x + 5*y) % 64
+        |      WHEN f >= 1
+        |        AND x BETWEEN (doc_id + 2) % (w-2) AND (doc_id + 2) % (w-2) + 2
+        |        AND y BETWEEN (doc_id + 3) % (h-1) AND (doc_id + 3) % (h-1) + 1
+        |        AND (doc_id + 7 + 3*x + 5*y) % 64 != 0
+        |        THEN (doc_id + 7 + 3*x + 5*y) % 64
+        |      ELSE (doc_id + 3*x + 5*y) % 64
+        |    END AS i
+        |  FROM px),
+        |ch AS (
+        |  SELECT doc_id, w, h, nf, f,
+        |    CAST(sum((doc_id*7  + 3*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mb,
+        |    CAST(sum((doc_id*11 + 7*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mg,
+        |    CAST(sum((doc_id*13 + 5*i) % 256) AS DOUBLE) / count(*) / 255.0 AS mr,
+        |    CAST(sum(CASE WHEN y < (h+1)//2 THEN (doc_id*7 + 3*i) % 256 ELSE 0 END) AS DOUBLE)
+        |      / (w * ((h+1)//2)) / 255.0 AS mbt
+        |  FROM pix GROUP BY doc_id, w, h, nf, f)
+        |SELECT doc_id AS media_id,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(10 + f AS INTEGER) AS delay_cs,
+        |  nf AS n_frames, w AS width, h AS height,
+        |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*mb + 0.587*mg + 0.299*mr AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id, frame_idx""".stripMargin,
     // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
     // window order within (user, chunk), chunk total picked by
     // reversed row_number (never a re-folded GROUP BY sum), offset as

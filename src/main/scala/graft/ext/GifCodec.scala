@@ -30,6 +30,25 @@ object GifCodec {
                            meanB: Double, meanG: Double, meanR: Double,
                            meanBTop: Double)
 
+  /** One composited animation frame: the full logical-screen canvas
+    * AFTER this frame was drawn (what a player displays), plus the
+    * frame's GCE delay. `canvas.width/height` are the logical screen
+    * dims — constant across frames.
+    */
+  final case class FrameDecoded(frameIdx: Int, delayCs: Int, canvas: Decoded)
+
+  /** Animation-frame spec for [[encodeAnimated]]: a sub-rectangle at
+    * (left, top) sized w×h, drawn with `index(fx, fy)` over
+    * FRAME-LOCAL coordinates. `transparentIdx` = -1 for opaque;
+    * `disposal` ∈ {0 none, 1 leave, 2 restore-background}.
+    * `localPalette` overrides the global table for this frame only.
+    */
+  final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
+                             delayCs: Int = 0, disposal: Int = 1,
+                             transparentIdx: Int = -1,
+                             localPalette: Option[Array[(Int, Int, Int)]] = None,
+                             index: (Int, Int) => Int)
+
   // ---------------------------------------------------------------
   // Encode (fixture synthesis): indexed image + palette -> GIF87a
   // ---------------------------------------------------------------
@@ -66,8 +85,21 @@ object GifCodec {
     u16(0); u16(0); u16(width); u16(height)
     out.write(0)                   // no LCT, no interlace
     out.write(minCode)
+    writeSubBlocks(out,
+      compressLzw(minCode, width * height, palette.length,
+        p => index(p % width, p / width)))
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
 
-    // --- LZW compress the row-major index stream ---
+  /** LZW-compress `total` indices (row-major via `idxAt`) into the
+    * raw code-byte stream (caller sub-blocks it). Variable-width
+    * codes, clear/EOI, dictionary reset at 4096 — the exact scheme
+    * [[decodeLzw]] mirrors.
+    */
+  private def compressLzw(minCode: Int, total: Int, nColors: Int,
+                          idxAt: Int => Int): Array[Byte] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     val codes = new java.io.ByteArrayOutputStream()
@@ -84,13 +116,12 @@ object GifCodec {
     var dict = new java.util.HashMap[Integer, Integer]()
     var next = eoi + 1
     emit(clear)
-    var w = index(0, 0)
-    require(w >= 0 && w < palette.length, s"index $w out of palette")
+    var w = idxAt(0)
+    require(w >= 0 && w < nColors, s"index $w out of palette")
     var p = 1
-    val total = width * height
     while (p < total) {
-      val c = index(p % width, p / width)
-      require(c >= 0 && c < palette.length, s"index $c out of palette")
+      val c = idxAt(p)
+      require(c >= 0 && c < nColors, s"index $c out of palette")
       val key = Integer.valueOf(w * 256 + c)
       val hit = dict.get(key)
       if (hit != null) w = hit.intValue()
@@ -112,16 +143,101 @@ object GifCodec {
     }
     emit(w); emit(eoi)
     if (bitLen > 0) codes.write((bitBuf & 0xff).toInt)
+    codes.toByteArray
+  }
 
-    val data = codes.toByteArray
+  private def writeSubBlocks(out: java.io.ByteArrayOutputStream,
+                             data: Array[Byte]): Unit = {
     var off = 0
     while (off < data.length) {
       val n = math.min(255, data.length - off)
       out.write(n); out.write(data, off, n)
       off += n
     }
-    out.write(0)    // block terminator
-    out.write(0x3b) // trailer
+  }
+
+  /** Encode a multi-frame GIF89a animation: global color table,
+    * NETSCAPE looping extension, and per frame a Graphic Control
+    * Extension (delay/disposal/transparency) + image descriptor
+    * (sub-rectangle, optional local color table) + real LZW data.
+    * Frames composite onto the logical screen in order, so partial
+    * frames and transparency exercise the player-side compositing
+    * that [[decodeAnimated]] implements.
+    */
+  def encodeAnimated(width: Int, height: Int,
+                     palette: Array[(Int, Int, Int)],
+                     frames: Seq[AnimFrame],
+                     backgroundIdx: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(palette.length >= 2 && palette.length <= 256,
+      s"palette size ${palette.length} outside 2..256")
+    require(frames.nonEmpty, "at least one frame")
+    require(backgroundIdx >= 0 && backgroundIdx < palette.length,
+      s"background index $backgroundIdx outside palette")
+    var k = 0
+    while ((2 << k) < palette.length) k += 1
+    val gctEntries = 2 << k
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    out.write(0x80 | (7 << 4) | k)
+    out.write(backgroundIdx); out.write(0)
+    var i = 0
+    while (i < gctEntries) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+      i += 1
+    }
+    // NETSCAPE2.0 looping application extension (loop forever)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0); out.write(0)
+
+    frames.foreach { f =>
+      val pal = f.localPalette.getOrElse(palette)
+      require(pal.length >= 2 && pal.length <= 256,
+        s"local palette size ${pal.length} outside 2..256")
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= width && f.top + f.h <= height,
+        s"frame rect (${f.left},${f.top} ${f.w}x${f.h}) outside ${width}x$height")
+      require(f.disposal >= 0 && f.disposal <= 2, s"disposal ${f.disposal}")
+      require(f.transparentIdx < pal.length,
+        s"transparent index ${f.transparentIdx} outside palette")
+      // GCE
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      u16(f.delayCs)
+      out.write(math.max(0, f.transparentIdx))
+      out.write(0)
+      // image descriptor
+      var lk = 0
+      while ((2 << lk) < pal.length) lk += 1
+      val lctEntries = 2 << lk
+      out.write(0x2c)
+      u16(f.left); u16(f.top); u16(f.w); u16(f.h)
+      if (f.localPalette.isDefined) {
+        out.write(0x80 | lk)
+        var j = 0
+        while (j < lctEntries) {
+          val (r, g, b) = if (j < pal.length) pal(j) else (0, 0, 0)
+          out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+          j += 1
+        }
+      } else out.write(0)
+      val minCode = math.max(2, lk + 1)
+      out.write(minCode)
+      writeSubBlocks(out,
+        compressLzw(minCode, f.w * f.h, pal.length,
+          p => {
+            val v = f.index(p % f.w, p / f.w)
+            require(v >= 0 && v < pal.length, s"index $v out of palette")
+            v
+          }))
+      out.write(0)
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 
@@ -216,6 +332,171 @@ object GifCodec {
       Decoded(width, height, sb / n / 255.0, sg / n / 255.0, sr / n / 255.0,
         sbTop.toDouble / (width.toLong * topRows) / 255.0)
     }
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF with real
+    * player-side compositing: a logical-screen canvas initialized to
+    * the background color, each frame's sub-rectangle LZW-decoded
+    * with its active (local-or-global) palette and drawn over the
+    * canvas honoring the Graphic Control Extension's transparency
+    * index, the post-frame state emitted as that frame's composite,
+    * then disposal applied (0/1 leave, 2 restore-background in the
+    * frame rect; 3 "restore previous" is rejected — out of the
+    * strictness contract, like interlace).
+    *
+    * Strictness: global color table + in-range background index
+    * required, every frame rect inside the logical screen, LZW
+    * min-code-size 2..8, every stream must decode to exactly
+    * rect-w·rect-h in-palette indices, at least one frame, trailer
+    * present and final. A single-image GIF yields one frame whose
+    * composite equals [[decode]]'s result when the image covers the
+    * screen.
+    */
+  def decodeAnimated(payload: Array[Byte]): Option[Vector[FrameDecoded]] = {
+    if (payload == null || payload.length < 6 + 7 + 6 + 1 + 2) return None
+    val sig = new String(payload, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(p: Int): Int = payload(p) & 0xff
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    val width = u16(6); val height = u16(8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return None // global color table required
+    val gctEntries = 2 << (packed & 0x07)
+    val bgIdx = u8(11)
+    if (bgIdx >= gctEntries) return None
+    var pos = 13
+    if (pos + 3 * gctEntries > payload.length) return None
+    val gct = new Array[Int](3 * gctEntries)
+    var ci = 0
+    while (ci < 3 * gctEntries) { gct(ci) = u8(pos); pos += 1; ci += 1 }
+    val totalL = width.toLong * height
+    if (width <= 0 || height <= 0 || totalL > Int.MaxValue) return None
+    val total = totalL.toInt
+
+    // canvas as palette-RESOLVED channels (palettes can switch per
+    // frame, so indices alone can't represent composited state)
+    val canR = new Array[Int](total)
+    val canG = new Array[Int](total)
+    val canB = new Array[Int](total)
+    def fillRect(l: Int, t: Int, w: Int, h: Int, r: Int, g: Int, b: Int): Unit = {
+      var y = t
+      while (y < t + h) {
+        var x = l; val row = y * width
+        while (x < l + w) { canR(row + x) = r; canG(row + x) = g; canB(row + x) = b; x += 1 }
+        y += 1
+      }
+    }
+    fillRect(0, 0, width, height,
+      gct(3 * bgIdx), gct(3 * bgIdx + 1), gct(3 * bgIdx + 2))
+
+    val frames = Vector.newBuilder[FrameDecoded]
+    var nFrames = 0
+    // pending GCE state (one per following image, spec 23)
+    var gcePending = false
+    var gceDelay = 0; var gceTransparent = -1; var gceDisposal = 0
+    var trailerSeen = false
+    while (!trailerSeen) {
+      if (pos >= payload.length) return None
+      u8(pos) match {
+        case 0x3b =>
+          trailerSeen = true; pos += 1
+        case 0x21 =>
+          if (pos + 1 >= payload.length) return None
+          val label = u8(pos + 1)
+          if (label == 0xf9) { // Graphic Control Extension
+            if (gcePending) return None // two GCEs before an image
+            if (pos + 7 >= payload.length || u8(pos + 2) != 4) return None
+            val gp = u8(pos + 3)
+            gceDisposal = (gp >> 2) & 0x7
+            if (gceDisposal > 2) return None // restore-previous: rejected
+            gceDelay = u16(pos + 4)
+            gceTransparent = if ((gp & 1) != 0) u8(pos + 6) else -1
+            if (u8(pos + 7) != 0) return None // terminator
+            gcePending = true
+            pos += 8
+          } else { // any other extension: skip sub-blocks
+            pos += 2
+            var len = if (pos < payload.length) u8(pos) else return None
+            while (len != 0) {
+              pos += 1 + len
+              if (pos >= payload.length) return None
+              len = u8(pos)
+            }
+            pos += 1
+          }
+        case 0x2c =>
+          if (pos + 10 > payload.length) return None
+          val fl = u16(pos + 1); val ft = u16(pos + 3)
+          val fw = u16(pos + 5); val fh = u16(pos + 7)
+          if (fw == 0 || fh == 0 || fl + fw > width || ft + fh > height) return None
+          val ipacked = u8(pos + 9)
+          if ((ipacked & 0x40) != 0) return None // no interlace
+          pos += 10
+          // active palette: local table if present, else global
+          var pal = gct; var palEntries = gctEntries
+          if ((ipacked & 0x80) != 0) {
+            val lctEntries = 2 << (ipacked & 0x07)
+            if (pos + 3 * lctEntries > payload.length) return None
+            val lct = new Array[Int](3 * lctEntries)
+            var li = 0
+            while (li < 3 * lctEntries) { lct(li) = u8(pos); pos += 1; li += 1 }
+            pal = lct; palEntries = lctEntries
+          }
+          if (pos >= payload.length) return None
+          val minCode = u8(pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val lzw = new java.io.ByteArrayOutputStream()
+          var len = if (pos < payload.length) u8(pos) else return None
+          while (len != 0) {
+            if (pos + 1 + len > payload.length) return None
+            lzw.write(payload, pos + 1, len)
+            pos += 1 + len
+            len = if (pos < payload.length) u8(pos) else return None
+          }
+          pos += 1
+          val transparent = if (gcePending) gceTransparent else -1
+          if (transparent >= palEntries) return None
+          val idx = decodeLzw(lzw.toByteArray, minCode, fw * fh, palEntries)
+            .getOrElse(return None)
+          // composite the sub-rectangle (transparent pixels keep canvas)
+          var fy = 0
+          while (fy < fh) {
+            var fx = 0; val row = (ft + fy) * width + fl; val frow = fy * fw
+            while (fx < fw) {
+              val c = idx(frow + fx)
+              if (c != transparent) {
+                canR(row + fx) = pal(3 * c)
+                canG(row + fx) = pal(3 * c + 1)
+                canB(row + fx) = pal(3 * c + 2)
+              }
+              fx += 1
+            }
+            fy += 1
+          }
+          // emit the post-frame composite
+          var sb = 0L; var sg = 0L; var sr = 0L; var sbTop = 0L
+          val topRows = (height + 1) / 2
+          var p = 0
+          while (p < total) {
+            sb += canB(p); sg += canG(p); sr += canR(p)
+            if (p / width < topRows) sbTop += canB(p)
+            p += 1
+          }
+          val n = total.toDouble
+          frames += FrameDecoded(nFrames, if (gcePending) gceDelay else 0,
+            Decoded(width, height, sb / n / 255.0, sg / n / 255.0, sr / n / 255.0,
+              sbTop.toDouble / (width.toLong * topRows) / 255.0))
+          nFrames += 1
+          // disposal AFTER the composite is shown
+          if (gcePending && gceDisposal == 2)
+            fillRect(fl, ft, fw, fh,
+              gct(3 * bgIdx), gct(3 * bgIdx + 1), gct(3 * bgIdx + 2))
+          gcePending = false; gceDelay = 0; gceTransparent = -1; gceDisposal = 0
+        case _ => return None
+      }
+    }
+    if (nFrames == 0 || pos != payload.length) return None
+    Some(frames.result())
   }
 
   /** GIF-LZW decompress to exactly `expected` indices, every one

@@ -158,6 +158,40 @@ object Multimodal {
       })
   }
 
+  case class VideoFrameFeature(media_id: Long, frame_idx: Int, delay_cs: Int,
+                               n_frames: Int, width: Int, height: Int,
+                               features: Array[Float])
+
+  /** REAL frame-sampling stage: decode an animated GIF's frames with
+    * full player-side compositing ([[GifCodec.decodeAnimated]] —
+    * sub-rectangle frames, transparency, disposal, local palettes),
+    * keep every `every`-th composited frame, and emit per-frame
+    * features (same 8-slot formula as the image path). This is the
+    * video analogue of [[decodeImages]]: same `mapPartitions`
+    * boundary, invalid payloads DROPPED (S5 tolerance). The
+    * byte-range [[sampleFrames]] remains for container formats with
+    * no decoder; animated GIF is the real-codec path.
+    *
+    * Sampling happens AFTER decode because GIF frames are deltas —
+    * frame f's composite needs frames 0..f-1 regardless of which
+    * frames are kept (the same reason video keyframe extraction
+    * still reads the inter-frame stream).
+    */
+  def decodeVideoFrames(media: DataFrame, every: Int = 1): Dataset[VideoFrameFeature] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Option(payload).flatMap(GifCodec.decodeAnimated).toSeq.flatMap { fs =>
+          fs.iterator
+            .filter(_.frameIdx % every == 0)
+            .map(f => VideoFrameFeature(id, f.frameIdx, f.delayCs, fs.length,
+              f.canvas.width, f.canvas.height, GifCodec.features(f.canvas)))
+        }
+      })
+  }
+
   /** Frame-sampling stage: split a payload into `n` contiguous byte
     * ranges ("frames") — pure column ops (binary `substring` is
     * codegen'd), exploded to one row per frame. A real video codec

@@ -347,6 +347,118 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Map(1L -> ((4, 3))))
   }
 
+  test("GifCodec animated: compositing, transparency, disposal-2 restore, local palettes") {
+    import graft.ext.GifCodec
+    import graft.ext.GifCodec.AnimFrame
+    // 4x2 canvas; palette 0=black(bg) 1=red 2=green 3=blue.
+    // f0 fills red; f1 draws a 2x1 rect at (1,0) where fx=0 is
+    // TRANSPARENT (so only (2,0) turns green); f2 paints (0,1)-(1,1)
+    // blue with disposal 2 (restored to background after showing);
+    // f3 is all-transparent (draws nothing) and must see f2's rect
+    // already restored to black.
+    val pal = Array((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val frames = Seq(
+      AnimFrame(0, 0, 4, 2, delayCs = 10, disposal = 1, index = (_, _) => 1),
+      AnimFrame(1, 0, 2, 1, delayCs = 20, disposal = 1, transparentIdx = 0,
+        index = (fx, _) => if (fx == 0) 0 else 2),
+      AnimFrame(0, 1, 2, 1, delayCs = 30, disposal = 2, index = (_, _) => 3),
+      AnimFrame(3, 1, 1, 1, delayCs = 40, disposal = 0, transparentIdx = 0,
+        index = (_, _) => 0))
+    val fs = GifCodec.decodeAnimated(GifCodec.encodeAnimated(4, 2, pal, frames))
+      .getOrElse(fail("decodeAnimated failed"))
+    assert(fs.length == 4)
+    assert(fs.map(_.frameIdx) == Vector(0, 1, 2, 3))
+    assert(fs.map(_.delayCs) == Vector(10, 20, 30, 40))
+    assert(fs.forall(f => f.canvas.width == 4 && f.canvas.height == 2))
+    def means(f: Int) = (fs(f).canvas.meanR, fs(f).canvas.meanG, fs(f).canvas.meanB)
+    val eps = 1e-12
+    def close(a: (Double, Double, Double), b: (Double, Double, Double)) =
+      math.abs(a._1 - b._1) < eps && math.abs(a._2 - b._2) < eps &&
+        math.abs(a._3 - b._3) < eps
+    assert(close(means(0), (1.0, 0.0, 0.0)), s"f0 ${means(0)}")
+    assert(close(means(1), (7.0 / 8, 1.0 / 8, 0.0)), s"f1 ${means(1)}")
+    assert(close(means(2), (5.0 / 8, 1.0 / 8, 2.0 / 8)), s"f2 ${means(2)}")
+    // after f2's disposal its two pixels are black again; f3 draws nothing
+    assert(close(means(3), (5.0 / 8, 1.0 / 8, 0.0)), s"f3 ${means(3)}")
+    // top-half blue mean: row 0 never has blue
+    assert(fs.forall(_.canvas.meanBTop < eps))
+
+    // local color table: second frame's palette overrides the global
+    val lct = Seq(
+      AnimFrame(0, 0, 4, 2, disposal = 1, index = (_, _) => 1),
+      AnimFrame(0, 0, 4, 2, disposal = 1,
+        localPalette = Some(Array((0, 0, 0), (0, 0, 255))), index = (_, _) => 1))
+    val fs2 = GifCodec.decodeAnimated(GifCodec.encodeAnimated(4, 2, pal, lct))
+      .getOrElse(fail("LCT animation failed to decode"))
+    assert(math.abs(fs2(0).canvas.meanR - 1.0) < eps)
+    assert(math.abs(fs2(1).canvas.meanB - 1.0) < eps &&
+      fs2(1).canvas.meanR < eps, "local palette ignored")
+
+    // single-image GIF: decodeAnimated yields ONE frame == decode()
+    val single = GifCodec.encode(5, 4,
+      Array.tabulate(8)(i => (i * 30, i * 20, i * 10)), (x, y) => (x + 2 * y) % 8)
+    val one = GifCodec.decodeAnimated(single).getOrElse(fail("single-image failed"))
+    val img = GifCodec.decode(single).get
+    assert(one.length == 1 && one.head.delayCs == 0)
+    assert(one.head.canvas == img)
+  }
+
+  test("GifCodec animated: strictness — disposal 3, bad bg index, overrun rect all rejected") {
+    import graft.ext.GifCodec
+    import graft.ext.GifCodec.AnimFrame
+    val pal = Array((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val gif = GifCodec.encodeAnimated(4, 2, pal, Seq(
+      AnimFrame(0, 0, 4, 2, delayCs = 5, disposal = 1, index = (_, _) => 1),
+      AnimFrame(1, 0, 2, 1, delayCs = 5, disposal = 1, index = (_, _) => 2)))
+    assert(GifCodec.decodeAnimated(gif).isDefined)
+    // GCE layout: header(13) + GCT(12) + NETSCAPE(19) puts the first
+    // GCE's packed byte at offset 47; force disposal=3 there
+    assert((gif(44) & 0xff) == 0x21 && (gif(45) & 0xff) == 0xf9,
+      "fixture layout shifted — GCE not at expected offset")
+    val disp3 = gif.clone(); disp3(47) = (disp3(47) | 0x0c).toByte
+    assert(GifCodec.decodeAnimated(disp3).isEmpty, "disposal 3 accepted")
+    // background index outside the global table
+    val badBg = gif.clone(); badBg(11) = 9.toByte // gctEntries = 4
+    assert(GifCodec.decodeAnimated(badBg).isEmpty, "bg index 9 >= 4 accepted")
+    // truncation and trailing garbage
+    assert(GifCodec.decodeAnimated(gif.take(gif.length - 1)).isEmpty)
+    assert(GifCodec.decodeAnimated(gif ++ Array(0.toByte)).isEmpty)
+    assert(GifCodec.decodeAnimated("GIF89a soup".getBytes).isEmpty)
+    // frame rect overrunning the logical screen is unencodable here,
+    // so patch the second image descriptor's left edge instead: find
+    // the second 0x2c and push left to 3 (3 + 2 > 4)
+    val d2 = {
+      var c = -1; var at = -1
+      for (p <- 0 until gif.length if at < 0) {
+        if ((gif(p) & 0xff) == 0x2c) { c += 1; if (c == 1) at = p }
+      }
+      val m = gif.clone(); m(at + 1) = 3.toByte; m
+    }
+    assert(GifCodec.decodeAnimated(d2).isEmpty, "overrun rect accepted")
+  }
+
+  test("decodeVideoFrames: real composited frames, sampling, invalid payloads dropped") {
+    import graft.ext.{GifCodec, Multimodal}
+    import graft.ext.GifCodec.AnimFrame
+    val pal = Array((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val anim = GifCodec.encodeAnimated(4, 2, pal,
+      (0 until 4).map(f => AnimFrame(0, 0, 4, 2, delayCs = f + 1,
+        disposal = 1, index = (_, _) => (f % 3) + 1)))
+    val media = Seq(
+      (1L, anim),
+      (2L, "not a gif".getBytes)
+    ).toDF("media_id", "payload")
+    val all = Multimodal.decodeVideoFrames(media, every = 1).collect()
+    assert(all.map(_.media_id).toSet == Set(1L), "garbage payload kept")
+    assert(all.length == 4 && all.forall(_.n_frames == 4))
+    val sampled = Multimodal.decodeVideoFrames(media, every = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2), "every=2 sampling wrong")
+    assert(sampled.forall(f => f.width == 4 && f.height == 2))
+    // frame 2 is all-blue (f % 3 + 1 = 3): feature 0 = meanB = 1
+    assert(math.abs(sampled(1).features(0) - 1.0f) < 1e-6)
+  }
+
   test("JpegCodec: block-constant grayscale roundtrip is BIT-EXACT; smooth RGB within tolerance") {
     import graft.ext.JpegCodec
     // block-constant gray: DC-only blocks, quant 8 divides 8*(v-128)
@@ -456,6 +568,16 @@ class MultimodalSpec extends SparkSuite {
       "png" -> PngCodec.encode(9, 7, (x, y) => (x * 20 % 256, y * 30 % 256, (x + y) % 256)),
       "gif" -> GifCodec.encode(9, 7,
         Array.tabulate(16)(i => (i * 16, i * 8, i * 4)), (x, y) => (x + y) % 16),
+      "gif-anim" -> GifCodec.encodeAnimated(9, 7,
+        Array.tabulate(16)(i => (i * 16, i * 8, i * 4)),
+        Seq(
+          GifCodec.AnimFrame(0, 0, 9, 7, delayCs = 4, disposal = 1,
+            index = (x, y) => (x + y) % 16),
+          GifCodec.AnimFrame(2, 1, 5, 4, delayCs = 4, disposal = 2,
+            transparentIdx = 0, index = (x, y) => (x * 3 + y) % 16),
+          GifCodec.AnimFrame(1, 2, 6, 3, delayCs = 4, disposal = 1,
+            localPalette = Some(Array.tabulate(8)(i => (i * 9, i * 5, i * 3))),
+            index = (x, y) => (x + 2 * y) % 8))),
       "jpg" -> JpegCodec.encodeGray(16, 16, (x, y) => (x * 16 + y) % 256),
       "jpg-dri" -> JpegCodec.encodeGray(32, 16, (x, y) => (x * 16 + y) % 256,
         restartInterval = 1),
@@ -463,6 +585,7 @@ class MultimodalSpec extends SparkSuite {
       "adpcm" -> AdpcmCodec.encode(2, 8000, 45, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
     def all(p: Array[Byte]): Unit = {
       BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
+      GifCodec.decodeAnimated(p)
       JpegCodec.decode(p); WavCodec.decode(p); AdpcmCodec.decode(p)
     }
     for ((_, payload) <- valid) {
