@@ -1877,6 +1877,41 @@ object SparkEntry {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** q100 — ⊕ REAL pixel resize
+    * ([[graft.ext.Multimodal.resizeImages]]): BMP fixtures are
+    * box-downsampled by 2 over DECODED pixels (channel-wise integer
+    * mean per 2×2 block, truncating division; partial edge blocks
+    * averaged over their actual count) and re-encoded as BMP, then
+    * fed through [[graft.ext.Multimodal.decodeImages]] — so the
+    * oracle checks BOTH that every resized pixel is the exact block
+    * mean AND that the resized payload is a real decodable image
+    * (n_bytes is the closed-form BMP size of the NEW dims). Closes
+    * the last metadata-only multimodal stage: resize now transforms
+    * pixels, not just the meta struct.
+    */
+  private val q100Resize: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (7 + id % 5).toInt
+        val h = (5 + id % 4).toInt
+        id -> ext.BmpCodec.encode(w, h, (x, y) => (
+          ((id * 13 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 11 + 3 * x + 5 * y) % 256).toInt,
+          ((id * 7 + 3 * x + 5 * y) % 256).toInt))
+      }).toDF("media_id", "payload")
+    val rs = ext.Multimodal.resizeImages(media, factor = 2).toDF()
+    val feats = ext.Multimodal.decodeImages(
+      rs.select(col("media_id"), col("payload"))).toDF()
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    rs.select(col("media_id"), col("orig_width"), col("orig_height"))
+      .join(feats, "media_id")
+      .select(Seq(col("media_id"), col("orig_width"), col("orig_height"),
+        col("width"), col("height"), col("n_bytes")) ++ featCols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -1978,6 +2013,7 @@ object SparkEntry {
     "q97_span_removal"      -> q97SpanRemoval,
     "q98_decay_auto"        -> q98DecayAuto,
     "q99_video_frames"      -> q99VideoFrames,
+    "q100_resize"           -> q100Resize,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4005,6 +4041,50 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/h AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id, frame_idx""".stripMargin,
+    // q100: every resized pixel is the truncating integer mean of its
+    // 2x2 source block (partial edge blocks over their actual count),
+    // then q62's feature/narrowing chain over the RESIZED grid and
+    // the closed-form BMP size of the NEW dims.
+    "q100_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(7 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(5 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x.x AS x, y.y AS y,
+        |    (doc_id*13 + 3*x.x + 5*y.y) % 256 AS r,
+        |    (doc_id*11 + 3*x.x + 5*y.y) % 256 AS g,
+        |    (doc_id*7  + 3*x.x + 5*y.y) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(0, 11)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |rx AS (
+        |  SELECT doc_id, w, h, x//2 AS x2, y//2 AS y2,
+        |    sum(r)//count(*) AS rv, sum(g)//count(*) AS gv, sum(b)//count(*) AS bv
+        |  FROM px GROUP BY doc_id, w, h, x//2, y//2),
+        |ch AS (
+        |  SELECT doc_id, w, h, (w+1)//2 AS w2, (h+1)//2 AS h2,
+        |    CAST(sum(bv) AS DOUBLE) / count(*) / 255.0 AS mb,
+        |    CAST(sum(gv) AS DOUBLE) / count(*) / 255.0 AS mg,
+        |    CAST(sum(rv) AS DOUBLE) / count(*) / 255.0 AS mr,
+        |    CAST(sum(CASE WHEN y2 < ((h+1)//2 + 1)//2 THEN bv ELSE 0 END) AS DOUBLE)
+        |      / ((w+1)//2 * (((h+1)//2 + 1)//2)) / 255.0 AS mbt
+        |  FROM rx GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id,
+        |  w AS orig_width, h AS orig_height,
+        |  CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+        |  CAST(54 + ((w2*3 + 3)//4)*4*h2 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(mb AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(mg AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(mr AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*mb + 0.587*mg + 0.299*mr AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w2/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(h2/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w2 AS DOUBLE)/h2 AS REAL) AS DOUBLE), 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
     // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
     // window order within (user, chunk), chunk total picked by
     // reversed row_number (never a re-folded GROUP BY sum), offset as

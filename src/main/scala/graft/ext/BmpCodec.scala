@@ -116,6 +116,52 @@ object BmpCodec {
       sbTop.toDouble / (width.toLong * topHalf) / 255.0))
   }
 
+  /** Full pixel decode for stages that transform pixels (resize):
+    * same validation contract as [[decode]], pixels returned row-major
+    * in IMAGE order (y=0 top) packed 0xRRGGBB. Bounded separately from
+    * [[decode]] (which never materializes pixels): an image larger
+    * than `maxPixels` returns None rather than allocating.
+    */
+  def decodePixels(payload: Array[Byte],
+                   maxPixels: Long = 1L << 26): Option[(Int, Int, Array[Int])] = {
+    if (payload == null || payload.length < 54 ||
+        payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val offset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (fileSize != payload.length || hdrSize != 40 || planes != 1 ||
+        bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0 ||
+        rawHeight == Int.MinValue || offset < 54) return None
+    val topDown = rawHeight < 0
+    val h = math.abs(rawHeight)
+    val rowSizeL = ((width * 3L + 3L) / 4L) * 4L
+    if (rowSizeL > Int.MaxValue ||
+        offset.toLong + rowSizeL * h > payload.length) return None
+    if (width.toLong * h > maxPixels) return None
+    val rowSize = rowSizeL.toInt
+    val px = new Array[Int](width * h)
+    var row = 0
+    while (row < h) {
+      val y = if (topDown) row else h - 1 - row
+      val base = offset + row * rowSize
+      var x = 0
+      while (x < width) {
+        val i = base + x * 3
+        px(y * width + x) = ((payload(i + 2) & 0xff) << 16) |
+          ((payload(i + 1) & 0xff) << 8) | (payload(i) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    Some((width, h, px))
+  }
+
   /** 8-slot feature vector; every step is plain double arithmetic in a
     * fixed order so the q62 oracle reproduces it bit-for-bit (CAST AS
     * REAL at the same narrowing points).

@@ -248,7 +248,48 @@ object GifCodec {
   /** None unless the payload is a structurally valid palette GIF per
     * the strictness contract above.
     */
-  def decode(payload: Array[Byte]): Option[Decoded] = {
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    parseSingle(payload).map { case (width, height, palR, palG, palB, idx) =>
+      val total = width * height
+      var sb = 0L; var sg = 0L; var sr = 0L; var sbTop = 0L
+      var p = 0
+      val topRows = (height + 1) / 2
+      while (p < total) {
+        val c = idx(p)
+        sb += palB(c); sg += palG(c); sr += palR(c)
+        if (p / width < topRows) sbTop += palB(c)
+        p += 1
+      }
+      val n = total.toDouble
+      Decoded(width, height, sb / n / 255.0, sg / n / 255.0, sr / n / 255.0,
+        sbTop.toDouble / (width.toLong * topRows) / 255.0)
+    }
+
+  /** Full pixel decode for pixel-transforming stages (resize): the
+    * single-image contract of [[decode]], palette-resolved to packed
+    * 0xRRGGBB rows in image order.
+    */
+  def decodePixels(payload: Array[Byte],
+                   maxPixels: Long = 1L << 26): Option[(Int, Int, Array[Int])] =
+    parseSingle(payload).flatMap { case (width, height, palR, palG, palB, idx) =>
+      if (width.toLong * height > maxPixels) None
+      else {
+        val px = new Array[Int](width * height)
+        var p = 0
+        while (p < px.length) {
+          val c = idx(p)
+          px(p) = (palR(c) << 16) | (palG(c) << 8) | palB(c)
+          p += 1
+        }
+        Some((width, height, px))
+      }
+    }
+
+  /** Parse + LZW-decode a SINGLE-image GIF (the [[decode]] strictness
+    * contract) to its palette channels and index stream.
+    */
+  private def parseSingle(payload: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int], Array[Int])] = {
     if (payload == null || payload.length < 6 + 7 + 6 + 1 + 2) return None
     val sig = new String(payload, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -318,20 +359,8 @@ object GifCodec {
     }
     if (!imageSeen || pos != payload.length) return None
 
-    decodeLzw(lzw.toByteArray, minCode, total, gctEntries).map { idx =>
-      var sb = 0L; var sg = 0L; var sr = 0L; var sbTop = 0L
-      var p = 0
-      val topRows = (height + 1) / 2
-      while (p < total) {
-        val c = idx(p)
-        sb += palB(c); sg += palG(c); sr += palR(c)
-        if (p / width < topRows) sbTop += palB(c)
-        p += 1
-      }
-      val n = total.toDouble
-      Decoded(width, height, sb / n / 255.0, sg / n / 255.0, sr / n / 255.0,
-        sbTop.toDouble / (width.toLong * topRows) / 255.0)
-    }
+    decodeLzw(lzw.toByteArray, minCode, total, gctEntries)
+      .map(idx => (width, height, palR, palG, palB, idx))
   }
 
   /** Decode EVERY frame of a (possibly animated) GIF with real

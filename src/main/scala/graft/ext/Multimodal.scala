@@ -216,6 +216,62 @@ object Multimodal {
         length(col("f.frame")).as("frame_bytes"))
   }
 
+  case class ResizedMedia(media_id: Long, orig_width: Int, orig_height: Int,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** REAL pixel resize: integer-factor BOX downsample over decoded
+    * pixels — each output pixel is the channel-wise integer mean
+    * (truncating division, exactly mirrorable in SQL) of its
+    * `factor`×`factor` source block, partial edge blocks averaged
+    * over their actual pixel count, so any dimensions work and
+    * out-dims are ⌈w/f⌉×⌈h/f⌉. Content-dispatched over the lossless
+    * pixel decoders (BMP, PNG, GIF); the result is re-encoded as
+    * 24-bpp BMP — one canonical output format, the thumbnail-
+    * pipeline convention — so downstream [[decodeImages]] proves the
+    * resized payload is itself a real decodable image. Rows whose
+    * payload is not a valid image are DROPPED (S5 tolerance). Same
+    * `mapPartitions` boundary as the other decode stages.
+    *
+    * Box (area-average) rather than bilinear: for integer-factor
+    * DOWNsampling they coincide in intent (anti-aliased mean over the
+    * footprint), but box is exact in integer arithmetic — which is
+    * what makes the stage oracle-checkable bit-for-bit.
+    */
+  def resizeImages(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Option(payload)
+          .flatMap(p => BmpCodec.decodePixels(p)
+            .orElse(PngCodec.decodePixels(p))
+            .orElse(GifCodec.decodePixels(p)))
+          .map { case (w, h, px) =>
+            val w2 = (w + factor - 1) / factor
+            val h2 = (h + factor - 1) / factor
+            val out = BmpCodec.encode(w2, h2, (x2, y2) => {
+              val x0 = x2 * factor; val y0 = y2 * factor
+              val xe = math.min(x0 + factor, w); val ye = math.min(y0 + factor, h)
+              var sr = 0; var sg = 0; var sb = 0
+              var y = y0
+              while (y < ye) {
+                var x = x0
+                while (x < xe) {
+                  val v = px(y * w + x)
+                  sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val cnt = (xe - x0) * (ye - y0)
+              (sr / cnt, sg / cnt, sb / cnt)
+            })
+            ResizedMedia(id, w, h, w2, h2, out)
+          }
+      })
+  }
+
   /** Resize stage (metadata transform; a real impl would also
     * transform payload): clamps width/height preserving aspect.
     */

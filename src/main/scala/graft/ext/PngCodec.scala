@@ -131,7 +131,63 @@ object PngCodec {
     * non-interlaced PNG (signature, IHDR constraints, chunk CRCs,
     * exact inflated size, known filter types).
     */
-  def decode(payload: Array[Byte]): Option[Decoded] = {
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    decodeRaw(payload).map { case (width, height, stride, raw) =>
+      var sr = 0L; var sg = 0L; var sb = 0L; var sbTop = 0L
+      val topHalf = (height + 1) / 2
+      var yy = 0
+      while (yy < height) {
+        val ro = yy * (1 + stride)
+        var x = 0
+        while (x < width) {
+          val o = ro + x * 3
+          sr += raw(o) & 0xff
+          sg += raw(o + 1) & 0xff
+          val b = raw(o + 2) & 0xff
+          sb += b
+          if (yy < topHalf) sbTop += b
+          x += 1
+        }
+        yy += 1
+      }
+      val n = width.toLong * height
+      Decoded(width, height,
+        sb.toDouble / n / 255.0,
+        sg.toDouble / n / 255.0,
+        sr.toDouble / n / 255.0,
+        sbTop.toDouble / (width.toLong * topHalf) / 255.0)
+    }
+
+  /** Full pixel decode for pixel-transforming stages (resize): same
+    * validation as [[decode]], rows in image order, packed 0xRRGGBB.
+    */
+  def decodePixels(payload: Array[Byte],
+                   maxPixels: Long = 1L << 26): Option[(Int, Int, Array[Int])] =
+    decodeRaw(payload).flatMap { case (width, height, stride, raw) =>
+      if (width.toLong * height > maxPixels) None
+      else {
+        val px = new Array[Int](width * height)
+        var yy = 0
+        while (yy < height) {
+          val ro = yy * (1 + stride)
+          var x = 0
+          while (x < width) {
+            val o = ro + x * 3
+            px(yy * width + x) = ((raw(o) & 0xff) << 16) |
+              ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+            x += 1
+          }
+          yy += 1
+        }
+        Some((width, height, px))
+      }
+    }
+
+  /** Parse + inflate + unfilter to reconstructed scanlines: row y's
+    * RGB bytes start at `y * (1 + stride)` in the returned buffer
+    * (the +1 filter-byte slots are dead after unfiltering).
+    */
+  private def decodeRaw(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 8 + 25 + 12 + 12) return None
     var i = 0
     while (i < 8) { if (payload(i) != Sig(i)) return None; i += 1 }
@@ -220,29 +276,7 @@ object PngCodec {
       yy += 1
     }
 
-    var sr = 0L; var sg = 0L; var sb = 0L; var sbTop = 0L
-    val topHalf = (height + 1) / 2
-    yy = 0
-    while (yy < height) {
-      val ro = yy * (1 + stride)
-      var x = 0
-      while (x < width) {
-        val o = ro + x * 3
-        sr += raw(o) & 0xff
-        sg += raw(o + 1) & 0xff
-        val b = raw(o + 2) & 0xff
-        sb += b
-        if (yy < topHalf) sbTop += b
-        x += 1
-      }
-      yy += 1
-    }
-    val n = width.toLong * height
-    Some(Decoded(width, height,
-      sb.toDouble / n / 255.0,
-      sg.toDouble / n / 255.0,
-      sr.toDouble / n / 255.0,
-      sbTop.toDouble / (width.toLong * topHalf) / 255.0))
+    Some((width, height, stride, raw))
   }
 
   /** Same 8-slot feature formula as [[BmpCodec.features]] so image

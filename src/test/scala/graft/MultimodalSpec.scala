@@ -459,6 +459,63 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(sampled(1).features(0) - 1.0f) < 1e-6)
   }
 
+  test("decodePixels: BMP/PNG/GIF pixel decode agrees across codecs and with the source") {
+    import graft.ext.{BmpCodec, GifCodec, PngCodec}
+    val rgb = (x: Int, y: Int) => ((x + 4 * y) % 256, (10 * x) % 256, (7 * y) % 256)
+    val (bw, bh, bpx) = BmpCodec.decodePixels(BmpCodec.encode(5, 4, rgb)).get
+    assert(bw == 5 && bh == 4)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val (r, g, b) = rgb(x, y)
+      assert(bpx(y * 5 + x) == ((r << 16) | (g << 8) | b), s"bmp pixel ($x,$y)")
+    }
+    val (_, _, ppx) = PngCodec.decodePixels(PngCodec.encode(5, 4, rgb)).get
+    assert(ppx.toSeq == bpx.toSeq, "png pixels differ from bmp")
+    val pal = Array.tabulate(8)(i => (i * 30, i * 20, i * 10))
+    val (_, _, gpx) = GifCodec.decodePixels(
+      GifCodec.encode(5, 4, pal, (x, y) => (x + y) % 8)).get
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val (r, g, b) = pal((x + y) % 8)
+      assert(gpx(y * 5 + x) == ((r << 16) | (g << 8) | b), s"gif pixel ($x,$y)")
+    }
+    // size guard: maxPixels below the image size rejects, not allocates
+    assert(BmpCodec.decodePixels(BmpCodec.encode(5, 4, rgb), maxPixels = 19).isEmpty)
+  }
+
+  test("resizeImages: exact truncating box means, partial edge blocks, cross-codec dispatch") {
+    import graft.ext.{BmpCodec, Multimodal, PngCodec}
+    val rgb = (x: Int, y: Int) => (x + 4 * y, 10 * x, 7 * y)
+    val bmp = BmpCodec.encode(4, 4, rgb)
+    val media = Seq((1L, bmp), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(media, 2).collect()
+    assert(out.map(_.media_id).toSet == Set(1L), "invalid payload kept")
+    val r0 = out.head
+    assert(r0.orig_width == 4 && r0.orig_height == 4 &&
+      r0.width == 2 && r0.height == 2)
+    val px = BmpCodec.decodePixels(r0.payload).get._3
+    // hand-computed truncating block means of the 2x2 source blocks
+    assert(px(0) == ((2 << 16) | (5 << 8) | 3), "block (0,0)")
+    assert(px(1) == ((4 << 16) | (25 << 8) | 3), "block (1,0)")
+    assert(px(2) == ((10 << 16) | (5 << 8) | 17), "block (0,1)")
+    // odd dims: 5x3 by 2 -> 3x2, the corner block is ONE pixel, exact
+    val odd = Multimodal.resizeImages(
+      Seq((3L, BmpCodec.encode(5, 3, rgb))).toDF("media_id", "payload"), 2)
+      .collect().head
+    assert(odd.width == 3 && odd.height == 2)
+    val opx = BmpCodec.decodePixels(odd.payload).get._3
+    val (cr, cg, cb) = rgb(4, 2)
+    assert(opx(5) == ((cr << 16) | (cg << 8) | cb), "corner partial block")
+    // factor 1 is the identity on pixels
+    val id1 = Multimodal.resizeImages(
+      Seq((4L, bmp)).toDF("media_id", "payload"), 1).collect().head
+    assert(BmpCodec.decodePixels(id1.payload).get._3.toSeq ==
+      BmpCodec.decodePixels(bmp).get._3.toSeq)
+    // a PNG of the same image resizes to a byte-identical BMP payload
+    val rp = Multimodal.resizeImages(
+      Seq((5L, PngCodec.encode(4, 4, rgb))).toDF("media_id", "payload"), 2)
+      .collect().head
+    assert(rp.payload.toSeq == r0.payload.toSeq, "png-sourced resize differs")
+  }
+
   test("JpegCodec: block-constant grayscale roundtrip is BIT-EXACT; smooth RGB within tolerance") {
     import graft.ext.JpegCodec
     // block-constant gray: DC-only blocks, quant 8 divides 8*(v-128)
