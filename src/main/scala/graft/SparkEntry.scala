@@ -1912,6 +1912,35 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q101 — ⊕ image near-dup dedup via average hash
+    * ([[graft.ext.ImageHash]]): the dedup family extended to the
+    * image modality. Fixture BMPs are built in groups of four — a
+    * group-determined 64-block light/dark pattern, with member m
+    * flipping its first m blocks — so within-group aHash distances
+    * are exactly 1..3 bits and cross-group patterns are far. The
+    * banded hamming join (4×16-bit bands, COMPLETE for ≤3 by
+    * pigeonhole — the q23 machinery, signature-agnostic after the
+    * [[graft.ext.Dedup.hammingPairs64]] refactor) must recover
+    * exactly the oracle's brute-force pair set; the oracle recomputes
+    * every hash bit from the block/global-mean integer arithmetic,
+    * not from the pattern shortcut.
+    */
+  private val q101ImageDedup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val m = (id % 4).toInt
+        id -> ext.BmpCodec.encode(16, 16, (x, y) => {
+          val j = (y / 2) * 8 + x / 2
+          val bit = ((g * 2654435761L + j * 40503L) % 97 < 48) ^ (j < m)
+          val v = if (bit) 200 else 40
+          (v, v, v)
+        })
+      }).toDF("media_id", "payload")
+    ext.ImageHash.nearDupImages(media, maxHamming = 3)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2014,6 +2043,7 @@ object SparkEntry {
     "q98_decay_auto"        -> q98DecayAuto,
     "q99_video_frames"      -> q99VideoFrames,
     "q100_resize"           -> q100Resize,
+    "q101_image_dedup"      -> q101ImageDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4085,6 +4115,30 @@ object SparkEntry {
         |  round(CAST(CAST(mbt AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w2 AS DOUBLE)/h2 AS REAL) AS DOUBLE), 6) AS f7
         |FROM ch ORDER BY media_id""".stripMargin,
+    // q101: hashes rebuilt bit by bit from the REAL integer
+    // arithmetic (luma x1000 block means, truncating global mean,
+    // v > m), then the BRUTE-FORCE hamming pair set — the banded join
+    // must lose nothing at maxHamming 3 (pigeonhole over 4 bands).
+    "q101_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
+        |bv AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((g*2654435761 + j.j*40503) % 97 < 48) != (j.j < m)
+        |         THEN 200000 ELSE 40000 END AS v
+        |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
+        |gm AS (SELECT doc_id, sum(v) // 64 AS gmean FROM bv GROUP BY doc_id),
+        |hb AS (
+        |  SELECT bv.doc_id, j, CASE WHEN v > gmean THEN 1 ELSE 0 END AS bit
+        |  FROM bv JOIN gm ON bv.doc_id = gm.doc_id),
+        |pb AS (
+        |  SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
+        |    CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS hamming
+        |  FROM hb ba JOIN hb bb ON ba.j = bb.j AND ba.doc_id < bb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM pb
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // q88: the chunked two-pass tree mirrored EXACTLY — u in (t, tie)
     // window order within (user, chunk), chunk total picked by
     // reversed row_number (never a re-folded GROUP BY sum), offset as

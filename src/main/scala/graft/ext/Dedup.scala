@@ -153,9 +153,21 @@ object Dedup {
     * near-pairs). Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
-                     maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = df.select(id.as("id"),
-      graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig"))
+                     maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingPairs64(df.select(id.as("id"),
+        graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Banded hamming self-join over ANY 64-bit signature column
+    * (`(id, sig)` rows): 4×16-bit bands bucket the candidates, so the
+    * pair set is COMPLETE for `maxHamming` ≤ 3 by pigeonhole (a pair
+    * differing in ≤3 bits leaves at least one of the 4 bands
+    * identical). Shared by text SimHash ([[simhashNearDup]]) and
+    * image aHash ([[ImageHash.nearDupImages]]) — the banding and its
+    * `maxBucket` skew backstop are signature-agnostic.
+    */
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val segs = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("seg_idx"),
