@@ -1941,6 +1941,32 @@ object SparkEntry {
     ext.ImageHash.nearDupImages(media, maxHamming = 3)
   }
 
+  /** q102 — ⊕ audio near-dup dedup via energy-delta fingerprint
+    * ([[graft.ext.AudioHash]]): completes the text/image/audio dedup
+    * trio. Mono PCM fixtures carry a group-determined 65-segment
+    * energy profile (member m flips its first m segments), the
+    * fingerprint hashes the sign of each segment-to-segment energy
+    * change, and the same banded hamming join as q101 must recover
+    * exactly the oracle's brute-force pair set. The oracle recomputes
+    * every energy from the per-frame squared samples — not from a
+    * profile shortcut — so a wrong sample anywhere in the PCM decode
+    * path shifts an energy and flips a bit.
+    */
+  private val q102AudioDedup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val m = (id % 4).toInt
+        id -> ext.WavCodec.encode(1, 8000, 130, (f, _) => {
+          val k = f / 2
+          val bit = ((g * 2654435761L + k * 48271L) % 101 < 50) ^ (k < m)
+          if (bit) 1500 else 300
+        })
+      }).toDF("media_id", "payload")
+    ext.AudioHash.nearDupAudio(media, maxHamming = 3)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2044,6 +2070,7 @@ object SparkEntry {
     "q99_video_frames"      -> q99VideoFrames,
     "q100_resize"           -> q100Resize,
     "q101_image_dedup"      -> q101ImageDedup,
+    "q102_audio_dedup"      -> q102AudioDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4131,6 +4158,33 @@ object SparkEntry {
         |hb AS (
         |  SELECT bv.doc_id, j, CASE WHEN v > gmean THEN 1 ELSE 0 END AS bit
         |  FROM bv JOIN gm ON bv.doc_id = gm.doc_id),
+        |pb AS (
+        |  SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
+        |    CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS hamming
+        |  FROM hb ba JOIN hb bb ON ba.j = bb.j AND ba.doc_id < bb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM pb
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q102: segment energies recomputed from the per-frame squared
+    // samples (frame f's value depends on its segment f//2 only),
+    // delta bits via the seg+1 self-join, then the brute-force
+    // hamming pair set — q101's completeness proof, audio modality.
+    "q102_audio_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
+        |fe AS (
+        |  SELECT doc_id, f.f // 2 AS seg,
+        |    sum(CASE WHEN ((g*2654435761 + (f.f//2)*48271) % 101 < 50)
+        |                  != (f.f//2 < m)
+        |             THEN 1500*1500 ELSE 300*300 END) AS e
+        |  FROM d, LATERAL (SELECT unnest(range(0, 130)) AS f) f
+        |  GROUP BY doc_id, f.f // 2),
+        |hb AS (
+        |  SELECT a.doc_id, a.seg AS j,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND b.seg = a.seg + 1
+        |  WHERE a.seg < 64),
         |pb AS (
         |  SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
         |    CAST(sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS INTEGER)

@@ -170,6 +170,46 @@ object AdpcmCodec {
     * 8-slot feature formula is shared.
     */
   def decode(payload: Array[Byte]): Option[WavCodec.Decoded] = {
+    var s0 = 0L; var s1 = 0L; var sAbs = 0L; var peak = 0
+    decodeWith(payload, (c, _, v) => {
+      if (c == 0) s0 += v
+      if (c == 1) s1 += v
+      val a = math.abs(v)
+      sAbs += a
+      if (a > peak) peak = a
+    }).map { case (channels, sampleRate, factFrames) =>
+      WavCodec.Decoded(channels, sampleRate, factFrames,
+        s0.toDouble / factFrames,
+        if (channels > 1) s1.toDouble / factFrames else 0.0,
+        sAbs.toDouble / (factFrames.toLong * channels),
+        peak)
+    }
+  }
+
+  /** Full sample decode (interleaved, frame-major) for stages that
+    * transform samples (audio fingerprinting): two passes — the
+    * first validates and sizes, the second fills — because ADPCM's
+    * emission order is channel-major within a block. Bounded by
+    * `maxFrames` against crafted headers.
+    */
+  def decodeSamples(payload: Array[Byte],
+                    maxFrames: Int = 1 << 24): Option[(Int, Int, Array[Int])] =
+    decodeWith(payload, (_, _, _) => ()).flatMap {
+      case (channels, sampleRate, frames) =>
+        if (frames > maxFrames) None
+        else {
+          val out = new Array[Int](frames * channels)
+          decodeWith(payload, (c, f, v) => out(f * channels + c) = v)
+          Some((channels, sampleRate, out))
+        }
+    }
+
+  /** Shared strict walk: validates the container and streams every
+    * reconstructed sample to `emit(channel, frameIdx, value)`;
+    * returns (channels, sampleRate, frames) or None.
+    */
+  private def decodeWith(payload: Array[Byte],
+                         emit0: (Int, Int, Int) => Unit): Option[(Int, Int, Int)] = {
     if (payload == null || payload.length < 60 ||
         tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -217,15 +257,7 @@ object AdpcmCodec {
     // fact must land in the last block (no phantom trailing blocks)
     if (factFrames > capacity || factFrames <= capacity - spb) return None
     val wordsPerCh = (spb - 1) / 8
-    var s0 = 0L; var s1 = 0L; var sAbs = 0L; var peak = 0
     var emitted = 0L
-    def emit(c: Int, v: Int): Unit = {
-      if (c == 0) s0 += v
-      if (c == 1) s1 += v
-      val a = math.abs(v)
-      sAbs += a
-      if (a > peak) peak = a
-    }
     val pred = new Array[Int](channels)
     val index = new Array[Int](channels)
     var b = 0
@@ -242,7 +274,9 @@ object AdpcmCodec {
       val blockFrames = math.min(spb.toLong, factFrames - b.toLong * spb).toInt
       c = 0
       while (c < channels) {
-        if (blockFrames > 0) { emit(c, pred(c)); emitted += (if (c == 0) 1 else 0) }
+        if (blockFrames > 0) {
+          emit0(c, b * spb, pred(c)); emitted += (if (c == 0) 1 else 0)
+        }
         c += 1
       }
       val nibbleBase = base + 4 * channels
@@ -261,7 +295,7 @@ object AdpcmCodec {
               val (p, i) = step(nib, pred(c), index(c))
               pred(c) = p; index(c) = i
               if (frame < blockFrames) {
-                emit(c, p)
+                emit0(c, b * spb + frame, p)
                 if (c == 0) emitted += 1
               }
               half += 1
@@ -275,10 +309,6 @@ object AdpcmCodec {
       b += 1
     }
     if (emitted != factFrames) return None
-    Some(WavCodec.Decoded(channels, sampleRate, factFrames,
-      s0.toDouble / factFrames,
-      if (channels > 1) s1.toDouble / factFrames else 0.0,
-      sAbs.toDouble / (factFrames.toLong * channels),
-      peak))
+    Some((channels, sampleRate, factFrames))
   }
 }

@@ -64,7 +64,54 @@ object WavCodec {
     * chunk, data chunk in bounds, whole frames) — strict enough that
     * arbitrary bytes cannot false-positive into the audio path.
     */
-  def decode(payload: Array[Byte]): Option[Decoded] = {
+  def decode(payload: Array[Byte]): Option[Decoded] = parsePcm(payload).map {
+    case (channels, sampleRate, dataOff, frames) =>
+      val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var s0 = 0L; var s1 = 0L; var sAbs = 0L; var peak = 0
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          val v = buf.getShort(dataOff + (i * channels + c) * 2).toInt
+          if (c == 0) s0 += v
+          if (c == 1) s1 += v
+          val a = math.abs(v)
+          sAbs += a
+          if (a > peak) peak = a
+          c += 1
+        }
+        i += 1
+      }
+      Decoded(channels, sampleRate, frames,
+        s0.toDouble / frames,
+        if (channels > 1) s1.toDouble / frames else 0.0,
+        sAbs.toDouble / (frames.toLong * channels),
+        peak)
+  }
+
+  /** Full sample decode for sample-transforming stages (audio
+    * fingerprinting): same validation contract as [[decode]], samples
+    * returned interleaved (frame-major). Bounded by `maxFrames` so a
+    * crafted header cannot force a huge allocation.
+    */
+  def decodeSamples(payload: Array[Byte],
+                    maxFrames: Int = 1 << 24): Option[(Int, Int, Array[Int])] =
+    parsePcm(payload).flatMap { case (channels, sampleRate, dataOff, frames) =>
+      if (frames > maxFrames) None
+      else {
+        val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Int](frames * channels)
+        var i = 0
+        while (i < out.length) {
+          out(i) = buf.getShort(dataOff + i * 2).toInt
+          i += 1
+        }
+        Some((channels, sampleRate, out))
+      }
+    }
+
+  /** Shared strict PCM parse: (channels, sampleRate, dataOff, frames). */
+  private def parsePcm(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (payload == null || payload.length < 44 ||
         tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -101,26 +148,7 @@ object WavCodec {
     if (dataSize % frameBytes != 0) return None
     val frames = dataSize / frameBytes
     if (frames == 0) return None
-    var s0 = 0L; var s1 = 0L; var sAbs = 0L; var peak = 0
-    var i = 0
-    while (i < frames) {
-      var c = 0
-      while (c < channels) {
-        val v = buf.getShort(dataOff + (i * channels + c) * 2).toInt
-        if (c == 0) s0 += v
-        if (c == 1) s1 += v
-        val a = math.abs(v)
-        sAbs += a
-        if (a > peak) peak = a
-        c += 1
-      }
-      i += 1
-    }
-    Some(Decoded(channels, sampleRate, frames,
-      s0.toDouble / frames,
-      if (channels > 1) s1.toDouble / frames else 0.0,
-      sAbs.toDouble / (frames.toLong * channels),
-      peak))
+    Some((channels, sampleRate, dataOff, frames))
   }
 
   /** 8-slot feature vector; plain double arithmetic in a fixed order so

@@ -570,6 +570,65 @@ class MultimodalSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("AudioHash: fingerprint hand-checks, PCM≡ADPCM container invariance, mixing, guards") {
+    import graft.ext.{AdpcmCodec, AudioHash, WavCodec}
+    // strictly rising energy ramp -> every delta bit set (-1L)
+    val ramp = WavCodec.decodeSamples(
+      WavCodec.encode(1, 8000, 130, (f, _) => f * 10)).get
+    assert(AudioHash.fingerprint(ramp._1, ramp._3).contains(-1L))
+    // strictly falling -> no bit set
+    val fall = WavCodec.decodeSamples(
+      WavCodec.encode(1, 8000, 130, (f, _) => (130 - f) * 10)).get
+    assert(AudioHash.fingerprint(fall._1, fall._3).contains(0L))
+    // stereo anti-phase mixes to silence -> all energies 0 -> hash 0
+    val anti = WavCodec.decodeSamples(
+      WavCodec.encode(2, 8000, 130, (f, c) => if (c == 0) f else -f)).get
+    assert(AudioHash.fingerprint(anti._1, anti._3).contains(0L))
+    // the SAME unit-step triangle through PCM and ADPCM containers
+    // fingerprints identically (ADPCM is bit-exact in that regime)
+    val tri = (f: Int) => if (f <= 65) f else 130 - f
+    val pcm = WavCodec.decodeSamples(
+      WavCodec.encode(1, 8000, 130, (f, _) => tri(f))).get
+    val adp = AdpcmCodec.decodeSamples(
+      AdpcmCodec.encode(1, 8000, 130, (f, _) => tri(f), samplesPerBlock = 65)).get
+    assert(adp._3.toSeq == pcm._3.toSeq, "ADPCM samples diverge from PCM")
+    assert(AudioHash.fingerprint(adp._1, adp._3) ==
+      AudioHash.fingerprint(pcm._1, pcm._3))
+    // under 65 frames: empty segments would divide the stream unevenly
+    assert(AudioHash.fingerprint(1, Array.fill(64)(5)).isEmpty)
+    // decodeSamples interleaving: stereo roundtrip in frame-major order
+    val st = WavCodec.decodeSamples(
+      WavCodec.encode(2, 8000, 70, (f, c) => f * 2 + c)).get
+    assert(st._1 == 2 && st._3.length == 140)
+    assert(st._3(10 * 2) == 20 && st._3(10 * 2 + 1) == 21)
+  }
+
+  test("nearDupAudio: banded pairs equal the brute-force pair set; junk dropped") {
+    import graft.ext.{AudioHash, WavCodec}
+    // q102's fixture shape over 3 groups
+    def wav(id: Long): Array[Byte] = {
+      val g = id / 4; val m = (id % 4).toInt
+      WavCodec.encode(1, 8000, 130, (f, _) => {
+        val k = f / 2
+        val bit = ((g * 2654435761L + k * 48271L) % 101 < 50) ^ (k < m)
+        if (bit) 1500 else 300
+      })
+    }
+    val rows = (0L until 12L).map(id => (id, wav(id))) :+ (99L, "junk".getBytes)
+    val media = rows.toDF("media_id", "payload")
+    val got = AudioHash.nearDupAudio(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the SAME hashes the stage computes
+    val sigs = AudioHash.audioHashes(media).as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"banded != brute force:\n got $got\n want $want")
+    assert(want.nonEmpty, "fixture planted no qualifying pairs")
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("JpegCodec: block-constant grayscale roundtrip is BIT-EXACT; smooth RGB within tolerance") {
     import graft.ext.JpegCodec
     // block-constant gray: DC-only blocks, quant 8 divides 8*(v-128)
@@ -697,7 +756,9 @@ class MultimodalSpec extends SparkSuite {
     def all(p: Array[Byte]): Unit = {
       BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
       GifCodec.decodeAnimated(p)
+      BmpCodec.decodePixels(p); PngCodec.decodePixels(p); GifCodec.decodePixels(p)
       JpegCodec.decode(p); WavCodec.decode(p); AdpcmCodec.decode(p)
+      WavCodec.decodeSamples(p); AdpcmCodec.decodeSamples(p)
     }
     for ((_, payload) <- valid) {
       // byte mutations
