@@ -1928,16 +1928,26 @@ object SparkEntry {
   private val q101ImageDedup: Q = (s, dir) => {
     import s.implicits._
     val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val g = id / 4
-        val m = (id % 4).toInt
-        id -> ext.BmpCodec.encode(16, 16, (x, y) => {
-          val j = (y / 2) * 8 + x / 2
-          val bit = ((g * 2654435761L + j * 40503L) % 97 < 48) ^ (j < m)
-          val v = if (bit) 200 else 40
-          (v, v, v)
-        })
-      }).toDF("media_id", "payload")
+      .mapPartitions { it =>
+        // md5-nibble pattern bits (q92's cross-platform-exact trick):
+        // a linear-congruential parity has no avalanche — measured 46
+        // distinct patterns over 125 groups, which made the fixture a
+        // mass-duplicate corpus and the pair count quadratic at sf1.
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        def pbit(g: Long, j: Int): Boolean = {
+          mdig.reset()
+          ((mdig.digest(s"$g|$j".getBytes("UTF-8"))(0) >> 4) & 0xf) % 2 == 1
+        }
+        it.map { id =>
+          val g = id / 4
+          val m = (id % 4).toInt
+          id -> ext.BmpCodec.encode(16, 16, (x, y) => {
+            val j = (y / 2) * 8 + x / 2
+            val v = if (pbit(g, j) ^ (j < m)) 200 else 40
+            (v, v, v)
+          })
+        }
+      }.toDF("media_id", "payload")
     ext.ImageHash.nearDupImages(media, maxHamming = 3)
   }
 
@@ -1955,16 +1965,58 @@ object SparkEntry {
   private val q102AudioDedup: Q = (s, dir) => {
     import s.implicits._
     val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val g = id / 4
-        val m = (id % 4).toInt
-        id -> ext.WavCodec.encode(1, 8000, 130, (f, _) => {
-          val k = f / 2
-          val bit = ((g * 2654435761L + k * 48271L) % 101 < 50) ^ (k < m)
-          if (bit) 1500 else 300
-        })
-      }).toDF("media_id", "payload")
+      .mapPartitions { it =>
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        def pbit(g: Long, k: Int): Boolean = {
+          mdig.reset()
+          ((mdig.digest(s"$g|$k".getBytes("UTF-8"))(0) >> 4) & 0xf) % 2 == 1
+        }
+        it.map { id =>
+          val g = id / 4
+          val m = (id % 4).toInt
+          id -> ext.WavCodec.encode(1, 8000, 130, (f, _) => {
+            val k = f / 2
+            if (pbit(g, k) ^ (k < m)) 1500 else 300
+          })
+        }
+      }.toDF("media_id", "payload")
     ext.AudioHash.nearDupAudio(media, maxHamming = 3)
+  }
+
+  /** q103 — ⊕ mass-duplicate-safe image dedup clusters
+    * ([[graft.ext.Dedup.hammingClusters]]): the 100 TB form of the
+    * q101 pair list. Member 3 of every group carries an EXACT
+    * duplicate of member 0's image (identical signature), so the
+    * fixture plants the mass-duplicate case the pair form is
+    * quadratic in: identical sigs collapse to one representative
+    * before the banded join, clusters come from components over
+    * unique signatures, output is O(n). The oracle brute-forces
+    * all-pairs hamming ≤ 3 and takes the recursive-CTE transitive
+    * closure — the representative shortcut must produce EXACTLY the
+    * closure's clusters, duplicate members included.
+    */
+  private val q103ImageClusters: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        def pbit(g: Long, j: Int): Boolean = {
+          mdig.reset()
+          ((mdig.digest(s"$g|$j".getBytes("UTF-8"))(0) >> 4) & 0xf) % 2 == 1
+        }
+        it.map { id =>
+          val g = id / 4
+          val m0 = (id % 4).toInt
+          val m = if (m0 == 3) 0 else m0 // member 3 == member 0, exactly
+          id -> ext.BmpCodec.encode(16, 16, (x, y) => {
+            val j = (y / 2) * 8 + x / 2
+            val v = if (pbit(g, j) ^ (j < m)) 200 else 40
+            (v, v, v)
+          })
+        }
+      }.toDF("media_id", "payload")
+    ext.Dedup.hammingClusters(ext.ImageHash.imageHashes(media), maxHamming = 3)
+      .orderBy(col("id"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2071,6 +2123,7 @@ object SparkEntry {
     "q100_resize"           -> q100Resize,
     "q101_image_dedup"      -> q101ImageDedup,
     "q102_audio_dedup"      -> q102AudioDedup,
+    "q103_image_clusters"   -> q103ImageClusters,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4151,7 +4204,7 @@ object SparkEntry {
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
         |bv AS (
         |  SELECT doc_id, j.j AS j,
-        |    CASE WHEN ((g*2654435761 + j.j*40503) % 97 < 48) != (j.j < m)
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(g AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) % 2 = 1) != (j.j < m)
         |         THEN 200000 ELSE 40000 END AS v
         |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
         |gm AS (SELECT doc_id, sum(v) // 64 AS gmean FROM bv GROUP BY doc_id),
@@ -4166,6 +4219,44 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, hamming FROM pb
         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q103: q101's hash derivation with the duplicate-member twist,
+    // then BRUTE-FORCE all-pairs <=3 and a recursive-CTE transitive
+    // closure — the representative-collapse shortcut must reproduce
+    // the closure exactly, with member counts (not rep counts).
+    "q103_image_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 4 AS g,
+        |    CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END AS m
+        |  FROM documents),
+        |bv AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(g AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) % 2 = 1) != (j.j < m)
+        |         THEN 200000 ELSE 40000 END AS v
+        |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
+        |gm AS (SELECT doc_id, sum(v) // 64 AS gmean FROM bv GROUP BY doc_id),
+        |hb AS (
+        |  SELECT bv.doc_id, j, CASE WHEN v > gmean THEN 1 ELSE 0 END AS bit
+        |  FROM bv JOIN gm ON bv.doc_id = gm.doc_id),
+        |pb AS (
+        |  SELECT ba.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM hb ba JOIN hb bb ON ba.j = bb.j AND ba.doc_id < bb.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pb
+        |  UNION ALL SELECT id_b, id_a FROM pb),
+        |rec AS (
+        |  SELECT DISTINCT src AS v, src AS mm FROM edges
+        |  UNION
+        |  SELECT e.dst AS v, r.mm FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(mm) AS cluster_id FROM rec GROUP BY v),
+        |lab AS (
+        |  SELECT d.doc_id AS id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN comp ON comp.v = d.doc_id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT id, lab.cluster_id, cluster_size
+        |FROM lab JOIN sizes USING (cluster_id)
+        |ORDER BY id""".stripMargin,
     // q102: segment energies recomputed from the per-frame squared
     // samples (frame f's value depends on its segment f//2 only),
     // delta bits via the seg+1 self-join, then the brute-force
@@ -4175,7 +4266,7 @@ object SparkEntry {
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
         |fe AS (
         |  SELECT doc_id, f.f // 2 AS seg,
-        |    sum(CASE WHEN ((g*2654435761 + (f.f//2)*48271) % 101 < 50)
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(g AS VARCHAR) || '|' || CAST(f.f//2 AS VARCHAR)), 1, 1)) - 1) % 2 = 1)
         |                  != (f.f//2 < m)
         |             THEN 1500*1500 ELSE 300*300 END) AS e
         |  FROM d, LATERAL (SELECT unnest(range(0, 130)) AS f) f

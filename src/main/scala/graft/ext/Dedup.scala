@@ -437,6 +437,42 @@ object Dedup {
           .as("overlap_frac"))
   }
 
+  /** ⊕ Mass-duplicate-safe near-dup CLUSTERING over 64-bit
+    * signatures: the 100 TB form of [[hammingPairs64]]. A pair list
+    * is inherently quadratic when the corpus contains mass
+    * duplicates — one image re-hosted d times puts d identical
+    * signatures in the same band bucket and d·(d−1)/2 pairs in the
+    * output (measured: the pre-fix q101/q102 fixtures, whose pattern
+    * space collapsed at sf1, ran 69×/110× at 10× data). This variant
+    * collapses identical signatures to their min-id representative
+    * FIRST (one hash shuffle, output O(unique)), runs the banded
+    * hamming join over UNIQUE signatures only, then labels connected
+    * components ([[dupClusters]]) and maps every id to its
+    * representative's component — O(n) output, and exactly the
+    * transitive closure a brute-force all-pairs ≤ `maxHamming` pass
+    * would produce (near-pair existence between two signatures does
+    * not depend on which duplicate represents them).
+    *
+    * Output: `(id, cluster_id, cluster_size)` — cluster_id is the
+    * component's global min id, cluster_size counts MEMBERS (not
+    * representatives).
+    */
+  def hammingClusters(sigs: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val reps = sigs.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val pairs = hammingPairs64(
+      reps.select(col("rep").as("id"), col("sig")), maxHamming, maxBucket)
+    val cc = dupClusters(pairs).select(col("doc_id").as("rep"), col("cluster_id"))
+    val labeled = sigs.join(reps, Seq("sig"))
+      .join(cc, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** ⊕ Cross-corpus repeated-span removal — the span-level EXACT
     * dedup of the "deduplicating training data" pipelines: any
     * k-token window whose exact text occurs ≥ `minDf` times across

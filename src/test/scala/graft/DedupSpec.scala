@@ -177,6 +177,26 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq(("k1", 2L, 2L), ("k2", 9L, 1L)))
   }
 
+  test("hammingClusters: mass duplicates collapse before banding; closure matches brute force") {
+    // 30 ids over THREE distinct sigs: A and B near (hamming 1), C far
+    // — the pair form would emit 10·9/2 pairs per duplicated sig plus
+    // 10·10 cross pairs; the cluster form's pair stage sees 3 rows.
+    val A = 0x0f0f0f0f0f0f0f0fL
+    val B = A ^ 1L                 // hamming(A,B) = 1
+    val C = ~A                     // hamming(A,C) = 64
+    val sigs = ((0L until 10L).map((_, A)) ++ (10L until 20L).map((_, B)) ++
+      (20L until 30L).map((_, C))).toDF("id", "sig")
+    val got = Dedup.hammingClusters(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = ((0L until 20L).map((_, 0L, 20L)) ++
+      (20L until 30L).map((_, 20L, 10L))).toSet
+    assert(got == want, s"clusters wrong:\n got $got\n want $want")
+    // an isolated singleton keeps its own id as cluster of size 1
+    val solo = Dedup.hammingClusters(Seq((7L, 0x1234L)).toDF("id", "sig"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(solo == Seq((7L, 7L, 1L)))
+  }
+
   test("removeRepeatedSpans: cross-doc and within-doc k-windows, short docs kept whole") {
     // k=3, minDf=2. d1/d2 share the 4-token run "a b c d" (two repeated
     // 3-windows covering 4 positions in each); d3 is unique; d4 is

@@ -8,6 +8,13 @@ class MultimodalSpec extends SparkSuite {
   import spark.implicits._
   import scala.jdk.CollectionConverters._
 
+  // q101/q102/q103 fixture pattern bit: md5-nibble parity (avalanche —
+  // a linear-congruential parity repeats patterns across groups)
+  private def pbit(g: Long, j: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ((md.digest(s"$g|$j".getBytes("UTF-8"))(0) >> 4) & 0xf) % 2 == 1
+  }
+
   private def media() = {
     val rows = Seq(
       Row(1L, "image", Array.tabulate(256)(_.toByte), Row(800, 600, null, null)),
@@ -549,7 +556,7 @@ class MultimodalSpec extends SparkSuite {
       val g = id / 4; val m = (id % 4).toInt
       BmpCodec.encode(16, 16, (x, y) => {
         val j = (y / 2) * 8 + x / 2
-        val bit = ((g * 2654435761L + j * 40503L) % 97 < 48) ^ (j < m)
+        val bit = pbit(g, j) ^ (j < m)
         val vv = if (bit) 200 else 40
         (vv, vv, vv)
       })
@@ -610,7 +617,7 @@ class MultimodalSpec extends SparkSuite {
       val g = id / 4; val m = (id % 4).toInt
       WavCodec.encode(1, 8000, 130, (f, _) => {
         val k = f / 2
-        val bit = ((g * 2654435761L + k * 48271L) % 101 < 50) ^ (k < m)
+        val bit = pbit(g, k) ^ (k < m)
         if (bit) 1500 else 300
       })
     }
