@@ -1995,9 +1995,13 @@ object SparkEntry {
     * closure — the representative shortcut must produce EXACTLY the
     * closure's clusters, duplicate members included.
     */
-  private val q103ImageClusters: Q = (s, dir) => {
+  /** q103/q104's shared image fixture: 16×16 grayscale BMPs over an
+    * md5-nibble block pattern, member 3 an EXACT duplicate of
+    * member 0 (the planted mass-duplicate case).
+    */
+  private def dupImageMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val mdig = java.security.MessageDigest.getInstance("MD5")
         def pbit(g: Long, j: Int): Boolean = {
@@ -2015,8 +2019,49 @@ object SparkEntry {
           })
         }
       }.toDF("media_id", "payload")
-    ext.Dedup.hammingClusters(ext.ImageHash.imageHashes(media), maxHamming = 3)
+  }
+
+  private val q103ImageClusters: Q = (s, dir) => {
+    ext.Dedup.hammingClusters(
+        ext.ImageHash.imageHashes(dupImageMedia(s, dir)), maxHamming = 3)
       .orderBy(col("id"))
+  }
+
+  /** q104 — ⊕ composed multimodal training-prep manifest: the media
+    * stages chained the way a real pipeline runs them — perceptual
+    * dedup clusters ([[graft.ext.Dedup.hammingClusters]]) → keep only
+    * each cluster's representative (id == cluster_id) → REAL pixel
+    * resize of the survivors ([[graft.ext.Multimodal.resizeImages]],
+    * 16×16 → 8×8) → re-decode the resized payloads
+    * ([[graft.ext.Multimodal.decodeImages]] — they must be real
+    * images) → join the text-side token-count gate. One oracle
+    * hash-checks the whole chain: cluster survivorship, the exact
+    * resized block values, the closed-form thumbnail size, and the
+    * gate. Stage ORDER is the scale lesson: dedup before resize so
+    * pixels are touched once per surviving cluster, not once per
+    * duplicate.
+    */
+  private val q104MediaPrep: Q = (s, dir) => {
+    val media = dupImageMedia(s, dir)
+    val clusters = ext.Dedup.hammingClusters(
+      ext.ImageHash.imageHashes(media), maxHamming = 3)
+    val keep = clusters.filter(col("id") === col("cluster_id"))
+      .select(col("id").as("media_id"), col("cluster_size"))
+    val kept = media.join(keep, "media_id")
+    val resized = ext.Multimodal.resizeImages(
+      kept.select(col("media_id"), col("payload")), factor = 2).toDF()
+    val feats = ext.Multimodal.decodeImages(
+      resized.select(col("media_id"), col("payload"))).toDF()
+    val toks = Tables.documents(s, dir).select(col("doc_id").as("media_id"),
+      ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    feats.join(keep, "media_id")
+      .join(toks, "media_id")
+      .filter(col("n_tokens") >= 40)
+      .select(col("media_id"), col("cluster_size"),
+        col("width"), col("height"), col("n_bytes"),
+        round(element_at(col("features"), 4).cast("double"), 6).as("f3"),
+        col("n_tokens"))
+      .orderBy(col("media_id"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2124,6 +2169,7 @@ object SparkEntry {
     "q101_image_dedup"      -> q101ImageDedup,
     "q102_audio_dedup"      -> q102AudioDedup,
     "q103_image_clusters"   -> q103ImageClusters,
+    "q104_media_prep"       -> q104MediaPrep,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4257,6 +4303,61 @@ object SparkEntry {
         |SELECT id, lab.cluster_id, cluster_size
         |FROM lab JOIN sizes USING (cluster_id)
         |ORDER BY id""".stripMargin,
+    // q104: the whole chain in one oracle — q103's closure for
+    // survivorship, then the resized 8x8 features DIRECTLY from the
+    // block values (each 2x2 source block is constant, so the
+    // truncating box mean is exactly the block value), the
+    // closed-form thumbnail BMP size, and the token gate.
+    "q104_media_prep" ->
+      raw"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 4 AS g,
+        |    CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END AS m
+        |  FROM documents),
+        |bb AS (
+        |  SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(g AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1)) - 1) % 2 = 1) != (j.j < m)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS j) j),
+        |gm AS (SELECT doc_id, sum(40000 + 160000*b) // 64 AS gmean FROM bb GROUP BY doc_id),
+        |hb AS (
+        |  SELECT bb.doc_id, j, CASE WHEN 40000 + 160000*b > gmean THEN 1 ELSE 0 END AS bit
+        |  FROM bb JOIN gm ON bb.doc_id = gm.doc_id),
+        |pb AS (
+        |  SELECT ba.doc_id AS id_a, bbb.doc_id AS id_b
+        |  FROM hb ba JOIN hb bbb ON ba.j = bbb.j AND ba.doc_id < bbb.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN ba.bit != bbb.bit THEN 1 ELSE 0 END) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pb
+        |  UNION ALL SELECT id_b, id_a FROM pb),
+        |rec AS (
+        |  SELECT DISTINCT src AS v, src AS mm FROM edges
+        |  UNION
+        |  SELECT e.dst AS v, r.mm FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(mm) AS cluster_id FROM rec GROUP BY v),
+        |lab AS (
+        |  SELECT d.doc_id AS id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN comp ON comp.v = d.doc_id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |keep AS (
+        |  SELECT lab.id, sizes.cluster_size FROM lab JOIN sizes USING (cluster_id)
+        |  WHERE lab.id = lab.cluster_id),
+        |ch AS (
+        |  SELECT doc_id, CAST(sum(40 + 160*b) AS DOUBLE) / 64 / 255.0 AS mm
+        |  FROM bb GROUP BY doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents)
+        |SELECT keep.id AS media_id, keep.cluster_size,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(54 + ((8*3 + 3)//4)*4*8 AS BIGINT) AS n_bytes,
+        |  round(CAST(CAST(0.114*mm + 0.587*mm + 0.299*mm AS REAL) AS DOUBLE), 6) AS f3,
+        |  tok.n_tokens
+        |FROM keep JOIN ch ON ch.doc_id = keep.id
+        |JOIN tok ON tok.doc_id = keep.id
+        |WHERE tok.n_tokens >= 40
+        |ORDER BY media_id""".stripMargin,
     // q102: segment energies recomputed from the per-frame squared
     // samples (frame f's value depends on its segment f//2 only),
     // delta bits via the seg+1 self-join, then the brute-force
