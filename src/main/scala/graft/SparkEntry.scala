@@ -2064,6 +2064,37 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q105 — ⊕ URL / domain curation ([[graft.ext.UrlOps]]): parse a
+    * synthetic per-document URL (scheme, userinfo, host, port, path,
+    * query, fragment — derived deterministically from doc_id like
+    * q71's PII), collapse hosts to the registered domain with the
+    * public-suffix heuristic, aggregate per-domain corpus stats, and
+    * drop blocklisted domains — the C4/RefinedWeb-style provenance
+    * gate. Parsing/domain extraction are row-local codegen'd regex +
+    * array ops riding the scan; the only shuffle is the domain
+    * aggregation; the blocklist is a shuffle-free `isin` filter.
+    */
+  private val q105UrlDomains: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val suffix = when(d % 4 === 0, "co.uk").when(d % 4 === 1, "com")
+      .when(d % 4 === 2, "org").otherwise("io")
+    val url = concat(
+      when(d % 2 === 0, "https://").otherwise("http://"),
+      when(d % 7 === 0, concat(lit("u"), str(d % 5), lit(":pw@"))).otherwise(lit("")),
+      when(d % 3 === 0, "a.b.").otherwise(""),
+      lit("site"), str(d % 40), lit("."), suffix,
+      when(d % 5 === 0, ":8080").otherwise(""),
+      lit("/p/"), str(d % 13),
+      when(d % 2 === 0, concat(lit("?id="), str(d), lit("&ref=x"))).otherwise(lit("")),
+      when(d % 11 === 0, "#frag").otherwise(""))
+    val docs = Tables.documents(s, dir)
+      .select(d, col("lang"), col("n_chars"), url.as("url"))
+    val stats = ext.UrlOps.domainStats(docs, col("url"), col("lang"), col("n_chars"))
+    ext.UrlOps.filterBlocklist(stats, col("domain"), Seq("site0.co.uk", "site13.com"))
+      .orderBy(col("domain"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2170,6 +2201,7 @@ object SparkEntry {
     "q102_audio_dedup"      -> q102AudioDedup,
     "q103_image_clusters"   -> q103ImageClusters,
     "q104_media_prep"       -> q104MediaPrep,
+    "q105_url_domains"      -> q105UrlDomains,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4552,5 +4584,46 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, source, quality, pctl, pctl >= 0.2 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q105: same URL synthesis from doc_id, the SAME parts regex
+    // verbatim (interpolated from UrlOps so the two can never
+    // drift), and the same suffix-set domain collapse — then the
+    // per-domain aggregate and blocklist filter.
+    "q105_url_domains" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || ':pw@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'a.b.' ELSE '' END)
+        |    || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.'
+        |    || (CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org' ELSE 'io' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+        |    || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=x' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_extract(url, '${ext.UrlOps.UrlPartsRe}', 2) AS host,
+        |    nullif(regexp_extract(url, '${ext.UrlOps.UrlPartsRe}', 3), '') AS port,
+        |    nullif(regexp_extract(url, '${ext.UrlOps.UrlPartsRe}', 5), '') AS query
+        |  FROM u),
+        |r AS (SELECT *, string_split(host, '.') AS l FROM p),
+        |dm AS (
+        |  SELECT doc_id, lang, n_chars, port, query,
+        |    CASE WHEN len(l) <= 1 THEN host
+        |         WHEN len(l) >= 3 AND l[-2] IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(l[-1]) = 2
+        |           THEN array_to_string(l[greatest(len(l)-2,1):], '.')
+        |         ELSE array_to_string(l[greatest(len(l)-1,1):], '.') END AS domain
+        |  FROM r)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(CASE WHEN query IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+        |  CAST(sum(CASE WHEN port IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_port
+        |FROM dm
+        |WHERE domain NOT IN ('site0.co.uk', 'site13.com')
+        |GROUP BY domain
+        |ORDER BY domain""".stripMargin,
   )
 }
