@@ -2095,6 +2095,23 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** q106 — ⊕ SemDeDup-style semantic dedup
+    * ([[graft.ext.Similarity.semDedup]]): q38's deterministic
+    * quantized k-means clusters the embeddings, then each cluster
+    * drops every vector with a lower-id cosine-ε neighbor (ε-ball
+    * keep-one, min-id representative). Same tau as the q25/q26
+    * near-dup family so the three rank the same neighborhoods; the
+    * oracle replays train+assign via the shared q38 CTE chain and
+    * mirrors the drop rule as NOT EXISTS.
+    */
+  private val q106SemDedup: Q = (s, dir) => {
+    ext.Similarity.semDedup(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), k = 16, iters = 2,
+        tau = 0.42, quantize = Some(9))
+      .select(col("id"), col("cluster"))
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2202,6 +2219,7 @@ object SparkEntry {
     "q103_image_clusters"   -> q103ImageClusters,
     "q104_media_prep"       -> q104MediaPrep,
     "q105_url_domains"      -> q105UrlDomains,
+    "q106_semdedup"         -> q106SemDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -2276,7 +2294,12 @@ object SparkEntry {
     * same quantized centroids, and every downstream dot/argmax is then
     * bit-equal (same fold order).
     */
-  private def ivfOracleSql: String = {
+  /** Shared CTE chain: q38's full deterministic k-means derivation —
+    * seeds, two Lloyd rounds, final assignment `af(vec_id, nv,
+    * cluster)` — reused verbatim by the q106 SemDeDup oracle so the
+    * two can never drift.
+    */
+  private def ivfTrainCtes: String = {
     val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
     def assign(nvSrc: String, cents: String): String =
       s"""  SELECT vec_id, nv, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cluster
@@ -2317,7 +2340,12 @@ object SparkEntry {
        |${assign("nv", "c1")}),
        |${lloyd("a1", "c1", "c2")},
        |af AS (
-       |${assign("nv", "c2")}),
+       |${assign("nv", "c2")})""".stripMargin
+  }
+
+  private def ivfOracleSql: String = {
+    val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    s"""$ivfTrainCtes,
        |qs AS (
        |  SELECT vec_id AS query_id, nv AS qnv,
        |    list_transform(c2.cs, c -> $dot) AS sims
@@ -4625,5 +4653,24 @@ object SparkEntry {
         |WHERE domain NOT IN ('site0.co.uk', 'site13.com')
         |GROUP BY domain
         |ORDER BY domain""".stripMargin,
+    // q106: the shared q38 train+assign chain (quantized centroids →
+    // reproducible clusters), then the ε-ball drop rule as NOT
+    // EXISTS over the within-cluster pair predicate — cluster-count
+    // cap mirrored as HAVING (no fixture cluster reaches it, like
+    // the q22/q40 bucket caps).
+    "q106_semdedup" ->
+      s"""$ivfTrainCtes,
+        |cs AS (
+        |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= 10000),
+        |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM capped a JOIN capped b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, 65),
+        |          i -> a.nv[i] * b.nv[i])), 4) >= 0.42)
+        |SELECT af.vec_id AS id, af.cluster FROM af
+        |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY id""".stripMargin,
   )
 }

@@ -220,6 +220,49 @@ object Similarity {
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
+  /** ⊕ SemDeDup-style semantic dedup (Abbas et al. 2023, made
+    * deterministic): cluster the embeddings with the [[ivfFit]]
+    * k-means, then inside each cluster drop every vector that has a
+    * LOWER-id neighbor with cosine ≥ `tau` — the ε-ball keep-one
+    * policy with min-id as the (deterministic) representative choice
+    * instead of the paper's random keeper. Returns the kept
+    * `(id, cluster)` rows.
+    *
+    * The drop rule is one-shot, not transitive: j is dropped iff some
+    * i<j in its cluster is within ε of j, whether or not i itself
+    * survives — the same rule a `NOT EXISTS` mirrors exactly in SQL,
+    * which is what makes the whole train+assign+dedup chain oracle-
+    * checkable (q106) when centroids are quantized.
+    *
+    * Scale shape: pair work is Σ c² over clusters — constant
+    * per-row when k grows with the corpus (size k ≈ n/targetCluster,
+    * the IVF analogue of [[bitsForCorpus]]), and `maxCluster` is the
+    * degenerate-cluster backstop: clusters above the cap skip pair
+    * generation entirely (kept intact, never quadratic — mirror with
+    * a HAVING on the cluster count). The within-cluster join
+    * shuffles on the cluster key only; vectors never leave their
+    * cluster partition.
+    */
+  def semDedup(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+               tau: Double, quantize: Option[Int] = None, roundTo: Int = 4,
+               maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val model = ivfFit(df, id, vec, k, iters, quantize)
+    val a = model.assigned  // (id, nv, cluster), persisted by ivfFit
+    val okClusters = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") <= maxCluster)
+      .select(col("cluster"))
+    val inCap = a.join(broadcast(okClusters), Seq("cluster"))
+    val dropped = inCap.select(col("cluster"), col("id").as("id_a"), col("nv").as("nv_a"))
+      .join(inCap.select(col("cluster"), col("id").as("id_b"), col("nv").as("nv_b")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        round(dot(col("nv_a"), col("nv_b")), roundTo) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    a.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left_anti")
+  }
+
   /** ⊕ ANN via random-hyperplane LSH (Charikar 2002, with ±1
     * Rademacher planes — [[planeComp]]): for each of `numTables`
     * tables, a `bitsPerTable`-bit bucket key from projection signs;

@@ -130,4 +130,27 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fixed.nonEmpty && sized == fixed)
   }
+
+  test("semDedup: min-id survives its ε-ball; distant vectors untouched; cap disables pairs") {
+    // two tight bundles (ids 0,1,2 ~ e1; ids 10,11 ~ e2) + one loner.
+    // k=1 => a single cluster, so survival is decided by cosine alone.
+    val vecs = Seq(
+      0L  -> Seq(1.0f, 0.001f, 0.0f),
+      1L  -> Seq(1.0f, 0.002f, 0.0f),
+      2L  -> Seq(1.0f, 0.0f, 0.003f),
+      10L -> Seq(0.0f, 1.0f, 0.001f),
+      11L -> Seq(0.001f, 1.0f, 0.0f),
+      20L -> Seq(0.577f, 0.577f, 0.578f)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, col("vec_id"), col("embedding"),
+        k = 1, iters = 1, tau = 0.99)
+      .select("id").as[Long].collect().toSet
+    // 20 is ~35° from both bundles -> cosine ~.8 < .99, survives
+    assert(kept === Set(0L, 10L, 20L))
+    // with the cluster cap below the cluster size, pair generation is
+    // skipped and everything survives (the documented backstop)
+    val all = Similarity.semDedup(vecs, col("vec_id"), col("embedding"),
+        k = 1, iters = 1, tau = 0.99, maxCluster = 2)
+      .select("id").as[Long].collect().toSet
+    assert(all === Set(0L, 1L, 2L, 10L, 11L, 20L))
+  }
 }
