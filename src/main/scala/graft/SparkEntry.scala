@@ -2112,6 +2112,29 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q107 — ⊕ DSIR-style importance resampling
+    * ([[graft.ext.TextAnalysis.importanceWeights]] →
+    * [[graft.ops.Sampling.weightedSample]]): the target-domain model
+    * trains on the English docs, the raw model on the whole corpus;
+    * each doc's likelihood ratio `exp(lm_target − lm_raw)` becomes
+    * the A-Res weight and the per-language top-8 is the reproducible
+    * resampled subset — DSIR's "make the raw corpus look like the
+    * target" draw, end to end. The oracle replays q93's LM chain for
+    * BOTH models over one bigram stream and q92's md5 priority tree
+    * (priority internal; ratio rounded before use on both sides).
+    */
+  private val q107DsirSample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val w = ext.TextAnalysis.importanceWeights(docs, col("doc_id"), col("text"),
+      docs.filter(col("lang") === "en"), col("text"))
+    val joined = docs.select(col("doc_id"), col("lang")).join(w, "doc_id")
+    graft.ops.Sampling.weightedSample(joined, Seq(col("lang")), "doc_id",
+        col("weight"), k = 8)
+      .select(col("lang"), col("doc_id"), col("lm_target"), col("lm_raw"),
+        col("weight"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2220,6 +2243,7 @@ object SparkEntry {
     "q104_media_prep"       -> q104MediaPrep,
     "q105_url_domains"      -> q105UrlDomains,
     "q106_semdedup"         -> q106SemDedup,
+    "q107_dsir_sample"      -> q107DsirSample,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4672,5 +4696,60 @@ object SparkEntry {
         |SELECT af.vec_id AS id, af.cluster FROM af
         |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
         |ORDER BY id""".stripMargin,
+    // q107: q93's bigram-LM chain instantiated twice over ONE bg
+    // stream (target = lang 'en', raw = all), the rounded likelihood
+    // ratio, then q92's md5-digit A-Res priority per language —
+    // priority internal, selection + scores output.
+    "q107_dsir_sample" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
+        |cntT AS (SELECT bg, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY bg),
+        |totT AS (SELECT sum(c) AS total FROM cntT),
+        |mT AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |       FROM cntT CROSS JOIN totT),
+        |fT AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM totT),
+        |cntR AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |totR AS (SELECT sum(c) AS total FROM cntR),
+        |mR AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |       FROM cntR CROSS JOIN totR),
+        |fR AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM totR),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    round(avg(coalesce(mT.logp, fT.f)), 4) AS lm_target,
+        |    round(avg(coalesce(mR.logp, fR.f)), 4) AS lm_raw
+        |  FROM bg CROSS JOIN fT CROSS JOIN fR
+        |  LEFT JOIN mT ON bg.bg = mT.bg
+        |  LEFT JOIN mR ON bg.bg = mR.bg
+        |  GROUP BY bg.doc_id),
+        |w AS (
+        |  SELECT doc_id, lm_target, lm_raw,
+        |    round(exp(lm_target - lm_raw), 6) AS weight
+        |  FROM sc),
+        |b AS (
+        |  SELECT d.doc_id, d.lang, w.lm_target, w.lm_raw, w.weight,
+        |    md5(CAST(d.doc_id AS VARCHAR) || '|0') AS hh
+        |  FROM documents d JOIN w ON w.doc_id = d.doc_id
+        |  WHERE d.doc_id IS NOT NULL AND w.weight IS NOT NULL AND w.weight > 0),
+        |p AS (
+        |  SELECT doc_id, lang, lm_target, lm_raw, weight,
+        |    ln((CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS DOUBLE) + 0.5)
+        |      / 1048576.0) / weight AS pri
+        |  FROM b)
+        |SELECT lang, doc_id, lm_target, lm_raw, weight FROM (
+        |  SELECT lang, doc_id, lm_target, lm_raw, weight,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+        |  FROM p)
+        |WHERE rn <= 8
+        |ORDER BY lang, doc_id""".stripMargin,
   )
 }

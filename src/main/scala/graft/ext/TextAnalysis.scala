@@ -162,6 +162,42 @@ object TextAnalysis {
     * model, one groupBy on the doc id. The corpus side never
     * re-shuffles on content.
     */
+  /** ⊕ DSIR-style importance weights (data selection via importance
+    * resampling, with the [[charBigramLm]] standing in for hashed
+    * n-gram models): `weight = exp(lm_target − lm_raw)` — the
+    * likelihood ratio of a target-domain model to the raw-corpus
+    * model under [[lmScore]]'s mean-log-prob scoring, the signal
+    * DSIR resamples by ("keep raw docs that look like the target
+    * domain"). Both scores ride along for inspection; weight is
+    * rounded so the ratio survives engine boundaries.
+    *
+    * Plan shape: ONE explode of the corpus (not one per model), both
+    * vocabulary-sized models broadcast-joined onto the same bigram
+    * stream, both means in a single doc-id aggregation — at scale
+    * this costs exactly one [[lmScore]] pass regardless of how many
+    * models score the corpus. Feed the weight to
+    * [[graft.ops.Sampling.weightedSample]] for the reproducible
+    * resampling draw (q107 composes the two).
+    */
+  def importanceWeights(docs: DataFrame, id: Column, text: Column,
+                        target: DataFrame, targetText: Column,
+                        roundTo: Int = 4): DataFrame = {
+    val mT = charBigramLm(target, targetText)
+    val mR = charBigramLm(docs, text)
+    val fT = mT.agg(log(lit(0.5) / max(col("__total")).cast("double")).as("__ft"))
+    val fR = mR.agg(log(lit(0.5) / max(col("__total")).cast("double")).as("__fr"))
+    docs.select(id.as("doc_id"), explode(charBigrams(text)).as("bg"))
+      .crossJoin(broadcast(fT)).crossJoin(broadcast(fR))
+      .join(broadcast(mT.select(col("bg"), col("logp").as("__lt"))), Seq("bg"), "left")
+      .join(broadcast(mR.select(col("bg"), col("logp").as("__lr"))), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(coalesce(col("__lt"), col("__ft"))), roundTo).as("lm_target"),
+        round(avg(coalesce(col("__lr"), col("__fr"))), roundTo).as("lm_raw"))
+      .select(col("doc_id"), col("lm_target"), col("lm_raw"),
+        round(exp(col("lm_target") - col("lm_raw")), 6).as("weight"))
+  }
+
   def lmScore(docs: DataFrame, id: Column, text: Column,
               model: DataFrame, roundTo: Int = 4): DataFrame = {
     // the OOV floor is one value for the whole model: single-row agg,

@@ -157,4 +157,34 @@ class TextAnalysisSpec extends SparkSuite {
       Seq((20L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text"), model)
     assert(tiny.count() == 0)
   }
+
+  test("importanceWeights: target-like docs weigh above 1, target-unlike below; matches two lmScore passes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the rain in spain stays mainly in the plain"),
+      (3L, "zzqx vvkk wwpp qqzz xxjj zzvv kkqq zzxx vvqq"),
+      (4L, "kkzz qqvv xxww jjpp zzkk vvxx qqjj wwzz ppvv")
+    ).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2)  // English-like half
+    val w = TextAnalysis.importanceWeights(docs, col("doc_id"), col("text"),
+      target, col("text"))
+    val rows = w.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // target-like docs: target model fits better than the raw model
+    // (which also absorbed the alien half) -> ratio > 1; alien docs
+    // are OOV under the target model -> ratio < 1
+    assert(rows(1L)._3 > 1.0 && rows(2L)._3 > 1.0, s"$rows")
+    assert(rows(3L)._3 < 1.0 && rows(4L)._3 < 1.0, s"$rows")
+    // the fused single-explode form must equal two lmScore passes
+    val mT = TextAnalysis.charBigramLm(target, col("text"))
+    val mR = TextAnalysis.charBigramLm(docs, col("text"))
+    val sT = TextAnalysis.lmScore(docs, col("doc_id"), col("text"), mT)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sR = TextAnalysis.lmScore(docs, col("doc_id"), col("text"), mR)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, (lt, lr, _)) =>
+      assert(lt == sT(id) && lr == sR(id), s"doc $id: ($lt,$lr) vs (${sT(id)},${sR(id)})")
+    }
+  }
 }
