@@ -2135,6 +2135,38 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** q108 — ⊕ REAL video decode from a mainstream container
+    * ([[graft.ext.AviCodec]]): per-document MJPEG AVIs (RIFF walk,
+    * avih/strh/strf validation, word-aligned `00dc` chunks) whose
+    * frames are block-constant gray JPEGs decoded by the REAL
+    * entropy decoder ([[graft.ext.JpegCodec]] — canonical Huffman,
+    * DC prediction, IDCT), sampled every 2nd frame behind
+    * [[graft.ext.Multimodal.decodeVideoFrames]]. Block-constant
+    * content round-trips bit-exactly under the all-8s quant table
+    * (q90's trick), so the oracle recomputes every frame feature
+    * from the fixture formula — a wrong bit anywhere in the
+    * container walk or the JPEG entropy decode shifts a mean.
+    */
+  private val q108AviDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 * (1 + id % 2)).toInt
+        val nf = (1 + id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val v = ((id * 37 + f * 17) % 256).toInt
+          ext.JpegCodec.encodeGray(w, 8, (_, _) => v)
+        }
+        id -> ext.AviCodec.encode(w, 8, (10000 * (1 + id % 3)).toInt, frames)
+      }).toDF("media_id", "payload")
+    val featCols = (0 until 8).map(j =>
+      round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+    ext.Multimodal.decodeVideoFrames(media, every = 2).toDF()
+      .select(col("media_id") +: col("frame_idx") +: col("delay_cs") +:
+        col("n_frames") +: col("width") +: col("height") +: featCols: _*)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2244,6 +2276,7 @@ object SparkEntry {
     "q105_url_domains"      -> q105UrlDomains,
     "q106_semdedup"         -> q106SemDedup,
     "q107_dsir_sample"      -> q107DsirSample,
+    "q108_avi_decode"       -> q108AviDecode,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4751,5 +4784,34 @@ object SparkEntry {
         |  FROM p)
         |WHERE rn <= 8
         |ORDER BY lang, doc_id""".stripMargin,
+    // q108: every sampled frame's features straight from the fixture
+    // formula — frame f is CONSTANT gray v = (id*37 + f*17) % 256,
+    // which the all-8s-quant JPEG reproduces bit-exactly, so every
+    // mean is exactly v/255 (meanBTop included); delay_cs =
+    // usPerFrame/10000; the f%2 predicate mirrors every=2 sampling.
+    "q108_avi_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS w,
+        |    CAST(1 + doc_id % 4 AS INTEGER) AS nf,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS dcs
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, nf, dcs, f.f AS f,
+        |    CAST((doc_id*37 + f.f*17) % 256 AS DOUBLE) / 255.0 AS m
+        |  FROM d, LATERAL (SELECT unnest(range(0, 4)) AS f) f
+        |  WHERE f.f < nf AND f.f % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  dcs AS delay_cs, nf AS n_frames, w AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f2,
+        |  round(CAST(CAST(0.114*m + 0.587*m + 0.299*m AS REAL) AS DOUBLE), 6) AS f3,
+        |  round(CAST(CAST(w/100.0 AS REAL) AS DOUBLE), 6) AS f4,
+        |  round(CAST(CAST(8/100.0 AS REAL) AS DOUBLE), 6) AS f5,
+        |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f6,
+        |  round(CAST(CAST(CAST(w AS DOUBLE)/8 AS REAL) AS DOUBLE), 6) AS f7
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -183,7 +183,23 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        Option(payload).flatMap(GifCodec.decodeAnimated).toSeq.flatMap { fs =>
+        if (payload == null) Nil
+        else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+                 payload(2) == 'F' && payload(3) == 'F' &&
+                 payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I') {
+          // MJPEG AVI: frames are independent JPEGs, so (unlike the
+          // GIF delta path below) sampling never needs the skipped
+          // frames' pixels — but decode-then-filter keeps the two
+          // paths' semantics identical
+          AviCodec.decode(payload).toSeq.flatMap { v =>
+            v.frames.iterator.zipWithIndex
+              .filter(_._2 % every == 0)
+              .map { case (d, i) =>
+                VideoFrameFeature(id, i, v.delayCs, v.frames.length,
+                  d.width, d.height, JpegCodec.features(d))
+              }
+          }
+        } else GifCodec.decodeAnimated(payload).toSeq.flatMap { fs =>
           fs.iterator
             .filter(_.frameIdx % every == 0)
             .map(f => VideoFrameFeature(id, f.frameIdx, f.delayCs, fs.length,

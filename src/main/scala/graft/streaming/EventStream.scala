@@ -102,6 +102,80 @@ object EventStream {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  // --- streaming NEAR-dup: stateful banded simhash --------------------------
+
+  case class SigInput(doc_id: Long, sig: Long)
+  /** Per-bucket state: the (id, sig) pairs seen so far, parallel
+    * arrays (product-encoded; one row per live band bucket).
+    */
+  case class BucketSigs(ids: Array[Long], sigs: Array[Long])
+  case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** ⊕ Streaming NEAR-dup pair detection — the incremental form of
+    * [[graft.ext.Dedup.simhashNearDup]]: each document's 64-bit
+    * simhash is split into the same 4×16-bit bands, rows are keyed by
+    * (band, value), and a `flatMapGroupsWithState` bucket remembers
+    * the signatures seen so far — an arriving document emits a pair
+    * for every earlier same-bucket signature within `maxHamming`
+    * bits. Complete for maxHamming ≤ 3 by the batch form's pigeonhole
+    * argument, and each pair is emitted EXACTLY once even though it
+    * may collide in several bands: only the LOWEST colliding band
+    * (computable locally from the two sigs) emits.
+    *
+    * State/scale shape: state per bucket is the distinct signature
+    * list, capped at `maxPerBucket` (the streaming mirror of the
+    * batch `maxBucket` skew backstop — an overflowing boilerplate
+    * bucket stops absorbing new signatures instead of growing without
+    * bound). Within a micro-batch, rows process in doc-id order, so
+    * replays are deterministic. Like [[errorAlerts]] this keeps
+    * NoTimeout state for the test horizon; a production deployment
+    * bounds the horizon with a timeout eviction, accepting misses
+    * beyond it (the same trade
+    * [[dedupByFingerprint]] makes via its watermark).
+    */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, maxPerBucket: Int = 10000)
+      : org.apache.spark.sql.Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bandOf(sig: Long, b: Int): Long = (sig >>> (16 * b)) & 0xffffL
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.SimHash64.simhash64(
+          graft.ext.Dedup.shingles(col(textCol), 3)).as("sig"))
+      .as[SigInput]
+      .flatMap(r => (0 until 4).map(b => (b, bandOf(r.sig, b), r.doc_id, r.sig)))
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[BucketSigs]) =>
+          val st = state.getOption.getOrElse(BucketSigs(Array.empty, Array.empty))
+          var ids = st.ids; var sigs = st.sigs
+          val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+          rows.toArray.sortBy(_._3).foreach { case (band, _, id, sig) =>
+            var i = 0
+            while (i < ids.length) {
+              if (ids(i) != id) {
+                val h = java.lang.Long.bitCount(sigs(i) ^ sig)
+                if (h <= maxHamming) {
+                  val first = (0 until 4).find(b => bandOf(sig, b) == bandOf(sigs(i), b)).get
+                  if (first == band) {
+                    val (a, bId) = if (ids(i) < id) (ids(i), id) else (id, ids(i))
+                    out += NearDupPair(a, bId, h)
+                  }
+                }
+              }
+              i += 1
+            }
+            if (ids.length < maxPerBucket && !ids.contains(id)) {
+              ids = ids :+ id; sigs = sigs :+ sig
+            }
+          }
+          state.update(BucketSigs(ids, sigs))
+          out.iterator
+      }
+  }
+
   /** ⊕ Stream-stream interval join — the streaming analog of the batch
     * banded range join ([[graft.ops.AsOf.rangePairsBackward]] / q65):
     * each error pairs with same-user clicks from the preceding

@@ -466,6 +466,49 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(sampled(1).features(0) - 1.0f) < 1e-6)
   }
 
+  test("AviCodec: MJPEG frames decode bit-exactly; sampling; strict rejection; WAV disjoint") {
+    import graft.ext.{AviCodec, JpegCodec, Multimodal, WavCodec}
+    // three block-constant frames -> bit-exact through the real JPEG
+    // entropy decoder, so frame means are exactly v/255
+    val vals = Seq(40, 200, 120)
+    val frames = vals.map(v => JpegCodec.encodeGray(16, 8, (_, _) => v))
+    val avi = AviCodec.encode(16, 8, 40000, frames)
+    val dec = AviCodec.decode(avi).get
+    assert(dec.usPerFrame == 40000 && dec.delayCs == 4)
+    assert(dec.frames.length == 3)
+    dec.frames.zip(vals).foreach { case (f, v) =>
+      assert(f.width == 16 && f.height == 8)
+      assert(math.abs(f.meanG - v / 255.0) < 1e-12, s"frame mean ${f.meanG} != ${v / 255.0}")
+    }
+    // different frame sizes re-exercise the word-alignment padding
+    // (odd-length JPEG payloads get a pad byte after their chunk)
+    val oddFrames = vals.map(v => JpegCodec.encodeGray(8, 8, (_, _) => v))
+    assert(AviCodec.decode(AviCodec.encode(8, 8, 10000, oddFrames)).get.frames.length == 3)
+    // strictness: truncation, wrong form type, frame-count mismatch,
+    // non-JPEG frame bytes, foreign chunk in movi — all None
+    assert(AviCodec.decode(avi.take(avi.length - 5)).isEmpty, "truncated accepted")
+    val wav = avi.clone(); wav(8) = 'W'; wav(9) = 'A'; wav(10) = 'V'; wav(11) = 'E'
+    assert(AviCodec.decode(wav).isEmpty, "WAVE form type accepted")
+    val badCount = avi.clone()
+    // dwTotalFrames lives at hdrl avih body+16; find it via the known
+    // layout: RIFF(12) LIST(8) 'hdrl'(4) 'avih'(4) size(4) -> body at 36
+    assert(new String(badCount.slice(24, 28), "ASCII") == "avih")
+    badCount(32 + 16) = 9
+    assert(AviCodec.decode(badCount).isEmpty, "frame-count mismatch accepted")
+    // a real WAV must never decode as AVI, nor the reverse
+    val realWav = WavCodec.encode(1, 8000, 16, (f, _) => f * 100)
+    assert(AviCodec.decode(realWav).isEmpty)
+    assert(WavCodec.decode(avi).isEmpty)
+    // dispatch: decodeVideoFrames routes AVI to the JPEG path, keeps
+    // GIF on the composite path, drops junk
+    import spark.implicits._
+    val media = Seq(1L -> avi, 2L -> "junk".getBytes).toDF("media_id", "payload")
+    val out = Multimodal.decodeVideoFrames(media, every = 2).collect().sortBy(_.frame_idx)
+    assert(out.map(_.media_id).toSet == Set(1L))
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2) && out.forall(_.n_frames == 3))
+    assert(math.abs(out(1).features(0) - 120 / 255.0f) < 1e-6)
+  }
+
   test("decodePixels: BMP/PNG/GIF pixel decode agrees across codecs and with the source") {
     import graft.ext.{BmpCodec, GifCodec, PngCodec}
     val rgb = (x: Int, y: Int) => ((x + 4 * y) % 256, (10 * x) % 256, (7 * y) % 256)
@@ -759,13 +802,16 @@ class MultimodalSpec extends SparkSuite {
       "jpg-dri" -> JpegCodec.encodeGray(32, 16, (x, y) => (x * 16 + y) % 256,
         restartInterval = 1),
       "wav" -> WavCodec.encode(2, 8000, 50, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
-      "adpcm" -> AdpcmCodec.encode(2, 8000, 45, (f, c) => (f * 31 + c * 7) % 65536 - 32768))
+      "adpcm" -> AdpcmCodec.encode(2, 8000, 45, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
+      "avi" -> AviCodec.encode(16, 8, 40000,
+        (0 until 3).map(f => JpegCodec.encodeGray(16, 8, (x, y) => (x * 16 + y + f * 31) % 256))))
     def all(p: Array[Byte]): Unit = {
       BmpCodec.decode(p); PngCodec.decode(p); GifCodec.decode(p)
       GifCodec.decodeAnimated(p)
       BmpCodec.decodePixels(p); PngCodec.decodePixels(p); GifCodec.decodePixels(p)
       JpegCodec.decode(p); WavCodec.decode(p); AdpcmCodec.decode(p)
       WavCodec.decodeSamples(p); AdpcmCodec.decodeSamples(p)
+      AviCodec.decode(p)
     }
     for ((_, payload) <- valid) {
       // byte mutations

@@ -87,9 +87,10 @@ class PlansSpec extends SparkSuite {
     // ScalaUDF fails here before it ever reaches the driver.
     // Whitelisted cartesians are the labeled exact baselines (q24/q25,
     // maxRows-guarded) and the single-row stats crosses: BM25's corpus
-    // aggregate (q73) and the LM model's normalizer/OOV floor (q93).
+    // aggregate (q73) and the LM model's normalizer/OOV floor (q93,
+    // and q107 which scores against TWO such models).
     val cartesianOk = Set("q24_knn_brute", "q25_cosine_pairs", "q73_bm25_rank",
-      "q93_lm_quality")
+      "q93_lm_quality", "q107_dsir_sample")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString

@@ -137,6 +137,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream finds cross-batch near-dup pairs exactly once, matching the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with planted near-dups: b is a ~1-word edit of a (same
+    // trigram shingles mostly), c is unrelated, d repeats a verbatim
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      3L -> "completely different content about spark streaming state and watermarks here",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      5L -> "yet another unrelated document discussing parquet file formats and codecs")
+    val mem = MemoryStream[(Long, String)]
+    val out = EventStream.nearDupPairsStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      // batch 1: docs 1-3; batch 2: docs 4-5 (pair 1-4 crosses batches)
+      mem.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .as[(Long, Long, Int)].collect().toSeq
+      // exactly-once: no pair emitted twice even though identical sigs
+      // collide in all 4 bands
+      assert(got.size == got.toSet.size, s"duplicate emissions: $got")
+      // equivalence with the oracled batch operator on the same corpus
+      val batch = graft.ext.Dedup.simhashNearDup(
+          corpus.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got.toSet == batch.toSet,
+        s"stream ${got.toSet} != batch ${batch.toSet}")
+      assert(batch.exists { case (a, b, _) => (a, b) == (1L, 4L) },
+        "fixture must contain the planted cross-batch pair")
+    } finally q.stop()
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

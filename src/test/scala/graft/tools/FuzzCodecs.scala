@@ -21,13 +21,16 @@ object FuzzCodecs {
       JpegCodec.encodeGray(32, 16, (x, y) => (x + y) % 256, restartInterval = 1),
       WavCodec.encode(2, 8000, 100, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
       AdpcmCodec.encode(2, 8000, 99, (f, c) => (f * 31 + c * 7) % 65536 - 32768),
-      AdpcmCodec.encode(1, 8000, 45, (f, _) => 100 + math.abs((f % 20) - 10)))
+      AdpcmCodec.encode(1, 8000, 45, (f, _) => 100 + math.abs((f % 20) - 10)),
+      AviCodec.encode(16, 8, 40000,
+        (0 until 3).map(f => JpegCodec.encodeGray(16, 8, (x, y) => (x * 16 + y + f * 31) % 256))))
     var crashes = 0
     def all(p: Array[Byte], what: String): Unit =
       for ((n, f) <- Seq[(String, Array[Byte] => Any)](
           "bmp" -> BmpCodec.decode, "png" -> PngCodec.decode,
           "gif" -> GifCodec.decode, "jpg" -> JpegCodec.decode,
-          "wav" -> WavCodec.decode, "adpcm" -> AdpcmCodec.decode)) {
+          "wav" -> WavCodec.decode, "adpcm" -> AdpcmCodec.decode,
+          "avi" -> AviCodec.decode)) {
         try f(p)
         catch { case e: Throwable =>
           crashes += 1
