@@ -2167,6 +2167,50 @@ object SparkEntry {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** q109 — ⊕ domain-graph PageRank ([[graft.ops.Graph.pageRank]]):
+    * a deterministic synthetic link graph over the q105 domain space
+    * (edges derived from doc_id arithmetic, deduplicated), ranked
+    * with 3 damped rounds — the Common-Crawl-style link-authority
+    * signal a per-domain quality gate would weight by. Ranks are
+    * quantized per round (the q38 k-means trick) so the oracle can
+    * unroll the identical iteration in SQL; dangling mass is not
+    * redistributed (documented convention, mirrored).
+    */
+  private val q109PageRank: Q = (s, dir) => {
+    val e = Tables.documents(s, dir)
+      .select((col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 40).as("dst"))
+      .distinct()
+    graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+      .select(concat(lit("site"), col("n")).as("domain"),
+        round(col("r"), 6).as("rank"))
+      .orderBy(col("domain"))
+  }
+
+  /** q110 — ⊕ int8 embedding quantization
+    * ([[graft.ext.Similarity.quantizeInt8]]): per-vector scale,
+    * integer self-norm (exact cross-engine — integer arithmetic),
+    * and max reconstruction error. The error column is the
+    * operational claim: every component lands within scale/2 of the
+    * original, which is what licenses scoring ANN candidates on the
+    * int8 form. Row-local over the scan; no shuffle but the final
+    * presentation sort.
+    */
+  private val q110QuantizeInt8: Q = (s, dir) => {
+    val qz = ext.Similarity.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), qz.getField("scale").as("sc"),
+        qz.getField("q").as("q"),
+        ext.Similarity.vecD(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        round(col("sc"), 6).as("scale6"),
+        aggregate(col("q"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("qnorm"),
+        round(array_max(zip_with(col("q"), col("v"),
+          (qi, xi) => abs(qi * col("sc") - xi))), 6).as("err6"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2277,6 +2321,8 @@ object SparkEntry {
     "q106_semdedup"         -> q106SemDedup,
     "q107_dsir_sample"      -> q107DsirSample,
     "q108_avi_decode"       -> q108AviDecode,
+    "q109_pagerank"         -> q109PageRank,
+    "q110_quantize_int8"    -> q110QuantizeInt8,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4813,5 +4859,53 @@ object SparkEntry {
         |  round(CAST(CAST(m AS REAL) AS DOUBLE), 6) AS f6,
         |  round(CAST(CAST(CAST(w AS DOUBLE)/8 AS REAL) AS DOUBLE), 6) AS f7
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+    // q109: the same 3 PageRank rounds unrolled — per-round round(,9)
+    // on BOTH sides absorbs engine summation order (the q38 trick),
+    // (1 - 0.85) is COMPUTED on both sides so the 2e-17 literal
+    // difference can't creep in, and coalesce(c, 0) covers nodes
+    // with no in-edges.
+    "q109_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 37 AS s, (doc_id * 7 + 3) % 40 AS t
+        |  FROM documents),
+        |nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e),
+        |cnt AS (SELECT count(*) AS nn FROM nodes),
+        |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        |r0 AS (SELECT n, round(1.0 / nn, 9) AS r FROM nodes CROSS JOIN cnt),
+        |c1 AS (SELECT e.t AS n, sum(r0.r / od.deg) AS c
+        |       FROM e JOIN r0 ON e.s = r0.n JOIN od ON od.s = e.s GROUP BY e.t),
+        |r1 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c1.c, 0), 9) AS r
+        |       FROM nodes LEFT JOIN c1 ON c1.n = nodes.n CROSS JOIN cnt),
+        |c2 AS (SELECT e.t AS n, sum(r1.r / od.deg) AS c
+        |       FROM e JOIN r1 ON e.s = r1.n JOIN od ON od.s = e.s GROUP BY e.t),
+        |r2 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c2.c, 0), 9) AS r
+        |       FROM nodes LEFT JOIN c2 ON c2.n = nodes.n CROSS JOIN cnt),
+        |c3 AS (SELECT e.t AS n, sum(r2.r / od.deg) AS c
+        |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
+        |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
+        |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)
+        |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
+        |FROM r3 ORDER BY domain""".stripMargin,
+    // q110: the same scale/round/clamp-free arithmetic in SQL; the
+    // integer self-norm is exact on both engines, the double scale
+    // and error round at 6 (operation-for-operation mirrored trees).
+    "q110_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / sc, 0) AS INTEGER))
+        |    END AS q
+        |  FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale6,
+        |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm,
+        |  round(list_max(list_transform(range(1, 65),
+        |    i -> abs(q[CAST(i AS INTEGER)] * sc - v[CAST(i AS INTEGER)]))), 6) AS err6
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

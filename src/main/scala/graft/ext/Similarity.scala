@@ -220,6 +220,25 @@ object Similarity {
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
+  /** ⊕ Symmetric int8 vector quantization — the 4×-smaller index
+    * form a 100 TB ANN deployment stores: per-vector
+    * `scale = max|x|/127`, `q_i = round(x_i/scale)` ∈ [−127, 127].
+    * Returns `struct(scale, q)`. Properties the spec pins down:
+    * reconstruction error per component is ≤ scale/2, and COSINE
+    * between two quantized vectors needs no dequantization at all —
+    * the scales cancel, so candidate scoring runs on pure integer
+    * dot products (exactly reproducible across engines, which is
+    * why the q110 oracle can hash-match integer norms). Row-local:
+    * rides the scan, no shuffle.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vecD(vec)
+    val sc = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = when(sc === 0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x / sc, 0).cast("int")))
+    struct(sc.as("scale"), q.as("q"))
+  }
+
   /** ⊕ SemDeDup-style semantic dedup (Abbas et al. 2023, made
     * deterministic): cluster the embeddings with the [[ivfFit]]
     * k-means, then inside each cluster drop every vector that has a

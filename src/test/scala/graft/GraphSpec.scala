@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank: symmetric cycle stays uniform through any number of rounds") {
+    // a->b->c->a: every node has in=out=1, so rank 1/3 is a fixpoint
+    val r = ranks(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), 4)
+    assert(r.keySet === Set(1L, 2L, 3L))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9, s"$r"))
+  }
+
+  test("pageRank: star hub accumulates, leaves get the teleport floor (hand-computed)") {
+    // a->c, b->c; one round from uniform 1/3:
+    //   leaves: 0.15/3 = 0.05
+    //   hub:    0.15/3 + 0.85*(1/3 + 1/3) = 0.616666667 (round 9)
+    val r = ranks(Seq(1L -> 3L, 2L -> 3L), 1)
+    assert(math.abs(r(1L) - 0.05) < 1e-9)
+    assert(math.abs(r(2L) - 0.05) < 1e-9)
+    assert(math.abs(r(3L) - 0.616666667) < 1e-9, s"$r")
+    // second round: hub's rank goes nowhere (dangling, not
+    // redistributed — documented), leaves keep only the floor
+    val r2 = ranks(Seq(1L -> 3L, 2L -> 3L), 2)
+    assert(math.abs(r2(3L) - (0.05 + 0.85 * (0.05 + 0.05))) < 1e-9)
+    assert(r2(3L) > r2(1L), "link authority must rank the hub first")
+  }
+
+  test("pageRank: iters = 0 returns the uniform initialization") {
+    val r = ranks(Seq(1L -> 2L), 0)
+    assert(r === Map(1L -> 0.5, 2L -> 0.5))
+  }
+}

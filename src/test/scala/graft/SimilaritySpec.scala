@@ -131,6 +131,35 @@ class SimilaritySpec extends SparkSuite {
     assert(fixed.nonEmpty && sized == fixed)
   }
 
+  test("quantizeInt8: per-component error <= scale/2; zero vector safe; int cosine tracks exact") {
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val qz = Similarity.quantizeInt8(col("embedding"))
+    val rows = em.select(
+        qz.getField("scale").as("sc"), qz.getField("q").as("q"),
+        Similarity.vecD(col("embedding")).as("v"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val sc = r.getDouble(0)
+      val q = r.getSeq[Int](1); val v = r.getSeq[Double](2)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      q.zip(v).foreach { case (qi, xi) =>
+        assert(math.abs(qi * sc - xi) <= sc / 2 + 1e-12,
+          s"reconstruction error above scale/2: q=$qi x=$xi sc=$sc")
+      }
+      // scale cancels: integer cosine approximates exact cosine
+      val dotQ = q.zip(q).map { case (a, b) => a.toLong * b }.sum.toDouble
+      val dotV = v.zip(v).map { case (a, b) => a * b }.sum
+      val cosSelfQ = dotQ / (math.sqrt(dotQ) * math.sqrt(dotQ))
+      val cosSelfV = dotV / (math.sqrt(dotV) * math.sqrt(dotV))
+      assert(math.abs(cosSelfQ - cosSelfV) < 1e-9)
+    }
+    import spark.implicits._
+    val z = Seq(Seq(0.0f, 0.0f, 0.0f)).toDF("embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("qz.scale"), col("qz.q")).head()
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Int](1).forall(_ == 0))
+  }
+
   test("semDedup: min-id survives its ε-ball; distant vectors untouched; cap disables pairs") {
     // two tight bundles (ids 0,1,2 ~ e1; ids 10,11 ~ e2) + one loner.
     // k=1 => a single cluster, so survival is decided by cosine alone.
