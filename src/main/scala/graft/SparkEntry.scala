@@ -2211,6 +2211,27 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q111 — ⊕ ORC roundtrip ([[graft.sinks.Orc]]): documents written
+    * to ORC, read back with a pushed-down filter, re-aggregated —
+    * q57's format-boundary proof for the second columnar lake format
+    * (text bytes, counts and sums must survive ORC's zlib striping
+    * exactly; the oracle computes the same aggregate from parquet).
+    */
+  private val q111OrcRoundtrip: Q = (s, dir) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    sinks.Orc.write(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
+    sinks.Orc.read(s, out)
+      .filter(col("n_chars") >= 100)  // stripe-prunable predicate
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct_md5"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2323,6 +2344,7 @@ object SparkEntry {
     "q108_avi_decode"       -> q108AviDecode,
     "q109_pagerank"         -> q109PageRank,
     "q110_quantize_int8"    -> q110QuantizeInt8,
+    "q111_orc_roundtrip"    -> q111OrcRoundtrip,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4907,5 +4929,17 @@ object SparkEntry {
         |  round(list_max(list_transform(range(1, 65),
         |    i -> abs(q[CAST(i AS INTEGER)] * sc - v[CAST(i AS INTEGER)]))), 6) AS err6
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q111: the oracle aggregates the SAME rows from parquet — if any
+    // byte of text or any count changed across the ORC write/read
+    // boundary, the md5 columns shift.
+    "q111_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  min(md5(text)) AS min_md5,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents
+        |WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -105,6 +105,21 @@ class ScaleSpec extends SparkSuite {
         .contains("p_date"), s"no partition pruning in:\n$scanLine")
   }
 
+  test("ORC roundtrip preserves rows and pushes the filter into the ORC scan") {
+    import graft.sinks.Orc
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    Orc.write(docs, dir)
+    val back = Orc.read(spark, dir).filter(col("n_chars") >= 100)
+    assert(back.count() == docs.filter(col("n_chars") >= 100).count())
+    val scanLine = back.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("Scan orc")).get
+    assert(scanLine.contains("PushedFilters: [") &&
+      scanLine.replaceAll(".*PushedFilters: \\[", "").takeWhile(_ != ']')
+        .contains("n_chars"), s"filter not pushed to ORC scan:\n$scanLine")
+  }
+
   test("IVF inverted file as a cluster-partitioned layout: probe prunes to nprobe clusters") {
     // The 100 TB form of ivfSearch: the cluster assignment is the
     // PARTITION column of the stored table, so probing nprobe of k
