@@ -2126,7 +2126,7 @@ object SparkEntry {
   private val q107DsirSample: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val w = ext.TextAnalysis.importanceWeights(docs, col("doc_id"), col("text"),
-      docs.filter(col("lang") === "en"), col("text"))
+      col("lang") === "en")
     val joined = docs.select(col("doc_id"), col("lang")).join(w, "doc_id")
     graft.ops.Sampling.weightedSample(joined, Seq(col("lang")), "doc_id",
         col("weight"), k = 8)

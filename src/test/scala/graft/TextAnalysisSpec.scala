@@ -168,7 +168,7 @@ class TextAnalysisSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val target = docs.filter(col("doc_id") <= 2)  // English-like half
     val w = TextAnalysis.importanceWeights(docs, col("doc_id"), col("text"),
-      target, col("text"))
+      col("doc_id") <= 2)
     val rows = w.collect().map(r => r.getLong(0) ->
       (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     // target-like docs: target model fits better than the raw model
