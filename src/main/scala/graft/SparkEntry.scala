@@ -2232,6 +2232,25 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** q112 — ⊕ corpus-sized SemDeDup
+    * ([[graft.ext.Similarity.semDedupSized]]): q106 with k derived
+    * from a count() via `clustersForCorpus` — the scale path that
+    * keeps per-cluster occupancy (and therefore the ε-ball pair
+    * work per row) constant as the corpus grows, where fixed k=16
+    * was measured degenerating at the second decade (every cluster
+    * above the `maxCluster` backstop → dedup finds nothing). At
+    * every driver fixture size the derived k equals the pinned 16
+    * (the q95 floor trick), so the sized path must be bit-identical
+    * to q106's oracle.
+    */
+  private val q112SemDedupSized: Q = (s, dir) => {
+    ext.Similarity.semDedupSized(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), iters = 2,
+        tau = 0.42, quantize = Some(9))
+      .select(col("id"), col("cluster"))
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2345,6 +2364,7 @@ object SparkEntry {
     "q109_pagerank"         -> q109PageRank,
     "q110_quantize_int8"    -> q110QuantizeInt8,
     "q111_orc_roundtrip"    -> q111OrcRoundtrip,
+    "q112_semdedup_sized"   -> q112SemDedupSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4783,20 +4803,11 @@ object SparkEntry {
     // EXISTS over the within-cluster pair predicate — cluster-count
     // cap mirrored as HAVING (no fixture cluster reaches it, like
     // the q22/q40 bucket caps).
-    "q106_semdedup" ->
-      s"""$ivfTrainCtes,
-        |cs AS (
-        |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= 10000),
-        |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id AS id
-        |  FROM capped a JOIN capped b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE round(list_sum(list_transform(range(1, 65),
-        |          i -> a.nv[i] * b.nv[i])), 4) >= 0.42)
-        |SELECT af.vec_id AS id, af.cluster FROM af
-        |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
-        |ORDER BY id""".stripMargin,
+    "q106_semdedup" -> semDedupOracleSql,
+    // q112: the SIZED form must reproduce q106 exactly — the derived
+    // k equals the pinned 16 at every fixture size (floor), so one
+    // oracle serves both and any drift in the sizing path hash-fails.
+    "q112_semdedup_sized" -> semDedupOracleSql,
     // q107: q93's bigram-LM chain instantiated twice over ONE bg
     // stream (target = lang 'en', raw = all), the rounded likelihood
     // ratio, then q92's md5-digit A-Res priority per language —
@@ -4942,4 +4953,23 @@ object SparkEntry {
         |WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
+
+  /** Shared by q106 and q112 (sized form ≡ fixed form at fixture
+    * scale): the q38 train+assign chain, cluster cap as HAVING,
+    * ε-ball drop rule as NOT EXISTS.
+    */
+  private def semDedupOracleSql: String =
+    s"""$ivfTrainCtes,
+      |cs AS (
+      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= 10000),
+      |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id AS id
+      |  FROM capped a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, 65),
+      |          i -> a.nv[i] * b.nv[i])), 4) >= 0.42)
+      |SELECT af.vec_id AS id, af.cluster FROM af
+      |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
+      |ORDER BY id""".stripMargin
 }

@@ -282,6 +282,37 @@ object Similarity {
       .join(dropped, Seq("id"), "left_anti")
   }
 
+  /** Corpus-sized cluster count for [[semDedup]] — the IVF analogue
+    * of [[bitsForCorpus]]: `k = max(minK, ceil(n/targetCluster))`
+    * holds per-cluster occupancy (and the Σc² pair work per row)
+    * constant as the corpus grows. The floor keeps the derived k at
+    * the oracle-pinned 16 through every driver fixture size, exactly
+    * like `bitsForCorpus`'s floor of 6 (q95's trick).
+    *
+    * Why fixed k does NOT scale (measured, BASELINE.md second
+    * decade): at sf10 (200k vectors) fixed k=16 puts ~12.5k vectors
+    * in every cluster — all above the `maxCluster = 10000` backstop,
+    * so pair generation silently skips nearly every cluster and the
+    * "dedup" degenerates toward a no-op (fast, but finding nothing).
+    * The cap is doing its OOM job; the sized k is what keeps the
+    * operator MEANINGFUL at scale.
+    */
+  def clustersForCorpus(n: Long, targetCluster: Int = 200, minK: Int = 16): Int =
+    math.max(minK, math.ceil(n.toDouble / targetCluster.toDouble).toInt)
+
+  /** [[semDedup]] with k derived from one count() pass via
+    * [[clustersForCorpus]] — the corpus-scale entry point (q112;
+    * spec-proved identical to the fixed form at fixture sizes where
+    * the derived k equals the pinned 16).
+    */
+  def semDedupSized(df: DataFrame, id: Column, vec: Column, iters: Int,
+                    tau: Double, targetCluster: Int = 200,
+                    quantize: Option[Int] = None, roundTo: Int = 4,
+                    maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val k = clustersForCorpus(df.count(), targetCluster)
+    semDedup(df, id, vec, k, iters, tau, quantize, roundTo, maxCluster)
+  }
+
   /** ⊕ ANN via random-hyperplane LSH (Charikar 2002, with ±1
     * Rademacher planes — [[planeComp]]): for each of `numTables`
     * tables, a `bitsPerTable`-bit bucket key from projection signs;

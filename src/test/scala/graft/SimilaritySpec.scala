@@ -160,6 +160,23 @@ class SimilaritySpec extends SparkSuite {
     assert(z.getDouble(0) == 0.0 && z.getSeq[Int](1).forall(_ == 0))
   }
 
+  test("clustersForCorpus schedule; sized semDedup == fixed form at fixture scale") {
+    // floor pins the oracle-scale k; past the floor, k tracks n/target
+    assert(Similarity.clustersForCorpus(500) == 16)
+    assert(Similarity.clustersForCorpus(2000) == 16)
+    assert(Similarity.clustersForCorpus(20000) == 100)
+    assert(Similarity.clustersForCorpus(200000) == 1000)
+    assert(Similarity.clustersForCorpus(20000, targetCluster = 500) == 40)
+    val em = sources.Tables.embeddings(spark, sfDir)
+    val fixed = Similarity.semDedup(em, col("vec_id"), col("embedding"),
+        k = 16, iters = 2, tau = 0.42, quantize = Some(9))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val sized = Similarity.semDedupSized(em, col("vec_id"), col("embedding"),
+        iters = 2, tau = 0.42, quantize = Some(9))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fixed.nonEmpty && sized == fixed)
+  }
+
   test("semDedup: min-id survives its ε-ball; distant vectors untouched; cap disables pairs") {
     // two tight bundles (ids 0,1,2 ~ e1; ids 10,11 ~ e2) + one loner.
     // k=1 => a single cluster, so survival is decided by cosine alone.
