@@ -40,7 +40,10 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column, iters: Int,
                damping: Double = 0.85, quantizeTo: Int = 9): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // a null endpoint has no stable node identity — dropped up front
+    // (the weightedSample null-key convention), never silently joined
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val nodes = e.select(col("src").as("n"))
       .union(e.select(col("dst").as("n"))).distinct().persist()
     val n = nodes.count() // the one driver-side scalar

@@ -40,6 +40,25 @@ object Skew {
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** ⊕ Auto-selecting join: probe the probe-side key histogram
+    * ([[maxKeyShare]], optionally on a deterministic sample) and pick
+    * [[saltedJoin]] when the hottest key owns more than `threshold`
+    * of the rows, the plain hash join otherwise — the join-side
+    * completion of the [[graft.ops.Time]] auto wrappers (q96/q98):
+    * a 100 TB pipeline can't require a human to read a histogram
+    * before every join. Default threshold mirrors the measured ~1/32
+    * window-family switch-over; both arms are row-for-row equal
+    * (saltedJoin's contract), so the choice affects only the
+    * physical distribution.
+    */
+  def autoJoin(big: DataFrame, small: DataFrame, key: String,
+               n: Int = 16,
+               threshold: Double = Time.HotKeyShareThreshold,
+               sampleFraction: Double = 1.0): DataFrame =
+    if (Time.isHotKeyed(big, col(key), threshold, sampleFraction))
+      saltedJoin(big, small, key, n)
+    else big.join(small, Seq(key))
+
   /** Top-k keys by frequency — the diagnostic used to decide whether a
     * join needs salting (and which keys AQE will split).
     */

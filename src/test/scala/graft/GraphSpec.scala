@@ -36,4 +36,15 @@ class GraphSpec extends SparkSuite {
     val r = ranks(Seq(1L -> 2L), 0)
     assert(r === Map(1L -> 0.5, 2L -> 0.5))
   }
+
+  test("pageRank: edges with a null endpoint are dropped, not joined as a node") {
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("s", "t")
+    val r = Graph.pageRank(edges, col("s"), col("t"), 1)
+      .as[(Long, Double)].collect().toMap
+    assert(r.keySet === Set(1L, 2L))
+  }
 }

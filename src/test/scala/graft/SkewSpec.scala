@@ -20,6 +20,24 @@ class SkewSpec extends SparkSuite {
     }.toDF("event_id", "user_id", "t", "value")
   }
 
+  test("autoJoin salts under a hot key, stays plain under uniform keys, equal results") {
+    import graft.ops.Skew
+    val dim = (0L to 500L).map(k => (k, s"d$k")).toDF("user_id", "label")
+    for (hotShare <- Seq(0, 50)) {
+      val big = fixture(hotShare)
+      val auto = Skew.autoJoin(big, dim, "user_id", n = 8)
+      val plain = big.join(dim, Seq("user_id"))
+      assert(auto.count() == plain.count())
+      val salted = auto.queryExecution.analyzed.toString.contains("_salt")
+      assert(salted == (hotShare == 50),
+        s"hotShare=$hotShare expected salted=${hotShare == 50}")
+      // value equivalence, not just cardinality
+      val a = auto.agg(sum(col("value") * length(col("label")))).head.getDouble(0)
+      val p = plain.agg(sum(col("value") * length(col("label")))).head.getDouble(0)
+      assert(math.abs(a - p) < 1e-6)
+    }
+  }
+
   test("withDecayedScoreChunked == decayedScore on hot-key data (1e-9 relative)") {
     for (hotShare <- Seq(0, 50)) {
       val df = fixture(hotShare)
