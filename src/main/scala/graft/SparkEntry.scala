@@ -2251,6 +2251,44 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q113 — ⊕ training-sequence assembly
+    * ([[graft.ext.Curation.assembleSequences]]): q52's shard packing
+    * carried through to the actual artifact — each shard's documents
+    * concatenated in order with a separator into the string a
+    * tokenizer consumes (order determinized via sorted structs, the
+    * q31 trick). The oracle rebuilds every sequence with
+    * `string_agg(… ORDER BY …)` and compares md5s, so a single
+    * misplaced or reordered document anywhere flips a hash.
+    */
+  private val q113SeqAssembly: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      col("text"), ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ext.Curation.assembleSequences(docs, col("source"), col("doc_id"),
+        col("text"), col("n_tokens"), budget = 2000)
+      .select(col("group"), col("shard_id"), col("n_docs"), col("seq_tokens"),
+        md5(col("sequence").cast("binary")).as("seq_md5"))
+      .orderBy(col("group"), col("shard_id"))
+  }
+
+  /** q114 — ⊕ deterministic data-mixture sampling
+    * ([[graft.ops.Sampling.mixtureSample]]): four sources drawn at
+    * rates targeting a 30/30/20/20 mixture of ~40 docs, membership
+    * by the q50 md5-bucket predicate — reproducible source weighting
+    * (unlisted sources excluded). Oracle re-derives the per-source
+    * rates and the identical bucket arithmetic.
+    */
+  private val q114MixtureSample: Q = (s, dir) => {
+    graft.ops.Sampling.mixtureSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("source"), "doc_id",
+        Seq("src0" -> 0.3, "src1" -> 0.3, "src5" -> 0.2, "src7" -> 0.2),
+        totalN = 40L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2365,6 +2403,8 @@ object SparkEntry {
     "q110_quantize_int8"    -> q110QuantizeInt8,
     "q111_orc_roundtrip"    -> q111OrcRoundtrip,
     "q112_semdedup_sized"   -> q112SemDedupSized,
+    "q113_seq_assembly"     -> q113SeqAssembly,
+    "q114_mixture_sample"   -> q114MixtureSample,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4952,6 +4992,55 @@ object SparkEntry {
         |FROM documents
         |WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q113: q52's running-total shard assignment, then every sequence
+    // rebuilt with string_agg ORDER BY doc_id and md5-compared — the
+    // separator goes BETWEEN docs only, exactly like array_join.
+    "q113_seq_assembly" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT source AS "group", CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  md5(string_agg(text, '<|endofdoc|>' ORDER BY doc_id)) AS seq_md5
+        |FROM p GROUP BY source, shard_id
+        |ORDER BY "group", shard_id""".stripMargin,
+    // q114: per-source rates from the same least(1, share*N/cnt)
+    // arithmetic (identical double expression order), membership via
+    // q50's md5 digit bucket < floor(rate * 2^20).
+    "q114_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |s AS (
+        |  SELECT source, cnt,
+        |    CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+        |                WHEN 'src5' THEN 0.2 WHEN 'src7' THEN 0.2 END AS share
+        |  FROM c),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN share IS NULL THEN NULL
+        |         ELSE least(1.0, share * 40 / cnt) END AS rate
+        |  FROM s),
+        |k AS (
+        |  SELECT d.source, d.doc_id,
+        |    md5(CAST(d.doc_id AS VARCHAR) || '|0') AS hh, r.rate
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE r.rate IS NOT NULL)
+        |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k
+        |WHERE (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1)
+        |    < floor(rate * 1048576.0)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared by q106 and q112 (sized form ≡ fixed form at fixture

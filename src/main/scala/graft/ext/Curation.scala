@@ -96,6 +96,38 @@ object Curation {
       .drop("_start")
   }
 
+  /** ⊕ Training-sequence assembly — the step after [[packShards]]:
+    * each shard's documents concatenate IN ORDER with a document
+    * separator into the one string a tokenizer consumes. Order is
+    * determinized with the q31 trick — `collect_list` order under a
+    * shuffle is nondeterministic, so the aggregate collects
+    * (order, text) structs and `sort_array` fixes the sequence
+    * row-locally before the join. One shuffle (the group-by); the
+    * concatenation itself never crosses partitions.
+    *
+    * Scale note: a shard's sequence is ~`budget` tokens by
+    * construction, so row width is bounded by the packing budget —
+    * the assembly cannot produce a pathological giant row unless a
+    * SINGLE document already exceeds the budget (packShards'
+    * documented straddle-by-one-doc contract).
+    */
+  def assembleSequences(docs: DataFrame, groupCol: Column, orderCol: Column,
+                        textCol: Column, nTokens: Column, budget: Int,
+                        sep: String = "<|endofdoc|>"): DataFrame = {
+    val packed = packShards(
+      docs.select(groupCol.as("group"), orderCol.as("__o"),
+        textCol.as("__txt"), nTokens.as("__nt")),
+      col("group"), col("__o"), col("__nt"), budget)
+    packed.groupBy(col("group"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("seq_tokens"),
+        sort_array(collect_list(struct(col("__o"), col("__txt")))).as("__arr"))
+      .select(col("group"), col("shard_id"), col("n_docs"), col("seq_tokens"),
+        array_join(transform(col("__arr"), s => s.getField("__txt")), sep)
+          .as("sequence"))
+  }
+
   /** Per-source accounting of the kept set — the numbers a curation
     * run reports (doc counts, token budget, mean quality).
     *

@@ -106,4 +106,42 @@ object Sampling {
     }
     when(col(keyCol).isNotNull, cases)
   }
+
+  /** ⊕ Deterministic data-mixture sampling: draw each source at the
+    * rate that makes the kept set approximate the target mixture —
+    * `rate_s = min(1, share_s · totalN / count_s)` — using the
+    * reproducible [[hashBucket]] membership test (q50's predicate),
+    * so the same corpus + salt always yields the same mixture (The
+    * Pile/ROOTS-style source weighting, executable). Sources not in
+    * `shares` are EXCLUDED (an unlisted source has no target rate —
+    * same explicitness as `applyChanges`' op-code validation).
+    *
+    * Plan shape: one count aggregation per run (tiny result,
+    * broadcast back onto the corpus), then a shuffle-free row-local
+    * filter — the corpus never re-shuffles. An over-requested source
+    * (share·totalN > count) caps at rate 1 and under-delivers;
+    * callers that need exact counts per source should draw with
+    * [[weightedSample]]'s top-k instead (bounded but one shuffle).
+    */
+  def mixtureSample(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
+                    keyCol: String,
+                    shares: Seq[(String, Double)], totalN: Long,
+                    salt: Long = 0L): DataFrame = {
+    require(shares.nonEmpty, "mixtureSample needs at least one share")
+    require(shares.forall(_._2 > 0), "shares must be positive")
+    val shareCol = shares.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col("__src") === s, lit(w)).otherwise(acc)
+    }
+    // least() SKIPS nulls (both engines), so the unlisted-source null
+    // must be decided BEFORE the cap or it silently becomes rate 1.0
+    val rates = df.groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__src"),
+        when(shareCol.isNotNull,
+          least(lit(1.0), shareCol * totalN / col("__cnt"))).as("__rate"))
+      .filter(col("__rate").isNotNull)
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(hashBucket(keyCol, salt) <
+        floor(col("__rate") * (1L << 20).toDouble).cast("long"))
+      .drop("__src", "__rate")
+  }
 }

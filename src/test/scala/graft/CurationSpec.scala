@@ -54,4 +54,27 @@ class CurationSpec extends SparkSuite {
     val expected = math.floor((2 * qs.map(q => math.rint(q * 10000)).sum + 2) / 4.0) / 10000.0
     assert(r(0).getDouble(3) == expected)
   }
+
+  test("assembleSequences: in-order concatenation with separator, shard boundaries respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // budget 5: docs of 3+3 tokens -> doc1 in shard 0, doc2 starts at
+    // offset 3 (< 5) -> also shard 0 (straddle-by-one contract);
+    // doc3 starts at 6 -> shard 1; group b stays separate
+    val docs = Seq(
+      (1L, "a", "one two three", 3L),
+      (2L, "a", "four five six", 3L),
+      (3L, "a", "seven eight nine", 3L),
+      (9L, "b", "solo doc here", 3L))
+      .toDF("doc_id", "grp", "text", "n_tokens")
+    val seqs = graft.ext.Curation.assembleSequences(docs, col("grp"), col("doc_id"),
+        col("text"), col("n_tokens"), budget = 5, sep = "|SEP|")
+      .orderBy(col("group"), col("shard_id"))
+      .collect()
+    assert(seqs.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L)))
+    assert(seqs(0).getString(4) === "one two three|SEP|four five six")
+    assert(seqs(1).getString(4) === "seven eight nine")
+    assert(seqs(2).getString(4) === "solo doc here")
+  }
 }

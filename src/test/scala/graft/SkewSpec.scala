@@ -20,6 +20,30 @@ class SkewSpec extends SparkSuite {
     }.toDF("event_id", "user_id", "t", "value")
   }
 
+  test("mixtureSample: unlisted sources excluded, rates capped, reproducible") {
+    import graft.ops.Sampling
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val kept = Sampling.mixtureSample(df, col("src"), "id",
+      Seq("s0" -> 0.5, "s1" -> 0.5), totalN = 60L)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s2 unlisted -> excluded entirely (least() null-skip regression)
+    assert(!bySrc.contains("s2"), s"unlisted source kept: $bySrc")
+    // rate = 0.5*60/100 = 0.3 per listed source: ~30 of 100 kept each
+    Seq("s0", "s1").foreach { s =>
+      assert(bySrc(s) > 10 && bySrc(s) < 50, s"rate off for $s: $bySrc")
+    }
+    // reproducible: second run identical row set
+    val again = Sampling.mixtureSample(df, col("src"), "id",
+      Seq("s0" -> 0.5, "s1" -> 0.5), totalN = 60L)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // over-requested source caps at rate 1 (keeps everything)
+    val capped = Sampling.mixtureSample(df, col("src"), "id",
+      Seq("s0" -> 1.0), totalN = 500L)
+    assert(capped.count() == 100)
+  }
+
   test("autoJoin salts under a hot key, stays plain under uniform keys, equal results") {
     import graft.ops.Skew
     val dim = (0L to 500L).map(k => (k, s"d$k")).toDF("user_id", "label")
