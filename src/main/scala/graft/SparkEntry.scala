@@ -2289,6 +2289,20 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q115 — ⊕ edit-distance-verified near-dup
+    * ([[graft.ext.Dedup.editVerifiedPairs]]): q23's simhash banding
+    * loosened to hamming ≤ 8 as candidates, then the EXACT
+    * Levenshtein verify (both engines compute the same classic DP
+    * natively) keeps pairs within 40 character edits — the
+    * blocking+verify shape of fuzzy dedup, with the quadratic DP
+    * confined to banded candidates.
+    */
+  private val q115EditDedup: Q = (s, dir) => {
+    ext.Dedup.editVerifiedPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), maxHamming = 8, maxDist = 40)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2405,6 +2419,7 @@ object SparkEntry {
     "q112_semdedup_sized"   -> q112SemDedupSized,
     "q113_seq_assembly"     -> q113SeqAssembly,
     "q114_mixture_sample"   -> q114MixtureSample,
+    "q115_edit_dedup"       -> q115EditDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -2759,6 +2774,31 @@ object SparkEntry {
     // exact Hamming verify. Like q22, docs with < 3 tokens are out of
     // scope (none in the fixture).
     "q23_simhash_neardup" ->
+      s"""$simhashHamCtes
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q115: the same simhash banding as LOOSE candidates (hamming <= 8
+    // is recall-bounded, not pigeonhole-complete — documented), then
+    // the exact Levenshtein verify both engines compute natively.
+    "q115_edit_dedup" ->
+      s"""$simhashHamCtes,
+        |t2 AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c
+        |  FROM documents)
+        |SELECT h.id_a, h.id_b, h.hamming,
+        |  CAST(levenshtein(ta.c, tb.c) AS INTEGER) AS edit_dist
+        |FROM ham h
+        |JOIN t2 ta ON ta.doc_id = h.id_a
+        |JOIN t2 tb ON tb.doc_id = h.id_b
+        |WHERE h.hamming <= 8 AND levenshtein(ta.c, tb.c) <= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+  ) ++ oracleSqlRest
+
+  /** q23's full simhash derivation up to the verified `ham(id_a,
+    * id_b, hamming)` CTE — shared with q115's edit-distance verify so
+    * the banding can never drift between the two.
+    */
+  private def simhashHamCtes: String =
       s"""WITH toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
@@ -2806,9 +2846,9 @@ object SparkEntry {
         |  SELECT id_a, id_b,
         |    CAST(bit_count(xor(x.s0, y.s0)) + bit_count(xor(x.s1, y.s1))
         |       + bit_count(xor(x.s2, y.s2)) + bit_count(xor(x.s3, y.s3)) AS INTEGER) AS hamming
-        |  FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b)
-        |SELECT id_a, id_b, hamming FROM ham
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+        |  FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b)""".stripMargin
+
+  private val oracleSqlRest: Map[String, String] = Map(
     "q24_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

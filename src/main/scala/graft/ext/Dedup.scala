@@ -158,6 +158,31 @@ object Dedup {
         graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig")),
       maxHamming, maxBucket)
 
+  /** ⊕ Edit-distance-verified near-dup pairs — the blocking+verify
+    * shape fuzzy dedup runs at scale: [[simhashNearDup]]'s banding
+    * with a LOOSE hamming gate (default 8 — recall-bounded
+    * candidates, NOT pigeonhole-complete past 3; the trade is
+    * explicit) feeds an exact Levenshtein verify over the cleaned
+    * texts, keeping pairs within `maxDist` character edits. The
+    * quadratic-per-pair DP runs ONLY on banded candidates, never
+    * all-pairs; at 100 TB, prefer Spark's 3-arg bounded
+    * `levenshtein(a, b, threshold)` (banded DP, early-exit) on the
+    * hot path — the 2-arg form here keeps the expression tree
+    * identical to the SQL oracle.
+    */
+  def editVerifiedPairs(df: DataFrame, id: Column, text: Column,
+                        maxHamming: Int = 8, maxDist: Int = 40,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val clean = df.select(id.as("id"),
+      graft.ops.Text.cleanText(lower(text)).as("__c"))
+    simhashNearDup(df, id, text, maxHamming, maxBucket)
+      .join(clean.select(col("id").as("id_a"), col("__c").as("__ca")), "id_a")
+      .join(clean.select(col("id").as("id_b"), col("__c").as("__cb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ca"), col("__cb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
+  }
+
   /** Banded hamming self-join over ANY 64-bit signature column
     * (`(id, sig)` rows): 4×16-bit bands bucket the candidates, so the
     * pair set is COMPLETE for `maxHamming` ≤ 3 by pigeonhole (a pair

@@ -226,4 +226,34 @@ class DedupSpec extends SparkSuite {
       .agg(sum(col("n_removed"))).as[Long].head()
     assert(none == 0L)
   }
+
+  test("editVerifiedPairs: small edits kept, shingle-similar but edit-distant pairs verified away") {
+    import spark.implicits._
+    // long base: one substituted word changes only ~3 of ~100
+    // shingles, so the simhash stays band-identical and the pair is
+    // a guaranteed banding candidate
+    val base = (1 to 8).map(i =>
+      s"chapter $i the quick brown fox jumps over the lazy dog by the river bank").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replaceFirst("lazy", "hazy"),       // 1-char edit
+      // same opening shingles, long divergent tail -> candidate via
+      // banding but FAR in edit distance
+      3L -> (base + " and then it wandered through seventeen additional unrelated paragraphs of text about completely different topics entirely"),
+      4L -> "totally unrelated content with no shared vocabulary whatsoever here")
+      .toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.editVerifiedPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 20, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"expected only the 1-edit pair, got $pairs")
+    assert(pairs.head._3 === 1, s"edit distance must be exactly 1: $pairs")
+    // with a generous maxDist the tail-divergent doc is admitted as a
+    // candidate pair too; the unrelated doc never pairs with anything
+    val loose = graft.ext.Dedup.editVerifiedPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 20, maxDist = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.exists(p => p._1 == 3L || p._2 == 3L), s"tail doc never paired: $loose")
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $loose")
+  }
 }
