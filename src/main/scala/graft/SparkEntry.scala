@@ -2303,6 +2303,40 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q116 — ⊕ link extraction → link-graph PageRank: synthetic HTML
+    * anchors appended to each document (q71's derivation trick),
+    * `regexp_extract_all` pulls every href, [[graft.ext.UrlOps]]
+    * collapses each to its registered domain, and the deduplicated
+    * (own domain → linked domain) edges feed
+    * [[graft.ops.Graph.pageRank]] — the crawl-side provenance chain
+    * (extract → normalize → rank) end to end. Extraction and domain
+    * collapse are row-local; the graph is tiny next to the corpus
+    * (distinct domains), which is exactly the shape at 100 TB.
+    */
+  private val q116LinkGraph: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    def sfx(m: Column) = when(m === 0, "com").when(m === 1, "org").otherwise("io")
+    val html = concat(col("text"),
+      lit(" <a href=\"https://site"), str((d * 5 + 1) % 23), lit("."),
+      sfx((d + 1) % 3), lit("/x\">l1</a>"),
+      when(d % 2 === 0,
+        concat(lit(" <a href=\"http://a.site"), str((d * 7 + 2) % 23), lit("."),
+          sfx((d + 2) % 3), lit("/y?z=1\">l2</a>"))).otherwise(lit("")))
+    val own = concat(lit("site"), str(d % 23), lit("."), sfx(d % 3))
+    val links = Tables.documents(s, dir)
+      .select(own.as("src"),
+        explode(regexp_extract_all(html,
+          lit("href=\"(https?://[^\"]+)\""), lit(1))).as("url"))
+    val edges = links
+      .select(col("src"),
+        ext.UrlOps.registeredDomain(ext.UrlOps.host(col("url"))).as("dst"))
+      .distinct()
+    graft.ops.Graph.pageRank(edges, col("src"), col("dst"), iters = 3)
+      .select(col("n").as("domain"), round(col("r"), 6).as("rank"))
+      .orderBy(col("domain"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2420,6 +2454,7 @@ object SparkEntry {
     "q113_seq_assembly"     -> q113SeqAssembly,
     "q114_mixture_sample"   -> q114MixtureSample,
     "q115_edit_dedup"       -> q115EditDedup,
+    "q116_link_graph"       -> q116LinkGraph,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4978,25 +5013,10 @@ object SparkEntry {
     // difference can't creep in, and coalesce(c, 0) covers nodes
     // with no in-edges.
     "q109_pagerank" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT DISTINCT doc_id % 37 AS s, (doc_id * 7 + 3) % 40 AS t
         |  FROM documents),
-        |nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e),
-        |cnt AS (SELECT count(*) AS nn FROM nodes),
-        |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
-        |r0 AS (SELECT n, round(1.0 / nn, 9) AS r FROM nodes CROSS JOIN cnt),
-        |c1 AS (SELECT e.t AS n, sum(r0.r / od.deg) AS c
-        |       FROM e JOIN r0 ON e.s = r0.n JOIN od ON od.s = e.s GROUP BY e.t),
-        |r1 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c1.c, 0), 9) AS r
-        |       FROM nodes LEFT JOIN c1 ON c1.n = nodes.n CROSS JOIN cnt),
-        |c2 AS (SELECT e.t AS n, sum(r1.r / od.deg) AS c
-        |       FROM e JOIN r1 ON e.s = r1.n JOIN od ON od.s = e.s GROUP BY e.t),
-        |r2 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c2.c, 0), 9) AS r
-        |       FROM nodes LEFT JOIN c2 ON c2.n = nodes.n CROSS JOIN cnt),
-        |c3 AS (SELECT e.t AS n, sum(r2.r / od.deg) AS c
-        |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
-        |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
-        |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)
+        |$pageRankRoundsSql
         |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
@@ -5081,7 +5101,64 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1)
         |    < floor(rate * 1048576.0)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q116: same anchor synthesis, href regexp_extract_all, the q105
+    // host+registered-domain collapse, distinct edges, then the
+    // shared q109 round mirror.
+    "q116_link_graph" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+        |      || (CASE (doc_id % 3) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'io' END) AS src,
+        |    text || ' <a href="https://site' || CAST((doc_id * 5 + 1) % 23 AS VARCHAR) || '.'
+        |      || (CASE ((doc_id + 1) % 3) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'io' END)
+        |      || '/x">l1</a>'
+        |      || (CASE WHEN doc_id % 2 = 0 THEN
+        |            ' <a href="http://a.site' || CAST((doc_id * 7 + 2) % 23 AS VARCHAR) || '.'
+        |            || (CASE ((doc_id + 2) % 3) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'io' END)
+        |            || '/y?z=1">l2</a>' ELSE '' END) AS html
+        |  FROM documents),
+        |u AS (
+        |  SELECT src, unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS url
+        |  FROM h),
+        |p AS (
+        |  SELECT src, regexp_extract(url, '${ext.UrlOps.UrlPartsRe}', 2) AS host FROM u),
+        |dm AS (
+        |  SELECT src,
+        |    CASE WHEN len(l) <= 1 THEN host
+        |         WHEN len(l) >= 3 AND l[-2] IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(l[-1]) = 2
+        |           THEN array_to_string(l[greatest(len(l)-2,1):], '.')
+        |         ELSE array_to_string(l[greatest(len(l)-1,1):], '.') END AS dst
+        |  FROM (SELECT src, host, string_split(host, '.') AS l FROM p)),
+        |e AS (SELECT DISTINCT src AS s, dst AS t FROM dm),
+        |$pageRankRoundsSql
+        |SELECT n AS domain, round(r, 6) AS rank
+        |FROM r3 ORDER BY domain""".stripMargin,
   )
+
+  /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —
+    * shared by q109 (arithmetic edges) and q116 (extracted link
+    * graph) so the iteration mirror can never drift. Per-round
+    * round(,9) on both sides absorbs engine summation order (the q38
+    * trick); (1 − 0.85) is COMPUTED on both sides.
+    */
+  private def pageRankRoundsSql: String =
+    """nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e),
+      |cnt AS (SELECT count(*) AS nn FROM nodes),
+      |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+      |r0 AS (SELECT n, round(1.0 / nn, 9) AS r FROM nodes CROSS JOIN cnt),
+      |c1 AS (SELECT e.t AS n, sum(r0.r / od.deg) AS c
+      |       FROM e JOIN r0 ON e.s = r0.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r1 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c1.c, 0), 9) AS r
+      |       FROM nodes LEFT JOIN c1 ON c1.n = nodes.n CROSS JOIN cnt),
+      |c2 AS (SELECT e.t AS n, sum(r1.r / od.deg) AS c
+      |       FROM e JOIN r1 ON e.s = r1.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r2 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c2.c, 0), 9) AS r
+      |       FROM nodes LEFT JOIN c2 ON c2.n = nodes.n CROSS JOIN cnt),
+      |c3 AS (SELECT e.t AS n, sum(r2.r / od.deg) AS c
+      |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
+      |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)""".stripMargin
 
   /** Shared by q106 and q112 (sized form ≡ fixed form at fixture
     * scale): the q38 train+assign chain, cluster cap as HAVING,
