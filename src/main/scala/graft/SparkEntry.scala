@@ -2337,6 +2337,23 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** q117 — ⊕ time-series resample + forward fill
+    * ([[graft.ops.Time.resampleFill]]): per-user hourly grid over the
+    * events stream, last observation per hour, gaps carried forward —
+    * the standard densification before windowed feature aggregation.
+    * The oracle regenerates the grid with `range()` and replays the
+    * fill with the same ignore-nulls window; the carried value is an
+    * OBSERVED value (lexicographic-max tiebreak), so no accumulation
+    * rounding exists to diverge.
+    */
+  private val q117Resample: Q = (s, dir) => {
+    graft.ops.Time.resampleFill(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), stepSec = 3600L)
+      .select(col("key").as("user_id"), col("bin"),
+        round(col("value"), 6).as("value"), col("was_observed"))
+      .orderBy(col("user_id"), col("bin"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2455,6 +2472,7 @@ object SparkEntry {
     "q114_mixture_sample"   -> q114MixtureSample,
     "q115_edit_dedup"       -> q115EditDedup,
     "q116_link_graph"       -> q116LinkGraph,
+    "q117_resample"         -> q117Resample,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5134,6 +5152,38 @@ object SparkEntry {
         |$pageRankRoundsSql
         |SELECT n AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
+    // q117: bins and the fill replayed with range() + the same
+    // IGNORE NULLS running window; the per-bin pick is the
+    // lexicographic (truncated-second, value) max on BOTH sides —
+    // epoch() is floored so a fractional second can't flip the
+    // tiebreak that unix_seconds() truncates away.
+    "q117_resample" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS e,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bin
+        |  FROM events),
+        |lastobs AS (
+        |  SELECT user_id, bin, value AS v FROM (
+        |    SELECT user_id, bin, value,
+        |      row_number() OVER (PARTITION BY user_id, bin
+        |                         ORDER BY e DESC, value DESC) AS rn
+        |    FROM o) WHERE rn = 1),
+        |spans AS (
+        |  SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM o GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, g.b AS bin
+        |  FROM spans, LATERAL (SELECT unnest(range(lo, hi + 1)) AS b) g),
+        |f AS (
+        |  SELECT grid.user_id, grid.bin, lastobs.v,
+        |    last_value(lastobs.v IGNORE NULLS) OVER (
+        |      PARTITION BY grid.user_id ORDER BY grid.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+        |  FROM grid LEFT JOIN lastobs
+        |    ON lastobs.user_id = grid.user_id AND lastobs.bin = grid.bin)
+        |SELECT user_id, bin, round(fill, 6) AS value,
+        |  v IS NOT NULL AS was_observed
+        |FROM f ORDER BY user_id, bin""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

@@ -33,6 +33,42 @@ object Time {
         ts >= (now - expr(span))
     }
 
+  /** ⊕ Resample to a fixed time grid with forward fill: per key,
+    * bucket observations into `stepSec`-second bins (last observation
+    * per bin — `max(struct(epoch, value))`, the deterministic
+    * lexicographic tiebreak), generate the full bin range between the
+    * key's first and last observation, and carry the last seen value
+    * across empty bins (`last(…, ignoreNulls)` over the bin order) —
+    * the gap-fill every time-series feature pipeline runs before
+    * windowed aggregation. `was_observed` marks real vs carried rows.
+    *
+    * Scale shape: one aggregation (map-side combinable) + one
+    * explode of per-key bin RANGES (rows = span/step per key, never
+    * corpus×grid) + one window over the bin order. A key's grid span
+    * is bounded by its own observation span; the explode never
+    * manufactures rows outside it. Value is an observed value, not a
+    * sum — no floating-point accumulation to round.
+    */
+  def resampleFill(df: org.apache.spark.sql.DataFrame, key: Column,
+                   ts: Column, value: Column, stepSec: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    val bin = floor(unix_seconds(ts) / stepSec).cast("long")
+    val bucketed = df
+      .select(key.as("key"), bin.as("bin"),
+        struct(unix_seconds(ts).as("e"), value.as("v")).as("obs"))
+      .groupBy(col("key"), col("bin")).agg(max(col("obs")).as("obs"))
+    val grid = df.groupBy(key.as("key"))
+      .agg(min(bin).as("__lo"), max(bin).as("__hi"))
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"))).as("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bin"))
+    grid.join(bucketed, Seq("key", "bin"), "left")
+      .select(col("key"), col("bin"),
+        last(col("obs.v"), ignoreNulls = true).over(w).as("value"),
+        col("obs").isNotNull.as("was_observed"))
+  }
+
   /** ⊕ Trailing time-window frame for rolling per-key features
     * (rolling counts/sums over "the last `spanSec` seconds" — the
     * standard session/feature-engineering aggregate): a RANGE frame

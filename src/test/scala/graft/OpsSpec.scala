@@ -284,4 +284,27 @@ class OpsSpec extends SparkSuite {
     assert(got(("b", 111L)) == Set(1L))  // [101,111] excludes the 100s
     intercept[IllegalArgumentException](Time.trailingWindow(col("k"), col("es"), -1L))
   }
+
+  test("Time.resampleFill: hourly grid, last-obs-per-bin, forward fill, observed flags") {
+    import graft.ops.Time
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1.0),
+      (1L, ts("2024-01-01 10:40:00"), 2.0),   // same bin -> later wins
+      (1L, ts("2024-01-01 13:10:00"), 9.0),   // bins 11,12 are gaps
+      (2L, ts("2024-01-01 00:30:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = Time.resampleFill(df, col("user_id"), col("ts"), col("value"), 3600L)
+      .orderBy("key", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val h = ts("2024-01-01 10:00:00").getTime / 1000 / 3600
+    assert(got.toSeq === Seq(
+      (1L, h,     2.0, true),   // later obs in the bin wins
+      (1L, h + 1, 2.0, false),  // gap carried forward
+      (1L, h + 2, 2.0, false),
+      (1L, h + 3, 9.0, true),
+      (2L, ts("2024-01-01 00:00:00").getTime / 1000 / 3600, 5.0, true)))
+    intercept[IllegalArgumentException](
+      Time.resampleFill(df, col("user_id"), col("ts"), col("value"), 0L))
+  }
 }
