@@ -2354,6 +2354,19 @@ object SparkEntry {
       .orderBy(col("user_id"), col("bin"))
   }
 
+  /** q118 — ⊕ equi-width histogram profiling
+    * ([[graft.ops.Profile.histogram]]): 16
+    * buckets over `l_extendedprice` — min/max in one single-row
+    * broadcast (whitelisted stats cross), bucket assignment row-local,
+    * one hash aggregation. The distribution summary q51's profiler
+    * reports next to its min/max/distinct columns.
+    */
+  private val q118Histogram: Q = (s, dir) => {
+    graft.ops.Profile.histogram(Tables.lineitem(s, dir),
+        col("l_extendedprice"), buckets = 16)
+      .orderBy(col("bucket"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2473,6 +2486,7 @@ object SparkEntry {
     "q115_edit_dedup"       -> q115EditDedup,
     "q116_link_graph"       -> q116LinkGraph,
     "q117_resample"         -> q117Resample,
+    "q118_histogram"        -> q118Histogram,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5184,6 +5198,24 @@ object SparkEntry {
         |SELECT user_id, bin, round(fill, 6) AS value,
         |  v IS NOT NULL AS was_observed
         |FROM f ORDER BY user_id, bin""".stripMargin,
+    // q118: identical bucket arithmetic (operation order mirrored:
+    // (x - mn) * 16 / (mx - mn), capped at 15), bounds re-derived
+    // from bucket ids, rounded at 6.
+    "q118_histogram" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |         CAST(max(l_extendedprice) AS DOUBLE) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |              ELSE least(15, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn) * 16 / (mx - mn)) AS INTEGER))
+        |         END AS bucket, mn, mx
+        |  FROM lineitem CROSS JOIN mm
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(mn + bucket * ((mx - mn) / 16)), 6) AS lo,
+        |  round(min(mn + (bucket + 1) * ((mx - mn) / 16)), 6) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

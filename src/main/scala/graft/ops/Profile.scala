@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** ⊕ Equi-width histogram of a numeric column: one single-row
+    * min/max aggregate broadcast back over the scan (the q73
+    * single-row-stats pattern), then a row-local bucket assignment
+    * `min(buckets−1, floor((x−mn)·buckets/(mx−mn)))` and ONE hash
+    * aggregation on the bucket id — two passes, no sort, no
+    * collect. Nulls are excluded (they're the profiler's
+    * `n_nulls`, not a bucket); a constant column lands entirely in
+    * bucket 0. Bucket bounds are re-derived arithmetically so the
+    * result is self-describing.
+    */
+  def histogram(df: DataFrame, c: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val mm = df.agg(min(c).cast("double").as("__mn"), max(c).cast("double").as("__mx"))
+    df.select(c.cast("double").as("__x")).filter(col("__x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("__x") - col("__mn")) * buckets / (col("__mx") - col("__mn")))
+              .cast("int"))).as("bucket"),
+        col("__mn"), col("__mx"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__mn") + col("bucket") * ((col("__mx") - col("__mn")) / buckets)), 6).as("lo"),
+        round(min(col("__mn") + (col("bucket") + 1) * ((col("__mx") - col("__mn")) / buckets)), 6).as("hi"))
+  }
+
   def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "Profile.summarize needs at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>
