@@ -2367,6 +2367,41 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q119 — ⊕ composed provenance→selection→assembly pipeline: the
+    * capstone for the second round-8 session's layer, stage order
+    * chosen for scale — (1) domain gate FIRST (cheap row-local URL
+    * parse + `isin`, shrinks everything downstream), (2) DSIR
+    * importance weights over the survivors (two corpus passes),
+    * (3) keep target-like docs (weight ≥ 1 — row-local, no
+    * resampling machinery in the oracle), (4) training-sequence
+    * assembly per source over what remains. One oracle hash checks
+    * the whole chain: a wrong domain collapse, LM count, ratio
+    * rounding, shard boundary or sequence order flips it.
+    */
+  private val q119ProvenancePrep: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val suffix = when(d % 4 === 0, "co.uk").when(d % 4 === 1, "com")
+      .when(d % 4 === 2, "org").otherwise("io")
+    val url = concat(
+      when(d % 2 === 0, "https://").otherwise("http://"),
+      when(d % 3 === 0, "a.b.").otherwise(""),
+      lit("site"), str(d % 40), lit("."), suffix, lit("/p/"), str(d % 13))
+    val gated = Tables.documents(s, dir)
+      .withColumn("__dom", ext.UrlOps.registeredDomain(ext.UrlOps.host(url)))
+      .filter(!col("__dom").isin("site0.co.uk", "site13.com"))
+    val w = ext.TextAnalysis.importanceWeights(gated, col("doc_id"), col("text"),
+      col("lang") === "en")
+    val kept = gated.join(w.filter(col("weight") >= 1.0).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ext.Curation.assembleSequences(kept, col("source"), col("doc_id"),
+        col("text"), col("n_tokens"), budget = 2000)
+      .select(col("group"), col("shard_id"), col("n_docs"), col("seq_tokens"),
+        md5(col("sequence").cast("binary")).as("seq_md5"))
+      .orderBy(col("group"), col("shard_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2487,6 +2522,7 @@ object SparkEntry {
     "q116_link_graph"       -> q116LinkGraph,
     "q117_resample"         -> q117Resample,
     "q118_histogram"        -> q118Histogram,
+    "q119_provenance_prep"  -> q119ProvenancePrep,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5216,6 +5252,76 @@ object SparkEntry {
         |  round(min(mn + bucket * ((mx - mn) / 16)), 6) AS lo,
         |  round(min(mn + (bucket + 1) * ((mx - mn) / 16)), 6) AS hi
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q119: q105's domain CTEs gate, q107's LM chain (trained on the
+    // GATED corpus — order matters and is mirrored), the weight >= 1
+    // keep, then q113's packing + string_agg tail.
+    "q119_provenance_prep" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source, lang, text,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'a.b.' ELSE '' END)
+        |    || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.'
+        |    || (CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org' ELSE 'io' END)
+        |    || '/p/' || CAST(doc_id % 13 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, lang, text,
+        |    regexp_extract(url, '${ext.UrlOps.UrlPartsRe}', 2) AS host
+        |  FROM u),
+        |dm AS (
+        |  SELECT doc_id, source, lang, text,
+        |    CASE WHEN len(l) <= 1 THEN host
+        |         WHEN len(l) >= 3 AND l[-2] IN ('co','com','net','org','gov','ac','edu')
+        |              AND length(l[-1]) = 2
+        |           THEN array_to_string(l[greatest(len(l)-2,1):], '.')
+        |         ELSE array_to_string(l[greatest(len(l)-1,1):], '.') END AS dom
+        |  FROM (SELECT *, string_split(host, '.') AS l FROM p)),
+        |g AS (
+        |  SELECT doc_id, source, lang, text FROM dm
+        |  WHERE dom NOT IN ('site0.co.uk', 'site13.com')),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c
+        |  FROM g),
+        |bg AS (
+        |  SELECT doc_id, lang, substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
+        |cntT AS (SELECT bg, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY bg),
+        |totT AS (SELECT sum(c) AS total FROM cntT),
+        |mT AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |       FROM cntT CROSS JOIN totT),
+        |fT AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM totT),
+        |cntR AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |totR AS (SELECT sum(c) AS total FROM cntR),
+        |mR AS (SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |       FROM cntR CROSS JOIN totR),
+        |fR AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM totR),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    round(avg(coalesce(mT.logp, fT.f)), 4) AS lm_target,
+        |    round(avg(coalesce(mR.logp, fR.f)), 4) AS lm_raw
+        |  FROM bg CROSS JOIN fT CROSS JOIN fR
+        |  LEFT JOIN mT ON bg.bg = mT.bg
+        |  LEFT JOIN mR ON bg.bg = mR.bg
+        |  GROUP BY bg.doc_id),
+        |keepw AS (
+        |  SELECT doc_id FROM sc
+        |  WHERE round(exp(lm_target - lm_raw), 6) >= 1.0),
+        |tok AS (
+        |  SELECT g.doc_id, g.source, g.text,
+        |    CAST(len(string_split(lower(trim(regexp_replace(g.text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+        |  FROM g JOIN keepw ON keepw.doc_id = g.doc_id),
+        |pk AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM tok)
+        |SELECT source AS "group", CAST(floor(start / 2000.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  md5(string_agg(text, '<|endofdoc|>' ORDER BY doc_id)) AS seq_md5
+        |FROM pk GROUP BY source, shard_id
+        |ORDER BY "group", shard_id""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —
