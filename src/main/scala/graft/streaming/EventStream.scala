@@ -176,6 +176,44 @@ object EventStream {
       }
   }
 
+  // --- streaming ingestion quota: per-source token budget ------------------
+
+  case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class QuotaState(used: Long)
+
+  /** ⊕ Streaming per-source ingestion quota — the incremental form of
+    * the mixture/budget gate ([[graft.ops.Sampling.mixtureSample]] /
+    * `packShards`' budget): each source admits documents until its
+    * cumulative token count reaches `quotaTokens`, across micro-
+    * batches, with the admitting doc allowed to straddle the boundary
+    * (the `packShards` overflow-by-one convention — a budget is a
+    * target, not a truncation point). State per source is ONE long.
+    * Within a micro-batch rows admit in doc-id order, so replays are
+    * deterministic. The "stop reading from source X once its budget
+    * is spent" control a continuously-ingesting training pipeline
+    * needs — expressible only as cross-batch state, which is why it
+    * lives here and not in the batch Sampling module.
+    */
+  def quotaSampleStream(docs: DataFrame, quotaTokens: Long)
+      : org.apache.spark.sql.Dataset[QuotaDoc] = {
+    require(quotaTokens > 0, s"quotaTokens must be positive, got $quotaTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        col("n_tokens").cast("long")).as[QuotaDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[QuotaDoc], state: GroupState[QuotaState]) =>
+          var used = state.getOption.getOrElse(QuotaState(0L)).used
+          val out = Vector.newBuilder[QuotaDoc]
+          rows.toArray.sortBy(_.doc_id).foreach { r =>
+            if (used < quotaTokens) { used += r.n_tokens; out += r }
+          }
+          state.update(QuotaState(used))
+          out.result().iterator
+      }
+  }
+
   /** ⊕ Stream-stream interval join — the streaming analog of the batch
     * banded range join ([[graft.ops.AsOf.rangePairsBackward]] / q65):
     * each error pairs with same-user clicks from the preceding

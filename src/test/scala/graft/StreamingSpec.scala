@@ -174,6 +174,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quotaSampleStream enforces per-source token budgets across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = EventStream.quotaSampleStream(
+      mem.toDF().toDF("doc_id", "source", "n_tokens"), quotaTokens = 100L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      // batch 1: a fills 90 of 100; b fills 200 (straddles at doc 21)
+      mem.addData((1L, "a", 50L), (2L, "a", 40L), (20L, "b", 80L), (21L, "b", 120L))
+      q.processAllAvailable()
+      // batch 2: a's doc 3 straddles (90 -> 160) and admits; doc 4 is
+      // rejected; b is already over quota, nothing admits
+      mem.addData((3L, "a", 70L), (4L, "a", 10L), (22L, "b", 5L))
+      q.processAllAvailable()
+      val got = spark.table("quota_out")
+        .as[(Long, String, Long)].collect().map(_._1).toSet
+      assert(got === Set(1L, 2L, 20L, 21L, 3L), s"admitted: $got")
+      // equivalence with the batch prefix-sum rule on the full input
+      val all = Seq((1L, "a", 50L), (2L, "a", 40L), (3L, "a", 70L), (4L, "a", 10L),
+        (20L, "b", 80L), (21L, "b", 120L), (22L, "b", 5L))
+      val batchKeep = all.groupBy(_._2).flatMap { case (_, docs) =>
+        var used = 0L
+        docs.sortBy(_._1).filter { d =>
+          val ok = used < 100L; if (ok) used += d._3; ok
+        }
+      }.map(_._1).toSet
+      assert(got === batchKeep, s"stream $got != batch rule $batchKeep")
+    } finally q.stop()
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
