@@ -2402,6 +2402,20 @@ object SparkEntry {
       .orderBy(col("group"), col("shard_id"))
   }
 
+  /** q120 — ⊕ relational phrase search
+    * ([[graft.ext.TextRank.phraseMatches]]): documents containing
+    * the exact token phrase "table value", counted per doc via
+    * the positional (doc, pos−i, i) coverage trick — the positional-
+    * index query upgrading F5's substring predicate to token-exact
+    * phrase semantics. Oracle replays the identical construction
+    * with a VALUES offset table.
+    */
+  private val q120PhraseSearch: Q = (s, dir) => {
+    ext.TextRank.phraseMatches(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Seq("table", "value"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2523,6 +2537,7 @@ object SparkEntry {
     "q117_resample"         -> q117Resample,
     "q118_histogram"        -> q118Histogram,
     "q119_provenance_prep"  -> q119ProvenancePrep,
+    "q120_phrase_search"    -> q120PhraseSearch,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5322,6 +5337,26 @@ object SparkEntry {
         |  md5(string_agg(text, '<|endofdoc|>' ORDER BY doc_id)) AS seq_md5
         |FROM pk GROUP BY source, shard_id
         |ORDER BY "group", shard_id""".stripMargin,
+    // q120: identical coverage construction — matching tokens map to
+    // (doc, pos - i, i) via a VALUES offset table (0-based positions
+    // to mirror posexplode), full-coverage groups are occurrences.
+    "q120_phrase_search" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, u.p - 1 AS pos, w[CAST(u.p AS INTEGER)] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p) u),
+        |m AS (
+        |  SELECT DISTINCT doc_id, pos - p.i AS base, p.i AS i
+        |  FROM tk JOIN (VALUES ('table', 0), ('value', 1)) AS p(w, i)
+        |    ON tk.tok = p.w),
+        |o AS (
+        |  SELECT doc_id, base FROM m
+        |  GROUP BY doc_id, base HAVING count(DISTINCT i) = 2)
+        |SELECT doc_id, count(*) AS n_occurrences
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

@@ -66,4 +66,41 @@ object TextRank {
     scored.withColumn("bm25", round(score, 6))
       .drop("__toks" +: "__n" +: "__avgdl" +: terms.indices.map(i => s"__df_$i"): _*)
   }
+
+  /** ⊕ Relational phrase search — the positional-index query as one
+    * join, no index materialization: a doc contains the phrase
+    * `w₀ w₁ … wₖ` at base position b iff token wᵢ sits at b+i for
+    * every i, so matching tokens map to `(doc, pos − i, i)` and a
+    * phrase occurrence is a (doc, base) group covering all k+1
+    * offsets. Handles repeated words in the phrase (a token row
+    * matches EVERY offset of its word — the explode+filter keeps all
+    * of them) and upgrades the reference's substring matching to
+    * token-exact phrase semantics.
+    *
+    * Scale shape: tokens not in the phrase vocabulary are filtered
+    * BEFORE the per-token explode (the fan-out is |phrase| on
+    * matching tokens only), then ONE shuffle on (doc, base). Returns
+    * (doc_id, n_occurrences).
+    */
+  def phraseMatches(docs: DataFrame, id: Column, text: Column,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val words = phrase.map(_.toLowerCase)
+    val offsets = array(words.zipWithIndex.map { case (w, i) =>
+      struct(lit(w).as("w"), lit(i).as("i")) }: _*)
+    docs
+      .select(id.as("doc_id"),
+        posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(words.distinct: _*))
+      .select(col("doc_id"), col("pos"), col("tok"), explode(offsets).as("p"))
+      .filter(col("tok") === col("p.w"))
+      .select(col("doc_id"), (col("pos") - col("p.i")).as("base"),
+        col("p.i").as("i"))
+      .distinct()
+      .groupBy(col("doc_id"), col("base"))
+      .agg(countDistinct(col("i")).as("__k"))
+      .filter(col("__k") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -187,4 +187,24 @@ class TextAnalysisSpec extends SparkSuite {
       assert(lt == sT(id) && lr == sR(id), s"doc $id: ($lt,$lr) vs (${sT(id)},${sR(id)})")
     }
   }
+
+  test("phraseMatches: exact adjacency, repeated words, overlaps, case folding") {
+    import spark.implicits._
+    import graft.ext.TextRank
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),            // 1 × "the cat"
+      (2L, "cat the cat the cat"),                // "the cat" at 1, 3
+      (3L, "the dog and a cat"),                  // words present, never adjacent
+      (4L, "THE CAT shouts loudly"),              // case folds
+      (5L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    def run(p: Seq[String]) = TextRank.phraseMatches(docs, col("doc_id"), col("text"), p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq("the", "cat")) === Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+    // repeated word in the phrase: "cat the cat" occurs once in doc 2
+    assert(run(Seq("cat", "the", "cat")) === Map(2L -> 2L))
+    // single-word phrase degenerates to a token count
+    assert(run(Seq("cat"))(2L) === 3L)
+    intercept[IllegalArgumentException](run(Seq.empty))
+  }
 }
