@@ -2416,6 +2416,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q121 — ⊕ co-occurrence + PMI
+    * ([[graft.ext.TextAnalysis.cooccurrencePmi]]): ordered token
+    * pairs within a 2-token forward window, pruned at 30
+    * occurrences, scored by pointwise mutual information — the
+    * GloVe/word2vec-prep corpus statistic. Pair formation is an
+    * equi-join on (doc, position) (offset explode, no positional
+    * self-join fan-out); the oracle replays it with a BETWEEN join
+    * and the identical division/ln order.
+    */
+  private val q121CooccurPmi: Q = (s, dir) => {
+    ext.TextAnalysis.cooccurrencePmi(Tables.documents(s, dir),
+        col("doc_id"), col("text"), window = 2, minCount = 30L)
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2538,6 +2553,7 @@ object SparkEntry {
     "q118_histogram"        -> q118Histogram,
     "q119_provenance_prep"  -> q119ProvenancePrep,
     "q120_phrase_search"    -> q120PhraseSearch,
+    "q121_cooccur_pmi"      -> q121CooccurPmi,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5357,6 +5373,33 @@ object SparkEntry {
         |  GROUP BY doc_id, base HAVING count(DISTINCT i) = 2)
         |SELECT doc_id, count(*) AS n_occurrences
         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q121: pairs via the BETWEEN range join (oracle-scale), unigram
+    // and total CTEs, the identical (c12/tp) / ((c1/tu)*(c2/tu))
+    // division order inside ln, rounded at 6.
+    "q121_cooccur_pmi" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, u.p - 1 AS pos, w[CAST(u.p AS INTEGER)] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p) u),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS c12
+        |  FROM tk a JOIN tk b
+        |    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tu AS (SELECT CAST(sum(c) AS DOUBLE) AS tu FROM uni),
+        |tp AS (SELECT CAST(sum(c12) AS DOUBLE) AS tp FROM pairs)
+        |SELECT w1, w2, c12,
+        |  round(ln((CAST(c12 AS DOUBLE) / tp) /
+        |    ((CAST(u1.c AS DOUBLE) / tu) * (CAST(u2.c AS DOUBLE) / tu))), 6) AS pmi
+        |FROM pairs
+        |JOIN uni u1 ON u1.tok = pairs.w1
+        |JOIN uni u2 ON u2.tok = pairs.w2
+        |CROSS JOIN tp CROSS JOIN tu
+        |ORDER BY w1, w2""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

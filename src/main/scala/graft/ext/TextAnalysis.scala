@@ -129,6 +129,47 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ⊕ Windowed co-occurrence counts + PMI — the corpus statistic
+    * word-embedding training preps (the GloVe/word2vec input): every
+    * ordered token pair within `window` forward positions counts
+    * once, and PMI = ln( (c₁₂/Tp) / ((c₁/Tu)·(c₂/Tu)) ) scores
+    * association from the pair and unigram distributions.
+    *
+    * Scale shape: NO positional self-join fan-out — each token
+    * explodes to its `window` forward offsets and pairs form by an
+    * EQUI-join on (doc, position) (one shuffle); unigram counts and
+    * the two single-row totals are broadcast back (vocabulary-sized
+    * and 1-row respectively). `minCount` prunes the rare-pair tail
+    * BEFORE the PMI math — at corpus scale the pair table is
+    * vocab²-bounded either way, but the filter keeps the hash
+    * aggregate's output small.
+    */
+  def cooccurrencePmi(docs: DataFrame, id: Column, text: Column,
+                      window: Int = 2, minCount: Long = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tk = docs.select(id.as("doc_id"),
+      posexplode(tokens(text)).as(Seq("pos", "tok")))
+    val pairs = tk
+      .select(col("doc_id"), col("tok").as("w1"), col("pos"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .select(col("doc_id"), col("w1"), (col("pos") + col("off")).as("pos2"))
+      .join(tk.select(col("doc_id"), col("pos").as("pos2"), col("tok").as("w2")),
+        Seq("doc_id", "pos2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val tu = uni.agg(sum(col("__c")).cast("double").as("__tu"))
+    val tp = pairs.agg(sum(col("c12")).cast("double").as("__tp"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("w1"), col("__c").as("__c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("__c").as("__c2"))), "w2")
+      .crossJoin(broadcast(tp)).crossJoin(broadcast(tu))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("__tp")) /
+          ((col("__c1").cast("double") / col("__tu")) *
+           (col("__c2").cast("double") / col("__tu")))), 6).as("pmi"))
+  }
+
   /** ⊕ Corpus-trained character-bigram language model: (bigram,
     * log-probability) over the training docs — the CCNet-style
     * "perplexity proxy" screen (docs whose character statistics

@@ -207,4 +207,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(run(Seq("cat"))(2L) === 3L)
     intercept[IllegalArgumentException](run(Seq.empty))
   }
+
+  test("cooccurrencePmi: hand-computed counts and PMI; window and minCount honored") {
+    import spark.implicits._
+    // "a b a b", window 1: (a,b)x2, (b,a)x1; Tp=3; unigrams a=2 b=2 Tu=4
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrencePmi(docs, col("doc_id"), col("text"),
+        window = 1, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(("a", "b"))._1 === 2L && got(("b", "a"))._1 === 1L)
+    assert(math.abs(got(("a", "b"))._2 - math.log((2.0 / 3) / (0.5 * 0.5))) < 1e-6)
+    assert(math.abs(got(("b", "a"))._2 - math.log((1.0 / 3) / (0.5 * 0.5))) < 1e-6)
+    // window 2 adds the skip-gram pairs (a,a) and (b,b)
+    val w2 = TextAnalysis.cooccurrencePmi(docs, col("doc_id"), col("text"),
+        window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w2(("a", "a")) === 1L && w2(("b", "b")) === 1L && w2(("a", "b")) === 2L)
+    // minCount prunes the singletons
+    val pruned = TextAnalysis.cooccurrencePmi(docs, col("doc_id"), col("text"),
+        window = 1, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned === Set(("a", "b")))
+  }
 }
