@@ -2431,6 +2431,23 @@ object SparkEntry {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** q122 — ⊕ per-dimension embedding standardization
+    * ([[graft.ext.Similarity.standardizeDims]]): z-score whitening
+    * with quantized population stats (the k-means reproducibility
+    * trick), transform row-local against literal stat arrays. Output
+    * digests each whitened vector (first components + its norm) so
+    * the hash check covers every dimension's μ/σ and the division.
+    */
+  private val q122Standardize: Q = (s, dir) => {
+    ext.Similarity.standardizeDims(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"))
+      .select(col("id"),
+        round(element_at(col("z"), 1), 6).as("z0"),
+        round(element_at(col("z"), 2), 6).as("z1"),
+        round(sqrt(aggregate(col("z"), lit(0.0), (a, x) => a + x * x)), 6).as("znorm"))
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2554,6 +2571,7 @@ object SparkEntry {
     "q119_provenance_prep"  -> q119ProvenancePrep,
     "q120_phrase_search"    -> q120PhraseSearch,
     "q121_cooccur_pmi"      -> q121CooccurPmi,
+    "q122_standardize"      -> q122Standardize,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5400,6 +5418,29 @@ object SparkEntry {
         |JOIN uni u2 ON u2.tok = pairs.w2
         |CROSS JOIN tp CROSS JOIN tu
         |ORDER BY w1, w2""".stripMargin,
+    // q122: per-dimension μ/σ re-derived with the same round(,9)
+    // quantization, the same σ=0 centering branch, digests rounded
+    // at 6 (sum-order jitter absorbed — the q01 convention).
+    "q122_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, u.p AS pos, v[CAST(u.p AS INTEGER)] AS x
+        |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS p) u),
+        |st AS (
+        |  SELECT pos, round(avg(x), 9) AS mu,
+        |    round(sqrt(avg(x*x) - avg(x)*avg(x)), 9) AS sigma
+        |  FROM x GROUP BY pos),
+        |z AS (
+        |  SELECT x.vec_id, x.pos,
+        |    CASE WHEN st.sigma = 0 THEN x.x - st.mu
+        |         ELSE (x.x - st.mu) / st.sigma END AS z
+        |  FROM x JOIN st ON st.pos = x.pos)
+        |SELECT vec_id AS id,
+        |  round(max(CASE WHEN pos = 1 THEN z END), 6) AS z0,
+        |  round(max(CASE WHEN pos = 2 THEN z END), 6) AS z1,
+        |  round(sqrt(sum(z*z)), 6) AS znorm
+        |FROM z GROUP BY vec_id ORDER BY id""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

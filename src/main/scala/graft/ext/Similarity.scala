@@ -282,6 +282,37 @@ object Similarity {
       .join(dropped, Seq("id"), "left_anti")
   }
 
+  /** ⊕ Per-dimension standardization (z-score whitening) — the
+    * embedding-preprocessing pass run before distance-based ops when
+    * dimensions have wildly different variances: `z_i = (x_i − μ_i)
+    * / σ_i` with per-dimension population statistics. Like
+    * [[ivfFit]], only the d×2 stats matrix crosses to the driver
+    * (one aggregation job); the transform itself is a row-local
+    * codegen'd `zip_with` against literal arrays — the corpus never
+    * shuffles. Stats are quantized (same reproducibility trick as
+    * the k-means centroids) so the q122 oracle can re-derive them in
+    * SQL; zero-variance dimensions pass through centered (σ=0 → z =
+    * x − μ, documented).
+    */
+  def standardizeDims(df: DataFrame, id: Column, vec: Column,
+                      quantizeTo: Int = 9): DataFrame = {
+    val v = df.select(id.as("id"), vecD(vec).as("v"))
+    val stats = v
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("x")), quantizeTo).as("mu"),
+        round(sqrt(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))),
+          quantizeTo).as("sigma"))
+      .orderBy(col("pos"))
+      .collect()
+    val mu = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val sigma = array(stats.map(r => lit(r.getDouble(2))): _*)
+    v.select(col("id"),
+      zip_with(col("v"), zip_with(mu, sigma, (m, s) => struct(m.as("m"), s.as("s"))),
+        (x, ms) => when(ms.getField("s") === 0, x - ms.getField("m"))
+          .otherwise((x - ms.getField("m")) / ms.getField("s"))).as("z"))
+  }
+
   /** Corpus-sized cluster count for [[semDedup]] — the IVF analogue
     * of [[bitsForCorpus]]: `k = max(minK, ceil(n/targetCluster))`
     * holds per-cluster occupancy (and the Σc² pair work per row)

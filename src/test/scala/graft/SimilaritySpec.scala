@@ -177,6 +177,26 @@ class SimilaritySpec extends SparkSuite {
     assert(fixed.nonEmpty && sized == fixed)
   }
 
+  test("standardizeDims: whitened dims have mean~0 std~1; zero-variance dim centers") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0f, 10.0f, 5.0f),
+      Seq(2.0f, 20.0f, 5.0f),
+      Seq(3.0f, 30.0f, 5.0f),
+      Seq(4.0f, 40.0f, 5.0f)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeDims(vecs, col("vec_id"), col("embedding"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    (0 until 2).foreach { d =>
+      val col_ = z.map(_(d))
+      assert(math.abs(col_.sum / col_.length) < 1e-9, s"dim $d mean off")
+      val sd = math.sqrt(col_.map(x => x * x).sum / col_.length)
+      assert(math.abs(sd - 1.0) < 1e-6, s"dim $d std $sd")
+    }
+    // constant third dimension: sigma = 0 -> centered, not divided
+    assert(z.forall(v => math.abs(v(2)) < 1e-9))
+  }
+
   test("semDedup: min-id survives its ε-ball; distant vectors untouched; cap disables pairs") {
     // two tight bundles (ids 0,1,2 ~ e1; ids 10,11 ~ e2) + one loner.
     // k=1 => a single cluster, so survival is decided by cosine alone.
