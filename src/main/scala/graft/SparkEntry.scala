@@ -2448,6 +2448,24 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q123 — ⊕ incremental near-dup screen
+    * ([[graft.ext.Dedup.incrementalNearDup]]): even-id docs are the
+    * standing history, odd-id docs the incoming crawl; each incoming
+    * doc is flagged if it near-dups history OR an earlier incoming
+    * doc. The asymmetric probe/build banding never generates
+    * history×history pairs; the oracle derives the identical dup set
+    * from q23's shared complete candidate CTEs plus the parity/min-id
+    * partner rules.
+    */
+  private val q123IncrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    ext.Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"))
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2572,6 +2590,7 @@ object SparkEntry {
     "q120_phrase_search"    -> q120PhraseSearch,
     "q121_cooccur_pmi"      -> q121CooccurPmi,
     "q122_standardize"      -> q122Standardize,
+    "q123_incremental_dedup" -> q123IncrementalDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5441,6 +5460,23 @@ object SparkEntry {
         |  round(max(CASE WHEN pos = 2 THEN z END), 6) AS z1,
         |  round(sqrt(sum(z*z)), 6) AS znorm
         |FROM z GROUP BY vec_id ORDER BY id""".stripMargin,
+    // q123: the shared complete candidate set (ham, pigeonhole at
+    // hamming <= 3), symmetrized, then the partner rules: an odd
+    // (incoming) id is dup iff its partner is even (history) or an
+    // earlier odd id.
+    "q123_incremental_dedup" ->
+      s"""$simhashHamCtes,
+        |sym AS (
+        |  SELECT id_a AS x, id_b AS y FROM ham WHERE hamming <= 3
+        |  UNION ALL
+        |  SELECT id_b AS x, id_a AS y FROM ham WHERE hamming <= 3),
+        |dup AS (
+        |  SELECT DISTINCT x FROM sym
+        |  WHERE x % 2 = 1 AND (y % 2 = 0 OR y < x))
+        |SELECT d.doc_id AS id, dup.x IS NOT NULL AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN dup ON dup.x = d.doc_id
+        |ORDER BY id""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

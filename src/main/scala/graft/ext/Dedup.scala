@@ -207,6 +207,62 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** 4×16-bit band rows for a 64-bit signature table — shared by the
+    * symmetric self-join ([[hammingPairs64]]) and the asymmetric
+    * incremental probe ([[incrementalNearDup]]).
+    */
+  private def sigBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("seg_idx"),
+            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("seg_val"))): _*)).as("seg"))
+      .select(col("id"), col("sig"), col("seg.seg_idx"), col("seg.seg_val"))
+
+  /** ⊕ Incremental near-dup screen — the daily-crawl production
+    * shape: flag each INCOMING document that is within `maxHamming`
+    * simhash bits of (a) anything already in `history` or (b) an
+    * earlier (smaller-id) incoming document. Returns
+    * `(id, is_dup)` for every incoming row; ids must be globally
+    * unique across both tables (the usual crawl-id contract).
+    *
+    * Scale shape — the point of the asymmetric form: new×old
+    * candidates come from an EQUI-join of incoming band rows against
+    * history band rows (probe/build), so history×history pairs are
+    * NEVER generated — cost scales with |incoming|·occupancy, not
+    * |history|²; at a 100 TB history the band table is the stored,
+    * bucketed index. new×new pairs reuse [[hammingPairs64]] with the
+    * min-id drop rule (q106's convention). Both candidate paths stay
+    * pigeonhole-complete for maxHamming ≤ 3. `maxBucket` caps
+    * HISTORY-side band buckets (boilerplate backstop, mirrored as
+    * HAVING). The streaming twin is
+    * [[graft.streaming.EventStream.nearDupPairsStream]] — same
+    * bands, state instead of a stored index.
+    */
+  def incrementalNearDup(history: DataFrame, incoming: DataFrame,
+                         id: Column, text: Column, maxHamming: Int = 3,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def sigsOf(df: DataFrame) = df.select(id.as("id"),
+      graft.functions.SimHash64.simhash64(shingles(text, 3)).as("sig"))
+    val hBands = sigBands(sigsOf(history))
+    val hOk = hBands.groupBy(col("seg_idx"), col("seg_val"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select(col("seg_idx"), col("seg_val"))
+    val hCapped = hBands.join(hOk, Seq("seg_idx", "seg_val"))
+      .select(col("seg_idx"), col("seg_val"),
+        col("id").as("__hid"), col("sig").as("__hsig"))
+    val iSigs = sigsOf(incoming)
+    val newOld = sigBands(iSigs)
+      .join(hCapped, Seq("seg_idx", "seg_val"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("__hsig"))) <= maxHamming)
+      .select(col("id")).distinct()
+    val newNew = hammingPairs64(iSigs, maxHamming, maxBucket)
+      .select(col("id_b").as("id")).distinct()  // min-id survives
+    iSigs.select(col("id"))
+      .join(newOld.union(newNew).distinct().withColumn("is_dup", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** ⊕ Winnowing near-dup: documents sharing ≥ `minShared` rolling-hash
     * fingerprints ([[graft.functions.Winnow]] — MOSS scheme). Candidate
     * generation is an equi-join on single fingerprint values (explode →

@@ -227,6 +227,29 @@ class DedupSpec extends SparkSuite {
     assert(none == 0L)
   }
 
+  test("incrementalNearDup: history match flags, earlier-incoming match flags, clean passes") {
+    import spark.implicits._
+    val base = (1 to 8).map(i =>
+      s"section $i the quick brown fox jumps over the lazy dog by the river bank").mkString(" ")
+    val other = (1 to 8).map(i =>
+      s"entry $i parquet files stripe their columns into pages with dictionaries and statistics").mkString(" ")
+    val history = Seq(10L -> base).toDF("doc_id", "text")
+    val incoming = Seq(
+      21L -> base.replaceFirst("lazy", "hazy"),      // near-dups history
+      23L -> other,                                  // fresh content
+      25L -> other.replaceFirst("pages", "cages"))   // near-dups EARLIER incoming 23
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.incrementalNearDup(history, incoming,
+        col("doc_id"), col("text"), maxHamming = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(21L -> true, 23L -> false, 25L -> true), s"$got")
+    // empty history: only the min-id rule applies
+    val noHist = graft.ext.Dedup.incrementalNearDup(
+        history.limit(0), incoming, col("doc_id"), col("text"), maxHamming = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(noHist === Map(21L -> false, 23L -> false, 25L -> true), s"$noHist")
+  }
+
   test("editVerifiedPairs: small edits kept, shingle-similar but edit-distant pairs verified away") {
     import spark.implicits._
     // long base: one substituted word changes only ~3 of ~100
