@@ -2466,6 +2466,20 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q124 — ⊕ robust outlier accounting
+    * ([[graft.ops.Profile.madOutliers]]): per-returnflag median/MAD
+    * gate over `l_extendedprice` at k = 3 — the heavy-tail-safe
+    * data-quality screen. Exact interpolated percentiles on both
+    * engines (Spark `percentile` ≡ DuckDB `quantile_cont`), rounded
+    * at 4; the comparison itself runs on the UNROUNDED med/mad
+    * identically on both sides.
+    */
+  private val q124MadOutliers: Q = (s, dir) => {
+    graft.ops.Profile.madOutliers(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_extendedprice"), k = 3.0)
+      .orderBy(col("g"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2591,6 +2605,7 @@ object SparkEntry {
     "q121_cooccur_pmi"      -> q121CooccurPmi,
     "q122_standardize"      -> q122Standardize,
     "q123_incremental_dedup" -> q123IncrementalDedup,
+    "q124_mad_outliers"     -> q124MadOutliers,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5477,6 +5492,22 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN dup ON dup.x = d.doc_id
         |ORDER BY id""".stripMargin,
+    // q124: quantile_cont ≡ Spark's interpolated percentile; the
+    // outlier comparison uses the UNROUNDED med/mad on both sides,
+    // only the reported med/mad round at 4.
+    "q124_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM b GROUP BY g),
+        |wm AS (SELECT b.g, b.x, med.med FROM b JOIN med ON med.g = b.g),
+        |mad AS (SELECT g, quantile_cont(abs(x - med), 0.5) AS mad FROM wm GROUP BY g)
+        |SELECT wm.g, count(*) AS n,
+        |  round(min(wm.med), 4) AS med,
+        |  round(min(mad.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(wm.x - wm.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM wm JOIN mad ON mad.g = wm.g
+        |GROUP BY wm.g ORDER BY wm.g""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

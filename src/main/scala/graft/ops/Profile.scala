@@ -44,6 +44,34 @@ object Profile {
         round(min(col("__mn") + (col("bucket") + 1) * ((col("__mx") - col("__mn")) / buckets)), 6).as("hi"))
   }
 
+  /** ⊕ Robust per-group outlier accounting via median/MAD — the
+    * data-quality gate that survives heavy tails where mean/stddev
+    * break (a single corrupt value drags a z-score gate, but not the
+    * median): per group, `med = median(x)`, `mad = median(|x − med|)`,
+    * outlier ⇔ `|x − med| > k·mad`. A zero MAD (>50% of the group at
+    * one value) flags EVERY row off the median — the strict
+    * convention, documented and mirrored. Two grouped exact
+    * percentiles (sort-based within group) + one broadcast join back;
+    * output is one row per group, never row-level.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  k: Double = 3.0, roundTo: Int = 4): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("x"), lit(0.5)).as("__med"))
+    val withMed = base.join(broadcast(med), "g")
+    val mad = withMed.groupBy(col("g"))
+      .agg(percentile(abs(col("x") - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__med")), roundTo).as("med"),
+        round(min(col("__mad")), roundTo).as("mad"),
+        sum(when(abs(col("x") - col("__med")) > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "Profile.summarize needs at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>

@@ -308,6 +308,21 @@ class OpsSpec extends SparkSuite {
       Time.resampleFill(df, col("user_id"), col("ts"), col("value"), 0L))
   }
 
+  test("Profile.madOutliers: hand-computed median/MAD; heavy tail robust; zero-MAD convention") {
+    import graft.ops.Profile
+    // group a: 1..7 plus one wild outlier 1000 -> med 4.5, deviations
+    // {3.5,2.5,1.5,0.5,0.5,1.5,2.5,995.5} -> mad 2.0; only 1000 exceeds 3*mad
+    val df = (Seq.tabulate(7)(i => ("a", (i + 1).toDouble)) :+ ("a", 1000.0) :+
+      ("b", 5.0) :+ ("b", 5.0) :+ ("b", 9.0))
+      .toDF("g", "x")
+    val got = Profile.madOutliers(df, col("g"), col("x"), k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got("a") === ((8L, 4.5, 2.0, 1L)), s"${got("a")}")
+    // group b: med 5, mad 0 -> strict convention flags the 9
+    assert(got("b") === ((3L, 5.0, 0.0, 1L)), s"${got("b")}")
+  }
+
   test("Profile.histogram: hand-checked buckets, max in last bucket, constant column, nulls out") {
     import graft.ops.Profile
     val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null).toDF("x")
