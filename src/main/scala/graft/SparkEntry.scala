@@ -2480,6 +2480,45 @@ object SparkEntry {
       .orderBy(col("g"))
   }
 
+  /** q125 — ⊕ duplicate-family size distribution: exact-dedup
+    * fingerprints grouped into families, then the HISTOGRAM of
+    * family sizes (how many families of 1, of 2, …) — the one-row-
+    * per-size corpus-health metric ("how duplicated is my corpus")
+    * a curation run reports before choosing dedup depth. Two hash
+    * aggregations, output bounded by the largest family size.
+    */
+  private val q125DupFamilies: Q = (s, dir) => {
+    // plant exact duplicates (the fixture has only NEAR-dups): every
+    // 10th doc twice, every 20th three times -> family sizes {1,2,3}
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0).select(col("text")))
+      .union(docs.filter(col("doc_id") % 20 === 0).select(col("text")))
+    corpus
+      .select(ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+      .orderBy(col("family_size"))
+  }
+
+  /** q126 — ⊕ cross-source near-dup flow matrix: q23's simhash pairs
+    * joined back to each side's source label and counted per
+    * (source_a, source_b) — "which sources copy from each other",
+    * the provenance diagnostic that decides whether dedup must run
+    * cross-source or per-source. Two broadcast-able dimension joins
+    * on the (tiny) pair list.
+    */
+  private val q126SourceFlow: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    ext.Dedup.simhashNearDup(docs, col("doc_id"), col("text"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2606,6 +2645,8 @@ object SparkEntry {
     "q122_standardize"      -> q122Standardize,
     "q123_incremental_dedup" -> q123IncrementalDedup,
     "q124_mad_outliers"     -> q124MadOutliers,
+    "q125_dup_families"     -> q125DupFamilies,
+    "q126_source_flow"      -> q126SourceFlow,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5508,6 +5549,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN abs(wm.x - wm.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM wm JOIN mad ON mad.g = wm.g
         |GROUP BY wm.g ORDER BY wm.g""".stripMargin,
+    // q125: same planted-duplicate union, md5 over the same
+    // clean+fold normalization, two counts.
+    "q125_dup_families" ->
+      raw"""WITH c AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 0),
+        |f AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM c),
+        |fam AS (SELECT fp, count(*) AS family_size FROM f GROUP BY fp)
+        |SELECT family_size, count(*) AS n_families
+        |FROM fam GROUP BY family_size ORDER BY family_size""".stripMargin,
+    // q126: the shared complete candidate CTEs + two source joins.
+    "q126_source_flow" ->
+      s"""$simhashHamCtes,
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_pairs
+        |FROM ham
+        |JOIN src a ON a.doc_id = ham.id_a
+        |JOIN src b ON b.doc_id = ham.id_b
+        |WHERE hamming <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —
