@@ -2216,11 +2216,25 @@ object SparkEntry {
     * q57's format-boundary proof for the second columnar lake format
     * (text bytes, counts and sums must survive ORC's zlib striping
     * exactly; the oracle computes the same aggregate from parquet).
+    *
+    * The write runs ONCE per (session, sfDir) — plan-shape sweeps and
+    * bench warmup/iterations reuse the cached path instead of
+    * re-executing a write job and leaking a temp dir per invocation;
+    * the dirs are removed on JVM exit.
     */
+  private val orcOutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      orcOutCache.values.forEach(p => rm(new java.io.File(p)))
+    }))
+  }
   private val q111OrcRoundtrip: Q = (s, dir) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
-    sinks.Orc.write(Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
+    val out = orcOutCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir,
+      _ => writeOrcOnce(s, dir))
     sinks.Orc.read(s, out)
       .filter(col("n_chars") >= 100)  // stripe-prunable predicate
       .groupBy(col("lang"))
@@ -2230,6 +2244,12 @@ object SparkEntry {
         min(md5(col("text").cast("binary"))).as("min_md5"),
         countDistinct(md5(col("text").cast("binary"))).as("n_distinct_md5"))
       .orderBy(col("lang"))
+  }
+  private def writeOrcOnce(s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    sinks.Orc.write(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
+    out
   }
 
   /** q112 — ⊕ corpus-sized SemDeDup
@@ -5504,7 +5524,7 @@ object SparkEntry {
         |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS p) u),
         |st AS (
         |  SELECT pos, round(avg(x), 9) AS mu,
-        |    round(sqrt(avg(x*x) - avg(x)*avg(x)), 9) AS sigma
+        |    round(sqrt(greatest(0, avg(x*x) - avg(x)*avg(x))), 9) AS sigma
         |  FROM x GROUP BY pos),
         |z AS (
         |  SELECT x.vec_id, x.pos,
@@ -5606,7 +5626,7 @@ object SparkEntry {
   private def semDedupOracleSql: String =
     s"""$ivfTrainCtes,
       |cs AS (
-      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= 10000),
+      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
       |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
       |dropped AS (
       |  SELECT DISTINCT b.vec_id AS id

@@ -233,8 +233,12 @@ object Dedup {
     * bucketed index. new×new pairs reuse [[hammingPairs64]] with the
     * min-id drop rule (q106's convention). Both candidate paths stay
     * pigeonhole-complete for maxHamming ≤ 3. `maxBucket` caps
-    * HISTORY-side band buckets (boilerplate backstop, mirrored as
-    * HAVING). The streaming twin is
+    * HISTORY-side band buckets here and incoming-side buckets inside
+    * [[hammingPairs64]] — two SEPARATE per-parity caps, while the
+    * q123 oracle's shared CTE caps the combined band bucket; the
+    * mirror is exact only while no bucket reaches the cap (the same
+    * contract as every other bucket backstop's HAVING). The
+    * streaming twin is
     * [[graft.streaming.EventStream.nearDupPairsStream]] — same
     * bands, state instead of a stored index.
     */

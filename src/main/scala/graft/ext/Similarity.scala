@@ -301,7 +301,12 @@ object Similarity {
       .select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(round(avg(col("x")), quantizeTo).as("mu"),
-        round(sqrt(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))),
+        // greatest(0, var): floating-point cancellation on a near-
+        // constant dimension can make avg(x²)−avg(x)² slightly
+        // negative → sqrt = NaN, which the σ=0 branch would NOT
+        // catch (NaN ≠ 0) and the whole z vector would go NaN.
+        round(sqrt(greatest(lit(0.0),
+          avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")))),
           quantizeTo).as("sigma"))
       .orderBy(col("pos"))
       .collect()

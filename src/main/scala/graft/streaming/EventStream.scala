@@ -118,20 +118,30 @@ object EventStream {
     * the signatures seen so far — an arriving document emits a pair
     * for every earlier same-bucket signature within `maxHamming`
     * bits. Complete for maxHamming ≤ 3 by the batch form's pigeonhole
-    * argument, and each pair is emitted EXACTLY once even though it
-    * may collide in several bands: only the LOWEST colliding band
-    * (computable locally from the two sigs) emits.
+    * argument, and each pair is emitted EXACTLY once via a second
+    * stateful stage keyed by the pair itself: every band whose bucket
+    * actually STORED the earlier signature emits a candidate, and the
+    * pair-keyed stage passes only the first. (The earlier "lowest
+    * colliding band emits" rule broke under cap pressure — if the
+    * lowest colliding band's bucket was full when the earlier sig
+    * arrived, no band emitted at all; deciding the emitting band
+    * locally from the two sigs cannot know which buckets stored
+    * them.) The pair stage also absorbs source re-deliveries of a
+    * doc_id, which would otherwise re-emit its pairs.
     *
-    * State/scale shape: state per bucket is the distinct signature
+    * State/scale shape: per-bucket state is the distinct signature
     * list, capped at `maxPerBucket` (the streaming mirror of the
     * batch `maxBucket` skew backstop — an overflowing boilerplate
     * bucket stops absorbing new signatures instead of growing without
-    * bound). Within a micro-batch, rows process in doc-id order, so
-    * replays are deterministic. Like [[errorAlerts]] this keeps
-    * NoTimeout state for the test horizon; a production deployment
-    * bounds the horizon with a timeout eviction, accepting misses
-    * beyond it (the same trade
-    * [[dedupByFingerprint]] makes via its watermark).
+    * bound; a pair whose signatures were stored in NO shared bucket
+    * is still missed — that is the cap's documented trade). Pair-
+    * stage state is one boolean per emitted pair — proportional to
+    * the output, the same order as the buckets already hold. Within a
+    * micro-batch, rows process in doc-id order, so replays are
+    * deterministic. Like [[errorAlerts]] this keeps NoTimeout state
+    * for the test horizon; a production deployment bounds the horizon
+    * with a timeout eviction, accepting misses beyond it (the same
+    * trade [[dedupByFingerprint]] makes via its watermark).
     */
   def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 3, maxPerBucket: Int = 10000)
@@ -139,7 +149,7 @@ object EventStream {
     val spark = docs.sparkSession
     import spark.implicits._
     def bandOf(sig: Long, b: Int): Long = (sig >>> (16 * b)) & 0xffffL
-    docs
+    val candidates = docs
       .select(col(idCol).cast("long").as("doc_id"),
         graft.functions.SimHash64.simhash64(
           graft.ext.Dedup.shingles(col(textCol), 3)).as("sig"))
@@ -152,17 +162,17 @@ object EventStream {
           val st = state.getOption.getOrElse(BucketSigs(Array.empty, Array.empty))
           var ids = st.ids; var sigs = st.sigs
           val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
-          rows.toArray.sortBy(_._3).foreach { case (band, _, id, sig) =>
+          rows.toArray.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            // every STORED earlier sig within maxHamming emits a
+            // candidate — cross-band duplicates are resolved by the
+            // pair-keyed stage below, so no local band arbitration
             var i = 0
             while (i < ids.length) {
               if (ids(i) != id) {
                 val h = java.lang.Long.bitCount(sigs(i) ^ sig)
                 if (h <= maxHamming) {
-                  val first = (0 until 4).find(b => bandOf(sig, b) == bandOf(sigs(i), b)).get
-                  if (first == band) {
-                    val (a, bId) = if (ids(i) < id) (ids(i), id) else (id, ids(i))
-                    out += NearDupPair(a, bId, h)
-                  }
+                  val (a, bId) = if (ids(i) < id) (ids(i), id) else (id, ids(i))
+                  out += NearDupPair(a, bId, h)
                 }
               }
               i += 1
@@ -173,6 +183,14 @@ object EventStream {
           }
           state.update(BucketSigs(ids, sigs))
           out.iterator
+      }
+    candidates
+      .groupByKey(p => (p.id_a, p.id_b))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: (Long, Long), rows: Iterator[NearDupPair],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
       }
   }
 
