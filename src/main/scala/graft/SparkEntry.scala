@@ -2539,6 +2539,89 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q127 — ⊕ ordered conversion funnel
+    * ([[graft.ops.Funnel.funnelSteps]]): view → click → purchase,
+    * strictly increasing timestamps, every step within 7 days of the
+    * user's entry. The oracle rebuilds the per-step reached sets as
+    * chained min-timestamp CTEs — counts are exact integers, so the
+    * conversion curve hash-compares with no rounding.
+    */
+  private val q127Funnel: Q = (s, dir) => {
+    ops.Funnel.funnelSteps(Tables.events(s, dir), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"), horizon = "7 days")
+  }
+
+  /** q128 — ⊕ weekly cohort retention
+    * ([[graft.ops.Funnel.retentionCohorts]]): users cohorted by ISO
+    * week of first activity, counted per (cohort, week offset).
+    * `date_trunc('week')` is Monday-anchored in BOTH engines and the
+    * offset is pure date arithmetic — all-integer output.
+    */
+  private val q128Retention: Q = (s, dir) => {
+    ops.Funnel.retentionCohorts(Tables.events(s, dir), col("user_id"), col("ts"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** q129 — ⊕ last-touch attribution
+    * ([[graft.ops.Funnel.lastTouchAttribution]]): each purchase
+    * credited to the most recent view/click/signup within 3 days,
+    * else `direct`. The (ts, event_id) total order makes the running
+    * `last(..., ignoreNulls)` deterministic; the oracle is the same
+    * IGNORE NULLS running window in DuckDB. Sum rounded at 2 (the
+    * q39 convention).
+    */
+  private val q129Attribution: Q = (s, dir) => {
+    ops.Funnel.lastTouchAttribution(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"),
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        valueCol = col("value"), lookback = "3 days")
+      .orderBy(col("channel"))
+  }
+
+  /** q130 — ⊕ per-node triangle counts
+    * ([[graft.ops.Graph.triangleCounts]]) over the q109 arithmetic
+    * graph. The Scala side runs the degree-ordered orientation (wedge
+    * work bounded m^{3/2} under skew); the oracle counts the same
+    * triangles with the naive canonical three-way join — different
+    * algorithm, identical integer result, which is exactly the proof
+    * the orientation trick preserves semantics.
+    */
+  private val q130Triangles: Q = (s, dir) => {
+    val e = Tables.documents(s, dir)
+      .select((col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 40).as("dst"))
+    ops.Graph.triangleCounts(e, col("src"), col("dst"))
+      .orderBy(col("node"))
+  }
+
+  /** q131 — ⊕ entity resolution
+    * ([[graft.ext.EntityRes.resolveEntities]]): customers blocked by
+    * nation, paired by the codegen [[graft.functions.JaroWinkler]]
+    * comparator at ≥ 0.98 (rounded at 6 BEFORE the threshold on both
+    * sides, so the gate itself is cross-engine exact), components via
+    * the q48 label-propagation, singletons kept. The oracle scores
+    * with DuckDB's own `jaro_winkler_similarity` — two independent
+    * implementations of the comparator must agree bit-for-bit on
+    * every one of the ~44k block pairs for the hash to match.
+    */
+  private val q131EntityRes: Q = (s, dir) => {
+    ext.EntityRes.resolveEntities(Tables.customer(s, dir), col("c_custkey"),
+        col("c_name"), col("c_nationkey"), threshold = 0.98)
+      .orderBy(col("id"))
+  }
+
+  /** q132 — ⊕ session path transitions
+    * ([[graft.ops.Funnel.pathTransitions]]): the first-order Markov
+    * matrix of event types over ≤10-minute consecutive gaps. The
+    * probability is a ratio of exact counts — both engines divide
+    * the same integers, rounded at 6.
+    */
+  private val q132PathTransitions: Q = (s, dir) => {
+    ops.Funnel.pathTransitions(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"), maxGap = "10 minutes")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2667,6 +2750,12 @@ object SparkEntry {
     "q124_mad_outliers"     -> q124MadOutliers,
     "q125_dup_families"     -> q125DupFamilies,
     "q126_source_flow"      -> q126SourceFlow,
+    "q127_funnel"           -> q127Funnel,
+    "q128_retention"        -> q128Retention,
+    "q129_attribution"      -> q129Attribution,
+    "q130_triangles"        -> q130Triangles,
+    "q131_entity_res"       -> q131EntityRes,
+    "q132_path_transitions" -> q132PathTransitions,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5593,6 +5682,120 @@ object SparkEntry {
         |JOIN src b ON b.doc_id = ham.id_b
         |WHERE hamming <= 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q127: chained min-timestamp reach sets; step k joins step k−1
+    // and keeps events strictly after the previous step but within
+    // the 7-day entry-anchored horizon. Counts are exact.
+    "q127_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(s2.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT 1 AS step_idx, 'view' AS step_name, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step_idx""".stripMargin,
+    // q128: date_trunc('week') is Monday-anchored in both engines;
+    // the offset is day arithmetic / 7 — all integers.
+    "q128_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cw, w) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q129: the same running IGNORE NULLS last-touch window over the
+    // (ts, event_id) total order; sum rounded at 2 (q39 convention).
+    "q129_attribution" ->
+      """WITH t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('view','click','signup')
+        |                    THEN event_type END IGNORE NULLS) OVER w AS ltype,
+        |    last_value(CASE WHEN event_type IN ('view','click','signup')
+        |                    THEN ts END IGNORE NULLS) OVER w AS lts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN lts IS NOT NULL AND lts >= ts - INTERVAL 3 DAY
+        |            THEN ltype ELSE 'direct' END AS channel,
+        |  count(*) AS n_conversions, round(sum(value), 2) AS sum_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q130: the NAIVE canonical three-way join (a<b edges; triangle
+    // x<y<z found once) — a different algorithm than the Scala side's
+    // degree-ordered orientation, same exact integer counts.
+    "q130_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 37 AS s, (doc_id * 7 + 3) % 40 AS d FROM documents),
+        |e AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
+    // q131: DuckDB's native jaro_winkler_similarity scores the same
+    // nation-blocked pairs (round at 6 BEFORE the threshold, both
+    // sides); components via the q48 recursive min-id closure;
+    // singletons restored by the left joins.
+    "q131_entity_res" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.98),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |rec AS (
+        |  SELECT v, v AS m FROM nodes
+        |  UNION
+        |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(m) AS entity_id FROM rec GROUP BY v),
+        |sizes AS (
+        |  SELECT entity_id, count(*) AS entity_size FROM comp GROUP BY entity_id)
+        |SELECT c.c_custkey AS id,
+        |  coalesce(comp.entity_id, c.c_custkey) AS entity_id,
+        |  coalesce(sizes.entity_size, 1) AS entity_size
+        |FROM customer c
+        |LEFT JOIN comp ON comp.v = c.c_custkey
+        |LEFT JOIN sizes ON sizes.entity_id = comp.entity_id
+        |ORDER BY id""".stripMargin,
+    // q132: lead over the same (ts, event_id) total order; p is a
+    // ratio of exact counts rounded at 6.
+    "q132_path_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS ft, lead(event_type) OVER w AS tt,
+        |    ts, lead(ts) OVER w AS nts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT ft AS from_type, tt AS to_type, count(*) AS n FROM t
+        |  WHERE tt IS NOT NULL AND nts <= ts + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM a ORDER BY from_type, to_type""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

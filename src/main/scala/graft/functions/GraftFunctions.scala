@@ -55,7 +55,9 @@ object GraftFunctions {
         intArg(a(1), "lsh_buckets", 1), intArg(a(2), "lsh_buckets", 2)))),
     ("winnow", "winnow(text, k, w) - winnowing fingerprint hashes",
       checked("winnow", 3)(a => Winnow(a(0),
-        intArg(a(1), "winnow", 1), intArg(a(2), "winnow", 2))))
+        intArg(a(1), "winnow", 1), intArg(a(2), "winnow", 2)))),
+    ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, boost>0.7)",
+      checked("jaro_winkler", 2)(a => JaroWinkler(a(0), a(1))))
   ).map { case (name, usage, b) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", null, name, usage, ""), b)

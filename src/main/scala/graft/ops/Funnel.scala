@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event log: ordered funnels,
+  * cohort retention, last-touch attribution, and session path
+  * transitions — the audience-measurement layer the reference's
+  * community-discovery domain implies (who converts, who returns,
+  * what drove it) but only ever approximates with flat scans
+  * (reference `app.py` filters + counts; no ordered-sequence or
+  * cohort operator exists there).
+  *
+  * All four are window/join compositions over ONE shuffle key — the
+  * user — so at 100 TB each op is a single hash repartition of the
+  * event log followed by per-partition sorted scans; nothing here
+  * materializes per-user state wider than a handful of timestamps.
+  */
+object Funnel {
+
+  /** ⊕ Ordered funnel: for each prefix of `steps`, the users whose
+    * events contain the steps IN ORDER (strictly increasing
+    * timestamps), with every later step landing within `horizon` of
+    * the user's step-1 time (the entry-anchored window convention —
+    * a funnel measures a journey that STARTED, so the clock runs
+    * from entry, not from the previous step).
+    *
+    * Returns `(step_idx, step_name, n_users)`, one row per step —
+    * the conversion curve. `n_users` is non-increasing by
+    * construction.
+    *
+    * Shape: step 1 is one hash aggregation of the filtered scan;
+    * each later step is an equi-join of the (shrinking) reached set
+    * against the step's filtered events on the user key plus one
+    * aggregation — k−1 joins that all share the user-hash
+    * partitioning, each strictly smaller than the last. The per-user
+    * carry is two timestamps (entry anchor + previous step), never a
+    * collected event list — a power user with millions of events
+    * costs the same two columns as anyone else.
+    */
+  def funnelSteps(events: DataFrame, userCol: Column, tsCol: Column,
+                  typeCol: Column, steps: Seq[String],
+                  horizon: String = "7 days"): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val spark = events.sparkSession
+    val base = events.select(userCol.as("__u"), tsCol.as("__ts"), typeCol.as("__et"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull)
+    // per-user (entry anchor t1, previous-step time tp) — both carried
+    // through every join so each stage stays a two-column build side
+    var reached = base.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t1"))
+      .withColumn("__tp", col("__t1"))
+      .persist() // reused as the next stage's build side AND counted
+    val counts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step_idx"), lit(steps.head).as("step_name"),
+          col("n_users")))
+    for (i <- 1 until steps.length) {
+      val prev = reached
+      reached = base.filter(col("__et") === steps(i))
+        .join(prev, Seq("__u"))
+        .filter(col("__ts") > col("__tp") &&
+          col("__ts") <= col("__t1") + expr(s"INTERVAL $horizon"))
+        .groupBy(col("__u"))
+        .agg(min(col("__t1")).as("__t1"), min(col("__ts")).as("__tp"))
+        .persist()
+      counts += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }
+    counts.reduce(_.union(_)).orderBy(col("step_idx"))
+  }
+
+  /** ⊕ Weekly cohort retention: users are cohorted by the ISO week
+    * of their first event; for every (cohort week, week offset) the
+    * count of cohort members active that week. The classic
+    * triangular retention matrix, flattened to rows.
+    *
+    * Shape: distinct (user, week) activity — one hash aggregation —
+    * then the per-user min as the cohort, joined back on the user
+    * key (co-partitioned with the distinct's output), then one final
+    * aggregation on (cohort, offset). The event log is scanned once.
+    */
+  def retentionCohorts(events: DataFrame, userCol: Column, tsCol: Column)
+      : DataFrame = {
+    val act = events
+      .filter(userCol.isNotNull && tsCol.isNotNull)
+      .select(userCol.as("__u"), date_trunc("week", tsCol).as("__w"))
+      .distinct()
+    val coh = act.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    act.join(coh, Seq("__u"))
+      .groupBy(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** ⊕ Last-touch attribution: each conversion event's value is
+    * credited to the type of the user's most recent preceding touch
+    * event within `lookback`, or `"direct"` when no touch qualifies.
+    * `(channel, n_conversions, sum_value)` per channel.
+    *
+    * Shape: ONE window pass over the user-partitioned, time-ordered
+    * event log (`last(..., ignoreNulls)` over an unbounded-preceding
+    * ROWS frame is an O(1)-per-row running value, not a frame
+    * re-scan), then a hash aggregation on the channel. The
+    * `(ts, id)` ordering is a total order, so credit assignment is
+    * deterministic under ties.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: Column, tsCol: Column,
+                           typeCol: Column, idCol: Column,
+                           touchTypes: Seq[String], convType: String,
+                           valueCol: Column, lookback: String = "3 days")
+      : DataFrame = {
+    val isTouch = typeCol.isin(touchTypes.map(x => x: Any): _*)
+    val w = Window.partitionBy(userCol).orderBy(tsCol.asc, idCol.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__ltype", last(when(isTouch, typeCol), ignoreNulls = true).over(w))
+      .withColumn("__lts", last(when(isTouch, tsCol), ignoreNulls = true).over(w))
+      .filter(typeCol === convType)
+      .select(
+        when(col("__lts").isNotNull &&
+            col("__lts") >= tsCol - expr(s"INTERVAL $lookback"),
+          col("__ltype")).otherwise(lit("direct")).as("channel"),
+        valueCol.as("__v"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__v")), 2).as("sum_value"))
+  }
+
+  /** ⊕ Session path transitions: the first-order Markov matrix of
+    * event types — for every consecutive (A → B) pair of a user's
+    * time-ordered events with gap ≤ `maxGap`, the transition count
+    * and the per-source probability. The "where do users go next"
+    * view q39's sessionizer implies but never materializes.
+    *
+    * Shape: one `lead` window pass on the user partition, then a
+    * hash aggregation on (from, to); the probability is a second
+    * tiny window over the aggregated matrix (|types|² rows), not the
+    * event log.
+    */
+  def pathTransitions(events: DataFrame, userCol: Column, tsCol: Column,
+                      typeCol: Column, idCol: Column,
+                      maxGap: String = "10 minutes"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol.asc, idCol.asc)
+    val agg = events
+      .withColumn("__nt", lead(typeCol, 1).over(w))
+      .withColumn("__nts", lead(tsCol, 1).over(w))
+      .filter(col("__nt").isNotNull &&
+        col("__nts") <= tsCol + expr(s"INTERVAL $maxGap"))
+      .groupBy(typeCol.as("from_type"), col("__nt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    agg.withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+}

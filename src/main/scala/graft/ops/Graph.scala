@@ -65,4 +65,61 @@ object Graph {
     nodes.unpersist(); eDeg.unpersist()
     ranks
   }
+
+  /** ⊕ Per-node triangle counts over an undirected simple graph —
+    * the local clustering signal (a node in many triangles sits in a
+    * dense community; on a near-dup pair graph, triangles separate
+    * genuine duplicate families from chance band collisions).
+    *
+    * Degree-ordered orientation (Cohen 2009, "Graph twiddling in a
+    * MapReduce world"; also the arXiv:1101.5211 'forward' analysis):
+    * each undirected edge is directed from its lower-(degree, id)
+    * endpoint to the higher, making every triangle a single wedge
+    * u→v, u→w closed by v→w — found exactly once. The wedge join
+    * fans out from the LOW-degree side only, so a celebrity node
+    * with degree d contributes d wedges as a target but never d² as
+    * a hub — the standard bound: wedge count ≤ m^{3/2} regardless of
+    * skew, where the naive per-node join is Σ deg² and a single hub
+    * breaks it.
+    *
+    * Shape: symmetrize + distinct (one shuffle), degree aggregation
+    * (same key), one self-join on the hub key for wedges, one
+    * equi-join against the oriented edges to close them, then an
+    * explode to the three corners and a count per node. Every join
+    * is an equi-join on node keys; nothing crosses to the driver.
+    * Returns `(node, n_triangles)` for nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val und = edges
+      .select(least(srcCol, dstCol).as("a"), greatest(srcCol, dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b) — a TOTAL order, so
+    // exactly one direction survives per edge
+    val annotated = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = annotated.select(
+      when(aFirst, struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    // wedges u→x, u→y canonicalized BY THE SAME (deg, id) ORDER the
+    // orientation used (each arm carries its endpoint's degree), so
+    // the closing edge v→w — oriented low-ord → high-ord — is stored
+    // in exactly the direction the join probes; a triangle {a,b,c}
+    // with ord a < b < c is found once, at hub a
+    val l = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val r = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = l.join(r, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x").as("v"), col("y").as("w"))
+    val closed = wedges.join(oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"))
+    closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Funnel
+
+/** Semantics of the product-analytics operators ([[graft.ops.Funnel]])
+  * on hand-built event logs — order sensitivity, horizon/lookback
+  * boundaries, and tie determinism that the q127-q132 oracles (which
+  * mirror the same logic) cannot isolate per-rule.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.zipWithIndex.map { case ((u, t, et), i) => (i.toLong, u, ts(t), et, 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("funnelSteps: order matters — a user with the steps out of order converts only the prefix") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // user 2 purchases BEFORE clicking: reaches view+click only
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:30:00", "purchase"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      // user 3 never views: in no step
+      (3L, "2024-01-01 09:00:00", "click"),
+      (3L, "2024-01-01 09:30:00", "purchase"))
+    val r = Funnel.funnelSteps(e, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r === Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnelSteps: horizon is anchored at ENTRY — a step inside the previous-step window but past the entry window is out") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-06 00:00:00", "click"),     // day 5: inside 7d of entry
+      (1L, "2024-01-09 00:00:00", "purchase"),  // day 8: within 3d of click but PAST 7d of entry
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-02 00:00:00", "click"),
+      (2L, "2024-01-07 00:00:00", "purchase"))  // day 6: inside
+    val r = Funnel.funnelSteps(e, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), horizon = "7 days")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r === Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnelSteps: equal timestamps do NOT advance (strictly increasing)") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"))
+    val r = Funnel.funnelSteps(e, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r === Seq((1, "view", 1L), (2, "click", 0L)))
+  }
+
+  test("retentionCohorts: cohort = week of first activity, offsets in whole weeks") {
+    val e = ev(
+      (1L, "2024-01-02 10:00:00", "view"),  // week of Mon 2024-01-01
+      (1L, "2024-01-10 10:00:00", "view"),  // offset 1
+      (1L, "2024-01-24 10:00:00", "view"),  // offset 3
+      (2L, "2024-01-10 09:00:00", "view"),  // cohort week 2024-01-08
+      (2L, "2024-01-11 09:00:00", "view"))  // same week — one row
+    val r = Funnel.retentionCohorts(e, col("user_id"), col("ts"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(r === Set(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("lastTouchAttribution: lookback boundary, direct fallback, and same-ts tie broken by event id") {
+    val e = Seq(
+      // user 1: click 2 days before purchase — attributed
+      (1L, 1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-03 00:00:00"), "purchase", 10.0),
+      // user 2: view 4 days before purchase — outside 3d lookback
+      (3L, 2L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (4L, 2L, ts("2024-01-05 00:00:00"), "purchase", 20.0),
+      // user 3: no touch at all
+      (5L, 3L, ts("2024-01-02 00:00:00"), "purchase", 30.0),
+      // user 4: view and click at the SAME instant — higher event_id wins
+      (6L, 4L, ts("2024-01-02 00:00:00"), "view", 0.0),
+      (7L, 4L, ts("2024-01-02 00:00:00"), "click", 0.0),
+      (8L, 4L, ts("2024-01-02 01:00:00"), "purchase", 40.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Funnel.lastTouchAttribution(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        Seq("view", "click", "signup"), "purchase", col("value"), "3 days")
+      .as[(String, Long, Double)].collect().map { case (c, n, v) => c -> ((n, v)) }.toMap
+    assert(r("click") === ((2L, 50.0)))   // users 1 and 4
+    assert(r("direct") === ((2L, 50.0)))  // users 2 and 3
+    assert(!r.contains("view"))
+  }
+
+  test("lastTouchAttribution: exact lookback boundary is inclusive") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (2L, 1L, ts("2024-01-04 00:00:00"), "purchase", 5.0)) // exactly 3 days
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Funnel.lastTouchAttribution(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        Seq("view"), "purchase", col("value"), "3 days")
+      .as[(String, Long, Double)].collect().map { case (c, n, v) => c -> n }.toMap
+    assert(r === Map("view" -> 1L))
+  }
+
+  test("pathTransitions: gap filter drops slow transitions; probabilities sum to 1 per source") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),   // view->click (5m)
+      (1L, "2024-01-01 10:30:00", "view"),    // click->view dropped (25m)
+      (1L, "2024-01-01 10:31:00", "click"),   // view->click (1m)
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:02:00", "purchase"))// view->purchase (2m)
+    val r = Funnel.pathTransitions(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    val m = r.map { case (f, t, n, p) => (f, t) -> ((n, p)) }.toMap
+    assert(m === Map(
+      ("view", "click") -> ((2L, 0.666667)),
+      ("view", "purchase") -> ((1L, 0.333333))))
+  }
+}

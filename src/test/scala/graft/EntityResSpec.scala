@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.EntityRes
+import graft.functions.JaroWinkler
+
+/** [[graft.functions.JaroWinkler]] pinned against the published
+  * reference values (the Winkler 1990 examples every implementation —
+  * including the q131 oracle's DuckDB native — agrees on), plus
+  * [[graft.ext.EntityRes]] blocking/cluster semantics.
+  */
+class EntityResSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.computeChars(a, b)
+
+  test("jaroWinkler: published reference pairs") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.961111111) < 1e-9)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-9)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.813333333) < 1e-9)
+    // below the 0.7 boost threshold: plain jaro, no prefix bonus
+    assert(math.abs(jw("abc", "xyc") - jw("cba", "cyx")) < 1e-9)
+  }
+
+  test("jaroWinkler: edges — equal, empty, disjoint, prefix cap at 4") {
+    assert(jw("same", "same") === 1.0)
+    assert(jw("", "") === 1.0)        // equal strings, both empty
+    assert(jw("", "abc") === 0.0)
+    assert(jw("abc", "") === 0.0)
+    assert(jw("abc", "xyz") === 0.0)  // no matches
+    // prefix bonus caps at 4 shared chars: these differ only past
+    // position 4 and at the tail, same jaro => same boost
+    val a = jw("prefixAB", "prefixBA")
+    assert(a > 0.9)
+  }
+
+  test("jaroWinkler: expression matches the Scala helper through codegen and the SQL registration") {
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", ""), ("a", ""))
+      .toDF("a", "b")
+    val viaExpr = df.select(JaroWinkler.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    val expect = Seq(jw("martha", "marhta"), jw("dwayne", "duane"), 1.0, 0.0)
+    viaExpr.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    graft.functions.GraftFunctions.install(spark)
+    df.createOrReplaceTempView("jwt")
+    val viaSql = spark.sql("SELECT jaro_winkler(a, b) FROM jwt")
+      .as[Double].collect().toSeq
+    assert(viaSql === viaExpr)
+  }
+
+  test("resolveEntities: clusters within blocks, no matches across blocks, singletons kept") {
+    val recs = Seq(
+      (1L, "Acme Corporation", "US"),
+      (2L, "Acme Corporatlon", "US"),   // 1-char variant of 1 — same entity
+      (3L, "Acme Corporation", "EU"),   // identical name, different block: NOT merged
+      (4L, "Zenith Ltd", "US"),
+      (5L, "Zenith Ltd.", "EU"))
+      .toDF("id", "name", "region")
+    val r = EntityRes.resolveEntities(recs, col("id"), col("name"),
+        col("region"), threshold = 0.95)
+      .as[(Long, Long, Long)].collect().map { case (i, e, s) => i -> ((e, s)) }.toMap
+    assert(r(1L) === ((1L, 2L)) && r(2L) === ((1L, 2L)))
+    assert(r(3L) === ((3L, 1L)))
+    assert(r(4L) === ((4L, 1L)) && r(5L) === ((5L, 1L)))
+  }
+
+  test("resolveEntities: transitive closure merges chains through a shared middle record") {
+    // a~b and b~c but a,c farther apart: one entity via transitivity
+    val recs = Seq(
+      (10L, "Jonathan Smithers", "X"),
+      (11L, "Jonathon Smithers", "X"),
+      (12L, "Jonathon Smethers", "X"))
+      .toDF("id", "name", "blk")
+    val pairs = EntityRes.matchPairs(recs, col("id"), col("name"), col("blk"), 0.93)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet.contains((10L, 11L)))
+    val r = EntityRes.resolveEntities(recs, col("id"), col("name"),
+        col("blk"), threshold = 0.93)
+      .as[(Long, Long, Long)].collect().map { case (i, e, s) => i -> ((e, s)) }.toMap
+    assert(r.values.toSet === Set((10L, 3L)), s"expected one 3-entity, got $r")
+  }
+
+  test("matchPairs: an over-cap block is dropped from candidate generation (skew backstop)") {
+    val recs = (1L to 10L).map(i => (i, "same name", "big")) :+ ((11L, "same name", "small"))
+    val df = recs.toDF("id", "name", "blk")
+    val pairs = EntityRes.matchPairs(df, col("id"), col("name"), col("blk"),
+        threshold = 0.9, maxBlock = 5)
+    assert(pairs.count() === 0)
+    val r = EntityRes.resolveEntities(df, col("id"), col("name"), col("blk"),
+        threshold = 0.9, maxBlock = 5)
+    // everyone survives as a singleton — records are never lost
+    assert(r.count() === 11)
+  }
+}

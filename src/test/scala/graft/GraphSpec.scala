@@ -47,4 +47,38 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     assert(r.keySet === Set(1L, 2L))
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("s", "t"), col("s"), col("t"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = tris(k4)
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graph (star + path) returns no rows") {
+    assert(tris(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 4L -> 5L)) === Map.empty)
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops don't change counts") {
+    // one triangle {1,2,3}: each edge given twice in mixed directions,
+    // plus a self-loop and a dangling edge
+    val r = tris(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 1L,
+      1L -> 3L, 2L -> 2L, 3L -> 4L))
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: hub-skew graph matches the naive per-node count (degree orientation preserves semantics)") {
+    // hub 0 joined to 20 spokes; consecutive spokes joined — 19
+    // hub-spoke-spoke triangles; hub is in all 19, spoke i in
+    // |{i-1,i+1} ∩ spokes| of them
+    val spokes = (1L to 20L)
+    val edges = spokes.map(s => (0L, s)) ++ spokes.init.map(s => (s, s + 1))
+    val r = tris(edges)
+    assert(r(0L) === 19L)
+    assert(r(1L) === 1L && r(20L) === 1L)
+    (2L to 19L).foreach(s => assert(r(s) === 2L, s"spoke $s"))
+  }
 }
