@@ -2594,7 +2594,7 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
-  /** q131 — ⊕ entity resolution
+  /** q131 — ⊕ entity resolution, exhaustive-block BASELINE
     * ([[graft.ext.EntityRes.resolveEntities]]): customers blocked by
     * nation, paired by the codegen [[graft.functions.JaroWinkler]]
     * comparator at ≥ 0.98 (rounded at 6 BEFORE the threshold on both
@@ -2603,10 +2603,35 @@ object SparkEntry {
     * with DuckDB's own `jaro_winkler_similarity` — two independent
     * implementations of the comparator must agree bit-for-bit on
     * every one of the ~44k block pairs for the hash to match.
+    *
+    * Labeled quadratic baseline (the q25 convention): the block key's
+    * cardinality is FIXED (25 nations), so block size grows with the
+    * corpus and pair work quadratically — measured 18.4× for 10× data
+    * (BASELINE.md). The scale path is q133's symmetric-delete
+    * blocking; this form is exact within blocks and is what q133's
+    * recall trade is measured against.
     */
   private val q131EntityRes: Q = (s, dir) => {
     ext.EntityRes.resolveEntities(Tables.customer(s, dir), col("c_custkey"),
         col("c_name"), col("c_nationkey"), threshold = 0.98)
+      .orderBy(col("id"))
+  }
+
+  /** q133 — ⊕ entity resolution, symmetric-delete SCALE path
+    * ([[graft.ext.EntityRes.matchPairsEditBlocked]]): the same
+    * comparator/threshold/closure as q131 but candidates come from
+    * SymSpell deletion-variant keys (nation co-blocked) — complete
+    * for Damerau-Levenshtein ≤ 1 variants, linear-at-fixed-density
+    * where q131's fixed-cardinality block is quadratic. The oracle
+    * mirrors the deletion-key generation, bucket cap and scoring, so
+    * the recall trade vs q131 (Jaro-high digit PERMUTATIONS beyond
+    * DL 1 are dropped) is part of the hashed contract, not drift.
+    */
+  private val q133EntityBlocked: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    ext.EntityRes.resolveFromPairs(cust, col("c_custkey"),
+        ext.EntityRes.matchPairsEditBlocked(cust, col("c_custkey"),
+          col("c_name"), col("c_nationkey"), threshold = 0.98))
       .orderBy(col("id"))
   }
 
@@ -2756,6 +2781,7 @@ object SparkEntry {
     "q130_triangles"        -> q130Triangles,
     "q131_entity_res"       -> q131EntityRes,
     "q132_path_transitions" -> q132PathTransitions,
+    "q133_entity_blocked"   -> q133EntityBlocked,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5758,11 +5784,54 @@ object SparkEntry {
     // sides); components via the q48 recursive min-id closure;
     // singletons restored by the left joins.
     "q131_entity_res" ->
-      """WITH RECURSIVE p AS (
+      s"""WITH RECURSIVE okb AS (
+        |  SELECT c_nationkey FROM customer
+        |  GROUP BY c_nationkey HAVING count(*) <= $MaxBucketCap),
+        |p AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  FROM customer a JOIN okb oa ON oa.c_nationkey = a.c_nationkey
+        |       JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |        AND a.c_custkey < b.c_custkey
         |  WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.98),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |rec AS (
+        |  SELECT v, v AS m FROM nodes
+        |  UNION
+        |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(m) AS entity_id FROM rec GROUP BY v),
+        |sizes AS (
+        |  SELECT entity_id, count(*) AS entity_size FROM comp GROUP BY entity_id)
+        |SELECT c.c_custkey AS id,
+        |  coalesce(comp.entity_id, c.c_custkey) AS entity_id,
+        |  coalesce(sizes.entity_size, 1) AS entity_size
+        |FROM customer c
+        |LEFT JOIN comp ON comp.v = c.c_custkey
+        |LEFT JOIN sizes ON sizes.entity_id = comp.entity_id
+        |ORDER BY id""".stripMargin,
+    // q133: the SymSpell deletion keys re-derived with list_transform
+    // + unnest, same bucket cap, same comparator/threshold/closure —
+    // the candidate-generation trade is IN the oracle, so recall
+    // drift vs the construction would hash-fail.
+    "q133_entity_blocked" ->
+      s"""WITH RECURSIVE k AS (
+        |  SELECT c_custkey AS id, c_name AS nm,
+        |    unnest([CAST(c_nationkey AS VARCHAR) || '|' || c_name] ||
+        |      list_transform(range(1, length(c_name) + 1),
+        |        i -> CAST(c_nationkey AS VARCHAR) || '|' ||
+        |             substr(c_name, 1, i - 1) ||
+        |             substr(c_name, i + 1, length(c_name)))) AS key
+        |  FROM customer),
+        |ok AS (SELECT key FROM k GROUP BY key HAVING count(*) <= $MaxBucketCap),
+        |kk AS (SELECT k.* FROM k JOIN ok USING (key)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+        |  FROM kk a JOIN kk b ON a.key = b.key AND a.id < b.id),
+        |p AS (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.98),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION ALL SELECT id_b, id_a FROM p),

@@ -81,6 +81,36 @@ class EntityResSpec extends SparkSuite {
     assert(r.values.toSet === Set((10L, 3L)), s"expected one 3-entity, got $r")
   }
 
+  test("matchPairsEditBlocked: complete for the DL<=1 class — substitution, adjacent transposition, insert/delete") {
+    val recs = Seq(
+      (1L, "Jonathan Smith", "X"),
+      (2L, "Jonathon Smith", "X"),   // substitution (a->o)
+      (3L, "Jonathan Smiht", "X"),   // adjacent transposition (th->ht)
+      (4L, "Jonathan Smiths", "X"),  // insertion (trailing s)
+      (5L, "Jonathan Smit", "X"),    // deletion (trailing h)
+      (6L, "completely other", "X"))
+      .toDF("id", "name", "blk")
+    val cand = graft.ext.EntityRes.matchPairsEditBlocked(recs, col("id"),
+        col("name"), col("blk"), threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // every DL<=1 neighbor of record 1 must be a candidate
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).subsetOf(cand), s"$cand")
+    assert(!cand.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("matchPairsEditBlocked: co-block separates otherwise identical names; resolveFromPairs keeps singletons") {
+    val recs = Seq(
+      (1L, "Acme Corporation", "US"),
+      (2L, "Acme Corporatlon", "US"),
+      (3L, "Acme Corporation", "EU"))
+      .toDF("id", "name", "region")
+    val pairs = graft.ext.EntityRes.matchPairsEditBlocked(recs, col("id"),
+      col("name"), col("region"), threshold = 0.95)
+    val r = graft.ext.EntityRes.resolveFromPairs(recs, col("id"), pairs)
+      .as[(Long, Long, Long)].collect().map { case (i, e, s) => i -> ((e, s)) }.toMap
+    assert(r(1L) === ((1L, 2L)) && r(2L) === ((1L, 2L)) && r(3L) === ((3L, 1L)))
+  }
+
   test("matchPairs: an over-cap block is dropped from candidate generation (skew backstop)") {
     val recs = (1L to 10L).map(i => (i, "same name", "big")) :+ ((11L, "same name", "small"))
     val df = recs.toDF("id", "name", "blk")
