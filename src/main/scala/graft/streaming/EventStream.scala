@@ -232,6 +232,72 @@ object EventStream {
       }
   }
 
+  // --- streaming funnel: per-user step progression ------------------------
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** Per-user progression: entry-anchor micros, previous-step micros,
+    * steps completed so far (0 = not entered).
+    */
+  case class FunnelState(t1: Long, tp: Long, step: Int)
+  case class FunnelAdvance(user_id: Long, step_idx: Int, step_name: String,
+                           ts: java.sql.Timestamp)
+
+  /** ⊕ Streaming funnel progression — the incremental form of
+    * [[graft.ops.Funnel.funnelSteps]]: per-user state is the same two
+    * timestamps the batch form carries (entry anchor + previous step)
+    * plus the step counter, and an arriving event advances the user
+    * to step k+1 iff it is the next step's type, strictly after the
+    * previous step, and within `horizonSec` of entry. Emits one
+    * [[FunnelAdvance]] row per step a user completes — the running
+    * conversion log a dashboard folds into q127's curve (grouping
+    * emitted rows by step_idx reproduces the batch counts, which is
+    * exactly what StreamingSpec asserts).
+    *
+    * Within a micro-batch, events process in (ts, event_type) order;
+    * state per user is three scalars regardless of event volume —
+    * the same power-user bound as the batch form. NoTimeout state
+    * for the test horizon (the [[nearDupPairsStream]] trade); a
+    * deployment evicts users whose entry anchor has aged past the
+    * horizon, after which no further advance is possible anyway.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String], horizonSec: Long)
+      : org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnelStream steps must be distinct (a repeated type is ambiguous " +
+        "for the per-event step lookup); use the batch form for repeated-step funnels")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events.select(col("user_id").cast("long"), col("ts"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0))
+          val out = Vector.newBuilder[FunnelAdvance]
+          // only steps can advance state; (ts, type) order makes the
+          // batch deterministic under same-ts ties
+          rows.toArray.filter(e => stepIdx.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+              if (st.step < steps.length) {
+                val micros = e.ts.getTime * 1000L
+                val isNext = stepIdx(e.event_type) == st.step
+                val inOrder = st.step == 0 || micros > st.tp
+                val inHorizon = st.step == 0 ||
+                  micros <= st.t1 + horizonSec * 1000000L
+                if (isNext && inOrder && inHorizon) {
+                  val anchor = if (st.step == 0) micros else st.t1
+                  st = FunnelState(anchor, micros, st.step + 1)
+                  out += FunnelAdvance(user, st.step, e.event_type, e.ts)
+                }
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** ⊕ Stream-stream interval join — the streaming analog of the batch
     * banded range join ([[graft.ops.AsOf.rangePairsBackward]] / q65):
     * each error pairs with same-user clicks from the preceding

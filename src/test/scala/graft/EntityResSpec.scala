@@ -35,6 +35,28 @@ class EntityResSpec extends SparkSuite {
     assert(a > 0.9)
   }
 
+  test("jaroWinkler: ASCII byte fast path == code-unit path; non-ASCII falls back correctly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = Seq("martha", "marhta", "dwayne", "duane", "", "a",
+      "Customer#000000001", "Customer#000000010", "prefixAB", "prefixBA")
+    for (a <- ascii; b <- ascii) {
+      val viaBytes = JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(viaBytes === jw(a, b), s"($a, $b)")
+    }
+    // non-ASCII: numChars != numBytes forces the String path — accents
+    // must compare as ONE char, not as their multi-byte encoding
+    val c1 = JaroWinkler.compute(
+      UTF8String.fromString("café"), UTF8String.fromString("cafe"))
+    assert(c1 === jw("café", "cafe"))
+    val c2 = JaroWinkler.compute(
+      UTF8String.fromString("café"), UTF8String.fromString("café"))
+    assert(c2 === 1.0)
+    // mixed: one ASCII, one not
+    val c3 = JaroWinkler.compute(
+      UTF8String.fromString("strasse"), UTF8String.fromString("straße"))
+    assert(c3 === jw("strasse", "straße"))
+  }
+
   test("jaroWinkler: expression matches the Scala helper through codegen and the SQL registration") {
     val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", ""), ("a", ""))
       .toDF("a", "b")

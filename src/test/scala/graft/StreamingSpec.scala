@@ -174,6 +174,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnelStream advances per-user steps across micro-batches, folding to the batch funnel counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 completes in order across batches; user 2 purchases
+    // before clicking (stops at click); user 3 clicks past the
+    // horizon of its entry; user 4 never enters
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:10:00"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:00:00"), "error"))
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      (3L, ts("2024-01-10 10:00:00"), "click"),  // 9 days after entry: out
+      (4L, ts("2024-01-01 11:00:00"), "click"))  // never viewed: out
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStream.funnelStream(
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"), horizonSec = 7 * 86400L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val advances = spark.table("funnel_out")
+        .as[(Long, Int, String, Timestamp)].collect().toSeq
+      // per-user progression is monotone 1..k with no duplicates
+      advances.groupBy(_._1).foreach { case (u, rows) =>
+        assert(rows.map(_._2).sorted === (1 to rows.size), s"user $u: $rows")
+      }
+      // folding advances by step reproduces the batch funnel curve
+      val streamCounts = advances.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val batchDf = (batch1 ++ batch2).zipWithIndex
+        .map { case ((u, t, et), i) => (i.toLong, u, t, et) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+      val batchCounts = graft.ops.Funnel.funnelSteps(batchDf, col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+        .as[(Int, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(batchCounts === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+      (1 to 3).foreach { s =>
+        assert(streamCounts.getOrElse(s, 0L) === batchCounts(s), s"step $s")
+      }
+    } finally q.stop()
+  }
+
   test("quotaSampleStream enforces per-source token budgets across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]

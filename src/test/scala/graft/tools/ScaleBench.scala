@@ -197,6 +197,21 @@ object ScaleBench {
       println(s"[scalebench] built $dst TPC-H tables: " +
         s"${spark.read.parquet(s"$dst/lineitem.parquet").count()} lineitems")
     }
+    if (!new java.io.File(fs, "customer.parquet").exists()) {
+      // q131/q133 second decade: key-offset copies, names re-derived
+      // from the offset key (same rationale as the sf1 builder —
+      // verbatim names would mass-duplicate the linkage corpus)
+      hundred(spark.read.parquet(s"$src/customer.parquet"))
+        .select((col("c") * 1000000L + col("c_custkey")).as("c_custkey"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      println(s"[scalebench] built $dst/customer.parquet: " +
+        s"${spark.read.parquet(s"$dst/customer.parquet").count()} customers")
+    }
   }
 
   /** Affine-cipher alphabet for copy `c`: letter index i →
@@ -269,10 +284,6 @@ object ScaleBench {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
         .repartition(8).write.mode("overwrite").parquet(s"$dst/orders.parquet")
-      ten(spark.read.parquet(s"$src/customer.parquet")).select(
-        (col("c") * 1000000L + col("c_custkey")).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-        .repartition(4).write.mode("overwrite").parquet(s"$dst/customer.parquet")
       ten(spark.read.parquet(s"$src/lineitem.parquet")).select(
         (col("c") * 10000000L + col("l_orderkey")).as("l_orderkey"),
         (col("c") * 1000000L + col("l_partkey")).as("l_partkey"),
@@ -287,6 +298,28 @@ object ScaleBench {
         .repartition(4).write.mode("overwrite").parquet(s"$dst/part.parquet")
       println(s"[scalebench] built $dst TPC-H tables: " +
         s"${spark.read.parquet(s"$dst/lineitem.parquet").count()} lineitems")
+    }
+    if (!new java.io.File(fs, "customer.parquet").exists()) {
+      fs.mkdirs()
+      // names re-derived from the OFFSET key (the TPC-H generator
+      // rule), not copied verbatim: verbatim copies would plant 10
+      // identical same-nation names per customer — a mass-duplicated
+      // linkage corpus (the round-8 q101/q102 lesson) whose pair
+      // output grows quadratically in the copy count by construction.
+      // Re-derived names keep per-key-range variant density exactly
+      // sf0.1's, the honest setting for the q131/q133 slopes.
+      val copies10 = (0 until 10).map(lit(_))
+      spark.read.parquet(s"$src/customer.parquet")
+        .select(col("*"), explode(array(copies10: _*)).as("c"))
+        .select((col("c") * 1000000L + col("c_custkey")).as("c_custkey"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .repartition(4).write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      println(s"[scalebench] built $dst/customer.parquet: " +
+        s"${spark.read.parquet(s"$dst/customer.parquet").count()} customers")
     }
     if (new java.io.File(fs, "embeddings.parquet").exists()) return
     fs.mkdirs()
