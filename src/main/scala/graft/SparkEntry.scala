@@ -2647,6 +2647,38 @@ object SparkEntry {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q134 — ⊕ A/B experiment readout ([[graft.ops.Experiment.abTest]]):
+    * view-exposed users split control/treatment by the q81 md5-bucket
+    * hash, conversion = any purchase strictly after first exposure,
+    * pooled two-proportion z. The oracle re-derives the hash split
+    * with the q81 digit-arithmetic mirror and the identical double
+    * expression tree for rates/lift/z (rounded at 9) — one hash
+    * aggregation on the user key, then a single-row readout.
+    */
+  private val q134AbTest: Q = (s, dir) => {
+    ops.Experiment.abTest(Tables.events(s, dir), "user_id", col("ts"),
+      col("event_type"), exposureType = "view", conversionType = "purchase")
+  }
+
+  /** q135 — ⊕ count-min sketch point frequencies
+    * ([[graft.ops.Sketch.countMin]] + `cmEstimate`): event-type
+    * frequencies read back through the d×w counter matrix. The
+    * fixture's key set is small enough that no key fully collides
+    * (deterministic — same xxhash64 cells at every sf), so the
+    * min-over-rows readout is EXACT and the oracle is the plain
+    * exact count — the same exact-mode convention as q77's
+    * Misra-Gries; the ≥ bound under forced collisions is
+    * CountMinSpec's job.
+    */
+  private val q135CountMin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ops.Sketch.cmEstimate(
+        ops.Sketch.countMin(ev, col("event_type")),
+        ev, col("event_type"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2782,6 +2814,8 @@ object SparkEntry {
     "q131_entity_res"       -> q131EntityRes,
     "q132_path_transitions" -> q132PathTransitions,
     "q133_entity_blocked"   -> q133EntityBlocked,
+    "q134_ab_test"          -> q134AbTest,
+    "q135_count_min"        -> q135CountMin,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5865,6 +5899,68 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM a ORDER BY from_type, to_type""".stripMargin,
+    // q134: the q81 md5 digit-arithmetic hash split, conversion =
+    // last conversion strictly after first exposure, and the SAME
+    // double expression tree for rates/lift/z, rounded at 9.
+    "q134_ab_test" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_exp,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv
+        |  FROM e GROUP BY user_id),
+        |v AS (
+        |  SELECT
+        |    CASE WHEN
+        |      (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) < 524288
+        |      THEN 'control' ELSE 'treatment' END AS variant,
+        |    CASE WHEN t_conv > t_exp THEN 1 ELSE 0 END AS conv
+        |  FROM (SELECT t_exp, t_conv, md5(CAST(user_id AS VARCHAR) || '|0') AS hh
+        |        FROM pu WHERE t_exp IS NOT NULL)),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(sum(CASE WHEN variant = 'control' THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+        |    CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+        |    CAST(sum(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS conv_treatment
+        |  FROM v)
+        |SELECT n_control, conv_control,
+        |  CASE WHEN n_control > 0 THEN
+        |    round(CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE), 9)
+        |  END AS rate_control,
+        |  n_treatment, conv_treatment,
+        |  CASE WHEN n_treatment > 0 THEN
+        |    round(CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE), 9)
+        |  END AS rate_treatment,
+        |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+        |    round(CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+        |      - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE), 9)
+        |  END AS lift,
+        |  CASE WHEN n_control > 0 AND n_treatment > 0
+        |      AND conv_control + conv_treatment > 0
+        |      AND conv_control + conv_treatment < n_control + n_treatment THEN
+        |    round((CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+        |         - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+        |      / sqrt(((CAST(conv_control AS DOUBLE) + CAST(conv_treatment AS DOUBLE))
+        |              / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)))
+        |        * (1.0 - (CAST(conv_control AS DOUBLE) + CAST(conv_treatment AS DOUBLE))
+        |              / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)))
+        |        * (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treatment AS DOUBLE))), 9)
+        |  END AS z_score
+        |FROM s""".stripMargin,
+    // q135: exact-mode oracle (no full xxhash64 collision among the
+    // fixture's event types — deterministic per key set): the sketch
+    // readout must equal the exact count.
+    "q135_count_min" ->
+      """SELECT event_type, count(*) AS est_n
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —
