@@ -2679,6 +2679,52 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** q136 — ⊕ k-arm chi-square experiment readout
+    * ([[graft.ops.Experiment.chiSquare]]): three hash-assigned arms
+    * (40/30/30), Pearson chi-square over the arms × outcome table.
+    * The oracle re-derives the 3-way bucket split and the identical
+    * double tree for expected counts / contributions / statistic
+    * (round 9); totals are window sums over the k-row readout.
+    */
+  private val q136ChiSquare: Q = (s, dir) => {
+    ops.Experiment.chiSquare(Tables.events(s, dir), "user_id", col("ts"),
+        col("event_type"), exposureType = "view", conversionType = "purchase",
+        variants = Seq("control" -> 0.4, "variant_a" -> 0.3, "variant_b" -> 0.3))
+      .orderBy(col("variant"))
+  }
+
+  /** q137 — ⊕ CUPED variance-reduced experiment readout
+    * ([[graft.ops.Experiment.cuped]]): purchase cents adjusted by
+    * each user's pre-cutover purchases, θ = cov/var over integer
+    * moment sums. Quantizing to cents PER EVENT makes every
+    * aggregation an exact integer sum, so θ and the adjusted means
+    * are bit-identical cross-engine before the presentation rounding
+    * — the oracle mirrors the moment algebra verbatim.
+    */
+  private val q137Cuped: Q = (s, dir) => {
+    ops.Experiment.cuped(Tables.events(s, dir), "user_id", col("ts"),
+        col("event_type"), col("value"), exposureType = "view",
+        metricType = "purchase", cutover = "2024-01-16 00:00:00",
+        variants = Seq("control" -> 0.5, "treatment" -> 0.5))
+      .orderBy(col("variant"))
+  }
+
+  /** q138 — ⊕ Morton (Z-order) key ([[graft.functions.ZOrder]]):
+    * the interleaved layout key as row-local codegen'd bit
+    * arithmetic, oracled against the same shift-and-mask cascade in
+    * SQL (two independent spellings of the interleave must agree on
+    * every key). The layout machinery this key drives — quantile
+    * bucketing, range-partitioned write, measured either-column file
+    * pruning vs a single-column sort — is LayoutSpec's territory
+    * (file-level claims aren't SQL-expressible).
+    */
+  private val q138Zorder: Q = (s, dir) => {
+    Tables.customer(s, dir).select(col("c_custkey"),
+      functions.ZOrder.zorder2(col("c_nationkey"), pmod(col("c_custkey"), lit(256)))
+        .as("zkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2816,6 +2862,9 @@ object SparkEntry {
     "q133_entity_blocked"   -> q133EntityBlocked,
     "q134_ab_test"          -> q134AbTest,
     "q135_count_min"        -> q135CountMin,
+    "q136_chi_square"       -> q136ChiSquare,
+    "q137_cuped"            -> q137Cuped,
+    "q138_zorder"           -> q138Zorder,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5954,6 +6003,162 @@ object SparkEntry {
         |        * (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treatment AS DOUBLE))), 9)
         |  END AS z_score
         |FROM s""".stripMargin,
+    // q136: the q81/q134 hash-split mirror with three cumulative
+    // bounds (round(0.4*2^20)=419430, round(0.7*2^20)=734003), then
+    // the identical double tree for e/contrib/chi2, round 9; window
+    // sums run over the k-row arm table, never the event log.
+    "q136_chi_square" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_exp,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv
+        |  FROM e GROUP BY user_id),
+        |v AS (
+        |  SELECT
+        |    CASE WHEN bucket < 419430 THEN 'control'
+        |         WHEN bucket < 734003 THEN 'variant_a'
+        |         ELSE 'variant_b' END AS variant,
+        |    CASE WHEN t_conv > t_exp THEN 1 ELSE 0 END AS conv
+        |  FROM (SELECT t_exp, t_conv,
+        |          (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |          + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |        FROM (SELECT t_exp, t_conv,
+        |                md5(CAST(user_id AS VARCHAR) || '|0') AS hh
+        |              FROM pu WHERE t_exp IS NOT NULL))),
+        |arm AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM v GROUP BY variant),
+        |t AS (
+        |  SELECT variant, n_users, n_conv,
+        |    CAST(sum(n_users) OVER () AS BIGINT) AS totn,
+        |    CAST(sum(n_conv) OVER () AS BIGINT) AS totc,
+        |    count(*) OVER () AS k
+        |  FROM arm),
+        |x AS (
+        |  SELECT variant, n_users, n_conv, totn, totc, k,
+        |    (CAST(n_users AS DOUBLE) * CAST(totc AS DOUBLE)) / CAST(totn AS DOUBLE) AS e1,
+        |    (CAST(n_users AS DOUBLE) * CAST(totn - totc AS DOUBLE)) / CAST(totn AS DOUBLE) AS e0
+        |  FROM t),
+        |c AS (
+        |  SELECT variant, n_users, n_conv, totn, totc, k, e1,
+        |    (CAST(n_conv AS DOUBLE) - e1) * (CAST(n_conv AS DOUBLE) - e1) / e1
+        |    + ((CAST(n_users AS DOUBLE) - CAST(n_conv AS DOUBLE)) - e0)
+        |      * ((CAST(n_users AS DOUBLE) - CAST(n_conv AS DOUBLE)) - e0) / e0 AS contrib
+        |  FROM x)
+        |SELECT variant, n_users, n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 9) AS rate,
+        |  CASE WHEN totc > 0 AND totc < totn THEN round(e1, 9) END AS exp_conv,
+        |  CASE WHEN totc > 0 AND totc < totn THEN round(contrib, 9) END AS chi2_contrib,
+        |  CASE WHEN totc > 0 AND totc < totn THEN
+        |    round(sum(contrib) OVER (), 9) END AS chi2,
+        |  k - 1 AS dof
+        |FROM c ORDER BY variant""".stripMargin,
+    // q137: cents quantized per event (one deterministic scalar op),
+    // so every sum is an exact integer in any order; the moment
+    // algebra (n·Sxx − Sx², …) converts to double once and proceeds
+    // through deterministic scalar ops — bit-identical cross-engine
+    // before the round(6) presentation.
+    "q137_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_exp,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND ts < TIMESTAMP '2024-01-16 00:00:00' THEN cents END), 0)
+        |      AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND ts >= TIMESTAMP '2024-01-16 00:00:00' THEN cents END), 0)
+        |      AS BIGINT) AS y
+        |  FROM e GROUP BY user_id),
+        |v AS (
+        |  SELECT
+        |    CASE WHEN
+        |      (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) < 524288
+        |      THEN 'control' ELSE 'treatment' END AS variant, x, y
+        |  FROM (SELECT x, y, md5(CAST(user_id AS VARCHAR) || '|0') AS hh
+        |        FROM pu WHERE t_exp IS NOT NULL)),
+        |arm AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v GROUP BY variant),
+        |t AS (
+        |  SELECT variant, n_users, sx, sy,
+        |    CAST(sum(n_users) OVER () AS DOUBLE) AS n,
+        |    CAST(sum(sx) OVER () AS DOUBLE) AS tsx,
+        |    CAST(sum(sy) OVER () AS DOUBLE) AS tsy,
+        |    CAST(sum(sxx) OVER () AS DOUBLE) AS tsxx,
+        |    CAST(sum(sxy) OVER () AS DOUBLE) AS tsxy,
+        |    CAST(sum(syy) OVER () AS DOUBLE) AS tsyy
+        |  FROM arm),
+        |x2 AS (
+        |  SELECT variant, n_users, sx, sy, n, tsx,
+        |    n * tsxx - tsx * tsx AS varx,
+        |    n * tsyy - tsy * tsy AS vary,
+        |    n * tsxy - tsx * tsy AS cov
+        |  FROM t)
+        |SELECT variant, n_users,
+        |  round(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_post,
+        |  CASE WHEN varx <> 0 THEN
+        |    round(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |      - (cov / varx) * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |          - tsx / n), 6) END AS mean_post_adj,
+        |  CASE WHEN varx <> 0 THEN round(cov / varx, 6) END AS theta,
+        |  CASE WHEN varx <> 0 AND vary <> 0 THEN
+        |    round(cov * cov / (varx * vary), 6) END AS rho2
+        |FROM x2 ORDER BY variant""".stripMargin,
+    // q138: the same shift-and-mask Morton cascade spelled in SQL
+    // (masks as decimal literals); two independent spellings of the
+    // interleave must agree on every key.
+    "q138_zorder" ->
+      """WITH s AS (
+        |  SELECT c_custkey,
+        |    c_nationkey & 4294967295 AS a0,
+        |    (c_custkey % 256) & 4294967295 AS b0
+        |  FROM customer),
+        |sa AS (
+        |  SELECT c_custkey, b0,
+        |    ((((a0 | (a0 << 16)) & 281470681808895)
+        |       | (((a0 | (a0 << 16)) & 281470681808895) << 8)) & 71777214294589695) AS a2
+        |  FROM s),
+        |sb AS (
+        |  SELECT c_custkey, b0, a2,
+        |    (((a2 | (a2 << 4)) & 1085102592571150095)
+        |      | ((((a2 | (a2 << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323 AS a4
+        |  FROM sa),
+        |fa AS (
+        |  SELECT c_custkey, b0,
+        |    (a4 | (a4 << 1)) & 6148914691236517205 AS abits
+        |  FROM sb),
+        |ta AS (
+        |  SELECT c_custkey, abits,
+        |    ((((b0 | (b0 << 16)) & 281470681808895)
+        |       | (((b0 | (b0 << 16)) & 281470681808895) << 8)) & 71777214294589695) AS b2
+        |  FROM fa),
+        |tb AS (
+        |  SELECT c_custkey, abits,
+        |    (((b2 | (b2 << 4)) & 1085102592571150095)
+        |      | ((((b2 | (b2 << 4)) & 1085102592571150095)) << 2)) & 3689348814741910323 AS b4
+        |  FROM ta)
+        |SELECT c_custkey,
+        |  abits | (((b4 | (b4 << 1)) & 6148914691236517205) << 1) AS zkey
+        |FROM tb ORDER BY c_custkey""".stripMargin,
     // q135: exact-mode oracle (no full xxhash64 collision among the
     // fixture's event types — deterministic per key set): the sketch
     // readout must equal the exact count.

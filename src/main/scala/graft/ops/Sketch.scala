@@ -44,6 +44,21 @@ object Sketch {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** ⊕ Merge sketches built with the SAME depth/width: counter-wise
+    * sum, which is exactly what building over the concatenated inputs
+    * would produce — so per-day (or per-source, per-shard) sketches
+    * roll up to the corpus sketch with no corpus re-scan, the
+    * property that lets a 100 TB pipeline maintain the sketch
+    * incrementally at ingest. CountMinSpec proves merge-of-parts ≡
+    * build-over-whole exactly (integer counters, no tolerance).
+    */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("h"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+  }
+
   /** ⊕ Point-frequency estimates for `keys` against a [[countMin]]
     * sketch built with the SAME depth/width: the classic
     * min-over-rows readout. A `(h, bucket)` cell the sketch never

@@ -298,6 +298,66 @@ object EventStream {
       }
   }
 
+  // --- streaming attribution: per-user last touch -------------------------
+
+  case class TouchEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, value: Double)
+  /** The whole per-user carry: last touch type + its micros. */
+  case class TouchState(ltype: String, lts: Long)
+  case class AttributionHit(user_id: Long, event_id: Long,
+                            ts: java.sql.Timestamp, channel: String,
+                            value: Double)
+
+  /** ⊕ Streaming last-touch attribution — the incremental form of
+    * [[graft.ops.Funnel.lastTouchAttribution]]: per-user state is ONE
+    * (touch type, timestamp) pair; a conversion event credits that
+    * touch if it landed within `lookbackSec` (inclusive, the batch
+    * boundary rule), else `direct`, and emits one [[AttributionHit]].
+    * Folding emitted hits by channel reproduces the batch readout —
+    * counts and value sums — which is what StreamingSpec asserts.
+    *
+    * Within a micro-batch, events process in (ts, event_id) order —
+    * the batch form's window order — so a same-timestamp touch with
+    * the lower id credits the conversion in both forms. State never
+    * grows with event volume (the [[funnelStream]] bound); NoTimeout
+    * for the test horizon, a deployment evicts users whose last touch
+    * has aged past the lookback (after which only `direct` is
+    * possible anyway).
+    */
+  def attributionStream(events: DataFrame, touchTypes: Seq[String],
+                        convType: String, lookbackSec: Long)
+      : org.apache.spark.sql.Dataset[AttributionHit] = {
+    require(touchTypes.nonEmpty, "attributionStream needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch (a self-crediting " +
+        "conversion is ambiguous); use the batch form to model that explicitly")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touch = touchTypes.toSet
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"), col("value").cast("double"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[AttributionHit]
+          rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (touch(e.event_type)) {
+              st = TouchState(e.event_type, e.ts.getTime)
+            } else if (e.event_type == convType) {
+              val ch =
+                if (st != null && st.lts >= e.ts.getTime - lookbackSec * 1000L)
+                  st.ltype
+                else "direct"
+              out += AttributionHit(user, e.event_id, e.ts, ch, e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** ⊕ Stream-stream interval join — the streaming analog of the batch
     * banded range join ([[graft.ops.AsOf.rangePairsBackward]] / q65):
     * each error pairs with same-user clicks from the preceding

@@ -186,4 +186,82 @@ class AnalyticsSpec extends SparkSuite {
       .select("z_score").as[Double].head()
     assert(z > 0, s"lone treatment conversion must push z positive, got $z")
   }
+
+  test("chiSquare: two 50/50 arms reduce to z² at dof 1; all-converted outcome nulls the statistic") {
+    import graft.ops.Experiment
+    val assign = graft.ops.Sampling.assignSplit("user_id",
+      Seq("control" -> 0.5, "treatment" -> 0.5))
+    val arms = (1L to 30L).toDF("user_id").select(col("user_id"), assign.as("v"))
+      .as[(Long, String)].collect().toMap
+    // convert two treatment users and one control user
+    val convs = (arms.collectFirst { case (u, "control") => u }.toSeq ++
+      arms.collect { case (u, "treatment") => u }.take(2))
+      .map(u => (u, "2024-01-01 11:00:00", "purchase"))
+    val rows = (1L to 30L).map(u => (u, "2024-01-01 10:00:00", "view")) ++ convs
+    val twoArm = Seq("control" -> 0.5, "treatment" -> 0.5)
+    val chi = Experiment.chiSquare(ev(rows: _*), "user_id", col("ts"),
+        col("event_type"), "view", "purchase", twoArm)
+      .select("chi2", "dof").as[(Double, Long)].collect()
+    assert(chi.map(_._2).toSeq === Seq(1L, 1L))
+    val z = Experiment.abTest(ev(rows: _*), "user_id", col("ts"),
+        col("event_type"), "view", "purchase").select("z_score").as[Double].head()
+    assert(math.abs(chi.head._1 - z * z) < 1e-6,
+      s"two-arm chi2 ${chi.head._1} must equal z² ${z * z}")
+    // degenerate: everyone converts → expected non-conversions are 0
+    val allConv = (1L to 30L).map(u => (u, "2024-01-01 10:00:00", "view")) ++
+      (1L to 30L).map(u => (u, "2024-01-01 11:00:00", "purchase"))
+    val d = Experiment.chiSquare(ev(allConv: _*), "user_id", col("ts"),
+      col("event_type"), "view", "purchase", twoArm).collect()
+    assert(d.forall(_.isNullAt(d.head.fieldIndex("chi2"))))
+    assert(d.forall(r => r.getDouble(r.fieldIndex("rate")) === 1.0))
+  }
+
+  test("cuped: identical pre/post behavior gives θ=1, ρ²=1 and collapses adjusted means to the grand mean; zero pre-variance nulls the adjustment") {
+    import graft.ops.Experiment
+    def cents(v: Double) = math.round(v * 100).toDouble / 100
+    // user u purchases u dollars once BEFORE and once AFTER cutover:
+    // x_u == y_u exactly, so θ = 1, ρ² = 1, and y′_u = x̄ for every u
+    val rows = (1L to 24L).flatMap { u =>
+      Seq((u, "2024-01-02 10:00:00", "view", 0.0),
+        (u, "2024-01-03 10:00:00", "purchase", cents(u.toDouble)),
+        (u, "2024-01-20 10:00:00", "purchase", cents(u.toDouble)))
+    }
+    val df = rows.zipWithIndex
+      .map { case ((u, t, et, v), i) => (i.toLong, u, ts(t), et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Experiment.cuped(df, "user_id", col("ts"), col("event_type"),
+        col("value"), "view", "purchase", "2024-01-10 00:00:00",
+        Seq("control" -> 0.5, "treatment" -> 0.5))
+      .orderBy("variant").collect()
+    assert(out.length === 2)
+    val grandMeanCents = (1 to 24).map(_ * 100).sum / 24.0
+    out.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("theta")) === 1.0)
+      assert(r.getDouble(r.fieldIndex("rho2")) === 1.0)
+      assert(r.getDouble(r.fieldIndex("mean_post_adj")) === grandMeanCents,
+        s"adjusted mean must collapse to the grand mean for $r")
+    }
+    // raw means differ across arms (different user subsets) — the
+    // adjustment is what removed that variance
+    assert(out(0).getDouble(out(0).fieldIndex("mean_post")) !==
+      out(1).getDouble(out(1).fieldIndex("mean_post")))
+    // zero pre-period variance: same pre cents for everyone → null θ/ρ²/adj
+    val flat = (1L to 10L).flatMap { u =>
+      Seq((u, "2024-01-02 10:00:00", "view", 0.0),
+        (u, "2024-01-03 10:00:00", "purchase", 5.0),
+        (u, "2024-01-20 10:00:00", "purchase", cents(u.toDouble)))
+    }
+    val fdf = flat.zipWithIndex
+      .map { case ((u, t, et, v), i) => (i.toLong, u, ts(t), et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val fr = Experiment.cuped(fdf, "user_id", col("ts"), col("event_type"),
+      col("value"), "view", "purchase", "2024-01-10 00:00:00",
+      Seq("control" -> 0.5, "treatment" -> 0.5)).collect()
+    fr.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta")))
+      assert(r.isNullAt(r.fieldIndex("rho2")))
+      assert(r.isNullAt(r.fieldIndex("mean_post_adj")))
+      assert(!r.isNullAt(r.fieldIndex("mean_post")))
+    }
+  }
 }

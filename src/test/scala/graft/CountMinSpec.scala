@@ -51,6 +51,19 @@ class CountMinSpec extends SparkSuite {
     assert(sums.values.toSeq === Seq.fill(3)(10000L), s"per-row totals: $sums")
   }
 
+  test("merge of per-part sketches == sketch of the whole, exactly") {
+    val whole = (1 to 300).map(i => ("k" + (i % 17), i)).toDF("k", "i")
+    val parts = Seq(
+      whole.filter(col("i") % 3 === 0),
+      whole.filter(col("i") % 3 === 1),
+      whole.filter(col("i") % 3 === 2))
+    val merged = Sketch.merge(parts.map(p => Sketch.countMin(p, col("k"))))
+    val direct = Sketch.countMin(whole, col("k"))
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    val d = direct.as[(Int, Long, Long)].collect().toSet
+    assert(m === d)
+  }
+
   test("partitioning invariance: the same sketch and estimates from any input layout") {
     val df = (1 to 500).map(i => ("k" + (i % 23))).toDF("k")
     val a = Sketch.cmEstimate(Sketch.countMin(df, col("k")), df, col("k"))
@@ -59,5 +72,23 @@ class CountMinSpec extends SparkSuite {
         df.coalesce(1), col("k"))
       .as[(String, Long)].collect().toMap
     assert(a === b)
+  }
+
+  test("countMin builds incrementally as a streaming aggregation: counters after two micro-batches == batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Sketch.countMin(mem.toDF().toDF("k"), col("k"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out").start()
+    try {
+      mem.addData("a", "b", "a"); q.processAllAvailable()
+      mem.addData("c", "a", "b"); q.processAllAvailable()
+      val streamed = spark.table("cm_out").as[(Int, Long, Long)].collect().toSet
+      val direct = Sketch.countMin(
+          Seq("a", "b", "a", "c", "a", "b").toDF("k"), col("k"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed === direct)
+    } finally q.stop()
   }
 }

@@ -224,6 +224,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attributionStream credits the last in-lookback touch across micro-batches, folding to the batch readout") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: touch in batch 1, converts in batch 2 (cross-batch state);
+    // user 2: touch too old (> 3 days) → direct;
+    // user 3: converts before any touch → direct;
+    // user 4: same-ts touch with LOWER id credits (the batch tie rule)
+    val batch1 = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click", 5.0),
+      (2L, 20L, ts("2024-01-01 10:00:00"), "view", 7.0),
+      (3L, 30L, ts("2024-01-02 09:00:00"), "purchase", 11.0))
+    val batch2 = Seq(
+      (1L, 40L, ts("2024-01-02 10:00:00"), "purchase", 13.0),
+      (2L, 50L, ts("2024-01-05 10:00:01"), "purchase", 17.0),
+      (4L, 60L, ts("2024-01-03 08:00:00"), "view", 0.0),
+      (4L, 61L, ts("2024-01-03 08:00:00"), "purchase", 19.0))
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val out = EventStream.attributionStream(
+      mem.toDF().toDF("user_id", "event_id", "ts", "event_type", "value"),
+      Seq("view", "click"), "purchase", lookbackSec = 3 * 86400L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val hits = spark.table("attr_out")
+        .as[(Long, Long, Timestamp, String, Double)].collect().toSeq
+      assert(hits.map(h => h._1 -> h._4).toMap ===
+        Map(1L -> "click", 2L -> "direct", 3L -> "direct", 4L -> "view"))
+      // folding by channel reproduces the batch lastTouchAttribution rows
+      val folded = hits.groupBy(_._4).view.mapValues(v =>
+        (v.size.toLong, math.round(v.map(_._5).sum * 100) / 100.0)).toMap
+      val batch = graft.ops.Funnel.lastTouchAttribution(
+          (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "event_type", "value"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          Seq("view", "click"), "purchase", col("value"), lookback = "3 days")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(folded === batch)
+    } finally q.stop()
+  }
+
   test("quotaSampleStream enforces per-source token budgets across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
