@@ -2725,6 +2725,32 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** q139 — ⊕ audience overlap matrix
+    * ([[graft.ops.Audience.overlapMatrix]]): pairwise event-type
+    * audiences with intersection and Jaccard — the cross-community
+    * comparison the reference's discovery flow implies. The oracle
+    * re-derives the matrix from per-user distinct-label self-joins;
+    * Jaccard is a ratio of exact integers, round 9.
+    */
+  private val q139AudienceOverlap: Q = (s, dir) => {
+    ops.Audience.overlapMatrix(Tables.events(s, dir), col("user_id"),
+        col("event_type"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q140 — ⊕ funnel time-to-convert
+    * ([[graft.ops.Funnel.funnelTimes]]): per-step median/p90 seconds
+    * from entry, over the same reached sets as q127 (shared stage
+    * construction — the two can't drift). Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` interpolate identically, so the
+    * percentiles hash-match; dt uses floor(epoch) on both sides
+    * (Spark's long cast truncates fractional seconds).
+    */
+  private val q140FunnelTimes: Q = (s, dir) => {
+    ops.Funnel.funnelTimes(Tables.events(s, dir), col("user_id"),
+      col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2865,6 +2891,8 @@ object SparkEntry {
     "q136_chi_square"       -> q136ChiSquare,
     "q137_cuped"            -> q137Cuped,
     "q138_zorder"           -> q138Zorder,
+    "q139_audience_overlap" -> q139AudienceOverlap,
+    "q140_funnel_times"     -> q140FunnelTimes,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5814,6 +5842,37 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', count(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step_idx""".stripMargin,
+    // q140: q127's stage CTEs + quantile_cont (≡ Spark's exact
+    // percentile, same linear interpolation); dt = floor(epoch) diff
+    // on both sides (Spark's timestamp→long cast truncates).
+    "q140_funnel_times" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(s2.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |d2 AS (SELECT CAST(floor(epoch(tp)) AS BIGINT)
+        |  - CAST(floor(epoch(t1)) AS BIGINT) AS dt FROM s2),
+        |d3 AS (SELECT CAST(floor(epoch(tp)) AS BIGINT)
+        |  - CAST(floor(epoch(t1)) AS BIGINT) AS dt FROM s3)
+        |SELECT 1 AS step_idx, 'view' AS step_name, count(*) AS n_users,
+        |  round(quantile_cont(0, 0.5), 6) AS p50_sec,
+        |  round(quantile_cont(0, 0.9), 6) AS p90_sec FROM s1
+        |UNION ALL SELECT 2, 'click', count(*),
+        |  round(quantile_cont(dt, 0.5), 6), round(quantile_cont(dt, 0.9), 6) FROM d2
+        |UNION ALL SELECT 3, 'purchase', count(*),
+        |  round(quantile_cont(dt, 0.5), 6), round(quantile_cont(dt, 0.9), 6) FROM d3
+        |ORDER BY step_idx""".stripMargin,
     // q128: date_trunc('week') is Monday-anchored in both engines;
     // the offset is day arithmetic / 7 — all integers.
     "q128_retention" ->
@@ -6123,6 +6182,26 @@ object SparkEntry {
         |  CASE WHEN varx <> 0 AND vary <> 0 THEN
         |    round(cov * cov / (varx * vary), 6) END AS rho2
         |FROM x2 ORDER BY variant""".stripMargin,
+    // q139: per-user distinct labels, pair self-join a<b, per-label
+    // audience sizes; jaccard is a ratio of exact integers, round 9.
+    "q139_audience_overlap" ->
+      """WITH ul AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT event_type, count(*) AS n FROM ul GROUP BY event_type),
+        |pr AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ul x JOIN ul y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  round(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 9)
+        |    AS jaccard
+        |FROM pr
+        |JOIN sz sa ON sa.event_type = pr.type_a
+        |JOIN sz sb ON sb.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     // q138: the same shift-and-mask Morton cascade spelled in SQL
     // (masks as decimal literals); two independent spellings of the
     // interleave must agree on every key.

@@ -42,8 +42,23 @@ object Funnel {
   def funnelSteps(events: DataFrame, userCol: Column, tsCol: Column,
                   typeCol: Column, steps: Seq[String],
                   horizon: String = "7 days"): DataFrame = {
-    require(steps.nonEmpty, "funnelSteps needs at least one step")
-    val spark = events.sparkSession
+    val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
+    stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.union(_)).orderBy(col("step_idx"))
+  }
+
+  /** Per-step reached sets, shared by [[funnelSteps]] and
+    * [[funnelTimes]]: stage i holds one row per user who completed
+    * step i+1, carrying ONLY `(__u, __t1 entry anchor, __tp this
+    * step's time)` — the bounded two-timestamp build side.
+    */
+  private def reachedStages(events: DataFrame, userCol: Column, tsCol: Column,
+                            typeCol: Column, steps: Seq[String],
+                            horizon: String): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val base = events.select(userCol.as("__u"), tsCol.as("__ts"), typeCol.as("__et"))
       .filter(col("__u").isNotNull && col("__ts").isNotNull)
     // per-user (entry anchor t1, previous-step time tp) — both carried
@@ -51,11 +66,8 @@ object Funnel {
     var reached = base.filter(col("__et") === steps.head)
       .groupBy(col("__u")).agg(min(col("__ts")).as("__t1"))
       .withColumn("__tp", col("__t1"))
-      .persist() // reused as the next stage's build side AND counted
-    val counts = scala.collection.mutable.ArrayBuffer[DataFrame](
-      reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(1).as("step_idx"), lit(steps.head).as("step_name"),
-          col("n_users")))
+      .persist() // reused as the next stage's build side AND aggregated
+    val stages = scala.collection.mutable.ArrayBuffer[DataFrame](reached)
     for (i <- 1 until steps.length) {
       val prev = reached
       reached = base.filter(col("__et") === steps(i))
@@ -65,11 +77,33 @@ object Funnel {
         .groupBy(col("__u"))
         .agg(min(col("__t1")).as("__t1"), min(col("__ts")).as("__tp"))
         .persist()
-      counts += reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
-          col("n_users"))
+      stages += reached
     }
-    counts.reduce(_.union(_)).orderBy(col("step_idx"))
+    stages.toSeq
+  }
+
+  /** ⊕ Funnel time-to-convert: for each step, how long reaching
+    * users took from ENTRY (the anchor convention of
+    * [[funnelSteps]]) — median and p90 of `step time − entry time`
+    * in whole seconds, plus the step's user count (so the output
+    * subsumes the conversion curve). Exact percentiles with linear
+    * interpolation — bit-identical to the oracle's `quantile_cont`
+    * — over the per-step reached sets, which hold one row per user,
+    * never the event log; step 1's times are identically 0 by
+    * construction (entry IS step 1).
+    */
+  def funnelTimes(events: DataFrame, userCol: Column, tsCol: Column,
+                  typeCol: Column, steps: Seq[String],
+                  horizon: String = "7 days"): DataFrame = {
+    val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
+    stages.zipWithIndex.map { case (df, i) =>
+      df.select((col("__tp").cast("long") - col("__t1").cast("long")).as("__dt"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("__dt"), lit(0.5)), 6).as("p50_sec"),
+          round(percentile(col("__dt"), lit(0.9)), 6).as("p90_sec"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
+          col("n_users"), col("p50_sec"), col("p90_sec"))
+    }.reduce(_.union(_)).orderBy(col("step_idx"))
   }
 
   /** ⊕ Weekly cohort retention: users are cohorted by the ISO week

@@ -264,4 +264,46 @@ class AnalyticsSpec extends SparkSuite {
       assert(!r.isNullAt(r.fieldIndex("mean_post")))
     }
   }
+
+  test("overlapMatrix: hand-counted pairwise intersections and Jaccard; event volume is irrelevant") {
+    import graft.ops.Audience
+    // users: 1 → {a,b}, 2 → {a}, 3 → {a,b,c}; user 2 repeats 'a' 5×
+    val e = ev(
+      Seq((1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 11:00:00", "b"),
+        (3L, "2024-01-01 10:00:00", "a"), (3L, "2024-01-01 11:00:00", "b"),
+        (3L, "2024-01-01 12:00:00", "c")) ++
+      (1 to 5).map(i => (2L, s"2024-01-01 10:0$i:00", "a")): _*)
+    val m = Audience.overlapMatrix(e, col("user_id"), col("event_type"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(m === Map(
+      ("a", "b") -> ((3L, 2L, 2L, round9(2.0 / 3))),
+      ("a", "c") -> ((3L, 1L, 1L, round9(1.0 / 3))),
+      ("b", "c") -> ((2L, 1L, 1L, 0.5))))
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("funnelTimes: entry-anchored seconds with interpolated percentiles; counts agree with funnelSteps") {
+    import graft.ops.Funnel
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:10:00", "click"),    // dt 600
+      (1L, "2024-01-01 11:00:00", "purchase"), // dt 3600
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:20:00", "click"))    // dt 1200
+    val steps = Seq("view", "click", "purchase")
+    val t = Funnel.funnelTimes(e, col("user_id"), col("ts"), col("event_type"), steps)
+      .as[(Int, String, Long, Double, Double)].collect().toSeq
+    assert(t.map(r => (r._1, r._3)) === Seq((1, 2L), (2, 2L), (3, 1L)))
+    val byStep = t.map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(byStep(1) === ((0.0, 0.0)))
+    // two click dts {600, 1200}: p50 interpolates to 900, p90 to 1140
+    assert(byStep(2) === ((900.0, 1140.0)))
+    assert(byStep(3) === ((3600.0, 3600.0)))
+    val c = Funnel.funnelSteps(e, col("user_id"), col("ts"), col("event_type"), steps)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t.map(r => r._1 -> r._3).toMap === c)
+  }
 }
