@@ -2751,6 +2751,32 @@ object SparkEntry {
       col("ts"), col("event_type"), Seq("view", "click", "purchase"))
   }
 
+  /** q141 — ⊕ sketch-based audience overlap
+    * ([[graft.ops.Audience.overlapSketch]]): the HLL
+    * inclusion-exclusion estimates checked against q139's exact
+    * matrix, the q34 exact-mode convention — the Spark side emits the
+    * exact counts plus in-bounds booleans (exact while the sketches
+    * hold list/set mode, else within 3 σ), the oracle emits the same
+    * exact counts and literal TRUE, so a drifting estimate
+    * hash-mismatches.
+    */
+  private val q141OverlapSketch: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val exact = ops.Audience.overlapMatrix(ev, col("user_id"), col("event_type"))
+    val est = ops.Audience.overlapSketch(ev, col("user_id"), col("event_type"))
+    // 3·rsd(lgK=14) ≈ 2.5% relative, floored at 3 absolute for tiny sets
+    def ok(e: Column, x: Column) =
+      abs(e.cast("double") - x.cast("double")) <=
+        greatest(lit(3.0), lit(0.025) * x.cast("double"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a"), col("n_b"), col("n_both"),
+        ok(col("est_a"), col("n_a")).as("est_a_ok"),
+        ok(col("est_b"), col("n_b")).as("est_b_ok"),
+        ok(col("est_both"), col("n_both")).as("est_both_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2893,6 +2919,7 @@ object SparkEntry {
     "q138_zorder"           -> q138Zorder,
     "q139_audience_overlap" -> q139AudienceOverlap,
     "q140_funnel_times"     -> q140FunnelTimes,
+    "q141_overlap_sketch"   -> q141OverlapSketch,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6198,6 +6225,26 @@ object SparkEntry {
         |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
         |  round(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 9)
         |    AS jaccard
+        |FROM pr
+        |JOIN sz sa ON sa.event_type = pr.type_a
+        |JOIN sz sb ON sb.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    // q141: q139's exact mirror + literal TRUE for the in-bounds
+    // assertions (the q34 convention — a drifting estimate flips a
+    // boolean and hash-mismatches).
+    "q141_overlap_sketch" ->
+      """WITH ul AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT event_type, count(*) AS n FROM ul GROUP BY event_type),
+        |pr AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ul x JOIN ul y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS est_both_ok
         |FROM pr
         |JOIN sz sa ON sa.event_type = pr.type_a
         |JOIN sz sb ON sb.event_type = pr.type_b

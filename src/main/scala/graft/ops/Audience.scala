@@ -55,4 +55,41 @@ object Audience {
           (col("n_a") + col("n_b") - col("n_both")).cast("double"), 9)
           .as("jaccard"))
   }
+
+  /** ⊕ Sketch-based overlap — the scale path for the regime
+    * [[overlapMatrix]]'s exact form degrades in: when users carry
+    * MANY labels (thousands of communities), the per-user pair
+    * explosion is |set|² and the exact matrix stops being cheap.
+    * Here each label aggregates its audience into ONE DataSketches
+    * HLL sketch (mergeable, fixed size, map-side combined like every
+    * other A6 sketch), and every pair estimate is inclusion-exclusion
+    * over two sketch unions — work is |labels|² sketch merges,
+    * INDEPENDENT of both event volume and per-user label breadth.
+    *
+    * The pair join is a deliberate small cross (|labels| rows against
+    * itself, `a < b`) — the same single-tiny-side pattern as the
+    * whitelisted stats crosses. Estimates are exact while a sketch
+    * stays in DataSketches list/set mode (small audiences — the q34
+    * exact-mode convention, which is how q141 oracles this) and
+    * within the usual HLL error envelope beyond; the intersection is
+    * clamped at 0 (inclusion-exclusion can go fractionally negative
+    * on disjoint audiences).
+    */
+  def overlapSketch(events: DataFrame, userCol: Column, labelCol: Column,
+                    lgK: Int = 14): DataFrame = {
+    val sk = events
+      .filter(userCol.isNotNull && labelCol.isNotNull)
+      .groupBy(labelCol.as("label"))
+      .agg(hll_sketch_agg(userCol, lit(lgK)).as("__sk"))
+    val a = sk.select(col("label").as("type_a"), col("__sk").as("__ska"))
+    val b = sk.select(col("label").as("type_b"), col("__sk").as("__skb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("__ska")).as("est_a"),
+        hll_sketch_estimate(col("__skb")).as("est_b"),
+        greatest(lit(0L),
+          hll_sketch_estimate(col("__ska")) + hll_sketch_estimate(col("__skb"))
+            - hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))))
+          .as("est_both"))
+  }
 }

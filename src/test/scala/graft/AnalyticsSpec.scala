@@ -285,6 +285,25 @@ class AnalyticsSpec extends SparkSuite {
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("overlapSketch: exact on small audiences (list/set mode), invariant to partitioning") {
+    import graft.ops.Audience
+    val e = ev(
+      Seq((1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 11:00:00", "b"),
+        (3L, "2024-01-01 10:00:00", "a"), (3L, "2024-01-01 11:00:00", "b"),
+        (3L, "2024-01-01 12:00:00", "c")) ++
+      (1 to 5).map(i => (2L, s"2024-01-01 10:0$i:00", "a")): _*)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Audience.overlapSketch(df, col("user_id"), col("event_type"))
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val est = run(e)
+    assert(est === Map(
+      ("a", "b") -> ((3L, 2L, 2L)),
+      ("a", "c") -> ((3L, 1L, 1L)),
+      ("b", "c") -> ((2L, 1L, 1L))))
+    assert(run(e.repartition(7)) === est)
+  }
+
   test("funnelTimes: entry-anchored seconds with interpolated percentiles; counts agree with funnelSteps") {
     import graft.ops.Funnel
     val e = ev(

@@ -91,7 +91,10 @@ class PlansSpec extends SparkSuite {
     // and q107 which scores against TWO such models).
     val cartesianOk = Set("q24_knn_brute", "q25_cosine_pairs", "q73_bm25_rank",
       "q93_lm_quality", "q107_dsir_sample", "q118_histogram",
-      "q119_provenance_prep", "q121_cooccur_pmi")
+      "q119_provenance_prep", "q121_cooccur_pmi",
+      // |labels|×|labels| sketch-pair cross — one tiny broadcast side,
+      // independent of event volume (ops/Audience.overlapSketch)
+      "q141_overlap_sketch")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
