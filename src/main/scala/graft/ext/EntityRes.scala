@@ -82,13 +82,19 @@ object EntityRes {
     // length-L+1 pair (insert/delete edit) meets at the longer name's
     // deletion == the shorter name's IDENTITY, so the identity key is
     // load-bearing, not an optimization
+    // the deletion transform is guarded on non-empty names: Spark's
+    // sequence(1, 0) descends ([1, 0], default step -1) where the
+    // oracle's range(1, 1) is empty, so an unguarded transform would
+    // emit junk keys for "" and diverge the candidate/bucket counts
     val keys = recs.select(col("__id"), col("__nm"),
       explode(concat(
         array(concat(col("__cb"), lit("|"), col("__nm"))),
-        transform(sequence(lit(1), length(col("__nm"))),
-          i => concat(col("__cb"), lit("|"),
-            col("__nm").substr(lit(1), i - lit(1)),
-            col("__nm").substr(i + lit(1), length(col("__nm"))))))).as("__k"))
+        when(length(col("__nm")) > lit(0),
+          transform(sequence(lit(1), length(col("__nm"))),
+            i => concat(col("__cb"), lit("|"),
+              col("__nm").substr(lit(1), i - lit(1)),
+              col("__nm").substr(i + lit(1), length(col("__nm"))))))
+          .otherwise(array().cast("array<string>")))).as("__k"))
     val ok = keys.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select(col("__k"))
     val capped = keys.join(ok, Seq("__k"))

@@ -183,9 +183,13 @@ object Experiment {
     * integer cents PER EVENT (`round(value·100)` — one deterministic
     * scalar op), so every aggregation in the plan is an INTEGER sum
     * — exact in any order, immune to the float-accumulation-order
-    * nondeterminism that plagues distributed covariance. The moment
-    * sums (Σx, Σy, Σx², Σxy, Σy²) stay within 2^53 up to ~1e15
-    * cents², long past the fixture scales; θ and the adjusted means
+    * nondeterminism that plagues distributed covariance. Per-user
+    * squared/cross products are computed in long (exactly DuckDB's
+    * BIGINT·BIGINT — the binding per-user bound in BOTH engines),
+    * then the corpus moment sums (Σx², Σxy, Σy²) accumulate in
+    * decimal(38,0), mirroring DuckDB's sum(BIGINT) → HUGEINT
+    * headroom, so neither engine can wrap where the other doesn't;
+    * θ and the adjusted means
     * convert to double ONCE and proceed through deterministic scalar
     * arithmetic, so the q137 oracle matches bit-for-bit before the
     * presentation rounding (6).
@@ -223,9 +227,9 @@ object Experiment {
     val byArm = perUser.groupBy(col("variant")).agg(
       count(lit(1)).as("n_users"),
       sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
-      sum(col("__x") * col("__x")).as("sxx"),
-      sum(col("__x") * col("__y")).as("sxy"),
-      sum(col("__y") * col("__y")).as("syy"))
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("syy"))
     val all = Window.partitionBy() // k rows — never the event log
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def tot(c: Column) = sum(c).over(all).cast("double")

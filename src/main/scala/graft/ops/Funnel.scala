@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Product-analytics operators over an event log: ordered funnels,
   * cohort retention, last-touch attribution, and session path
@@ -43,11 +46,19 @@ object Funnel {
                   typeCol: Column, steps: Seq[String],
                   horizon: String = "7 days"): DataFrame = {
     val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
-    stages.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
-          col("n_users"))
-    }.reduce(_.union(_)).orderBy(col("step_idx"))
+    // each count materializes its stage's cache in sequence (so the
+    // next stage's join reuses it) and IS the per-stage aggregate:
+    // compute the k tiny results eagerly, then release every cached
+    // stage instead of leaving them to the ContextCleaner
+    val counts = stages.map(_.count())
+    stages.foreach(_.unpersist())
+    val rows = steps.indices.map(i => Row(i + 1, steps(i), counts(i)))
+    val schema = StructType(Seq(
+      StructField("step_idx", IntegerType, nullable = false),
+      StructField("step_name", StringType, nullable = false),
+      StructField("n_users", LongType, nullable = false)))
+    events.sparkSession.createDataFrame(rows.asJava, schema)
+      .orderBy(col("step_idx"))
   }
 
   /** Per-step reached sets, shared by [[funnelSteps]] and
@@ -96,14 +107,30 @@ object Funnel {
                   typeCol: Column, steps: Seq[String],
                   horizon: String = "7 days"): DataFrame = {
     val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
-    stages.zipWithIndex.map { case (df, i) =>
+    // same eager-aggregate + unpersist discipline as [[funnelSteps]]:
+    // one tiny row per stage, caches released before returning
+    val aggRows = stages.map { df =>
       df.select((col("__tp").cast("long") - col("__t1").cast("long")).as("__dt"))
         .agg(count(lit(1)).as("n_users"),
           round(percentile(col("__dt"), lit(0.5)), 6).as("p50_sec"),
           round(percentile(col("__dt"), lit(0.9)), 6).as("p90_sec"))
-        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step_name"),
-          col("n_users"), col("p50_sec"), col("p90_sec"))
-    }.reduce(_.union(_)).orderBy(col("step_idx"))
+        .head()
+    }
+    stages.foreach(_.unpersist())
+    val rows = steps.indices.map { i =>
+      val r = aggRows(i)
+      Row(i + 1, steps(i), r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))
+    }
+    val schema = StructType(Seq(
+      StructField("step_idx", IntegerType, nullable = false),
+      StructField("step_name", StringType, nullable = false),
+      StructField("n_users", LongType, nullable = false),
+      StructField("p50_sec", DoubleType, nullable = true),
+      StructField("p90_sec", DoubleType, nullable = true)))
+    events.sparkSession.createDataFrame(rows.asJava, schema)
+      .orderBy(col("step_idx"))
   }
 
   /** ⊕ Weekly cohort retention: users are cohorted by the ISO week

@@ -36,6 +36,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(r === Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnelSteps/funnelTimes release every cached stage (no persist leak)") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val steps = Seq("view", "click")
+    val s = Funnel.funnelSteps(e, col("user_id"), col("ts"), col("event_type"), steps)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(s === Seq((1, "view", 2L), (2, "click", 1L)))
+    val t = Funnel.funnelTimes(e, col("user_id"), col("ts"), col("event_type"), steps)
+    assert(t.count() === 2L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"stages left cached: $leaked")
+  }
+
   test("funnelSteps: horizon is anchored at ENTRY — a step inside the previous-step window but past the entry window is out") {
     val e = ev(
       (1L, "2024-01-01 00:00:00", "view"),

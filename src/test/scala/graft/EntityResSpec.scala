@@ -120,6 +120,21 @@ class EntityResSpec extends SparkSuite {
     assert(!cand.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("matchPairsEditBlocked: empty name emits ONLY its identity key (no junk sequence(1,0) deletions)") {
+    // "" must contribute exactly one entry to the "X|" bucket; the
+    // unguarded form emitted two extra junk keys for it (Spark's
+    // sequence(1, 0) = [1, 0]) which here would tip the bucket over
+    // maxBucket = 3 and silently drop every candidate — diverging
+    // from the oracle's empty range(1, 1)
+    val recs = Seq((1L, "", "X"), (2L, "a", "X"), (3L, "b", "X"))
+      .toDF("id", "name", "blk")
+    val cand = graft.ext.EntityRes.matchPairsEditBlocked(recs, col("id"),
+        col("name"), col("blk"), threshold = 0.0, maxBucket = 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // bucket "X|" holds {""-identity, "a"-deletion, "b"-deletion} = 3 <= cap
+    assert(cand === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"$cand")
+  }
+
   test("matchPairsEditBlocked: co-block separates otherwise identical names; resolveFromPairs keeps singletons") {
     val recs = Seq(
       (1L, "Acme Corporation", "US"),
