@@ -88,7 +88,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"}"""
+    val nFailed = results.count(_._2 < 0)
+    // total_s / n_failed / n_queries repeat at the END of the line: the
+    // driver preserves only the final ~2000 chars of stdout, which
+    // truncates the leading "value" and most per-query entries — the
+    // tail window must be self-contained.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min","total_s":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_failed":$nFailed}"""
     println(line)
     // Also persist the full line: the driver's fixed-size stdout tail
     // capture truncated BENCH_r06.json (lost q01-q24 + the total), so

@@ -184,11 +184,13 @@ object Experiment {
     * scalar op), so every aggregation in the plan is an INTEGER sum
     * — exact in any order, immune to the float-accumulation-order
     * nondeterminism that plagues distributed covariance. Per-user
-    * squared/cross products are computed in long (exactly DuckDB's
-    * BIGINT·BIGINT — the binding per-user bound in BOTH engines),
-    * then the corpus moment sums (Σx², Σxy, Σy²) accumulate in
-    * decimal(38,0), mirroring DuckDB's sum(BIGINT) → HUGEINT
-    * headroom, so neither engine can wrap where the other doesn't;
+    * squared/cross products are computed in decimal(19,0) — a
+    * long·long product is at most 38 digits, so decimal(38,0) holds
+    * it EXACTLY with no wrap at any per-user cent total (DuckDB's
+    * BIGINT·BIGINT would error loudly past ~9.2e18 rather than
+    * diverge silently) — then the corpus moment sums (Σx², Σxy, Σy²)
+    * accumulate in decimal(38,0), mirroring DuckDB's sum(BIGINT) →
+    * HUGEINT headroom;
     * θ and the adjusted means
     * convert to double ONCE and proceed through deterministic scalar
     * arithmetic, so the q137 oracle matches bit-for-bit before the
@@ -224,12 +226,17 @@ object Experiment {
       .filter(col("__t_exp").isNotNull)
       .select(Sampling.assignSplit(userKey, variants, salt).as("variant"),
         col("__x"), col("__y"))
+    // cast BEFORE multiplying: a long·long product wraps silently in
+    // Spark (non-ANSI) at >~9.2e18, but any product of two longs is at
+    // most 38 digits, so decimal(19,0)·decimal(19,0) → decimal(38,0)
+    // is exact — true headroom, matching DuckDB's HUGEINT moments
+    def dec(c: Column) = c.cast("decimal(19,0)")
     val byArm = perUser.groupBy(col("variant")).agg(
       count(lit(1)).as("n_users"),
       sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
-      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("syy"))
+      sum((dec(col("__x")) * dec(col("__x"))).cast("decimal(38,0)")).as("sxx"),
+      sum((dec(col("__x")) * dec(col("__y"))).cast("decimal(38,0)")).as("sxy"),
+      sum((dec(col("__y")) * dec(col("__y"))).cast("decimal(38,0)")).as("syy"))
     val all = Window.partitionBy() // k rows — never the event log
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def tot(c: Column) = sum(c).over(all).cast("double")

@@ -41,17 +41,24 @@ object Funnel {
     * carry is two timestamps (entry anchor + previous step), never a
     * collected event list — a power user with millions of events
     * costs the same two columns as anyone else.
+    *
+    * EAGER: unlike most operators in this package, this runs its Spark
+    * jobs at call time (the stage caches must be materialized in
+    * sequence and released before returning); the returned DataFrame
+    * is a small local result, not a lazy plan over `events`.
     */
   def funnelSteps(events: DataFrame, userCol: Column, tsCol: Column,
                   typeCol: Column, steps: Seq[String],
                   horizon: String = "7 days"): DataFrame = {
     val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
-    // each count materializes its stage's cache in sequence (so the
-    // next stage's join reuses it) and IS the per-stage aggregate:
-    // compute the k tiny results eagerly, then release every cached
-    // stage instead of leaving them to the ContextCleaner
-    val counts = stages.map(_.count())
-    stages.foreach(_.unpersist())
+    // NOTE: runs Spark jobs eagerly at call time (unlike most ops here,
+    // which return a lazy plan) — each count materializes its stage's
+    // cache in sequence (so the next stage's join reuses it) and IS the
+    // per-stage aggregate. try/finally so a failing stage aggregation
+    // still releases every already-persisted stage.
+    val counts =
+      try stages.map(_.count())
+      finally stages.foreach(_.unpersist())
     val rows = steps.indices.map(i => Row(i + 1, steps(i), counts(i)))
     val schema = StructType(Seq(
       StructField("step_idx", IntegerType, nullable = false),
@@ -102,21 +109,26 @@ object Funnel {
     * — over the per-step reached sets, which hold one row per user,
     * never the event log; step 1's times are identically 0 by
     * construction (entry IS step 1).
+    *
+    * EAGER: runs its Spark jobs at call time, like [[funnelSteps]];
+    * the returned DataFrame is a small local result.
     */
   def funnelTimes(events: DataFrame, userCol: Column, tsCol: Column,
                   typeCol: Column, steps: Seq[String],
                   horizon: String = "7 days"): DataFrame = {
     val stages = reachedStages(events, userCol, tsCol, typeCol, steps, horizon)
-    // same eager-aggregate + unpersist discipline as [[funnelSteps]]:
-    // one tiny row per stage, caches released before returning
-    val aggRows = stages.map { df =>
-      df.select((col("__tp").cast("long") - col("__t1").cast("long")).as("__dt"))
-        .agg(count(lit(1)).as("n_users"),
-          round(percentile(col("__dt"), lit(0.5)), 6).as("p50_sec"),
-          round(percentile(col("__dt"), lit(0.9)), 6).as("p90_sec"))
-        .head()
-    }
-    stages.foreach(_.unpersist())
+    // same eager-aggregate + unpersist discipline as [[funnelSteps]]
+    // (jobs run at call time): one tiny row per stage, caches released
+    // in a finally so error paths can't leak the persisted stages
+    val aggRows =
+      try stages.map { df =>
+        df.select((col("__tp").cast("long") - col("__t1").cast("long")).as("__dt"))
+          .agg(count(lit(1)).as("n_users"),
+            round(percentile(col("__dt"), lit(0.5)), 6).as("p50_sec"),
+            round(percentile(col("__dt"), lit(0.9)), 6).as("p90_sec"))
+          .head()
+      }
+      finally stages.foreach(_.unpersist())
     val rows = steps.indices.map { i =>
       val r = aggRows(i)
       Row(i + 1, steps(i), r.getLong(0),

@@ -32,20 +32,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to µs
-    * TimestampType at the reader so every consumer sees a normal
-    * timestamp column (truncation ns→µs matches Spark's own timestamp
-    * precision).
+  /** `events.ts` has shipped with three different physical types across
+    * fixture generations — parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses to read natively, PARQUET_TYPE_ILLEGAL, so it surfaces as
+    * a nanos `long` under `spark.sql.legacy.parquet.nanosAsLong`),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ),
+    * and plain UTC-adjusted micros (TimestampType). Dispatch on the
+    * decoded type so every consumer sees one canonical µs
+    * TimestampType column regardless of which fixture generation is on
+    * disk. The session timezone is UTC everywhere in this project, so
+    * the NTZ→timestamp cast is instant-preserving and matches DuckDB's
+    * reading of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integral `div`, not Column./ — double division of a ~1.7e18 ns
-    // epoch exceeds 2^53 and can shift values across a µs boundary
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      // integral `div`, not Column./ — double division of a ~1.7e18 ns
+      // epoch exceeds 2^53 and can shift values across a µs boundary
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — expected nanos long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
@@ -79,6 +92,68 @@ object Tables {
       .option("ignoreMissingFiles", "true")
     val r = schema.fold(r0)(r0.schema)
     r.parquet(paths: _*)
+  }
+
+  /** S5 schema-level extension — schema-tolerant read: open `path` and
+    * coerce each column to `expected`'s type when the on-disk physical
+    * type is a compatible variant, failing LOUDLY with a full schema
+    * diff otherwise. This is the engine-grade generalization of the
+    * [[events]] dispatch: upstream producers legitimately re-encode
+    * the same logical data across generations (ns vs µs timestamps,
+    * UTC-adjusted vs NTZ, int32 vs int64), and a pipeline should
+    * absorb those, not crash 30 queries downstream of the scan.
+    *
+    * Coercions applied (anything else is a hard error, never silent):
+    *  - nanos-epoch `long` → TimestampType / TimestampNTZType
+    *    (parquet TIMESTAMP(NANOS) surfaces as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong` — Spark 4 cannot decode
+    *    it natively; integral `div 1000`, see [[events]])
+    *  - TimestampNTZType ↔ TimestampType (session-TZ cast; this
+    *    project pins the session to UTC so the cast is
+    *    instant-preserving)
+    *  - integral widening: byte → short → int → long
+    *  - float → double
+    *  - identical types pass through untouched
+    *
+    * Extra on-disk columns are pruned (the projection is `expected`'s
+    * column list, in `expected`'s order — Catalyst pushes it into the
+    * scan); a MISSING column is an error, since fabricating nulls would
+    * silently corrupt downstream aggregates. Nullability is not
+    * enforced (parquet stats can't prove it).
+    */
+  def readNormalized(spark: SparkSession, path: String, expected: StructType): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    val actual = df.schema
+    def fail(why: String): Nothing = throw new IllegalStateException(
+      s"readNormalized($path): $why\n--- expected ---\n${expected.treeString}--- on disk ---\n${actual.treeString}")
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+    val cols: Seq[Column] = expected.fields.toSeq.map { ef =>
+      val af = actual.find(_.name == ef.name)
+        .getOrElse(fail(s"column '${ef.name}' missing on disk"))
+      (af.dataType, ef.dataType) match {
+        case (a, e) if a == e => col(ef.name)
+        case (LongType, TimestampType) =>
+          timestamp_micros(expr(s"`${ef.name}` div 1000")).as(ef.name)
+        case (LongType, TimestampNTZType) =>
+          timestamp_micros(expr(s"`${ef.name}` div 1000")).cast(TimestampNTZType).as(ef.name)
+        case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) =>
+          col(ef.name).cast(ef.dataType).as(ef.name)
+        case (a, e) if widens(a, e) => col(ef.name).cast(e).as(ef.name)
+        case (a, e) =>
+          fail(s"column '${ef.name}': on-disk $a is not a supported coercion to expected $e")
+      }
+    }
+    df.select(cols: _*)
   }
 
   /** S8 — in-memory result store: persist + register under a stable
