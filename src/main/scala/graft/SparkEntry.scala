@@ -2777,6 +2777,33 @@ object SparkEntry {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q142 — ⊕ corpus snapshot diff ([[graft.ops.Diff.snapshotDiff]]):
+    * two deterministically-derived versions of `customer` (v_old drops
+    * `%10` keys; v_new drops `%13` keys, bumps acctbal on `%7` keys
+    * and rotates nationkey on `%11` keys), diffed into added / removed
+    * / changed keys with alphabetical column-level change attribution
+    * — the incremental-reprocessing primitive (re-derive downstream
+    * state for `added ∪ changed` only). The oracle replays the same
+    * derivations and the same null-safe per-column comparison over a
+    * full-outer join; `changed_cols` is comma-joined on both sides so
+    * a wrong or mis-ordered attribution flips the hash.
+    */
+  private val q142SnapshotDiff: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val oldSnap = cust.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val newSnap = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, ((col("c_nationkey") + 1) % 25).cast("int"))
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+    ops.Diff.snapshotDiff(oldSnap, newSnap, "c_custkey")
+      .select(col("c_custkey"), col("change_type"),
+        concat_ws(",", col("changed_cols")).as("changed_cols"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2920,6 +2947,7 @@ object SparkEntry {
     "q139_audience_overlap" -> q139AudienceOverlap,
     "q140_funnel_times"     -> q140FunnelTimes,
     "q141_overlap_sketch"   -> q141OverlapSketch,
+    "q142_snapshot_diff"    -> q142SnapshotDiff,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6292,6 +6320,43 @@ object SparkEntry {
       """SELECT event_type, count(*) AS est_n
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q142: same derived snapshots, same full-outer + null-safe
+    // per-column compare; CASE guards keep added/removed rows at
+    // changed_cols = '' exactly like concat_ws over an empty array.
+    "q142_snapshot_diff" ->
+      """WITH oldv AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |newv AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 11 = 0
+        |         THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 13 <> 0),
+        |j AS (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'removed'
+        |         WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+        |           OR NOT (o.c_name IS NOT DISTINCT FROM n.c_name)
+        |           OR NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey)
+        |           THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |    concat_ws(',',
+        |      CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+        |             AND NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+        |           THEN 'c_acctbal' END,
+        |      CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+        |             AND NOT (o.c_name IS NOT DISTINCT FROM n.c_name)
+        |           THEN 'c_name' END,
+        |      CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+        |             AND NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey)
+        |           THEN 'c_nationkey' END) AS changed_cols
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey, change_type, changed_cols FROM j
+        |WHERE change_type <> 'unchanged'
+        |ORDER BY c_custkey""".stripMargin,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

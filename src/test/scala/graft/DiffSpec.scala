@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Diff
+
+/** [[graft.ops.Diff]] — snapshot diff / incremental reprocessing. */
+class DiffSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def oldSnap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "name", "bal")
+  private def newSnap = Seq(
+    (1L, "a", 10.0),          // unchanged
+    (2L, "b2", 20.0),         // name changed
+    (3L, "c", 33.0),          // bal changed
+    (5L, "e", 50.0))          // added; 4 removed
+    .toDF("k", "name", "bal")
+
+  test("snapshotDiff classifies added/removed/changed with column attribution") {
+    val got = Diff.snapshotDiff(oldSnap, newSnap, "k")
+      .select($"k", $"change_type", concat_ws(",", $"changed_cols").as("cc"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, "changed", "name"),
+      (3L, "changed", "bal"),
+      (4L, "removed", ""),
+      (5L, "added", "")))
+  }
+
+  test("includeUnchanged adds the unchanged row; multi-column changes list alphabetically") {
+    val n2 = newSnap.withColumn("bal", when($"k" === 2L, 99.0).otherwise($"bal"))
+    val all = Diff.snapshotDiff(oldSnap, n2, "k", includeUnchanged = true)
+    assert(all.count() == 5)
+    val r2 = all.filter($"k" === 2L)
+      .select(concat_ws(",", $"changed_cols")).as[String].head()
+    assert(r2 == "bal,name") // alphabetical, not snapshot order
+    assert(all.filter($"change_type" === "unchanged").select($"k").as[Long].head() == 1L)
+  }
+
+  test("null-safe comparison: null==null is unchanged, null→value is changed") {
+    val o = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    val n = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("k", "name")
+    val got = Diff.snapshotDiff(o, n, "k", includeUnchanged = true)
+      .select($"k", $"change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed")))
+  }
+
+  test("schema drift between versions: one-sided columns are ignored, not fatal") {
+    val o = oldSnap.withColumn("legacy", lit(1))
+    val n = newSnap.withColumn("brand_new", lit(2))
+    // compares only {name, bal}; legacy/brand_new silently out of scope
+    val got = Diff.snapshotDiff(o, n, "k")
+    assert(got.filter($"change_type" === "changed").count() == 2)
+  }
+
+  test("staleRows returns exactly the added∪changed rows of the new snapshot") {
+    val got = Diff.staleRows(oldSnap, newSnap, "k")
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L, 5L))
+    // rows come from the NEW snapshot (post-change payloads)
+    val bal3 = Diff.staleRows(oldSnap, newSnap, "k")
+      .filter($"k" === 3L).select($"bal").as[Double].head()
+    assert(bal3 == 33.0)
+  }
+
+  test("delta output is O(delta): one full-outer join, no extra shuffle stages") {
+    val plan = Diff.snapshotDiff(oldSnap, newSnap, "k")
+      .queryExecution.executedPlan.toString
+    // exactly one join; comparison is row-local projection over it
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size == 1, s"expected a single join:\n$plan")
+  }
+}
