@@ -2804,6 +2804,27 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** q143 — ⊕ IVF-PQ search ([[graft.ext.Similarity.pqFit]] +
+    * [[graft.ext.Similarity.ivfPqSearch]]): the FAISS-style composed
+    * index — q38's coarse quantizer prunes to 4 probed clusters, and
+    * asymmetric-distance computation scores the survivors from their
+    * 4-code product-quantization encoding alone (per-query m×k lookup
+    * table; candidates' embeddings never read). The oracle replays
+    * BOTH k-means chains (the shared q38 coarse CTEs plus a
+    * subspace-keyed PQ chain), the code assignment, the 9-dp LUT and
+    * the fixed-order ADC fold — a drift anywhere in codebooks, codes,
+    * probe set or fold order flips the hash.
+    */
+  private val q143IvfPq: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val pq = ext.Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    ext.Similarity.ivfPqSearch(ivf, pq, queryIds = Seq(0L, 1L, 2L),
+      nprobe = 4, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2948,6 +2969,7 @@ object SparkEntry {
     "q140_funnel_times"     -> q140FunnelTimes,
     "q141_overlap_sketch"   -> q141OverlapSketch,
     "q142_snapshot_diff"    -> q142SnapshotDiff,
+    "q143_ivfpq"            -> q143IvfPq,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3069,6 +3091,95 @@ object SparkEntry {
        |${lloyd("a1", "c1", "c2")},
        |af AS (
        |${assign("nv", "c2")})""".stripMargin
+  }
+
+  /** q143's oracle: the q38 coarse chain plus the PQ side — subvector
+    * explosion, subspace-keyed seeds, one Lloyd round (round(,9), no
+    * re-normalization: subvectors aren't unit), final codes as a
+    * j-ordered list — then the per-query 9-dp LUT and the ascending-j
+    * ADC fold, scored over the probed clusters only.
+    */
+  private def ivfPqOracleSql: String = {
+    val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    val sqd16 = "list_sum(list_transform(range(1, 17), i -> (s[i] - c[i]) * (s[i] - c[i])))"
+    s"""$ivfTrainCtes,
+       |sv AS (
+       |  SELECT vec_id, jj.j AS j,
+       |    list_transform(range(1, 17), i -> nv[jj.j * 16 + i]) AS s
+       |  FROM nv CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+       |pc0 AS (
+       |  SELECT j, list_transform(list(s ORDER BY vec_id),
+       |                           v -> list_transform(v, x -> round(x, 9))) AS cs
+       |  FROM sv
+       |  WHERE vec_id IN (SELECT vec_id FROM nv ORDER BY vec_id LIMIT 16)
+       |  GROUP BY j),
+       |pa0 AS (
+       |  SELECT vec_id, j, s,
+       |    CAST(list_position(negd, list_max(negd)) - 1 AS INTEGER) AS code
+       |  FROM (SELECT sv.vec_id, sv.j, sv.s,
+       |          list_transform(pc0.cs, c -> -$sqd16) AS negd
+       |        FROM sv JOIN pc0 ON pc0.j = sv.j)),
+       |pm1 AS (
+       |  SELECT j, code, u.pos AS pos, round(avg(u.val), 9) AS mn
+       |  FROM (SELECT j, code,
+       |          unnest(list_transform(range(1, 17),
+       |            i -> {'pos': i, 'val': s[i]})) AS u
+       |        FROM pa0)
+       |  GROUP BY j, code, u.pos),
+       |pg1 AS (SELECT j, code, list(mn ORDER BY pos) AS mean
+       |        FROM pm1 GROUP BY j, code),
+       |pc1 AS (
+       |  SELECT jj.j, list(COALESCE(pg1.mean, pc0.cs[cid.i + 1]) ORDER BY cid.i) AS cs
+       |  FROM (SELECT unnest(range(0, 4)) AS j) jj
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) cid
+       |  JOIN pc0 ON pc0.j = jj.j
+       |  LEFT JOIN pg1 ON pg1.j = jj.j AND pg1.code = cid.i
+       |  GROUP BY jj.j),
+       |paf AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS codes
+       |  FROM (SELECT vec_id, j,
+       |          CAST(list_position(negd, list_max(negd)) - 1 AS INTEGER) AS code
+       |        FROM (SELECT sv.vec_id, sv.j, sv.s,
+       |                list_transform(pc1.cs, c -> -$sqd16) AS negd
+       |              FROM sv JOIN pc1 ON pc1.j = sv.j))
+       |  GROUP BY vec_id),
+       |qs AS (
+       |  SELECT vec_id AS query_id, nv AS qnv,
+       |    list_transform(c2.cs, c -> $dot64) AS sims
+       |  FROM nv CROSS JOIN c2 WHERE vec_id IN (0, 1, 2)),
+       |pq AS (
+       |  SELECT query_id, qnv,
+       |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
+       |  FROM qs),
+       |probes AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT query_id, u.idx AS cluster,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY u.sim DESC, u.idx) AS rn
+       |    FROM pq)
+       |  WHERE rn <= 4),
+       |lutj AS (
+       |  SELECT q.query_id, pc1.j,
+       |    list_transform(pc1.cs, c -> round(list_sum(list_transform(range(1, 17),
+       |      i -> q.qnv[pc1.j * 16 + i] * c[i])), 9)) AS parts
+       |  FROM (SELECT DISTINCT query_id, qnv FROM qs) q CROSS JOIN pc1),
+       |lutq AS (SELECT query_id, list(parts ORDER BY j) AS lut
+       |         FROM lutj GROUP BY query_id),
+       |scored AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 5),
+       |      j -> lutq.lut[j][paf.codes[j] + 1])), 4) AS adc_sim
+       |  FROM af
+       |  JOIN probes p ON af.cluster = p.cluster
+       |  JOIN paf ON paf.vec_id = af.vec_id
+       |  JOIN lutq ON lutq.query_id = p.query_id
+       |  WHERE af.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc_sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, adc_sim DESC, neighbor_id""".stripMargin
   }
 
   private def ivfOracleSql: String = {
@@ -6357,6 +6468,7 @@ object SparkEntry {
         |SELECT c_custkey, change_type, changed_cols FROM j
         |WHERE change_type <> 'unchanged'
         |ORDER BY c_custkey""".stripMargin,
+    "q143_ivfpq" -> ivfPqOracleSql,
   )
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —

@@ -220,6 +220,157 @@ object Similarity {
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
+  // --- Product quantization (IVF-PQ) ---------------------------------------
+
+  /** Trained product quantizer: `codebooks(j)(c)` is codeword `c` of
+    * subspace `j` (m subspaces × k codewords × (dim/m) components),
+    * and `codes` carries each vector's m-byte encoding
+    * `(id, nv, codes: array<int>)`. The codebook is m·k·(dim/m) = k·dim
+    * doubles of driver state regardless of corpus size — broadcast-tier.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]], codes: DataFrame) {
+    def unpersist(): Unit = { codes.unpersist(); () }
+  }
+
+  /** ⊕ Product-quantization fit (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the FAISS IVF-PQ
+    * compression stage): split each normalized vector into `m`
+    * subvectors and k-means each subspace independently; a vector is
+    * then stored as m small codes (m=4, k=16 → 4 codes ≈ 2 bytes
+    * vs 64 doubles = 512 bytes, a 128× index compression — the
+    * difference between an embedding index that fits executor memory
+    * at 100 TB corpus scale and one that doesn't).
+    *
+    * Determinism contract (the [[ivfFit]] convention): seeds are the
+    * k lowest-id vectors' subvectors, Lloyd rounds recompute
+    * componentwise means quantized to `quantize` decimals, code
+    * assignment is argmin squared distance with lowest-index
+    * tie-break via the same first-position-of-max trick both engines
+    * share — so the q143 oracle replays the whole chain in SQL and
+    * hash-matches.
+    *
+    * Shape: one subvector explosion (m rows per vector) persisted
+    * across rounds; each Lloyd round is one distributed aggregation
+    * keyed (subspace, code, component) with only the m·k×(dim/m)
+    * codebook collected to the driver; final encoding is one
+    * row-local assignment + one (id)-grouped pivot back to an
+    * m-element code array. The vector table itself never moves.
+    */
+  def pqFit(df: DataFrame, id: Column, vec: Column, m: Int = 4, k: Int = 16,
+            iters: Int = 1, quantize: Option[Int] = Some(9)): PqModel = {
+    def q(v: Array[Double]): Array[Double] = quantize.fold(v) { dp =>
+      val scale = math.pow(10, dp)
+      v.map(x => math.rint(x * scale) / scale)
+    }
+    val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull).persist()
+    val seeds = nv.orderBy(col("id")).limit(k).select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "pqFit: no non-null vectors")
+    val d = seeds(0).length
+    require(d % m == 0, s"pqFit: dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(s => q(s.slice(j * sub, (j + 1) * sub))))
+    val subs = nv.select(col("id"), posexplode(array((0 until m).map(j =>
+        slice(col("nv"), j * sub + 1, sub)): _*)).as(Seq("j", "s"))).persist()
+    for (_ <- 0 until iters) {
+      val assigned = subs.withColumn("code", assignCode(col("s"), col("j"), codebooks))
+      // componentwise mean per (subspace, code) — the ivfFit explode/
+      // reassemble, with the subspace id added to the grouping key; PQ
+      // centroids are NOT re-normalized (subvectors aren't unit)
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos")).agg(avg(col("v")).as("mn"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          x => x.getField("mn")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      codebooks = Array.tabulate(m)(jj => Array.tabulate(k)(c =>
+        means.get((jj, c)).map(q).getOrElse(codebooks(jj)(c))))
+    }
+    val coded = subs.withColumn("code", assignCode(col("s"), col("j"), codebooks))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val codes = nv.join(coded, Seq("id")).persist()
+    codes.count()  // materialize before dropping the upstream caches
+    subs.unpersist(); nv.unpersist()
+    PqModel(codebooks, codes)
+  }
+
+  /** Row-local code assignment: argmin ‖s − c‖² over subspace `j`'s
+    * codewords (ties → lowest code, via first-position-of-max on the
+    * negated distances — the [[assignCluster]] trick). The distance
+    * fold is ascending-index sequential, bit-matching the oracle's
+    * `list_sum(list_transform(range...))`.
+    */
+  private def assignCode(s: Column, j: Column,
+                         codebooks: Array[Array[Array[Double]]]): Column = {
+    def negd(cb: Array[Array[Double]]): Column = array(cb.map { c =>
+      -aggregate(zip_with(s, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val byJ = codebooks.indices.tail.foldLeft(negd(codebooks(0))) { (acc, jj) =>
+      when(j === jj, negd(codebooks(jj))).otherwise(acc)
+    }
+    (array_position(byJ, array_max(byJ)) - 1).cast("int")
+  }
+
+  /** ⊕ IVF-PQ search — the FAISS composition: the coarse quantizer
+    * ([[ivfFit]]) prunes the corpus to `nprobe` clusters, and
+    * asymmetric-distance computation (ADC) scores the survivors from
+    * their PQ codes alone: each query precomputes an m×k lookup table
+    * of subspace partial dot products (row-local, against the literal
+    * codebooks), and a candidate's approximate cosine is m table
+    * lookups summed in fixed subspace order — no candidate vector is
+    * ever read. At 100 TB that is the whole point: the scored side
+    * touches only cluster + m codes per vector (~5 bytes), not the
+    * embedding column.
+    *
+    * Plan: probe selection and the LUT ride the (tiny, broadcast)
+    * query side; one equi-join on `cluster` against the
+    * code-augmented inverted file; per-query top-k via the W2 window
+    * pattern. Same single-pass shape as [[ivfSearch]] — constant in
+    * the number of queries.
+    */
+  def ivfPqSearch(ivf: IvfModel, pq: PqModel, queryIds: Seq[Long],
+                  nprobe: Int, k: Int, roundTo: Int = 4): DataFrame = {
+    val cents = ivf.centroids
+    val m = pq.codebooks.length
+    val sub = pq.codebooks(0)(0).length
+    val ranked = array_sort(array(cents.indices.map(i =>
+      struct((-dot(col("q_nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
+        lit(i).as("idx"))): _*))
+    val probes = transform(slice(ranked, 1, nprobe), s => s.getField("idx"))
+    // lut[j][c] = round(dot(q_sub_j, codebook(j)(c)), 9) — partials are
+    // quantized so the oracle's identical table is bit-equal before
+    // the fixed-order ADC fold
+    val lut = array((0 until m).map { j =>
+      array(pq.codebooks(j).indices.map { c =>
+        round(dot(slice(col("q_nv"), j * sub + 1, sub),
+          array(pq.codebooks(j)(c).map(lit(_)): _*)), 9)
+      }: _*)
+    }: _*)
+    val probed = ivf.assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("nv").as("q_nv"))
+      .withColumn("lut", lut)
+      .withColumn("cluster", explode(probes))
+      .select(col("query_id"), col("lut"), col("cluster"))
+    val corpus = ivf.assigned.select(col("id"), col("cluster"))
+      .join(pq.codes.select(col("id"), col("codes")), Seq("id"))
+    val scored = corpus.join(broadcast(probed), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
+          acc + element_at(element_at(col("lut"), jj + 1),
+            element_at(col("codes"), jj + 1) + 1)), roundTo).as("adc_sim"))
+    graft.ops.TopK.perGroupTopK(scored,
+        Seq(col("query_id")), Seq(desc("adc_sim"), asc("neighbor_id")), k)
+      .orderBy(col("query_id"), desc("adc_sim"), col("neighbor_id"))
+  }
+
   /** ⊕ Symmetric int8 vector quantization — the 4×-smaller index
     * form a 100 TB ANN deployment stores: per-vector
     * `scale = max|x|/127`, `q_i = round(x_i/scale)` ∈ [−127, 127].

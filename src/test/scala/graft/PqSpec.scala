@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.sources.Tables
+
+/** [[graft.ext.Similarity.pqFit]] / [[graft.ext.Similarity.ivfPqSearch]]
+  * — product quantization + ADC. */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val em = Tables.embeddings(spark, sfDir)
+  private lazy val pq = Similarity.pqFit(em, col("vec_id"), col("embedding"),
+    m = 4, k = 16, iters = 1, quantize = Some(9))
+
+  test("codebook state bound: m×k×(d/m) — k·d doubles total, corpus-independent") {
+    assert(pq.codebooks.length == 4)
+    assert(pq.codebooks.forall(_.length == 16))
+    assert(pq.codebooks.forall(_.forall(_.length == 16))) // 64/4
+  }
+
+  test("codes: one m-array per vector, every code in [0, k)") {
+    val codes = pq.codes.select($"codes").as[Seq[Int]].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.length == 4))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("fit is deterministic: an independent refit lands on identical codebooks and codes") {
+    val pq2 = Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    assert(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = pq.codes.select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val b = pq2.codes.select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    pq2.unpersist()
+  }
+
+  test("codes minimize subspace distance: assigned codeword beats every other codeword") {
+    val rows = pq.codes.select($"nv", $"codes").as[(Seq[Double], Seq[Int])]
+      .collect().take(50)
+    for ((nv, codes) <- rows; j <- 0 until 4) {
+      val s = nv.slice(j * 16, (j + 1) * 16).toArray
+      def d2(c: Array[Double]) = s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      val assigned = d2(pq.codebooks(j)(codes(j)))
+      val best = pq.codebooks(j).map(d2).min
+      assert(assigned <= best + 1e-12,
+        s"subspace $j: code ${codes(j)} at $assigned but best is $best")
+    }
+  }
+
+  test("one Lloyd round does not worsen total quantization error vs raw seeds") {
+    val pq0 = Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 0, quantize = Some(9))
+    def sqErr(m: Similarity.PqModel): Double =
+      m.codes.select($"nv", $"codes").as[(Seq[Double], Seq[Int])].collect().map {
+        case (nv, codes) =>
+          (0 until 4).map { j =>
+            val s = nv.slice(j * 16, (j + 1) * 16)
+            s.zip(m.codebooks(j)(codes(j))).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.sum
+      }.sum
+    assert(sqErr(pq) <= sqErr(pq0) + 1e-6)
+    pq0.unpersist()
+  }
+
+  test("ivfPqSearch: ADC score equals dot(query, reconstruction) — the LUT/fold plumbing") {
+    val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val got = Similarity.ivfPqSearch(ivf, pq, Seq(0L, 1L, 2L), nprobe = 4, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 30)
+    assert(got.forall { case (q, n, _) => q != n })
+    val nvById = pq.codes.select($"id", $"nv").as[(Long, Seq[Double])].collect().toMap
+    val codesById = pq.codes.select($"id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    for ((q, n, adc) <- got.take(10)) {
+      // reconstruction = concat of the neighbor's codewords; expected ADC
+      // = Σ_j round(dot(q_sub_j, cw_j), 9), then round 4 — mirror exactly
+      val qv = nvById(q)
+      val expected = (0 until 4).map { j =>
+        val part = qv.slice(j * 16, (j + 1) * 16)
+          .zip(pq.codebooks(j)(codesById(n)(j))).map { case (a, b) => a * b }.sum
+        math.rint(part * 1e9) / 1e9
+      }.sum
+      assert(math.abs(adc - math.rint(expected * 1e4) / 1e4) <= 1e-9,
+        s"query $q neighbor $n: adc=$adc expected=$expected")
+    }
+    ivf.unpersist()
+  }
+
+  test("ADC ranking correlates with exact cosine: top-10 ADC ∩ top-30 exact is non-trivial") {
+    val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val adcTop = Similarity.ivfPqSearch(ivf, pq, Seq(0L), nprobe = 16, k = 10)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val exactTop = Similarity.bruteForceKnn(em, col("vec_id"), col("embedding"),
+        queryIds = Seq(0L), k = 30)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    // 16 codewords/subspace is a coarse quantizer; demand real signal,
+    // not perfection: at least half the ADC picks are true near-neighbors
+    assert((adcTop & exactTop).size >= 5,
+      s"ADC top-10 shares only ${(adcTop & exactTop).size} with exact top-30")
+    ivf.unpersist()
+  }
+}
