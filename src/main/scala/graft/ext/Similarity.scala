@@ -300,6 +300,33 @@ object Similarity {
     PqModel(codebooks, codes)
   }
 
+  /** ⊕ Encode vectors against an EXISTING codebook — no refit. The
+    * fit-once / encode-increments path: a daily 100 TB increment is
+    * encoded with yesterday's codebooks (one row-local projection —
+    * no shuffle, no driver state beyond the k·d-double literal), so
+    * the code table grows append-only and [[ivfPqSearch]] serves old
+    * and new data uniformly. Bit-identical to the codes [[pqFit]]
+    * itself assigns (PqSpec proves equality), and — being a pure
+    * projection — directly usable on a streaming DataFrame.
+    *
+    * Returns `(id, nv, codes)`, the [[PqModel.codes]] schema.
+    */
+  def pqEncode(model: PqModel, df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val m = model.codebooks.length
+    val sub = model.codebooks(0)(0).length
+    val codes = array((0 until m).map { j =>
+      val s = slice(col("nv"), j * sub + 1, sub)
+      val negd = array(model.codebooks(j).map { c =>
+        -aggregate(zip_with(s, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (array_position(negd, array_max(negd)) - 1).cast("int")
+    }: _*)
+    df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+      .withColumn("codes", codes)
+  }
+
   /** Row-local code assignment: argmin ‖s − c‖² over subspace `j`'s
     * codewords (ties → lowest code, via first-position-of-max on the
     * negated distances — the [[assignCluster]] trick). The distance

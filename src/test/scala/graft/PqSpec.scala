@@ -89,6 +89,19 @@ class PqSpec extends SparkSuite {
     ivf.unpersist()
   }
 
+  test("pqEncode with an existing codebook reproduces pqFit's own codes exactly") {
+    val enc = Similarity.pqEncode(pq, em, col("vec_id"), col("embedding"))
+      .select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val fit = pq.codes.select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(enc.toSeq == fit.toSeq)
+  }
+
+  test("pqEncode is a pure projection: no shuffle, usable on increments/streams") {
+    val plan = Similarity.pqEncode(pq, em, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqEncode must not shuffle:\n$plan")
+  }
+
   test("ADC ranking correlates with exact cosine: top-10 ADC ∩ top-30 exact is non-trivial") {
     val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
       k = 16, iters = 2, quantize = Some(9))
