@@ -102,6 +102,29 @@ class PqSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"pqEncode must not shuffle:\n$plan")
   }
 
+  test("pqEncode runs on an actual stream and matches the batch encoding") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sample = em.select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().take(20)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val enc = Similarity.pqEncode(pq,
+      mem.toDF().toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+    val q = enc.writeStream.outputMode("append")
+      .format("memory").queryName("pq_enc_out").start()
+    try {
+      mem.addData(sample.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("pq_enc_out").select($"id", $"codes")
+        .as[(Long, Seq[Int])].collect().sortBy(_._1)
+      val want = pq.codes.filter($"id".isin(sample.map(_._1): _*))
+        .select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("ADC ranking correlates with exact cosine: top-10 ADC ∩ top-30 exact is non-trivial") {
     val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
       k = 16, iters = 2, quantize = Some(9))
