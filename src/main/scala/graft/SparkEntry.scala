@@ -2825,6 +2825,38 @@ object SparkEntry {
       nprobe = 4, k = 10)
   }
 
+  /** q144 — ⊕ HTML boilerplate extraction ([[graft.ext.Html]]): each
+    * document wrapped in a deterministic page template (title, style
+    * and script blocks, link-dense nav/footer chrome, entity-laden
+    * footer text), then extracted back — script/style dropped, tags
+    * stripped, entities decoded in fixed order, whitespace collapsed —
+    * with the anchor-text-fraction boilerplate gate. The oracle builds
+    * the IDENTICAL page with the IDENTICAL RE2-safe regexes, so the
+    * extracted-text md5, link counts, fractions and keep/drop
+    * decisions all hash-match; short docs fail the ≥5-word /
+    * link-fraction gate, so both branches of `kept` are exercised.
+    */
+  private val q144HtmlExtract: Q = (s, dir) => {
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script>var x = 1 < 2;</script></head><body>" +
+        "<nav><a href=\"/home\">Home</a> <a href=\"/about\">About us</a></nav><h1>"),
+      col("source"),
+      lit("</h1><p>"), col("text"),
+      lit(" Q &amp; A &lt;tag&gt; done.</p>" +
+        "<footer><a href=\"/contact\">Contact &quot;page&quot;</a></footer></body></html>"))
+    val ex = ext.Html.extractText(html, minWords = 12, maxLinkFrac = 0.12)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ex.as("ex"))
+      .select(col("doc_id"),
+        md5(col("ex.text").cast("binary")).as("text_md5"),
+        col("ex.n_links").as("n_links"),
+        round(col("ex.link_frac"), 6).as("link_frac"),
+        col("ex.kept").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -2970,6 +3002,7 @@ object SparkEntry {
     "q141_overlap_sketch"   -> q141OverlapSketch,
     "q142_snapshot_diff"    -> q142SnapshotDiff,
     "q143_ivfpq"            -> q143IvfPq,
+    "q144_html_extract"     -> q144HtmlExtract,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6469,7 +6502,57 @@ object SparkEntry {
         |WHERE change_type <> 'unchanged'
         |ORDER BY c_custkey""".stripMargin,
     "q143_ivfpq" -> ivfPqOracleSql,
+    "q144_html_extract" -> htmlExtractOracleSql,
   )
+
+  /** q144's oracle: the identical page template and the identical
+    * RE2-safe strip chain (script/style → tags → entities with &amp;
+    * last → whitespace collapse; DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's always-global semantics). [[htmlCleanSql]]
+    * expands the chain once for the page and once per anchor text.
+    */
+  private def htmlCleanSql(x: String): String = {
+    val noBlocks = s"regexp_replace(regexp_replace($x, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
+    val decoded = s"replace(replace(replace(replace(replace(replace($noTags, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&')"
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  private def htmlExtractOracleSql: String = {
+    val clean = htmlCleanSql("html")
+    val cleanLink = htmlCleanSql("s")
+    raw"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>' || source || '</title><style>p{margin:0}</style>'
+      |    || '<script>var x = 1 < 2;</script></head><body>'
+      |    || '<nav><a href="/home">Home</a> <a href="/about">About us</a></nav><h1>'
+      |    || source || '</h1><p>' || text
+      |    || ' Q &amp; A &lt;tag&gt; done.</p>'
+      |    || '<footer><a href="/contact">Contact &quot;page&quot;</a></footer></body></html>'
+      |      AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, $clean AS txt,
+      |    CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS INTEGER) AS n_links,
+      |    COALESCE(list_sum(list_transform(
+      |      regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
+      |      s -> length($cleanLink))), 0) AS link_chars
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, txt, n_links,
+      |    CASE WHEN length(txt) > 0
+      |         THEN CAST(link_chars AS DOUBLE) / CAST(length(txt) AS DOUBLE)
+      |         ELSE 0.0 END AS frac
+      |  FROM x)
+      |SELECT doc_id, md5(txt) AS text_md5, n_links,
+      |  round(frac, 6) AS link_frac,
+      |  (len(regexp_extract_all(txt, '\S+')) >= 12 AND frac <= 0.12) AS kept
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** The 3 unrolled PageRank rounds over an upstream CTE `e(s, t)` —
     * shared by q109 (arithmetic edges) and q116 (extracted link
