@@ -32,6 +32,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Html.stripTags on tag-free entity-free text ≡ whitespace collapse; idempotent on its own output") {
+    val texts = samples(textGen, 60)
+    val df = texts.toDF("t").select(
+      graft.ext.Html.stripTags(col("t")).as("h"),
+      trim(regexp_replace(col("t"), "\\s+", " ")).as("w"),
+      graft.ext.Html.stripTags(graft.ext.Html.stripTags(col("t"))).as("hh"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))  // no markup → pure collapse
+      assert(r.getString(0) == r.getString(2))  // idempotent on clean text
+    }
+  }
+
+  test("Html.stripTags strips any generated tag soup down to the visible words") {
+    val tagGen = Gen.oneOf("p", "div", "span", "b", "i", "h1")
+    val docGen = for {
+      words <- Gen.nonEmptyListOf(wordGen)
+      tags  <- Gen.listOfN(words.length, tagGen)
+      close <- Gen.listOfN(words.length, Gen.oneOf(true, false))
+    } yield {
+      val html = words.zip(tags.zip(close)).map { case (w, (t, c)) =>
+        if (c) s"<$t>$w</$t>" else s"<$t attr='1'>$w"
+      }.mkString(" ")
+      (html, words.mkString(" "))
+    }
+    val docs = samples(docGen, 60)
+    val got = docs.map(_._1).toDF("h")
+      .select(graft.ext.Html.stripTags(col("h"))).as[String].collect()
+    got.zip(docs.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
   test("A3 matched keywords are a subset of the keyword list, lowercased") {
     val kwSets = samples(Gen.nonEmptyListOf(wordGen).map(_.distinct.take(5)), 10)
     val texts = samples(textGen, 30)
