@@ -2857,6 +2857,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q145 — ⊕ PQ-accelerated SemDeDup
+    * ([[graft.ext.Similarity.semDedupPq]]): q106's drop rule with the
+    * within-cluster pair scan scored by symmetric distance over PQ
+    * codes — the m·k² codeword-dot table is a literal, so pairs read
+    * 2·m codes and never a vector. Same coarse quantizer and PQ
+    * codebooks as q38/q143; the oracle recomputes the SDC table from
+    * its own replayed codebooks, scores the identical capped pairs and
+    * applies the identical ≥ tau drop, so the survivor set
+    * hash-matches exactly (both engines share the approximation).
+    */
+  private val q145SemdedupPq: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val pq = ext.Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    // tau below q106's exact-cosine 0.42: PQ reconstruction SHRINKS
+    // high similarities toward the codeword means, so the same corpus
+    // peaks near 0.37 under SDC — 0.25 keeps both keep/drop branches
+    // exercised at every fixture scale (10/9/21 qualifying pairs)
+    ext.Similarity.semDedupPq(ivf, pq, tau = 0.25)
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3003,6 +3027,7 @@ object SparkEntry {
     "q142_snapshot_diff"    -> q142SnapshotDiff,
     "q143_ivfpq"            -> q143IvfPq,
     "q144_html_extract"     -> q144HtmlExtract,
+    "q145_semdedup_pq"      -> q145SemdedupPq,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3132,8 +3157,13 @@ object SparkEntry {
     * j-ordered list — then the per-query 9-dp LUT and the ascending-j
     * ADC fold, scored over the probed clusters only.
     */
-  private def ivfPqOracleSql: String = {
-    val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+  /** Shared CTE chain: the PQ training derivation — subvector
+    * explosion, subspace-keyed seeds, one Lloyd round, final codes
+    * `paf(vec_id, codes)` — appended to [[ivfTrainCtes]]; reused by
+    * the q143 (ADC search) and q145 (SDC dedup) oracles so the two
+    * can never drift.
+    */
+  private def pqTrainCtes: String = {
     val sqd16 = "list_sum(list_transform(range(1, 17), i -> (s[i] - c[i]) * (s[i] - c[i])))"
     s"""$ivfTrainCtes,
        |sv AS (
@@ -3175,7 +3205,12 @@ object SparkEntry {
        |        FROM (SELECT sv.vec_id, sv.j, sv.s,
        |                list_transform(pc1.cs, c -> -$sqd16) AS negd
        |              FROM sv JOIN pc1 ON pc1.j = sv.j))
-       |  GROUP BY vec_id),
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
+  private def ivfPqOracleSql: String = {
+    val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    s"""$pqTrainCtes,
        |qs AS (
        |  SELECT vec_id AS query_id, nv AS qnv,
        |    list_transform(c2.cs, c -> $dot64) AS sims
@@ -6503,6 +6538,36 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q143_ivfpq" -> ivfPqOracleSql,
     "q144_html_extract" -> htmlExtractOracleSql,
+    // q145: shared coarse+PQ chains; SDC table recomputed from the
+    // replayed codebooks (same ascending fold, same 9-dp entries),
+    // q106's cluster cap and ≥tau higher-id drop.
+    "q145_semdedup_pq" ->
+      s"""$pqTrainCtes,
+        |cs AS (
+        |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
+        |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+        |sdc AS (
+        |  SELECT p.j AS j, ai.i AS a, bi.i AS b,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> p.cs[ai.i + 1][i] * p.cs[bi.i + 1][i])), 9) AS d
+        |  FROM pc1 p
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ai
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) bi),
+        |sdc1 AS (SELECT j, a, list(d ORDER BY b) AS dr FROM sdc GROUP BY j, a),
+        |sdc2 AS (SELECT j, list(dr ORDER BY a) AS tbl FROM sdc1 GROUP BY j),
+        |sdct AS (SELECT list(tbl ORDER BY j) AS t3 FROM sdc2),
+        |pdrop AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM capped a
+        |  JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN paf pa ON pa.vec_id = a.vec_id
+        |  JOIN paf pb ON pb.vec_id = b.vec_id
+        |  CROSS JOIN sdct
+        |  WHERE round(list_sum(list_transform(range(1, 5),
+        |      j -> sdct.t3[j][pa.codes[j] + 1][pb.codes[j] + 1])), 4) >= 0.25)
+        |SELECT af.vec_id AS id, af.cluster FROM af
+        |WHERE af.vec_id NOT IN (SELECT id FROM pdrop)
+        |ORDER BY id""".stripMargin,
   )
 
   /** q144's oracle: the identical page template and the identical

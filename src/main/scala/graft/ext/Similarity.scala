@@ -327,6 +327,57 @@ object Similarity {
       .withColumn("codes", codes)
   }
 
+  /** ⊕ PQ-accelerated SemDeDup — [[semDedup]]'s drop rule (within a
+    * coarse cluster, any pair with similarity ≥ `tau` drops the
+    * higher id; clusters above `maxCluster` skip pair generation)
+    * with the pair scoring done by SYMMETRIC distance computation
+    * (SDC) over PQ codes: `sim(x, y) ≈ Σ_j sdc(j)(x_j)(y_j)` where
+    * `sdc(j)` is subspace `j`'s k×k codeword dot-product table — an
+    * m·k² literal (4·16² = 1024 doubles here), so the within-cluster
+    * pair scan reads 2·m small codes per pair and never touches a
+    * vector. THAT is the 100 TB form of semantic dedup: the O(Σc²)
+    * pair work runs over an index 128× smaller than the embeddings,
+    * which stay in cold storage.
+    *
+    * Determinism: the SDC table is computed from the quantized
+    * codebooks with the same ascending-component fold the oracle's
+    * `list_sum` uses, each entry re-quantized to 9 dp, and the m
+    * partials fold in fixed subspace order — bit-identical on both
+    * engines, so the q145 oracle hash-matches survivors exactly.
+    */
+  def semDedupPq(ivf: IvfModel, pq: PqModel, tau: Double,
+                 roundTo: Int = 4,
+                 maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val m = pq.codebooks.length
+    val sdcLit = array((0 until m).map { j =>
+      val cb = pq.codebooks(j)
+      array(cb.indices.map { a =>
+        array(cb.indices.map { b =>
+          val d = cb(a).zip(cb(b)).map { case (x, y) => x * y }.sum
+          lit(math.rint(d * 1e9) / 1e9)
+        }: _*)
+      }: _*)
+    }: _*)
+    val t = ivf.assigned.select(col("id"), col("cluster"))
+      .join(pq.codes.select(col("id"), col("codes")), Seq("id"))
+    val okClusters = t.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") <= maxCluster)
+      .select(col("cluster"))
+    val inCap = t.join(broadcast(okClusters), Seq("cluster"))
+    val sdcSim = round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
+      acc + element_at(element_at(element_at(sdcLit, jj + 1),
+        element_at(col("ca"), jj + 1) + 1),
+        element_at(col("cb"), jj + 1) + 1)), roundTo)
+    val dropped = inCap.select(col("cluster"), col("id").as("id_a"), col("codes").as("ca"))
+      .join(inCap.select(col("cluster"), col("id").as("id_b"), col("codes").as("cb")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b") && sdcSim >= tau)
+      .select(col("id_b").as("id")).distinct()
+    t.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left_anti")
+  }
+
   /** Row-local code assignment: argmin ‖s − c‖² over subspace `j`'s
     * codewords (ties → lowest code, via first-position-of-max on the
     * negated distances — the [[assignCluster]] trick). The distance

@@ -125,6 +125,31 @@ class PqSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("semDedupPq boundary taus: +∞-like keeps all; -∞-like keeps exactly per-cluster min ids") {
+    val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val n = ivf.assigned.count()
+    // no SDC similarity can reach 2.0 → nothing drops
+    assert(Similarity.semDedupPq(ivf, pq, tau = 2.0).count() == n)
+    // every pair qualifies at −10 → survivors are each cluster's min id
+    // (fixture clusters are all under the cap)
+    val got = Similarity.semDedupPq(ivf, pq, tau = -10.0)
+      .select($"id").as[Long].collect().sorted
+    val want = ivf.assigned.groupBy($"cluster").agg(min($"id").as("id"))
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+    ivf.unpersist()
+  }
+
+  test("semDedupPq at the q145 operating point drops a real subset") {
+    val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val n = ivf.assigned.count()
+    val kept = Similarity.semDedupPq(ivf, pq, tau = 0.25).count()
+    assert(kept < n && kept > n / 2, s"kept $kept of $n")
+    ivf.unpersist()
+  }
+
   test("ADC ranking correlates with exact cosine: top-10 ADC ∩ top-30 exact is non-trivial") {
     val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
       k = 16, iters = 2, quantize = Some(9))
