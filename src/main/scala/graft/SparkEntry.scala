@@ -2881,6 +2881,21 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q146 — ⊕ corpus-sized PQ SemDeDup
+    * ([[graft.ext.Similarity.semDedupPqSized]]): q145 with the coarse
+    * k derived from a count() via `clustersForCorpus` — the scale
+    * path, after fixed k=16 was measured degenerating at the second
+    * decade (clusters blow past the maxCluster backstop and the pair
+    * scan skips everything). At every driver fixture size the derived
+    * k equals the pinned 16, so this shares q145's oracle bit-for-bit
+    * (the q112 convention).
+    */
+  private val q146SemdedupPqSized: Q = (s, dir) => {
+    ext.Similarity.semDedupPqSized(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), tau = 0.25)
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3028,6 +3043,7 @@ object SparkEntry {
     "q143_ivfpq"            -> q143IvfPq,
     "q144_html_extract"     -> q144HtmlExtract,
     "q145_semdedup_pq"      -> q145SemdedupPq,
+    "q146_semdedup_pq_sized" -> q146SemdedupPqSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6541,7 +6557,13 @@ object SparkEntry {
     // q145: shared coarse+PQ chains; SDC table recomputed from the
     // replayed codebooks (same ascending fold, same 9-dp entries),
     // q106's cluster cap and ≥tau higher-id drop.
-    "q145_semdedup_pq" ->
+    "q145_semdedup_pq" -> semDedupPqOracleSql,
+    // q146: sized form ≡ fixed form at fixture scale (derived coarse
+    // k = 16 at every driver sf) — the q112 convention.
+    "q146_semdedup_pq_sized" -> semDedupPqOracleSql,
+  )
+
+  private def semDedupPqOracleSql: String =
       s"""$pqTrainCtes,
         |cs AS (
         |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
@@ -6567,8 +6589,7 @@ object SparkEntry {
         |      j -> sdct.t3[j][pa.codes[j] + 1][pb.codes[j] + 1])), 4) >= 0.25)
         |SELECT af.vec_id AS id, af.cluster FROM af
         |WHERE af.vec_id NOT IN (SELECT id FROM pdrop)
-        |ORDER BY id""".stripMargin,
-  )
+        |ORDER BY id""".stripMargin
 
   /** q144's oracle: the identical page template and the identical
     * RE2-safe strip chain (script/style → tags → entities with &amp;

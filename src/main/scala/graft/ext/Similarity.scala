@@ -378,6 +378,27 @@ object Similarity {
       .join(dropped, Seq("id"), "left_anti")
   }
 
+  /** ⊕ Corpus-sized [[semDedupPq]]: coarse k from `clustersForCorpus`
+    * so cluster occupancy — and the Σc² code-pair scan — stays
+    * constant as the corpus grows; PQ codebook k stays fixed
+    * (quantization fidelity, not bucket occupancy). Fixed coarse
+    * k=16 was measured DEGENERATING at the second decade (every
+    * cluster above the `maxCluster` backstop → pair generation
+    * skipped, dedup finds nothing); the sized form holds 3.8× per
+    * decade (BENCH_NOTES round 11). At every driver fixture size the
+    * derived k equals the pinned 16, so q146 shares q145's oracle
+    * bit-for-bit — the q112 convention.
+    */
+  def semDedupPqSized(df: DataFrame, id: Column, vec: Column, tau: Double,
+                      m: Int = 4, codebookK: Int = 16,
+                      targetCluster: Int = 200, roundTo: Int = 4,
+                      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val kc = clustersForCorpus(df.count(), targetCluster)
+    val ivf = ivfFit(df, id, vec, kc, iters = 2, quantize = Some(9))
+    val pq = pqFit(df, id, vec, m, codebookK, iters = 1, quantize = Some(9))
+    semDedupPq(ivf, pq, tau, roundTo, maxCluster)
+  }
+
   /** Row-local code assignment: argmin ‖s − c‖² over subspace `j`'s
     * codewords (ties → lowest code, via first-position-of-max on the
     * negated distances — the [[assignCluster]] trick). The distance

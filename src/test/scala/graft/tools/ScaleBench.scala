@@ -73,19 +73,12 @@ object ScaleBench {
           graft.ext.Similarity.annLshPairsSized(
             graft.sources.Tables.embeddings(s, dir),
             col("vec_id"), col("embedding"), threshold = 0.42))),
-      "q145_semdedup_pq_SIZED" -> ((s: SS, dir: String) => {
-        // the 100 TB form: coarse k grows with the corpus
-        // (clustersForCorpus) so cluster occupancy — and the Σc² pair
-        // scan — stays constant per row; PQ codebook k stays 16
-        // (quantization fidelity, not bucket occupancy)
-        val em = graft.sources.Tables.embeddings(s, dir)
-        val kc = graft.ext.Similarity.clustersForCorpus(em.count())
-        val ivf = graft.ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
-          k = kc, iters = 2, quantize = Some(9))
-        val pq = graft.ext.Similarity.pqFit(em, col("vec_id"), col("embedding"),
-          m = 4, k = 16, iters = 1, quantize = Some(9))
-        graft.ext.Similarity.semDedupPq(ivf, pq, tau = 0.25)
-      }),
+      // kept for decade-2 continuity; since round 11 the sized form is
+      // also registered as q146_semdedup_pq_sized (same library call)
+      "q145_semdedup_pq_SIZED" -> ((s: SS, dir: String) =>
+        graft.ext.Similarity.semDedupPqSized(
+          graft.sources.Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), tau = 0.25)),
       "q86_knn_graph_SIZED" -> ((s: SS, dir: String) => {
         import org.apache.spark.sql.expressions.Window
         val pairs = graft.ext.Similarity.annLshPairsSized(
