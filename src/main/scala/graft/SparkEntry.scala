@@ -2896,6 +2896,34 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q147 — S6 JSONL sink round-trip ([[graft.sources.Jsonl]]): write
+    * documents as JSON-lines (the interchange format training
+    * pipelines actually move text in), read them back through the
+    * DECLARED-schema tolerant reader (no inference pass — at 100 TB
+    * schema inference is a full extra scan), and aggregate; the
+    * oracle computes the same aggregate over the original table, so
+    * any field lost, re-typed or mangled in serialization flips the
+    * hash. Completes the sink family's oracle anchors (CSV q57,
+    * ORC q111, JSONL here).
+    */
+  private val q147JsonlRoundtrip: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    sources.Jsonl.write(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    sources.Jsonl.read(s, schema, out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("sum_text_len"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3044,6 +3072,7 @@ object SparkEntry {
     "q144_html_extract"     -> q144HtmlExtract,
     "q145_semdedup_pq"      -> q145SemdedupPq,
     "q146_semdedup_pq_sized" -> q146SemdedupPqSized,
+    "q147_jsonl_roundtrip"  -> q147JsonlRoundtrip,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4057,6 +4086,14 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q58_tolerant_union" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q147: the JSONL round-trip must reproduce the source-table
+    // aggregate exactly — any serialization loss flips the hash.
+    "q147_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q59 — q43's mirror with the "Fast" preset constants (postLimit
     // 10, commentLimit 20) and no truncation (preset path leaves
