@@ -24,9 +24,30 @@ import org.apache.spark.sql.functions._
   *
   * Requires `key` to be unique within each snapshot (it is a snapshot
   * key, not an event key); duplicate keys would fan out the full-outer
-  * join and double-count changes.
+  * join and double-count changes. That requirement is ENFORCED by
+  * default: each side carries a window count over the key and any
+  * count > 1 raises at execution time naming the key and the first
+  * offending value (`assumeUniqueKeys = true` skips the check for
+  * pre-validated snapshots). The check shares the join's hash
+  * partitioning on the key, so it costs a sort, not a shuffle.
   */
 object Diff {
+
+  /** Append a lazy uniqueness assertion on `key`: a window count over
+    * the key (same hash partitioning the downstream join needs — no
+    * extra Exchange) feeds an `assert_true` that names the side, the
+    * key column, and the offending value. Kept in a Filter so column
+    * pruning can't drop it.
+    */
+  private def requireUniqueKey(df: DataFrame, key: String, side: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    df.withColumn("__kc", count(lit(1)).over(w))
+      .filter(assert_true(col("__kc") <= 1,
+        concat(lit(s"snapshotDiff: duplicate key in $side snapshot: $key="),
+          col(key).cast("string"), lit(" appears "),
+          col("__kc").cast("string"), lit(" times"))).isNull)
+      .drop("__kc")
+  }
 
   /** Diff `newDf` against `oldDf` on `key`.
     *
@@ -42,30 +63,34 @@ object Diff {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
                    compareCols: Seq[String] = Nil,
-                   includeUnchanged: Boolean = false): DataFrame = {
+                   includeUnchanged: Boolean = false,
+                   assumeUniqueKeys: Boolean = false): DataFrame = {
     val payload: Seq[String] =
       (if (compareCols.nonEmpty) compareCols
        else oldDf.columns.toSeq.filterNot(_ == key)
          .intersect(newDf.columns.toSeq)).sorted
     require(payload.nonEmpty,
       s"snapshotDiff: no shared non-key columns to compare (key=$key)")
-    val o = oldDf.select(col(key) +:
+    val oChecked = if (assumeUniqueKeys) oldDf else requireUniqueKey(oldDf, key, "old")
+    val nChecked = if (assumeUniqueKeys) newDf else requireUniqueKey(newDf, key, "new")
+    val o = oChecked.select(col(key) +:
       payload.map(c => col(c).as(s"__o_$c")): _*).withColumn("__in_o", lit(true))
-    val n = newDf.select(col(key) +:
+    val n = nChecked.select(col(key) +:
       payload.map(c => col(c).as(s"__n_$c")): _*).withColumn("__in_n", lit(true))
     def differs(c: String): Column = !(col(s"__o_$c") <=> col(s"__n_$c"))
-    // concat_ws-over-whens instead of array+filter: skips nulls in one
-    // codegen'd scalar op, and split() restores the array form
-    val changedCsv = concat_ws(",",
-      payload.map(c => when(differs(c), lit(c))): _*)
+    // array-of-whens + filter builds changed_cols directly — a column
+    // name containing a comma (or any delimiter) round-trips intact,
+    // where a concat_ws/split pair would silently mis-split it
+    val changedArr = filter(
+      array(payload.map(c => when(differs(c), lit(c))): _*), _.isNotNull)
     val out = o.join(n, Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("__in_o").isNull, lit("added"))
           .when(col("__in_n").isNull, lit("removed"))
-          .when(changedCsv =!= "", lit("changed"))
+          .when(size(changedArr) > 0, lit("changed"))
           .otherwise(lit("unchanged")))
       .withColumn("changed_cols",
-        when(col("change_type") === "changed", split(changedCsv, ","))
+        when(col("change_type") === "changed", changedArr)
           .otherwise(array().cast("array<string>")))
       .select(col(key), col("change_type"), col("changed_cols"))
     if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
@@ -77,8 +102,10 @@ object Diff {
     * new snapshot (same key partitioning — AQE reuses the exchange).
     */
   def staleRows(oldDf: DataFrame, newDf: DataFrame, key: String,
-                compareCols: Seq[String] = Nil): DataFrame = {
-    val delta = snapshotDiff(oldDf, newDf, key, compareCols)
+                compareCols: Seq[String] = Nil,
+                assumeUniqueKeys: Boolean = false): DataFrame = {
+    val delta = snapshotDiff(oldDf, newDf, key, compareCols,
+        includeUnchanged = false, assumeUniqueKeys = assumeUniqueKeys)
       .filter(col("change_type").isin("added", "changed"))
       .select(col(key))
     newDf.join(delta, Seq(key), "left_semi")

@@ -66,6 +66,33 @@ class DiffSpec extends SparkSuite {
     assert(bal3 == 33.0)
   }
 
+  test("duplicate keys throw by default, naming the key and offender") {
+    val dupNew = newSnap.union(Seq((5L, "e-dup", 51.0)).toDF("k", "name", "bal"))
+    val ex = intercept[Exception] {
+      Diff.snapshotDiff(oldSnap, dupNew, "k").collect()
+    }
+    // Spark wraps the assert_true failure; the message must surface
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("duplicate key") && msg.contains("k=5"),
+      s"expected a named duplicate-key error, got: $msg")
+  }
+
+  test("assumeUniqueKeys opts out of the guard (pre-validated snapshots)") {
+    val dupNew = newSnap.union(Seq((5L, "e-dup", 51.0)).toDF("k", "name", "bal"))
+    // fans out as documented — caller took responsibility
+    val n = Diff.snapshotDiff(oldSnap, dupNew, "k", assumeUniqueKeys = true).count()
+    assert(n >= 4)
+  }
+
+  test("changed_cols survives a column name containing a comma") {
+    val o = Seq((1L, "x", "y")).toDF("k", "a,b", "c")
+    val n = Seq((1L, "x2", "y")).toDF("k", "a,b", "c")
+    val got = Diff.snapshotDiff(o, n, "k")
+      .select($"changed_cols").as[Seq[String]].head()
+    assert(got == Seq("a,b"))
+  }
+
   test("delta output is O(delta): one full-outer join, no extra shuffle stages") {
     val plan = Diff.snapshotDiff(oldSnap, newSnap, "k")
       .queryExecution.executedPlan.toString
