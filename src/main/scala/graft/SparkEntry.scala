@@ -923,8 +923,16 @@ object SparkEntry {
     * oracle aggregates the original table directly, so any quoting /
     * escaping / header / type round-trip loss hash-mismatches.
     */
+  /** Fixed per-query scratch dir, reused across invocations via the
+    * sinks' overwrite mode — `createTempDirectory` per call would
+    * leak one full table copy per bench iteration per round.
+    */
+  private def scratchDir(name: String): String =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_$name").toString
+
   private val q57CsvRoundtrip: Q = (s, dir) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toFile.getAbsolutePath
+    val out = scratchDir("q57_csv")
     sinks.Csv.write(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
     // reader mirrors the writer's defaults (quote '"', escape '\');
@@ -973,7 +981,7 @@ object SparkEntry {
     * hash-mismatches.
     */
   private val q60EnrichedExport: Q = (s, dir) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv_enr").toFile.getAbsolutePath
+    val out = scratchDir("q60_csv_enr")
     sinks.Csv.writeEnriched(Tables.documents(s, dir)
       .select(col("doc_id"), col("source")), out)
     s.read.option("header", "true").option("inferSchema", "false").csv(out)
@@ -2246,7 +2254,7 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
   private def writeOrcOnce(s: SparkSession, dir: String): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val out = scratchDir("q111_orc")
     sinks.Orc.write(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
     out
@@ -2828,8 +2836,10 @@ object SparkEntry {
   /** q144 — ⊕ HTML boilerplate extraction ([[graft.ext.Html]]): each
     * document wrapped in a deterministic page template (title, style
     * and script blocks, link-dense nav/footer chrome, entity-laden
-    * footer text), then extracted back — script/style dropped, tags
-    * stripped, entities decoded in fixed order, whitespace collapsed —
+    * body text covering named, decimal, hex, `&`-producing and
+    * invalid-surrogate references), then extracted back —
+    * script/style dropped, tags stripped, entities decoded by the
+    * single-pass no-cascade scanner, whitespace collapsed —
     * with the anchor-text-fraction boilerplate gate. The oracle builds
     * the IDENTICAL page with the IDENTICAL RE2-safe regexes, so the
     * extracted-text md5, link counts, fractions and keep/drop
@@ -2844,7 +2854,7 @@ object SparkEntry {
         "<nav><a href=\"/home\">Home</a> <a href=\"/about\">About us</a></nav><h1>"),
       col("source"),
       lit("</h1><p>"), col("text"),
-      lit(" Q &amp; A &lt;tag&gt; done.</p>" +
+      lit(" Q &amp; A &lt;tag&gt; Caf&#233; &#x2014; &#38;stay; &mdash; &#xD800;ok done.</p>" +
         "<footer><a href=\"/contact\">Contact &quot;page&quot;</a></footer></body></html>"))
     val ex = ext.Html.extractText(html, minWords = 12, maxLinkFrac = 0.12)
     Tables.documents(s, dir)
@@ -2908,7 +2918,7 @@ object SparkEntry {
     */
   private val q147JsonlRoundtrip: Q = (s, dir) => {
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    val out = scratchDir("q147_jsonl")
     sources.Jsonl.write(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text")), out)
     val schema = StructType(Seq(
@@ -6629,19 +6639,22 @@ object SparkEntry {
         |ORDER BY id""".stripMargin
 
   /** q144's oracle: the identical page template and the identical
-    * RE2-safe strip chain (script/style → tags → entities with &amp;
-    * last → whitespace collapse; DuckDB regexp_replace needs the 'g'
-    * flag to match Spark's always-global semantics). [[htmlCleanSql]]
-    * expands the chain once for the page and once per anchor text.
+    * RE2-safe strip chain (script/style → tags → the single-pass
+    * entity decode replayed as split/decode/interleave over the
+    * shared alternation → whitespace collapse; DuckDB regexp_replace
+    * needs the 'g' flag to match Spark's always-global semantics).
+    * [[htmlCleanSql]] expands the chain once for the page and once
+    * per anchor text.
     */
   private def htmlCleanSql(x: String): String = {
     val noBlocks = s"regexp_replace(regexp_replace($x, " +
       "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
       "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
-    val decoded = s"replace(replace(replace(replace(replace(replace($noTags, " +
-      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
-      "'&nbsp;', ' '), '&amp;', '&')"
+    // the general single-pass entity decode (numeric + 30-name table,
+    // no cascade) replayed as a split/decode/interleave over the
+    // SHARED alternation — graft.functions.HtmlEntities.decodeSql
+    val decoded = graft.functions.HtmlEntities.decodeSql(noTags)
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
 
@@ -6654,7 +6667,7 @@ object SparkEntry {
       |    || '<script>var x = 1 < 2;</script></head><body>'
       |    || '<nav><a href="/home">Home</a> <a href="/about">About us</a></nav><h1>'
       |    || source || '</h1><p>' || text
-      |    || ' Q &amp; A &lt;tag&gt; done.</p>'
+      |    || ' Q &amp; A &lt;tag&gt; Caf&#233; &#x2014; &#38;stay; &mdash; &#xD800;ok done.</p>'
       |    || '<footer><a href="/contact">Contact &quot;page&quot;</a></footer></body></html>'
       |      AS html
       |  FROM documents),

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * patterns.
   *
   * Determinism contract: fixed strip order (script/style blocks →
-  * tags → entities with `&amp;` decoded LAST → whitespace collapse),
-  * so both engines produce byte-identical text and the q144 oracle
-  * hash-matches md5s.
+  * tags → entity decode → whitespace collapse), so both engines
+  * produce byte-identical text and the q144 oracle hash-matches md5s.
+  * Entity decode is the single-pass
+  * [[graft.functions.HtmlEntities]] scanner — all numeric character
+  * references plus a 30-name table, output never re-scanned (the
+  * no-cascade rule: `&amp;lt;` → literal `&lt;`) — whose semantics
+  * equal a global leftmost-non-overlapping regex pass, so the oracle
+  * replays it with the identical RE2-safe alternation.
   */
 object Html {
 
@@ -29,15 +34,12 @@ object Html {
   private val TagRe    = "<[^>]*>"
   private val LinkRe   = "(?is)<a[^>]*>(.*?)</a>"
 
-  /** Decode the common named/numeric entities, `&amp;` last so
-    * double-encoded text can't cascade.
+  /** General entity decode — numeric (`&#233;`/`&#x2014;`) + the
+    * common named tail, single pass, no cascade
+    * ([[graft.functions.HtmlEntities]]).
     */
-  private def decodeEntities(c: Column): Column = {
-    val pairs = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
-  }
+  private def decodeEntities(c: Column): Column =
+    graft.functions.HtmlEntities.decode_html_entities(c)
 
   /** Markup → text: drop script/style blocks wholesale, strip every
     * remaining tag, decode entities, collapse whitespace.

@@ -143,6 +143,16 @@ object Similarity {
     *   order is engine-specific — quantized centroids make the whole
     *   train+assign+search pipeline reproducible in ANSI SQL, which is
     *   what lets the q38 oracle hash-compare the results.
+    *
+    *   Tie-mode caveat (applies to every 9-dp quantization site in
+    *   this file): Scala's `math.rint` is half-to-even while DuckDB's
+    *   `round()` is half-away-from-zero and Spark SQL `round()` is
+    *   HALF_UP, so an EXACT .5 tie at the quantization decimal would
+    *   diverge across engines. For doubles that have already been
+    *   through products/means the tie set is measure-zero (no tie has
+    *   ever surfaced across the oracled suite — 147/147 hash-green);
+    *   the quantization guarantees reproducibility up to that caveat,
+    *   not unconditional bit-identity.
     */
   def ivfFit(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3,
              quantize: Option[Int] = None): IvfModel = {
@@ -343,7 +353,9 @@ object Similarity {
     * codebooks with the same ascending-component fold the oracle's
     * `list_sum` uses, each entry re-quantized to 9 dp, and the m
     * partials fold in fixed subspace order — bit-identical on both
-    * engines, so the q145 oracle hash-matches survivors exactly.
+    * engines (up to the exact-.5 tie-mode caveat documented on
+    * [[ivfFit]]'s `quantize` param), so the q145 oracle hash-matches
+    * survivors exactly.
     */
   def semDedupPq(ivf: IvfModel, pq: PqModel, tau: Double,
                  roundTo: Int = 4,

@@ -44,8 +44,20 @@ object Tables {
     * the NTZ→timestamp cast is instant-preserving and matches DuckDB's
     * reading of the same file.
     */
+  /** Set `nanosAsLong` once per session, idempotently: the readers
+    * below need it to DECODE TIMESTAMP(NANOS) fixtures at all, but a
+    * reader should not re-write session state on every call — prefer
+    * setting it at session init ([[graft.Verify]]/[[graft.Bench]]
+    * builders do); this is the self-healing fallback for sessions
+    * that didn't.
+    */
+  private def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(spark, dir, "events")
@@ -125,7 +137,7 @@ object Tables {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = spark.read.parquet(path)
     val actual = df.schema
     def fail(why: String): Nothing = throw new IllegalStateException(
@@ -137,18 +149,25 @@ object Tables {
       case (FloatType, DoubleType)                        => true
       case _                                              => false
     }
+    // match on-disk names with the session's resolver (case-insensitive
+    // unless spark.sql.caseSensitive) — a producer that re-cases a
+    // column ('ID' vs 'id') is a coercion case, not a missing column
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     val cols: Seq[Column] = expected.fields.toSeq.map { ef =>
-      val af = actual.find(_.name == ef.name)
+      val af = actual.find(f => sameName(f.name, ef.name))
         .getOrElse(fail(s"column '${ef.name}' missing on disk"))
       (af.dataType, ef.dataType) match {
-        case (a, e) if a == e => col(ef.name)
+        case (a, e) if a == e => col(af.name).as(ef.name)
         case (LongType, TimestampType) =>
-          timestamp_micros(expr(s"`${ef.name}` div 1000")).as(ef.name)
+          timestamp_micros(expr(s"`${af.name}` div 1000")).as(ef.name)
         case (LongType, TimestampNTZType) =>
-          timestamp_micros(expr(s"`${ef.name}` div 1000")).cast(TimestampNTZType).as(ef.name)
+          timestamp_micros(expr(s"`${af.name}` div 1000")).cast(TimestampNTZType).as(ef.name)
         case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) =>
-          col(ef.name).cast(ef.dataType).as(ef.name)
-        case (a, e) if widens(a, e) => col(ef.name).cast(e).as(ef.name)
+          col(af.name).cast(ef.dataType).as(ef.name)
+        case (a, e) if widens(a, e) => col(af.name).cast(e).as(ef.name)
         case (a, e) =>
           fail(s"column '${ef.name}': on-disk $a is not a supported coercion to expected $e")
       }

@@ -24,6 +24,31 @@ class HtmlSpec extends SparkSuite {
     assert(strip("&amp;lt;") == "&lt;")
   }
 
+  test("general numeric references: decimal, hex, control/surrogate/oob left as-is") {
+    assert(strip("Caf&#233; costs &#x20AC;5") == "Café costs €5")
+    assert(strip("em&#x2014;dash") == "em—dash")
+    assert(strip("astral &#x1F600; ok") == "astral 😀 ok") // > BMP
+    // invalid code points pass through untouched — loud, not corrupted
+    assert(strip("bad &#xD800; &#0; &#1114112; end") == "bad &#xD800; &#0; &#1114112; end")
+    assert(strip("not an entity &#; &#xG1; &# x") == "not an entity &#; &#xG1; &# x")
+  }
+
+  test("named tail beyond the original six; unknown names pass through") {
+    assert(strip("a &mdash; b&hellip; &copy;2024 &laquo;q&raquo;") ==
+      "a — b… ©2024 «q»")
+    assert(strip("&foo; &verylongname; &x;") == "&foo; &verylongname; &x;")
+  }
+
+  test("nbsp — named or numeric 160 — becomes plain space and collapses") {
+    assert(strip("a&nbsp;&nbsp;b&#160;c&#xA0;d") == "a b c d")
+  }
+
+  test("&-producing decodes never cascade: single pass, output not re-scanned") {
+    assert(strip("&#38;lt;") == "&lt;")   // numeric & + literal lt;
+    assert(strip("&amp;amp;") == "&amp;") // double-encoded amp
+    assert(strip("&#x26;#38;") == "&#38;")
+  }
+
   test("script block with embedded '<' does not break tag stripping") {
     assert(strip("<script>if (1 < 2) x();</script><p>kept</p>") == "kept")
   }

@@ -77,6 +77,18 @@ class ReadNormalizedSpec extends SparkSuite {
     assert(e2.getMessage.contains("missing"))
   }
 
+  test("re-cased on-disk columns coerce (resolver-consistent), output keeps expected names") {
+    val p = tmp("cased")
+    Seq((7, 1.5f)).toDF("ID", "V").write.parquet(p)
+    val out = Tables.readNormalized(spark, p, expected.copy(fields =
+      expected.fields.filterNot(_.name == "ts")))
+    // default case-insensitive resolution: 'ID' satisfies 'id', and the
+    // OUTPUT carries the expected casing, not the disk casing
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      Seq("id" -> LongType, "v" -> DoubleType))
+    assert(out.as[(Long, Double)].collect().toSeq == Seq((7L, 1.5)))
+  }
+
   test("readNormalized reproduces Tables.events on the live fixture") {
     val direct = Tables.events(spark, sfDir)
     val viaNorm = Tables.readNormalized(spark, s"$sfDir/events.parquet", direct.schema)
