@@ -2934,6 +2934,27 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q148 — ⊕ IVF-PQ search with a query TABLE
+    * ([[graft.ext.Similarity.ivfPqSearchDf]]): q143's composed index,
+    * but the query side is a derived DataFrame (every 97th embedding
+    * — "score today's increment against the corpus"), not a
+    * driver-side id list. Per-row probe selection and ADC lookup
+    * tables, one broadcast join on the probed cluster — constant plan
+    * size in the number of queries, which is the property that makes
+    * this the batch shape. The oracle is q143's byte-shared chain
+    * with only the query predicate swapped.
+    */
+  private val q148IvfPqBatch: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val pq = ext.Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    val queries = em.filter(col("vec_id") % 97 === 0)
+    ext.Similarity.ivfPqSearchDf(ivf, pq, queries,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3083,6 +3104,7 @@ object SparkEntry {
     "q145_semdedup_pq"      -> q145SemdedupPq,
     "q146_semdedup_pq_sized" -> q146SemdedupPqSized,
     "q147_jsonl_roundtrip"  -> q147JsonlRoundtrip,
+    "q148_ivfpq_batch"      -> q148IvfPqBatch,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3263,13 +3285,19 @@ object SparkEntry {
        |  GROUP BY vec_id)""".stripMargin
   }
 
-  private def ivfPqOracleSql: String = {
+  /** @param queryPred SQL predicate over `vec_id` selecting the query
+    *   rows — `IN (0, 1, 2)` for q143's interactive id-list shape,
+    *   `% 97 = 0` for q148's derived query TABLE (the ivfPqSearchDf
+    *   batch shape). Everything else is byte-shared so the two forms
+    *   can never drift.
+    */
+  private def ivfPqOracleSql(queryPred: String = "IN (0, 1, 2)"): String = {
     val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
     s"""$pqTrainCtes,
        |qs AS (
        |  SELECT vec_id AS query_id, nv AS qnv,
        |    list_transform(c2.cs, c -> $dot64) AS sims
-       |  FROM nv CROSS JOIN c2 WHERE vec_id IN (0, 1, 2)),
+       |  FROM nv CROSS JOIN c2 WHERE vec_id $queryPred),
        |pq AS (
        |  SELECT query_id, qnv,
        |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
@@ -6599,7 +6627,10 @@ object SparkEntry {
         |SELECT c_custkey, change_type, changed_cols FROM j
         |WHERE change_type <> 'unchanged'
         |ORDER BY c_custkey""".stripMargin,
-    "q143_ivfpq" -> ivfPqOracleSql,
+    "q143_ivfpq" -> ivfPqOracleSql(),
+    // q148: the identical chain, query side = a derived TABLE
+    // (every 97th vector) instead of an id list.
+    "q148_ivfpq_batch" -> ivfPqOracleSql("% 97 = 0"),
     "q144_html_extract" -> htmlExtractOracleSql,
     // q145: shared coarse+PQ chains; SDC table recomputed from the
     // replayed codebooks (same ascending fold, same 9-dp entries),

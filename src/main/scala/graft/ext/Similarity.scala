@@ -210,17 +210,40 @@ object Similarity {
     * queries — no per-query driver-side plan assembly.
     */
   def ivfSearch(model: IvfModel, queryIds: Seq[Long],
-                nprobe: Int, k: Int, roundTo: Int = 4): DataFrame = {
+                nprobe: Int, k: Int, roundTo: Int = 4): DataFrame =
+    ivfSearchCore(model,
+      model.assigned.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("nv").as("q_nv")),
+      nprobe, k, roundTo)
+
+  /** ⊕ [[ivfSearch]] with the query side as a DataFrame — the batch
+    * shape ("nearest corpus neighbors for every new document today"):
+    * `queries` is any (id, vector) table; vectors are L2-normalized
+    * here, probe selection and scoring run per query ROW with no
+    * driver-side id list, so the query side scales to a table, not an
+    * `isin` literal. Neighbors whose corpus id equals the query id
+    * are excluded (self-match, when querying the corpus by its own
+    * vectors); null/zero query vectors are dropped.
+    */
+  def ivfSearchDf(model: IvfModel, queries: DataFrame, qid: Column, qvec: Column,
+                  nprobe: Int, k: Int, roundTo: Int = 4): DataFrame =
+    ivfSearchCore(model,
+      queries.select(qid.as("query_id"), normalize(vecD(qvec)).as("q_nv"))
+        .filter(col("q_nv").isNotNull),
+      nprobe, k, roundTo)
+
+  /** Shared core over a prepared `(query_id, q_nv)` side. */
+  private def ivfSearchCore(model: IvfModel, qdf: DataFrame,
+                            nprobe: Int, k: Int, roundTo: Int): DataFrame = {
     val cents = model.centroids
     // (negated sim, idx) structs sort lexicographically = sim desc,
     // idx-asc tie-break — deterministic probe order
     val ranked = array_sort(array(cents.indices.map(i =>
-      struct((-dot(col("nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
+      struct((-dot(col("q_nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
         lit(i).as("idx"))): _*))
     val probes = transform(slice(ranked, 1, nprobe), s => s.getField("idx"))
-    val probed = model.assigned.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("nv").as("q_nv"),
-        explode(probes).as("cluster"))
+    val probed = qdf.withColumn("cluster", explode(probes))
+      .select(col("query_id"), col("q_nv"), col("cluster"))
     val scored = model.assigned.join(broadcast(probed), Seq("cluster"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -447,7 +470,29 @@ object Similarity {
     * the number of queries.
     */
   def ivfPqSearch(ivf: IvfModel, pq: PqModel, queryIds: Seq[Long],
-                  nprobe: Int, k: Int, roundTo: Int = 4): DataFrame = {
+                  nprobe: Int, k: Int, roundTo: Int = 4): DataFrame =
+    ivfPqSearchCore(ivf, pq,
+      ivf.assigned.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("nv").as("q_nv")),
+      nprobe, k, roundTo)
+
+  /** ⊕ [[ivfPqSearch]] with the query side as a DataFrame (the
+    * [[ivfSearchDf]] batch shape): probe selection and the per-query
+    * ADC lookup table are computed per query ROW against the literal
+    * codebooks — the broadcast structure is unchanged, only the query
+    * entry point scales from an id list to a table.
+    */
+  def ivfPqSearchDf(ivf: IvfModel, pq: PqModel, queries: DataFrame,
+                    qid: Column, qvec: Column,
+                    nprobe: Int, k: Int, roundTo: Int = 4): DataFrame =
+    ivfPqSearchCore(ivf, pq,
+      queries.select(qid.as("query_id"), normalize(vecD(qvec)).as("q_nv"))
+        .filter(col("q_nv").isNotNull),
+      nprobe, k, roundTo)
+
+  /** Shared core over a prepared `(query_id, q_nv)` side. */
+  private def ivfPqSearchCore(ivf: IvfModel, pq: PqModel, qdf: DataFrame,
+                              nprobe: Int, k: Int, roundTo: Int): DataFrame = {
     val cents = ivf.centroids
     val m = pq.codebooks.length
     val sub = pq.codebooks(0)(0).length
@@ -464,8 +509,7 @@ object Similarity {
           array(pq.codebooks(j)(c).map(lit(_)): _*)), 9)
       }: _*)
     }: _*)
-    val probed = ivf.assigned.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("nv").as("q_nv"))
+    val probed = qdf
       .withColumn("lut", lut)
       .withColumn("cluster", explode(probes))
       .select(col("query_id"), col("lut"), col("cluster"))

@@ -89,6 +89,22 @@ class PqSpec extends SparkSuite {
     ivf.unpersist()
   }
 
+  test("ivfPqSearchDf on a raw-vector query table ≡ the id-list form (delegation contract)") {
+    val ivf = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val ids = Seq(0L, 5L, 11L)
+    val viaSeq = Similarity.ivfPqSearch(ivf, pq, ids, nprobe = 4, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaDf = Similarity.ivfPqSearchDf(ivf, pq,
+        em.filter($"vec_id".isin(ids: _*)), $"vec_id", $"embedding",
+        nprobe = 4, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the Df form normalizes the raw embedding itself; must land on
+    // the exact same probes, LUTs and ADC scores
+    assert(viaDf == viaSeq)
+    ivf.unpersist()
+  }
+
   test("pqEncode with an existing codebook reproduces pqFit's own codes exactly") {
     val enc = Similarity.pqEncode(pq, em, col("vec_id"), col("embedding"))
       .select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
