@@ -2955,6 +2955,45 @@ object SparkEntry {
       col("vec_id"), col("embedding"), nprobe = 4, k = 10)
   }
 
+  /** q149 — ⊕ auto-sized LSH pair generation
+    * ([[graft.ext.Similarity.annLshPairsAuto]]), THE documented
+    * corpus-scale entry point: one count() derives the bucket width
+    * (bitsForCorpus) and the dominant exchange's partition count
+    * (partitionsForCorpus). Both floor to the pinned configuration
+    * (6 bits / 32 partitions) at fixture scale, so this shares
+    * q26/q95's oracle bit-for-bit — the q112/q146 convention; the
+    * scale evidence is the decade-2 ScaleBench slope.
+    */
+  private val q149AnnLshAuto: Q = (s, dir) => {
+    ext.Similarity.annLshPairsAuto(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.42)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q150 — ⊕ auto-sized semantic dedup
+    * ([[graft.ext.Similarity.semDedupAuto]]): k from
+    * clustersForCorpus, pair-join partitions from partitionsForCorpus,
+    * both floored at fixture scale → byte-shares q106/q112's oracle.
+    */
+  private val q150SemDedupAuto: Q = (s, dir) => {
+    ext.Similarity.semDedupAuto(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), iters = 2,
+        tau = 0.42, quantize = Some(9))
+      .select(col("id"), col("cluster"))
+      .orderBy(col("id"))
+  }
+
+  /** q151 — ⊕ auto-sized PQ semantic dedup
+    * ([[graft.ext.Similarity.semDedupPqAuto]]): coarse k and the
+    * pair-join partition count from one count(), floored at fixture
+    * scale → byte-shares q145/q146's oracle.
+    */
+  private val q151SemDedupPqAuto: Q = (s, dir) => {
+    ext.Similarity.semDedupPqAuto(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), tau = 0.25)
+      .orderBy(col("id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3105,6 +3144,9 @@ object SparkEntry {
     "q146_semdedup_pq_sized" -> q146SemdedupPqSized,
     "q147_jsonl_roundtrip"  -> q147JsonlRoundtrip,
     "q148_ivfpq_batch"      -> q148IvfPqBatch,
+    "q149_ann_lsh_auto"     -> q149AnnLshAuto,
+    "q150_semdedup_auto"    -> q150SemDedupAuto,
+    "q151_semdedup_pq_auto" -> q151SemDedupPqAuto,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3694,6 +3736,14 @@ object SparkEntry {
     // fixed-width pairs bit-for-bit (the sizing only diverges at
     // corpus scale, where it is the fix for the measured quadratic).
     "q95_ann_lsh_sized" ->
+      (annLshPairsCte + "\n" +
+        """SELECT id_a, id_b, cos_sim FROM pairs
+          |WHERE cos_sim >= 0.42
+          |ORDER BY id_a, id_b""".stripMargin),
+    // q149: the AUTO form — derived bits AND partitions both floor to
+    // the pinned configuration at fixture scale (partitioning is
+    // purely physical), so it too must reproduce q26's pairs exactly.
+    "q149_ann_lsh_auto" ->
       (annLshPairsCte + "\n" +
         """SELECT id_a, id_b, cos_sim FROM pairs
           |WHERE cos_sim >= 0.42
@@ -5686,6 +5736,9 @@ object SparkEntry {
     // k equals the pinned 16 at every fixture size (floor), so one
     // oracle serves both and any drift in the sizing path hash-fails.
     "q112_semdedup_sized" -> semDedupOracleSql,
+    // q150: the AUTO form floors to the same pinned configuration
+    // (k=16; the derived partition count is purely physical).
+    "q150_semdedup_auto" -> semDedupOracleSql,
     // q107: q93's bigram-LM chain instantiated twice over ONE bg
     // stream (target = lang 'en', raw = all), the rounded likelihood
     // ratio, then q92's md5-digit A-Res priority per language —
@@ -6639,6 +6692,8 @@ object SparkEntry {
     // q146: sized form ≡ fixed form at fixture scale (derived coarse
     // k = 16 at every driver sf) — the q112 convention.
     "q146_semdedup_pq_sized" -> semDedupPqOracleSql,
+    // q151: the AUTO form — same floors, same oracle.
+    "q151_semdedup_pq_auto" -> semDedupPqOracleSql,
   )
 
   private def semDedupPqOracleSql: String =

@@ -382,7 +382,8 @@ object Similarity {
     */
   def semDedupPq(ivf: IvfModel, pq: PqModel, tau: Double,
                  roundTo: Int = 4,
-                 maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                 maxCluster: Int = Dedup.DefaultMaxBucket,
+                 numPartitions: Option[Int] = None): DataFrame = {
     val m = pq.codebooks.length
     val sdcLit = array((0 until m).map { j =>
       val cb = pq.codebooks(j)
@@ -399,7 +400,8 @@ object Similarity {
       .agg(count(lit(1)).as("__csz"))
       .filter(col("__csz") <= maxCluster)
       .select(col("cluster"))
-    val inCap = t.join(broadcast(okClusters), Seq("cluster"))
+    val inCap0 = t.join(broadcast(okClusters), Seq("cluster"))
+    val inCap = numPartitions.fold(inCap0)(p => inCap0.repartition(p, col("cluster")))
     val sdcSim = round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
       acc + element_at(element_at(element_at(sdcLit, jj + 1),
         element_at(col("ca"), jj + 1) + 1),
@@ -432,6 +434,28 @@ object Similarity {
     val ivf = ivfFit(df, id, vec, kc, iters = 2, quantize = Some(9))
     val pq = pqFit(df, id, vec, m, codebookK, iters = 1, quantize = Some(9))
     semDedupPq(ivf, pq, tau, roundTo, maxCluster)
+  }
+
+  /** ⊕ THE documented entry point for PQ-accelerated semantic dedup
+    * at corpus scale ([[semDedupPqSized]] plus the sized pair-join
+    * exchange — the [[semDedupAuto]] treatment applied to the PQ
+    * path): one `count()` feeds [[clustersForCorpus]] (coarse k; PQ
+    * codebook k stays fixed — quantization fidelity, not occupancy)
+    * and [[graft.ops.Skew.partitionsForCorpus]]. Floors to the pinned
+    * configuration at fixture scale, so q151 shares q145/q146's
+    * oracle bit-for-bit.
+    */
+  def semDedupPqAuto(df: DataFrame, id: Column, vec: Column, tau: Double,
+                     m: Int = 4, codebookK: Int = 16,
+                     targetCluster: Int = 200, roundTo: Int = 4,
+                     maxCluster: Int = Dedup.DefaultMaxBucket,
+                     rowsPerPartition: Long = 1L << 18): DataFrame = {
+    val n = df.count()
+    val kc = clustersForCorpus(n, targetCluster)
+    val ivf = ivfFit(df, id, vec, kc, iters = 2, quantize = Some(9))
+    val pq = pqFit(df, id, vec, m, codebookK, iters = 1, quantize = Some(9))
+    semDedupPq(ivf, pq, tau, roundTo, maxCluster,
+      Some(graft.ops.Skew.partitionsForCorpus(n, rowsPerPartition)))
   }
 
   /** Row-local code assignment: argmin ‖s − c‖² over subspace `j`'s
@@ -566,18 +590,24 @@ object Similarity {
     * generation entirely (kept intact, never quadratic — mirror with
     * a HAVING on the cluster count). The within-cluster join
     * shuffles on the cluster key only; vectors never leave their
-    * cluster partition.
+    * cluster partition. At corpus scale use [[semDedupAuto]] — the
+    * documented default entry point — rather than picking k by hand:
+    * fixed k was measured silently degenerating to a no-op at sf10.
     */
   def semDedup(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
                tau: Double, quantize: Option[Int] = None, roundTo: Int = 4,
-               maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+               maxCluster: Int = Dedup.DefaultMaxBucket,
+               numPartitions: Option[Int] = None): DataFrame = {
     val model = ivfFit(df, id, vec, k, iters, quantize)
     val a = model.assigned  // (id, nv, cluster), persisted by ivfFit
     val okClusters = a.groupBy(col("cluster"))
       .agg(count(lit(1)).as("__csz"))
       .filter(col("__csz") <= maxCluster)
       .select(col("cluster"))
-    val inCap = a.join(broadcast(okClusters), Seq("cluster"))
+    val inCap0 = a.join(broadcast(okClusters), Seq("cluster"))
+    // sized dominant exchange: both sides of the within-cluster pair
+    // join derive from this one repartition on the join key
+    val inCap = numPartitions.fold(inCap0)(p => inCap0.repartition(p, col("cluster")))
     val dropped = inCap.select(col("cluster"), col("id").as("id_a"), col("nv").as("nv_a"))
       .join(inCap.select(col("cluster"), col("id").as("id_b"), col("nv").as("nv_b")),
         Seq("cluster"))
@@ -655,6 +685,28 @@ object Similarity {
     semDedup(df, id, vec, k, iters, tau, quantize, roundTo, maxCluster)
   }
 
+  /** ⊕ THE documented entry point for semantic dedup at corpus scale:
+    * ONE `count()` derives the cluster count ([[clustersForCorpus]] —
+    * fixed k degenerates to deduping NOTHING once every cluster
+    * outgrows the `maxCluster` backstop, measured at sf10) and the
+    * within-cluster pair join's partition count
+    * ([[graft.ops.Skew.partitionsForCorpus]]). Both floor to the
+    * pinned values (k=16, 32 partitions) at every driver fixture
+    * size, so q150 shares q106/q112's oracle bit-for-bit. Prefer
+    * this over [[semDedup]]/[[semDedupSized]] unless replaying a
+    * pinned configuration.
+    */
+  def semDedupAuto(df: DataFrame, id: Column, vec: Column, iters: Int,
+                   tau: Double, targetCluster: Int = 200,
+                   quantize: Option[Int] = None, roundTo: Int = 4,
+                   maxCluster: Int = Dedup.DefaultMaxBucket,
+                   rowsPerPartition: Long = 1L << 18): DataFrame = {
+    val n = df.count()
+    semDedup(df, id, vec, clustersForCorpus(n, targetCluster), iters, tau,
+      quantize, roundTo, maxCluster,
+      Some(graft.ops.Skew.partitionsForCorpus(n, rowsPerPartition)))
+  }
+
   /** ⊕ ANN via random-hyperplane LSH (Charikar 2002, with ±1
     * Rademacher planes — [[planeComp]]): for each of `numTables`
     * tables, a `bitsPerTable`-bit bucket key from projection signs;
@@ -678,10 +730,11 @@ object Similarity {
     * §second-decade): candidate pairs are Σ b²/2 over buckets ≈
     * n²/2^(bits+1) per table, so at 6 bits the sf1→sf10 decade grew
     * pair work 100× for 10× data (5.49G candidates, 55× wall-clock).
-    * Use [[annLshPairsSized]] at corpus scale — it derives bits from
-    * a count so per-bucket occupancy (and therefore pair work per
-    * row) stays constant; the oracled q26/q66/q86 pin 6 bits only
-    * because the sf-fixture oracle mirrors that constant.
+    * Use [[annLshPairsAuto]] at corpus scale — the documented default
+    * entry point: one count derives bits (constant per-bucket
+    * occupancy) AND the dominant exchange's partition count; the
+    * oracled q26/q66/q86 pin 6 bits only because the sf-fixture
+    * oracle mirrors that constant.
     */
   def annLsh(df: DataFrame, id: Column, vec: Column,
              threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
@@ -699,12 +752,19 @@ object Similarity {
     */
   def annLshPairs(df: DataFrame, id: Column, vec: Column,
                   threshold: Double, numTables: Int = 16, bitsPerTable: Int = 6,
-                  roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                  roundTo: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket,
+                  numPartitions: Option[Int] = None): DataFrame = {
     val nv = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
-    val bucketed = nv.select(col("id"), col("nv"),
+    val bucketed0 = nv.select(col("id"), col("nv"),
       posexplode(graft.functions.LshBuckets.lsh_buckets(col("nv"), numTables, bitsPerTable))
         .as(Seq("table_idx", "bucket")))
+    // sized dominant exchange: repartition on the grouping keys so the
+    // bucket aggregation reuses it at the derived width instead of the
+    // session default (downstream exchanges — the cross-table distinct
+    // — still follow spark.sql.shuffle.partitions)
+    val bucketed = numPartitions.fold(bucketed0)(p =>
+      bucketed0.repartition(p, col("table_idx"), col("bucket")))
     Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"),
         struct(col("id"), col("nv")), maxBucket)
       .filter(col("a.id") < col("b.id"))
@@ -751,6 +811,32 @@ object Similarity {
                        maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     annLshPairs(df, id, vec, threshold, numTables,
       bitsForCorpus(df.count(), targetBucket), roundTo, maxBucket)
+
+  /** ⊕ THE documented entry point for LSH pair generation at corpus
+    * scale: ONE `count()` derives BOTH scale knobs — the bucket width
+    * ([[bitsForCorpus]]: fixed bits are measured quadratic past sf1)
+    * and the dominant exchange's partition count
+    * ([[graft.ops.Skew.partitionsForCorpus]] over the n·numTables
+    * exploded bucket rows: a fixed partition count spills once
+    * per-partition bytes outgrow executor memory). At every driver
+    * fixture size both derivations floor to the pinned values
+    * (6 bits, 32 partitions), so q149 shares q26/q95's oracle
+    * bit-for-bit — the q112/q146 convention; the decade-2 ScaleBench
+    * slopes are the scale evidence. Prefer this over [[annLshPairs]]
+    * (fixed width) and [[annLshPairsSized]] (sized width, session
+    * partitioning) unless replaying a pinned configuration; cache
+    * `df` upstream if it is itself expensive.
+    */
+  def annLshPairsAuto(df: DataFrame, id: Column, vec: Column,
+                      threshold: Double, targetBucket: Int = 200,
+                      numTables: Int = 16, roundTo: Int = 4,
+                      maxBucket: Int = Dedup.DefaultMaxBucket,
+                      rowsPerPartition: Long = 1L << 18): DataFrame = {
+    val n = df.count()
+    annLshPairs(df, id, vec, threshold, numTables,
+      bitsForCorpus(n, targetBucket), roundTo, maxBucket,
+      Some(graft.ops.Skew.partitionsForCorpus(n * numTables, rowsPerPartition)))
+  }
 
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding
     * quality control: vectors far from their group's mean direction

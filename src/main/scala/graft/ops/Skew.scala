@@ -19,6 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Shuffle-partition count that holds post-shuffle partition size
+    * ≈ `rowsPerPartition` rows at `rows` total — the
+    * `spark.sql.shuffle.partitions` analogue of
+    * [[graft.ext.Similarity.bitsForCorpus]]: a FIXED partition count
+    * is the same scaling bug as a fixed bucket width (per-partition
+    * bytes grow linearly with the corpus until sort/aggregate state
+    * spills — the measured q107/q119 sf10 caveat), while a sized
+    * count keeps per-task memory constant. Floored at `minParts` (32,
+    * the fixture-scale session default, so derived == pinned at every
+    * driver sf — the bitsForCorpus floor convention); capped at
+    * `maxParts` (Spark schedules fine to ~100k tasks/stage, beyond
+    * which driver bookkeeping dominates).
+    *
+    * The default 256k rows/partition targets ~128 MB tasks at the
+    * ~0.5 KB row width typical of this engine's exploded
+    * intermediates (bucketed LSH rows, token streams); pass the real
+    * post-explosion row count (e.g. n·numTables for LSH bucketing,
+    * n·tokens for text pipelines), not the input row count.
+    *
+    * Use it two ways: the Auto operator forms size their dominant
+    * exchange with it directly; for whole-pipeline runs set
+    * `spark.sql.shuffle.partitions` from it at session init (what
+    * ScaleBench's decade runs do). On a real cluster AQE then
+    * coalesces small partitions back down — oversizing is cheap,
+    * undersizing spills.
+    */
+  def partitionsForCorpus(rows: Long, rowsPerPartition: Long = 1L << 18,
+                          minParts: Int = 32, maxParts: Int = 100000): Int = {
+    require(rowsPerPartition > 0, s"rowsPerPartition must be positive, got $rowsPerPartition")
+    math.min(maxParts.toLong,
+      math.max(minParts.toLong,
+        (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
+  }
+
   /** Inner equi-join `big ⋈ small` on `key`, salted `n` ways. Result
     * equals `big.join(small, key)` row-for-row; only the physical
     * distribution changes. The salt must be DETERMINISTIC per row

@@ -129,6 +129,27 @@ class SimilaritySpec extends SparkSuite {
     val sized = Similarity.annLshPairsSized(em, col("vec_id"), col("embedding"), 0.42)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fixed.nonEmpty && sized == fixed)
+    val auto = Similarity.annLshPairsAuto(em, col("vec_id"), col("embedding"), 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+  }
+
+  test("numPartitions sizes the bucket exchange; no second exchange before the aggregate") {
+    import org.apache.spark.sql.functions._
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.annLshPairs(em, col("vec_id"), col("embedding"), 0.42,
+        numPartitions = Some(7))
+      .queryExecution.executedPlan.toString
+    // the repartition carries the derived width on the grouping keys...
+    assert(plan.contains("hashpartitioning(table_idx") && plan.contains(", 7)"),
+      s"expected a 7-way exchange on (table_idx, bucket):\n$plan")
+    // ...and the bucket aggregation reuses it: exactly one exchange
+    // upstream of the first collect_list aggregate
+    val firstAgg = plan.indexOf("collect_list")
+    val exchangesAbove = "Exchange hashpartitioning\\(table_idx".r
+      .findAllIn(plan).size
+    assert(firstAgg >= 0 && exchangesAbove == 1,
+      s"bucket aggregate must reuse the sized exchange:\n$plan")
   }
 
   test("quantizeInt8: per-component error <= scale/2; zero vector safe; int cosine tracks exact") {
@@ -175,6 +196,10 @@ class SimilaritySpec extends SparkSuite {
         iters = 2, tau = 0.42, quantize = Some(9))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(fixed.nonEmpty && sized == fixed)
+    val auto = Similarity.semDedupAuto(em, col("vec_id"), col("embedding"),
+        iters = 2, tau = 0.42, quantize = Some(9))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(auto == fixed)
   }
 
   test("standardizeDims: whitened dims have mean~0 std~1; zero-variance dim centers") {

@@ -44,6 +44,17 @@ class SkewSpec extends SparkSuite {
     assert(capped.count() == 100)
   }
 
+  test("partitionsForCorpus schedule: floor at the session default, linear growth, cap") {
+    import graft.ops.Skew
+    assert(Skew.partitionsForCorpus(1000) == 32)                 // floor
+    assert(Skew.partitionsForCorpus(320000) == 32)               // fixture scale: == pinned
+    assert(Skew.partitionsForCorpus(32L << 18) == 32)            // exactly at the knee
+    assert(Skew.partitionsForCorpus(64L << 18) == 64)            // then linear in rows
+    assert(Skew.partitionsForCorpus(640L << 18) == 640)
+    assert(Skew.partitionsForCorpus(Long.MaxValue / 4) == 100000) // cap
+    assert(Skew.partitionsForCorpus(1L << 22, rowsPerPartition = 1 << 16) == 64)
+  }
+
   test("autoJoin salts under a hot key, stays plain under uniform keys, equal results") {
     import graft.ops.Skew
     val dim = (0L to 500L).map(k => (k, s"d$k")).toDF("user_id", "label")

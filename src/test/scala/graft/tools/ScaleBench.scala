@@ -94,12 +94,33 @@ object ScaleBench {
       }))
     val allQueries = graft.SparkEntry.queries ++ sizedVariants
 
-    def minOf3(q: String, dir: String): Double =
+    // Size the session shuffle width to the decade under test
+    // (Skew.partitionsForCorpus over the largest table in the dir —
+    // raw rows, floor 32): a fixed 32 was the measured q107/q119
+    // spill caveat at sf10. Recorded per dir so the table is
+    // self-documenting.
+    val partsByDir = scala.collection.mutable.Map[String, Int]()
+    def partsFor(dir: String): Int = partsByDir.getOrElseUpdate(dir, {
+      val rows = Seq("documents", "embeddings", "orders", "lineitem",
+          "events", "customer")
+        .map(t => new java.io.File(dir, s"$t.parquet"))
+        .filter(_.exists())
+        .map(f => spark.read.parquet(f.getAbsolutePath).count())
+        .max
+      val p = graft.ops.Skew.partitionsForCorpus(rows)
+      println(s"[scalebench] $dir: largest table $rows rows -> " +
+        s"spark.sql.shuffle.partitions=$p")
+      p
+    })
+
+    def minOf3(q: String, dir: String): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", partsFor(dir).toString)
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         allQueries(q)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+    }
 
     // FULL suite by default (VERDICT r6 #1); SPARK_GRAFT_ONLY filters
     // by comma-separated name prefixes for iteration. Decade 2 defaults
@@ -107,7 +128,9 @@ object ScaleBench {
     // only carries the tables they scan.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .orElse(if (decade2) Some(Seq("q26", "q86", "q40", "q66", "q04")) else None)
+      .orElse(if (decade2)
+        Some(Seq("q26", "q86", "q40", "q66", "q04", "q149", "q150", "q151"))
+      else None)
     val universe =
       if (decade2) allQueries.keys.toSeq.sorted
       else graft.SparkEntry.queries.keys.toSeq.sorted
