@@ -96,6 +96,112 @@ object Diff {
     if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
   }
 
+  /** [[snapshotDiffBucketed]]'s result: the delta plus the pruning
+    * evidence (how much of the corpus the row-level join never read).
+    */
+  final case class BucketedDiff(diff: DataFrame, totalBuckets: Int,
+                                changedBuckets: Seq[Int], totalFiles: Int,
+                                prunedFiles: Int)
+
+  /** ⊕ File-stats fast path for snapshot diff over two BUCKETED
+    * snapshots ([[graft.sinks.Bucketed]] layout, both bucketed by the
+    * diff key with equal bucket counts — validated from catalog
+    * metadata, not trusted): per-bucket file CONTENT hashes decide
+    * which buckets churned, and the row-level [[snapshotDiff]] reads
+    * ONLY those buckets' files. This is the real 100 TB diff
+    * optimization: a 0.1% daily churn touches ~0.1% of buckets, so
+    * the full-outer join scans gigabytes, not the corpus — the
+    * unchanged bulk is never opened by the row diff (checksumming
+    * reads bytes once, sequentially, with no decode and no shuffle).
+    *
+    * Correctness: a key's bucket is a pure function of (key, bucket
+    * count), so a key cannot move between buckets across snapshots —
+    * diffing the churned buckets is complete. Byte-equality is a
+    * SUFFICIENT condition for row-equality (same sorted layout, same
+    * writer): byte-identical buckets contain identical rows and
+    * contribute only `unchanged` classifications, which the default
+    * `includeUnchanged = false` output omits anyway (the fast path
+    * therefore does not offer includeUnchanged). Byte inequality is
+    * conservative — a bucket rewritten with different task splits
+    * re-diffs at row level and contributes nothing if rows match.
+    * The duplicate-key guard applies to the churned subset only;
+    * byte-identical skipped buckets cannot produce a non-`unchanged`
+    * row either way.
+    *
+    * Checksums are computed executor-side (`binaryFile` source +
+    * md5); only (file, bucket, md5) triples — one per ~128 MB file —
+    * reach the driver.
+    */
+  def snapshotDiffBucketed(spark: org.apache.spark.sql.SparkSession,
+                           oldTable: String, newTable: String, key: String,
+                           compareCols: Seq[String] = Nil): BucketedDiff = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (oldLoc, oldSpec) = ColumnBridge.tableLayout(spark, oldTable)
+    val (newLoc, newSpec) = ColumnBridge.tableLayout(spark, newTable)
+    def demand(spec: Option[(Int, Seq[String])], t: String): Int = spec match {
+      case Some((n, cols)) if cols == Seq(key) => n
+      case Some((_, cols)) => throw new IllegalArgumentException(
+        s"snapshotDiffBucketed: $t is bucketed by ${cols.mkString(",")}, not by diff key '$key'")
+      case None => throw new IllegalArgumentException(
+        s"snapshotDiffBucketed: $t is not bucketed — use snapshotDiff")
+    }
+    val nOld = demand(oldSpec, oldTable)
+    val nNew = demand(newSpec, newTable)
+    require(nOld == nNew,
+      s"snapshotDiffBucketed: bucket counts differ ($oldTable=$nOld, $newTable=$nNew) — " +
+        "keys would map to different buckets; rewrite one side or use snapshotDiff")
+
+    val BucketRe = "_(\\d{5})\\.".r
+    def listFiles(loc: String): Seq[(Int, String)] = {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map { s =>
+          val name = s.getPath.getName
+          val b = BucketRe.findFirstMatchIn(name).map(_.group(1).toInt)
+            .getOrElse(throw new IllegalStateException(
+              s"snapshotDiffBucketed: no bucket id in file name '$name' under $loc"))
+          (b, s.getPath.toString)
+        }
+    }
+    val oldFiles = listFiles(oldLoc)
+    val newFiles = listFiles(newLoc)
+
+    def bucketHashes(files: Seq[(Int, String)]): Map[Int, Set[String]] = {
+      if (files.isEmpty) Map.empty
+      else {
+        val byPath = files.map { case (b, p) => p -> b }.toMap
+        spark.read.format("binaryFile").load(files.map(_._2): _*)
+          .select(col("path"), md5(col("content")).as("h"))
+          .collect()
+          .map(r => byPath(r.getString(0)) -> r.getString(1))
+          .groupBy(_._1).map { case (b, hs) => b -> hs.map(_._2).toSet }
+      }
+    }
+    val oldHash = bucketHashes(oldFiles)
+    val newHash = bucketHashes(newFiles)
+    val allBuckets = (oldHash.keySet ++ newHash.keySet)
+    val changed = allBuckets.filter(b =>
+      oldHash.getOrElse(b, Set.empty) != newHash.getOrElse(b, Set.empty)).toSeq.sorted
+
+    val schemaOld = spark.table(oldTable).schema
+    val schemaNew = spark.table(newTable).schema
+    def readSubset(files: Seq[(Int, String)],
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val paths = files.filter(f => changed.contains(f._1)).map(_._2)
+      if (paths.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    val diff = snapshotDiff(readSubset(oldFiles, schemaOld),
+      readSubset(newFiles, schemaNew), key, compareCols)
+    val total = oldFiles.size + newFiles.size
+    val read = oldFiles.count(f => changed.contains(f._1)) +
+      newFiles.count(f => changed.contains(f._1))
+    BucketedDiff(diff, nOld, changed, total, total - read)
+  }
+
   /** The incremental-reprocessing driver: the `added ∪ changed` rows
     * of `newDf`, i.e. exactly the keys whose downstream derivations
     * are stale. Composes [[snapshotDiff]] with a semi-join back to the

@@ -26,4 +26,19 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Catalog metadata for a managed/external table: (location,
+    * bucket spec as (numBuckets, bucketColumns) when bucketed).
+    * `sessionState.catalog` is `private[sql]`, hence bridged — used by
+    * the bucketed snapshot-diff fast path to resolve and VALIDATE the
+    * physical layout instead of trusting the caller's description.
+    */
+  def tableLayout(spark: org.apache.spark.sql.SparkSession,
+                  table: String): (String, Option[(Int, Seq[String])]) = {
+    val meta = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    (meta.location.toString,
+      meta.bucketSpec.map(bs => (bs.numBuckets, bs.bucketColumnNames)))
+  }
 }

@@ -93,6 +93,61 @@ class DiffSpec extends SparkSuite {
     assert(got == Seq("a,b"))
   }
 
+  test("bucketed fast path: identical delta, unchanged buckets never read") {
+    val rows = (1L to 400L).map(k => (k, s"name_$k", k * 1.5))
+    // one modified payload + one added key; everything else identical,
+    // written in identical order so unchanged buckets are byte-equal
+    val rows2 = rows.map { case (k, nm, b) =>
+      if (k == 7L) (k, "name_7_CHANGED", b) else (k, nm, b)
+    } :+ (401L, "name_401", 601.5)
+    spark.sql("DROP TABLE IF EXISTS diff_old")
+    spark.sql("DROP TABLE IF EXISTS diff_new")
+    graft.sinks.Bucketed.write(rows.toDF("k", "name", "bal").coalesce(1),
+      "diff_old", "k", buckets = 4)
+    graft.sinks.Bucketed.write(rows2.toDF("k", "name", "bal").coalesce(1),
+      "diff_new", "k", buckets = 4)
+
+    val bd = Diff.snapshotDiffBucketed(spark, "diff_old", "diff_new", "k")
+    val fast = bd.diff
+      .select($"k", $"change_type", concat_ws(",", $"changed_cols"))
+      .as[(Long, String, String)].collect().toSet
+    val slow = Diff.snapshotDiff(spark.table("diff_old"), spark.table("diff_new"), "k")
+      .select($"k", $"change_type", concat_ws(",", $"changed_cols"))
+      .as[(Long, String, String)].collect().toSet
+    assert(fast == slow)
+    assert(fast.contains((7L, "changed", "name")) && fast.contains((401L, "added", "")))
+    // pruning evidence: only the churned buckets' files were read
+    assert(bd.totalBuckets == 4)
+    assert(bd.changedBuckets.nonEmpty && bd.changedBuckets.size <= 2,
+      s"expected <=2 churned buckets, got ${bd.changedBuckets}")
+    assert(bd.prunedFiles > 0 && bd.prunedFiles + bd.diff.inputFiles.length == bd.totalFiles,
+      s"pruned=${bd.prunedFiles} read=${bd.diff.inputFiles.length} total=${bd.totalFiles}")
+  }
+
+  test("bucketed fast path refuses mismatched layouts (wrong key, unequal counts, unbucketed)") {
+    spark.sql("DROP TABLE IF EXISTS diff_bad")
+    (1L to 10L).map(k => (k, s"n$k")).toDF("k", "name")
+      .write.mode("overwrite").saveAsTable("diff_bad")
+    val e1 = intercept[IllegalArgumentException] {
+      Diff.snapshotDiffBucketed(spark, "diff_bad", "diff_bad", "k")
+    }
+    assert(e1.getMessage.contains("not bucketed"))
+    spark.sql("DROP TABLE IF EXISTS diff_b8")
+    graft.sinks.Bucketed.write((1L to 10L).map(k => (k, s"n$k")).toDF("k", "name"),
+      "diff_b8", "k", buckets = 8)
+    spark.sql("DROP TABLE IF EXISTS diff_b4")
+    graft.sinks.Bucketed.write((1L to 10L).map(k => (k, s"n$k")).toDF("k", "name"),
+      "diff_b4", "k", buckets = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Diff.snapshotDiffBucketed(spark, "diff_b8", "diff_b4", "k")
+    }
+    assert(e2.getMessage.contains("bucket counts differ"))
+    val e3 = intercept[IllegalArgumentException] {
+      Diff.snapshotDiffBucketed(spark, "diff_b8", "diff_b8", "name")
+    }
+    assert(e3.getMessage.contains("not by diff key"))
+  }
+
   test("delta output is O(delta): one full-outer join, no extra shuffle stages") {
     val plan = Diff.snapshotDiff(oldSnap, newSnap, "k")
       .queryExecution.executedPlan.toString
