@@ -57,6 +57,14 @@ class SimilaritySpec extends SparkSuite {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet))
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall $recall (probing 6/8 clusters)")
+    // the DataFrame-query form on the raw vectors must land on the
+    // exact same probes and scores as the id-list form (delegation)
+    val viaDf = Similarity.ivfSearchDf(model, em.filter(col("vec_id").isin(0L, 1L)),
+        col("vec_id"), col("embedding"), nprobe = 6, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaSeq = Similarity.ivfSearch(model, Seq(0L, 1L), nprobe = 6, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaDf == viaSeq)
     model.unpersist()
   }
 
