@@ -57,7 +57,10 @@ object GraftFunctions {
       checked("winnow", 3)(a => Winnow(a(0),
         intArg(a(1), "winnow", 1), intArg(a(2), "winnow", 2)))),
     ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, boost>0.7)",
-      checked("jaro_winkler", 2)(a => JaroWinkler(a(0), a(1))))
+      checked("jaro_winkler", 2)(a => JaroWinkler(a(0), a(1)))),
+    ("decode_html_entities",
+      "decode_html_entities(s) - single-pass HTML entity decode (numeric + 30 named, no cascade)",
+      checked("decode_html_entities", 1)(a => DecodeHtmlEntities(a(0))))
   ).map { case (name, usage, b) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", null, name, usage, ""), b)

@@ -157,5 +157,8 @@ class PlansSpec extends SparkSuite {
     // shape args must be integer literals
     val err = intercept[Exception](spark.sql("SELECT shingle_set('x', 'k')").collect())
     assert(err.getMessage.contains("integer literal"))
+    // the entity decoder is SQL-bound too
+    assert(spark.sql("SELECT decode_html_entities('Caf&#233; &amp;lt; &mdash;')")
+      .collect()(0).getString(0) == "Café &lt; —")
   }
 }
