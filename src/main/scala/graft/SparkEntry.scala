@@ -2994,6 +2994,87 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q152 — ⊕ scalable stable row numbering
+    * ([[graft.ops.Ids.stableRowNumber]]): contiguous 1..N example ids
+    * in (source, doc_id) order with NO single-task global sort — the
+    * range-partition + per-partition-window + tiny-offset-join plan
+    * (O3's 100 TB form; the naive `Window.orderBy` the oracle runs is
+    * exactly the plan this operator exists to avoid). IdsSpec proves
+    * value-equality with the naive form and invariance across
+    * partition counts; the oracle proves the numbering here.
+    */
+  private val q152StableRowNumber: Q = (s, dir) => {
+    ops.Ids.stableRowNumber(Tables.documents(s, dir),
+        Seq(col("source"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("row_num"))
+      .orderBy(col("row_num"))
+  }
+
+  /** q153 — ⊕ interval × interval overlap join
+    * ([[graft.ops.Interval.overlapPairs]]): view-sessions × click
+    * -sessions per user (validity window = event_id-modular seconds —
+    * pure integer arithmetic, engine-portable), chunk-decomposed to a
+    * plain (user, hour-chunk) equi-join with the first-overlapping-
+    * chunk dedup rule. The oracle is the NAIVE inequality join — the
+    * per-key cross product this operator's plan exists to avoid — so
+    * the hash match proves the decomposition emits exactly the
+    * overlap set, once each.
+    */
+  private val q153IntervalOverlap: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def iv(tpe: String, mod: Int) = ev.filter(col("event_type") === tpe)
+      .select(col("event_id"), col("user_id"), col("ts").as("start_ts"),
+        expr(s"timestampadd(SECOND, CAST(event_id % $mod AS INT), ts)").as("end_ts"))
+    ops.Interval.overlapPairs(iv("view", 5000), iv("click", 8000),
+        "user_id", "start_ts", "end_ts", "start_ts", "end_ts", chunkSec = 3600)
+      .select(
+        col("l.event_id").as("id_a"), col("r.event_id").as("id_b"),
+        (least(unix_seconds(col("l.end_ts")), unix_seconds(col("r.end_ts"))) -
+         greatest(unix_seconds(col("l.start_ts")), unix_seconds(col("r.start_ts"))))
+          .as("overlap_sec"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q154 — ⊕ trained Naive Bayes text classifier
+    * ([[graft.ext.Classify]]): fit per-source token statistics on the
+    * 90% training slice (doc_id % 10 ≠ 0), score the held-out 10% —
+    * the model-based stage of a corpus quality/domain screen (CCNet's
+    * fastText filter in its linear bag-of-words form). Every
+    * log-probability is quantized to integer nano-units at the moment
+    * it's computed, so all per-document accumulation is exact integer
+    * summation — order-free under any partitioning — and argmax ties
+    * break deterministically on the label. The oracle replays the
+    * identical count → ln → quantize → integer-sum tree.
+    */
+  private val q154NaiveBayes: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val test = docs.filter(col("doc_id") % 10 === 0)
+    val model = ext.Classify.naiveBayesFit(train, col("source"), col("text"))
+    ext.Classify.naiveBayesScore(model, test, col("doc_id"), col("text"))
+      .join(test.select(col("doc_id").as("id"), col("source").as("actual")), Seq("id"))
+      .select(col("id").as("doc_id"), col("actual"), col("pred"),
+        col("score_units"), (col("pred") === col("actual")).as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
+    * merges over the documents word-frequency table. The corpus is
+    * touched ONCE (the word count); every merge iteration runs on
+    * word TYPES with one collected row of driver state (the argmax
+    * pair). The sentinel-bracketed symbol encoding makes merge
+    * application a literal left-to-right `replace` with identical
+    * semantics in both engines, so the oracle replays the entire
+    * training loop as 8 chained CTE stages — counts, argmax with the
+    * same (count DESC, pair ASC) tie-break, merge — and the final
+    * merge table must match bit-for-bit.
+    */
+  private val q155BpeTrain: Q = (s, dir) => {
+    ext.Bpe.learnMerges(
+        ext.Bpe.wordFreqs(Tables.documents(s, dir), col("text")), nMerges = 8)
+      .orderBy(col("merge_rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -3147,6 +3228,10 @@ object SparkEntry {
     "q149_ann_lsh_auto"     -> q149AnnLshAuto,
     "q150_semdedup_auto"    -> q150SemDedupAuto,
     "q151_semdedup_pq_auto" -> q151SemDedupPqAuto,
+    "q152_stable_row_number" -> q152StableRowNumber,
+    "q153_interval_overlap" -> q153IntervalOverlap,
+    "q154_naive_bayes"      -> q154NaiveBayes,
+    "q155_bpe_train"        -> q155BpeTrain,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6694,7 +6779,130 @@ object SparkEntry {
     "q146_semdedup_pq_sized" -> semDedupPqOracleSql,
     // q151: the AUTO form — same floors, same oracle.
     "q151_semdedup_pq_auto" -> semDedupPqOracleSql,
+    // q152: the oracle IS the naive single-task plan the operator
+    // replaces — identical numbering, different physical strategy.
+    "q152_stable_row_number" ->
+      """SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) AS row_num
+        |FROM documents
+        |ORDER BY row_num""".stripMargin,
+    // q153: the oracle IS the naive inequality join the chunked plan
+    // replaces; floor(epoch) mirrors unix_seconds truncation (q76
+    // convention), durations are integer-modular so both engines add
+    // the exact same whole seconds.
+    "q153_interval_overlap" ->
+      """WITH ia AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + event_id % 5000 AS e
+        |  FROM events WHERE event_type = 'view'),
+        |ib AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + event_id % 8000 AS e
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+        |FROM ia a JOIN ib b
+        |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q154: the identical NB tree — q80's token split, Laplace α=1
+    // ratios of exact integers, floor(ln·1e9 + 0.5) nano-unit
+    // quantization at every log site, then pure integer sums and an
+    // integer-score argmax with label tie-break.
+    "q154_naive_bayes" ->
+      """WITH tr AS (
+        |  SELECT doc_id, source AS label, text FROM documents WHERE doc_id % 10 <> 0),
+        |te AS (
+        |  SELECT doc_id, source AS actual, text FROM documents WHERE doc_id % 10 = 0),
+        |ttok AS (
+        |  SELECT label,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM tr),
+        |lab AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY label),
+        |labtot AS (SELECT label, count(*) AS total FROM ttok GROUP BY label),
+        |vocab AS (SELECT DISTINCT token FROM ttok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |tot AS (SELECT count(*) AS n FROM tr),
+        |labs AS (
+        |  SELECT l.label,
+        |    CAST(floor(ln(CAST(l.n_docs AS DOUBLE) / t.n) * 1e9 + 0.5) AS BIGINT) AS prior_u,
+        |    CAST(floor(ln(1.0 / (lt.total + vs.v)) * 1e9 + 0.5) AS BIGINT) AS oov_u,
+        |    lt.total AS total, vs.v AS v
+        |  FROM lab l, labtot lt, vs, tot t WHERE l.label = lt.label),
+        |cnts AS (SELECT label, token, count(*) AS c FROM ttok GROUP BY label, token),
+        |grid AS (
+        |  SELECT labs.label, vocab.token,
+        |    CAST(floor(ln((COALESCE(c.c, 0) + 1.0) / (labs.total + labs.v)) * 1e9 + 0.5) AS BIGINT) AS w_u
+        |  FROM vocab CROSS JOIN labs
+        |  LEFT JOIN cnts c ON c.label = labs.label AND c.token = vocab.token),
+        |stok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM te),
+        |ntok AS (SELECT doc_id, count(*) AS n_tok FROM stok GROUP BY doc_id),
+        |known AS (
+        |  SELECT s.doc_id, g.label, sum(g.w_u) AS s_known, count(*) AS n_known
+        |  FROM stok s JOIN grid g ON g.token = s.token
+        |  GROUP BY s.doc_id, g.label),
+        |scored AS (
+        |  SELECT n.doc_id, labs.label,
+        |    labs.prior_u + COALESCE(k.s_known, 0) +
+        |      (n.n_tok - COALESCE(k.n_known, 0)) * labs.oov_u AS score_units
+        |  FROM ntok n CROSS JOIN labs
+        |  LEFT JOIN known k ON k.doc_id = n.doc_id AND k.label = labs.label),
+        |best AS (
+        |  SELECT doc_id, label AS pred, score_units,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score_units DESC, label) AS rn
+        |  FROM scored)
+        |SELECT te.doc_id, te.actual, b.pred, b.score_units,
+        |  (b.pred = te.actual) AS hit
+        |FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
+        |ORDER BY te.doc_id""".stripMargin,
+    // q155: the full training loop replayed as chained CTEs — same
+    // sentinel encoding, same literal-replace merge semantics, same
+    // (count DESC, pair ASC) argmax tie-break.
+    "q155_bpe_train" -> bpeOracleSql(8),
   )
+
+  /** q155's generated oracle: stage i computes pair counts over the
+    * stage-(i−1) vocabulary, picks the argmax merge, and applies it —
+    * exactly [[graft.ext.Bpe.learnMerges]]'s loop, unrolled.
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH s0 AS (
+        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') || '<_>' AS sym,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_full_match(word, '[a-z0-9]+')
+        |  GROUP BY word)""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |    SELECT freq, a[i] AS l, a[i + 1] AS r FROM (
+        |      SELECT freq, a, unnest(range(1, len(a))) AS i FROM (
+        |        SELECT freq, string_split(substr(sym, 2, length(sym) - 2), '><') AS a
+        |        FROM s${i - 1}) t1) t2) t3
+        |  GROUP BY l, r),
+        |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |s$i AS (
+        |  SELECT replace(s.sym, '<' || b.l || '><' || b.r || '>',
+        |                 '<' || b.l || b.r || '>') AS sym, s.freq
+        |  FROM s${i - 1} s, b$i b)""".stripMargin)
+    }
+    sb.append("\nSELECT merge_rank, sym_left, sym_right, pair_count FROM (")
+    sb.append((1 to nMerges).map(i =>
+      s"\nSELECT $i AS merge_rank, l AS sym_left, r AS sym_right, c AS pair_count FROM b$i"
+    ).mkString("\nUNION ALL"))
+    sb.append("\n) u ORDER BY merge_rank")
+    sb.toString
+  }
 
   private def semDedupPqOracleSql: String =
       s"""$pqTrainCtes,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hand-computed merges: counts, ASCII tie-breaks, early stop") {
+    // corpus "aa aa ab": freqs aa=2, ab=1
+    // s0 pairs: (a,a)=2, (a,_)=2, (a,b)=1, (b,_)=1
+    //   tie at 2 → right tie-break: '_'(0x5F) < 'a' → merge (a,_)
+    // then (a,a_)=2; then ties at 1 → (a,b) before (b,_); then (ab,_)
+    // 5th iteration finds no pairs → stops at 4 merges
+    val wf = Seq(("aa", 2L), ("ab", 1L)).toDF("word", "freq")
+    val merges = Bpe.learnMerges(wf, 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "a", "_", 2L), (2, "a", "a_", 2L), (3, "a", "b", 1L), (4, "ab", "_", 1L)))
+  }
+
+  test("overlapping pair occurrences all count; merge applies left-to-right") {
+    // "aaa": [a,a,a,_] → (a,a) counts twice (get_stats), merge yields [aa,a,_]
+    val wf = Seq(("aaa", 1L)).toDF("word", "freq")
+    val merges = Bpe.learnMerges(wf, 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "a", "a", 2L), (2, "a", "_", 1L), (3, "aa", "a_", 1L)))
+  }
+
+  test("applyMerges (encode) reproduces the fitted vocabulary symbols") {
+    val wf = Seq(("aa", 2L), ("ab", 1L)).toDF("word", "freq")
+    val merges = Bpe.learnMerges(wf, 8)
+      .orderBy("merge_rank")
+      .select("sym_left", "sym_right").as[(String, String)].collect().toSeq
+    val enc = Seq("aa", "ab", "aab").toDF("word")
+      .select(col("word"), Bpe.applyMerges(col("word"), merges).as("sym"))
+      .as[(String, String)].collect().toMap
+    assert(enc("aa") == "<aa_>")
+    assert(enc("ab") == "<ab_>")
+    // unseen word: merges apply greedily left-to-right — "aab" gets
+    // (a,_)? no: [a,a,b,_] → (a,_) absent; (a,a_) absent; (a,b) → [a,ab,_];
+    // (ab,_) → [a,ab_]
+    assert(enc("aab") == "<a><ab_>")
+    // decode: symbols concatenate back to word + EOW marker
+    val rt = Seq("aa", "ab", "aab").toDF("word")
+      .select(col("word"),
+        concat_ws("", Bpe.symbolsOf(Bpe.applyMerges(col("word"), merges))).as("flat"))
+      .as[(String, String)].collect()
+    rt.foreach { case (w, f) => assert(f == w + "_", s"$w round-trip broke: $f") }
+  }
+
+  test("wordFreqs: one corpus pass, alnum word types only, occurrence-weighted") {
+    val docs = Seq((1L, "spark spark, the Spark!"), (2L, "spark x2")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreqs(docs, col("text")).as[(String, Long)].collect().toMap
+    // "spark," and "Spark!" carry punctuation → filtered as non-alnum
+    // types (lowercasing happens before the alnum gate)
+    assert(wf == Map("spark" -> 2L, "the" -> 1L, "x2" -> 1L))
+  }
+
+  test("fixture smoke: 8 merges learned deterministically, twice") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Bpe.learnMerges(Bpe.wordFreqs(docs, col("text")), 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b = Bpe.learnMerges(Bpe.wordFreqs(docs.repartition(7), col("text")), 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(a == b, "training must be partitioning-invariant")
+    assert(a.size == 8 && a.map(_._1) == (1 to 8))
+  }
+}

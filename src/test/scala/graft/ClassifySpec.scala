@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Classify
+
+class ClassifySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def u(x: Double): Long = math.floor(math.log(x) * 1e9 + 0.5).toLong
+
+  // class a: "x x y", "x"  (totals: x=3, y=1, total=4)
+  // class b: "z z", "z y"  (totals: z=3, y=1, total=4)
+  // vocab {x, y, z}, V=3, priors 2/4 each
+  private def train = Seq(
+    ("a", "x x y"), ("a", "x"), ("b", "z z"), ("b", "z y")
+  ).toDF("label", "text")
+
+  test("fit reproduces hand-computed smoothed log-likelihood units and priors") {
+    val m = Classify.naiveBayesFit(train, col("label"), col("text"))
+    val grid = m.grid.as[(String, String, Long)].collect()
+      .map { case (l, t, w) => (l, t) -> w }.toMap
+    assert(grid == Map(
+      ("a", "x") -> u(4.0 / 7), ("a", "y") -> u(2.0 / 7), ("a", "z") -> u(1.0 / 7),
+      ("b", "x") -> u(1.0 / 7), ("b", "y") -> u(2.0 / 7), ("b", "z") -> u(4.0 / 7)))
+    val labs = m.labels.as[(String, Long, Long)].collect()
+      .map { case (l, p, o) => l -> ((p, o)) }.toMap
+    assert(labs == Map(
+      "a" -> ((u(0.5), u(1.0 / 7))), "b" -> ((u(0.5), u(1.0 / 7)))))
+  }
+
+  test("score: hand-computed argmax, OOV floor, and deterministic tie-break") {
+    val m = Classify.naiveBayesFit(train, col("label"), col("text"))
+    val docs = Seq((1L, "x y"), (2L, "z"), (3L, "q q")).toDF("id", "text")
+    val out = Classify.naiveBayesScore(m, docs, col("id"), col("text"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("a", u(0.5) + u(4.0 / 7) + u(2.0 / 7))))
+    assert(out(2L) == (("b", u(0.5) + u(4.0 / 7))))
+    // all-OOV doc scores prior + 2·oov for BOTH classes (equal integer
+    // scores) → the ascending-label tie-break must pick "a"
+    assert(out(3L) == (("a", u(0.5) + 2 * u(1.0 / 7))))
+  }
+
+  test("scores are exact integers: invariant under repartitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = Classify.naiveBayesFit(docs.filter(col("doc_id") % 10 =!= 0),
+      col("source"), col("text"))
+    val test10 = docs.filter(col("doc_id") % 10 === 0)
+    val a = Classify.naiveBayesScore(m, test10, col("doc_id"), col("text"))
+    val b = Classify.naiveBayesScore(m, test10.repartition(7, col("source")),
+      col("doc_id"), col("text"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(a.count() == test10.count(), "every held-out doc gets exactly one prediction")
+  }
+
+  test("separable synthetic classes classify perfectly") {
+    val tr = Seq(("pos", "good great fine"), ("pos", "great good"),
+      ("neg", "bad awful poor"), ("neg", "awful bad")).toDF("label", "text")
+    val m = Classify.naiveBayesFit(tr, col("label"), col("text"))
+    val docs = Seq((1L, "good fine"), (2L, "poor awful"), (3L, "great great bad"))
+      .toDF("id", "text")
+    val preds = Classify.naiveBayesScore(m, docs, col("id"), col("text"))
+      .select(col("id"), col("pred")).as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "pos", 2L -> "neg", 3L -> "pos"))
+  }
+}
