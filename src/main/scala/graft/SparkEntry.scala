@@ -3058,6 +3058,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q156 — ⊕ incremental index maintenance
+    * ([[graft.ext.Similarity.ivfExtend]]/[[graft.ext.Similarity.pqExtend]]):
+    * fit the coarse quantizer AND the product quantizer on yesterday's
+    * corpus only (vec_id % 97 ≠ 0), then append today's increment with
+    * NO refit — coarse assignment and PQ codes are pure projections
+    * against the existing model — and serve the increment's neighbor
+    * queries over the extended index. This is the daily life of a
+    * 100 TB ANN deployment: the expensive fits amortize across days;
+    * each increment costs one row-local encode. The oracle is q143's
+    * chain with the FIT restricted to the training predicate while
+    * assignment/encoding cover the full corpus — extend ≡ assign-all
+    * because assignment is a pure function of (vector, centroids).
+    */
+  private val q156PqIncremental: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val existing = em.filter(col("vec_id") % 97 =!= 0)
+    val increment = em.filter(col("vec_id") % 97 === 0)
+    val ivf0 = ext.Similarity.ivfFit(existing, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val pq0 = ext.Similarity.pqFit(existing, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    val ivf = ext.Similarity.ivfExtend(ivf0, increment, col("vec_id"), col("embedding"))
+    val pq = ext.Similarity.pqExtend(pq0, increment, col("vec_id"), col("embedding"))
+    ext.Similarity.ivfPqSearchDf(ivf, pq, increment,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3232,6 +3259,7 @@ object SparkEntry {
     "q153_interval_overlap" -> q153IntervalOverlap,
     "q154_naive_bayes"      -> q154NaiveBayes,
     "q155_bpe_train"        -> q155BpeTrain,
+    "q156_pq_incremental"   -> q156PqIncremental,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3311,7 +3339,20 @@ object SparkEntry {
     * cluster)` — reused verbatim by the q106 SemDeDup oracle so the
     * two can never drift.
     */
-  private def ivfTrainCtes: String = {
+  private def ivfTrainCtes: String = ivfTrainCtesT("")
+
+  /** `trainWhere` restricts the k-means FIT (seeds + Lloyd stats) to a
+    * subset of the corpus — the q156 incremental-index shape: train on
+    * yesterday's rows, assign everything. Empty = the classic full-
+    * corpus chain, byte-identical to what q38/q143/q145 always used
+    * (final `af` assignment is ALWAYS over the full `nv` — assignment
+    * is a pure function of (vector, centroids), which is exactly why
+    * extend-don't-refit is sound).
+    */
+  private def ivfTrainCtesT(trainWhere: String): String = {
+    val t = if (trainWhere.isEmpty) "nv" else "nvt"
+    val nvtCte = if (trainWhere.isEmpty) ""
+      else s"\nnvt AS (SELECT * FROM nv WHERE $trainWhere),"
     val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
     def assign(nvSrc: String, cents: String): String =
       s"""  SELECT vec_id, nv, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cluster
@@ -3340,16 +3381,16 @@ object SparkEntry {
          |  CROSS JOIN $prev)""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
-       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),$nvtCte
        |c0 AS (
        |  SELECT list_transform(list(nv ORDER BY vec_id),
        |                        v -> list_transform(v, x -> round(x, 9))) AS cs
-       |  FROM (SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, nv FROM $t ORDER BY vec_id LIMIT 16)),
        |a0 AS (
-       |${assign("nv", "c0")}),
+       |${assign(t, "c0")}),
        |${lloyd("a0", "c0", "c1")},
        |a1 AS (
-       |${assign("nv", "c1")}),
+       |${assign(t, "c1")}),
        |${lloyd("a1", "c1", "c2")},
        |af AS (
        |${assign("nv", "c2")})""".stripMargin
@@ -3367,25 +3408,36 @@ object SparkEntry {
     * the q143 (ADC search) and q145 (SDC dedup) oracles so the two
     * can never drift.
     */
-  private def pqTrainCtes: String = {
+  private def pqTrainCtes: String = pqTrainCtesT("")
+
+  /** [[ivfTrainCtesT]]'s PQ continuation: `trainWhere` restricts the
+    * subspace k-means fit (seeds + Lloyd stats) while the final code
+    * assignment `paf` ALWAYS covers the full corpus (the pqEncode
+    * pure-projection contract). Empty = the classic chain.
+    */
+  private def pqTrainCtesT(trainWhere: String): String = {
+    val t = if (trainWhere.isEmpty) "nv" else "nvt"
+    val svt = if (trainWhere.isEmpty) "sv" else "svt"
+    val svtCte = if (trainWhere.isEmpty) ""
+      else "\nsvt AS (SELECT sv.* FROM sv JOIN nvt USING (vec_id)),"
     val sqd16 = "list_sum(list_transform(range(1, 17), i -> (s[i] - c[i]) * (s[i] - c[i])))"
-    s"""$ivfTrainCtes,
+    s"""${ivfTrainCtesT(trainWhere)},
        |sv AS (
        |  SELECT vec_id, jj.j AS j,
        |    list_transform(range(1, 17), i -> nv[jj.j * 16 + i]) AS s
-       |  FROM nv CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),
+       |  FROM nv CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj),$svtCte
        |pc0 AS (
        |  SELECT j, list_transform(list(s ORDER BY vec_id),
        |                           v -> list_transform(v, x -> round(x, 9))) AS cs
        |  FROM sv
-       |  WHERE vec_id IN (SELECT vec_id FROM nv ORDER BY vec_id LIMIT 16)
+       |  WHERE vec_id IN (SELECT vec_id FROM $t ORDER BY vec_id LIMIT 16)
        |  GROUP BY j),
        |pa0 AS (
        |  SELECT vec_id, j, s,
        |    CAST(list_position(negd, list_max(negd)) - 1 AS INTEGER) AS code
-       |  FROM (SELECT sv.vec_id, sv.j, sv.s,
+       |  FROM (SELECT $svt.vec_id, $svt.j, $svt.s,
        |          list_transform(pc0.cs, c -> -$sqd16) AS negd
-       |        FROM sv JOIN pc0 ON pc0.j = sv.j)),
+       |        FROM $svt JOIN pc0 ON pc0.j = $svt.j)),
        |pm1 AS (
        |  SELECT j, code, u.pos AS pos, round(avg(u.val), 9) AS mn
        |  FROM (SELECT j, code,
@@ -3418,9 +3470,10 @@ object SparkEntry {
     *   batch shape). Everything else is byte-shared so the two forms
     *   can never drift.
     */
-  private def ivfPqOracleSql(queryPred: String = "IN (0, 1, 2)"): String = {
+  private def ivfPqOracleSql(queryPred: String = "IN (0, 1, 2)",
+                             trainWhere: String = ""): String = {
     val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
-    s"""$pqTrainCtes,
+    s"""${pqTrainCtesT(trainWhere)},
        |qs AS (
        |  SELECT vec_id AS query_id, nv AS qnv,
        |    list_transform(c2.cs, c -> $dot64) AS sims
@@ -6864,6 +6917,11 @@ object SparkEntry {
     // sentinel encoding, same literal-replace merge semantics, same
     // (count DESC, pair ASC) argmax tie-break.
     "q155_bpe_train" -> bpeOracleSql(8),
+    // q156: q143/q148's byte-shared chain with the FIT restricted to
+    // yesterday's rows and assignment/encoding over the full corpus —
+    // extend ≡ assign-all under fixed centroids.
+    "q156_pq_incremental" ->
+      ivfPqOracleSql("% 97 = 0", trainWhere = "vec_id % 97 <> 0"),
   )
 
   /** q155's generated oracle: stage i computes pair counts over the

@@ -360,6 +360,35 @@ object Similarity {
       .withColumn("codes", codes)
   }
 
+  /** ⊕ Append an increment to an existing coarse quantizer — the
+    * other half of the fit-once maintenance path ([[pqEncode]] is
+    * the code side): new vectors are assigned to YESTERDAY'S
+    * centroids by the same row-local argmax the fit itself uses (a
+    * pure projection — no refit, no shuffle, no new driver state),
+    * and the returned model's `assigned` table is the union, so
+    * [[ivfSearch]]/[[ivfPqSearch]] serve old and new rows uniformly.
+    * Assignment is a pure function of (vector, centroids), so an
+    * extended model is bit-identical to what a from-scratch
+    * assignment over the full corpus would produce with the same
+    * centroids (the pqEncode equality contract, proved in PqSpec).
+    */
+  def ivfExtend(model: IvfModel, df: DataFrame, id: Column, vec: Column): IvfModel = {
+    val inc = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+      .withColumn("cluster", assignCluster(col("nv"), model.centroids))
+    IvfModel(model.centroids,
+      model.assigned.select(col("id"), col("nv"), col("cluster")).unionByName(inc))
+  }
+
+  /** ⊕ [[ivfExtend]]'s PQ sibling: append [[pqEncode]]-coded rows to
+    * the model's code table. Codebooks unchanged — the index grows
+    * append-only.
+    */
+  def pqExtend(model: PqModel, df: DataFrame, id: Column, vec: Column): PqModel =
+    PqModel(model.codebooks,
+      model.codes.select(col("id"), col("nv"), col("codes"))
+        .unionByName(pqEncode(model, df, id, vec)))
+
   /** ⊕ PQ-accelerated SemDeDup — [[semDedup]]'s drop rule (within a
     * coarse cluster, any pair with similarity ≥ `tau` drops the
     * higher id; clusters above `maxCluster` skip pair generation)

@@ -112,6 +112,30 @@ class PqSpec extends SparkSuite {
     assert(enc.toSeq == fit.toSeq)
   }
 
+  test("ivfExtend/pqExtend: extending with an increment equals assigning/encoding the full corpus") {
+    val existing = em.filter($"vec_id" % 97 =!= 0)
+    val increment = em.filter($"vec_id" % 97 === 0)
+    val ivf0 = Similarity.ivfFit(existing, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val pq0 = Similarity.pqFit(existing, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    // extend ≡ assign-all under fixed centroids (the q156 oracle claim)
+    val extended = Similarity.ivfExtend(ivf0, increment, col("vec_id"), col("embedding"))
+      .assigned.select($"id", $"cluster").as[(Long, Int)].collect().sortBy(_._1)
+    val assignAll = Similarity.ivfExtend(
+        Similarity.IvfModel(ivf0.centroids, ivf0.assigned.limit(0)),
+        em, col("vec_id"), col("embedding"))
+      .assigned.select($"id", $"cluster").as[(Long, Int)].collect().sortBy(_._1)
+    assert(extended.toSeq == assignAll.toSeq)
+    assert(extended.length == em.count())
+    val pqExt = Similarity.pqExtend(pq0, increment, col("vec_id"), col("embedding"))
+      .codes.select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val encodeAll = Similarity.pqEncode(pq0, em, col("vec_id"), col("embedding"))
+      .select($"id", $"codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(pqExt.toSeq == encodeAll.toSeq)
+    ivf0.unpersist(); pq0.unpersist()
+  }
+
   test("pqEncode is a pure projection: no shuffle, usable on increments/streams") {
     val plan = Similarity.pqEncode(pq, em, col("vec_id"), col("embedding"))
       .queryExecution.executedPlan.toString
