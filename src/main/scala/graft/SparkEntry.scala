@@ -3085,6 +3085,26 @@ object SparkEntry {
       col("vec_id"), col("embedding"), nprobe = 4, k = 10)
   }
 
+  /** q157 — ⊕ content-defined chunking
+    * ([[graft.ext.Chunker.contentChunks]]): rolling-hash cut points
+    * over every document, then corpus-level chunk dedup — the
+    * storage/diff dedup primitive where an edit shifts only the
+    * chunks it touches. The hash is an exact integer polynomial mod a
+    * prime (no floats anywhere), the 256^k power table is
+    * interpolated into BOTH engines from one Scala source, and the
+    * top-50 readout is totally ordered, so the whole cut→chunk→md5→
+    * count chain must hash-match.
+    */
+  private val q157CdcChunks: Q = (s, dir) => {
+    ext.Chunker.contentChunks(Tables.documents(s, dir), col("text"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        max(col("chunk_len")).as("chunk_len"))
+      .orderBy(desc("n_occ"), col("chunk_hash"))
+      .limit(50)
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3260,6 +3280,7 @@ object SparkEntry {
     "q154_naive_bayes"      -> q154NaiveBayes,
     "q155_bpe_train"        -> q155BpeTrain,
     "q156_pq_incremental"   -> q156PqIncremental,
+    "q157_cdc_chunks"       -> q157CdcChunks,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6922,7 +6943,48 @@ object SparkEntry {
     // extend ≡ assign-all under fixed centroids.
     "q156_pq_incremental" ->
       ivfPqOracleSql("% 97 = 0", trainWhere = "vec_id % 97 <> 0"),
+    // q157: the identical rolling-hash polynomial (integer, mod-prime,
+    // shared power table) replayed over DuckDB list HOFs. DuckDB's
+    // range() never descends, so sub-window docs get [] cuts — the
+    // same single-chunk outcome the Spark guard produces.
+    "q157_cdc_chunks" -> cdcOracleSql,
   )
+
+  /** q157's oracle: window 16, modulus 1000003, divisor 64 — the
+    * [[graft.ext.Chunker.contentChunks]] defaults, with the power
+    * table interpolated from the same [[graft.ext.Chunker.powerTable]].
+    */
+  private def cdcOracleSql: String = {
+    val pw = graft.ext.Chunker.powerTable(16, 1000003L).mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+       |  FROM documents),
+       |cut AS (
+       |  SELECT doc_id, text, n,
+       |    list_filter(range(16, n + 1), p ->
+       |      (list_sum(list_transform(range(1, 17),
+       |         j -> codes[p - 16 + j] * ($pw)[j])) % 1000003) % 64 = 0) AS cuts
+       |  FROM c),
+       |b AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(cuts, x -> x < n)), [CAST(n AS BIGINT)]) AS bounds
+       |  FROM cut),
+       |ch AS (
+       |  SELECT doc_id,
+       |    substr(text, CAST(bounds[i] + 1 AS INTEGER),
+       |           CAST(bounds[i + 1] - bounds[i] AS INTEGER)) AS chunk
+       |  FROM (SELECT doc_id, text, bounds,
+       |          unnest(range(1, len(bounds))) AS i FROM b))
+       |SELECT md5(chunk) AS chunk_hash,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occ,
+       |  max(length(chunk)) AS chunk_len
+       |FROM ch GROUP BY md5(chunk)
+       |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
+  }
 
   /** q155's generated oracle: stage i computes pair counts over the
     * stage-(i−1) vocabulary, picks the argmax merge, and applies it —

@@ -44,4 +44,66 @@ object Chunker {
       .withColumn("chunk_len", size(col("chunk_tokens")))
       .drop("__toks", "__start")
   }
+
+  /** ⊕ Content-defined chunking (LBFS rolling-hash cuts,
+    * Muthitacharoen et al. 2001; the FastCDC lineage): cut each
+    * document where the rolling hash of the trailing `window`-char
+    * context ≡ 0 (mod `divisor`). Because cut points depend only on
+    * LOCAL content, an insertion or deletion shifts at most the two
+    * chunks it touches — every other chunk re-aligns and
+    * content-hashes identically, which is what makes chunk-level
+    * dedup across document VERSIONS work (fixed-offset chunking
+    * re-shifts everything after the edit). Storage dedup, diff
+    * transfer, and near-identical-crawl handling all reduce to this.
+    *
+    * Expected chunk length ≈ `divisor` chars. The hash is the exact
+    * integer polynomial `Σ code(c_j)·256^(window−j) mod m` — no
+    * floats, no engine-specific rounding — with the power table
+    * interpolated as literals, so the oracle replays cuts
+    * bit-for-bat in SQL. Everything is row-local HOFs (O(len·window)
+    * per row, riding the scan — no shuffle); documents shorter than
+    * `window` are a single chunk.
+    *
+    * Output: one row per chunk — `chunk_idx` (0-based), `chunk`
+    * (text), `chunk_hash` (md5), `chunk_len`; other columns pass
+    * through.
+    */
+  def contentChunks(df: DataFrame, text: Column, window: Int = 16,
+                    modulus: Long = 1000003L, divisor: Long = 64L): DataFrame = {
+    require(window > 0 && divisor > 0 && modulus > 1, "bad CDC parameters")
+    require(modulus * 256 + 255 > 0 && modulus < (1L << 35),
+      "modulus must keep code·power sums inside a long")
+    val pw = powerTable(window, modulus).map(lit(_))
+    val codes = when(length(text) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), length(text)),
+        i => ascii(substr(text, i, lit(1))).cast("bigint")))
+    val n = size(col("__codes"))
+    // cut after position p (w ≤ p ≤ n) iff the window ending at p hashes ≡ 0
+    val cuts = filter(sequence(lit(window), n),
+      p => aggregate(
+        zip_with(slice(col("__codes"), p - window + 1, lit(window)), array(pw: _*),
+          (c, k) => c * k),
+        lit(0L), (acc, x) => acc + x) % modulus % divisor === 0)
+    val guardedCuts = when(n < window, array().cast("array<bigint>")).otherwise(cuts)
+    val bounds = concat(array(lit(0L)),
+      filter(col("__cuts"), c => c < n), array(n.cast("bigint")))
+    df.withColumn("__codes", codes)
+      .withColumn("__cuts", guardedCuts)
+      .withColumn("__bounds", bounds)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(1), size(col("__bounds")) - 1)))
+      .withColumn("chunk",
+        substr(text, element_at(col("__bounds"), col("chunk_idx")) + 1,
+          element_at(col("__bounds"), col("chunk_idx") + 1) -
+            element_at(col("__bounds"), col("chunk_idx"))))
+      .withColumn("chunk_idx", (col("chunk_idx") - 1).cast("long"))
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .drop("__codes", "__cuts", "__bounds")
+  }
+
+  /** 256^(window−j) mod m for j = 1..window — shared with the oracle. */
+  def powerTable(window: Int, modulus: Long): Seq[Long] =
+    (1 to window).map(j =>
+      BigInt(256).modPow(BigInt(window - j), BigInt(modulus)).toLong)
 }

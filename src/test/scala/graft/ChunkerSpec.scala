@@ -70,4 +70,54 @@ class ChunkerSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunker must not shuffle:\n$plan")
   }
+
+  // --- content-defined chunking ---
+
+  private def cdc(texts: (Long, String)*): Map[Long, Seq[(Long, String)]] = {
+    import spark.implicits._
+    Chunker.contentChunks(texts.toSeq.toDF("doc_id", "text"), col("text"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toSeq).toMap
+  }
+
+  test("contentChunks: reconstruction, single-chunk shorts, deterministic cuts") {
+    val long = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val out = cdc((1L, long), (2L, "short"), (3L, ""))
+    assert(out(1L).map(_._2).mkString == long, "chunks must concatenate back to the text")
+    assert(out(1L).map(_._1) == out(1L).indices.map(_.toLong), "contiguous 0-based indices")
+    assert(out(2L) == Seq((0L, "short")), "sub-window doc is one chunk")
+    assert(out(3L).map(_._2) == Seq(""), "empty doc yields one empty chunk")
+    assert(cdc((1L, long))(1L) == out(1L), "cuts are deterministic")
+  }
+
+  test("contentChunks: an edit only disturbs the chunks it touches (the CDC property)") {
+    // deterministic pseudo-random text: a periodic string can have
+    // every distinct window miss the cut condition (44 windows at
+    // divisor 64 ≈ a coin flip); ~3000 distinct windows cannot
+    val base = (1 to 3000).map { i =>
+      val c = ('a' + ((i * i * 31 + i * 17) % 26)).toChar
+      if (i % 6 == 0) ' ' else c
+    }.mkString.trim
+    val edited = base.substring(0, 400) + "INSERTED EDIT " + base.substring(400)
+    val a = cdc((1L, base))(1L).map(_._2)
+    val b = cdc((1L, edited))(1L).map(_._2)
+    assert(a.size > 5, s"expected several chunks, got ${a.size} — tune divisor")
+    // chunks strictly after the edit region re-align content-identically
+    val sharedTail = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(sharedTail >= a.size / 3,
+      s"CDC must re-align after an edit: only $sharedTail of ${a.size} tail chunks shared")
+    // and at least one pre-edit chunk is shared verbatim too
+    assert(b.toSet.intersect(a.toSet).nonEmpty)
+  }
+
+  test("contentChunks: expected chunk length tracks the divisor; no shuffle in the plan") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Chunker.contentChunks(docs, col("text"))
+    val lens = df.agg(avg(col("chunk_len"))).as[Double].head()
+    assert(lens > 16 && lens < 400, s"mean chunk length $lens implausible for divisor 64")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"contentChunks must be row-local:\n$plan")
+  }
 }
