@@ -60,8 +60,10 @@ object Chunker {
     * integer polynomial `Σ code(c_j)·256^(window−j) mod m` — no
     * floats, no engine-specific rounding — with the power table
     * interpolated as literals, so the oracle replays cuts
-    * bit-for-bat in SQL. Everything is row-local HOFs (O(len·window)
-    * per row, riding the scan — no shuffle); documents shorter than
+    * bit-for-bit in SQL (as an O(len·window) re-fold; the engine side
+    * computes the SAME polynomial with the codegen'd O(1)-per-shift
+    * rolling form — [[graft.functions.CdcCuts]]). Everything is
+    * row-local, riding the scan — no shuffle; documents shorter than
     * `window` are a single chunk.
     *
     * Output: one row per chunk — `chunk_idx` (0-based), `chunk`
@@ -71,24 +73,16 @@ object Chunker {
   def contentChunks(df: DataFrame, text: Column, window: Int = 16,
                     modulus: Long = 1000003L, divisor: Long = 64L): DataFrame = {
     require(window > 0 && divisor > 0 && modulus > 1, "bad CDC parameters")
-    require(modulus * 256 + 255 > 0 && modulus < (1L << 35),
-      "modulus must keep code·power sums inside a long")
-    val pw = powerTable(window, modulus).map(lit(_))
-    val codes = when(length(text) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), length(text)),
-        i => ascii(substr(text, i, lit(1))).cast("bigint")))
-    val n = size(col("__codes"))
-    // cut after position p (w ≤ p ≤ n) iff the window ending at p hashes ≡ 0
-    val cuts = filter(sequence(lit(window), n),
-      p => aggregate(
-        zip_with(slice(col("__codes"), p - window + 1, lit(window)), array(pw: _*),
-          (c, k) => c * k),
-        lit(0L), (acc, x) => acc + x) % modulus % divisor === 0)
-    val guardedCuts = when(n < window, array().cast("array<bigint>")).otherwise(cuts)
+    require(modulus < (1L << 35),
+      "modulus must keep code·power products inside a long")
+    // cut positions via the codegen'd O(1)-per-shift rolling hash —
+    // same polynomial (and so the same cut set) as the SQL oracle's
+    // power-table re-fold; see graft.functions.CdcCuts
+    val n = length(text).cast("bigint")
     val bounds = concat(array(lit(0L)),
-      filter(col("__cuts"), c => c < n), array(n.cast("bigint")))
-    df.withColumn("__codes", codes)
-      .withColumn("__cuts", guardedCuts)
+      filter(col("__cuts"), c => c < n), array(n))
+    df.withColumn("__cuts",
+        graft.functions.CdcCuts.cdcCuts(text, window, modulus, divisor))
       .withColumn("__bounds", bounds)
       .withColumn("chunk_idx",
         explode(sequence(lit(1), size(col("__bounds")) - 1)))
@@ -99,7 +93,7 @@ object Chunker {
       .withColumn("chunk_idx", (col("chunk_idx") - 1).cast("long"))
       .withColumn("chunk_hash", md5(col("chunk")))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
-      .drop("__codes", "__cuts", "__bounds")
+      .drop("__cuts", "__bounds")
   }
 
   /** 256^(window−j) mod m for j = 1..window — shared with the oracle. */

@@ -59,6 +59,28 @@ class BpeSpec extends SparkSuite {
     assert(wf == Map("spark" -> 2L, "the" -> 1L, "x2" -> 1L))
   }
 
+  test("applyMerges (encode) runs on an actual stream — tokenize-on-arrival with a trained vocab") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wf = Seq(("aa", 2L), ("ab", 1L)).toDF("word", "freq")
+    val merges = Bpe.learnMerges(wf, 8)
+      .orderBy("merge_rank")
+      .select("sym_left", "sym_right").as[(String, String)].collect().toSeq
+    val mem = MemoryStream[String]
+    val enc = mem.toDF().toDF("word")
+      .select(col("word"), Bpe.applyMerges(col("word"), merges).as("sym"))
+    val q = enc.writeStream.outputMode("append")
+      .format("memory").queryName("bpe_enc_out").start()
+    try {
+      mem.addData("aa", "ab")
+      q.processAllAvailable()
+      mem.addData("aab")
+      q.processAllAvailable()
+      val got = spark.table("bpe_enc_out").as[(String, String)].collect().toMap
+      assert(got == Map("aa" -> "<aa_>", "ab" -> "<ab_>", "aab" -> "<a><ab_>"))
+    } finally q.stop()
+  }
+
   test("fixture smoke: 8 merges learned deterministically, twice") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Bpe.learnMerges(Bpe.wordFreqs(docs, col("text")), 8)

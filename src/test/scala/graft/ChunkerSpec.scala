@@ -111,6 +111,52 @@ class ChunkerSpec extends SparkSuite {
     assert(b.toSet.intersect(a.toSet).nonEmpty)
   }
 
+  test("contentChunks runs on an actual stream and matches the batch chunking") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sample = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(20)
+    val mem = MemoryStream[(Long, String)]
+    val chunked = Chunker.contentChunks(
+      mem.toDF().toDF("doc_id", "text"), col("text"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      mem.addData(sample.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("cdc_out")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      val want = Chunker.contentChunks(
+          sample.toSeq.toDF("doc_id", "text"), col("text"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
+  test("CdcCuts rolling hash equals the direct polynomial re-fold on fixture texts") {
+    import spark.implicits._
+    val pw = Chunker.powerTable(16, 1000003L)
+    def direct(text: String): Seq[Long] = {
+      val codes = text.codePoints().toArray.map(_.toLong)
+      (16 to codes.length).filter { p =>
+        val s = (1 to 16).map(j => codes(p - 16 + j - 1) * pw(j - 1)).sum
+        s % 1000003L % 64L == 0L
+      }.map(_.toLong)
+    }
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).as[String].collect().take(100) ++
+      Seq("", "x", "a" * 15, "a" * 16, "é" * 40 + " plus ascii tail " * 10)
+    texts.foreach { t =>
+      val got = graft.functions.CdcCuts.compute(t, 16, 1000003L, 64L).toLongArray.toSeq
+      assert(got == direct(t), s"cut mismatch on ${t.take(40)}…")
+    }
+  }
+
   test("contentChunks: expected chunk length tracks the divisor; no shuffle in the plan") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
