@@ -3105,6 +3105,25 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** q158 — ⊕ bloom-pruned contamination screen
+    * ([[graft.ext.Dedup.contaminationPairs]] with
+    * `bloomPruneTrain = true`): the q91 screen with a bloom over TEST
+    * shingles evaluated inside the train scan, so train shingles that
+    * can match no benchmark n-gram die before any exchange — the
+    * dominant cost at a real train:test ratio. Superset prune + exact
+    * join ≡ the unpruned screen (the q70 composed-equality
+    * convention), so this shares q91's oracle verbatim.
+    */
+  private val q158ContaminationBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    ext.Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), k = 3, minOverlap = 3,
+        bloomPruneTrain = true)
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3281,6 +3300,7 @@ object SparkEntry {
     "q155_bpe_train"        -> q155BpeTrain,
     "q156_pq_incremental"   -> q156PqIncremental,
     "q157_cdc_chunks"       -> q157CdcChunks,
+    "q158_contamination_bloom" -> q158ContaminationBloom,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5277,34 +5297,11 @@ object SparkEntry {
     // q91: q22's toks/sh shingle derivation; posting-list cap via
     // HAVING; count(*) per pair = distinct-shingle overlap because
     // shingles are list_distinct per doc on both sides.
-    "q91_contamination" ->
-      raw"""WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w)-1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM toks),
-        |tr AS (
-        |  SELECT doc_id AS train_id, unnest(sh) AS s
-        |  FROM sh WHERE doc_id % 2 = 0),
-        |cap AS (
-        |  SELECT s FROM tr GROUP BY s HAVING count(*) <= 10000),
-        |te AS (
-        |  SELECT doc_id AS test_id, len(sh) AS n_test, unnest(sh) AS s
-        |  FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0),
-        |j AS (
-        |  SELECT te.test_id, tr.train_id, te.n_test, count(*) AS n_overlap
-        |  FROM te
-        |  JOIN cap ON te.s = cap.s
-        |  JOIN tr ON te.s = tr.s
-        |  GROUP BY te.test_id, tr.train_id, te.n_test)
-        |SELECT test_id, train_id, n_overlap,
-        |  round(CAST(n_overlap AS DOUBLE) / n_test, 4) AS overlap_frac
-        |FROM j WHERE n_overlap >= 3
-        |ORDER BY test_id, train_id""".stripMargin,
+    "q91_contamination" -> contaminationOracleSql,
+    // q158: the bloom-pruned plan — superset prune + exact join ≡ the
+    // unpruned screen, so it shares q91's oracle verbatim (the q70
+    // composed-equality convention).
+    "q158_contamination_bloom" -> contaminationOracleSql,
     // q97: the same md5 window keys, HAVING count(*) >= 2 as the
     // repetition gate, DISTINCT covered positions, and the kept-token
     // rebuild via a 0-based position anti-join — all integer/string
@@ -6949,6 +6946,41 @@ object SparkEntry {
     // same single-chunk outcome the Spark guard produces.
     "q157_cdc_chunks" -> cdcOracleSql,
   )
+
+  /** q91/q158's shared oracle: q22's toks/sh shingle derivation;
+    * posting-list cap via HAVING; count(*) per pair = distinct-shingle
+    * overlap because shingles are list_distinct per doc on both sides.
+    * q158 (bloom-pruned train side) shares it verbatim — the prune is
+    * a superset filter followed by the same exact join.
+    */
+  private def contaminationOracleSql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM toks),
+      |tr AS (
+      |  SELECT doc_id AS train_id, unnest(sh) AS s
+      |  FROM sh WHERE doc_id % 2 = 0),
+      |cap AS (
+      |  SELECT s FROM tr GROUP BY s HAVING count(*) <= 10000),
+      |te AS (
+      |  SELECT doc_id AS test_id, len(sh) AS n_test, unnest(sh) AS s
+      |  FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0),
+      |j AS (
+      |  SELECT te.test_id, tr.train_id, te.n_test, count(*) AS n_overlap
+      |  FROM te
+      |  JOIN cap ON te.s = cap.s
+      |  JOIN tr ON te.s = tr.s
+      |  GROUP BY te.test_id, tr.train_id, te.n_test)
+      |SELECT test_id, train_id, n_overlap,
+      |  round(CAST(n_overlap AS DOUBLE) / n_test, 4) AS overlap_frac
+      |FROM j WHERE n_overlap >= 3
+      |ORDER BY test_id, train_id""".stripMargin
 
   /** q157's oracle: window 16, modulus 1000003, divisor 64 — the
     * [[graft.ext.Chunker.contentChunks]] defaults, with the power

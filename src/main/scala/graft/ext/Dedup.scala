@@ -493,13 +493,32 @@ object Dedup {
   def contaminationPairs(train: DataFrame, test: DataFrame,
                          id: Column, text: Column, k: Int = 3,
                          minOverlap: Int = 1,
-                         maxDocsPerShingle: Int = DefaultMaxBucket): DataFrame = {
+                         maxDocsPerShingle: Int = DefaultMaxBucket,
+                         bloomPruneTrain: Boolean = false,
+                         bloomExpectedItems: Long = 1000000L): DataFrame = {
     // TRAIN, pass 1: per-shingle doc frequency via count(*) — partial
     // aggregation keeps a hot shingle to one long per mapper (never a
     // buffered posting list). Pass 2: semi-join the exploded rows
     // against the shingles that survive the cap.
-    val exploded = train
+    //
+    // bloomPruneTrain is the 100 TB switch: the benchmark/test side is
+    // tiny next to the training corpus, so a bloom over TEST shingles
+    // (one fixed-size binary, RuntimeFilter.bloomOf) evaluated inside
+    // the train scan kills the dominant cost — train shingles that can
+    // match no test shingle die BEFORE the explode feeds any exchange.
+    // Sound because the bloom admits only false POSITIVES and prunes
+    // whole shingle groups: per-shingle doc frequencies of survivors
+    // are unchanged and the exact equi-join drops the stragglers, so
+    // the composed result is byte-identical to the unpruned form
+    // (q158 shares q91's oracle to pin exactly that).
+    val exploded0 = train
       .select(id.as("train_id"), explode(shingles(text, k)).as("sh"))
+    val exploded =
+      if (!bloomPruneTrain) exploded0
+      else graft.ops.RuntimeFilter.probe(exploded0, col("sh"),
+        graft.ops.RuntimeFilter.bloomOf(
+          test.select(explode(shingles(text, k)).as("sh")), col("sh"),
+          bloomExpectedItems, 8L * bloomExpectedItems))
     val surviving = exploded
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("__df"))

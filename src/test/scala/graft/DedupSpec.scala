@@ -170,6 +170,23 @@ class DedupSpec extends SparkSuite {
     assert(capped.isEmpty)
   }
 
+  test("contaminationPairs bloom-pruned form is byte-identical to the unpruned screen") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test10 = docs.filter(col("doc_id") % 2 === 1)
+    val plain = ext.Dedup.contaminationPairs(train, test10,
+      col("doc_id"), col("text"), k = 3, minOverlap = 3)
+    val bloomed = ext.Dedup.contaminationPairs(train, test10,
+      col("doc_id"), col("text"), k = 3, minOverlap = 3, bloomPruneTrain = true)
+    assert(plain.except(bloomed).isEmpty && bloomed.except(plain).isEmpty)
+    assert(plain.count() > 0, "fixture slice should produce contamination pairs")
+    // the probe is a scan-side predicate: BloomFilterMightContain sits
+    // in a Filter, never behind an exchange
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"expected the bloom probe in the plan:\n$plan")
+  }
+
   test("exactDedup keeps min ordinal per key") {
     val df = Seq(("k1", 5L), ("k1", 2L), ("k2", 9L)).toDF("k", "id")
     val got = Dedup.exactDedup(df, Seq(col("k")), col("id"))

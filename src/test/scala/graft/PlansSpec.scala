@@ -94,7 +94,11 @@ class PlansSpec extends SparkSuite {
       "q119_provenance_prep", "q121_cooccur_pmi",
       // |labels|×|labels| sketch-pair cross — one tiny broadcast side,
       // independent of event volume (ops/Audience.overlapSketch)
-      "q141_overlap_sketch")
+      "q141_overlap_sketch",
+      // docs × |classes| scoring base and vocab × |classes| smoothing
+      // grid — the class dimension is a handful of broadcast rows
+      // (ext/Classify; the q93 normalizer stance)
+      "q154_naive_bayes")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
