@@ -3124,6 +3124,41 @@ object SparkEntry {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** q159 — ⊕ URL canonicalization dedup
+    * ([[graft.ext.UrlOps.canonicalize]]): the crawl-frontier key.
+    * Synthetic per-doc URLs carry the real-world noise axes — case
+    * (HTTP/Site.Com), userinfo, scheme-default ports, trailing
+    * slashes, utm/fbclid tracking params, fragments — derived
+    * deterministically from doc_id; canonicalization collapses them
+    * and the group-by counts how many raw variants and docs share
+    * each logical resource. Row-local string/array ops riding the
+    * scan; the only shuffle is the final dedup aggregation.
+    */
+  private val q159UrlCanonical: Q = (s, dir) => {
+    val d = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val r = str(d % 25)
+    val url = concat(
+      when(d % 3 === 0, "HTTP://").when(d % 3 === 1, "http://").otherwise("https://"),
+      when(d % 7 === 0, "User:pw@").otherwise(""),
+      when(d % 2 === 0, concat(lit("Site"), r, lit(".Com")))
+        .otherwise(concat(lit("site"), r, lit(".com"))),
+      when(d % 5 === 0, when(d % 3 === 2, ":443").otherwise(":80")).otherwise(""),
+      lit("/Page/"), r,
+      when(d % 4 === 0, "/").otherwise(""),
+      when(d % 2 === 0, concat(lit("?utm_source=feed&id="), r, lit("&utm_medium=x")))
+        .otherwise(when(d % 11 === 0, concat(lit("?id="), r, lit("&fbclid=abc")))
+          .otherwise(lit(""))),
+      when(d % 6 === 0, "#top").otherwise(""))
+    Tables.documents(s, dir)
+      .select(d.as("doc_id"), url.as("raw_url"))
+      .withColumn("canonical_url", ext.UrlOps.canonicalize(col("raw_url")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_variants"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3301,6 +3336,7 @@ object SparkEntry {
     "q156_pq_incremental"   -> q156PqIncremental,
     "q157_cdc_chunks"       -> q157CdcChunks,
     "q158_contamination_bloom" -> q158ContaminationBloom,
+    "q159_url_canonical"    -> q159UrlCanonical,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6945,7 +6981,67 @@ object SparkEntry {
     // range() never descends, so sub-window docs get [] cuts — the
     // same single-chunk outcome the Spark guard produces.
     "q157_cdc_chunks" -> cdcOracleSql,
+    // q159: derivation + canonicalization mirrored — UrlPartsRe and
+    // the tracking-param set interpolated from UrlOps so the two
+    // engines can never drift.
+    "q159_url_canonical" -> urlCanonicalOracleSql,
   )
+
+  private def urlCanonicalOracleSql: String = {
+    val re = ext.UrlOps.UrlPartsRe
+    val tracked = ext.UrlOps.TrackingParams.map(p => s"'$p'").mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://'
+       |          WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END)
+       |    || (CASE WHEN doc_id % 7 = 0 THEN 'User:pw@' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 0
+       |             THEN 'Site' || CAST(doc_id % 25 AS VARCHAR) || '.Com'
+       |             ELSE 'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' END)
+       |    || (CASE WHEN doc_id % 5 = 0
+       |             THEN (CASE WHEN doc_id % 3 = 2 THEN ':443' ELSE ':80' END)
+       |             ELSE '' END)
+       |    || '/Page/' || CAST(doc_id % 25 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 0
+       |             THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_medium=x'
+       |             WHEN doc_id % 11 = 0
+       |             THEN '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&fbclid=abc'
+       |             ELSE '' END)
+       |    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS raw_url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id, raw_url,
+       |    lower(regexp_extract(raw_url, '(?i)$re', 1)) AS sch,
+       |    lower(regexp_extract(raw_url, '(?i)$re', 2)) AS h,
+       |    nullif(regexp_extract(raw_url, '(?i)$re', 3), '') AS prt,
+       |    regexp_extract(raw_url, '(?i)$re', 4) AS pth,
+       |    regexp_extract(raw_url, '(?i)$re', 5) AS q
+       |  FROM raw),
+       |canon AS (
+       |  SELECT doc_id, raw_url,
+       |    sch || '://' || h
+       |    || (CASE WHEN prt IS NULL
+       |              OR (sch = 'http' AND prt = '80')
+       |              OR (sch = 'https' AND prt = '443') THEN ''
+       |             ELSE ':' || CAST(CAST(prt AS INTEGER) AS VARCHAR) END)
+       |    || (CASE WHEN p1 <> '/' AND p1 LIKE '%/'
+       |             THEN substr(p1, 1, length(p1) - 1) ELSE p1 END)
+       |    || (CASE WHEN len(kept) > 0
+       |             THEN '?' || array_to_string(list_sort(kept), '&')
+       |             ELSE '' END) AS canonical_url
+       |  FROM (
+       |    SELECT doc_id, raw_url, sch, h, prt,
+       |      (CASE WHEN pth = '' THEN '/' ELSE pth END) AS p1,
+       |      list_filter(string_split(q, '&'), kv ->
+       |        kv <> '' AND NOT starts_with(split_part(kv, '=', 1), 'utm_')
+       |        AND split_part(kv, '=', 1) NOT IN ($tracked)) AS kept
+       |    FROM parts) t)
+       |SELECT canonical_url, count(*) AS n_docs,
+       |  count(DISTINCT raw_url) AS n_raw_variants
+       |FROM canon GROUP BY canonical_url
+       |ORDER BY canonical_url""".stripMargin
+  }
 
   /** q91/q158's shared oracle: q22's toks/sh shingle derivation;
     * posting-list cap via HAVING; count(*) per pair = distinct-shingle

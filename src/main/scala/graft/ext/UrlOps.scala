@@ -109,4 +109,56 @@ object UrlOps {
     val b = blocked.select(blocked.columns.head).toDF("__blocked_domain")
     df.join(broadcast(b), domainCol === col("__blocked_domain"), "left_anti")
   }
+
+  /** Tracking parameters stripped by [[canonicalize]]: any name
+    * starting `utm_`, plus this literal set. Deterministic, closed,
+    * oracle-mirrored — the common-crawl subset, not a full adtech
+    * registry.
+    */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+  /** ⊕ URL canonicalization — the crawl-dedup key: the same page
+    * arrives as `HTTP://Site.com:80/p/?utm_source=x` and
+    * `http://site.com/p`, and fetch-level dedup/frontier scheduling
+    * needs one canonical string per logical resource. Rules (all
+    * row-local codegen'd string/array ops, no shuffle):
+    *
+    *  - scheme and host lowercased; userinfo and fragment dropped;
+    *  - default ports removed (`http:80`, `https:443`), others kept;
+    *  - empty path → `/`; ONE trailing slash stripped from non-root
+    *    paths (path case preserved — paths are case-sensitive);
+    *  - query params with tracking names removed (`utm_*` prefix +
+    *    [[TrackingParams]]); survivors sorted lexicographically by
+    *    their full `k=v` string; empty query dropped.
+    *
+    * Unparseable URLs (no host) canonicalize to null — callers route
+    * them to quarantine, the S5 tolerance stance.
+    */
+  def canonicalize(url: Column): Column = {
+    // case-insensitive parse (HTTP://Site.Com is the whole point);
+    // (?i) is shared Java-regex/RE2 syntax so the oracle reuses it
+    val re = "(?i)" + UrlPartsRe
+    def part(i: Int): Column =
+      when(regexp_extract(url, re, i) =!= "", regexp_extract(url, re, i))
+    val sch = lower(part(1))
+    val h = lower(part(2))
+    val p = part(3).cast("int")
+    val portPart = when(p.isNull ||
+        (sch === "http" && p === 80) || (sch === "https" && p === 443), "")
+      .otherwise(concat(lit(":"), p.cast("string")))
+    val path0 = coalesce(part(4), lit(""))
+    val path1 = when(path0 === "", "/").otherwise(path0)
+    val pathPart = when(path1 =!= "/" && endswith(path1, lit("/")),
+      substr(path1, lit(1), length(path1) - 1)).otherwise(path1)
+    val kept = filter(split(coalesce(part(5), lit("")), "&"), kv => {
+      val name = substring_index(kv, "=", 1)
+      kv =!= "" && !startswith(name, lit("utm_")) &&
+        !name.isin(TrackingParams: _*)
+    })
+    val queryPart = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
+    when(h.isNotNull && sch.isNotNull,
+      concat(sch, lit("://"), h, portPart, pathPart, queryPart))
+  }
 }

@@ -60,7 +60,11 @@ object GraftFunctions {
       checked("jaro_winkler", 2)(a => JaroWinkler(a(0), a(1)))),
     ("decode_html_entities",
       "decode_html_entities(s) - single-pass HTML entity decode (numeric + 30 named, no cascade)",
-      checked("decode_html_entities", 1)(a => DecodeHtmlEntities(a(0))))
+      checked("decode_html_entities", 1)(a => DecodeHtmlEntities(a(0)))),
+    ("cdc_cuts",
+      "cdc_cuts(text, window, modulus, divisor) - content-defined-chunking cut positions (rolling polynomial hash)",
+      checked("cdc_cuts", 4)(a => CdcCuts(a(0), intArg(a(1), "cdc_cuts", 1),
+        intArg(a(2), "cdc_cuts", 2).toLong, intArg(a(3), "cdc_cuts", 3).toLong)))
   ).map { case (name, usage, b) =>
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", null, name, usage, ""), b)

@@ -164,5 +164,14 @@ class PlansSpec extends SparkSuite {
     // the entity decoder is SQL-bound too
     assert(spark.sql("SELECT decode_html_entities('Caf&#233; &amp;lt; &mdash;')")
       .collect()(0).getString(0) == "Café &lt; —")
+    // cdc_cuts: SQL ≡ Column API ≡ direct compute
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val viaSql = spark.sql(
+      s"SELECT cdc_cuts('${text}', 16, 1000003, 64)").collect()(0).getSeq[Long](0)
+    val viaCol = Seq(text).toDF("t")
+      .select(graft.functions.CdcCuts.cdcCuts(col("t")))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol &&
+      viaSql == graft.functions.CdcCuts.compute(text, 16, 1000003L, 64L).toLongArray.toSeq)
   }
 }

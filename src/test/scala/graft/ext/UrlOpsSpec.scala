@@ -59,6 +59,30 @@ class UrlOpsSpec extends SparkSuite {
     assert(site.getLong(5) === 1L)       // n_port
   }
 
+  test("canonicalize: case, ports, userinfo, fragments, slashes, tracking params") {
+    def canon(url: String): Option[String] =
+      Option(Seq(url).toDF("u").select(UrlOps.canonicalize(col("u"))).head().getString(0))
+    // the poster child: five spellings, one resource
+    val want = Some("http://site.com/Page/7?id=7")
+    assert(canon("HTTP://Site.Com:80/Page/7?utm_source=feed&id=7&utm_medium=x") == want)
+    assert(canon("http://user:pw@site.com/Page/7/?id=7#top") == want)
+    assert(canon("http://site.com/Page/7?fbclid=abc&id=7") == want)
+    // param sort is lexicographic over the full k=v string
+    assert(canon("https://a.io/p?b=2&a=1") == Some("https://a.io/p?a=1&b=2"))
+    // non-default ports survive; scheme-mismatched defaults survive too
+    assert(canon("http://a.io:8080/x") == Some("http://a.io:8080/x"))
+    assert(canon("https://a.io:80/x") == Some("https://a.io:80/x"))
+    assert(canon("https://a.io:443/x") == Some("https://a.io/x"))
+    // path normalization: empty → '/', root slash kept, ONE trailing stripped
+    assert(canon("http://a.io") == Some("http://a.io/"))
+    assert(canon("http://a.io/") == Some("http://a.io/"))
+    assert(canon("http://a.io/x/") == Some("http://a.io/x"))
+    // all-tracking query vanishes entirely
+    assert(canon("http://a.io/x?utm_source=1&gclid=2") == Some("http://a.io/x"))
+    // unparseable → null (quarantine, not garbage)
+    assert(canon("not a url") == None)
+  }
+
   test("blocklist table variant is a broadcast anti-join") {
     val df = Seq(("site.com", 1), ("bad.io", 2)).toDF("domain", "v")
     val blocked = Seq("bad.io").toDF("domain")
