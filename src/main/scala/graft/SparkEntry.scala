@@ -3159,6 +3159,34 @@ object SparkEntry {
       .orderBy(col("canonical_url"))
   }
 
+  /** q160 — ⊕ mixed-content detection (composition:
+    * [[graft.ext.Chunker.contentChunks]] ×
+    * [[graft.ext.TextAnalysis.classifyByLexicon]]): classify every
+    * content-defined chunk, then flag documents whose majority label
+    * covers < 4/5 of their chunks — the code-switching / boilerplate-
+    * contamination screen a web corpus needs at sub-document
+    * granularity (a page that is 60% English prose and 40% navigation
+    * chrome passes every DOCUMENT-level gate). All label math is
+    * integer counts with cross-multiplied comparisons — no floats —
+    * and the majority tie-breaks on the label, so the whole
+    * chunk→classify→majority chain is oracle-exact.
+    */
+  private val q160MixedContent: Q = (s, dir) => {
+    val labeled = ext.Chunker.contentChunks(Tables.documents(s, dir), col("text"))
+      .select(col("doc_id"),
+        ext.TextAnalysis.classifyByLexicon(col("chunk"), topicLexicons).as("topic"))
+    val perTopic = labeled.groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("top_cnt"))
+    val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
+      Seq(desc("top_cnt"), asc("topic")), 1)
+    val nch = labeled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    top.join(nch, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("topic").as("top_topic"), col("top_cnt"),
+        (col("top_cnt") * 5 < col("n_chunks") * 4).as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3337,6 +3365,7 @@ object SparkEntry {
     "q157_cdc_chunks"       -> q157CdcChunks,
     "q158_contamination_bloom" -> q158ContaminationBloom,
     "q159_url_canonical"    -> q159UrlCanonical,
+    "q160_mixed_content"    -> q160MixedContent,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6985,7 +7014,52 @@ object SparkEntry {
     // the tracking-param set interpolated from UrlOps so the two
     // engines can never drift.
     "q159_url_canonical" -> urlCanonicalOracleSql,
+    // q160: the shared CDC chunk CTEs + the q27 lexicon argmax (lists
+    // generated from topicLexicons) per CHUNK, integer majority math.
+    "q160_mixed_content" -> mixedContentOracleSql,
   )
+
+  /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with
+    * the score expressions generated from [[topicLexicons]], then the
+    * integer majority readout (row_number tie-broken on the label,
+    * cross-multiplied 4/5 threshold).
+    */
+  private def mixedContentOracleSql: String = {
+    val scores = topicLexicons.zipWithIndex.map { case ((_, lex), i) =>
+      val lst = lex.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(w, x -> list_contains($lst, x))) AS s$i"
+    }.mkString(",\n|    ")
+    val caseArms = topicLexicons.zipWithIndex.map { case ((label, _), i) =>
+      s"WHEN s$i = best AND best > 0 THEN '$label'"
+    }.mkString("\n|         ")
+    s"""WITH $cdcChunkCtes,
+       |tok AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(chunk, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM ch),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM tok),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE $caseArms
+       |         ELSE 'und' END AS topic
+       |  FROM (SELECT *, greatest(${topicLexicons.indices.map(i => s"s$i").mkString(", ")}) AS best FROM sc)),
+       |pt AS (
+       |  SELECT doc_id, topic, count(*) AS top_cnt FROM lab GROUP BY doc_id, topic),
+       |tp AS (
+       |  SELECT doc_id, topic, top_cnt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY top_cnt DESC, topic) AS rn
+       |  FROM pt),
+       |nc AS (SELECT doc_id, count(*) AS n_chunks FROM lab GROUP BY doc_id)
+       |SELECT tp.doc_id, nc.n_chunks, tp.topic AS top_topic, tp.top_cnt,
+       |  (tp.top_cnt * 5 < nc.n_chunks * 4) AS mixed
+       |FROM tp JOIN nc ON nc.doc_id = tp.doc_id
+       |WHERE tp.rn = 1
+       |ORDER BY tp.doc_id""".stripMargin
+  }
 
   private def urlCanonicalOracleSql: String = {
     val re = ext.UrlOps.UrlPartsRe
@@ -7078,13 +7152,16 @@ object SparkEntry {
       |FROM j WHERE n_overlap >= 3
       |ORDER BY test_id, train_id""".stripMargin
 
-  /** q157's oracle: window 16, modulus 1000003, divisor 64 — the
-    * [[graft.ext.Chunker.contentChunks]] defaults, with the power
-    * table interpolated from the same [[graft.ext.Chunker.powerTable]].
+  /** CDC chunk derivation CTEs ending in `ch(doc_id, chunk)` — window
+    * 16, modulus 1000003, divisor 64 (the
+    * [[graft.ext.Chunker.contentChunks]] defaults), power table
+    * interpolated from the same [[graft.ext.Chunker.powerTable]].
+    * Shared by the q157 (chunk dedup) and q160 (mixed-content) oracles
+    * so the two can never drift.
     */
-  private def cdcOracleSql: String = {
+  private def cdcChunkCtes: String = {
     val pw = graft.ext.Chunker.powerTable(16, 1000003L).mkString("[", ", ", "]")
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT doc_id, text, length(text) AS n,
        |    list_transform(range(1, length(text) + 1),
        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
@@ -7105,14 +7182,17 @@ object SparkEntry {
        |    substr(text, CAST(bounds[i] + 1 AS INTEGER),
        |           CAST(bounds[i + 1] - bounds[i] AS INTEGER)) AS chunk
        |  FROM (SELECT doc_id, text, bounds,
-       |          unnest(range(1, len(bounds))) AS i FROM b))
+       |          unnest(range(1, len(bounds))) AS i FROM b))""".stripMargin
+  }
+
+  private def cdcOracleSql: String =
+    s"""WITH $cdcChunkCtes
        |SELECT md5(chunk) AS chunk_hash,
        |  count(DISTINCT doc_id) AS n_docs,
        |  count(*) AS n_occ,
        |  max(length(chunk)) AS chunk_len
        |FROM ch GROUP BY md5(chunk)
        |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
-  }
 
   /** q155's generated oracle: stage i computes pair counts over the
     * stage-(i−1) vocabulary, picks the argmax merge, and applies it —
