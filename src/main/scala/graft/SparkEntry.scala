@@ -3187,6 +3187,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q161 — ⊕ chunk-level incremental transfer (the end-to-end payoff
+    * of content-defined chunking): chunk yesterday's corpus and
+    * today's (every 10th document gets a PREFIX edit — the worst case
+    * for fixed-offset chunking, which would shift every block), then
+    * compute per-document transfer bytes as the chunk-multiset delta
+    * `Σ max(n_new − n_old, 0)·len`. Because cuts are content-defined,
+    * the edit disturbs only the first chunk(s) until the cut sequence
+    * re-aligns, so transfer ≪ document size — rsync/LBFS semantics as
+    * one Spark job. All integers; edited docs only in the readout.
+    */
+  private val q161ChunkTransfer: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val oldT = docs.select(col("doc_id"), col("text"))
+    val newT = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(lit("EDITED PREFIX v2 "), col("text")))
+        .otherwise(col("text")).as("text"))
+    def counts(df: DataFrame) =
+      ext.Chunker.contentChunks(df, col("text"))
+        .groupBy(col("doc_id"), col("chunk_hash"))
+        .agg(count(lit(1)).as("cnt"), max(col("chunk_len")).as("len"))
+    val o = counts(oldT).select(col("doc_id"), col("chunk_hash"), col("cnt").as("o_cnt"))
+    val n = counts(newT)
+    val transfer = n.join(o, Seq("doc_id", "chunk_hash"), "left")
+      .select(col("doc_id"),
+        (greatest(col("cnt") - coalesce(col("o_cnt"), lit(0L)), lit(0L)) * col("len"))
+          .as("xfer"))
+      .groupBy(col("doc_id")).agg(sum(col("xfer")).as("transfer_bytes"))
+    newT.select(col("doc_id"), length(col("text")).cast("bigint").as("new_bytes"))
+      .join(transfer, Seq("doc_id"))
+      .filter(col("transfer_bytes") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3366,6 +3399,7 @@ object SparkEntry {
     "q158_contamination_bloom" -> q158ContaminationBloom,
     "q159_url_canonical"    -> q159UrlCanonical,
     "q160_mixed_content"    -> q160MixedContent,
+    "q161_chunk_transfer"   -> q161ChunkTransfer,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7017,6 +7051,34 @@ object SparkEntry {
     // q160: the shared CDC chunk CTEs + the q27 lexicon argmax (lists
     // generated from topicLexicons) per CHUNK, integer majority math.
     "q160_mixed_content" -> mixedContentOracleSql,
+    // q161: BOTH corpus versions through the shared CDC chain
+    // (suffix-disambiguated), chunk-multiset delta in pure integers.
+    "q161_chunk_transfer" ->
+      s"""WITH old_t AS (SELECT doc_id, text FROM documents),
+         |new_t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN 'EDITED PREFIX v2 ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${cdcChunkCtesFrom("old_t", "_o")},
+         |${cdcChunkCtesFrom("new_t", "_n")},
+         |oc AS (
+         |  SELECT doc_id, md5(chunk) AS h, count(*) AS o_cnt
+         |  FROM ch_o GROUP BY doc_id, md5(chunk)),
+         |nc AS (
+         |  SELECT doc_id, md5(chunk) AS h, count(*) AS cnt,
+         |    max(length(chunk)) AS len
+         |  FROM ch_n GROUP BY doc_id, md5(chunk)),
+         |xf AS (
+         |  SELECT nc.doc_id,
+         |    CAST(sum(greatest(nc.cnt - COALESCE(oc.o_cnt, 0), 0) * nc.len) AS BIGINT)
+         |      AS transfer_bytes
+         |  FROM nc LEFT JOIN oc ON oc.doc_id = nc.doc_id AND oc.h = nc.h
+         |  GROUP BY nc.doc_id)
+         |SELECT n.doc_id, length(n.text) AS new_bytes, xf.transfer_bytes
+         |FROM new_t n JOIN xf ON xf.doc_id = n.doc_id
+         |WHERE xf.transfer_bytes > 0
+         |ORDER BY n.doc_id""".stripMargin,
   )
 
   /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with
@@ -7159,30 +7221,37 @@ object SparkEntry {
     * Shared by the q157 (chunk dedup) and q160 (mixed-content) oracles
     * so the two can never drift.
     */
-  private def cdcChunkCtes: String = {
+  private def cdcChunkCtes: String = cdcChunkCtesFrom("documents", "")
+
+  /** The chain over an arbitrary `(doc_id, text)` source with
+    * `suffix`-disambiguated CTE names (q161 chunks TWO corpus
+    * versions in one statement).
+    */
+  private def cdcChunkCtesFrom(src: String, suffix: String): String = {
     val pw = graft.ext.Chunker.powerTable(16, 1000003L).mkString("[", ", ", "]")
-    s"""c AS (
+    val (c, cut, b, ch) = (s"c$suffix", s"cut$suffix", s"b$suffix", s"ch$suffix")
+    s"""$c AS (
        |  SELECT doc_id, text, length(text) AS n,
        |    list_transform(range(1, length(text) + 1),
        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
-       |  FROM documents),
-       |cut AS (
+       |  FROM $src),
+       |$cut AS (
        |  SELECT doc_id, text, n,
        |    list_filter(range(16, n + 1), p ->
        |      (list_sum(list_transform(range(1, 17),
        |         j -> codes[p - 16 + j] * ($pw)[j])) % 1000003) % 64 = 0) AS cuts
-       |  FROM c),
-       |b AS (
+       |  FROM $c),
+       |$b AS (
        |  SELECT doc_id, text,
        |    list_concat(list_concat([CAST(0 AS BIGINT)],
        |      list_filter(cuts, x -> x < n)), [CAST(n AS BIGINT)]) AS bounds
-       |  FROM cut),
-       |ch AS (
+       |  FROM $cut),
+       |$ch AS (
        |  SELECT doc_id,
        |    substr(text, CAST(bounds[i] + 1 AS INTEGER),
        |           CAST(bounds[i + 1] - bounds[i] AS INTEGER)) AS chunk
        |  FROM (SELECT doc_id, text, bounds,
-       |          unnest(range(1, len(bounds))) AS i FROM b))""".stripMargin
+       |          unnest(range(1, len(bounds))) AS i FROM $b))""".stripMargin
   }
 
   private def cdcOracleSql: String =
