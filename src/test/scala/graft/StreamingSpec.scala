@@ -520,4 +520,26 @@ class StreamingSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("Misra-Gries heavy hitters aggregate incrementally on a stream (exact mode ≡ batch)") {
+    // the A6 mergeable-summary contract live: the typed Aggregator's
+    // buffer IS the streaming state, so the trending-terms readout
+    // updates per micro-batch with bounded memory; with distinct
+    // items ≤ capacity the summary is exact and totally ordered
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("item")
+      .agg(graft.functions.FreqItems.freqItems(16)(col("item")).as("hh"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try {
+      mem.addData("a", "a", "b", "c", "a", "b")
+      q.processAllAvailable()
+      mem.addData("c", "c", "c", "d")
+      q.processAllAvailable()
+      val got = spark.table("hh_out").select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toSeq
+      assert(got == Seq(("c", 4L), ("a", 3L), ("b", 2L), ("d", 1L)))
+    } finally q.stop()
+  }
 }
