@@ -3220,6 +3220,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q162 — ⊕ declarative data-quality validation
+    * ([[graft.ops.Check.validate]]): six expectation rules over the
+    * events feed — not-null, numeric range, regex shape, closed set,
+    * key uniqueness, referential integrity against a customer
+    * whitelist — compiled so every row-local rule rides ONE scan +
+    * ONE single-row conditional aggregate; Unique adds one
+    * count-per-key pass, RefIntegrity one broadcast anti-join.
+    * Violation samples are MIN KEYS (integer-deterministic), and the
+    * report mixes clean rules (0 rows) with violated ones, so the
+    * oracle pins both outcomes.
+    */
+  private val q162QualityChecks: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val whitelist = Tables.customer(s, dir).filter(col("c_custkey") < 100)
+    ops.Check.validate(ev, col("event_id"), Seq(
+      ops.Check.NotNull("props"),
+      ops.Check.InRange("value", 0.0, 50.0),
+      ops.Check.Matches("event_type", "^[a-z]+$"),
+      ops.Check.InSet("event_type", Seq("click", "view", "purchase", "signup")),
+      ops.Check.Unique("user_id"),
+      ops.Check.RefIntegrity("user_id", whitelist, "c_custkey")))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3400,6 +3423,7 @@ object SparkEntry {
     "q159_url_canonical"    -> q159UrlCanonical,
     "q160_mixed_content"    -> q160MixedContent,
     "q161_chunk_transfer"   -> q161ChunkTransfer,
+    "q162_quality_checks"   -> q162QualityChecks,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7079,6 +7103,50 @@ object SparkEntry {
          |FROM new_t n JOIN xf ON xf.doc_id = n.doc_id
          |WHERE xf.transfer_bytes > 0
          |ORDER BY n.doc_id""".stripMargin,
+    // q162: six rule readouts as UNION ALL branches — rule names are
+    // the Scala Rule.name strings verbatim; samples are min keys.
+    "q162_quality_checks" ->
+      """WITH wl AS (SELECT c_custkey FROM customer WHERE c_custkey < 100),
+        |nn AS (
+        |  SELECT 'not_null(props)' AS rule, 'props' AS "column",
+        |    count(*) FILTER (props IS NULL) AS n_violations,
+        |    min(event_id) FILTER (props IS NULL) AS sample_key
+        |  FROM events),
+        |ir AS (
+        |  SELECT 'in_range(value,0.0,50.0)' AS rule, 'value' AS "column",
+        |    count(*) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 50.0)) AS n_violations,
+        |    min(event_id) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 50.0)) AS sample_key
+        |  FROM events),
+        |mt AS (
+        |  SELECT 'matches(event_type)' AS rule, 'event_type' AS "column",
+        |    count(*) FILTER (event_type IS NOT NULL
+        |      AND NOT regexp_matches(event_type, '^[a-z]+$')) AS n_violations,
+        |    min(event_id) FILTER (event_type IS NOT NULL
+        |      AND NOT regexp_matches(event_type, '^[a-z]+$')) AS sample_key
+        |  FROM events),
+        |st AS (
+        |  SELECT 'in_set(event_type)' AS rule, 'event_type' AS "column",
+        |    count(*) FILTER (event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase','signup')) AS n_violations,
+        |    min(event_id) FILTER (event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase','signup')) AS sample_key
+        |  FROM events),
+        |uq AS (
+        |  SELECT 'unique(user_id)' AS rule, 'user_id' AS "column",
+        |    CAST(COALESCE(sum(n - 1), 0) AS BIGINT) AS n_violations,
+        |    min(k) AS sample_key
+        |  FROM (SELECT count(*) AS n, min(event_id) AS k FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY user_id HAVING count(*) > 1)),
+        |ri AS (
+        |  SELECT 'ref_integrity(user_id)' AS rule, 'user_id' AS "column",
+        |    count(*) AS n_violations, min(event_id) AS sample_key
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM wl))
+        |SELECT * FROM (
+        |  SELECT * FROM nn UNION ALL SELECT * FROM ir UNION ALL
+        |  SELECT * FROM mt UNION ALL SELECT * FROM st UNION ALL
+        |  SELECT * FROM uq UNION ALL SELECT * FROM ri) u
+        |ORDER BY rule""".stripMargin,
   )
 
   /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with
