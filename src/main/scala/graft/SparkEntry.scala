@@ -3243,6 +3243,22 @@ object SparkEntry {
       ops.Check.RefIntegrity("user_id", whitelist, "c_custkey")))
   }
 
+  /** q163 — ⊕ temperature-weighted mixture sampling
+    * ([[graft.ops.Sampling.temperatureMixture]]): α = 0.5 shares
+    * derived from per-source counts (√count, integer micro-unit
+    * quantization → exact integer total → correctly-rounded rate
+    * division), then the shuffle-free md5-bucket membership filter.
+    * Readout = per-source kept counts + id checksums, so the hash
+    * pins both the derived rates and the exact kept set.
+    */
+  private val q163TemperatureMix: Q = (s, dir) => {
+    ops.Sampling.temperatureMixture(Tables.documents(s, dir),
+        col("source"), "doc_id", totalN = 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3424,6 +3440,7 @@ object SparkEntry {
     "q160_mixed_content"    -> q160MixedContent,
     "q161_chunk_transfer"   -> q161ChunkTransfer,
     "q162_quality_checks"   -> q162QualityChecks,
+    "q163_temperature_mix"  -> q163TemperatureMix,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7147,6 +7164,37 @@ object SparkEntry {
         |  SELECT * FROM mt UNION ALL SELECT * FROM st UNION ALL
         |  SELECT * FROM uq UNION ALL SELECT * FROM ri) u
         |ORDER BY rule""".stripMargin,
+    // q163: integer micro-unit weight quantization → exact integer
+    // total → one correctly-rounded division per source; md5 bucket
+    // is q81's digit arithmetic (salt 0).
+    "q163_temperature_mix" ->
+      """WITH cnts AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, cnt,
+        |    CAST(round(sqrt(cnt) * 1e6) AS BIGINT) AS w
+        |  FROM cnts),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM w),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, CAST(w * 200 AS DOUBLE) / (s * cnt)) AS rate
+        |  FROM w, tot),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR) || '|0') AS hh
+        |  FROM documents),
+        |kept AS (
+        |  SELECT b.doc_id, b.source
+        |  FROM b JOIN rates r ON b.source = r.source
+        |  WHERE (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1)
+        |      < CAST(floor(r.rate * 1048576) AS BIGINT))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with

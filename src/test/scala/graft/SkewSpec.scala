@@ -44,6 +44,36 @@ class SkewSpec extends SparkSuite {
     assert(capped.count() == 100)
   }
 
+  test("temperatureMixture: α=0.5 upsamples the tail relative to the head; reproducible; α=1 ≈ uniform rate") {
+    import graft.ops.Sampling
+    // head source 900 rows, tail source 100 rows
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "head" else "tail"))
+      .toDF("id", "src")
+    val kept = Sampling.temperatureMixture(df, col("src"), "id", totalN = 400L)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares ∝ sqrt(cnt): head 30/(30+10)=0.75 of 400 = 300 over 900 rows
+    // (rate ⅓) vs tail 0.25·400 = 100 over 100 rows (rate 1, capped):
+    // the tail's keep-RATE must exceed the head's
+    val headRate = bySrc.getOrElse("head", 0L).toDouble / 900
+    val tailRate = bySrc.getOrElse("tail", 0L).toDouble / 100
+    assert(tailRate > headRate * 2,
+      s"α=0.5 must upsample the tail: head=$headRate tail=$tailRate")
+    assert(tailRate > 0.9, s"capped tail should keep ~all: $tailRate")
+    // deterministic rerun
+    val again = Sampling.temperatureMixture(df, col("src"), "id", totalN = 400L)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // α=1 degenerates to a uniform corpus-wide rate (share ∝ count)
+    val a1 = Sampling.temperatureMixture(df, col("src"), "id",
+      totalN = 400L, alpha = 1.0)
+    val r1 = a1.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val h1 = r1.getOrElse("head", 0L).toDouble / 900
+    val t1 = r1.getOrElse("tail", 0L).toDouble / 100
+    assert(math.abs(h1 - t1) < 0.15, s"α=1 rates should match: head=$h1 tail=$t1")
+  }
+
   test("partitionsForCorpus schedule: floor at the session default, linear growth, cap") {
     import graft.ops.Skew
     assert(Skew.partitionsForCorpus(1000) == 32)                 // floor
