@@ -3259,6 +3259,40 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q164 — ⊕ kNN label propagation (semi-supervised labeling,
+    * composition over [[graft.ext.Similarity.ivfSearchDf]]): index the
+    * LABELED 80% (vec_id % 5 ≠ 0), query every unlabeled vector for
+    * its 10 nearest neighbors through the IVF probe path, majority-
+    * vote the neighbors' labels (integer counts, ties → smallest
+    * label) and read out prediction vs actual — the classic
+    * propagate-labels-to-the-tail step of dataset labeling at corpus
+    * scale, with the ANN index doing the heavy lifting instead of an
+    * all-pairs scan. Oracle: the shared k-means chain fit AND assigned
+    * on the train rows only (`afSrc = "nvt"`), the q38 probe/score
+    * CTEs with the query predicate swapped, then the integer vote.
+    */
+  private val q164KnnLabels: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val train = em.filter(col("vec_id") % 5 =!= 0)
+    val ivf = ext.Similarity.ivfFit(train, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val queries = em.filter(col("vec_id") % 5 === 0)
+    val nn = ext.Similarity.ivfSearchDf(ivf, queries,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+    val votes = nn
+      .join(train.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = ops.TopK.perGroupTopK(votes, Seq(col("query_id")),
+      Seq(desc("n_votes"), asc("label")), 1)
+    pred.join(queries.select(col("vec_id"), col("label").as("actual_label")),
+        pred("query_id") === col("vec_id"))
+      .select(col("vec_id"), col("label").as("pred_label"), col("n_votes"),
+        col("actual_label"), (col("label") === col("actual_label")).as("hit"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3441,6 +3475,7 @@ object SparkEntry {
     "q161_chunk_transfer"   -> q161ChunkTransfer,
     "q162_quality_checks"   -> q162QualityChecks,
     "q163_temperature_mix"  -> q163TemperatureMix,
+    "q164_knn_labels"       -> q164KnnLabels,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -3530,7 +3565,14 @@ object SparkEntry {
     * is a pure function of (vector, centroids), which is exactly why
     * extend-don't-refit is sound).
     */
-  private def ivfTrainCtesT(trainWhere: String): String = {
+  private def ivfTrainCtesT(trainWhere: String): String =
+    ivfTrainCtesT(trainWhere, "nv")
+
+  /** @param afSrc source of the FINAL `af` assignment: `"nv"` (full
+    *   corpus — the q156 extended-index shape) or `"nvt"` (train rows
+    *   only — the q164 index-the-labeled-set shape).
+    */
+  private def ivfTrainCtesT(trainWhere: String, afSrc: String): String = {
     val t = if (trainWhere.isEmpty) "nv" else "nvt"
     val nvtCte = if (trainWhere.isEmpty) ""
       else s"\nnvt AS (SELECT * FROM nv WHERE $trainWhere),"
@@ -3574,7 +3616,7 @@ object SparkEntry {
        |${assign(t, "c1")}),
        |${lloyd("a1", "c1", "c2")},
        |af AS (
-       |${assign("nv", "c2")})""".stripMargin
+       |${assign(afSrc, "c2")})""".stripMargin
   }
 
   /** q143's oracle: the q38 coarse chain plus the PQ side — subvector
@@ -7195,7 +7237,55 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // q164: train-only fit AND assignment (afSrc = nvt), q38's
+    // probe/score shape with the query predicate swapped, integer
+    // majority vote with smallest-label tie-break.
+    "q164_knn_labels" -> knnLabelOracleSql,
   )
+
+  private def knnLabelOracleSql: String = {
+    val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    s"""${ivfTrainCtesT("vec_id % 5 <> 0", "nvt")},
+       |qs AS (
+       |  SELECT vec_id AS query_id, nv AS qnv,
+       |    list_transform(c2.cs, c -> $dot) AS sims
+       |  FROM nv CROSS JOIN c2 WHERE vec_id % 5 = 0),
+       |pq AS (
+       |  SELECT query_id, qnv,
+       |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
+       |  FROM qs),
+       |probes AS (
+       |  SELECT query_id, qnv, u.idx AS cluster
+       |  FROM (SELECT query_id, qnv, u,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY u.sim DESC, u.idx) AS rn
+       |        FROM pq)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), i -> p.qnv[i] * af.nv[i])), 4) AS cos_sim
+       |  FROM af JOIN probes p ON af.cluster = p.cluster
+       |  WHERE af.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |  FROM scored),
+       |votes AS (
+       |  SELECT r.query_id, e.label, count(*) AS n_votes
+       |  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+       |  WHERE r.rn <= 10
+       |  GROUP BY r.query_id, e.label),
+       |best AS (
+       |  SELECT query_id, label, n_votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY n_votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT b.query_id AS vec_id, b.label AS pred_label, b.n_votes,
+       |  e.label AS actual_label, (b.label = e.label) AS hit
+       |FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+       |WHERE b.vr = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with
     * the score expressions generated from [[topicLexicons]], then the
