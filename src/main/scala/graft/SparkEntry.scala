@@ -3293,6 +3293,30 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q165 — ⊕ q156's corpus-sized form
+    * ([[graft.ext.Similarity.ivfFitSized]]): the incremental-index
+    * composition with the coarse k derived from one `count()`.
+    * Fixed k = 16 was MEASURED hitting the second-decade wall
+    * (17.8× at sf1→sf10: cluster occupancy grows linearly, so the
+    * query batch scans O(q·n/k) candidates); sized k holds occupancy
+    * constant. Derived k floors to 16 at every driver fixture size,
+    * so this shares q156's oracle bit-for-bit — the q112/q146
+    * convention. ScaleBench decade-2 carries the slope evidence.
+    */
+  private val q165PqIncrementalSized: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val existing = em.filter(col("vec_id") % 97 =!= 0)
+    val increment = em.filter(col("vec_id") % 97 === 0)
+    val ivf0 = ext.Similarity.ivfFitSized(existing, col("vec_id"), col("embedding"),
+      iters = 2, quantize = Some(9))
+    val pq0 = ext.Similarity.pqFit(existing, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    val ivf = ext.Similarity.ivfExtend(ivf0, increment, col("vec_id"), col("embedding"))
+    val pq = ext.Similarity.pqExtend(pq0, increment, col("vec_id"), col("embedding"))
+    ext.Similarity.ivfPqSearchDf(ivf, pq, increment,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3476,6 +3500,7 @@ object SparkEntry {
     "q162_quality_checks"   -> q162QualityChecks,
     "q163_temperature_mix"  -> q163TemperatureMix,
     "q164_knn_labels"       -> q164KnnLabels,
+    "q165_pq_incr_sized"    -> q165PqIncrementalSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7121,6 +7146,10 @@ object SparkEntry {
     // yesterday's rows and assignment/encoding over the full corpus —
     // extend ≡ assign-all under fixed centroids.
     "q156_pq_incremental" ->
+      ivfPqOracleSql("% 97 = 0", trainWhere = "vec_id % 97 <> 0"),
+    // q165: the sized form — derived coarse k floors to 16 at fixture
+    // scale, so it shares q156's oracle verbatim (q112 convention).
+    "q165_pq_incr_sized" ->
       ivfPqOracleSql("% 97 = 0", trainWhere = "vec_id % 97 <> 0"),
     // q157: the identical rolling-hash polynomial (integer, mod-prime,
     // shared power table) replayed over DuckDB list HOFs. DuckDB's

@@ -495,7 +495,7 @@ object Dedup {
                          minOverlap: Int = 1,
                          maxDocsPerShingle: Int = DefaultMaxBucket,
                          bloomPruneTrain: Boolean = false,
-                         bloomExpectedItems: Long = 1000000L): DataFrame = {
+                         bloomExpectedItems: Long = 0L): DataFrame = {
     // TRAIN, pass 1: per-shingle doc frequency via count(*) — partial
     // aggregation keeps a hot shingle to one long per mapper (never a
     // buffered posting list). Pass 2: semi-join the exploded rows
@@ -511,14 +511,26 @@ object Dedup {
     // are unchanged and the exact equi-join drops the stragglers, so
     // the composed result is byte-identical to the unpruned form
     // (q158 shares q91's oracle to pin exactly that).
+    // The bloom must be SIZED to the test side: a fixed capacity
+    // saturates once the benchmark suite outgrows it (every bit set →
+    // zero pruning at full build cost — measured 7.1× at the second
+    // decade on the fixed-1M form). bloomExpectedItems = 0 (the
+    // default) derives capacity from one count() of test shingle
+    // instances ×2 headroom — the bitsForCorpus stance applied to the
+    // filter itself.
     val exploded0 = train
       .select(id.as("train_id"), explode(shingles(text, k)).as("sh"))
     val exploded =
       if (!bloomPruneTrain) exploded0
-      else graft.ops.RuntimeFilter.probe(exploded0, col("sh"),
-        graft.ops.RuntimeFilter.bloomOf(
-          test.select(explode(shingles(text, k)).as("sh")), col("sh"),
-          bloomExpectedItems, 8L * bloomExpectedItems))
+      else {
+        val testSh = test.select(explode(shingles(text, k)).as("sh"))
+        val items =
+          if (bloomExpectedItems > 0) bloomExpectedItems
+          else math.max(1024L, 2L * testSh.count())
+        graft.ops.RuntimeFilter.probe(exploded0, col("sh"),
+          graft.ops.RuntimeFilter.bloomOf(testSh, col("sh"),
+            items, 8L * items))
+      }
     val surviving = exploded
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("__df"))

@@ -701,6 +701,22 @@ object Similarity {
   def clustersForCorpus(n: Long, targetCluster: Int = 200, minK: Int = 16): Int =
     math.max(minK, math.ceil(n.toDouble / targetCluster.toDouble).toInt)
 
+  /** ⊕ [[ivfFit]] with k derived from one `count()` via
+    * [[clustersForCorpus]] — the corpus-scale coarse quantizer for
+    * the SEARCH path. A fixed k is the measured q156 second-decade
+    * wall: cluster occupancy grows linearly with the corpus, so every
+    * probe scans O(n/k) candidates and a query BATCH does O(q·n/k)
+    * work — 17.8× at 10× data for the fixed-16 incremental-index
+    * composition. Sized k keeps occupancy (and so per-query probe
+    * cost) constant; the derived k floors to 16 at every driver
+    * fixture size, so sized compositions share the fixed-k oracles.
+    */
+  def ivfFitSized(df: DataFrame, id: Column, vec: Column, iters: Int = 3,
+                  targetCluster: Int = 200,
+                  quantize: Option[Int] = None): IvfModel =
+    ivfFit(df, id, vec, clustersForCorpus(df.count(), targetCluster),
+      iters, quantize)
+
   /** [[semDedup]] with k derived from one count() pass via
     * [[clustersForCorpus]] — the corpus-scale entry point (q112;
     * spec-proved identical to the fixed form at fixture sizes where
