@@ -112,6 +112,16 @@ class PqSpec extends SparkSuite {
     assert(enc.toSeq == fit.toSeq)
   }
 
+  test("ivfFitSized ≡ fixed-k fit at fixture scale (derived k floors to 16)") {
+    val sized = Similarity.ivfFitSized(em, col("vec_id"), col("embedding"),
+      iters = 2, quantize = Some(9))
+    val fixed = Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    assert(sized.centroids.length == 16)
+    assert(sized.centroids.map(_.toSeq).toSeq == fixed.centroids.map(_.toSeq).toSeq)
+    sized.unpersist(); fixed.unpersist()
+  }
+
   test("ivfExtend/pqExtend: extending with an increment equals assigning/encoding the full corpus") {
     val existing = em.filter($"vec_id" % 97 =!= 0)
     val increment = em.filter($"vec_id" % 97 === 0)
