@@ -7248,7 +7248,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM w),
         |rates AS (
         |  SELECT source,
-        |    least(1.0, CAST(w * 200 AS DOUBLE) / (s * cnt)) AS rate
+        |    least(1.0, (CAST(w AS DOUBLE) * 200) / (CAST(s AS DOUBLE) * cnt)) AS rate
         |  FROM w, tot),
         |b AS (
         |  SELECT doc_id, source,

@@ -376,8 +376,12 @@ object Similarity {
     val inc = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
       .withColumn("cluster", assignCluster(col("nv"), model.centroids))
+    // persisted (lazily) so repeated searches don't re-encode the
+    // increment and the extended model's unpersist() releases it; the
+    // BASE model's cache stays caller-owned — unpersist both.
     IvfModel(model.centroids,
-      model.assigned.select(col("id"), col("nv"), col("cluster")).unionByName(inc))
+      model.assigned.select(col("id"), col("nv"), col("cluster"))
+        .unionByName(inc).persist())
   }
 
   /** ⊕ [[ivfExtend]]'s PQ sibling: append [[pqEncode]]-coded rows to
@@ -387,7 +391,7 @@ object Similarity {
   def pqExtend(model: PqModel, df: DataFrame, id: Column, vec: Column): PqModel =
     PqModel(model.codebooks,
       model.codes.select(col("id"), col("nv"), col("codes"))
-        .unionByName(pqEncode(model, df, id, vec)))
+        .unionByName(pqEncode(model, df, id, vec)).persist())
 
   /** ⊕ PQ-accelerated SemDeDup — [[semDedup]]'s drop rule (within a
     * coarse cluster, any pair with similarity ≥ `tau` drops the
@@ -712,10 +716,23 @@ object Similarity {
     * fixture size, so sized compositions share the fixed-k oracles.
     */
   def ivfFitSized(df: DataFrame, id: Column, vec: Column, iters: Int = 3,
-                  targetCluster: Int = 200,
                   quantize: Option[Int] = None): IvfModel =
-    ivfFit(df, id, vec, clustersForCorpus(df.count(), targetCluster),
-      iters, quantize)
+    ivfFit(df, id, vec, searchClustersForCorpus(df.count()), iters, quantize)
+
+  /** Coarse-k schedule for the SEARCH path: `k ≈ √(n/balance)` (floor
+    * `minK`) — the FAISS sizing rule. Assignment costs O(n·k) and a
+    * probe batch O(q·n/k); k ∝ √n balances the two at O(n^1.5) where
+    * either a fixed k (probe side, measured 17.8× per decade on q156)
+    * or the dedup family's LINEAR k = n/target (assign side — the
+    * measured residual super-linearity of the first q165 cut, 10.7×)
+    * compounds quadratically. The dedup family keeps its linear rule
+    * on purpose: there `targetCluster` is the SEMANTIC ε-ball
+    * population, not a cost knob. `balance = 8` lands the schedule
+    * exactly on the pinned k = 16 at every driver fixture size, so
+    * sized search compositions share the fixed-k oracles.
+    */
+  def searchClustersForCorpus(n: Long, balance: Int = 8, minK: Int = 16): Int =
+    math.max(minK, math.ceil(math.sqrt(n.toDouble / balance)).toInt)
 
   /** [[semDedup]] with k derived from one count() pass via
     * [[clustersForCorpus]] — the corpus-scale entry point (q112;

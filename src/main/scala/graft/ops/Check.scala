@@ -36,7 +36,10 @@ object Check {
   final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
     val name = s"in_range($column,$lo,$hi)"
   }
-  /** Non-null values not fully matching `regex` violate. */
+  /** Non-null values not FULLY matching `regex` violate (the pattern
+    * is anchored here — `rlike` alone is find-anywhere, which would
+    * pass `"###a@b.io<junk>"` against an email shape).
+    */
   final case class Matches(column: String, regex: String) extends Rule {
     val name = s"matches($column)"
   }
@@ -57,17 +60,19 @@ object Check {
   }
 
   /** Run `rules` over `df`; `keyCol` identifies offending rows in the
-    * report (any unique integer/string key).
+    * report (any unique key — integer or string; its type is
+    * preserved in `sample_key`, and `min` over either is
+    * deterministic).
     */
   def validate(df: DataFrame, keyCol: Column, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
-    val key = keyCol.cast("long")
+    val key = keyCol
 
     def predicate(r: Rule): Option[Column] = r match {
       case NotNull(c) => Some(col(c).isNull)
       case InRange(c, lo, hi) =>
         Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
-      case Matches(c, re) => Some(col(c).isNotNull && !col(c).rlike(re))
+      case Matches(c, re) => Some(col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$"))
       case InSet(c, vs) => Some(col(c).isNotNull && !col(c).isin(vs: _*))
       case _ => None
     }

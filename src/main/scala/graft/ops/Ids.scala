@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** ⊕ Scalable stable row numbering — the 100 TB form of the
   * reference's index-reset step (SURVEY.md §2 O3: pandas
@@ -11,25 +11,33 @@ import org.apache.spark.sql.functions._
   * is a SINGLE-TASK global sort: every row moves through one
   * partition, which is exactly the plan that cannot exist at corpus
   * scale. This operator produces the identical contiguous 1..N
-  * numbering with no single-task stage:
+  * numbering with no single-task stage, on the canonical
+  * `zipWithIndex` construction (the same two-pass shape Spark's own
+  * `RDD.zipWithIndex` uses):
   *
-  *  1. `repartitionByRange` on the order key — Spark's sampling-based
-  *     range partitioner (the same mechanism a distributed sort
-  *     uses): partition i holds keys ≤ partition j's for i < j, all
-  *     partitions build in parallel;
-  *  2. per-partition `row_number` over `spark_partition_id()` — the
-  *     range exchange already clusters and the window sorts only
-  *     within a partition;
-  *  3. partition row-counts (a #partitions-row aggregate — the ONLY
-  *     single-partition work is a prefix sum over that tiny table)
-  *     broadcast back and added as offsets.
+  *  1. `repartitionByRange` + `sortWithinPartitions` on the order key
+  *     — Spark's sampling-based range partitioner (the distributed
+  *     sort mechanism): partition i's keys precede partition j's for
+  *     i < j, all partitions sort in parallel;
+  *  2. one lightweight count job collects the per-partition sizes
+  *     (#partitions longs of driver state — the centroid-collect
+  *     bound) over the SAME materialized shuffle output (shuffle
+  *     files are reused across jobs, so the exchange runs once and
+  *     there is exactly one boundary sample — no divergent-branch
+  *     risk and nothing to persist);
+  *  3. the zip pass adds `offset(partition) + local index`.
+  *
+  * This is deliberately the RDD escape hatch the repo otherwise
+  * avoids: per-partition stateful indexing is genuine imperative
+  * per-partition logic, and the window-based alternative pays a
+  * SECOND corpus-wide exchange (hash on the partition id) for the
+  * same result.
   *
   * Determinism: the numbering is a pure function of the order-key
   * total order, so callers must pass a TOTAL order (include a unique
-  * tie-breaker key) — same contract as every `orderBy` in this repo.
-  * Range-boundary ties between equal keys cannot occur under a total
-  * order, so the assignment is identical on every rerun and at any
-  * partition count (the spec proves invariance across 1..7).
+  * tie-breaker key) — the repo-wide `orderBy` contract. The spec
+  * proves value-equality with the naive global window and invariance
+  * across partition counts.
   *
   * Use cases: contiguous example ids for a training shard manifest,
   * stable line numbers for a packed corpus, resumable offset ranges.
@@ -37,8 +45,7 @@ import org.apache.spark.sql.functions._
 object Ids {
 
   /** Contiguous 1-based row numbers in `orderCols` order, as column
-    * `outCol`. One range exchange over the data + one tiny
-    * (#partitions-row) aggregate; no global window over the corpus.
+    * `outCol`.
     *
     * @param orderCols total order (unique per row) — determinism contract
     * @param numPartitions range-partition count; defaults to the
@@ -49,25 +56,17 @@ object Ids {
                       outCol: String = "row_num",
                       numPartitions: Option[Int] = None): DataFrame = {
     require(orderCols.nonEmpty, "stableRowNumber needs at least one order column")
+    val spark = df.sparkSession
     val n = numPartitions.getOrElse(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
-    val parted = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = parted.withColumn("__lrn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
-    // Partition sizes: ≤ numPartitions rows however big the corpus is.
-    // The global prefix-sum window below runs over THAT table only —
-    // the single-partition stage the naive plan would run over the
-    // whole corpus is here bounded by the partition count.
-    val offsets = parted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off",
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(outCol, (col("__off") + col("__lrn")).cast("long"))
-      .drop("__pid", "__lrn", "__off")
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    // RDD.zipWithIndex = one count job for partition sizes + the zip
+    // pass; both read the one materialized range-shuffle output
+    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(zipped, schema)
   }
 }

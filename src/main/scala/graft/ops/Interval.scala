@@ -34,6 +34,13 @@ object Interval {
   /** All (left, right) pairs with equal `key` whose CLOSED intervals
     * `[start, end]` (timestamp columns) intersect. Returns struct
     * columns `l` and `r` (inner semantics).
+    *
+    * Resolution: bounds are compared at WHOLE-SECOND granularity
+    * (`unix_seconds` truncation — the repo-wide integral-epoch
+    * convention shared with the Time/AsOf family and their oracles),
+    * so two intervals whose raw bounds differ only inside the same
+    * second count as touching. Callers needing sub-second semantics
+    * should pre-scale their timestamps.
     */
   def overlapPairs(left: DataFrame, right: DataFrame, key: String,
                    leftStart: String, leftEnd: String,

@@ -123,49 +123,6 @@ object Sampling {
     * callers that need exact counts per source should draw with
     * [[weightedSample]]'s top-k instead (bounded but one shuffle).
     */
-  /** ⊕ Temperature-weighted mixture sampling — [[mixtureSample]] with
-    * the target shares DERIVED from the corpus itself:
-    * `share_s ∝ count_s^alpha` (the multilingual-LLM α-sampling rule,
-    * XLM-R lineage: α < 1 upsamples the tail relative to the head so
-    * low-resource sources are not drowned, without hand-written share
-    * tables that go stale as the corpus drifts).
-    *
-    * Plan shape: one count aggregation (source-cardinality rows), the
-    * weight/total attached as a single-row broadcast normalizer, then
-    * the same shuffle-free row-local [[hashBucket]] membership filter
-    * — the corpus never re-shuffles and nothing is collected.
-    *
-    * Determinism (the oracle contract): weights are quantized to
-    * integer MICRO-units (`round(count^α · 1e6)`) so the total is an
-    * exact integer sum — order-free — and each rate is one
-    * correctly-rounded division of exact integers; the α = 0.5
-    * default uses `sqrt` (IEEE-exact) rather than `pow`. Rates cap at
-    * 1 (an over-requested source under-delivers, the mixtureSample
-    * stance).
-    */
-  def temperatureMixture(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
-                         keyCol: String, totalN: Long, alpha: Double = 0.5,
-                         salt: Long = 0L): DataFrame = {
-    require(totalN > 0, "totalN must be positive")
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val wExpr =
-      if (alpha == 0.5) round(sqrt(col("__cnt")) * 1e6, 0).cast("long")
-      else round(pow(col("__cnt"), alpha) * 1e6, 0).cast("long")
-    val counts = df.groupBy(sourceCol.as("__src"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__w", wExpr)
-    val total = counts.agg(sum(col("__w")).as("__S"))
-    val rates = counts.crossJoin(broadcast(total))
-      .select(col("__src"),
-        least(lit(1.0),
-          (col("__w") * totalN).cast("double") / (col("__S") * col("__cnt")))
-          .as("__rate"))
-    df.join(broadcast(rates), sourceCol === col("__src"))
-      .filter(hashBucket(keyCol, salt) <
-        floor(col("__rate") * (1L << 20).toDouble).cast("long"))
-      .drop("__src", "__rate")
-  }
-
   def mixtureSample(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
                     keyCol: String,
                     shares: Seq[(String, Double)], totalN: Long,
@@ -182,6 +139,52 @@ object Sampling {
         when(shareCol.isNotNull,
           least(lit(1.0), shareCol * totalN / col("__cnt"))).as("__rate"))
       .filter(col("__rate").isNotNull)
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(hashBucket(keyCol, salt) <
+        floor(col("__rate") * (1L << 20).toDouble).cast("long"))
+      .drop("__src", "__rate")
+  }
+
+  /** ⊕ Temperature-weighted mixture sampling — [[mixtureSample]] with
+    * the target shares DERIVED from the corpus itself:
+    * `share_s ∝ count_s^alpha` (the multilingual-LLM α-sampling rule,
+    * XLM-R lineage: α < 1 upsamples the tail relative to the head so
+    * low-resource sources are not drowned, without hand-written share
+    * tables that go stale as the corpus drifts).
+    *
+    * Plan shape: one count aggregation (source-cardinality rows), the
+    * weight/total attached as a single-row broadcast normalizer, then
+    * the same shuffle-free row-local [[hashBucket]] membership filter
+    * — the corpus never re-shuffles and nothing is collected.
+    *
+    * Determinism (the oracle contract): weights are quantized to
+    * integer MICRO-units (`round(count^α · 1e6)`) so the total is an
+    * exact order-free integer sum; the rate is then computed in
+    * DOUBLE from the start (`w·totalN` would overflow a long at
+    * 100 TB source sizes) — every operand converts exactly and IEEE
+    * multiply/divide are correctly rounded, so both engines land on
+    * the identical double. The α = 0.5 default uses `sqrt`
+    * (IEEE-exact) rather than `pow`. Rates cap at 1 (an
+    * over-requested source under-delivers, the mixtureSample stance).
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
+                         keyCol: String, totalN: Long, alpha: Double = 0.5,
+                         salt: Long = 0L): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val wExpr =
+      if (alpha == 0.5) round(sqrt(col("__cnt")) * 1e6, 0).cast("long")
+      else round(pow(col("__cnt"), alpha) * 1e6, 0).cast("long")
+    val counts = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__w", wExpr)
+    val total = counts.agg(sum(col("__w")).as("__S"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("__src"),
+        least(lit(1.0),
+          (col("__w").cast("double") * totalN) /
+            (col("__S").cast("double") * col("__cnt")))
+          .as("__rate"))
     df.join(broadcast(rates), sourceCol === col("__src"))
       .filter(hashBucket(keyCol, salt) <
         floor(col("__rate") * (1L << 20).toDouble).cast("long"))

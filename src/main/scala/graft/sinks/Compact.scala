@@ -53,7 +53,15 @@ object Compact {
                      targetFileBytes: Long = 128L << 20,
                      shuffle: Boolean = false): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(new Path(inDir).toUri.normalize != new Path(outDir).toUri.normalize,
+    // qualify both paths through the filesystem (scheme + working dir)
+    // so "file:/x" vs "/x" or relative vs absolute spellings of the
+    // SAME directory cannot slip past the in-place guard
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(d: String): Path = {
+      val p = new Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
       "compaction cannot rewrite a directory onto itself (reads would race the overwrite)")
     val before = dataFiles(spark, inDir)
     require(before.nonEmpty, s"no data files under $inDir")

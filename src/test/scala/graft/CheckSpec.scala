@@ -54,6 +54,21 @@ class CheckSpec extends SparkSuite {
     assert(rules == rules.sorted)
   }
 
+  test("Matches is a FULL match: embedded-substring junk still violates; string keys survive in samples") {
+    val df = Seq((10L, "a@b.io", "k-1"), (11L, "###a@b.io<junk>", "k-2"))
+      .toDF("id", "email", "skey")
+    val rep = Check.validate(df, col("id"),
+        Seq(Matches("email", "[a-z]+@[a-z]+\\.[a-z]+")))
+      .collect()(0)
+    assert(rep.getLong(2) == 1L && rep.getLong(3) == 11L,
+      s"find-anywhere semantics leaked: $rep")
+    // string key column: type preserved, min is the sample
+    val rep2 = Check.validate(df, col("skey"),
+        Seq(Matches("email", "[a-z]+@[a-z]+\\.[a-z]+")))
+      .collect()(0)
+    assert(rep2.getString(3) == "k-2")
+  }
+
   test("requireValid throws naming every violated rule; passes on clean data") {
     val e = intercept[IllegalArgumentException] {
       Check.requireValid(data, col("id"), Seq(NotNull("email"), Unique("ref_key")))

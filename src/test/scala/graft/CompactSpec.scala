@@ -51,6 +51,10 @@ class CompactSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Compact.compactParquet(spark, in, in)
     }
+    // same directory spelled differently must not slip past the guard
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, s"file:$in", in)
+    }
     val empty = Files.createTempDirectory("graft_compact_empty").toString
     intercept[IllegalArgumentException] {
       Compact.compactParquet(spark, empty,

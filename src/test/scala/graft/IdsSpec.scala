@@ -32,16 +32,19 @@ class IdsSpec extends SparkSuite {
       nums.zipWithIndex.forall { case (v, i) => v == i + 1L }, "not contiguous 1..N")
   }
 
-  test("no single-task window over the corpus: the only SinglePartition stage is the tiny offset table") {
-    val plan = Ids.stableRowNumber(docs, Seq(col("doc_id")), numPartitions = Some(4))
-      .queryExecution.executedPlan.toString
-    // The data-sized window partitions by __pid behind a range exchange;
-    // the lone single-partition exchange sits above the #partitions-row
-    // aggregate (partition sizes), never above the scan.
-    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
-      s"expected a range exchange, got:\n$plan")
-    val singles = "SinglePartition".r.findAllIn(plan).size
-    assert(singles <= 1, s"expected at most one SinglePartition exchange:\n$plan")
+  test("no single-task stage: zipWithIndex construction has no global window, and partitions stay parallel") {
+    val out = Ids.stableRowNumber(docs, Seq(col("doc_id")), numPartitions = Some(4))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"result plan must carry no single-task window:\n$plan")
+    // the zipped RDD preserves the range layout: 4 partitions, and the
+    // numbering is contiguous per partition (offsets applied correctly)
+    assert(out.rdd.getNumPartitions == 4)
+    val perPart = out.select(col("row_num")).rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.filter(_.nonEmpty).foreach { p =>
+      assert(p == (p.head to p.last), s"non-contiguous partition numbering: ${p.take(5)}…")
+    }
     // The naive form, by contrast, is a global-sort window over the scan:
     val naive = docs.withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
       .queryExecution.executedPlan.toString
