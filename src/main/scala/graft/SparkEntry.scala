@@ -3274,8 +3274,12 @@ object SparkEntry {
   private val q164KnnLabels: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     val train = em.filter(col("vec_id") % 5 =!= 0)
-    val ivf = ext.Similarity.ivfFit(train, col("vec_id"), col("embedding"),
-      k = 16, iters = 2, quantize = Some(9))
+    // sized fit (√-schedule): this queries 20% of the corpus, exactly
+    // the batch shape whose fixed-k probe cost was measured compounding
+    // (BENCH_NOTES r12 decade-2); floors to k=16 at fixture scale so
+    // the oracle's 16-centroid chain holds
+    val ivf = ext.Similarity.ivfFitSized(train, col("vec_id"), col("embedding"),
+      iters = 2, quantize = Some(9))
     val queries = em.filter(col("vec_id") % 5 === 0)
     val nn = ext.Similarity.ivfSearchDf(ivf, queries,
       col("vec_id"), col("embedding"), nprobe = 4, k = 10)
