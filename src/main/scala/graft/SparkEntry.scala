@@ -3134,11 +3134,14 @@ object SparkEntry {
     * each logical resource. Row-local string/array ops riding the
     * scan; the only shuffle is the final dedup aggregation.
     */
-  private val q159UrlCanonical: Q = (s, dir) => {
-    val d = col("doc_id")
+  /** The q159/q166 noisy-URL derivation (deterministic from doc_id;
+    * every real-world noise axis — case, userinfo, default ports,
+    * trailing slash, tracking params, fragments).
+    */
+  private def syntheticNoisyUrl(d: Column): Column = {
     val str = (c: Column) => c.cast("string")
     val r = str(d % 25)
-    val url = concat(
+    concat(
       when(d % 3 === 0, "HTTP://").when(d % 3 === 1, "http://").otherwise("https://"),
       when(d % 7 === 0, "User:pw@").otherwise(""),
       when(d % 2 === 0, concat(lit("Site"), r, lit(".Com")))
@@ -3150,8 +3153,12 @@ object SparkEntry {
         .otherwise(when(d % 11 === 0, concat(lit("?id="), r, lit("&fbclid=abc")))
           .otherwise(lit(""))),
       when(d % 6 === 0, "#top").otherwise(""))
+  }
+
+  private val q159UrlCanonical: Q = (s, dir) => {
+    val d = col("doc_id")
     Tables.documents(s, dir)
-      .select(d.as("doc_id"), url.as("raw_url"))
+      .select(d.as("doc_id"), syntheticNoisyUrl(d).as("raw_url"))
       .withColumn("canonical_url", ext.UrlOps.canonicalize(col("raw_url")))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_docs"),
@@ -3319,6 +3326,46 @@ object SparkEntry {
     val pq = ext.Similarity.pqExtend(pq0, increment, col("vec_id"), col("embedding"))
     ext.Similarity.ivfPqSearchDf(ivf, pq, increment,
       col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+  }
+
+  /** q166 — ⊕ round-12 web-corpus pipeline capstone, composed from
+    * this round's operators end-to-end: (1) crawl-level dedup — one
+    * survivor per CANONICAL URL ([[graft.ext.UrlOps.canonicalize]]
+    * over the q159 noisy derivation, min-id keeper); (2) sub-document
+    * mixed-content gate — content-defined chunks × lexicon argmax,
+    * majority label must cover ≥ 4/5 of chunks (the q160 screen as a
+    * FILTER); (3) temperature mixture draw (α = 0.5, the q163
+    * sampler) over the survivors; readout = per-source kept counts,
+    * id checksums and token budget. Every stage reuses the exact
+    * shared oracle chains (urlCanonicalCtes, mixedContentCtes, the
+    * q163 rate chain), so the capstone hash pins the whole pipeline,
+    * not a re-approximation of it.
+    */
+  private val q166PipelineR12: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val canon = docs.withColumn("canonical_url",
+      ext.UrlOps.canonicalize(syntheticNoisyUrl(col("doc_id"))))
+    val s1 = ops.TopK.perGroupHead(canon, col("canonical_url"), col("doc_id"), 1)
+      .drop("canonical_url")
+    val labeled = ext.Chunker.contentChunks(
+        s1.select(col("doc_id"), col("text")), col("text"))
+      .select(col("doc_id"),
+        ext.TextAnalysis.classifyByLexicon(col("chunk"), topicLexicons).as("topic"))
+    val perTopic = labeled.groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("top_cnt"))
+    val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
+      Seq(desc("top_cnt"), asc("topic")), 1)
+    val nch = labeled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val pass = top.join(nch, Seq("doc_id"))
+      .filter(col("top_cnt") * 5 >= col("n_chunks") * 4)
+      .select(col("doc_id"))
+    val s2 = s1.join(pass, Seq("doc_id"))
+    ops.Sampling.temperatureMixture(s2, col("source"), "doc_id", totalN = 150)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(ext.TextAnalysis.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+      .orderBy(col("source"))
   }
 
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
@@ -3505,6 +3552,7 @@ object SparkEntry {
     "q163_temperature_mix"  -> q163TemperatureMix,
     "q164_knn_labels"       -> q164KnnLabels,
     "q165_pq_incr_sized"    -> q165PqIncrementalSized,
+    "q166_pipeline_r12"     -> q166PipelineR12,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7274,7 +7322,51 @@ object SparkEntry {
     // probe/score shape with the query predicate swapped, integer
     // majority vote with smallest-label tie-break.
     "q164_knn_labels" -> knnLabelOracleSql,
+    // q166: every stage is the SHARED chain — url canonicalization,
+    // suffix-parameterized mixed-content gate, the q163 rate chain.
+    "q166_pipeline_r12" -> pipelineR12OracleSql,
   )
+
+  private def pipelineR12OracleSql: String =
+    "WITH " + urlCanonicalCtes + ",\n" +
+    raw"""crawl AS (
+       |  SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+       |s1 AS (
+       |  SELECT d.doc_id, d.text, d.source
+       |  FROM documents d JOIN crawl ON crawl.doc_id = d.doc_id),
+       |${mixedContentCtes("s1", "_m")},
+       |pass AS (
+       |  SELECT tp_m.doc_id
+       |  FROM tp_m JOIN nc_m ON nc_m.doc_id = tp_m.doc_id
+       |  WHERE tp_m.rn = 1 AND tp_m.top_cnt * 5 >= nc_m.n_chunks * 4),
+       |s2 AS (SELECT s1.* FROM s1 JOIN pass USING (doc_id)),
+       |cnts2 AS (SELECT source, count(*) AS cnt FROM s2 GROUP BY source),
+       |w2 AS (
+       |  SELECT source, cnt,
+       |    CAST(round(sqrt(cnt) * 1e6) AS BIGINT) AS w
+       |  FROM cnts2),
+       |tot2 AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM w2),
+       |rates2 AS (
+       |  SELECT source,
+       |    least(1.0, (CAST(w AS DOUBLE) * 150) / (CAST(s AS DOUBLE) * cnt)) AS rate
+       |  FROM w2, tot2),
+       |b2 AS (
+       |  SELECT doc_id, source, text,
+       |    md5(CAST(doc_id AS VARCHAR) || '|0') AS hh
+       |  FROM s2),
+       |kept AS (
+       |  SELECT b2.doc_id, b2.source, b2.text
+       |  FROM b2 JOIN rates2 r ON b2.source = r.source
+       |  WHERE (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+       |      + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+       |      + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+       |      + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1)
+       |      < CAST(floor(r.rate * 1048576) AS BIGINT))
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS sum_tokens
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   private def knnLabelOracleSql: String = {
     val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
@@ -7320,12 +7412,25 @@ object SparkEntry {
        |ORDER BY vec_id""".stripMargin
   }
 
-  /** q160's oracle: [[cdcChunkCtes]] + per-chunk lexicon argmax with
-    * the score expressions generated from [[topicLexicons]], then the
-    * integer majority readout (row_number tie-broken on the label,
-    * cross-multiplied 4/5 threshold).
+  /** q160's oracle: [[mixedContentCtes]] + the integer majority
+    * readout (row_number tie-broken on the label, cross-multiplied
+    * 4/5 threshold).
     */
-  private def mixedContentOracleSql: String = {
+  private def mixedContentOracleSql: String =
+    s"""WITH ${mixedContentCtes("documents", "")}
+       |SELECT tp.doc_id, nc.n_chunks, tp.topic AS top_topic, tp.top_cnt,
+       |  (tp.top_cnt * 5 < nc.n_chunks * 4) AS mixed
+       |FROM tp JOIN nc ON nc.doc_id = tp.doc_id
+       |WHERE tp.rn = 1
+       |ORDER BY tp.doc_id""".stripMargin
+
+  /** CDC-chunk → per-chunk lexicon argmax → per-doc majority, over an
+    * arbitrary `(doc_id, text)` source with `suffix`-disambiguated
+    * CTE names; ends in `tp$suffix` (majority, rn = 1 row per doc)
+    * and `nc$suffix` (chunk counts). Shared by q160 and the q166
+    * capstone so the gate can never drift.
+    */
+  private def mixedContentCtes(src: String, sfx: String): String = {
     val scores = topicLexicons.zipWithIndex.map { case ((_, lex), i) =>
       val lst = lex.map(w => s"'$w'").mkString("[", ",", "]")
       s"len(list_filter(w, x -> list_contains($lst, x))) AS s$i"
@@ -7333,39 +7438,48 @@ object SparkEntry {
     val caseArms = topicLexicons.zipWithIndex.map { case ((label, _), i) =>
       s"WHEN s$i = best AND best > 0 THEN '$label'"
     }.mkString("\n|         ")
-    s"""WITH $cdcChunkCtes,
-       |tok AS (
+    s"""${cdcChunkCtesFrom(src, sfx)},
+       |tok$sfx AS (
        |  SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(chunk, '\\s+', ' ', 'g'))), ' ') AS w
-       |  FROM ch),
-       |sc AS (
+       |  FROM ch$sfx),
+       |sc$sfx AS (
        |  SELECT doc_id,
        |    $scores
-       |  FROM tok),
-       |lab AS (
+       |  FROM tok$sfx),
+       |lab$sfx AS (
        |  SELECT doc_id,
        |    CASE $caseArms
        |         ELSE 'und' END AS topic
-       |  FROM (SELECT *, greatest(${topicLexicons.indices.map(i => s"s$i").mkString(", ")}) AS best FROM sc)),
-       |pt AS (
-       |  SELECT doc_id, topic, count(*) AS top_cnt FROM lab GROUP BY doc_id, topic),
-       |tp AS (
+       |  FROM (SELECT *, greatest(${topicLexicons.indices.map(i => s"s$i").mkString(", ")}) AS best FROM sc$sfx)),
+       |pt$sfx AS (
+       |  SELECT doc_id, topic, count(*) AS top_cnt FROM lab$sfx GROUP BY doc_id, topic),
+       |tp$sfx AS (
        |  SELECT doc_id, topic, top_cnt,
        |    row_number() OVER (PARTITION BY doc_id
        |                       ORDER BY top_cnt DESC, topic) AS rn
-       |  FROM pt),
-       |nc AS (SELECT doc_id, count(*) AS n_chunks FROM lab GROUP BY doc_id)
-       |SELECT tp.doc_id, nc.n_chunks, tp.topic AS top_topic, tp.top_cnt,
-       |  (tp.top_cnt * 5 < nc.n_chunks * 4) AS mixed
-       |FROM tp JOIN nc ON nc.doc_id = tp.doc_id
-       |WHERE tp.rn = 1
-       |ORDER BY tp.doc_id""".stripMargin
+       |  FROM pt$sfx),
+       |nc$sfx AS (SELECT doc_id, count(*) AS n_chunks FROM lab$sfx GROUP BY doc_id)""".stripMargin
   }
 
-  private def urlCanonicalOracleSql: String = {
+  // NOTE: urlCanonicalCtes contains lines that BEGIN with SQL's `||`
+  // concatenation — a second stripMargin over interpolated text would
+  // eat one pipe — so consumers concatenate the pre-stripped chain
+  // instead of re-interpolating it into a margin string.
+  private def urlCanonicalOracleSql: String =
+    "WITH " + urlCanonicalCtes + "\n" +
+      """SELECT canonical_url, count(*) AS n_docs,
+        |  count(DISTINCT raw_url) AS n_raw_variants
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin
+
+  /** q159/q166's shared derivation+canonicalization chain, ending in
+    * `canon(doc_id, raw_url, canonical_url)`.
+    */
+  private def urlCanonicalCtes: String = {
     val re = ext.UrlOps.UrlPartsRe
     val tracked = ext.UrlOps.TrackingParams.map(p => s"'$p'").mkString(", ")
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT doc_id,
        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://'
        |          WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END)
@@ -7411,11 +7525,7 @@ object SparkEntry {
        |      list_filter(string_split(q, '&'), kv ->
        |        kv <> '' AND NOT starts_with(split_part(kv, '=', 1), 'utm_')
        |        AND split_part(kv, '=', 1) NOT IN ($tracked)) AS kept
-       |    FROM parts) t)
-       |SELECT canonical_url, count(*) AS n_docs,
-       |  count(DISTINCT raw_url) AS n_raw_variants
-       |FROM canon GROUP BY canonical_url
-       |ORDER BY canonical_url""".stripMargin
+       |    FROM parts) t)""".stripMargin
   }
 
   /** q91/q158's shared oracle: q22's toks/sh shingle derivation;

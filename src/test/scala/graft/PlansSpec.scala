@@ -98,7 +98,11 @@ class PlansSpec extends SparkSuite {
       // docs × |classes| scoring base and vocab × |classes| smoothing
       // grid — the class dimension is a handful of broadcast rows
       // (ext/Classify; the q93 normalizer stance)
-      "q154_naive_bayes")
+      "q154_naive_bayes",
+      // source-counts × single-row weight total — the q93 single-row
+      // broadcast normalizer (ops/Sampling.temperatureMixture; q166
+      // embeds the same chain as its final stage)
+      "q163_temperature_mix", "q166_pipeline_r12")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
