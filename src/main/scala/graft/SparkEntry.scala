@@ -3368,6 +3368,26 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q167 — ⊕ sequence packing ([[graft.ops.Packing.packSequences]]):
+    * the concat-and-chunk step between "clean documents" and
+    * "training batches" — lay the documents end-to-end in doc_id
+    * order (token counts via the q80 split convention) and cut the
+    * stream into 512-token training sequences; per-doc readout =
+    * global token offset plus the sequence span (which sequences the
+    * document occupies, and whether a boundary splits it). The oracle
+    * is the naive single-task global-window prefix sum the two-pass
+    * zipWithIndex-shaped plan replaces — identical numbers, different
+    * physical strategy (the q152 convention).
+    */
+  private val q167SeqPacking: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    ops.Packing.packSequences(t, Seq(col("doc_id")), "n_toks", 512L)
+      .select(col("doc_id"), col("n_toks"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3553,6 +3573,7 @@ object SparkEntry {
     "q164_knn_labels"       -> q164KnnLabels,
     "q165_pq_incr_sized"    -> q165PqIncrementalSized,
     "q166_pipeline_r12"     -> q166PipelineR12,
+    "q167_seq_packing"      -> q167SeqPacking,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7325,6 +7346,27 @@ object SparkEntry {
     // q166: every stage is the SHARED chain — url canonicalization,
     // suffix-parameterized mixed-content gate, the q163 rate chain.
     "q166_pipeline_r12" -> pipelineR12OracleSql,
+    // q167: the oracle IS the naive single-task global-window prefix
+    // sum the two-pass plan replaces (the q152 convention); integer
+    // floor division (// / div) agrees across engines on the
+    // non-negative offsets, and the window sum is cast back from
+    // DuckDB's HUGEINT.
+    "q167_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_toks FROM t WHERE n_toks > 0),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM f)
+        |SELECT doc_id, n_toks, tok_start,
+        |  (tok_start // 512) AS seq_first,
+        |  ((tok_start + n_toks - 1) // 512) AS seq_last,
+        |  ((tok_start + n_toks - 1) // 512) - (tok_start // 512) + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 
   private def pipelineR12OracleSql: String =

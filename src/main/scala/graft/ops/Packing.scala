@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** ⊕ Sequence packing — the concat-and-chunk step every LLM
+  * pretraining pipeline runs between "clean documents" and "training
+  * batches" (GPT-3 / Gopher data prep; the reference's corpus feeds
+  * the same consumers, `app.py:46-66` assembles display text the same
+  * concat-first way): documents are laid end-to-end in a deterministic
+  * total order into one global token stream, which is then cut into
+  * fixed-`capacity` training sequences. A document starting at global
+  * token offset `t` with `n` tokens occupies sequences
+  * `t div C .. (t+n-1) div C` — crossing a boundary means the document
+  * is split across training sequences (the packing-loss metric
+  * curriculum/attention-masking decisions hang off).
+  *
+  * The primitive underneath is an exclusive PREFIX SUM of per-document
+  * token counts in a global order — the same problem shape as
+  * [[Ids.stableRowNumber]] (a prefix sum of 1s), and it reuses that
+  * operator's two-pass construction, NOT a global window: `row_number()
+  * / sum() over (ORDER BY ...)` with no partition is a SINGLE-TASK
+  * plan, the one physical strategy that cannot exist at corpus scale.
+  * Here:
+  *
+  *  1. `repartitionByRange` + `sortWithinPartitions` on the order key
+  *     (Spark's sampling-based distributed sort — all partitions sort
+  *     in parallel, partition i's keys precede partition j's for i<j);
+  *  2. one lightweight job sums tokens per partition (#partitions
+  *     longs of driver state — the centroid-collect bound) over the
+  *     SAME materialized range-shuffle output;
+  *  3. the zip pass adds `offset(partition) + local running sum`, and
+  *     derives the sequence span with pure Long arithmetic (no
+  *     double-division rounding at any corpus size).
+  *
+  * Zero-token rows are dropped (documented contract): a document with
+  * no tokens has no position in the token stream — the F4
+  * empty-after-clean stance; filter or repair upstream if they must
+  * survive.
+  *
+  * Determinism: output is a pure function of the `orderCols` total
+  * order (pass a unique tie-breaker — the repo-wide contract) and the
+  * token counts; partition count only changes the physical split
+  * (spec-proved invariant).
+  */
+object Packing {
+
+  /** Appends `tok_start` (0-based exclusive prefix sum of `toksCol`),
+    * `seq_first`, `seq_last`, `n_seqs` for a packing capacity of
+    * `capacity` tokens per training sequence.
+    *
+    * @param orderCols total order (unique per row) — determinism contract
+    * @param toksCol   name of the per-row token-count column (integral;
+    *                  rows ≤ 0 are dropped — see object doc)
+    * @param capacity  tokens per packed training sequence (> 0)
+    * @param numPartitions range-partition count; defaults to the
+    *        session's shuffle partitions (set
+    *        [[graft.ops.Skew.partitionsForCorpus]] at real scale)
+    */
+  def packSequences(df: DataFrame, orderCols: Seq[Column], toksCol: String,
+                    capacity: Long,
+                    numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "packSequences needs at least one order column")
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val filtered = df.filter(col(toksCol).cast("long") > 0)
+    val sorted = filtered.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val tIdx = sorted.schema.fieldIndex(toksCol)
+    def toks(r: Row): Long = r.get(tIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case o => throw new IllegalArgumentException(
+        s"packSequences: token column '$toksCol' must be integral, got $o")
+    }
+    // one RDD over the materialized range shuffle; both jobs below
+    // read the same shuffle files, so the exchange (and its boundary
+    // sample) runs exactly once — the stableRowNumber construction
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += toks(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema
+      .add("tok_start", LongType, nullable = false)
+      .add("seq_first", LongType, nullable = false)
+      .add("seq_last", LongType, nullable = false)
+      .add("n_seqs", LongType, nullable = false)
+    val cap = capacity
+    val zipped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val t = toks(r)
+        val first = acc / cap
+        val last = (acc + t - 1) / cap
+        val out = Row.fromSeq(r.toSeq ++ Seq(acc, first, last, last - first + 1))
+        acc += t
+        out
+      }
+    }
+    spark.createDataFrame(zipped, schema)
+  }
+
+  /** Fragmentation histogram over a [[packSequences]] result: for each
+    * span width (`n_seqs` — how many training sequences a document
+    * touches), the document count and token mass. In concat-and-chunk
+    * packing every sequence except the global last is 100% full by
+    * construction, so the quality metric is NOT fill — it is how many
+    * documents get SPLIT across sequence boundaries (a split document
+    * trains with a truncated context on each side). One hash
+    * aggregation on a row-local key; output bounded by the widest span
+    * (≈ longest_doc/capacity + 1 rows).
+    */
+  def fragmentation(packed: DataFrame, toksCol: String): DataFrame =
+    packed
+      .groupBy(col("n_seqs"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(toksCol).cast("long")).as("n_tokens"))
+      .orderBy(col("n_seqs"))
+}
