@@ -344,21 +344,11 @@ object Similarity {
     *
     * Returns `(id, nv, codes)`, the [[PqModel.codes]] schema.
     */
-  def pqEncode(model: PqModel, df: DataFrame, id: Column, vec: Column): DataFrame = {
-    val m = model.codebooks.length
-    val sub = model.codebooks(0)(0).length
-    val codes = array((0 until m).map { j =>
-      val s = slice(col("nv"), j * sub + 1, sub)
-      val negd = array(model.codebooks(j).map { c =>
-        -aggregate(zip_with(s, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      (array_position(negd, array_max(negd)) - 1).cast("int")
-    }: _*)
+  def pqEncode(model: PqModel, df: DataFrame, id: Column, vec: Column): DataFrame =
     df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
-      .withColumn("codes", codes)
-  }
+      .withColumn("codes",
+        graft.functions.PqAssign.pq_assign_all(col("nv"), model.codebooks))
 
   /** ⊕ Append an increment to an existing coarse quantizer — the
     * other half of the fit-once maintenance path ([[pqEncode]] is
@@ -418,15 +408,18 @@ object Similarity {
                  maxCluster: Int = Dedup.DefaultMaxBucket,
                  numPartitions: Option[Int] = None): DataFrame = {
     val m = pq.codebooks.length
-    val sdcLit = array((0 until m).map { j =>
+    // m·k² codeword-dot table (ascending-component fold, 9-dp entries
+    // — the oracle's list_sum mirror), carried as a reference object
+    // into the codegen'd SDC fold rather than an m·k² literal tree
+    val sdcTable: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       val cb = pq.codebooks(j)
-      array(cb.indices.map { a =>
-        array(cb.indices.map { b =>
+      Array.tabulate(cb.length) { a =>
+        Array.tabulate(cb.length) { b =>
           val d = cb(a).zip(cb(b)).map { case (x, y) => x * y }.sum
-          lit(math.rint(d * 1e9) / 1e9)
-        }: _*)
-      }: _*)
-    }: _*)
+          math.rint(d * 1e9) / 1e9
+        }
+      }
+    }
     val t = ivf.assigned.select(col("id"), col("cluster"))
       .join(pq.codes.select(col("id"), col("codes")), Seq("id"))
     val okClusters = t.groupBy(col("cluster"))
@@ -435,10 +428,11 @@ object Similarity {
       .select(col("cluster"))
     val inCap0 = t.join(broadcast(okClusters), Seq("cluster"))
     val inCap = numPartitions.fold(inCap0)(p => inCap0.repartition(p, col("cluster")))
-    val sdcSim = round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
-      acc + element_at(element_at(element_at(sdcLit, jj + 1),
-        element_at(col("ca"), jj + 1) + 1),
-        element_at(col("cb"), jj + 1) + 1)), roundTo)
+    // per-PAIR inner loop: one codegen expression, not an interpreted
+    // HOF fold ([[graft.functions.CodeSum]] — same ascending-subspace
+    // sum, bit-equal; PqSpec/SimilaritySpec pin the equality)
+    val sdcSim = round(
+      graft.functions.CodeSum.sdc_sum(col("ca"), col("cb"), sdcTable), roundTo)
     val dropped = inCap.select(col("cluster"), col("id").as("id_a"), col("codes").as("ca"))
       .join(inCap.select(col("cluster"), col("id").as("id_b"), col("codes").as("cb")),
         Seq("cluster"))
@@ -495,19 +489,14 @@ object Similarity {
     * codewords (ties → lowest code, via first-position-of-max on the
     * negated distances — the [[assignCluster]] trick). The distance
     * fold is ascending-index sequential, bit-matching the oracle's
-    * `list_sum(list_transform(range...))`.
+    * `list_sum(list_transform(range...))`. One codegen expression
+    * ([[graft.functions.PqAssign]]) — the earlier composable form was
+    * m·k interpreted HOF folds per row, the measured dominant cost of
+    * the fit (PqSpec pins expression ≡ HOF bit-equality).
     */
   private def assignCode(s: Column, j: Column,
-                         codebooks: Array[Array[Array[Double]]]): Column = {
-    def negd(cb: Array[Array[Double]]): Column = array(cb.map { c =>
-      -aggregate(zip_with(s, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    val byJ = codebooks.indices.tail.foldLeft(negd(codebooks(0))) { (acc, jj) =>
-      when(j === jj, negd(codebooks(jj))).otherwise(acc)
-    }
-    (array_position(byJ, array_max(byJ)) - 1).cast("int")
-  }
+                         codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqAssign.pq_assign_sub(s, j, codebooks)
 
   /** ⊕ IVF-PQ search — the FAISS composition: the coarse quantizer
     * ([[ivfFit]]) prunes the corpus to `nprobe` clusters, and
@@ -575,9 +564,10 @@ object Similarity {
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
-          acc + element_at(element_at(col("lut"), jj + 1),
-            element_at(col("codes"), jj + 1) + 1)), roundTo).as("adc_sim"))
+        // per-CANDIDATE inner loop: codegen'd ADC fold (same
+        // ascending-subspace sum as the HOF form — bit-equal)
+        round(graft.functions.CodeSum.adc_sum(col("lut"), col("codes")), roundTo)
+          .as("adc_sim"))
     graft.ops.TopK.perGroupTopK(scored,
         Seq(col("query_id")), Seq(desc("adc_sim"), asc("neighbor_id")), k)
       .orderBy(col("query_id"), desc("adc_sim"), col("neighbor_id"))

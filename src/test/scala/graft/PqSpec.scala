@@ -13,6 +13,87 @@ class PqSpec extends SparkSuite {
   private lazy val pq = Similarity.pqFit(em, col("vec_id"), col("embedding"),
     m = 4, k = 16, iters = 1, quantize = Some(9))
 
+  test("PqAssign codegen expression ≡ the composable HOF form, bit-for-bit") {
+    // the round-12 hot-path swap: assignment used to be m·k interpreted
+    // aggregate(zip_with(...)) folds per row; the expression must
+    // reproduce that arithmetic exactly (same ascending fold, same
+    // first-position-of-max tie-break) or every byte-shared PQ oracle
+    // would drift
+    val cb = pq.codebooks
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val nv = em.select(col("vec_id").as("id"),
+        Similarity.normalize(Similarity.vecD(col("embedding"))).as("nv"))
+      .filter(col("nv").isNotNull)
+    val hof = array((0 until m).map { j =>
+      val s = slice(col("nv"), j * sub + 1, sub)
+      val negd = array(cb(j).map { c =>
+        -aggregate(zip_with(s, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (array_position(negd, array_max(negd)) - 1).cast("int")
+    }: _*)
+    val both = nv.select(col("id"),
+      hof.as("hof_codes"),
+      graft.functions.PqAssign.pq_assign_all(col("nv"), cb).as("expr_codes"))
+    assert(both.filter(col("hof_codes") =!= col("expr_codes")).isEmpty,
+      "codegen assignment drifted from the HOF form")
+    // and the exploded (j, s) shape used inside the fit
+    val subs = nv.select(col("id"), posexplode(array((0 until m).map(j =>
+      slice(col("nv"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+    val subBoth = subs.select(col("id"), col("j"),
+      graft.functions.PqAssign.pq_assign_sub(col("s"), col("j"), cb).as("e"))
+      .join(nv.select(col("id"),
+        hof.as("h")), Seq("id"))
+      .filter(col("e") =!= element_at(col("h"), col("j") + 1))
+    assert(subBoth.isEmpty, "per-subspace expression drifted from the HOF form")
+  }
+
+  test("CodeSum codegen folds ≡ the composable HOF folds, bit-for-bit") {
+    val cb = pq.codebooks
+    val m = cb.length
+    // SDC: pair the code table with itself on cluster-free random-ish
+    // pairs (id vs id+1) and compare both fold forms
+    val sdcTable = Array.tabulate(m) { j =>
+      Array.tabulate(cb(j).length) { a =>
+        Array.tabulate(cb(j).length) { b =>
+          val d = cb(j)(a).zip(cb(j)(b)).map { case (x, y) => x * y }.sum
+          math.rint(d * 1e9) / 1e9
+        }
+      }
+    }
+    val sdcLit = array((0 until m).map { j =>
+      array(sdcTable(j).indices.map { a =>
+        array(sdcTable(j)(a).indices.map(b => lit(sdcTable(j)(a)(b))): _*)
+      }: _*)
+    }: _*)
+    val c1 = pq.codes.select(col("id"), col("codes").as("ca"))
+    val c2 = pq.codes.select((col("id") - 1).as("id"), col("codes").as("cb"))
+    val pairs = c1.join(c2, Seq("id"))
+    val hofSdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
+      acc + element_at(element_at(element_at(sdcLit, jj + 1),
+        element_at(col("ca"), jj + 1) + 1),
+        element_at(col("cb"), jj + 1) + 1))
+    assert(pairs.filter(
+      graft.functions.CodeSum.sdc_sum(col("ca"), col("cb"), sdcTable) =!= hofSdc).isEmpty,
+      "SDC codegen fold drifted from the HOF form")
+    // ADC: a lut COLUMN derived per row from the vector, codes from the fit
+    val sub = cb(0)(0).length
+    val lut = array((0 until m).map { j =>
+      array(cb(j).indices.map { c =>
+        round(Similarity.dot(slice(col("nv"), j * sub + 1, sub),
+          array(cb(j)(c).map(lit(_)): _*)), 9)
+      }: _*)
+    }: _*)
+    val hofAdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, jj) =>
+      acc + element_at(element_at(col("lut"), jj + 1),
+        element_at(col("codes"), jj + 1) + 1))
+    val withLut = pq.codes.withColumn("lut", lut)
+    assert(withLut.filter(
+      graft.functions.CodeSum.adc_sum(col("lut"), col("codes")) =!= hofAdc).isEmpty,
+      "ADC codegen fold drifted from the HOF form")
+  }
+
   test("codebook state bound: m×k×(d/m) — k·d doubles total, corpus-independent") {
     assert(pq.codebooks.length == 4)
     assert(pq.codebooks.forall(_.length == 16))
