@@ -3388,6 +3388,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q168 — ⊕ deterministic corpus shuffle + training-shard manifest
+    * ([[graft.ops.Packing.shuffleShards]]): the md5-keyed reproducible
+    * permutation (q81's hash-assignment contract — no RNG state) with
+    * contiguous ranks from the q152 two-pass numbering, cut into
+    * 64-example shards; readout = the shard manifest (doc/token
+    * counts, rank range, id checksum per shard) a trainer's data
+    * loader would consume. The oracle replays the permutation as the
+    * naive global window (the q152 convention).
+    */
+  private val q168ShardManifest: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    ops.Packing.shuffleShards(t, col("doc_id"), 64L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        min(col("shuffle_rank")).as("first_rank"),
+        max(col("shuffle_rank")).as("last_rank"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("shard_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3574,6 +3596,7 @@ object SparkEntry {
     "q165_pq_incr_sized"    -> q165PqIncrementalSized,
     "q166_pipeline_r12"     -> q166PipelineR12,
     "q167_seq_packing"      -> q167SeqPacking,
+    "q168_shard_manifest"   -> q168ShardManifest,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7367,6 +7390,25 @@ object SparkEntry {
         |  ((tok_start + n_toks - 1) // 512) AS seq_last,
         |  ((tok_start + n_toks - 1) // 512) - (tok_start // 512) + 1 AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q168: the md5 permutation replayed as the naive global window
+    // (q152 convention); both engines produce the same lowercase-hex
+    // md5 of the decimal id string, so the order keys are identical.
+    "q168_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_toks,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+        |  FROM t)
+        |SELECT ((shuffle_rank - 1) // 64) AS shard_id,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(min(shuffle_rank) AS BIGINT) AS first_rank,
+        |  CAST(max(shuffle_rank) AS BIGINT) AS last_rank,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private def pipelineR12OracleSql: String =

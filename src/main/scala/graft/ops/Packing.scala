@@ -107,6 +107,36 @@ object Packing {
     spark.createDataFrame(zipped, schema)
   }
 
+  /** ⊕ Deterministic corpus shuffle + fixed-size shard assignment —
+    * the step between packing and writing training shards: examples
+    * must reach the trainer in a "random" order that is nonetheless
+    * REPRODUCIBLE (re-running data prep cannot silently reorder the
+    * training run), and each output shard must hold exactly
+    * `shardSize` examples so trainer workers stripe evenly. The
+    * shuffle key is `md5(id)` (the q81 hash-assignment
+    * reproducibility contract — no RNG state, no seed file; re-runs
+    * and both engines derive the identical permutation), totally
+    * ordered by the id tie-break; numbering rides
+    * [[Ids.stableRowNumber]]'s two-pass range-sort construction, so
+    * there is no single-task stage at any corpus size.
+    *
+    * Appends `shuffle_rank` (1-based position in the shuffled order)
+    * and `shard_id` (= `(rank−1) div shardSize` — every shard full at
+    * `shardSize` rows except the last). Write with
+    * `.write.partitionBy("shard_id")` or one file per shard via the
+    * [[graft.sinks]] layout helpers.
+    */
+  def shuffleShards(df: DataFrame, id: Column, shardSize: Long,
+                    numPartitions: Option[Int] = None): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val keyed = df.withColumn("__shuffle_key", md5(id.cast("string")))
+    Ids.stableRowNumber(keyed, Seq(col("__shuffle_key"), id),
+        outCol = "shuffle_rank", numPartitions = numPartitions)
+      .drop("__shuffle_key")
+      // integral `div` — exact at any rank, no double-division rounding
+      .withColumn("shard_id", expr(s"(shuffle_rank - 1) div ${shardSize}L"))
+  }
+
   /** Fragmentation histogram over a [[packSequences]] result: for each
     * span width (`n_seqs` — how many training sequences a document
     * touches), the document count and token mass. In concat-and-chunk

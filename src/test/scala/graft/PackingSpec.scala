@@ -86,6 +86,30 @@ class PackingSpec extends SparkSuite {
     assert(out.rdd.getNumPartitions == 4)
   }
 
+  test("shuffleShards: reproducible permutation, full shards, matches naive window") {
+    val t = docs.select(col("doc_id"))
+    val a = graft.ops.Packing.shuffleShards(t, col("doc_id"), 64L)
+      .select("doc_id", "shuffle_rank", "shard_id")
+    val b = graft.ops.Packing.shuffleShards(t.repartition(7), col("doc_id"), 64L)
+      .select("doc_id", "shuffle_rank", "shard_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "permutation must be reproducible across reruns and partitionings")
+    // naive single-task window, the oracle's form
+    val naive = t.withColumn("shuffle_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shuffle_rank"))
+    assert(a.select("doc_id", "shuffle_rank").except(naive).isEmpty &&
+      naive.except(a.select("doc_id", "shuffle_rank")).isEmpty)
+    // every shard full at 64 except the last; ranks contiguous
+    val sizes = a.groupBy("shard_id").count().orderBy("shard_id")
+      .as[(Long, Long)].collect()
+    assert(sizes.init.forall(_._2 == 64L) && sizes.last._2 <= 64L)
+    // and the permutation is actually a shuffle, not the identity
+    val inOrder = a.orderBy("shuffle_rank").select("doc_id").as[Long].collect()
+    assert(inOrder.toSeq != inOrder.sorted.toSeq, "hash order degenerated to id order")
+  }
+
   test("fragmentation histogram: hand case and doc-count conservation") {
     val out = Packing.fragmentation(
         Packing.packSequences(handToks, Seq(col("id")), "n_toks", 10L), "n_toks")
