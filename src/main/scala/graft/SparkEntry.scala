@@ -3410,6 +3410,20 @@ object SparkEntry {
       .orderBy(col("shard_id"))
   }
 
+  /** q169 — ⊕ connected components by large-star/small-star
+    * contraction ([[graft.ext.Dedup.dupClustersContracted]]): q48's
+    * pair graph through the O(log² n)-round contraction instead of
+    * O(diameter) min-label propagation — the duplicate-cluster
+    * formation that survives adversarially long near-dup chains
+    * (versioned/char-shifted spam). Identical components by
+    * construction, so the oracle is q48's, byte-shared.
+    */
+  private val q169CcContracted: Q = (s, dir) => {
+    val pairs = ext.Dedup.nearDupPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"))
+    ext.Dedup.dupClustersContracted(pairs)
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3597,6 +3611,7 @@ object SparkEntry {
     "q166_pipeline_r12"     -> q166PipelineR12,
     "q167_seq_packing"      -> q167SeqPacking,
     "q168_shard_manifest"   -> q168ShardManifest,
+    "q169_cc_contracted"    -> q169CcContracted,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4460,59 +4475,11 @@ object SparkEntry {
         |WHERE n_shared >= 10 ORDER BY id_a, id_b""".stripMargin,
     // q48 — q22's pair chain + undirected closure via WITH RECURSIVE;
     // cluster_id = min reachable id, exactly the fixpoint the Spark
-    // min-label propagation converges to.
-    "q48_dup_clusters" ->
-      raw"""WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM toks WHERE len(w) >= 3),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
-        |     list_min(list_transform(sh, s -> md5('1|' || s))),
-        |     list_min(list_transform(sh, s -> md5('2|' || s))),
-        |     list_min(list_transform(sh, s -> md5('3|' || s))),
-        |     list_min(list_transform(sh, s -> md5('4|' || s))),
-        |     list_min(list_transform(sh, s -> md5('5|' || s))),
-        |     list_min(list_transform(sh, s -> md5('6|' || s))),
-        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
-        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
-        |bsz AS (
-        |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bsz USING (band_idx, band_key)
-        |              JOIN bands bb USING (band_idx, band_key)
-        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
-        |      len(sa.sh) AS la, len(sb.sh) AS lb
-        |    FROM cand JOIN sh sa ON sa.doc_id = id_a
-        |              JOIN sh sb ON sb.doc_id = id_b)
-        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS v FROM edges),
-        |rec AS (
-        |  SELECT v, v AS m FROM nodes
-        |  UNION
-        |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
-        |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v),
-        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
-        |SELECT v AS doc_id, cluster_id, cluster_size
-        |FROM comp JOIN sizes USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin,
+    // min-label propagation converges to. q169 runs the large-star/
+    // small-star contraction over the SAME pair graph — identical
+    // components by construction, so it byte-shares this oracle.
+    "q48_dup_clusters" -> dupClustersOracleSql,
+    "q169_cc_contracted" -> dupClustersOracleSql,
     // q49 — exact anchor columns hard-compared; sketch columns bound-
     // checked in-query (see q34's pattern).
     "q49_quantile_sketch" ->
@@ -7410,6 +7377,63 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** q48's full chain (q22 pairs + WITH RECURSIVE min-id closure) —
+    * shared verbatim by q169 (contraction computes the identical
+    * components).
+    */
+  private def dupClustersOracleSql: String =
+    raw"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        |      len(sa.sh) AS la, len(sb.sh) AS lb
+        |    FROM cand JOIN sh sa ON sa.doc_id = id_a
+        |              JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |rec AS (
+        |  SELECT v, v AS m FROM nodes
+        |  UNION
+        |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT v AS doc_id, cluster_id, cluster_size
+        |FROM comp JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin
 
   private def pipelineR12OracleSql: String =
     "WITH " + urlCanonicalCtes + ",\n" +

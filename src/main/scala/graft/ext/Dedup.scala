@@ -422,6 +422,99 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** ⊕ [[dupClusters]]'s adversarial-diameter scale path: connected
+    * components by alternating large-star / small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the CC-MR family). Min-label propagation converges in
+    * O(component diameter) rounds, which is fine for the shallow
+    * components near-dup graphs produce but fails on long chains (a
+    * 10k-link near-dup chain — versioned documents, char-shifted
+    * spam — is 10k propagation rounds). Contraction halves distances
+    * each round instead: O(log² n) rounds on ANY graph shape.
+    *
+    * Per round, two pure edge-rewrite steps (no collect_list — a
+    * degree-d star is d ROWS, never one d-element array, so a
+    * mass-duplicate hub cannot OOM a task):
+    *
+    *  - large-star: symmetrize, per-node min m = min(Γ(u) ∪ {u}) (one
+    *    aggregation + an equi-join), connect every LARGER neighbor
+    *    v > u to m;
+    *  - small-star: orient each edge large→small, per-node min over
+    *    the smaller neighbors, connect them and u itself to the min.
+    *
+    * Both steps preserve connectivity exactly (paper, Thms 1-2) and
+    * strictly shrink the potential until the edge set is a star
+    * forest: every node points directly at its component's min id —
+    * the same `cluster_id = min member` contract as [[dupClusters]].
+    * Fixpoint detection compares consecutive canonical edge SETS
+    * (counts + one-sided `except` — exact, not a fingerprint); rounds
+    * run eagerly on `localCheckpoint`ed edge tables (the
+    * [[dupClusters]] lineage-truncation rationale).
+    *
+    * Output schema and values are identical to [[dupClusters]]
+    * (DedupSpec proves equality; the q169 oracle byte-shares q48's) —
+    * choose by graph shape: propagation does fewer, cheaper rounds on
+    * shallow graphs; contraction is the guarantee when diameter is
+    * unknown or adversarial.
+    */
+  def dupClustersContracted(pairs: DataFrame, idA: String = "id_a",
+                            idB: String = "id_b", maxIters: Int = 30): DataFrame = {
+    // canonical undirected form: (hi, lo), self-loops dropped
+    val canon0 = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+      .distinct()
+    val nodes = canon0.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
+      .distinct().localCheckpoint()
+    var edges = canon0.localCheckpoint()
+    var prevCount = edges.count()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star: key = each endpoint u over the symmetrized edges
+      val sym = edges.select(explode(array(
+          struct(col("hi").as("src"), col("lo").as("dst")),
+          struct(col("lo").as("src"), col("hi").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: key = the larger endpoint; all its neighbors here
+      // are smaller, m = min(neighbors ∪ {u}) = min(neighbors)
+      val smins = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val small = large.join(smins, Seq("hi"))
+        .select(col("lo").as("a"), col("m").as("b"))
+        .unionByName(smins.select(col("hi").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint()
+      val c = small.count()
+      // exact set equality: equal counts + empty one-sided difference
+      converged = c == prevCount && small.except(edges).isEmpty
+      prevCount = c
+      edges = small
+      iters += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[dupClustersContracted] round $iters edges=$c converged=$converged")
+    }
+    require(converged,
+      s"dupClustersContracted did not converge in $maxIters rounds — " +
+        "O(log^2 n) expected; raise maxIters")
+    // star forest: every non-root points at its component min
+    val labels = nodes.join(edges, nodes("doc_id") === edges("hi"), "left")
+      .select(col("doc_id"), coalesce(col("lo"), col("doc_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
     * id_a < id_b, deterministic order.

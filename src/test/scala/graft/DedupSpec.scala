@@ -122,6 +122,43 @@ class DedupSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dupClustersContracted ≡ dupClusters: hand case, and the fixture near-dup graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = ext.Dedup.dupClustersContracted(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val realPairs = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .localCheckpoint()
+    val prop = ext.Dedup.dupClusters(realPairs)
+    val contr = ext.Dedup.dupClustersContracted(realPairs)
+    assert(contr.except(prop).isEmpty && prop.except(contr).isEmpty,
+      "contraction and propagation disagree on the fixture graph")
+  }
+
+  test("dupClustersContracted handles an adversarially long chain in O(log^2) rounds") {
+    // a 300-link path: component diameter 300 — min-label propagation
+    // needs ~300 rounds (its maxIters guard fires), contraction a
+    // handful; this is exactly the failure mode the scale path exists
+    // for
+    val n = 300
+    val chain = (1 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      ext.Dedup.dupClusters(chain, maxIters = 5)
+    }
+    val got = ext.Dedup.dupClustersContracted(chain, maxIters = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == n && got.forall { case (_, c, s) => c == 1L && s == n.toLong })
+    // reversed/duplicated/self-loop edges change nothing
+    val messy = chain.unionByName(
+      Seq((5L, 4L), (7L, 7L), (2L, 1L)).toDF("id_a", "id_b"))
+    val got2 = ext.Dedup.dupClustersContracted(messy, maxIters = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(got2.toSet == got.toSet)
+  }
+
   test("containmentPairs finds quote-inclusion that Jaccard misses") {
     val small = "the quick brown fox jumps over the lazy dog tonight"
     val big = ("unrelated preamble text goes here first with many words " * 3) +
