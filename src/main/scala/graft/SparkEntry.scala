@@ -3424,6 +3424,36 @@ object SparkEntry {
     ext.Dedup.dupClustersContracted(pairs)
   }
 
+  /** q170 — ⊕ tokenizer-aware packing capstone: train the q155 BPE
+    * merges, ENCODE the corpus with them ([[graft.ext.Bpe.applyMerges]]
+    * — a pure projection, the fit-once/encode-everything shape), and
+    * pack the real BPE token counts into 512-token training sequences
+    * with [[graft.ops.Packing.packSequences]]. This is the actual
+    * unit a trainer bills by — whitespace counts (q167) misprice docs
+    * whose words fragment into many subwords. Oracle: the shared
+    * training chain + the per-doc encode replayed through the same
+    * b1..b8 replace rule + the q167 packing window.
+    */
+  private val q170BpePacking: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = ext.Bpe.learnMerges(
+        ext.Bpe.wordFreqs(docs, col("text")), nMerges = 8)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs.select(col("doc_id"),
+        explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val toks = words
+      .select(col("doc_id"),
+        size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
+          .cast("long").as("nt"))
+      .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_toks"))
+    ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
+      .select(col("doc_id"), col("n_toks"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3612,6 +3642,7 @@ object SparkEntry {
     "q167_seq_packing"      -> q167SeqPacking,
     "q168_shard_manifest"   -> q168ShardManifest,
     "q169_cc_contracted"    -> q169CcContracted,
+    "q170_bpe_packing"      -> q170BpePacking,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7376,6 +7407,8 @@ object SparkEntry {
         |  CAST(max(shuffle_rank) AS BIGINT) AS last_rank,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: shared BPE chain + per-doc encode + the q167 packing window.
+    "q170_bpe_packing" -> bpePackOracleSql(8, 512),
   )
 
   /** q48's full chain (q22 pairs + WITH RECURSIVE min-id closure) —
@@ -7722,9 +7755,25 @@ object SparkEntry {
 
   /** q155's generated oracle: stage i computes pair counts over the
     * stage-(i−1) vocabulary, picks the argmax merge, and applies it —
-    * exactly [[graft.ext.Bpe.learnMerges]]'s loop, unrolled.
+    * exactly [[graft.ext.Bpe.learnMerges]]'s loop, unrolled. The CTE
+    * chain (s0..sN vocabularies, b1..bN argmax merges) is shared with
+    * q170's encode-and-pack oracle via [[bpeChainCtes]].
     */
   private def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder(bpeChainCtes(nMerges))
+    sb.append("\nSELECT merge_rank, sym_left, sym_right, pair_count FROM (")
+    sb.append((1 to nMerges).map(i =>
+      s"\nSELECT $i AS merge_rank, l AS sym_left, r AS sym_right, c AS pair_count FROM b$i"
+    ).mkString("\nUNION ALL"))
+    sb.append("\n) u ORDER BY merge_rank")
+    sb.toString
+  }
+
+  /** The shared BPE training chain: `WITH s0 … bN, sN` — no final
+    * SELECT, so callers append their own readout (q155: the merge
+    * table; q170: per-doc encoding + packing).
+    */
+  private def bpeChainCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb.append(
       raw"""WITH s0 AS (
@@ -7750,11 +7799,46 @@ object SparkEntry {
         |                 '<' || b.l || b.r || '>') AS sym, s.freq
         |  FROM s${i - 1} s, b$i b)""".stripMargin)
     }
-    sb.append("\nSELECT merge_rank, sym_left, sym_right, pair_count FROM (")
-    sb.append((1 to nMerges).map(i =>
-      s"\nSELECT $i AS merge_rank, l AS sym_left, r AS sym_right, c AS pair_count FROM b$i"
-    ).mkString("\nUNION ALL"))
-    sb.append("\n) u ORDER BY merge_rank")
+    sb.toString
+  }
+
+  /** q170's oracle: the shared training chain, then each corpus word
+    * re-encoded through the b1..bN merges IN ORDER (per-doc word
+    * occurrences through the same replace rule the vocabulary stages
+    * use), per-doc BPE token counts, and the q167 packing window.
+    */
+  private def bpePackOracleSql(nMerges: Int, capacity: Int): String = {
+    val sb = new StringBuilder(bpeChainCtes(nMerges))
+    sb.append(
+      raw""",
+        |d0 AS (
+        |  SELECT doc_id, regexp_replace(word, '(.)', '<\1>', 'g') || '<_>' AS sym
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_full_match(word, '[a-z0-9]+'))""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(s""",
+        |d$i AS (
+        |  SELECT doc_id, replace(d.sym, '<' || b.l || '><' || b.r || '>',
+        |                 '<' || b.l || b.r || '>') AS sym
+        |  FROM d${i - 1} d, b$i b)""".stripMargin)
+    }
+    sb.append(s""",
+        |dt AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(len(string_split(substr(sym, 2, length(sym) - 2), '><'))) AS BIGINT) AS n_toks
+        |  FROM d$nMerges GROUP BY doc_id),
+        |dc AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM dt WHERE n_toks > 0)
+        |SELECT doc_id, n_toks, tok_start,
+        |  (tok_start // $capacity) AS seq_first,
+        |  ((tok_start + n_toks - 1) // $capacity) AS seq_last,
+        |  ((tok_start + n_toks - 1) // $capacity) - (tok_start // $capacity) + 1 AS n_seqs
+        |FROM dc ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
