@@ -3454,6 +3454,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q171 — ⊕ snapshot drift screen ([[graft.ops.Drift]]): PSI
+    * between the first and second half-month of events over
+    * (event_type × value-bucket) categories — the gate that catches a
+    * collapsed source or format change before it trains in. All
+    * readout arithmetic is exact integer units (micro-rates,
+    * nano-logs, 1e-15-unit contributions), so the hash compare is
+    * bit-strict.
+    */
+  private val q171DriftPsi: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val catg = concat(col("event_type"), lit("|"),
+      coalesce(floor(col("value") / 100.0).cast("string"), lit("null")))
+    val split = lit("2024-01-16").cast("timestamp")
+    ops.Drift.categoricalDrift(
+        ev.filter(col("ts") < split), ev.filter(col("ts") >= split), catg)
+      .orderBy(col("category"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3643,6 +3661,7 @@ object SparkEntry {
     "q168_shard_manifest"   -> q168ShardManifest,
     "q169_cc_contracted"    -> q169CcContracted,
     "q170_bpe_packing"      -> q170BpePacking,
+    "q171_drift_psi"        -> q171DriftPsi,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7409,6 +7428,36 @@ object SparkEntry {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q170: shared BPE chain + per-doc encode + the q167 packing window.
     "q170_bpe_packing" -> bpePackOracleSql(8, 512),
+    // q171: identical count → smoothed-rate → quantize → integer-
+    // product tree; the only doubles are one division and one ln per
+    // cell, quantized at birth (the q154 convention).
+    "q171_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type || '|' ||
+        |    COALESCE(CAST(CAST(floor(value / 100.0) AS BIGINT) AS VARCHAR), 'null')
+        |      AS category, ts
+        |  FROM events),
+        |ca AS (SELECT category, count(*) AS count_a FROM ev
+        |       WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |cb AS (SELECT category, count(*) AS count_b FROM ev
+        |       WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.category, cb.category) AS category,
+        |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        |n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+        |             CAST(SUM(count_b) AS BIGINT) AS nb,
+        |             count(*) AS k FROM j),
+        |u AS (
+        |  SELECT category, count_a, count_b,
+        |    CAST(floor(((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_a_units,
+        |    CAST(floor(((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_b_units,
+        |    CAST(floor(ln((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_a,
+        |    CAST(floor(ln((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_b
+        |  FROM j, n)
+        |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
+        |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
+        |FROM u ORDER BY category""".stripMargin,
   )
 
   /** q48's full chain (q22 pairs + WITH RECURSIVE min-id closure) —

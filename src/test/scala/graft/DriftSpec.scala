@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Drift
+
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def snap(rows: (String, Int)*) =
+    rows.toSeq.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("cat")
+
+  test("identical snapshots have exactly zero PSI everywhere") {
+    val a = snap("x" -> 40, "y" -> 30, "z" -> 5)
+    val d = Drift.categoricalDrift(a, a, col("cat"))
+    assert(d.filter(col("psi_units") =!= 0L).isEmpty)
+    assert(Drift.totalPsi(d).as[java.math.BigDecimal].head()
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+  }
+
+  test("a planted shift dominates; one-sided categories appear with count 0") {
+    val a = snap("stable" -> 100, "shrinks" -> 100, "gone" -> 20)
+    val b = snap("stable" -> 100, "shrinks" -> 10, "new" -> 50)
+    val d = Drift.categoricalDrift(a, b, col("cat"))
+      .orderBy(col("category"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byCat = d.map(r => r._1 -> r).toMap
+    assert(byCat.keySet == Set("stable", "shrinks", "gone", "new"))
+    assert(byCat("gone")._3 == 0L && byCat("new")._2 == 0L,
+      "one-sided categories must surface with a zero count")
+    // every contribution non-negative (monotone quantization preserves
+    // the sign agreement of (p-q) and ln(p/q))
+    assert(d.forall(_._6 >= 0L))
+    // the stable category contributes less than every shifted one
+    assert(Seq("shrinks", "gone", "new").forall(c => byCat(c)._6 > byCat("stable")._6))
+  }
+
+  test("deterministic across partitionings, and totalPsi sums the table") {
+    val a = snap("x" -> 37, "y" -> 11, "z" -> 3)
+    val b = snap("x" -> 5, "y" -> 40, "w" -> 9)
+    val base = Drift.categoricalDrift(a, b, col("cat"))
+    val rep = Drift.categoricalDrift(a.repartition(7), b.repartition(3), col("cat"))
+    assert(base.except(rep).isEmpty && rep.except(base).isEmpty)
+    val total = Drift.totalPsi(base).as[java.math.BigDecimal].head()
+    val manual = base.select(sum(col("psi_units"))).as[Long].head()
+    assert(total.longValueExact() == manual)
+  }
+
+  test("hand-checked two-category drift: integer-units pipeline") {
+    // a: 3×p 1×q  (n=4, K=2) → pa_p=(3+1)/6, pa_q=(1+1)/6
+    // b: 1×p 3×q            → pb_p=(1+1)/6, pb_q=(3+1)/6
+    val a = snap("p" -> 3, "q" -> 1)
+    val b = snap("p" -> 1, "q" -> 3)
+    val d = Drift.categoricalDrift(a, b, col("cat"))
+      .orderBy("category")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    def ru(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def lu(x: Double) = math.floor(math.log(x) * 1e9 + 0.5).toLong
+    val (p23, p13) = (4.0 / 6, 2.0 / 6)
+    assert(d == Seq(
+      ("p", 3L, 1L, ru(p23), ru(p13), (ru(p23) - ru(p13)) * (lu(p23) - lu(p13))),
+      ("q", 1L, 3L, ru(p13), ru(p23), (ru(p13) - ru(p23)) * (lu(p13) - lu(p23)))))
+  }
+}
