@@ -3472,6 +3472,38 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** q172 — ⊕ leakage-safe train/val/test split: assign whole
+    * NEAR-DUP CLUSTERS to splits, not documents — the q81 hash split
+    * keyed on the q48 cluster id (singletons key on their own doc_id)
+    * so a near-duplicate pair can never straddle train and test (the
+    * contamination mode a row-keyed split CREATES by construction:
+    * with 80/10/10 weights, a duplicated doc leaks into a different
+    * split with probability ≈ 0.34). Readout = per-split doc/cluster
+    * counts + id checksums, with the leakage invariant — clusters
+    * touching more than one split — computed IN the result (must be
+    * 0, and the oracle hash pins it).
+    */
+  private val q172LeakSafeSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = ext.Dedup.dupClusters(
+      ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text")))
+    val assigned = docs
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", ops.Sampling.assignSplit("cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val per = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_ids"))
+    val straddle = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("__ns"))
+      .filter(col("__ns") > 1)
+      .agg(count(lit(1)).as("straddling_clusters"))
+    per.crossJoin(broadcast(straddle)).orderBy(col("split"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3662,6 +3694,7 @@ object SparkEntry {
     "q169_cc_contracted"    -> q169CcContracted,
     "q170_bpe_packing"      -> q170BpePacking,
     "q171_drift_psi"        -> q171DriftPsi,
+    "q172_leak_safe_split"  -> q172LeakSafeSplit,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7458,13 +7491,62 @@ object SparkEntry {
         |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
         |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
         |FROM u ORDER BY category""".stripMargin,
+    // q172: the shared dup-cluster chain keys the q81 md5 digit-
+    // arithmetic bucket; singletons fall back to their own doc_id.
+    "q172_leak_safe_split" -> leakSafeSplitOracleSql,
   )
+
+  private def leakSafeSplitOracleSql: String =
+    s"""$dupClustersCtes,
+        |alld AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
+        |hh AS (
+        |  SELECT doc_id, cluster_id,
+        |    md5(CAST(cluster_id AS VARCHAR) || '|0') AS h
+        |  FROM alld),
+        |bk AS (
+        |  SELECT doc_id, cluster_id,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) AS bucket
+        |  FROM hh),
+        |sp AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN bucket < 838861 THEN 'train'
+        |         WHEN bucket < 943718 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM bk),
+        |per AS (
+        |  SELECT split, count(*) AS n_docs,
+        |    count(DISTINCT cluster_id) AS n_clusters,
+        |    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |  FROM sp GROUP BY split),
+        |str AS (
+        |  SELECT count(*) AS straddling_clusters FROM (
+        |    SELECT cluster_id FROM sp GROUP BY cluster_id
+        |    HAVING count(DISTINCT split) > 1) t)
+        |SELECT split, n_docs, n_clusters, sum_ids, straddling_clusters
+        |FROM per, str ORDER BY split""".stripMargin
 
   /** q48's full chain (q22 pairs + WITH RECURSIVE min-id closure) —
     * shared verbatim by q169 (contraction computes the identical
     * components).
     */
   private def dupClustersOracleSql: String =
+    s"""$dupClustersCtes,
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT v AS doc_id, cluster_id, cluster_size
+        |FROM comp JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin
+
+  /** q48's chain through `comp(v, cluster_id)` — the doc→component
+    * assignment, shared by q48/q169 (full readout) and q172 (the
+    * leakage-safe split keys on it).
+    */
+  private def dupClustersCtes: String =
     raw"""WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -7511,11 +7593,7 @@ object SparkEntry {
         |  SELECT v, v AS m FROM nodes
         |  UNION
         |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
-        |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v),
-        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
-        |SELECT v AS doc_id, cluster_id, cluster_size
-        |FROM comp JOIN sizes USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin
+        |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v)""".stripMargin
 
   private def pipelineR12OracleSql: String =
     "WITH " + urlCanonicalCtes + ",\n" +
