@@ -3504,6 +3504,22 @@ object SparkEntry {
     per.crossJoin(broadcast(straddle)).orderBy(col("split"))
   }
 
+  /** q173 — ⊕ numeric drift ([[graft.ops.Drift.numericDrift]]):
+    * events.value between the two half-months, binned on the FIRST
+    * half's exact deciles (percentile ≡ quantile_cont to the bit) —
+    * every bin holds ≈ 10% of baseline mass, nulls are bin −1 (a
+    * null-rate shift IS drift). Same integer-units PSI readout as
+    * q171.
+    */
+  private val q173NumericDrift: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val split = lit("2024-01-16").cast("timestamp")
+    ops.Drift.numericDrift(
+        ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+        col("value"), nBins = 10)
+      .orderBy(col("category"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3695,6 +3711,7 @@ object SparkEntry {
     "q170_bpe_packing"      -> q170BpePacking,
     "q171_drift_psi"        -> q171DriftPsi,
     "q172_leak_safe_split"  -> q172LeakSafeSplit,
+    "q173_numeric_drift"    -> q173NumericDrift,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7494,6 +7511,40 @@ object SparkEntry {
     // q172: the shared dup-cluster chain keys the q81 md5 digit-
     // arithmetic bucket; singletons fall back to their own doc_id.
     "q172_leak_safe_split" -> leakSafeSplitOracleSql,
+    // q173: decile edges from quantile_cont (≡ Spark percentile to
+    // the bit), tie-up bin rule as a comparison count, then the q171
+    // integer-units PSI tree over bins.
+    "q173_numeric_drift" ->
+      """WITH ea AS (
+        |  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS es
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |ba AS (
+        |  SELECT CASE WHEN value IS NULL THEN -1
+        |    ELSE len(list_filter(ea.es, e -> value >= e)) END AS category
+        |  FROM events, ea WHERE ts < TIMESTAMP '2024-01-16'),
+        |bb AS (
+        |  SELECT CASE WHEN value IS NULL THEN -1
+        |    ELSE len(list_filter(ea.es, e -> value >= e)) END AS category
+        |  FROM events, ea WHERE ts >= TIMESTAMP '2024-01-16'),
+        |ca AS (SELECT category, count(*) AS count_a FROM ba GROUP BY 1),
+        |cb AS (SELECT category, count(*) AS count_b FROM bb GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.category, cb.category) AS category,
+        |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        |n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+        |             CAST(SUM(count_b) AS BIGINT) AS nb,
+        |             count(*) AS k FROM j),
+        |u AS (
+        |  SELECT category, count_a, count_b,
+        |    CAST(floor(((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_a_units,
+        |    CAST(floor(((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_b_units,
+        |    CAST(floor(ln((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_a,
+        |    CAST(floor(ln((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_b
+        |  FROM j, n)
+        |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
+        |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
+        |FROM u ORDER BY category""".stripMargin,
   )
 
   private def leakSafeSplitOracleSql: String =

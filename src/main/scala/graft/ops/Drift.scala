@@ -76,4 +76,35 @@ object Drift {
   def totalPsi(drift: DataFrame): DataFrame =
     drift.agg(coalesce(sum(col("psi_units").cast("decimal(38,0)")),
       lit(0).cast("decimal(38,0)")).as("psi_total_units"))
+
+  /** ⊕ Numeric drift: [[categoricalDrift]] over quantile bins —
+    * bin edges are snapshot A's exact interpolated `(1..n−1)/n`
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont` to the
+    * bit — the q124/q140 evidence), so every bin holds ≈ 1/n of the
+    * BASELINE mass and the PSI reads directly as "how far has B moved
+    * off A's shape". Equal-width bins are the naive alternative and
+    * collapse under skew (one bin takes everything — the q138
+    * rank-bucketing rationale).
+    *
+    * The edge vector is the only driver state (n−1 doubles — the
+    * centroid-collect bound); bin assignment is a row-local
+    * codegen'd comparison sum, `bin = Σ_e [x ≥ e]` (ties go UP — an
+    * interpolated edge that lands exactly on a data value is common,
+    * and both engines hold the same edge bits so the tie rule
+    * agrees). Nulls are bin −1, a REAL category: a null-rate shift is
+    * drift and must show in the report, not vanish.
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, x: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"numericDrift needs >= 2 bins, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val edgeRow = a.select(x.as("__x"))
+      .agg(percentile(col("__x"), typedLit(probs)).as("es")).first()
+    require(!edgeRow.isNullAt(0),
+      "numericDrift: snapshot A has no non-null values to derive bin edges from")
+    val edges = edgeRow.getSeq[Double](0)
+    def binOf(c: Column): Column = when(c.isNull, lit(-1L)).otherwise(
+      edges.map(e => when(c >= lit(e), 1L).otherwise(0L)).reduce(_ + _))
+    categoricalDrift(a.select(binOf(x).as("bin")), b.select(binOf(x).as("bin")),
+      col("bin"))
+  }
 }

@@ -46,6 +46,28 @@ class DriftSpec extends SparkSuite {
     assert(total.longValueExact() == manual)
   }
 
+  test("numericDrift: identical snapshots zero out; shift and null-rate changes surface") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val same = Drift.numericDrift(a, a, col("x"), nBins = 10)
+    assert(same.filter(col("psi_units") =!= 0L).isEmpty)
+    // bins from A's deciles: each holds ~10% of A by construction
+    val counts = same.select("category", "count_a")
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet == (0L to 9L).toSet)
+    assert(counts.values.forall(c => c >= 9L && c <= 11L), s"unbalanced: $counts")
+    // a location shift concentrates B's mass in the top bin
+    val b = (1 to 100).map(_ + 200.0).toDF("x")
+    val drift = Drift.numericDrift(a, b, col("x"), nBins = 10)
+      .select("category", "count_b").as[(Long, Long)].collect().toMap
+    assert(drift(9L) == 100L, s"shifted mass must land in the top bin: $drift")
+    // nulls are bin -1, a real category
+    val withNulls = (1 to 50).map(i => Some(i.toDouble)).toDF("x")
+      .unionByName(Seq.fill(50)(Option.empty[Double]).toDF("x"))
+    val nd = Drift.numericDrift(a, withNulls, col("x"), nBins = 10)
+      .select("category", "count_b").as[(Long, Long)].collect().toMap
+    assert(nd(-1L) == 50L, s"null bin missing: $nd")
+  }
+
   test("hand-checked two-category drift: integer-units pipeline") {
     // a: 3×p 1×q  (n=4, K=2) → pa_p=(3+1)/6, pa_q=(1+1)/6
     // b: 1×p 3×q            → pb_p=(1+1)/6, pb_q=(3+1)/6
