@@ -515,6 +515,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Banding geometry for a target Jaccard threshold: the `(b, r)`
+    * S-curve inflection sits at `(1/b)^(1/r)` (Mining of Massive
+    * Datasets §3.4.3), so for a signature of `numHashes` minhashes
+    * pick the divisor `r` whose inflection lands closest to the
+    * threshold — the SEMANTIC-knob derivation companion to the
+    * corpus-size knobs (`bitsForCorpus` et al.): bits/k come from one
+    * `count()`, band geometry comes from the threshold the USER chose.
+    * Ties prefer the smaller `r` (more bands → higher recall at equal
+    * inflection distance). Returns `rowsPerBand` for [[nearDupPairs]].
+    */
+  def rowsPerBandForThreshold(threshold: Double, numHashes: Int = 8): Int = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { r =>
+      val b = numHashes / r
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), r)
+    }
+  }
+
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
     * id_a < id_b, deterministic order.
@@ -522,7 +543,14 @@ object Dedup {
     * @param df       input with an id column and a text column
     * @param numHashes   MinHash signature length (default 8)
     * @param rowsPerBand minhashes per LSH band (default 2 → 4 bands;
-    *                    collision prob at jaccard s is 1-(1-s^2)^4)
+    *                    collision prob at jaccard s is 1-(1-s^2)^4.
+    *                    The default is RECALL-leaning: inflection 0.5
+    *                    sits well under the 0.8 verify threshold, so
+    *                    nearly every true pair becomes a candidate at
+    *                    the cost of more candidates to verify;
+    *                    [[rowsPerBandForThreshold]] derives the
+    *                    cost-balanced geometry instead — r=4 at 0.8 —
+    *                    when candidate volume, not recall, binds)
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,

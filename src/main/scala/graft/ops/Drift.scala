@@ -47,12 +47,23 @@ object Drift {
     * the full-outer join semantics of their side only if present —
     * pass `coalesce(cat, lit("__null"))` to pool them explicitly.
     */
-  def categoricalDrift(a: DataFrame, b: DataFrame, cat: Column): DataFrame = {
-    val ca = a.select(cat.as("category")).groupBy(col("category"))
-      .agg(count(lit(1)).as("count_a"))
-    val cb = b.select(cat.as("category")).groupBy(col("category"))
-      .agg(count(lit(1)).as("count_b"))
-    val joined = ca.join(cb, Seq("category"), "full_outer")
+  def categoricalDrift(a: DataFrame, b: DataFrame, cat: Column): DataFrame =
+    driftFromCounts(
+      a.select(cat.as("category")).groupBy(col("category"))
+        .agg(count(lit(1)).as("count_a")),
+      b.select(cat.as("category")).groupBy(col("category"))
+        .agg(count(lit(1)).as("count_b")))
+
+  /** The PSI core over PRE-AGGREGATED counts — `(category, count_a)`
+    * vs `(category, count_b)`. This is the streaming-composable form:
+    * maintain the B side as a streaming `groupBy(category).count()`
+    * (counts are the mergeable sufficient statistic — the count-min
+    * / A6 stance) and read PSI against a static baseline per trigger;
+    * StreamingSpec proves stream-maintained counts ≡ the batch drift
+    * of the same rows.
+    */
+  def driftFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val joined = countsA.join(countsB, Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("count_a"), lit(0L)).as("count_a"),
         coalesce(col("count_b"), lit(0L)).as("count_b"))

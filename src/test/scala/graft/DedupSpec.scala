@@ -159,6 +159,18 @@ class DedupSpec extends SparkSuite {
     assert(got2.toSet == got.toSet)
   }
 
+  test("rowsPerBandForThreshold: S-curve inflection picks the hand-computed geometry") {
+    // n=8, inflections: r=1→0.125, r=2→0.5, r=4→0.841, r=8→1.0
+    assert(ext.Dedup.rowsPerBandForThreshold(0.8, 8) == 4)
+    assert(ext.Dedup.rowsPerBandForThreshold(0.5, 8) == 2)
+    assert(ext.Dedup.rowsPerBandForThreshold(0.15, 8) == 1)
+    assert(ext.Dedup.rowsPerBandForThreshold(0.95, 8) == 8)
+    // ties prefer more bands (smaller r = higher recall)
+    assert(ext.Dedup.rowsPerBandForThreshold(0.3125, 8) == 1)
+    // non-power-of-two signatures use real divisors
+    assert(ext.Dedup.rowsPerBandForThreshold(0.6, 12) == 3) // (1/4)^(1/3)=0.63
+  }
+
   test("containmentPairs finds quote-inclusion that Jaccard misses") {
     val small = "the quick brown fox jumps over the lazy dog tonight"
     val big = ("unrelated preamble text goes here first with many words " * 3) +

@@ -68,6 +68,31 @@ class DriftSpec extends SparkSuite {
     assert(nd(-1L) == 50L, s"null bin missing: $nd")
   }
 
+  test("streaming-maintained counts feed driftFromCounts ≡ batch drift of the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = mem.toDF().toDF("cat")
+      .groupBy(col("cat").as("category")).agg(count(lit(1)).as("count_b"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("drift_counts").start()
+    val batch1 = Seq("x", "x", "y")
+    val batch2 = Seq("y", "z", "x", "x")
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val baseline = snap("x" -> 10, "y" -> 10, "z" -> 10)
+      .select(col("cat").as("category")).groupBy(col("category"))
+      .agg(count(lit(1)).as("count_a"))
+    val streamed = Drift.driftFromCounts(baseline, spark.table("drift_counts"))
+    val batch = Drift.categoricalDrift(
+      snap("x" -> 10, "y" -> 10, "z" -> 10),
+      (batch1 ++ batch2).toDF("cat"), col("cat"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "stream-maintained drift table drifted from the batch computation")
+  }
+
   test("hand-checked two-category drift: integer-units pipeline") {
     // a: 3×p 1×q  (n=4, K=2) → pa_p=(3+1)/6, pa_q=(1+1)/6
     // b: 1×p 3×q            → pb_p=(1+1)/6, pb_q=(3+1)/6
