@@ -102,7 +102,11 @@ class PlansSpec extends SparkSuite {
       // source-counts × single-row weight total — the q93 single-row
       // broadcast normalizer (ops/Sampling.temperatureMixture; q166
       // embeds the same chain as its final stage)
-      "q163_temperature_mix", "q166_pipeline_r12")
+      "q163_temperature_mix", "q166_pipeline_r12",
+      // category-table × single-row totals normalizer (ops/Drift —
+      // the q93 stance), and q172's per-split table × single-row
+      // straddle invariant
+      "q171_drift_psi", "q172_leak_safe_split", "q173_numeric_drift")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
