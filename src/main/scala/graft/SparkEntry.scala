@@ -3534,6 +3534,19 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q175 — ⊕ per-document character entropy
+    * ([[graft.ext.TextAnalysis.charEntropy]]): the self-entropy
+    * gibberish screen — repetition collapses toward 0, random blobs
+    * toward log(alphabet), language sits in the middle band; exact
+    * integer nano-nats per the q154/q171 quantize-at-birth
+    * convention, so the hash compare is strict.
+    */
+  private val q175CharEntropy: Q = (s, dir) => {
+    ext.TextAnalysis.charEntropy(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+      .orderBy(col("id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3727,6 +3740,7 @@ object SparkEntry {
     "q172_leak_safe_split"  -> q172LeakSafeSplit,
     "q173_numeric_drift"    -> q173NumericDrift,
     "q174_margin_mining"    -> q174MarginMining,
+    "q175_char_entropy"     -> q175CharEntropy,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7588,6 +7602,26 @@ object SparkEntry {
           |FROM m a JOIN m b ON a.src = b.nbr AND a.nbr = b.src
           |WHERE a.src < a.nbr
           |ORDER BY id_a, id_b""".stripMargin),
+    // q175: identical char explode → count → p·ln p quantized at
+    // birth → exact integer sum (the q154/q171 tree, char-level).
+    "q175_char_entropy" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id,
+        |    replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', '') AS s
+        |  FROM documents),
+        |f AS (SELECT doc_id, s FROM s WHERE length(s) > 0),
+        |ch AS (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS i FROM f),
+        |cx AS (SELECT doc_id, substr(s, CAST(i AS INT), 1) AS c FROM ch),
+        |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM cx GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t,
+        |              count(*) AS n_distinct FROM cc GROUP BY 1),
+        |u AS (
+        |  SELECT cc.doc_id, tt.t, tt.n_distinct,
+        |    CAST(floor((n / CAST(t AS DOUBLE)) * ln(n / CAST(t AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS term
+        |  FROM cc JOIN tt ON tt.doc_id = cc.doc_id)
+        |SELECT doc_id AS id, max(t) AS n_chars, max(n_distinct) AS n_distinct,
+        |  CAST(-SUM(term) AS BIGINT) AS entropy_nano
+        |FROM u GROUP BY doc_id ORDER BY id""".stripMargin,
   )
 
   private def leakSafeSplitOracleSql: String =

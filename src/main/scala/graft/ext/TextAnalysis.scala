@@ -70,6 +70,46 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
 
+  /** ⊕ Per-document character-distribution entropy — the
+    * gibberish/repetition screen ORTHOGONAL to the corpus-model
+    * signals ([[charBigramLm]] scores against the CORPUS's
+    * distribution; this is the document's entropy against ITSELF):
+    * `aaaaaaa…` and base64 blobs sit at the two extremes no
+    * corpus-relative score separates — near-zero self-entropy for
+    * the repetition, near-log(alphabet) for the blob — while natural
+    * language sits in the middle band (≈ 2.5-3.2 nats for English
+    * letters).
+    *
+    * H = −Σ_c p_c ln p_c over the case-folded, space-stripped
+    * characters, published in exact integer NANO-nats: each term is
+    * one double division + one ln quantized at birth
+    * (`floor(p·ln p·1e9 + 0.5)` — the q154/q171 convention), so the
+    * per-doc sum is an exact order-free integer sum. Cost is one
+    * char-level explode — proportional to corpus BYTES, the lower
+    * bound for an exact per-char statistic — and two hash
+    * aggregations on (doc, char) / (doc).
+    *
+    * Returns `(id, n_chars, n_distinct, entropy_nano)`; empty-
+    * after-cleaning documents are dropped (F4 stance).
+    */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val s = regexp_replace(Text.cleanText(lower(text)), " ", "")
+    val chars = df.select(id.as("id"), s.as("__s"))
+      .filter(length(col("__s")) > 0)
+      .select(col("id"), explode(sequence(lit(1), length(col("__s")))).as("__i"),
+        col("__s"))
+      .select(col("id"), col("__s").substr(col("__i"), lit(1)).as("c"))
+    val counts = chars.groupBy(col("id"), col("c")).agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(col("id"))
+      .agg(sum(col("__n")).as("__t"), count(lit(1)).as("n_distinct"))
+    val p = col("__n").cast("double") / col("__t")
+    counts.join(totals, Seq("id"))
+      .groupBy(col("id"))
+      .agg(first(col("__t")).as("n_chars"),
+        first(col("n_distinct")).as("n_distinct"),
+        (-sum(floor(p * log(p) * 1e9 + 0.5).cast("long"))).as("entropy_nano"))
+  }
+
   /** ⊕ Repeated n-gram ratio — the classic boilerplate/repetition
     * signal (Gopher-style "fraction of duplicate n-grams" quality
     * gate): `1 − distinct_ngrams / total_ngrams`, 0.0 for documents

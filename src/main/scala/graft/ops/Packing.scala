@@ -58,11 +58,20 @@ object Packing {
     *        session's shuffle partitions (set
     *        [[graft.ops.Skew.partitionsForCorpus]] at real scale)
     */
+  /** @param startOffset global token offset to resume from — the
+    *   INCREMENTAL form: yesterday's corpus packed to a stream end of
+    *   `E` tokens, today's increment packs with `startOffset = E` and
+    *   the combined layout is identical to a from-scratch repack of
+    *   the concatenated corpus (append-only order — spec-proved), so
+    *   a daily 100 TB increment never re-reads the historical stream.
+    */
   def packSequences(df: DataFrame, orderCols: Seq[Column], toksCol: String,
                     capacity: Long,
-                    numPartitions: Option[Int] = None): DataFrame = {
+                    numPartitions: Option[Int] = None,
+                    startOffset: Long = 0L): DataFrame = {
     require(orderCols.nonEmpty, "packSequences needs at least one order column")
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(startOffset >= 0, s"startOffset must be non-negative, got $startOffset")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
@@ -86,7 +95,7 @@ object Packing {
       it.foreach(r => s += toks(r))
       Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val offsets = partSums.scanLeft(startOffset)(_ + _)
     val schema = sorted.schema
       .add("tok_start", LongType, nullable = false)
       .add("seq_first", LongType, nullable = false)

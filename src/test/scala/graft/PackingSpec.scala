@@ -86,6 +86,23 @@ class PackingSpec extends SparkSuite {
     assert(out.rdd.getNumPartitions == 4)
   }
 
+  test("incremental packing: pack(history) + pack(increment, startOffset=end) ≡ full repack") {
+    val t = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val history = t.filter(col("doc_id") < 250)
+    val increment = t.filter(col("doc_id") >= 250)
+    val full = Packing.packSequences(t, Seq(col("doc_id")), "n_toks", 256L)
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "n_seqs")
+    val packedHist = Packing.packSequences(history, Seq(col("doc_id")), "n_toks", 256L)
+    val end = packedHist.agg(max(col("tok_start") + col("n_toks"))).as[Long].head()
+    val packedInc = Packing.packSequences(increment, Seq(col("doc_id")), "n_toks", 256L,
+      startOffset = end)
+    val combined = packedHist.unionByName(packedInc)
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "n_seqs")
+    assert(combined.except(full).isEmpty && full.except(combined).isEmpty,
+      "incremental packing diverged from a full repack")
+  }
+
   test("shuffleShards: reproducible permutation, full shards, matches naive window") {
     val t = docs.select(col("doc_id"))
     val a = graft.ops.Packing.shuffleShards(t, col("doc_id"), 64L)

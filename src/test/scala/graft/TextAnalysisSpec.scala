@@ -4,6 +4,35 @@ import org.apache.spark.sql.functions._
 import graft.ext.TextAnalysis
 
 class TextAnalysisSpec extends SparkSuite {
+
+  test("charEntropy: repetition → 0, uniform alphabet → ln k, language in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa"),            // one symbol → H = 0
+      (2L, "abcd abcd abcd abcd"),       // uniform over 4 → H = ln 4
+      (3L, "the quick brown fox jumps"), // natural text
+      (4L, "   ")                        // empty after cleaning → dropped
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), "empty doc must be dropped")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == (1L, 12L, 1L, 0L))
+    // uniform over 4 symbols: H = ln 4 ≈ 1.386294361 nats; each of the
+    // 4 terms is floor(0.25·ln 0.25·1e9 + 0.5)
+    val term = math.floor(0.25 * math.log(0.25) * 1e9 + 0.5).toLong
+    assert(byId(2L) == (2L, 16L, 4L, -4L * term))
+    // natural text sits strictly between the extremes
+    assert(byId(3L)._4 > 0L && byId(3L)._4 < math.round(math.log(26.0) * 1e9))
+  }
+
+  test("charEntropy is invariant to partitioning") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.ext.TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+    val b = graft.ext.TextAnalysis.charEntropy(docs.repartition(7), col("doc_id"), col("text"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
   import spark.implicits._
 
   test("tokenCount and unitCount") {
