@@ -3547,6 +3547,60 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q176 — ⊕ the AUTO form of q174
+    * ([[graft.ext.Similarity.marginMutualKnnAuto]]): derived bits +
+    * sized exchange floor to the pinned configuration at fixture
+    * scale, so the oracle is q174's, byte-shared (the q149
+    * convention); the decade-2 ScaleBench slope is the scale
+    * evidence.
+    */
+  private val q176MarginMiningAuto: Q = (s, dir) => {
+    ext.Similarity.marginMutualKnnAuto(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.3, k = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q177 — ⊕ round-12 session-3 capstone: corpus → train-ready
+    * packed stream, end to end. (1) character-entropy gate
+    * ([[graft.ext.TextAnalysis.charEntropy]], keep the 2.8-3.2-nat
+    * language band — drops repetition and blobs); (2) LEAKAGE-SAFE
+    * train split on the survivors (near-dup clusters assigned whole,
+    * q172's rule); (3) BPE tokenize with corpus-trained merges and
+    * pack real token counts into 512-token sequences (q170's chain,
+    * applied to the train split). Every stage reuses the exact shared
+    * oracle chains, so the capstone hash pins the whole pipeline.
+    */
+  private val q177TrainReady: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ent = ext.TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+    val kept = docs.join(
+      ent.filter(col("entropy_nano").between(2800000000L, 3200000000L))
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+    val clusters = ext.Dedup.dupClusters(
+      ext.Dedup.nearDupPairs(kept, col("doc_id"), col("text")))
+    val train = kept
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", ops.Sampling.assignSplit("cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .filter(col("split") === "train")
+    val merges = ext.Bpe.learnMerges(
+        ext.Bpe.wordFreqs(docs, col("text")), nMerges = 8)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = train.select(col("doc_id"),
+        explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(col("doc_id"),
+        size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
+          .cast("long").as("nt"))
+      .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_toks"))
+    ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
+      .select(col("doc_id"), col("n_toks"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3741,6 +3795,8 @@ object SparkEntry {
     "q173_numeric_drift"    -> q173NumericDrift,
     "q174_margin_mining"    -> q174MarginMining,
     "q175_char_entropy"     -> q175CharEntropy,
+    "q176_margin_mining_auto" -> q176MarginMiningAuto,
+    "q177_train_ready"      -> q177TrainReady,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4035,7 +4091,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlTail ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -7576,7 +7632,13 @@ object SparkEntry {
         |FROM u ORDER BY category""".stripMargin,
     // q174: q86's shared chain + sym/top-k, then the integer-units
     // margin (HALF_UP 2a+b trick) and the mutual self-join.
-    "q174_margin_mining" ->
+    "q174_margin_mining" -> oracleForQ174,
+  )
+
+  /** q174's oracle (also q176's — the auto form floors to the same
+    * pinned configuration at fixture scale).
+    */
+  private def oracleForQ174: String =
       (annLshPairsCte + ",\n" +
         """sym AS (
           |  SELECT id_a AS src, id_b AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3
@@ -7601,7 +7663,16 @@ object SparkEntry {
           |  a.margin_e4 AS margin_ab_e4, b.margin_e4 AS margin_ba_e4
           |FROM m a JOIN m b ON a.src = b.nbr AND a.nbr = b.src
           |WHERE a.src < a.nbr
-          |ORDER BY id_a, id_b""".stripMargin),
+          |ORDER BY id_a, id_b""".stripMargin)
+
+  private val oracleSqlTail: Map[String, String] = Map(
+    // q176: the auto form — derived params floor to the pinned
+    // configuration at fixture scale, so the oracle is q174's.
+    "q176_margin_mining_auto" -> oracleForQ174,
+    // q177: entropy gate + dup-cluster chain over the gated subset +
+    // q81 bucket on cluster ids + BPE train/encode + packing — every
+    // stage a shared chain, concatenated pre-stripped.
+    "q177_train_ready" -> trainReadyOracleSql,
     // q175: identical char explode → count → p·ln p quantized at
     // birth → exact integer sum (the q154/q171 tree, char-level).
     "q175_char_entropy" ->
@@ -7674,11 +7745,16 @@ object SparkEntry {
     * assignment, shared by q48/q169 (full readout) and q172 (the
     * leakage-safe split keys on it).
     */
-  private def dupClustersCtes: String =
+  private def dupClustersCtes: String = dupClustersCtes("documents")
+
+  /** The dup-cluster chain over an arbitrary (doc_id, text) source
+    * CTE/table — q177 runs it on the entropy-gated subset.
+    */
+  private def dupClustersCtes(src: String): String =
     raw"""WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
+        |  FROM SRC_TABLE),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -7722,6 +7798,7 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst AS v, r.m FROM rec r JOIN edges e ON e.src = r.v),
         |comp AS (SELECT v, min(m) AS cluster_id FROM rec GROUP BY v)""".stripMargin
+      .replace("SRC_TABLE", src)
 
   private def pipelineR12OracleSql: String =
     "WITH " + urlCanonicalCtes + ",\n" +
@@ -8062,16 +8139,22 @@ object SparkEntry {
     * occurrences through the same replace rule the vocabulary stages
     * use), per-doc BPE token counts, and the q167 packing window.
     */
-  private def bpePackOracleSql(nMerges: Int, capacity: Int): String = {
-    val sb = new StringBuilder(bpeChainCtes(nMerges))
+  /** The per-doc encode chain d0..dN over an arbitrary (doc_id, text)
+    * source — the b1..bN merges must already be in scope
+    * ([[bpeChainCtes]]); q170 runs it on `documents`, q177 on the
+    * gated train split.
+    */
+  private def bpeEncodeCtes(nMerges: Int, src: String): String = {
+    val sb = new StringBuilder
     sb.append(
       raw""",
         |d0 AS (
         |  SELECT doc_id, regexp_replace(word, '(.)', '<\1>', 'g') || '<_>' AS sym
         |  FROM (
         |    SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
-        |    FROM documents) t
-        |  WHERE regexp_full_match(word, '[a-z0-9]+'))""".stripMargin)
+        |    FROM SRC_TABLE) t
+        |  WHERE regexp_full_match(word, '[a-z0-9]+'))""".stripMargin
+      .replace("SRC_TABLE", src))
     for (i <- 1 to nMerges) {
       sb.append(s""",
         |d$i AS (
@@ -8079,7 +8162,18 @@ object SparkEntry {
         |                 '<' || b.l || b.r || '>') AS sym
         |  FROM d${i - 1} d, b$i b)""".stripMargin)
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private def bpePackOracleSql(nMerges: Int, capacity: Int): String =
+    bpeChainCtes(nMerges) + bpeEncodeCtes(nMerges, "documents") +
+      packReadoutSql(nMerges, capacity)
+
+  /** Token-count + prefix-sum packing readout over the encoded d-chain
+    * — shared by q170 and q177.
+    */
+  private def packReadoutSql(nMerges: Int, capacity: Int): String =
+    s""",
         |dt AS (
         |  SELECT doc_id,
         |    CAST(SUM(len(string_split(substr(sym, 2, length(sym) - 2), '><'))) AS BIGINT) AS n_toks
@@ -8093,8 +8187,54 @@ object SparkEntry {
         |  (tok_start // $capacity) AS seq_first,
         |  ((tok_start + n_toks - 1) // $capacity) AS seq_last,
         |  ((tok_start + n_toks - 1) // $capacity) - (tok_start // $capacity) + 1 AS n_seqs
-        |FROM dc ORDER BY doc_id""".stripMargin)
-    sb.toString
+        |FROM dc ORDER BY doc_id""".stripMargin
+
+  /** q177's oracle: every stage is a SHARED chain — the q175 entropy
+    * tree (e-prefixed), the q48 dup-cluster chain over the gated
+    * subset, the q81 md5 bucket on cluster ids (train side), the q155
+    * training chain, the q170 encode chain over the train docs, and
+    * the q167 packing window.
+    */
+  private def trainReadyOracleSql: String = {
+    val entropy =
+      raw"""es AS (
+        |  SELECT doc_id,
+        |    replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', '') AS s
+        |  FROM documents),
+        |ef AS (SELECT doc_id, s FROM es WHERE length(s) > 0),
+        |ech AS (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS i FROM ef),
+        |ecx AS (SELECT doc_id, substr(s, CAST(i AS INT), 1) AS c FROM ech),
+        |ecc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ecx GROUP BY 1, 2),
+        |ett AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t FROM ecc GROUP BY 1),
+        |ent AS (
+        |  SELECT ecc.doc_id,
+        |    CAST(-SUM(CAST(floor((n / CAST(t AS DOUBLE)) * ln(n / CAST(t AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_nano
+        |  FROM ecc JOIN ett ON ett.doc_id = ecc.doc_id GROUP BY 1),
+        |kept AS (SELECT doc_id FROM ent WHERE e_nano BETWEEN 2800000000 AND 3200000000),
+        |kdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id))""".stripMargin
+    val split =
+      """alld AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM kdocs d LEFT JOIN comp c ON c.v = d.doc_id),
+        |hsp AS (
+        |  SELECT doc_id, md5(CAST(cluster_id AS VARCHAR) || '|0') AS h FROM alld),
+        |bsp AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) AS bucket
+        |  FROM hsp),
+        |tdocs AS (
+        |  SELECT k.doc_id, k.text FROM kdocs k JOIN bsp USING (doc_id)
+        |  WHERE bucket < 838861)""".stripMargin
+    "WITH RECURSIVE " + entropy + ",\n" +
+      dupClustersCtes("kdocs").stripPrefix("WITH RECURSIVE ") + ",\n" +
+      split + ",\n" +
+      bpeChainCtes(8).stripPrefix("WITH ") +
+      bpeEncodeCtes(8, "tdocs") +
+      packReadoutSql(8, 512)
   }
 
   private def semDedupPqOracleSql: String =

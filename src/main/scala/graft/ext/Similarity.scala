@@ -925,9 +925,10 @@ object Similarity {
                       threshold: Double = 0.3, k: Int = 3,
                       numTables: Int = 16, bitsPerTable: Int = 6,
                       roundTo: Int = 4,
-                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                      maxBucket: Int = Dedup.DefaultMaxBucket,
+                      numPartitions: Option[Int] = None): DataFrame = {
     val pairs = annLshPairs(df, id, vec, threshold, numTables, bitsPerTable,
-      roundTo, maxBucket)
+      roundTo, maxBucket, numPartitions)
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim")),
         struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))).as("e"))
@@ -949,6 +950,27 @@ object Similarity {
         col("a.cos_sim").as("cos_sim"),
         col("a.margin_e4").as("margin_ab_e4"),
         col("b.margin_e4").as("margin_ba_e4"))
+  }
+
+  /** ⊕ THE corpus-scale entry point for margin mining — the
+    * [[annLshPairsAuto]] treatment applied to [[marginMutualKnn]]'s
+    * candidate stage (its measured decade-1 slope, 3.4×, is entirely
+    * the fixed-6-bit pair-growth term): ONE `count()` derives the
+    * bucket width ([[bitsForCorpus]]) and the dominant exchange's
+    * partition count ([[graft.ops.Skew.partitionsForCorpus]]). Both
+    * floor to the pinned values at fixture scale, so q176 shares
+    * q174's oracle bit-for-bit — the q112/q149 convention.
+    */
+  def marginMutualKnnAuto(df: DataFrame, id: Column, vec: Column,
+                          threshold: Double = 0.3, k: Int = 3,
+                          targetBucket: Int = 200, numTables: Int = 16,
+                          roundTo: Int = 4,
+                          maxBucket: Int = Dedup.DefaultMaxBucket,
+                          rowsPerPartition: Long = 1L << 18): DataFrame = {
+    val n = df.count()
+    marginMutualKnn(df, id, vec, threshold, k, numTables,
+      bitsForCorpus(n, targetBucket), roundTo, maxBucket,
+      Some(graft.ops.Skew.partitionsForCorpus(n * numTables, rowsPerPartition)))
   }
 
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding

@@ -47,6 +47,15 @@ class SimilaritySpec extends SparkSuite {
     assert(rerun.toSet == mined.toSet, "partitioning changed the mined set")
   }
 
+  test("marginMutualKnnAuto ≡ fixed form at fixture scale (derived params floor)") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val fixed = Similarity.marginMutualKnn(em, col("vec_id"), col("embedding"),
+      threshold = 0.3, k = 3)
+    val auto = Similarity.marginMutualKnnAuto(em, col("vec_id"), col("embedding"),
+      threshold = 0.3, k = 3)
+    assert(auto.except(fixed).isEmpty && fixed.except(auto).isEmpty)
+  }
+
   test("dot/norm/cosine basics") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(2.0, 0.0), Seq(4.0, 0.0)))
       .toDF("a", "b")
