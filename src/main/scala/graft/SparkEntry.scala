@@ -3434,20 +3434,27 @@ object SparkEntry {
     * training chain + the per-doc encode replayed through the same
     * b1..b8 replace rule + the q167 packing window.
     */
-  private val q170BpePacking: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+  /** Shared by q170/q177: train the 8 BPE merges on `trainOn`, encode
+    * `encodeOn` with them, return per-doc BPE token counts
+    * `(doc_id, n_toks)`.
+    */
+  private def bpeTokenCounts(trainOn: DataFrame, encodeOn: DataFrame): DataFrame = {
     val merges = ext.Bpe.learnMerges(
-        ext.Bpe.wordFreqs(docs, col("text")), nMerges = 8)
+        ext.Bpe.wordFreqs(trainOn, col("text")), nMerges = 8)
       .orderBy(col("merge_rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val words = docs.select(col("doc_id"),
+    encodeOn.select(col("doc_id"),
         explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
-    val toks = words
       .select(col("doc_id"),
         size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
           .cast("long").as("nt"))
       .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_toks"))
+  }
+
+  private val q170BpePacking: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = bpeTokenCounts(docs, docs)
     ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
       .select(col("doc_id"), col("n_toks"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("n_seqs"))
@@ -3584,17 +3591,7 @@ object SparkEntry {
       .withColumn("split", ops.Sampling.assignSplit("cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
       .filter(col("split") === "train")
-    val merges = ext.Bpe.learnMerges(
-        ext.Bpe.wordFreqs(docs, col("text")), nMerges = 8)
-      .orderBy(col("merge_rank"))
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val toks = train.select(col("doc_id"),
-        explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
-      .select(col("doc_id"),
-        size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
-          .cast("long").as("nt"))
-      .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_toks"))
+    val toks = bpeTokenCounts(docs, train)
     ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
       .select(col("doc_id"), col("n_toks"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("n_seqs"))

@@ -465,9 +465,11 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
       .distinct()
-    val nodes = canon0.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
-      .distinct().localCheckpoint()
     var edges = canon0.localCheckpoint()
+    // node set derives from the CHECKPOINTED edges, so the (possibly
+    // expensive) pair-generation subtree above runs exactly once
+    val nodes = edges.select(explode(array(col("hi"), col("lo"))).as("doc_id"))
+      .distinct().localCheckpoint()
     var prevCount = edges.count()
     var converged = false
     var iters = 0

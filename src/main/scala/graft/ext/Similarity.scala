@@ -927,6 +927,16 @@ object Similarity {
                       roundTo: Int = 4,
                       maxBucket: Int = Dedup.DefaultMaxBucket,
                       numPartitions: Option[Int] = None): DataFrame = {
+    // threshold > 0 guarantees every top-k cosine — and so the
+    // neighborhood sum the margin divides by — is strictly positive;
+    // a ≤ 0 threshold would let su hit 0 and the division emit
+    // silent Infinity margins (loud here instead)
+    require(threshold > 0,
+      s"marginMutualKnn needs a positive cosine threshold, got $threshold")
+    // margin numerator is 2·10^roundTo·k·10^roundTo + su; past 6 dp it
+    // outgrows exact double range and the HALF_UP contract breaks
+    require(roundTo >= 1 && roundTo <= 6,
+      s"marginMutualKnn supports roundTo 1..6 (exact integer margins), got $roundTo")
     val pairs = annLshPairs(df, id, vec, threshold, numTables, bitsPerTable,
       roundTo, maxBucket, numPartitions)
     val sym = pairs.select(explode(array(

@@ -94,11 +94,15 @@ object TextAnalysis {
     */
   def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
     val s = regexp_replace(Text.cleanText(lower(text)), " ", "")
+    // one linear pass per document: split on the empty pattern yields
+    // the character array directly (a sequence+substr index walk would
+    // build a per-row index array AND re-seek the string per position
+    // — O(len²) on exactly the long documents this screen targets);
+    // the empty-string filter drops the regex-split edge artifacts
     val chars = df.select(id.as("id"), s.as("__s"))
       .filter(length(col("__s")) > 0)
-      .select(col("id"), explode(sequence(lit(1), length(col("__s")))).as("__i"),
-        col("__s"))
-      .select(col("id"), col("__s").substr(col("__i"), lit(1)).as("c"))
+      .select(col("id"), explode(split(col("__s"), "")).as("c"))
+      .filter(col("c") =!= "")
     val counts = chars.groupBy(col("id"), col("c")).agg(count(lit(1)).as("__n"))
     val totals = counts.groupBy(col("id"))
       .agg(sum(col("__n")).as("__t"), count(lit(1)).as("n_distinct"))

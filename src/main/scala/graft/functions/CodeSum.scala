@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * arithmetic, ascending-subspace sequential fold starting at 0.0 —
   * bit-equal to the HOF form and the SQL oracles' `list_sum` mirror.
   *
-  * Out-of-range codes throw (the [[DotProduct.compute]] loud-failure
-  * stance) — matching ANSI `element_at`'s behavior in the composable
-  * form rather than silently scoring garbage.
+  * Out-of-range or NULL codes/entries throw (the
+  * [[DotProduct.compute]] loud-failure stance): `ArrayData.getInt`
+  * reads a null slot as 0, which would silently score codeword 0 —
+  * worse than the composable form's null propagation, so nulls are
+  * rejected explicitly instead.
   */
 object CodeSum {
 
@@ -36,10 +38,14 @@ object CodeSum {
     var acc = 0.0
     var j = 0
     while (j < m) {
+      if (lut.isNullAt(j) || codes.isNullAt(j)) throw new IllegalArgumentException(
+        s"adc_sum: null lut row or code in subspace $j")
       val row = lut.getArray(j)
       val c = codes.getInt(j)
       if (c < 0 || c >= row.numElements()) throw new IllegalArgumentException(
         s"adc_sum code $c out of range 0..${row.numElements() - 1} in subspace $j")
+      if (row.isNullAt(c)) throw new IllegalArgumentException(
+        s"adc_sum: null lut entry $c in subspace $j")
       acc += row.getDouble(c)
       j += 1
     }
@@ -56,6 +62,8 @@ object CodeSum {
     var acc = 0.0
     var j = 0
     while (j < m) {
+      if (ca.isNullAt(j) || cb.isNullAt(j)) throw new IllegalArgumentException(
+        s"sdc_sum: null code in subspace $j")
       val t = table(j)
       val a = ca.getInt(j)
       val b = cb.getInt(j)

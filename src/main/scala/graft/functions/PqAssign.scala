@@ -47,7 +47,11 @@ object PqAssign {
     val n = s.numElements()
     val v = new Array[Double](n)
     var d = 0
-    while (d < n) { v(d) = s.getDouble(d); d += 1 }
+    while (d < n) {
+      if (s.isNullAt(d)) throw new IllegalArgumentException(
+        s"pq_assign: null vector component at $d")
+      v(d) = s.getDouble(d); d += 1
+    }
     var bestIdx = 0
     var bestNeg = -dist(v, words(0))
     var c = 1
@@ -109,6 +113,8 @@ object PqAssign {
     var acc = 0.0
     var i = 0
     while (i < w.length) {
+      if (nv.isNullAt(base + i)) throw new IllegalArgumentException(
+        s"pq_assign: null vector component at ${base + i}")
       val diff = nv.getDouble(base + i) - w(i)
       acc += diff * diff
       i += 1

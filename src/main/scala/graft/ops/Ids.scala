@@ -55,17 +55,62 @@ object Ids {
   def stableRowNumber(df: DataFrame, orderCols: Seq[Column],
                       outCol: String = "row_num",
                       numPartitions: Option[Int] = None): DataFrame = {
-    require(orderCols.nonEmpty, "stableRowNumber needs at least one order column")
+    import org.apache.spark.sql.functions.{col, lit}
+    // row_number = exclusive prefix COUNT + 1 — the weight-1 instance
+    // of the shared two-pass prefix sum
+    prefixSum(df.withColumn("__one", lit(1L)), orderCols, "__one", outCol,
+        numPartitions)
+      .withColumn(outCol, col(outCol) + 1L)
+      .drop("__one")
+  }
+
+  /** ⊕ The shared two-pass distributed EXCLUSIVE prefix sum over a
+    * weight column — the single implementation behind
+    * [[stableRowNumber]] (weight 1) and
+    * [[graft.ops.Packing.packSequences]] (token counts):
+    * `repartitionByRange` + `sortWithinPartitions` on the order key,
+    * one per-partition weight-sum job (#partitions longs of driver
+    * state) over the SAME materialized range-shuffle output, then the
+    * zip pass adds `start + offset(partition) + local running sum`.
+    * Appends `outCol` = the sum of all weights STRICTLY BEFORE the
+    * row in `orderCols` order.
+    */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], weightCol: String,
+                outCol: String, numPartitions: Option[Int] = None,
+                start: Long = 0L): DataFrame = {
+    require(orderCols.nonEmpty, "prefixSum needs at least one order column")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    def w(r: Row): Long = r.get(wIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case o => throw new IllegalArgumentException(
+        s"prefixSum: weight column '$weightCol' must be integral, got $o")
+    }
+    // one RDD over the materialized range shuffle; both jobs below
+    // read the same shuffle files, so the exchange (and its boundary
+    // sample) runs exactly once
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += w(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(start)(_ + _)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    // RDD.zipWithIndex = one count job for partition sizes + the zip
-    // pass; both read the one materialized range-shuffle output
-    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+    val zipped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += w(r)
+        out
+      }
     }
     spark.createDataFrame(zipped, schema)
   }

@@ -57,8 +57,7 @@ object Packing {
     * @param numPartitions range-partition count; defaults to the
     *        session's shuffle partitions (set
     *        [[graft.ops.Skew.partitionsForCorpus]] at real scale)
-    */
-  /** @param startOffset global token offset to resume from — the
+    * @param startOffset global token offset to resume from — the
     *   INCREMENTAL form: yesterday's corpus packed to a stream end of
     *   `E` tokens, today's increment packs with `startOffset = E` and
     *   the combined layout is identical to a from-scratch repack of
@@ -72,48 +71,17 @@ object Packing {
     require(orderCols.nonEmpty, "packSequences needs at least one order column")
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(startOffset >= 0, s"startOffset must be non-negative, got $startOffset")
-    val spark = df.sparkSession
-    val n = numPartitions.getOrElse(
-      spark.sessionState.conf.numShufflePartitions)
     val filtered = df.filter(col(toksCol).cast("long") > 0)
-    val sorted = filtered.repartitionByRange(n, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-    val tIdx = sorted.schema.fieldIndex(toksCol)
-    def toks(r: Row): Long = r.get(tIdx) match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case s: Short => s.toLong
-      case o => throw new IllegalArgumentException(
-        s"packSequences: token column '$toksCol' must be integral, got $o")
-    }
-    // one RDD over the materialized range shuffle; both jobs below
-    // read the same shuffle files, so the exchange (and its boundary
-    // sample) runs exactly once — the stableRowNumber construction
-    val rdd = sorted.rdd
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += toks(r))
-      Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(startOffset)(_ + _)
-    val schema = sorted.schema
-      .add("tok_start", LongType, nullable = false)
-      .add("seq_first", LongType, nullable = false)
-      .add("seq_last", LongType, nullable = false)
-      .add("n_seqs", LongType, nullable = false)
-    val cap = capacity
-    val zipped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = offsets(pid)
-      it.map { r =>
-        val t = toks(r)
-        val first = acc / cap
-        val last = (acc + t - 1) / cap
-        val out = Row.fromSeq(r.toSeq ++ Seq(acc, first, last, last - first + 1))
-        acc += t
-        out
-      }
-    }
-    spark.createDataFrame(zipped, schema)
+    // the shared two-pass prefix sum (Ids.prefixSum — one range
+    // exchange, #partitions longs of driver state); the sequence span
+    // derives row-locally with integral `div` — exact at any corpus
+    // size, no double-division rounding
+    Ids.prefixSum(filtered, orderCols, toksCol, "tok_start",
+        numPartitions, startOffset)
+      .withColumn("seq_first", expr(s"tok_start div ${capacity}L"))
+      .withColumn("seq_last",
+        expr(s"(tok_start + CAST($toksCol AS BIGINT) - 1) div ${capacity}L"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
   }
 
   /** ⊕ Deterministic corpus shuffle + fixed-size shard assignment —
