@@ -3598,6 +3598,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q178 — ⊕ template-prefix detection
+    * ([[graft.ext.TextAnalysis.templatePrefix]]): per-source longest
+    * common prefix via the LCP(min, max) reduction — ONE
+    * map-side-combinable aggregation, LCP computed on #sources rows.
+    * Pages carry a synthetic per-source rendered header (the q159
+    * derived-noise convention) so the screen has a real template to
+    * find; the oracle replays min/max + the same contiguous prefix
+    * rule.
+    */
+  private val q178TemplatePrefix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("source"),
+      concat(lit("["), col("source"), lit("-hdr] "), col("text")).as("text2"))
+    ext.TextAnalysis.templatePrefix(docs, col("source"), col("text2"))
+      .select(col("group").as("source"), col("n_docs"), col("prefix_len"),
+        substring(col("prefix"), 1, 40).as("prefix40"))
+      .orderBy(col("source"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3794,6 +3812,7 @@ object SparkEntry {
     "q175_char_entropy"     -> q175CharEntropy,
     "q176_margin_mining_auto" -> q176MarginMiningAuto,
     "q177_train_ready"      -> q177TrainReady,
+    "q178_template_prefix"  -> q178TemplatePrefix,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7666,6 +7685,26 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q178: min/max reduction + the same contiguous prefix rule
+    // (prefix equality is monotone, so max of prefix-equal positions
+    // ≡ the fold's contiguous per-char count).
+    "q178_template_prefix" ->
+      """WITH d AS (
+        |  SELECT source, '[' || source || '-hdr] ' || text AS t FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs, min(t) AS mn, max(t) AS mx
+        |  FROM d GROUP BY source),
+        |l AS (
+        |  SELECT source, n_docs, mn,
+        |    CASE WHEN least(length(mn), length(mx)) < 1 THEN 0
+        |      ELSE COALESCE(CAST(list_max(list_filter(
+        |        range(1, least(length(mn), length(mx)) + 1),
+        |        i -> substr(mn, 1, CAST(i AS INT)) = substr(mx, 1, CAST(i AS INT)))) AS INT), 0)
+        |    END AS prefix_len
+        |  FROM g)
+        |SELECT source, n_docs, prefix_len,
+        |  substr(mn, 1, least(prefix_len, 40)) AS prefix40
+        |FROM l ORDER BY source""".stripMargin,
     // q177: entropy gate + dup-cluster chain over the gated subset +
     // q81 bucket on cluster ids + BPE train/encode + packing — every
     // stage a shared chain, concatenated pre-stripped.

@@ -70,6 +70,54 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
 
+  /** ⊕ Per-group template-prefix detection — the site-boilerplate
+    * screen for crawled corpora: pages from one source share a
+    * rendered header ("Menu | Home | About …") that survives HTML
+    * extraction and pollutes token statistics downstream. The whole
+    * detection is ONE map-side-combinable aggregation: the longest
+    * common prefix of a SET of strings equals
+    * `LCP(min(S), max(S))` under lexicographic order (any mismatch
+    * between the extremes bounds every other member), so the group
+    * pass reduces to `min(text), max(text)` and the LCP itself runs
+    * row-locally on #groups rows — never per document.
+    *
+    * Returns `(group, n_docs, prefix_len, prefix)`. Degenerate
+    * single-document groups yield their full text as the "prefix"
+    * (mn = mx) — callers gate on `n_docs` and/or cap `prefix_len`.
+    * Strip with [[stripPrefixes]].
+    */
+  def templatePrefix(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val g = df.groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(text).as("__mn"), max(text).as("__mx"))
+    val bound = least(length(col("__mn")), length(col("__mx")))
+    // contiguous per-char fold; guard the Spark sequence(1, 0)
+    // descending-ramp edge when either extreme is empty
+    val lcp = when(bound < 1, lit(0)).otherwise(
+      aggregate(sequence(lit(1), bound), lit(0), (acc, i) =>
+        when(acc === i - 1 &&
+          col("__mn").substr(i, lit(1)) === col("__mx").substr(i, lit(1)), i)
+          .otherwise(acc)))
+    g.select(col("group"), col("n_docs"), lcp.as("prefix_len"),
+      col("__mn").substr(lit(1), lcp).as("prefix"))
+  }
+
+  /** Strip each row's group template prefix (from [[templatePrefix]],
+    * broadcast back — prefixes are #groups rows): rows whose text
+    * starts with the group prefix lose it; others pass through.
+    */
+  def stripPrefixes(df: DataFrame, group: Column, text: Column,
+                    prefixes: DataFrame): DataFrame = {
+    val p = broadcast(prefixes.select(col("group"), col("prefix_len"), col("prefix")))
+    df.withColumn("group", group)
+      .join(p, Seq("group"), "left")
+      .withColumn("__stripped",
+        when(col("prefix").isNotNull && text.startsWith(col("prefix")),
+          text.substr(col("prefix_len") + 1, length(text)))
+          .otherwise(text))
+      .drop("prefix", "prefix_len")
+  }
+
   /** ⊕ Per-document character-distribution entropy — the
     * gibberish/repetition screen ORTHOGONAL to the corpus-model
     * signals ([[charBigramLm]] scores against the CORPUS's

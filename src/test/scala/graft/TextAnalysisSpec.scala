@@ -5,6 +5,40 @@ import graft.ext.TextAnalysis
 
 class TextAnalysisSpec extends SparkSuite {
 
+  test("templatePrefix: LCP(min,max) finds the shared header; strip removes it") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "SITE-A | home about | quick fox"),
+      ("a", "SITE-A | home about | lazy dog"),
+      ("a", "SITE-A | home zzz"),
+      ("b", "other text entirely"),
+      ("b", "different text entirely"),
+      ("c", "single doc group")
+    ).toDF("source", "text")
+    val got = graft.ext.TextAnalysis.templatePrefix(docs, col("source"), col("text"))
+      .orderBy("group").as[(String, Long, Int, String)].collect().toSeq
+    // independent reference: pairwise LCP reduce over each group
+    def lcpOf(xs: Seq[String]): String = xs.reduce { (x, y) =>
+      x.zip(y).takeWhile { case (c1, c2) => c1 == c2 }.map(_._1).mkString
+    }
+    val aLcp = lcpOf(Seq("SITE-A | home about | quick fox",
+      "SITE-A | home about | lazy dog", "SITE-A | home zzz"))
+    assert(got == Seq(
+      ("a", 3L, aLcp.length, aLcp),
+      ("b", 2L, 0, ""),
+      ("c", 1L, 16, "single doc group")))
+    val stripped = graft.ext.TextAnalysis.stripPrefixes(docs, col("source"),
+        col("text"),
+        graft.ext.TextAnalysis.templatePrefix(docs, col("source"), col("text")))
+      .select("__stripped").as[String].collect()
+    assert(stripped.count(_.startsWith("about")) == 2, s"strip failed: ${stripped.toSeq}")
+    // empty-text group: bound < 1 guard (Spark sequence(1,0) ramp)
+    val empty = Seq(("e", ""), ("e", "x")).toDF("source", "text")
+    val eGot = graft.ext.TextAnalysis.templatePrefix(empty, col("source"), col("text"))
+      .as[(String, Long, Int, String)].collect().head
+    assert(eGot == ("e", 2L, 0, ""))
+  }
+
   test("charEntropy: repetition → 0, uniform alphabet → ln k, language in between") {
     import spark.implicits._
     val docs = Seq(
