@@ -3616,6 +3616,19 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q179 — ⊕ embedding isolation screen
+    * ([[graft.ext.Similarity.isolationScreen]]): kNN-distance outlier
+    * check over the q86 graph — vectors with no candidate neighbor or
+    * a low best cosine are mislabeled/noise/out-of-domain candidates;
+    * the id universe is every non-null vector so zero-candidate rows
+    * surface instead of being join-dropped.
+    */
+  private val q179IsolationScreen: Q = (s, dir) => {
+    ext.Similarity.isolationScreen(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.3, k = 3, tau = 0.5)
+      .orderBy(col("vec_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3813,6 +3826,7 @@ object SparkEntry {
     "q176_margin_mining_auto" -> q176MarginMiningAuto,
     "q177_train_ready"      -> q177TrainReady,
     "q178_template_prefix"  -> q178TemplatePrefix,
+    "q179_isolation_screen" -> q179IsolationScreen,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7685,6 +7699,28 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q179: q86's shared chain + sym/top-k + per-src aggregate,
+    // LEFT-joined from the nv universe so zero-candidate vectors
+    // surface with n_nbrs = 0.
+    "q179_isolation_screen" ->
+      (annLshPairsCte + ",\n" +
+        """sym AS (
+          |  SELECT id_a AS src, id_b AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3
+          |  UNION ALL
+          |  SELECT id_b AS src, id_a AS nbr, cos_sim FROM pairs WHERE cos_sim >= 0.3),
+          |topk AS (
+          |  SELECT src, nbr, cos_sim FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY src
+          |                                 ORDER BY cos_sim DESC, nbr) AS rn
+          |    FROM sym)
+          |  WHERE rn <= 3),
+          |ag AS (
+          |  SELECT src, count(*) AS n_nbrs, max(cos_sim) AS best_cos
+          |  FROM topk GROUP BY src)
+          |SELECT nv.vec_id, COALESCE(ag.n_nbrs, 0) AS n_nbrs, ag.best_cos,
+          |  (ag.n_nbrs IS NULL OR ag.best_cos < 0.5) AS is_isolated
+          |FROM nv LEFT JOIN ag ON ag.src = nv.vec_id
+          |ORDER BY vec_id""".stripMargin),
     // q178: min/max reduction + the same contiguous prefix rule
     // (prefix equality is monotone, so max of prefix-equal positions
     // ≡ the fold's contiguous per-char count).

@@ -983,6 +983,45 @@ object Similarity {
       Some(graft.ops.Skew.partitionsForCorpus(n * numTables, rowsPerPartition)))
   }
 
+  /** ⊕ Embedding isolation screen — the kNN-distance outlier check
+    * run before training on pooled embeddings (the neighborhood dual
+    * of [[centroidScores]]' global-direction check, and the standard
+    * kNN-distance form of LOF-lite): a vector whose BEST neighbor
+    * cosine is low — or that has no candidate neighbor at all at the
+    * LSH threshold — sits alone in embedding space: mislabeled,
+    * noise, or out-of-domain. Built on the q86 kNN-graph shape; the
+    * id universe is every non-null normalized vector, so the most
+    * isolated vectors (zero candidates — the rows a join over the
+    * pair graph would silently DROP) surface explicitly with
+    * `n_nbrs = 0`.
+    *
+    * Returns `(vec_id, n_nbrs, best_cos, is_isolated)` with
+    * `is_isolated = n_nbrs == 0 OR best_cos < tau`.
+    */
+  def isolationScreen(df: DataFrame, id: Column, vec: Column,
+                      threshold: Double = 0.3, k: Int = 3, tau: Double = 0.5,
+                      numTables: Int = 16, bitsPerTable: Int = 6,
+                      roundTo: Int = 4,
+                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val universe = df.select(id.as("vec_id"), normalize(vecD(vec)).as("__nv"))
+      .filter(col("__nv").isNotNull).select(col("vec_id"))
+    val pairs = annLshPairs(df, id, vec, threshold, numTables, bitsPerTable,
+      roundTo, maxBucket)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cos_sim")),
+        struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cos_sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cos_sim").as("cos_sim"))
+    val top = graft.ops.TopK.perGroupTopK(sym,
+      Seq(col("src")), Seq(desc("cos_sim"), asc("nbr")), k)
+    val agg = top.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_nbrs"), max(col("cos_sim")).as("best_cos"))
+    universe.join(agg, universe("vec_id") === agg("src"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        col("best_cos"),
+        (col("n_nbrs").isNull || col("best_cos") < tau).as("is_isolated"))
+  }
+
   /** ⊕ Per-group centroid + cosine-to-centroid scoring — embedding
     * quality control: vectors far from their group's mean direction
     * are mislabeled/degenerate candidates (the standard

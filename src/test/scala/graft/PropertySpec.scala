@@ -20,6 +20,36 @@ class PropertySpec extends SparkSuite {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("packSequences invariants over random counts and capacities") {
+    val countsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L))
+    val capGen = Gen.chooseNum(1L, 64L)
+    for (i <- 0 until 8) {
+      val counts = samples(countsGen, 1).head
+      val cap = samples(capGen, 1).headOption.getOrElse(16L)
+      val df = counts.zipWithIndex.map { case (c, idx) => (idx.toLong, c) }
+        .toDF("id", "n_toks")
+      val packed = graft.ops.Packing.packSequences(df, Seq(col("id")), "n_toks", cap,
+          numPartitions = Some(1 + i % 4))
+        .select("id", "n_toks", "tok_start", "seq_first", "seq_last", "n_seqs")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val kept = counts.zipWithIndex.filter(_._1 > 0)
+      assert(packed.length == kept.size)
+      // gapless stream in id order: each start = previous end
+      var expectStart = 0L
+      packed.foreach { case (_, n, start, first, last, nseq) =>
+        assert(start == expectStart, s"gap at start=$start expected=$expectStart")
+        assert(first == start / cap)
+        assert(last == (start + n - 1) / cap)
+        assert(nseq == last - first + 1 && nseq >= 1)
+        // worst case starts at offset cap-1 within a sequence:
+        // spans = floor((cap-1 + n-1)/cap) + 1
+        assert(nseq <= (n + cap - 2) / cap + 1, "span exceeds worst-case bound")
+        expectStart = start + n
+      }
+      assert(expectStart == kept.map(_._1).sum, "token conservation")
+    }
+  }
+
   test("X1 clean is idempotent and never longer") {
     val texts = samples(textGen, 60)
     val df = texts.toDF("t").select(
