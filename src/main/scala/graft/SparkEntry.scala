@@ -3629,6 +3629,31 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q180 — ⊕ embedding-space drift: the q171 PSI over CLUSTER
+    * histograms under a SHARED coarse quantizer — fit the q38 k-means
+    * on the baseline snapshot (even ids), assign BOTH snapshots to
+    * the same centroids ([[graft.ext.Similarity.assignToCentroids]] —
+    * a pure projection, the extend-don't-refit contract), and compare
+    * the cluster occupancy distributions. This is the monitoring op
+    * for "did the embedding model / corpus composition shift" — raw
+    * vector stats can't see a rotation of meaning, but the occupancy
+    * histogram under FIXED centroids can. Oracle: the shared IVF
+    * chain with `trainWhere`, per-snapshot counts from `af`, the q171
+    * PSI tail.
+    */
+  private val q180EmbeddingDrift: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val a = em.filter(col("vec_id") % 2 === 0)
+    val b = em.filter(col("vec_id") % 2 === 1)
+    val model = ext.Similarity.ivfFit(a, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val ca = model.assigned
+      .groupBy(col("cluster").as("category")).agg(count(lit(1)).as("count_a"))
+    val cb = ext.Similarity.assignToCentroids(model, b, col("vec_id"), col("embedding"))
+      .groupBy(col("cluster").as("category")).agg(count(lit(1)).as("count_b"))
+    ops.Drift.driftFromCounts(ca, cb).orderBy(col("category"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3827,6 +3852,7 @@ object SparkEntry {
     "q177_train_ready"      -> q177TrainReady,
     "q178_template_prefix"  -> q178TemplatePrefix,
     "q179_isolation_screen" -> q179IsolationScreen,
+    "q180_embedding_drift"  -> q180EmbeddingDrift,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7597,7 +7623,7 @@ object SparkEntry {
     // product tree; the only doubles are one division and one ln per
     // cell, quantized at birth (the q154 convention).
     "q171_drift_psi" ->
-      """WITH ev AS (
+      ("""WITH ev AS (
         |  SELECT event_type || '|' ||
         |    COALESCE(CAST(CAST(floor(value / 100.0) AS BIGINT) AS VARCHAR), 'null')
         |      AS category, ts
@@ -7606,23 +7632,7 @@ object SparkEntry {
         |       WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
         |cb AS (SELECT category, count(*) AS count_b FROM ev
         |       WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
-        |j AS (
-        |  SELECT COALESCE(ca.category, cb.category) AS category,
-        |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
-        |n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
-        |             CAST(SUM(count_b) AS BIGINT) AS nb,
-        |             count(*) AS k FROM j),
-        |u AS (
-        |  SELECT category, count_a, count_b,
-        |    CAST(floor(((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_a_units,
-        |    CAST(floor(((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_b_units,
-        |    CAST(floor(ln((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_a,
-        |    CAST(floor(ln((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_b
-        |  FROM j, n)
-        |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
-        |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
-        |FROM u ORDER BY category""".stripMargin,
+        |""".stripMargin + psiTailSql),
     // q172: the shared dup-cluster chain keys the q81 md5 digit-
     // arithmetic bucket; singletons fall back to their own doc_id.
     "q172_leak_safe_split" -> leakSafeSplitOracleSql,
@@ -7630,7 +7640,7 @@ object SparkEntry {
     // the bit), tie-up bin rule as a comparison count, then the q171
     // integer-units PSI tree over bins.
     "q173_numeric_drift" ->
-      """WITH ea AS (
+      ("""WITH ea AS (
         |  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS es
         |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
         |ba AS (
@@ -7643,23 +7653,7 @@ object SparkEntry {
         |  FROM events, ea WHERE ts >= TIMESTAMP '2024-01-16'),
         |ca AS (SELECT category, count(*) AS count_a FROM ba GROUP BY 1),
         |cb AS (SELECT category, count(*) AS count_b FROM bb GROUP BY 1),
-        |j AS (
-        |  SELECT COALESCE(ca.category, cb.category) AS category,
-        |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
-        |n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
-        |             CAST(SUM(count_b) AS BIGINT) AS nb,
-        |             count(*) AS k FROM j),
-        |u AS (
-        |  SELECT category, count_a, count_b,
-        |    CAST(floor(((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_a_units,
-        |    CAST(floor(((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_b_units,
-        |    CAST(floor(ln((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_a,
-        |    CAST(floor(ln((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_b
-        |  FROM j, n)
-        |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
-        |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
-        |FROM u ORDER BY category""".stripMargin,
+        |""".stripMargin + psiTailSql),
     // q174: q86's shared chain + sym/top-k, then the integer-units
     // margin (HALF_UP 2a+b trick) and the mutual self-join.
     "q174_margin_mining" -> oracleForQ174,
@@ -7699,6 +7693,15 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q180: the shared IVF chain fit on even ids (trainWhere), both
+    // snapshots' occupancy from the full-corpus af, the q171 PSI tail.
+    "q180_embedding_drift" ->
+      (ivfTrainCtesT("vec_id % 2 = 0") + ",\n" +
+        """ca AS (SELECT cluster AS category, count(*) AS count_a
+          |       FROM af WHERE vec_id % 2 = 0 GROUP BY 1),
+          |cb AS (SELECT cluster AS category, count(*) AS count_b
+          |       FROM af WHERE vec_id % 2 = 1 GROUP BY 1),
+          |""".stripMargin + psiTailSql),
     // q179: q86's shared chain + sym/top-k + per-src aggregate,
     // LEFT-joined from the nv universe so zero-candidate vectors
     // surface with n_nbrs = 0.
@@ -7766,6 +7769,29 @@ object SparkEntry {
         |  CAST(-SUM(term) AS BIGINT) AS entropy_nano
         |FROM u GROUP BY doc_id ORDER BY id""".stripMargin,
   )
+
+  /** The integer-units PSI readout over `ca(category, count_a)` /
+    * `cb(category, count_b)` CTEs — shared by q171/q173/q180 (the
+    * q154 quantize-at-birth tree).
+    */
+  private def psiTailSql: String =
+    """j AS (
+        |  SELECT COALESCE(ca.category, cb.category) AS category,
+        |    COALESCE(count_a, 0) AS count_a, COALESCE(count_b, 0) AS count_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        |n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+        |             CAST(SUM(count_b) AS BIGINT) AS nb,
+        |             count(*) AS k FROM j),
+        |u AS (
+        |  SELECT category, count_a, count_b,
+        |    CAST(floor(((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_a_units,
+        |    CAST(floor(((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_b_units,
+        |    CAST(floor(ln((count_a + 1) / CAST(na + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_a,
+        |    CAST(floor(ln((count_b + 1) / CAST(nb + k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS ln_b
+        |  FROM j, n)
+        |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
+        |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
+        |FROM u ORDER BY category""".stripMargin
 
   private def leakSafeSplitOracleSql: String =
     s"""$dupClustersCtes,

@@ -362,10 +362,19 @@ object Similarity {
     * assignment over the full corpus would produce with the same
     * centroids (the pqEncode equality contract, proved in PqSpec).
     */
-  def ivfExtend(model: IvfModel, df: DataFrame, id: Column, vec: Column): IvfModel = {
-    val inc = df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+  /** ⊕ Assign rows to an EXISTING coarse quantizer's centroids — the
+    * pure projection underneath [[ivfExtend]], exposed for consumers
+    * that need the increment's assignment ALONE (e.g. per-snapshot
+    * cluster histograms for embedding-space drift, q180). No refit,
+    * no shuffle, no new driver state.
+    */
+  def assignToCentroids(model: IvfModel, df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
       .filter(col("nv").isNotNull)
       .withColumn("cluster", assignCluster(col("nv"), model.centroids))
+
+  def ivfExtend(model: IvfModel, df: DataFrame, id: Column, vec: Column): IvfModel = {
+    val inc = assignToCentroids(model, df, id, vec)
     // persisted (lazily) so repeated searches don't re-encode the
     // increment and the extended model's unpersist() releases it; the
     // BASE model's cache stays caller-owned — unpersist both.
