@@ -824,6 +824,44 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q181 — ⊕ KLL mergeable quantile sketch
+    * ([[graft.functions.KllQuantiles]], A6 family): per-flag price
+    * sketches, plus the MERGE path — per-(flag, status) part sketches
+    * unioned back per flag with no re-scan. The q34/q49 convention:
+    * exact anchors hard-compared (row counts, and the sketch's exact
+    * n through BOTH paths — KLL tracks n exactly, so conservation
+    * through merge is deterministic); randomized estimates appear
+    * only inside in-query bound booleans at ±3× the published
+    * normalized rank error.
+    */
+  private val q181KllQuantiles: Q = (s, dir) => {
+    import graft.functions.KllQuantiles._
+    val li = Tables.lineitem(s, dir)
+    val eps = rankError(200)
+    def exactAt(p: Double) = expr(s"percentile(l_extendedprice, $p)")
+    val price = col("l_extendedprice").cast("double")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg(price).as("sk"),
+        count(lit(1)).as("n_rows"),
+        exactAt(0.5 - 3 * eps).as("lo50"), exactAt(0.5 + 3 * eps).as("hi50"),
+        exactAt(0.9 - 3 * eps).as("lo90"),
+        exactAt(math.min(1.0, 0.9 + 3 * eps)).as("hi90"))
+    val merged = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(kll_sketch_agg(price).as("psk"))
+      .groupBy(col("l_returnflag"))
+      .agg(kll_merge_agg(col("psk")).as("msk"))
+    val q = kll_quantiles(col("sk"), Seq(0.5, 0.9))
+    val mq = kll_quantiles(col("msk"), Seq(0.5, 0.9))
+    direct.join(merged, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (kll_n(col("sk")) === col("n_rows")).as("n_ok"),
+        (kll_n(col("msk")) === col("n_rows")).as("merged_n_ok"),
+        element_at(q, 1).between(col("lo50"), col("hi50")).as("p50_ok"),
+        element_at(q, 2).between(col("lo90"), col("hi90")).as("p90_ok"),
+        element_at(mq, 1).between(col("lo50"), col("hi50")).as("merged_p50_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q50 — ⊕ deterministic hash-bucket sampling
     * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
     * aggregated per type. The sample membership itself is the thing
@@ -3853,6 +3891,7 @@ object SparkEntry {
     "q178_template_prefix"  -> q178TemplatePrefix,
     "q179_isolation_screen" -> q179IsolationScreen,
     "q180_embedding_drift"  -> q180EmbeddingDrift,
+    "q181_kll_quantiles"    -> q181KllQuantiles,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7693,6 +7732,14 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q181: the q34/q49 exact-anchor + literal-TRUE convention —
+    // exact counts hard-compared, randomized KLL estimates bounded
+    // in-query.
+    "q181_kll_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  TRUE AS n_ok, TRUE AS merged_n_ok,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS merged_p50_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // q180: the shared IVF chain fit on even ids (trainWhere), both
     // snapshots' occupancy from the full-corpus af, the q171 PSI tail.
     "q180_embedding_drift" ->
