@@ -106,7 +106,8 @@ class PlansSpec extends SparkSuite {
       // category-table × single-row totals normalizer (ops/Drift —
       // the q93 stance), and q172's per-split table × single-row
       // straddle invariant
-      "q171_drift_psi", "q172_leak_safe_split", "q173_numeric_drift")
+      "q171_drift_psi", "q172_leak_safe_split", "q173_numeric_drift",
+      "q180_embedding_drift")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
