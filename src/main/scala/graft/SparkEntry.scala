@@ -825,7 +825,8 @@ object SparkEntry {
   }
 
   /** q181 — ⊕ KLL mergeable quantile sketch
-    * ([[graft.functions.KllQuantiles]], A6 family): per-flag price
+    * (Spark 4.1's built-in DataSketches KLL bindings — used, not
+    * re-implemented, the functions-not-UDFs rule; A6 family): per-flag price
     * sketches, plus the MERGE path — per-(flag, status) part sketches
     * unioned back per flag with no re-scan. The q34/q49 convention:
     * exact anchors hard-compared (row counts, and the sketch's exact
@@ -835,32 +836,57 @@ object SparkEntry {
     * normalized rank error.
     */
   private val q181KllQuantiles: Q = (s, dir) => {
-    import graft.functions.KllQuantiles._
     val li = Tables.lineitem(s, dir)
-    val eps = rankError(200)
+    val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
     def exactAt(p: Double) = expr(s"percentile(l_extendedprice, $p)")
     val price = col("l_extendedprice").cast("double")
     val direct = li.groupBy(col("l_returnflag"))
-      .agg(kll_sketch_agg(price).as("sk"),
+      .agg(kll_sketch_agg_double(price, lit(200)).as("sk"),
         count(lit(1)).as("n_rows"),
         exactAt(0.5 - 3 * eps).as("lo50"), exactAt(0.5 + 3 * eps).as("hi50"),
         exactAt(0.9 - 3 * eps).as("lo90"),
         exactAt(math.min(1.0, 0.9 + 3 * eps)).as("hi90"))
     val merged = li.groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(kll_sketch_agg(price).as("psk"))
+      .agg(kll_sketch_agg_double(price, lit(200)).as("psk"))
       .groupBy(col("l_returnflag"))
-      .agg(kll_merge_agg(col("psk")).as("msk"))
-    val q = kll_quantiles(col("sk"), Seq(0.5, 0.9))
-    val mq = kll_quantiles(col("msk"), Seq(0.5, 0.9))
+      .agg(kll_merge_agg_double(col("psk")).as("msk"))
+    def q(sk: String, p: Double) = kll_sketch_get_quantile_double(col(sk), lit(p))
     direct.join(merged, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_rows"),
-        (kll_n(col("sk")) === col("n_rows")).as("n_ok"),
-        (kll_n(col("msk")) === col("n_rows")).as("merged_n_ok"),
-        element_at(q, 1).between(col("lo50"), col("hi50")).as("p50_ok"),
-        element_at(q, 2).between(col("lo90"), col("hi90")).as("p90_ok"),
-        element_at(mq, 1).between(col("lo50"), col("hi50")).as("merged_p50_ok"))
+        (kll_sketch_get_n_double(col("sk")) === col("n_rows")).as("n_ok"),
+        (kll_sketch_get_n_double(col("msk")) === col("n_rows")).as("merged_n_ok"),
+        q("sk", 0.5).between(col("lo50"), col("hi50")).as("p50_ok"),
+        q("sk", 0.9).between(col("lo90"), col("hi90")).as("p90_ok"),
+        q("msk", 0.5).between(col("lo50"), col("hi50")).as("merged_p50_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+
+  /** q182 — ⊕ theta-sketch audience set algebra
+    * (Spark 4.1's built-in DataSketches theta bindings; A6 family): per-type user
+    * sketches, then INTERSECTION and A-NOT-B — the set operations HLL
+    * cannot express (q141's inclusion-exclusion compounds error on
+    * small intersections) — read per type pair. Exact-mode oracle
+    * (q135/q141 convention): below saturation every estimate is an
+    * exact integer, hash-compared against the true distinct-set
+    * algebra.
+    */
+  private val q182ThetaAudiences: Q = (s, dir) => {
+    val sks = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val a = sks.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sks.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    def est(c: Column) = theta_sketch_estimate(c).cast("long")
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        est(col("ska")).as("n_a"),
+        est(col("skb")).as("n_b"),
+        est(theta_intersection(col("ska"), col("skb"))).as("n_inter"),
+        est(theta_difference(col("ska"), col("skb"))).as("n_a_only"),
+        est(theta_union(col("ska"), col("skb"))).as("n_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
 
   /** q50 — ⊕ deterministic hash-bucket sampling
     * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
@@ -3892,6 +3918,7 @@ object SparkEntry {
     "q179_isolation_screen" -> q179IsolationScreen,
     "q180_embedding_drift"  -> q180EmbeddingDrift,
     "q181_kll_quantiles"    -> q181KllQuantiles,
+    "q182_theta_audiences"  -> q182ThetaAudiences,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7732,6 +7759,31 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q182: exact-mode theta algebra ≡ true distinct-set algebra;
+    // LEFT join from the pair frame so a zero intersection could
+    // never drop a row.
+    "q182_theta_audiences" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |cnt AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |inter AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS ni
+        |  FROM s x JOIN s y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ta AS type_a, p.tb AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  COALESCE(i.ni, 0) AS n_inter,
+        |  ca.n - COALESCE(i.ni, 0) AS n_a_only,
+        |  ca.n + cb.n - COALESCE(i.ni, 0) AS n_union
+        |FROM pairs p
+        |JOIN cnt ca ON ca.event_type = p.ta
+        |JOIN cnt cb ON cb.event_type = p.tb
+        |LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+        |ORDER BY type_a, type_b""".stripMargin,
     // q181: the q34/q49 exact-anchor + literal-TRUE convention —
     // exact counts hard-compared, randomized KLL estimates bounded
     // in-query.

@@ -2,19 +2,22 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.KllQuantiles._
-
-/** [[graft.functions.KllQuantiles]] — the A6 quantile sketch. */
+/** Spark's built-in DataSketches KLL bindings, in the regimes the
+  * engine relies on (q181): exact below k, mergeable always.
+  */
 class KllSpec extends SparkSuite {
   import spark.implicits._
+
+  private def sk(c: org.apache.spark.sql.Column) = kll_sketch_agg_double(c, lit(200))
 
   test("exact regime (n <= k): quantiles equal the inclusive-rank exact values, any partitioning") {
     val vals = (1 to 150).map(_.toDouble * 3)
     for (parts <- Seq(1, 4, 9)) {
       val df = vals.toDF("x").repartition(parts)
-      val got = df.agg(kll_sketch_agg(col("x")).as("sk"))
-        .select(kll_n(col("sk")).as("n"),
-          kll_quantiles(col("sk"), Seq(0.1, 0.5, 0.9, 1.0)).as("q"))
+      val got = df.agg(sk(col("x")).as("sk"))
+        .select(kll_sketch_get_n_double(col("sk")).as("n"),
+          array(Seq(0.1, 0.5, 0.9, 1.0).map(p =>
+            kll_sketch_get_quantile_double(col("sk"), lit(p))): _*).as("q"))
         .as[(Long, Seq[Double])].head()
       assert(got._1 == 150L)
       // DataSketches inclusive rule: smallest value with rank >= p
@@ -31,34 +34,32 @@ class KllSpec extends SparkSuite {
     val a = (1 to 60).map(_.toDouble).toDF("x").withColumn("g", lit("a"))
     val b = (200 to 280).map(_.toDouble).toDF("x").withColumn("g", lit("b"))
     val whole = a.unionByName(b)
-    val direct = whole.agg(kll_sketch_agg(col("x")).as("sk"))
-      .select(kll_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"),
-        kll_n(col("sk")).as("n"))
-      .as[(Seq[Double], Long)].head()
-    val merged = whole.groupBy(col("g")).agg(kll_sketch_agg(col("x")).as("psk"))
-      .agg(kll_merge_agg(col("psk")).as("msk"))
-      .select(kll_quantiles(col("msk"), Seq(0.25, 0.5, 0.75)).as("q"),
-        kll_n(col("msk")).as("n"))
-      .as[(Seq[Double], Long)].head()
+    def readout(skCol: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(array(Seq(0.25, 0.5, 0.75).map(p =>
+          kll_sketch_get_quantile_double(col(skCol), lit(p))): _*).as("q"),
+        kll_sketch_get_n_double(col(skCol)).as("n"))
+        .as[(Seq[Double], Long)].head()
+    val direct = readout("sk", whole.agg(sk(col("x")).as("sk")))
+    val merged = readout("msk", whole.groupBy(col("g")).agg(sk(col("x")).as("psk"))
+      .agg(kll_merge_agg_double(col("psk")).as("msk")))
     assert(direct == merged, s"$direct vs $merged")
     // approximate regime: exact values may drift, n never does
-    val big = (1 to 100000).map(i => (i % 7).toString -> i.toDouble)
-      .toDF("g", "x")
-    val nDirect = big.agg(kll_sketch_agg(col("x")).as("sk"))
-      .select(kll_n(col("sk"))).as[Long].head()
-    val nMerged = big.groupBy("g").agg(kll_sketch_agg(col("x")).as("psk"))
-      .agg(kll_merge_agg(col("psk")).as("msk"))
-      .select(kll_n(col("msk"))).as[Long].head()
+    val big = (1 to 100000).map(i => (i % 7).toString -> i.toDouble).toDF("g", "x")
+    val nDirect = big.agg(sk(col("x")).as("sk"))
+      .select(kll_sketch_get_n_double(col("sk"))).as[Long].head()
+    val nMerged = big.groupBy("g").agg(sk(col("x")).as("psk"))
+      .agg(kll_merge_agg_double(col("psk")).as("msk"))
+      .select(kll_sketch_get_n_double(col("msk"))).as[Long].head()
     assert(nDirect == 100000L && nMerged == 100000L)
   }
 
   test("approximate regime: estimates stay within 3x the published rank error") {
     val n = 50000
-    val vals = (1 to n).map(_.toDouble)
-    val df = vals.toDF("x").repartition(8)
-    val eps = rankError(200)
-    val got = df.agg(kll_sketch_agg(col("x")).as("sk"))
-      .select(kll_quantiles(col("sk"), Seq(0.1, 0.5, 0.9)).as("q"))
+    val df = (1 to n).map(_.toDouble).toDF("x").repartition(8)
+    val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
+    val got = df.agg(sk(col("x")).as("sk"))
+      .select(array(Seq(0.1, 0.5, 0.9).map(p =>
+        kll_sketch_get_quantile_double(col("sk"), lit(p))): _*))
       .as[Seq[Double]].head()
     Seq(0.1, 0.5, 0.9).zip(got).foreach { case (p, est) =>
       val rank = est / n // values are 1..n so value/n is its rank
@@ -66,15 +67,10 @@ class KllSpec extends SparkSuite {
     }
   }
 
-  test("nulls don't aggregate; empty sketch reads null quantiles") {
+  test("nulls don't aggregate") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
-    val got = df.agg(kll_sketch_agg(col("x")).as("sk"))
-      .select(kll_n(col("sk"))).as[Long].head()
+    val got = df.agg(sk(col("x")).as("sk"))
+      .select(kll_sketch_get_n_double(col("sk"))).as[Long].head()
     assert(got == 2L)
-    val empty = Seq.empty[Double].toDF("x")
-    val eq = empty.agg(kll_sketch_agg(col("x")).as("sk"))
-      .select(kll_quantiles(col("sk"), Seq(0.5)).as("q"))
-      .collect().head
-    assert(eq.isNullAt(0))
   }
 }

@@ -107,7 +107,9 @@ class PlansSpec extends SparkSuite {
       // the q93 stance), and q172's per-split table × single-row
       // straddle invariant
       "q171_drift_psi", "q172_leak_safe_split", "q173_numeric_drift",
-      "q180_embedding_drift")
+      "q180_embedding_drift",
+      // |types|×|types| sketch-pair cross — the q141 stance
+      "q182_theta_audiences")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
