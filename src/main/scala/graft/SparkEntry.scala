@@ -888,6 +888,41 @@ object SparkEntry {
   }
 
 
+  /** q183 — ⊕ deletion propagation ("right to be forgotten"
+    * maintenance): purge a deletion list from the corpus AND the
+    * maintained ANN index (the q143 IVF assignment table) with
+    * anti-joins — J3's anti dual doing compliance duty — and emit the
+    * accounting a deletion job must produce: per-table before /
+    * deleted / after counts plus an ABSENCE PROOF (count of surviving
+    * rows matching the list, necessarily 0, pinned by the oracle
+    * hash — the q172 in-result invariant style). Deriving the index
+    * from a fit then purging it is the point: derived tables must be
+    * purged too, not just the source.
+    */
+  private val q183ForgetFlow: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val em = Tables.embeddings(s, dir)
+    val del = em.filter(col("vec_id") % 83 === 0)
+      .select(col("vec_id").as("k")).localCheckpoint()
+    val model = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    def accounting(name: String, df: DataFrame, key: Column): DataFrame = {
+      val after = df.join(del, key === col("k"), "left_anti")
+      val matched = df.join(del, key === col("k"), "left_semi")
+      val residue = after.join(del, key === col("k"), "left_semi")
+      after.agg(count(lit(1)).as("n_after"))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n_before"))))
+        .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_deleted"))))
+        .crossJoin(broadcast(residue.agg((count(lit(1)) === 0).as("absent_ok"))))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+          col("n_after"), col("absent_ok"))
+    }
+    accounting("documents", docs, col("doc_id"))
+      .unionByName(accounting("embeddings", em, col("vec_id")))
+      .unionByName(accounting("ivf_index", model.assigned, col("id")))
+      .orderBy(col("table_name"))
+  }
+
   /** q50 — ⊕ deterministic hash-bucket sampling
     * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
     * aggregated per type. The sample membership itself is the thing
@@ -3919,6 +3954,7 @@ object SparkEntry {
     "q180_embedding_drift"  -> q180EmbeddingDrift,
     "q181_kll_quantiles"    -> q181KllQuantiles,
     "q182_theta_audiences"  -> q182ThetaAudiences,
+    "q183_forget_flow"      -> q183ForgetFlow,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7759,6 +7795,34 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q183: the index accounting needs only the nv row set (cluster
+    // assignment cannot change counts), so the oracle skips the fit;
+    // absence proofs are literal TRUE, pinned by the hash.
+    "q183_forget_flow" ->
+      """WITH del AS (SELECT vec_id AS k FROM embeddings WHERE vec_id % 83 = 0),
+        |e AS (SELECT vec_id,
+        |        list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sq
+        |      FROM embeddings),
+        |nv AS (SELECT vec_id FROM e WHERE sq > 0)
+        |SELECT * FROM (
+        |SELECT 'documents' AS table_name,
+        |  (SELECT count(*) FROM documents) AS n_before,
+        |  (SELECT count(*) FROM documents WHERE doc_id IN (SELECT k FROM del)) AS n_deleted,
+        |  (SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT k FROM del)) AS n_after,
+        |  TRUE AS absent_ok
+        |UNION ALL
+        |SELECT 'embeddings',
+        |  (SELECT count(*) FROM embeddings),
+        |  (SELECT count(*) FROM embeddings WHERE vec_id IN (SELECT k FROM del)),
+        |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT k FROM del)),
+        |  TRUE
+        |UNION ALL
+        |SELECT 'ivf_index',
+        |  (SELECT count(*) FROM nv),
+        |  (SELECT count(*) FROM nv WHERE vec_id IN (SELECT k FROM del)),
+        |  (SELECT count(*) FROM nv WHERE vec_id NOT IN (SELECT k FROM del)),
+        |  TRUE)
+        |ORDER BY table_name""".stripMargin,
     // q182: exact-mode theta algebra ≡ true distinct-set algebra;
     // LEFT join from the pair frame so a zero intersection could
     // never drop a row.

@@ -67,6 +67,30 @@ class KllSpec extends SparkSuite {
     }
   }
 
+  test("builds incrementally as a streaming aggregation ≡ batch (exact regime)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val agg = mem.toDF().toDF("x").agg(sk(col("x")).as("sk"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kll_stream").start()
+    val b1 = (1 to 40).map(_.toDouble)
+    val b2 = (41 to 90).map(_.toDouble)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kll_stream")
+      .select(kll_sketch_get_n_double(col("sk")).as("n"),
+        kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50"))
+      .as[(Long, Double)].head()
+    val batch = (b1 ++ b2).toDF("x").agg(sk(col("x")).as("sk"))
+      .select(kll_sketch_get_n_double(col("sk")).as("n"),
+        kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50"))
+      .as[(Long, Double)].head()
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("nulls don't aggregate") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
     val got = df.agg(sk(col("x")).as("sk"))

@@ -109,7 +109,9 @@ class PlansSpec extends SparkSuite {
       "q171_drift_psi", "q172_leak_safe_split", "q173_numeric_drift",
       "q180_embedding_drift",
       // |types|×|types| sketch-pair cross — the q141 stance
-      "q182_theta_audiences")
+      "q182_theta_audiences",
+      // per-table single-row accounting crosses (the q93 stance)
+      "q183_forget_flow")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
