@@ -923,6 +923,21 @@ object SparkEntry {
       .orderBy(col("table_name"))
   }
 
+  /** q184 — ⊕ exact set-similarity join
+    * ([[graft.ext.Dedup.setSimJoinExact]]): prefix filtering over
+    * frequency-ordered shingle sets — the completeness-GUARANTEED
+    * dual of the q22 MinHash pipeline (LSH can miss a true pair;
+    * prefix filtering provably cannot). The oracle is the NAIVE exact
+    * all-pairs Jaccard join the plan replaces (the q152/q153
+    * convention), so the hash match IS the completeness proof on the
+    * fixture.
+    */
+  private val q184SetSimExact: Q = (s, dir) => {
+    ext.Dedup.setSimJoinExact(Tables.documents(s, dir),
+        col("doc_id"), col("text"), threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q50 — ⊕ deterministic hash-bucket sampling
     * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
     * aggregated per type. The sample membership itself is the thing
@@ -3955,6 +3970,7 @@ object SparkEntry {
     "q181_kll_quantiles"    -> q181KllQuantiles,
     "q182_theta_audiences"  -> q182ThetaAudiences,
     "q183_forget_flow"      -> q183ForgetFlow,
+    "q184_setsim_exact"     -> q184SetSimExact,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7795,6 +7811,26 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q184: the NAIVE exact all-pairs join — prefix filtering must
+    // reproduce it bit-for-bit (completeness + exact verify).
+    "q184_setsim_exact" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+        |  FROM toks WHERE len(w) >= 3),
+        |f AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+        |      / (len(a.ts) + len(b.ts)
+        |         - len(list_filter(a.ts, x -> list_contains(b.ts, x)))), 4) AS jaccard
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // q183: the index accounting needs only the nv row set (cluster
     // assignment cannot change counts), so the oracle skips the fit;
     // absence proofs are literal TRUE, pinned by the hash.

@@ -143,6 +143,70 @@ object Dedup {
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
 
+  /** ⊕ EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al. 2007 "Scaling Up All
+    * Pairs Similarity Search"; Xiao et al. 2008): the
+    * completeness-GUARANTEED dual of [[nearDupPairs]]. MinHash-LSH
+    * trades recall for cost (a true pair can miss every band); prefix
+    * filtering never misses: order each document's shingle set by
+    * ascending global frequency (rarest first), take the first
+    * `|x| − ⌈t·|x|⌉ + 1` shingles as the PREFIX, and any pair with
+    * Jaccard ≥ t provably shares a prefix shingle — so grouping on
+    * prefix shingles + exact verify returns EXACTLY the ≥ t pair
+    * set. The global frequency ordering is what makes it scale:
+    * prefixes are the RAREST shingles, so candidate buckets stay
+    * small on natural text.
+    *
+    * Plan: one shingle pass + one frequency aggregation (the global
+    * order — a corpus-wide token join, the algorithm's one extra
+    * exchange over LSH), per-doc re-sort, prefix explode, bucket
+    * pairing, exact verify. Buckets above `maxBucket` are an ERROR,
+    * not a skip ([[graft.ops.Interval]]'s `assert_true` stance):
+    * silently capping would break the completeness guarantee this
+    * operator exists for; a hot prefix shingle means the threshold
+    * is too low for the corpus' redundancy.
+    *
+    * Returns (id_a, id_b, jaccard) — bit-equal to the NAIVE exact
+    * all-pairs join, which is exactly what the q184 oracle replays.
+    */
+  def setSimJoinExact(df: DataFrame, id: Column, text: Column,
+                      threshold: Double, shingleK: Int = 3, roundTo: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = df.select(id.as("id"), shingles(text, shingleK).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val freq = sh.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val sorted = sh.select(col("id"), explode(col("ts")).as("tok"))
+      .join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("cnt"), col("tok")))),
+        s => s.getField("tok")).as("sts"))
+    val prefLen = (size(col("sts")) -
+      ceil(lit(threshold) * size(col("sts"))) + 1).cast("int")
+    val pref = sorted.select(col("id"), col("sts"),
+      explode(slice(col("sts"), lit(1), prefLen)).as("ptok"))
+    val buckets = pref.groupBy(col("ptok"))
+      .agg(collect_list(struct(col("id"), col("sts"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      // over-cap = loud failure: skipping would silently break the
+      // completeness guarantee
+      .filter(assert_true(size(col("ms")) <= maxBucket,
+        concat(lit("setSimJoinExact: prefix bucket for shingle '"), col("ptok"),
+          lit(s"' exceeds maxBucket=$maxBucket; completeness cannot survive a " +
+            "skip — raise maxBucket or the threshold"))).isNull)
+    val inter = size(array_intersect(col("a.sts"), col("b.sts"))).cast("double")
+    buckets.select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(inter / (size(col("a.sts")) + size(col("b.sts")) - inter), roundTo)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
   /** ⊕ SimHash near-dup pipeline: 64-bit signature per doc (custom
     * Catalyst expression, [[graft.functions.SimHash64]]), banded into
     * four 16-bit segments. By pigeonhole, any pair within Hamming

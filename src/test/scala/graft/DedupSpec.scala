@@ -171,6 +171,45 @@ class DedupSpec extends SparkSuite {
     assert(ext.Dedup.rowsPerBandForThreshold(0.6, 12) == 3) // (1/4)^(1/3)=0.63
   }
 
+  test("setSimJoinExact ≡ naive all-pairs join (completeness), and catches LSH misses by construction") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = ext.Dedup.setSimJoinExact(docs, col("doc_id"), col("text"), 0.8)
+    // naive reference: brute-force over the same shingle sets
+    val sh = docs.select(col("doc_id").as("id"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val a = sh.select(col("id").as("id_a"), col("ts").as("ta"))
+    val b = sh.select(col("id").as("id_b"), col("ts").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("ta")) + size(col("tb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    assert(exact.except(naive).isEmpty && naive.except(exact).isEmpty,
+      "prefix filtering lost or fabricated a pair")
+    // the subset relation with LSH: every minhash-banded pair at the
+    // same threshold is in the exact set (the reverse need not hold)
+    val lsh = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select("id_a", "id_b")
+    assert(lsh.except(exact.select("id_a", "id_b")).isEmpty,
+      "LSH emitted a pair the exact join does not confirm")
+  }
+
+  test("setSimJoinExact: over-cap prefix bucket fails loudly, not silently incomplete") {
+    import spark.implicits._
+    val same = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      ext.Dedup.setSimJoinExact(same, col("doc_id"), col("text"), 0.8,
+        maxBucket = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("completeness") || m.contains("exceeds maxBucket")),
+      s"expected the loud completeness failure, got: ${messages(e).take(3)}")
+  }
+
   test("containmentPairs finds quote-inclusion that Jaccard misses") {
     val small = "the quick brown fox jumps over the lazy dog tonight"
     val big = ("unrelated preamble text goes here first with many words " * 3) +
