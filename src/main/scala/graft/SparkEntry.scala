@@ -938,6 +938,27 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q185 — ⊕ metadata-consistency audit: train the q154 Naive Bayes
+    * on the corpus' DECLARED `lang` labels and read the
+    * declared-vs-predicted confusion matrix — the screen that catches
+    * systematically mislabeled metadata (a crawler writing the wrong
+    * language tag poisons every per-language decision downstream). A
+    * declared class whose rows scatter across predictions is either
+    * mislabeled or textually indistinct from its neighbors — both
+    * findings a curation run must surface. Oracle: the shared
+    * parameterized NB chain (label = lang, train = score = full
+    * corpus) + the matrix readout.
+    */
+  private val q185LangAudit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = ext.Classify.naiveBayesFit(docs, col("lang"), col("text"))
+    ext.Classify.naiveBayesScore(model, docs, col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("id"), col("lang").as("declared")), Seq("id"))
+      .groupBy(col("declared"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("declared"), col("pred"))
+  }
+
   /** q50 — ⊕ deterministic hash-bucket sampling
     * ([[graft.ops.Sampling.byHash]]): a 10% keyed sample of events
     * aggregated per type. The sample membership itself is the thing
@@ -3971,6 +3992,7 @@ object SparkEntry {
     "q182_theta_audiences"  -> q182ThetaAudiences,
     "q183_forget_flow"      -> q183ForgetFlow,
     "q184_setsim_exact"     -> q184SetSimExact,
+    "q185_lang_audit"       -> q185LangAudit,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7510,56 +7532,13 @@ object SparkEntry {
     // ratios of exact integers, floor(ln·1e9 + 0.5) nano-unit
     // quantization at every log site, then pure integer sums and an
     // integer-score argmax with label tie-break.
-    "q154_naive_bayes" ->
-      """WITH tr AS (
-        |  SELECT doc_id, source AS label, text FROM documents WHERE doc_id % 10 <> 0),
-        |te AS (
-        |  SELECT doc_id, source AS actual, text FROM documents WHERE doc_id % 10 = 0),
-        |ttok AS (
-        |  SELECT label,
-        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
-        |  FROM tr),
-        |lab AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY label),
-        |labtot AS (SELECT label, count(*) AS total FROM ttok GROUP BY label),
-        |vocab AS (SELECT DISTINCT token FROM ttok),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |tot AS (SELECT count(*) AS n FROM tr),
-        |labs AS (
-        |  SELECT l.label,
-        |    CAST(floor(ln(CAST(l.n_docs AS DOUBLE) / t.n) * 1e9 + 0.5) AS BIGINT) AS prior_u,
-        |    CAST(floor(ln(1.0 / (lt.total + vs.v)) * 1e9 + 0.5) AS BIGINT) AS oov_u,
-        |    lt.total AS total, vs.v AS v
-        |  FROM lab l, labtot lt, vs, tot t WHERE l.label = lt.label),
-        |cnts AS (SELECT label, token, count(*) AS c FROM ttok GROUP BY label, token),
-        |grid AS (
-        |  SELECT labs.label, vocab.token,
-        |    CAST(floor(ln((COALESCE(c.c, 0) + 1.0) / (labs.total + labs.v)) * 1e9 + 0.5) AS BIGINT) AS w_u
-        |  FROM vocab CROSS JOIN labs
-        |  LEFT JOIN cnts c ON c.label = labs.label AND c.token = vocab.token),
-        |stok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
-        |  FROM te),
-        |ntok AS (SELECT doc_id, count(*) AS n_tok FROM stok GROUP BY doc_id),
-        |known AS (
-        |  SELECT s.doc_id, g.label, sum(g.w_u) AS s_known, count(*) AS n_known
-        |  FROM stok s JOIN grid g ON g.token = s.token
-        |  GROUP BY s.doc_id, g.label),
-        |scored AS (
-        |  SELECT n.doc_id, labs.label,
-        |    labs.prior_u + COALESCE(k.s_known, 0) +
-        |      (n.n_tok - COALESCE(k.n_known, 0)) * labs.oov_u AS score_units
-        |  FROM ntok n CROSS JOIN labs
-        |  LEFT JOIN known k ON k.doc_id = n.doc_id AND k.label = labs.label),
-        |best AS (
-        |  SELECT doc_id, label AS pred, score_units,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |                       ORDER BY score_units DESC, label) AS rn
-        |  FROM scored)
-        |SELECT te.doc_id, te.actual, b.pred, b.score_units,
+    "q154_naive_bayes" -> nbOracleSql(
+      label = "source",
+      trainWhere = "doc_id % 10 <> 0", testWhere = "doc_id % 10 = 0",
+      readout = """SELECT te.doc_id, te.actual, b.pred, b.score_units,
         |  (b.pred = te.actual) AS hit
         |FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
-        |ORDER BY te.doc_id""".stripMargin,
+        |ORDER BY te.doc_id""".stripMargin),
     // q155: the full training loop replayed as chained CTEs — same
     // sentinel encoding, same literal-replace merge semantics, same
     // (count DESC, pair ASC) argmax tie-break.
@@ -7811,6 +7790,15 @@ object SparkEntry {
     // q176: the auto form — derived params floor to the pinned
     // configuration at fixture scale, so the oracle is q174's.
     "q176_margin_mining_auto" -> oracleForQ174,
+    // q185: the shared NB chain, label = lang, trained and scored on
+    // the full corpus; confusion-matrix readout.
+    "q185_lang_audit" -> nbOracleSql(
+      label = "lang",
+      trainWhere = "TRUE", testWhere = "TRUE",
+      readout = """SELECT te.actual AS declared, b.pred,
+        |  count(*) AS n_docs, CAST(SUM(te.doc_id) AS BIGINT) AS sum_ids
+        |FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
+        |GROUP BY 1, 2 ORDER BY declared, pred""".stripMargin),
     // q184: the NAIVE exact all-pairs join — prefix filtering must
     // reproduce it bit-for-bit (completeness + exact verify).
     "q184_setsim_exact" ->
@@ -7991,6 +7979,63 @@ object SparkEntry {
         |SELECT category, count_a, count_b, rate_a_units, rate_b_units,
         |  (rate_a_units - rate_b_units) * (ln_a - ln_b) AS psi_units
         |FROM u ORDER BY category""".stripMargin
+
+
+  /** The full NB train+score chain (q80 token split, Laplace α=1,
+    * nano-unit logs, integer-score argmax) over a parameterized label
+    * column and train/test predicates — shared by q154 (held-out
+    * accuracy) and q185 (metadata-consistency audit). `best` exposes
+    * (doc_id, pred, score_units, rn) and `te` (doc_id, actual, text)
+    * to the caller's readout.
+    */
+  private def nbOracleSql(label: String, trainWhere: String,
+                          testWhere: String, readout: String): String =
+    raw"""WITH tr AS (
+      |  SELECT doc_id, $label AS label, text FROM documents WHERE $trainWhere),
+      |te AS (
+      |  SELECT doc_id, $label AS actual, text FROM documents WHERE $testWhere),
+      |ttok AS (
+      |  SELECT label,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM tr),
+      |lab AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY label),
+      |labtot AS (SELECT label, count(*) AS total FROM ttok GROUP BY label),
+      |vocab AS (SELECT DISTINCT token FROM ttok),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |tot AS (SELECT count(*) AS n FROM tr),
+      |labs AS (
+      |  SELECT l.label,
+      |    CAST(floor(ln(CAST(l.n_docs AS DOUBLE) / t.n) * 1e9 + 0.5) AS BIGINT) AS prior_u,
+      |    CAST(floor(ln(1.0 / (lt.total + vs.v)) * 1e9 + 0.5) AS BIGINT) AS oov_u,
+      |    lt.total AS total, vs.v AS v
+      |  FROM lab l, labtot lt, vs, tot t WHERE l.label = lt.label),
+      |cnts AS (SELECT label, token, count(*) AS c FROM ttok GROUP BY label, token),
+      |grid AS (
+      |  SELECT labs.label, vocab.token,
+      |    CAST(floor(ln((COALESCE(c.c, 0) + 1.0) / (labs.total + labs.v)) * 1e9 + 0.5) AS BIGINT) AS w_u
+      |  FROM vocab CROSS JOIN labs
+      |  LEFT JOIN cnts c ON c.label = labs.label AND c.token = vocab.token),
+      |stok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM te),
+      |ntok AS (SELECT doc_id, count(*) AS n_tok FROM stok GROUP BY doc_id),
+      |known AS (
+      |  SELECT s.doc_id, g.label, sum(g.w_u) AS s_known, count(*) AS n_known
+      |  FROM stok s JOIN grid g ON g.token = s.token
+      |  GROUP BY s.doc_id, g.label),
+      |scored AS (
+      |  SELECT n.doc_id, labs.label,
+      |    labs.prior_u + COALESCE(k.s_known, 0) +
+      |      (n.n_tok - COALESCE(k.n_known, 0)) * labs.oov_u AS score_units
+      |  FROM ntok n CROSS JOIN labs
+      |  LEFT JOIN known k ON k.doc_id = n.doc_id AND k.label = labs.label),
+      |best AS (
+      |  SELECT doc_id, label AS pred, score_units,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_units DESC, label) AS rn
+      |  FROM scored)
+      |""".stripMargin + readout
 
   private def leakSafeSplitOracleSql: String =
     s"""$dupClustersCtes,
