@@ -7813,11 +7813,11 @@ object SparkEntry {
         |f AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+        |    CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
         |      / (len(a.ts) + len(b.ts)
-        |         - len(list_filter(a.ts, x -> list_contains(b.ts, x)))), 4) AS jaccard
+        |         - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) AS j
         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     // q183: the index accounting needs only the nv row set (cluster
     // assignment cannot change counts), so the oracle skips the fit;

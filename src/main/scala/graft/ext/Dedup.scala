@@ -201,9 +201,15 @@ object Dedup {
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(inter / (size(col("a.sts")) + size(col("b.sts")) - inter), roundTo)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (inter / (size(col("a.sts")) + size(col("b.sts")) - inter)).as("__j"))
+      // verify on the UNROUNDED ratio: the prefix theorem guarantees a
+      // shared prefix shingle only for TRUE J >= t — a rounded compare
+      // would admit J in [t-5e-5, t) pairs the candidate generation
+      // never promised to produce (and the FP-ceil prefix length is
+      // provably never shorter than the true-J bound requires, so the
+      // guarantee is airtight under this predicate)
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), roundTo).as("jaccard"))
       .distinct()
   }
 

@@ -350,6 +350,17 @@ object Similarity {
       .withColumn("codes",
         graft.functions.PqAssign.pq_assign_all(col("nv"), model.codebooks))
 
+  /** ⊕ Assign rows to an EXISTING coarse quantizer's centroids — the
+    * pure projection underneath [[ivfExtend]], exposed for consumers
+    * that need the increment's assignment ALONE (e.g. per-snapshot
+    * cluster histograms for embedding-space drift, q180). No refit,
+    * no shuffle, no new driver state.
+    */
+  def assignToCentroids(model: IvfModel, df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+      .withColumn("cluster", assignCluster(col("nv"), model.centroids))
+
   /** ⊕ Append an increment to an existing coarse quantizer — the
     * other half of the fit-once maintenance path ([[pqEncode]] is
     * the code side): new vectors are assigned to YESTERDAY'S
@@ -362,17 +373,6 @@ object Similarity {
     * assignment over the full corpus would produce with the same
     * centroids (the pqEncode equality contract, proved in PqSpec).
     */
-  /** ⊕ Assign rows to an EXISTING coarse quantizer's centroids — the
-    * pure projection underneath [[ivfExtend]], exposed for consumers
-    * that need the increment's assignment ALONE (e.g. per-snapshot
-    * cluster histograms for embedding-space drift, q180). No refit,
-    * no shuffle, no new driver state.
-    */
-  def assignToCentroids(model: IvfModel, df: DataFrame, id: Column, vec: Column): DataFrame =
-    df.select(id.as("id"), normalize(vecD(vec)).as("nv"))
-      .filter(col("nv").isNotNull)
-      .withColumn("cluster", assignCluster(col("nv"), model.centroids))
-
   def ivfExtend(model: IvfModel, df: DataFrame, id: Column, vec: Column): IvfModel = {
     val inc = assignToCentroids(model, df, id, vec)
     // persisted (lazily) so repeated searches don't re-encode the
@@ -1012,8 +1012,11 @@ object Similarity {
                       numTables: Int = 16, bitsPerTable: Int = 6,
                       roundTo: Int = 4,
                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val universe = df.select(id.as("vec_id"), normalize(vecD(vec)).as("__nv"))
-      .filter(col("__nv").isNotNull).select(col("vec_id"))
+    // membership check only: a vector normalizes to non-null iff its
+    // self-dot is positive — one codegen pass, no second normalize of
+    // the corpus (annLshPairs builds the real nv frame internally)
+    val universe = df.select(id.as("vec_id"), vecD(vec).as("__v"))
+      .filter(dot(col("__v"), col("__v")) > 0).select(col("vec_id"))
     val pairs = annLshPairs(df, id, vec, threshold, numTables, bitsPerTable,
       roundTo, maxBucket)
     val sym = pairs.select(explode(array(

@@ -105,17 +105,20 @@ object TextAnalysis {
   /** Strip each row's group template prefix (from [[templatePrefix]],
     * broadcast back — prefixes are #groups rows): rows whose text
     * starts with the group prefix lose it; others pass through.
+    * Returns the input columns plus `stripped`; all join-side columns
+    * ride collision-proof internal names, so a caller that already
+    * carries `prefix`/`prefix_len`/`group` columns is unaffected.
     */
   def stripPrefixes(df: DataFrame, group: Column, text: Column,
                     prefixes: DataFrame): DataFrame = {
-    val p = broadcast(prefixes.select(col("group"), col("prefix_len"), col("prefix")))
-    df.withColumn("group", group)
-      .join(p, Seq("group"), "left")
-      .withColumn("__stripped",
-        when(col("prefix").isNotNull && text.startsWith(col("prefix")),
-          text.substr(col("prefix_len") + 1, length(text)))
+    val p = broadcast(prefixes.select(col("group").as("__tp_g"),
+      col("prefix_len").as("__tp_len"), col("prefix").as("__tp_pre")))
+    df.join(p, group === col("__tp_g"), "left")
+      .withColumn("stripped",
+        when(col("__tp_pre").isNotNull && text.startsWith(col("__tp_pre")),
+          text.substr(col("__tp_len") + 1, length(text)))
           .otherwise(text))
-      .drop("prefix", "prefix_len")
+      .drop("__tp_g", "__tp_len", "__tp_pre")
   }
 
   /** ⊕ Per-document character-distribution entropy — the

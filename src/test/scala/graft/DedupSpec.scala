@@ -183,8 +183,9 @@ class DedupSpec extends SparkSuite {
     val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
     val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(inter / (size(col("ta")) + size(col("tb")) - inter), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+        (inter / (size(col("ta")) + size(col("tb")) - inter)).as("__j"))
+      .filter(col("__j") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
     assert(exact.except(naive).isEmpty && naive.except(exact).isEmpty,
       "prefix filtering lost or fabricated a pair")
     // the subset relation with LSH: every minhash-banded pair at the

@@ -30,7 +30,7 @@ class TextAnalysisSpec extends SparkSuite {
     val stripped = graft.ext.TextAnalysis.stripPrefixes(docs, col("source"),
         col("text"),
         graft.ext.TextAnalysis.templatePrefix(docs, col("source"), col("text")))
-      .select("__stripped").as[String].collect()
+      .select("stripped").as[String].collect()
     assert(stripped.count(_.startsWith("about")) == 2, s"strip failed: ${stripped.toSeq}")
     // empty-text group: bound < 1 guard (Spark sequence(1,0) ramp)
     val empty = Seq(("e", ""), ("e", "x")).toDF("source", "text")
