@@ -111,7 +111,10 @@ class PlansSpec extends SparkSuite {
       // |types|×|types| sketch-pair cross — the q141 stance
       "q182_theta_audiences",
       // per-table single-row accounting crosses (the q93 stance)
-      "q183_forget_flow")
+      "q183_forget_flow",
+      // q154's class-dimension scoring cross, audited over the full
+      // corpus
+      "q185_lang_audit")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
