@@ -3789,6 +3789,31 @@ object SparkEntry {
     ops.Drift.driftFromCounts(ca, cb).orderBy(col("category"))
   }
 
+  /** q186 — ⊕ INCREMENTAL packing, oracled: pack the first half of
+    * the corpus, then pack the second half with
+    * `startOffset = history end` ([[graft.ops.Packing.packSequences]]'
+    * resume parameter — a daily increment never re-reads the
+    * historical token stream) and union. Under append-only order the
+    * combined layout is byte-identical to a from-scratch repack, so
+    * the oracle is q167's, shared verbatim — the q112/q146 convention
+    * applied to the maintenance path.
+    */
+  private val q186IncrementalPacking: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val history = t.filter(col("doc_id") < 250)
+    val increment = t.filter(col("doc_id") >= 250)
+    val packedHist = ops.Packing.packSequences(history, Seq(col("doc_id")), "n_toks", 512L)
+    val end = packedHist.agg(coalesce(max(col("tok_start") + col("n_toks")), lit(0L)))
+      .head().getLong(0)
+    val packedInc = ops.Packing.packSequences(increment, Seq(col("doc_id")), "n_toks", 512L,
+      startOffset = end)
+    packedHist.unionByName(packedInc)
+      .select(col("doc_id"), col("n_toks"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -3993,6 +4018,7 @@ object SparkEntry {
     "q183_forget_flow"      -> q183ForgetFlow,
     "q184_setsim_exact"     -> q184SetSimExact,
     "q185_lang_audit"       -> q185LangAudit,
+    "q186_incremental_pack" -> q186IncrementalPacking,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7679,22 +7705,12 @@ object SparkEntry {
     // floor division (// / div) agrees across engines on the
     // non-negative offsets, and the window sum is cast back from
     // DuckDB's HUGEINT.
-    "q167_seq_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
-        |  FROM documents),
-        |f AS (SELECT doc_id, n_toks FROM t WHERE n_toks > 0),
-        |c AS (
-        |  SELECT doc_id, n_toks,
-        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        |  FROM f)
-        |SELECT doc_id, n_toks, tok_start,
-        |  (tok_start // 512) AS seq_first,
-        |  ((tok_start + n_toks - 1) // 512) AS seq_last,
-        |  ((tok_start + n_toks - 1) // 512) - (tok_start // 512) + 1 AS n_seqs
-        |FROM c ORDER BY doc_id""".stripMargin,
+    // q186: the incremental path (history + startOffset-resumed
+    // increment) must equal the full repack bit-for-bit — shares
+    // q167's oracle verbatim.
+    "q186_incremental_pack" -> seqPackingOracleSql,
+    "q167_seq_packing" -> seqPackingOracleSql,
+
     // q168: the md5 permutation replayed as the naive global window
     // (q152 convention); both engines produce the same lowercase-hex
     // md5 of the decimal id string, so the order keys are identical.
@@ -8036,6 +8052,26 @@ object SparkEntry {
       |                       ORDER BY score_units DESC, label) AS rn
       |  FROM scored)
       |""".stripMargin + readout
+
+  /** q167's oracle — the naive global-window prefix sum; shared
+    * verbatim by q186 (incremental ≡ full repack).
+    */
+  private def seqPackingOracleSql: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_toks FROM t WHERE n_toks > 0),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM f)
+        |SELECT doc_id, n_toks, tok_start,
+        |  (tok_start // 512) AS seq_first,
+        |  ((tok_start + n_toks - 1) // 512) AS seq_last,
+        |  ((tok_start + n_toks - 1) // 512) - (tok_start // 512) + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin
 
   private def leakSafeSplitOracleSql: String =
     s"""$dupClustersCtes,
