@@ -88,6 +88,35 @@ object Drift {
     drift.agg(coalesce(sum(col("psi_units").cast("decimal(38,0)")),
       lit(0).cast("decimal(38,0)")).as("psi_total_units"))
 
+  /** ⊕ The CI-gate form ([[graft.ops.Check.requireValid]]'s stance
+    * applied to drift): compute the drift table, FAIL LOUDLY when
+    * total PSI exceeds `maxPsi` (conventional reading: 0.1 stable,
+    * 0.25 shifted), naming the worst categories — the job a pipeline
+    * runs between "new snapshot landed" and "training consumes it".
+    * Returns the drift table when the gate passes.
+    *
+    * @param maxPsi threshold in NATS (converted internally to the
+    *        exact 1e-15-unit scale [[totalPsi]] reports)
+    */
+  def requireStable(a: DataFrame, b: DataFrame, cat: Column,
+                    maxPsi: Double = 0.25): DataFrame = {
+    require(maxPsi > 0, s"maxPsi must be positive, got $maxPsi")
+    val d = categoricalDrift(a, b, cat).localCheckpoint()
+    val total = totalPsi(d).head().getDecimal(0)
+    val limit = java.math.BigDecimal.valueOf(maxPsi)
+      .multiply(java.math.BigDecimal.valueOf(1e15)).toBigInteger
+    if (total.toBigInteger.compareTo(limit) > 0) {
+      val worst = d.orderBy(col("psi_units").desc).limit(3).collect()
+        .map(r => s"  ${r.get(0)}: count ${r.getLong(1)} -> ${r.getLong(2)}, " +
+          s"psi_units ${r.getLong(5)}")
+        .mkString("\n")
+      throw new IllegalStateException(
+        s"distribution drift gate failed: total PSI ${total.toBigInteger} " +
+          s"exceeds ${limit} (${maxPsi} nats); worst categories:\n$worst")
+    }
+    d
+  }
+
   /** ⊕ Numeric drift: [[categoricalDrift]] over quantile bins —
     * bin edges are snapshot A's exact interpolated `(1..n−1)/n`
     * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont` to the

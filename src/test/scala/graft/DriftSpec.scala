@@ -93,6 +93,19 @@ class DriftSpec extends SparkSuite {
       "stream-maintained drift table drifted from the batch computation")
   }
 
+  test("requireStable: passes on stable snapshots, fails loudly naming the worst shift") {
+    val a = snap("x" -> 50, "y" -> 50)
+    // near-identical → tiny PSI → passes
+    val ok = Drift.requireStable(a, snap("x" -> 52, "y" -> 48), col("cat"))
+    assert(ok.count() == 2)
+    // a collapsed category → large PSI → loud gate failure
+    val e = intercept[IllegalStateException] {
+      Drift.requireStable(a, snap("x" -> 99, "y" -> 1), col("cat"), maxPsi = 0.25)
+    }
+    assert(e.getMessage.contains("drift gate failed") && e.getMessage.contains("y"),
+      s"message should name the gate and a worst category: ${e.getMessage}")
+  }
+
   test("hand-checked two-category drift: integer-units pipeline") {
     // a: 3×p 1×q  (n=4, K=2) → pa_p=(3+1)/6, pa_q=(1+1)/6
     // b: 1×p 3×q            → pb_p=(1+1)/6, pb_q=(3+1)/6

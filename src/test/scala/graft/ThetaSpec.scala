@@ -43,6 +43,22 @@ class ThetaSpec extends SparkSuite {
     assert(direct == 3L && merged == 3L)
   }
 
+  test("builds incrementally as a streaming aggregation ≡ batch (exact mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().toDF("k").agg(theta_sketch_agg(col("k")).as("sk"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("theta_stream").start()
+    try {
+      mem.addData(1L to 40L: _*); q.processAllAvailable()
+      mem.addData(30L to 90L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("theta_stream")
+      .select(est(col("sk"))).as[Long].head()
+    assert(streamed == 90L, s"stream-built distinct estimate: $streamed")
+  }
+
   test("sampling regime: estimate within 5x RSE of truth") {
     val n = 100000
     val df = (1 to n).map(_.toLong).toDF("k").repartition(8)
