@@ -38,10 +38,16 @@ object Classify {
   private def units(x: Column): Column =
     floor(log(x) * 1e9 + 0.5).cast("long")
 
-  /** Multinomial NB fit over `train` (labelCol, textCol). Tokens are
-    * [[TextAnalysis.tokens]] (the q80 vocabulary convention).
+  /** The raw (pre-quantization) probability ratios, one per `ln`
+    * site: `labelsRaw(label, __prior_x, __oov_x)` and
+    * `gridRaw(label, token, __w_x)`. [[naiveBayesFit]] quantizes
+    * these; [[quantizationInputs]] audits them — both derive from
+    * this ONE pipeline so the audited ratios are exactly the ratios
+    * the model quantizes (exact-deterministic: each is one
+    * correctly-rounded double division of exact integer counts).
     */
-  def naiveBayesFit(train: DataFrame, labelCol: Column, textCol: Column): NbModel = {
+  private def fitRaw(train: DataFrame, labelCol: Column,
+                     textCol: Column): (DataFrame, DataFrame) = {
     val tr = train.select(labelCol.as("label"), textCol.as("__text"))
     val tok = tr.select(col("label"),
       explode(TextAnalysis.tokens(col("__text"))).as("token"))
@@ -53,28 +59,58 @@ object Classify {
     val vocab = tok.select(col("token")).distinct()
     val vs = vocab.agg(count(lit(1)).as("__v"))
     val nd = tr.agg(count(lit(1)).as("__n"))
-    val labels = nDocs.join(totals, Seq("label"))
+    val labelsRaw = nDocs.join(totals, Seq("label"))
       .crossJoin(broadcast(vs)).crossJoin(broadcast(nd))
       .select(col("label"),
-        units(col("__n_docs").cast("double") / col("__n")).as("prior_units"),
-        units(lit(1.0) / (col("__total") + col("__v"))).as("oov_units"),
+        (col("__n_docs").cast("double") / col("__n")).as("__prior_x"),
+        (lit(1.0) / (col("__total") + col("__v"))).as("__oov_x"),
         col("__total"), col("__v"))
     val counts = tok.groupBy(col("label"), col("token")).agg(count(lit(1)).as("__c"))
-    val grid = vocab.crossJoin(broadcast(labels))
+    val gridRaw = vocab.crossJoin(broadcast(labelsRaw))
       .join(counts, Seq("label", "token"), "left")
       .select(col("label"), col("token"),
-        units((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
-          (col("__total") + col("__v"))).as("w_units"))
-    NbModel(grid, labels.select(col("label"), col("prior_units"), col("oov_units")))
+        ((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+          (col("__total") + col("__v"))).as("__w_x"))
+    (labelsRaw, gridRaw)
   }
 
-  /** Score `docs` (idCol, textCol): per-document argmax class.
-    * Output: id, pred, score_units (winning class's integer score).
-    * Ties break on ascending label — deterministic because scores are
-    * integers.
+  /** Multinomial NB fit over `train` (labelCol, textCol). Tokens are
+    * [[TextAnalysis.tokens]] (the q80 vocabulary convention).
     */
-  def naiveBayesScore(model: NbModel, docs: DataFrame,
-                      idCol: Column, textCol: Column): DataFrame = {
+  def naiveBayesFit(train: DataFrame, labelCol: Column, textCol: Column): NbModel = {
+    val (labelsRaw, gridRaw) = fitRaw(train, labelCol, textCol)
+    val grid = gridRaw.select(col("label"), col("token"),
+      units(col("__w_x")).as("w_units"))
+    val labels = labelsRaw.select(col("label"),
+      units(col("__prior_x")).as("prior_units"),
+      units(col("__oov_x")).as("oov_units"))
+    NbModel(grid, labels)
+  }
+
+  /** Every raw ratio the fit quantizes, one row per `ln` site:
+    * `(site, x)` — the guard-band audit surface. ClassifySpec asserts
+    * each site's `ln(x)·1e9 + 0.5` sits far from its `floor` bin
+    * edge, which is what makes the q154 selection contract CHECKED
+    * rather than lucky (a cross-libm last-ulp `ln` difference moves
+    * the pre-floor value by ~1e-6 units; the spec demands ≥ 1e-4).
+    */
+  private[graft] def quantizationInputs(train: DataFrame, labelCol: Column,
+                                        textCol: Column): DataFrame = {
+    val (labelsRaw, gridRaw) = fitRaw(train, labelCol, textCol)
+    gridRaw.select(lit("grid").as("site"), col("__w_x").as("x"))
+      .unionAll(labelsRaw.select(lit("prior").as("site"), col("__prior_x").as("x")))
+      .unionAll(labelsRaw.select(lit("oov").as("site"), col("__oov_x").as("x")))
+  }
+
+  /** Full per-(doc, class) integer score table — the internal scoring
+    * base [[naiveBayesScore]] argmaxes over. Exposed (package-private)
+    * so ClassifySpec can assert the selection guard band: the top-1 /
+    * top-2 margin must dwarf the worst-case per-cell nano-unit drift,
+    * which is what licenses outputting only the SELECTION across
+    * engines (the q92 "ln stays internal" convention).
+    */
+  private[graft] def naiveBayesScoreAll(model: NbModel, docs: DataFrame,
+                                        idCol: Column, textCol: Column): DataFrame = {
     val d = docs.select(idCol.as("__id"), TextAnalysis.tokens(textCol).as("__toks"))
     val tok = d.select(col("__id"), explode(col("__toks")).as("token"))
     val known = tok.join(model.grid, Seq("token"))
@@ -82,11 +118,22 @@ object Classify {
       .agg(sum(col("w_units")).as("__s_known"), count(lit(1)).as("__n_known"))
     val base = d.select(col("__id"), size(col("__toks")).cast("long").as("__n_tok"))
       .crossJoin(broadcast(model.labels))
-    val scored = base.join(known, Seq("__id", "label"), "left")
+    base.join(known, Seq("__id", "label"), "left")
       .select(col("__id"), col("label"),
         (col("prior_units") + coalesce(col("__s_known"), lit(0L)) +
          (col("__n_tok") - coalesce(col("__n_known"), lit(0L))) * col("oov_units"))
           .as("score_units"))
+  }
+
+  /** Score `docs` (idCol, textCol): per-document argmax class.
+    * Output: id, pred, score_units (winning class's integer score).
+    * Ties break on ascending label — deterministic because scores are
+    * integers. Callers that cross an engine boundary should emit only
+    * the selection (`pred`), not the raw units — see q154's contract.
+    */
+  def naiveBayesScore(model: NbModel, docs: DataFrame,
+                      idCol: Column, textCol: Column): DataFrame = {
+    val scored = naiveBayesScoreAll(model, docs, idCol, textCol)
     graft.ops.TopK.perGroupTopK(scored, Seq(col("__id")),
         Seq(desc("score_units"), asc("label")), 1)
       .select(col("__id").as("id"), col("label").as("pred"), col("score_units"))

@@ -53,6 +53,60 @@ class ClassifySpec extends SparkSuite {
     assert(a.count() == test10.count(), "every held-out doc gets exactly one prediction")
   }
 
+  // The q154 selection contract: only (pred, hit) cross the engine
+  // boundary because ln is not engine-portable at the last ulp. These
+  // two tests make that contract CHECKED, not lucky: (1) every ln
+  // quantization input sits ≥ 1e-4 units from its floor bin edge —
+  // ~50× the worst cross-libm drift of ~2e-6 units — so no grid cell
+  // flips a bin across engines; (2) even if every contributing cell
+  // DID flip one bin, no argmax selection would change, because every
+  // scored doc's top-1/top-2 margin exceeds the worst-case total
+  // drift (n_tok + 2 one-unit flips per class, both classes adverse).
+  test("q154 guard band: ln quantization inputs sit far from bin edges") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val xs = Classify.quantizationInputs(docs.filter(col("doc_id") % 10 =!= 0),
+        col("source"), col("text"))
+      val y = log(col("x")) * 1e9 + 0.5
+      val fr = y - floor(y)
+      val worst = xs.select(col("site"), col("x"),
+          least(fr, lit(1.0) - fr).as("dist"))
+        .orderBy(col("dist")).limit(1).collect()(0)
+      assert(worst.getDouble(2) >= 1e-4,
+        s"$dir: quantization input x=${worst.getDouble(1)} at site " +
+          s"${worst.getString(0)} sits ${worst.getDouble(2)} units from a " +
+          "floor(ln(x)*1e9 + 0.5) bin edge - inside the cross-libm knife " +
+          "edge; coarsen the unit scale or adjust the readout")
+    }
+  }
+
+  test("q154 guard band: argmax margins dwarf worst-case per-cell drift") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m = Classify.naiveBayesFit(docs.filter(col("doc_id") % 10 =!= 0),
+        col("source"), col("text"))
+      val test10 = docs.filter(col("doc_id") % 10 === 0)
+      val scored = Classify.naiveBayesScoreAll(m, test10, col("doc_id"), col("text"))
+      val margins = scored.groupBy(col("__id"))
+        .agg(sort_array(collect_list(col("score_units")), asc = false).as("ss"))
+        .select((element_at(col("ss"), 1) - element_at(col("ss"), 2)).as("margin"))
+      assert(scored.select(col("label")).distinct().count() >= 2,
+        s"$dir: margin audit needs >= 2 classes")
+      // worst-case cross-engine drift: every one of the <= n_tok + 2
+      // quantized terms per class flips one unit, both classes adverse
+      val maxTok = test10
+        .select(size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .agg(max(col("n"))).as[Long].head()
+      val minMargin = margins.agg(min(col("margin"))).as[Long].head()
+      assert(minMargin > 2 * (maxTok + 2),
+        s"$dir: min top-1/top-2 margin $minMargin does not clear the " +
+          s"worst-case drift bound ${2 * (maxTok + 2)} - the selection " +
+          "itself is knife-edged; the q154 pred/hit contract is unsafe")
+    }
+  }
+
   test("separable synthetic classes classify perfectly") {
     val tr = Seq(("pos", "good great fine"), ("pos", "great good"),
       ("neg", "bad awful poor"), ("neg", "awful bad")).toDF("label", "text")

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.Drift
@@ -104,6 +105,50 @@ class DriftSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("drift gate failed") && e.getMessage.contains("y"),
       s"message should name the gate and a worst category: ${e.getMessage}")
+  }
+
+  // q171/q173 (and q180, which shares driftFromCounts) emit raw
+  // psi_units — products of ln-quantized terms. That is only
+  // engine-portable if no ln input sits on a floor bin edge (a
+  // cross-libm last-ulp ln difference moves the pre-floor value by
+  // ~2e-6 units). This audit recomputes every smoothed rate the
+  // operator quantizes — bit-identical recomputation: one correctly
+  // rounded division of the same exact integers — and demands ≥ 1e-4
+  // units of clearance, ~50× the drift. The rate site (p·1e6) needs
+  // no guard: division is correctly rounded identically in both
+  // engines, so its bin can never flip.
+  private def auditLnGuardBand(d: DataFrame, what: String): Unit = {
+    val counts = d.select(col("category"), col("count_a"), col("count_b"))
+    val norm = counts.agg(sum(col("count_a")).as("__na"),
+      sum(col("count_b")).as("__nb"), count(lit(1)).as("__k"))
+    val pa = (col("count_a") + 1).cast("double") / (col("__na") + col("__k"))
+    val pb = (col("count_b") + 1).cast("double") / (col("__nb") + col("__k"))
+    val y = log(col("p")) * 1e9 + 0.5
+    val fr = y - floor(y)
+    val worst = counts.crossJoin(broadcast(norm))
+      .select(explode(array(pa, pb)).as("p"))
+      .select(col("p"), least(fr, lit(1.0) - fr).as("dist"))
+      .orderBy(col("dist")).limit(1).collect()(0)
+    assert(worst.getDouble(1) >= 1e-4,
+      s"$what: smoothed rate p=${worst.getDouble(0)} sits " +
+        s"${worst.getDouble(1)} units from a floor(ln(p)*1e9 + 0.5) bin " +
+        "edge - inside the cross-libm knife edge; coarsen psi_units or " +
+        "drop them from the hashed readout")
+  }
+
+  test("q171/q173 guard band: ln quantization inputs sit far from bin edges") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val catg = concat(col("event_type"), lit("|"),
+        coalesce(floor(col("value") / 100.0).cast("string"), lit("null")))
+      val split = lit("2024-01-16").cast("timestamp")
+      val (first, second) =
+        (ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
+      auditLnGuardBand(Drift.categoricalDrift(first, second, catg), s"$dir q171")
+      auditLnGuardBand(Drift.numericDrift(first, second, col("value"), nBins = 10),
+        s"$dir q173")
+    }
   }
 
   test("hand-checked two-category drift: integer-units pipeline") {
