@@ -183,8 +183,14 @@ object Dedup {
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("cnt"), col("tok")))),
         s => s.getField("tok")).as("sts"))
+    // required-overlap ceiling ⌈t·n⌉ in robust arithmetic: the raw
+    // double product can land 1 ulp ABOVE an exactly-integral t·n
+    // (e.g. t=0.7, n=30), which would push ceil one too high and cut
+    // the prefix one token short — a silent completeness hole. round
+    // at 9 decimals absorbs the ulp (product error ≤ ~1e-10 at any
+    // realistic n) without moving any genuinely fractional value.
     val prefLen = (size(col("sts")) -
-      ceil(lit(threshold) * size(col("sts"))) + 1).cast("int")
+      ceil(round(lit(threshold) * size(col("sts")), 9)) + 1).cast("int")
     val pref = sorted.select(col("id"), col("sts"),
       explode(slice(col("sts"), lit(1), prefLen)).as("ptok"))
     val buckets = pref.groupBy(col("ptok"))

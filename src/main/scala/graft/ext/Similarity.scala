@@ -1005,7 +1005,12 @@ object Similarity {
     * `n_nbrs = 0`.
     *
     * Returns `(vec_id, n_nbrs, best_cos, is_isolated)` with
-    * `is_isolated = n_nbrs == 0 OR best_cos < tau`.
+    * `is_isolated = n_nbrs == 0 OR best_cos < tau`. NOTE: `n_nbrs`
+    * is `min(k, #candidates)` — the retained top-k row count, NOT
+    * the vector's true candidate-neighbor degree (it saturates at
+    * `k`, default 3). It distinguishes "isolated" (0) from "has
+    * neighbors" (> 0); do not consume it as a degree statistic — for
+    * degrees, aggregate [[annLshPairs]] output directly.
     */
   def isolationScreen(df: DataFrame, id: Column, vec: Column,
                       threshold: Double = 0.3, k: Int = 3, tau: Double = 0.5,

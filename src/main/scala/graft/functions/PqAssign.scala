@@ -45,6 +45,12 @@ object PqAssign {
       s"pq_assign subspace index $j out of range 0..${cb.length - 1}")
     val words = cb(j)
     val n = s.numElements()
+    // loud failure, the computeAll stance: a subvector whose length
+    // differs from the codeword length would otherwise be silently
+    // truncated by the distance fold and assigned a wrong code
+    if (n != words(0).length) throw new IllegalArgumentException(
+      s"pq_assign subvector length $n != codeword length ${words(0).length} " +
+        s"in subspace $j")
     val v = new Array[Double](n)
     var d = 0
     while (d < n) {

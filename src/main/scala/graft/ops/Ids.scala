@@ -56,12 +56,17 @@ object Ids {
                       outCol: String = "row_num",
                       numPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // collision-safe temp weight name (the stripPrefixes __tp_*
+    // stance): withColumn on a fixed name would silently overwrite a
+    // caller column of the same name before dropping it
+    val one = Iterator.from(0).map(i => s"__srn_one$i")
+      .find(n => !df.columns.contains(n)).get
     // row_number = exclusive prefix COUNT + 1 — the weight-1 instance
     // of the shared two-pass prefix sum
-    prefixSum(df.withColumn("__one", lit(1L)), orderCols, "__one", outCol,
+    prefixSum(df.withColumn(one, lit(1L)), orderCols, one, outCol,
         numPartitions)
       .withColumn(outCol, col(outCol) + 1L)
-      .drop("__one")
+      .drop(one)
   }
 
   /** ⊕ The shared two-pass distributed EXCLUSIVE prefix sum over a
@@ -79,6 +84,9 @@ object Ids {
                 outCol: String, numPartitions: Option[Int] = None,
                 start: Long = 0L): DataFrame = {
     require(orderCols.nonEmpty, "prefixSum needs at least one order column")
+    require(!df.columns.contains(outCol),
+      s"prefixSum: input already has a column named '$outCol' - appending " +
+        "would create an ambiguous duplicate; pick a different outCol")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)

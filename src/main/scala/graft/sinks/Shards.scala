@@ -27,9 +27,11 @@ object Shards {
 
   /** One row per written shard. `n_files` is the invariant check —
     * always 1 per shard here; surfaced so a consumer can assert it.
+    * `files` lists EVERY data file in the shard directory (sorted),
+    * so a violated invariant is fully reported, not just counted.
     */
   final case class ShardManifest(shard_id: Long, n_rows: Long, n_files: Int,
-                                 file: String)
+                                 files: Seq[String])
 
   /** Write `df` (must carry `shard_id` and `shuffle_rank` — the
     * [[graft.ops.Packing.shuffleShards]] schema) under `outDir`,
@@ -50,12 +52,18 @@ object Shards {
     manifest
   }
 
-  /** Re-derive the manifest from an on-disk shard directory. */
+  /** Re-derive the manifest from an on-disk shard directory. An
+    * empty input produces NO shard directories (a partitioned write
+    * of zero rows writes no data files) — that is an empty manifest,
+    * not a schema-inference error, so the zero-shard case short
+    * circuits before any parquet read.
+    */
   def buildManifest(spark: SparkSession, outDir: String): Seq[ShardManifest] = {
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val shardDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard_id="))
+    if (shardDirs.isEmpty) return Seq.empty
     // partition-dir inference types shard_id as int on read-back —
     // normalize to long so the manifest key matches the writer's
     val counts = spark.read.parquet(outDir)
@@ -68,7 +76,7 @@ object Shards {
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
       ShardManifest(sid, counts.getOrElse(sid, 0L), files.size,
-        files.map(_.getPath.toString).sorted.headOption.getOrElse(""))
+        files.map(_.getPath.toString).sorted)
     }.sortBy(_.shard_id)
   }
 }

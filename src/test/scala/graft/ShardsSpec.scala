@@ -27,11 +27,23 @@ class ShardsSpec extends SparkSuite {
       assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
       // within a shard file, rows sit in shuffle_rank order (the
       // reproducible training order INSIDE the file)
-      val one = spark.read.parquet(manifest.head.file)
+      val one = spark.read.parquet(manifest.head.files.head)
         .select("shuffle_rank").as[Long].collect()
       assert(one.sameElements(one.sorted), "shard file not rank-sorted")
       // re-derived manifest == returned manifest
       assert(Shards.buildManifest(spark, out) == manifest)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("writeShards: empty input yields an empty manifest, not an error") {
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_id", "shard_id", "shuffle_rank")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_empty").toString
+    try {
+      assert(Shards.writeShards(empty, out).isEmpty)
+      assert(Shards.buildManifest(spark, out).isEmpty)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
