@@ -64,10 +64,44 @@ object Bpe {
 
   /** Learn up to `nMerges` merges from a (word, freq) table. Returns
     * the learned merge table (merge_rank, sym_left, sym_right,
-    * pair_count) — built from one collected row per iteration.
-    * Stops early if the pair space exhausts.
+    * pair_count). Stops early if the pair space exhausts.
+    *
+    * Iteration engine choice (the scale fix for "one Spark job per
+    * merge"): the merge loop's state is the word-TYPE table —
+    * vocabulary-sized (~√corpus by Heaps' law), NEVER corpus-sized —
+    * so when it fits `maxLocalTypes` rows (the documented driver
+    * bound — the same model-state justification as the centroid
+    * collects) it is collected ONCE and the merges run in-memory with
+    * incremental pair-count maintenance: O(1) Spark jobs total
+    * regardless of merge count, which is what a real 32k-100k-merge
+    * tokenizer needs (32k sequential Spark jobs would be pure
+    * scheduler overhead on model-sized state). Above the bound,
+    * [[learnMergesDistributed]] keeps the one-job-per-merge
+    * vocabulary-table loop. BpeSpec proves the two engines produce
+    * identical merge tables on the fixture corpus.
     */
-  def learnMerges(wordFreqs: DataFrame, nMerges: Int): DataFrame = {
+  def learnMerges(wordFreqs: DataFrame, nMerges: Int,
+                  maxLocalTypes: Int = 2000000): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    // one job: the bound check IS the collect (limit bound+1 — if the
+    // extra row comes back the table exceeds the bound and we fall
+    // back without having paid more than the bound's worth of rows)
+    val head = wordFreqs.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].limit(maxLocalTypes + 1).collect()
+    if (head.length > maxLocalTypes) learnMergesDistributed(wordFreqs, nMerges)
+    else learnMergesLocal(head, nMerges).toDF(
+      "merge_rank", "sym_left", "sym_right", "pair_count")
+  }
+
+  /** The distributed merge loop — one vocabulary-sized Spark job +
+    * one 1-row collect PER MERGE. Correct at any vocabulary size but
+    * pays per-merge scheduler latency; [[learnMerges]] uses it only
+    * above the driver bound.
+    */
+  private[graft] def learnMergesDistributed(wordFreqs: DataFrame,
+                                            nMerges: Int): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = wordFreqs.sparkSession
     var vocab = wordFreqs.select(symbolize(col("word")).as("sym"), col("freq"))
@@ -95,6 +129,101 @@ object Bpe {
     vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "sym_left", "sym_right", "pair_count")
+  }
+
+  /** The in-memory merge loop over a collected (word, freq) table —
+    * classic incremental BPE (Sennrich 2016's learn_bpe shape):
+    * adjacent-pair counts and a pair→words occurrence index are
+    * maintained incrementally (only words CONTAINING the merged pair
+    * are touched per round), with a lazy-deletion max-heap for the
+    * argmax so each round costs O(touched words · word length), not
+    * O(vocabulary). Semantics are bit-identical to the distributed
+    * loop: overlapping adjacent pairs all count (weighted by word
+    * frequency), argmax tie-breaks (count DESC, left ASC, right ASC),
+    * and merging is the same left-to-right non-overlapping scan the
+    * sentinel-bracketed literal replace performs (symbols never
+    * contain brackets, so every string match is symbol-aligned).
+    */
+  private[graft] def learnMergesLocal(types: Array[(String, Long)],
+                                      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = types.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += c.toString)
+      b += "_"
+      b
+    }
+    val freqs = types.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap: count DESC, then left ASC, right ASC — dequeue yields
+    // exactly the distributed orderBy(desc(c), asc(l), asc(r)) head
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), by: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + by
+      if (n <= 0L) counts.remove(p) else { counts(p) = n; heap.enqueue((n, p._1, p._2)) }
+    }
+    words.indices.foreach { i =>
+      val s = words(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        bump(p, freqs(i))
+        occ.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges && counts.nonEmpty) {
+      // lazy deletion: skip heap entries whose count is stale
+      var top = heap.dequeue()
+      while (counts.get((top._2, top._3)).forall(_ != top._1)) top = heap.dequeue()
+      val (c, l, r) = top
+      merges += ((rank, l, r, c))
+      val touched = occ.getOrElse((l, r), mutable.Set.empty).toArray
+      touched.foreach { i =>
+        val old = words(i)
+        // left-to-right non-overlapping scan ≡ literal replace
+        val merged = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        var changed = false
+        while (j < old.length) {
+          if (j + 1 < old.length && old(j) == l && old(j + 1) == r) {
+            merged += l + r; j += 2; changed = true
+          } else { merged += old(j); j += 1 }
+        }
+        if (changed) {
+          var k = 0
+          while (k + 1 < old.length) {
+            val p = (old(k), old(k + 1))
+            bump(p, -freqs(i))
+            occ.get(p).foreach(_ -= i)
+            k += 1
+          }
+          k = 0
+          while (k + 1 < merged.length) {
+            val p = (merged(k), merged(k + 1))
+            bump(p, freqs(i))
+            occ.getOrElseUpdate(p, mutable.Set.empty) += i
+            k += 1
+          }
+          words(i) = merged
+        } else occ.get((l, r)).foreach(_ -= i) // stale index entry
+      }
+      rank += 1
+    }
+    merges.toSeq
   }
 
   /** Apply an ordered merge list to a word column — the ENCODE side:

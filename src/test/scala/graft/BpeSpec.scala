@@ -81,6 +81,49 @@ class BpeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("in-memory and distributed merge engines produce identical merge tables") {
+    // fixture corpus: the real vocabulary, both engines via the
+    // public entry point (maxLocalTypes=0 forces the distributed one)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val wf = Bpe.wordFreqs(docs, col("text")).persist()
+    val local = Bpe.learnMerges(wf, 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val dist = Bpe.learnMerges(wf, 8, maxLocalTypes = 0)
+      .as[(Int, String, String, Long)].collect().toSeq
+    wf.unpersist()
+    assert(local == dist, "merge engines diverged on the fixture corpus")
+    // early-stop parity on a pair-space-exhausting corpus
+    val tiny = Seq(("aa", 2L), ("ab", 1L)).toDF("word", "freq")
+    assert(Bpe.learnMerges(tiny, 8).collect().toSeq ==
+      Bpe.learnMerges(tiny, 8, maxLocalTypes = 0).collect().toSeq)
+  }
+
+  test("256 merges run in O(1) Spark jobs (the in-memory iteration engine)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val wf = Bpe.wordFreqs(docs, col("text"))
+    spark.sparkContext.setJobGroup("bpe_o1_jobs", "bpe job-count audit")
+    val merges =
+      try Bpe.learnMerges(wf, 256).as[(Int, String, String, Long)].collect().toSeq
+      finally spark.sparkContext.clearJobGroup()
+    // the sf0.001 vocabulary exhausts its pair space before 256 —
+    // early stop is part of the contract; ranks must stay contiguous
+    assert(merges.size > 64 && merges.map(_._1) == (1 to merges.size))
+    // monotone non-increasing selection counts (argmax over a shrinking
+    // pair space can plateau but never grow)
+    assert(merges.sliding(2).forall { case Seq(a, b) => b._4 <= a._4; case _ => true })
+    // the whole 256-merge loop launched at most a handful of jobs —
+    // the corpus pass + the bounded collect — NOT one per merge (the
+    // status tracker is async; poll briefly for the in-group jobs)
+    val deadline = System.nanoTime() + 5_000_000_000L
+    var jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe_o1_jobs")
+    while (jobs.length < 1 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe_o1_jobs")
+    }
+    assert(jobs.length >= 1 && jobs.length <= 4,
+      s"expected O(1) Spark jobs for 256 merges, saw ${jobs.length}")
+  }
+
   test("fixture smoke: 8 merges learned deterministically, twice") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Bpe.learnMerges(Bpe.wordFreqs(docs, col("text")), 8)
