@@ -3823,6 +3823,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q187 — ⊕ PageRank with dangling-mass redistribution
+    * ([[graft.ops.Graph.pageRank]] `redistributeDangling = true`):
+    * q109's arithmetic link graph — which PLANTS sinks by
+    * construction (dst ranges over 0..39 but src only 0..36, so
+    * nodes 37-39 have no out-edges) — ranked with the standard
+    * per-round dangling term `d·D/N`. This is the web-scale constant
+    * q109's leaky convention gets wrong (~20% of crawled pages are
+    * sinks); with redistribution the ranks sum to 1 up to
+    * quantization. The dangling sum crosses rounds as exact integer
+    * nano-units (order-free), and the oracle unrolls the identical
+    * three rounds with per-round `d1/d2/d3` scalar CTEs.
+    */
+  private val q187PageRankDangling: Q = (s, dir) => {
+    val e = Tables.documents(s, dir)
+      .select((col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 40).as("dst"))
+      .distinct()
+    graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3,
+        redistributeDangling = true)
+      .select(concat(lit("site"), col("n")).as("domain"),
+        round(col("r"), 6).as("rank"))
+      .orderBy(col("domain"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4028,6 +4052,7 @@ object SparkEntry {
     "q184_setsim_exact"     -> q184SetSimExact,
     "q185_lang_audit"       -> q185LangAudit,
     "q186_incremental_pack" -> q186IncrementalPacking,
+    "q187_pagerank_dangling" -> q187PageRankDangling,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6677,6 +6702,18 @@ object SparkEntry {
         |$pageRankRoundsSql
         |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
+    // q187: q109's edge fixture with the per-round dangling term —
+    // the dangling sum is an exact integer nano-unit aggregation
+    // (round(,9) ranks make r·1e9 integral up to double error, never
+    // near .5), re-entering the update as dmu/1e9/nn in the identical
+    // operation order on both sides.
+    "q187_pagerank_dangling" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT doc_id % 37 AS s, (doc_id * 7 + 3) % 40 AS t
+        |  FROM documents),
+        |$pageRankDanglingRoundsSql
+        |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
+        |FROM r3 ORDER BY domain""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale
     // and error round at 6 (operation-for-operation mirrored trees).
@@ -8729,6 +8766,41 @@ object SparkEntry {
       |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
       |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
       |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)""".stripMargin
+
+  /** q187's three unrolled rounds with dangling-mass redistribution:
+    * [[pageRankRoundsSql]]'s structure plus a per-round scalar CTE
+    * `dK` = the previous round's sink mass in exact integer
+    * nano-units (`Σ CAST(round(r·1e9) AS BIGINT)` over nodes with no
+    * out-edge — order-free integer sum), folded into the update as
+    * `0.85·(contribs + dmu/1e9/nn)` in the same operation order the
+    * Spark side uses.
+    */
+  private def pageRankDanglingRoundsSql: String =
+    """nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e),
+      |cnt AS (SELECT count(*) AS nn FROM nodes),
+      |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+      |r0 AS (SELECT n, round(1.0 / nn, 9) AS r FROM nodes CROSS JOIN cnt),
+      |d1 AS (SELECT COALESCE(SUM(CAST(round(r * 1e9, 0) AS BIGINT)), 0) AS dmu
+      |       FROM r0 WHERE n NOT IN (SELECT s FROM e)),
+      |c1 AS (SELECT e.t AS n, sum(r0.r / od.deg) AS c
+      |       FROM e JOIN r0 ON e.s = r0.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r1 AS (SELECT nodes.n, round((1 - 0.85) / nn +
+      |         0.85 * (coalesce(c1.c, 0) + CAST(d1.dmu AS DOUBLE) / 1e9 / nn), 9) AS r
+      |       FROM nodes LEFT JOIN c1 ON c1.n = nodes.n CROSS JOIN cnt CROSS JOIN d1),
+      |d2 AS (SELECT COALESCE(SUM(CAST(round(r * 1e9, 0) AS BIGINT)), 0) AS dmu
+      |       FROM r1 WHERE n NOT IN (SELECT s FROM e)),
+      |c2 AS (SELECT e.t AS n, sum(r1.r / od.deg) AS c
+      |       FROM e JOIN r1 ON e.s = r1.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r2 AS (SELECT nodes.n, round((1 - 0.85) / nn +
+      |         0.85 * (coalesce(c2.c, 0) + CAST(d2.dmu AS DOUBLE) / 1e9 / nn), 9) AS r
+      |       FROM nodes LEFT JOIN c2 ON c2.n = nodes.n CROSS JOIN cnt CROSS JOIN d2),
+      |d3 AS (SELECT COALESCE(SUM(CAST(round(r * 1e9, 0) AS BIGINT)), 0) AS dmu
+      |       FROM r2 WHERE n NOT IN (SELECT s FROM e)),
+      |c3 AS (SELECT e.t AS n, sum(r2.r / od.deg) AS c
+      |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
+      |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn +
+      |         0.85 * (coalesce(c3.c, 0) + CAST(d3.dmu AS DOUBLE) / 1e9 / nn), 9) AS r
+      |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt CROSS JOIN d3)""".stripMargin
 
   /** Shared by q106 and q112 (sized form ≡ fixed form at fixture
     * scale): the q38 train+assign chain, cluster cap as HAVING,

@@ -13,12 +13,25 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** ⊕ Damped PageRank over an edge list, `iters` synchronous
-    * rounds: `r' = (1−d)/N + d·Σ r_in/outdeg(in)`. Simplified
-    * convention (documented): dangling-node mass is NOT
-    * redistributed, so ranks need not sum to 1 — the relative
-    * ordering (what a quality gate consumes) is unaffected.
+    * rounds: `r' = (1−d)/N + d·(Σ r_in/outdeg(in) + D/N)` where `D`
+    * is the dangling-node mass when `redistributeDangling` is on.
+    * With it off (the default — kept for the q109/q116 oracle
+    * contract), dangling mass simply leaks, so ranks need not sum
+    * to 1; that is fine on fixture-like graphs but the wrong
+    * constant at web scale, where ~20% of pages are sinks — turn
+    * redistribution ON for real crawls (q187 is the oracled form).
     * Multi-edges count once per occurrence; pass a `distinct()`
     * edge list for simple-graph semantics.
+    *
+    * Redistribution arithmetic (engine-exact): per-round ranks are
+    * already quantized to `quantizeTo` decimals, so the dangling sum
+    * is computed in exact integer nano-units —
+    * `Σ CAST(round(r·1e9) AS BIGINT)` — an order-free integer
+    * aggregation (the q137 convention), re-entering the update as
+    * `dmu/1e9/N` with the identical operation order in the SQL
+    * oracle. Cost: one extra 1-row aggregation per round over the
+    * (pre-flagged) dangling subset — the single-row broadcast
+    * normalizer stance.
     *
     * Every round rounds ranks to `quantizeTo` decimals — the
     * [[graft.ext.Similarity.ivfFit]] quantization trick: iteration
@@ -38,7 +51,8 @@ object Graph {
     * that's the standard skew-salting case ([[Skew.saltedJoin]]).
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column, iters: Int,
-               damping: Double = 0.85, quantizeTo: Int = 9): DataFrame = {
+               damping: Double = 0.85, quantizeTo: Int = 9,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // a null endpoint has no stable node identity — dropped up front
     // (the weightedSample null-key convention), never silently joined
@@ -49,6 +63,10 @@ object Graph {
     val n = nodes.count() // the one driver-side scalar
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist()
+    // static sink set, flagged once: nodes with no out-edges
+    val dangling = if (!redistributeDangling) null
+      else nodes.join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+        .persist()
     var ranks = nodes
       .select(col("n"), round(lit(1.0 / n), quantizeTo).as("r"))
       .localCheckpoint()
@@ -56,13 +74,29 @@ object Graph {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("n"))
         .select(col("dst").as("n"), (col("r") / col("deg")).as("c"))
         .groupBy("n").agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("n"), "left")
-        .select(col("n"),
-          round(lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("c"), lit(0.0)), quantizeTo).as("r"))
-        .localCheckpoint()
+      ranks =
+        if (!redistributeDangling)
+          nodes.join(contribs, Seq("n"), "left")
+            .select(col("n"),
+              round(lit((1 - damping) / n) +
+                lit(damping) * coalesce(col("c"), lit(0.0)), quantizeTo).as("r"))
+            .localCheckpoint()
+        else {
+          // dangling mass in exact integer nano-units — order-free
+          val dm = ranks.join(dangling, Seq("n"), "left_semi")
+            .agg(coalesce(sum(round(col("r") * 1e9, 0).cast("long")), lit(0L))
+              .as("__dmu"))
+          nodes.join(contribs, Seq("n"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("n"),
+              round(lit((1 - damping) / n) +
+                lit(damping) * (coalesce(col("c"), lit(0.0)) +
+                  col("__dmu").cast("double") / 1e9 / n), quantizeTo).as("r"))
+            .localCheckpoint()
+        }
     }
     nodes.unpersist(); eDeg.unpersist()
+    if (dangling != null) dangling.unpersist()
     ranks
   }
 

@@ -32,6 +32,35 @@ class GraphSpec extends SparkSuite {
     assert(r2(3L) > r2(1L), "link authority must rank the hub first")
   }
 
+  private def ranksD(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"), iters,
+        redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank dangling redistribution: hand-computed sink round; mass conserved") {
+    // 1->2, 1->3, 2->3; node 3 is a sink. One round from uniform 1/3
+    // (r0 quantized to 0.333333333):
+    //   D = 0.333333333 (node 3), teleport floor (1-0.85)/3 = 0.05
+    //   r(1) = 0.05 + 0.85*(0 + D/3)                       = 0.144444444
+    //   r(2) = 0.05 + 0.85*(r0(1)/2 + D/3)                 = 0.286111111
+    //   r(3) = 0.05 + 0.85*(r0(1)/2 + r0(2) + D/3)         = 0.569444444
+    val r = ranksD(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L), 1)
+    assert(math.abs(r(1L) - 0.144444444) < 1e-9, s"$r")
+    assert(math.abs(r(2L) - 0.286111111) < 1e-9, s"$r")
+    assert(math.abs(r(3L) - 0.569444444) < 1e-9, s"$r")
+    // conservation: with redistribution the ranks sum to 1 up to
+    // per-node quantization; without, the sink leaks its mass
+    for (it <- 1 to 3) {
+      val sumD = ranksD(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L), it).values.sum
+      assert(math.abs(sumD - 1.0) < 1e-7, s"iters=$it mass not conserved: $sumD")
+    }
+    val leaky = ranks(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L), 3).values.sum
+    assert(leaky < 0.95, s"leaky convention should lose sink mass, summed $leaky")
+    // a sink-free graph is unaffected by the flag (D = 0 every round)
+    val cycle = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(ranksD(cycle, 3) === ranks(cycle, 3))
+  }
+
   test("pageRank: iters = 0 returns the uniform initialization") {
     val r = ranks(Seq(1L -> 2L), 0)
     assert(r === Map(1L -> 0.5, 2L -> 0.5))
