@@ -3847,6 +3847,32 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** q188 — ⊕ indexed coarse assignment at k past the flat plan
+    * ceiling ([[graft.functions.CentroidArgmax]]): seed 100 centroids
+    * (first-by-id, quantized — the ivfFit convention, zero Lloyd
+    * rounds) and assign every vector, plus the top-3 probe order the
+    * search path would use. k = 100 > FlatAssignMaxK = 64, so BOTH
+    * columns run through the O(1)-plan-size indexed expressions —
+    * exact branch-and-bound, bit-identical to the flat argmax by
+    * construction — while the ORACLE replays the flat literal
+    * ranking in SQL. This is the hierarchical-assignment scale path
+    * for the √n coarse-k search schedule: at 200M vectors k ≈ 5000
+    * literal centroids stops compiling; the indexed form's plan cost
+    * is constant in k.
+    */
+  private val q188CoarseAssignIndexed: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 100, iters = 0, quantize = Some(9))
+    val out = ivf.assigned
+      .select(col("id").as("vec_id"), col("cluster"),
+        graft.functions.CentroidArgmax.centroid_topk(col("nv"), ivf.centroids, 3)
+          .as("probes"))
+      .orderBy(col("vec_id"))
+    ivf.unpersist()
+    out
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4053,6 +4079,7 @@ object SparkEntry {
     "q185_lang_audit"       -> q185LangAudit,
     "q186_incremental_pack" -> q186IncrementalPacking,
     "q187_pagerank_dangling" -> q187PageRankDangling,
+    "q188_coarse_assign_indexed" -> q188CoarseAssignIndexed,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6714,6 +6741,31 @@ object SparkEntry {
         |$pageRankDanglingRoundsSql
         |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
+    // q188: the FLAT literal argmax/ranking replayed in SQL — the
+    // Spark side runs the indexed branch-and-bound expressions
+    // (k=100 > FlatAssignMaxK), and hash equality against the flat
+    // replay IS the exactness proof. Seeds/sims follow the shared
+    // ivfTrainCtes conventions (round(,9) seeds, the bit-equal
+    // list_sum dot fold, list_position/list_max first-max argmax,
+    // struct-sort probe order).
+    "q188_coarse_assign_indexed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),
+        |c0 AS (
+        |  SELECT list_transform(list(nv ORDER BY vec_id),
+        |                        v -> list_transform(v, x -> round(x, 9))) AS cs
+        |  FROM (SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT 100)),
+        |sims AS (
+        |  SELECT vec_id,
+        |    list_transform(c0.cs,
+        |      c -> list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))) AS ss
+        |  FROM nv CROSS JOIN c0)
+        |SELECT vec_id,
+        |  CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS cluster,
+        |  list_transform(list_sort(list_transform(range(1, len(ss) + 1),
+        |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3] AS probes
+        |FROM sims ORDER BY vec_id""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale
     // and error round at 6 (operation-for-operation mirrored trees).

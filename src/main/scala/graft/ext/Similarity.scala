@@ -194,13 +194,28 @@ object Similarity {
     if (n <= 0) v else v.map(_ / n)
   }
 
-  /** Row-local cluster assignment: argmax of dot(nv, centroid_i) over
-    * the centroid literals (ties → lowest index, deterministic).
+  /** Plan-size ceiling for the literal-centroid argmax: the flat form
+    * embeds k · dim literal nodes into ONE projection (k=64 × 64 dims
+    * ≈ 4k nodes — fine; k=5000 ≈ 320k — past what codegen tolerates,
+    * the round-12 documented residual). Above this k,
+    * [[assignCluster]] switches to [[graft.functions.CentroidArgmax]]
+    * — one expression node carrying the matrix as a reference object,
+    * bit-identical results (exact branch-and-bound, proved by
+    * CentroidArgmaxSpec and the q188 oracle).
     */
-  private[ext] def assignCluster(nv: Column, centroids: Array[Array[Double]]): Column = {
-    val sims = array(centroids.map(c => dot(nv, array(c.map(lit(_)): _*))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  val FlatAssignMaxK = 64
+
+  /** Row-local cluster assignment: argmax of dot(nv, centroid_i),
+    * ties → lowest index, deterministic. Flat centroid literals up to
+    * [[FlatAssignMaxK]]; the O(1)-plan-size indexed expression above
+    * it — both produce identical assignments (and identical bits to
+    * the SQL oracle's `list_position(sims, list_max(sims))` replay).
+    */
+  private[ext] def assignCluster(nv: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length <= FlatAssignMaxK) {
+      val sims = array(centroids.map(c => dot(nv, array(c.map(lit(_)): _*))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    } else graft.functions.CentroidArgmax.centroid_argmax(nv, centroids)
 
   /** ⊕ IVF search, single-pass: each query row computes its `nprobe`
     * closest centroids IN the plan (the centroid matrix is a literal),
@@ -236,12 +251,18 @@ object Similarity {
   private def ivfSearchCore(model: IvfModel, qdf: DataFrame,
                             nprobe: Int, k: Int, roundTo: Int): DataFrame = {
     val cents = model.centroids
-    // (negated sim, idx) structs sort lexicographically = sim desc,
-    // idx-asc tie-break — deterministic probe order
-    val ranked = array_sort(array(cents.indices.map(i =>
-      struct((-dot(col("q_nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
-        lit(i).as("idx"))): _*))
-    val probes = transform(slice(ranked, 1, nprobe), s => s.getField("idx"))
+    // probe selection: (negated sim, idx) structs sort
+    // lexicographically = sim desc, idx-asc tie-break — deterministic
+    // probe order. Literal form up to FlatAssignMaxK; above it, the
+    // O(1)-plan-size indexed top-p expression (bit-equal order —
+    // CentroidArgmaxSpec)
+    val probes =
+      if (cents.length <= FlatAssignMaxK) {
+        val ranked = array_sort(array(cents.indices.map(i =>
+          struct((-dot(col("q_nv"), array(cents(i).map(lit(_)): _*))).as("neg_sim"),
+            lit(i).as("idx"))): _*))
+        transform(slice(ranked, 1, nprobe), s => s.getField("idx"))
+      } else graft.functions.CentroidArgmax.centroid_topk(col("q_nv"), cents, nprobe)
     val probed = qdf.withColumn("cluster", explode(probes))
       .select(col("query_id"), col("q_nv"), col("cluster"))
     val scored = model.assigned.join(broadcast(probed), Seq("cluster"))
