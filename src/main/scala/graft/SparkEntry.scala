@@ -3873,6 +3873,22 @@ object SparkEntry {
     out
   }
 
+  /** q189 — ⊕ ExactSubstr maximal repeated spans
+    * ([[graft.ext.Dedup.maximalRepeatedSpans]], Lee et al. 2022):
+    * q97's covered-position set promoted to SPAN STRUCTURE — every
+    * maximal run of positions covered by a ≥ 2×-repeated 10-gram,
+    * with boundaries, length, and content md5. Covered-set
+    * equivalence to repeated substrings ≥ L makes this the
+    * suffix-array result without a suffix array; the oracle replays
+    * the shared q97 cover CTEs plus the gaps-and-islands run
+    * grouping. Integer/string arithmetic only — exact hash compare.
+    */
+  private val q189ExactSubstrSpans: Q = (s, dir) => {
+    ext.Dedup.maximalRepeatedSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), minLen = 10, minDf = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4080,6 +4096,7 @@ object SparkEntry {
     "q186_incremental_pack" -> q186IncrementalPacking,
     "q187_pagerank_dangling" -> q187PageRankDangling,
     "q188_coarse_assign_indexed" -> q188CoarseAssignIndexed,
+    "q189_exact_substr_spans" -> q189ExactSubstrSpans,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6045,19 +6062,7 @@ object SparkEntry {
     // rebuild via a 0-based position anti-join — all integer/string
     // arithmetic, so text_clean itself is hash-compared exactly.
     "q97_span_removal" ->
-      raw"""WITH t AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
-        |win AS (
-        |  SELECT doc_id, i.i AS pos, md5(array_to_string(w[i.i+1:i.i+10], ' ')) AS h
-        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(w) - 9, 0))) AS i) i
-        |  WHERE len(w) >= 10),
-        |rep AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
-        |cov AS (
-        |  SELECT DISTINCT win.doc_id, win.pos + j.j AS cj
-        |  FROM win JOIN rep ON win.h = rep.h,
-        |       LATERAL (SELECT unnest(range(0, 10)) AS j) j),
+      s"""$spanCoverCtes,
         |tok AS (
         |  SELECT doc_id, w[x.j + 1] AS tok, x.j AS j
         |  FROM t, LATERAL (SELECT unnest(range(0, len(w))) AS j) x),
@@ -6741,6 +6746,25 @@ object SparkEntry {
         |$pageRankDanglingRoundsSql
         |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
+    // q189: the shared q97 cover CTEs + the identical gaps-and-islands
+    // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
+    // same token array — all integer/string arithmetic, exact compare.
+    "q189_exact_substr_spans" ->
+      s"""$spanCoverCtes,
+        |isl AS (
+        |  SELECT doc_id, cj,
+        |    cj - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cj) AS g
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, min(cj) AS s, max(cj) AS e
+        |  FROM isl GROUP BY doc_id, g)
+        |SELECT sp.doc_id,
+        |  CAST(s AS INTEGER) AS span_start,
+        |  CAST(e AS INTEGER) AS span_end,
+        |  CAST(e - s + 1 AS INTEGER) AS span_len,
+        |  md5(array_to_string(t.w[s+1:e+1], ' ')) AS span_md5
+        |FROM sp JOIN t ON t.doc_id = sp.doc_id
+        |ORDER BY sp.doc_id, span_start""".stripMargin,
     // q188: the FLAT literal argmax/ranking replayed in SQL — the
     // Spark side runs the indexed branch-and-bound expressions
     // (k=100 > FlatAssignMaxK), and hash equality against the flat
@@ -8818,6 +8842,27 @@ object SparkEntry {
       |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
       |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
       |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)""".stripMargin
+
+  /** Shared q97/q189 cover chain: tokenized docs `t(doc_id, w)`,
+    * 10-gram md5 windows `win`, the ≥2-repeated gate `rep`, and the
+    * DISTINCT covered positions `cov(doc_id, cj)` — one definition so
+    * the deletion view (q97) and the span-structure view (q189) can
+    * never drift.
+    */
+  private def spanCoverCtes: String =
+    raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i.i AS pos, md5(array_to_string(w[i.i+1:i.i+10], ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(w) - 9, 0))) AS i) i
+        |  WHERE len(w) >= 10),
+        |rep AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT win.doc_id, win.pos + j.j AS cj
+        |  FROM win JOIN rep ON win.h = rep.h,
+        |       LATERAL (SELECT unnest(range(0, 10)) AS j) j)""".stripMargin
 
   /** q187's three unrolled rounds with dangling-mass redistribution:
     * [[pageRankRoundsSql]]'s structure plus a per-round scalar CTE

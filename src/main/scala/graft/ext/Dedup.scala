@@ -814,6 +814,27 @@ object Dedup {
     */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
                           k: Int = 10, minDf: Int = 2): DataFrame = {
+    val (base, pos) = coveredPositions(df, id, text, k, minDf)
+    val covered = pos
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("__j")).as("__cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        col("__n").as("n_tokens"),
+        size(col("__cov")).as("n_removed"),
+        array_join(filter(col("__w"),
+          (t, j) => not(array_contains(col("__cov"), j))), " ").as("text_clean"))
+  }
+
+  /** Shared core of the span-level dedup pair: `base(doc_id, __w,
+    * __n)` plus the (doc_id, __j) positions covered by some k-token
+    * window whose md5 occurs ≥ minDf times corpus-wide (positions
+    * repeat across overlapping windows — callers dedup as needed).
+    */
+  private def coveredPositions(df: DataFrame, id: Column, text: Column,
+                               k: Int, minDf: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val base = df.select(id.as("doc_id"), tokens(text).as("__w"))
@@ -828,18 +849,56 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__h"))
-    val covered = wins.join(repeated, Seq("__h"), "left_semi")
+    val pos = wins.join(repeated, Seq("__h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("__j"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("__j")).as("__cov"))
-    base.join(covered, Seq("doc_id"), "left")
-      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
-      .select(
-        col("doc_id"),
-        col("__n").as("n_tokens"),
-        size(col("__cov")).as("n_removed"),
-        array_join(filter(col("__w"),
-          (t, j) => not(array_contains(col("__cov"), j))), " ").as("text_clean"))
+    (base, pos)
+  }
+
+  /** ⊕ ExactSubstr-semantics maximal repeated spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr pipeline): every MAXIMAL span of ≥ `minLen`
+    * tokens whose text occurs ≥ `minDf` times corpus-wide, reported
+    * as a unit — `(doc_id, span_start, span_end, span_len,
+    * span_md5)`, 0-based inclusive token positions.
+    *
+    * Suffix-array-free equivalence (what makes this Spark-
+    * expressible): the token positions covered by SOME repeated
+    * substring of ≥ L tokens are EXACTLY the positions covered by
+    * repeated L-grams — a repeated substring of length m ≥ L is the
+    * union of its m−L+1 (necessarily repeated) constituent L-grams,
+    * and a repeated L-gram IS a repeated substring of length L. The
+    * maximal repeated spans are therefore the maximal RUNS of
+    * covered positions, found with the gaps-and-islands trick
+    * (`j − row_number` per document) — no suffix array, no per-doc
+    * collect, and every span is ≥ L tokens by construction (the
+    * minimal covered unit is one whole L-window). The per-doc window
+    * partitions on doc_id, so parallelism is the document count and
+    * state is one document's positions.
+    *
+    * Choice rule vs [[removeRepeatedSpans]] (q97): SAME covered set
+    * at k = minLen — q97 deletes it in one fewer pass (no window,
+    * no span reassembly) and is the cleaning path; this form
+    * materializes the span STRUCTURE (boundaries, length, content
+    * hash), which is what a dedup audit, a span-suppression list, or
+    * Lee et al.'s remove-all-but-one-copy policy consume. Clean with
+    * q97; SEE what repeated with this.
+    */
+  def maximalRepeatedSpans(df: DataFrame, id: Column, text: Column,
+                           minLen: Int = 10, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, pos) = coveredPositions(df, id, text, minLen, minDf)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__j"))
+    val spans = pos.distinct()
+      .withColumn("__isl", col("__j") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("__j")).as("span_start"), max(col("__j")).as("span_end"))
+    spans.join(base, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_len"),
+        md5(array_join(slice(col("__w"), col("span_start") + 1,
+          col("span_end") - col("span_start") + 1), " ")).as("span_md5"))
   }
 }

@@ -333,6 +333,40 @@ class DedupSpec extends SparkSuite {
     assert(none == 0L)
   }
 
+  test("maximalRepeatedSpans: planted cross-doc spans come back maximal, bounded, and q97-consistent") {
+    // minLen=3, minDf=2. d1/d2 share TWO disjoint repeated runs — the
+    // 4-token "a b c d" and the 3-token "r s t" — separated by unique
+    // filler, so each doc must report exactly two MAXIMAL spans (not
+    // one merged, not the individual overlapping 3-windows). d3's
+    // 2-token overlap with d1 ("a b") is below minLen → no span.
+    val docs = Seq(
+      (1L, "a b c d u1 u2 r s t"),
+      (2L, "v1 a b c d v2 v3 r s t v4"),
+      (3L, "a b w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalRepeatedSpans(docs, col("doc_id"), col("text"),
+        minLen = 3, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    def md5s(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got == Seq(
+      (1L, 0, 3, 4, md5s("a b c d")),
+      (1L, 6, 8, 3, md5s("r s t")),
+      (2L, 1, 4, 4, md5s("a b c d")),
+      (2L, 7, 9, 3, md5s("r s t"))
+    ), s"got $got")
+    // every span at least minLen, and the span-position union equals
+    // q97's covered set (same k) — the documented equivalence
+    assert(got.forall(_._4 >= 3))
+    val bySpan = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val byQ97 = Dedup.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDf = 2)
+      .filter(col("n_removed") > 0)
+      .select(col("doc_id"), col("n_removed"))
+      .as[(Long, Int)].collect().toMap
+    assert(bySpan == byQ97, s"span union $bySpan != q97 covered $byQ97")
+  }
+
   test("incrementalNearDup: history match flags, earlier-incoming match flags, clean passes") {
     import spark.implicits._
     val base = (1 to 8).map(i =>
