@@ -750,6 +750,12 @@ object Similarity {
     * population, not a cost knob. `balance = 8` lands the schedule
     * exactly on the pinned k = 16 at every driver fixture size, so
     * sized search compositions share the fixed-k oracles.
+    *
+    * The round-12 residual — √n schedules eventually want k past what
+    * literal-centroid plans tolerate — is CLOSED: [[assignCluster]]
+    * and the probe selection dispatch to the O(1)-plan-size indexed
+    * expressions above [[FlatAssignMaxK]] (exact, q188-oracled), so
+    * this schedule is usable at any derived k.
     */
   def searchClustersForCorpus(n: Long, balance: Int = 8, minK: Int = 16): Int =
     math.max(minK, math.ceil(math.sqrt(n.toDouble / balance)).toInt)
