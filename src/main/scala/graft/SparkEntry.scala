@@ -3889,6 +3889,68 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Deterministic multi-line synthesis shared by q190/q191 (the
+    * q159 derived-noise convention — the fixture text is single-line,
+    * so line structure is derived from it reproducibly): tokens are
+    * cut into lines of `4 + doc_id % 5` words, and a line gets NO
+    * terminal period when `(doc_id + line_idx) % 3 == 0` — planting
+    * violations for every C4 rule. Returns (doc_id, __lines).
+    */
+  private def synthLines(s: SparkSession, dir: String): DataFrame = {
+    val w = ext.TextAnalysis.tokens(col("text"))
+    val L = (lit(4) + col("doc_id") % 5).cast("int")
+    val nl = ceil(size(w).cast("double") / L).cast("int")
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && size(w) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(w, i * L + 1, L), " "),
+            when((col("doc_id") + i) % 3 === 0, lit("")).otherwise(lit("."))))
+          .as("__lines"))
+  }
+
+  /** q190 — ⊕ C4 line-level cleaning
+    * ([[graft.ext.TextAnalysis.c4LineClean]], Raffel et al. 2020
+    * §2.2): per-line terminal-punctuation / ≥3-words / banned-phrase
+    * rules over deterministically synthesized multi-line docs (every
+    * rule fires on the fixture: short tail lines, period-free lines,
+    * and `banned = ["slow"]` — a real fixture token). Row-local — one
+    * split + one HOF filter; the doc-level readout keeps C4's
+    * three-line floor as `kept_doc`.
+    */
+  private val q190C4LineClean: Q = (s, dir) => {
+    val c = ext.TextAnalysis.c4LineClean(col("__t"), minWords = 3,
+      banned = Seq("slow"))
+    synthLines(s, dir)
+      .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
+      .select(col("doc_id"), c.as("__c"))
+      .select(col("doc_id"),
+        col("__c.n_lines").as("n_lines"),
+        col("__c.n_kept").as("n_kept"),
+        (col("__c.n_kept") >= 3).as("kept_doc"),
+        md5(col("__c.text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q191 — ⊕ within-document repeated-line dedup
+    * ([[graft.ext.TextAnalysis.dedupLines]], the MassiveText /
+    * FineWeb dup_line rule): q190's synthesized lines with the first
+    * line APPENDED again (a planted duplicate per doc — the repeated
+    * footer shape), deduplicated to first occurrences with order
+    * preserved. The aggregation keys on (doc, line content) — no
+    * per-doc window, no quadratic scan.
+    */
+  private val q191LineDedup: Q = (s, dir) => {
+    val withDup = synthLines(s, dir)
+      .select(col("doc_id"),
+        array_join(concat(col("__lines"), slice(col("__lines"), 1, 1)), "\n")
+          .as("__t"))
+    ext.TextAnalysis.dedupLines(withDup, col("doc_id"), col("__t"))
+      .select(col("doc_id"), col("n_lines"), col("n_unique"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4097,6 +4159,8 @@ object SparkEntry {
     "q187_pagerank_dangling" -> q187PageRankDangling,
     "q188_coarse_assign_indexed" -> q188CoarseAssignIndexed,
     "q189_exact_substr_spans" -> q189ExactSubstrSpans,
+    "q190_c4_line_clean"    -> q190C4LineClean,
+    "q191_line_dedup"       -> q191LineDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6746,6 +6810,47 @@ object SparkEntry {
         |$pageRankDanglingRoundsSql
         |SELECT 'site' || CAST(n AS VARCHAR) AS domain, round(r, 6) AS rank
         |FROM r3 ORDER BY domain""".stripMargin,
+    // q190: the shared synthesized lines + the same three C4 rules
+    // folded per line (fold/trim/normalize before every check, the
+    // c4LineClean contract); all integer/string arithmetic.
+    "q190_c4_line_clean" ->
+      raw"""$synthLinesCtes,
+        |cl AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '[.!?"]$$')
+        |      AND len(string_split(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), ' ')) >= 3
+        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), 'slow')
+        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '{')) AS kept
+        |  FROM lns)
+        |SELECT doc_id,
+        |  CAST(n_lines AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  (len(kept) >= 3) AS kept_doc,
+        |  -- DuckDB array_to_string of an EMPTY list is NULL; Spark's
+        |  -- array_join is '' — coalesce so the every-line-dropped doc
+        |  -- hashes identically on both sides
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM cl ORDER BY doc_id""".stripMargin,
+    // q191: the shared lines + a planted duplicate (first line
+    // appended), first-occurrence dedup via min(pos) per (doc, line)
+    // and pos-ordered reassembly — the dedupLines plan mirrored.
+    "q191_line_dedup" ->
+      s"""$synthLinesCtes,
+        |d2 AS (SELECT doc_id, lines || lines[1:1] AS l2 FROM lns),
+        |ex AS (
+        |  SELECT doc_id, l2[p.p + 1] AS l, p.p AS p
+        |  FROM d2, LATERAL (SELECT unnest(range(0, len(l2))) AS p) p),
+        |fo AS (SELECT doc_id, l, min(p) AS fp FROM ex GROUP BY doc_id, l),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_unique,
+        |    array_to_string(list(l ORDER BY fp), chr(10)) AS tc
+        |  FROM fo GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |  CAST(len(l2) AS INTEGER) AS n_lines,
+        |  CAST(ag.n_unique AS INTEGER) AS n_unique,
+        |  md5(ag.tc) AS clean_md5
+        |FROM d2 JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.
@@ -8842,6 +8947,27 @@ object SparkEntry {
       |       FROM e JOIN r2 ON e.s = r2.n JOIN od ON od.s = e.s GROUP BY e.t),
       |r3 AS (SELECT nodes.n, round((1 - 0.85) / nn + 0.85 * coalesce(c3.c, 0), 9) AS r
       |       FROM nodes LEFT JOIN c3 ON c3.n = nodes.n CROSS JOIN cnt)""".stripMargin
+
+  /** q190/q191's shared line synthesis — the EXACT mirror of
+    * [[synthLines]]: q80 token split, lines of `4 + doc_id % 5`
+    * words, terminal period withheld when `(doc_id + i) % 3 == 0`.
+    */
+  private def synthLinesCtes: String =
+    raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS L,
+        |    CAST(ceil(CAST(len(w) AS DOUBLE) / (4 + doc_id % 5)) AS INTEGER) AS nl
+        |  FROM t WHERE len(w) > 0),
+        |lns AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, nl), i ->
+        |      array_to_string(w[i*L+1:i*L+L], ' ') ||
+        |      CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS lines
+        |  FROM p)""".stripMargin
 
   /** Shared q97/q189 cover chain: tokenized docs `t(doc_id, w)`,
     * 10-gram md5 windows `win`, the ≥2-repeated gate `rep`, and the

@@ -70,6 +70,69 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
 
+  /** ⊕ C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    * per-LINE rules applied before any document-level gate; FineWeb
+    * and MassiveText run the same family): a line survives iff it
+    * ends in terminal punctuation (`.` `!` `?` `"`), carries ≥
+    * `minWords` words, and contains no banned phrase and no `{`
+    * (the code/boilerplate tell). Returns a struct
+    * `(n_lines, n_kept, text_clean)`; the conventional doc-level
+    * follow-up is `n_kept ≥ 3` (C4's three-sentence floor), left to
+    * the caller so the line and doc gates stay composable.
+    *
+    * ROW-LOCAL: one split + one HOF filter per document — no shuffle,
+    * usable on a stream. Word counting and case folding use the q80
+    * token convention (lowercase, whitespace-normalized, single-space
+    * split) so the SQL oracle mirrors bit-for-bit; banned phrases are
+    * matched against the folded line.
+    */
+  def c4LineClean(text: Column, minWords: Int = 3,
+                  banned: Seq[String] = Seq("javascript", "lorem ipsum",
+                    "terms of use", "privacy policy", "cookie")): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => {
+      val t = lower(trim(regexp_replace(l, "\\s+", " ")))
+      val words = size(split(t, " "))
+      val punctOk = t.rlike("[.!?\"]$")
+      val cleanOk = banned.map(b => !t.contains(lit(b.toLowerCase)))
+        .foldLeft(!t.contains(lit("{")))(_ && _)
+      punctOk && words >= minWords && cleanOk
+    })
+    struct(size(lines).as("n_lines"), size(kept).as("n_kept"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
+  /** ⊕ Within-document repeated-line dedup (the MassiveText /
+    * FineWeb "dup_line" rule): every line keeps only its FIRST
+    * occurrence inside the document — navigation bars, repeated
+    * footers, and chat-log echoes collapse while order is preserved.
+    * Output: `(doc_id, n_lines, n_unique, text_clean)`.
+    *
+    * Plan shape: explode to (doc, line, pos), keep min(pos) per
+    * (doc, line) — a map-side-combinable aggregation — and
+    * reassemble in pos order; the shuffle key is (doc, line
+    * content), state is one position per distinct line. No per-doc
+    * window, no O(len²) row-local scan, so a pathological
+    * million-line document costs its distinct-line count, not its
+    * square.
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), split(text, "\n").as("__ls"))
+    val firsts = base
+      .select(col("doc_id"), posexplode(col("__ls")).as(Seq("__p", "__l")))
+      .groupBy(col("doc_id"), col("__l"))
+      .agg(min(col("__p")).as("__fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_unique"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__fp"), col("__l")))), s => s.getField("__l")), "\n")
+          .as("text_clean"))
+    base.select(col("doc_id"), size(col("__ls")).as("n_lines"))
+      .join(firsts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_unique").cast("int").as("n_unique"),
+        col("text_clean"))
+  }
+
   /** ⊕ Per-group template-prefix detection — the site-boilerplate
     * screen for crawled corpora: pages from one source share a
     * rendered header ("Menu | Home | About …") that survives HTML

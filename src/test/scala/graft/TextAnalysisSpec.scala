@@ -293,4 +293,56 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pruned === Set(("a", "b")))
   }
+
+  test("c4LineClean: every rule fires independently; folding precedes every check") {
+    val text = Seq(
+      "This line survives fine.",          // kept
+      "No terminal punctuation here",      // dropped: punct
+      "Too short.",                        // dropped: 2 words < 3
+      "Contains the word javascript.",     // dropped: banned (folded match)
+      "Code block { return x; } ends.",    // dropped: brace
+      "  Spaced   But  Valid  line.  ",    // kept: normalize-then-check
+      "Ends with a question?",             // kept: ? counts as terminal
+      "QUOTED LINE ENDS RIGHT \""          // kept: quote terminal
+    ).mkString("\n")
+    val out = Seq(Tuple1(text)).toDF("t")
+      .select(TextAnalysis.c4LineClean(col("t")).as("c"))
+      .select(col("c.n_lines"), col("c.n_kept"), col("c.text_clean"))
+      .as[(Int, Int, String)].head()
+    assert(out._1 == 8 && out._2 == 4, s"got $out")
+    assert(out._3.split("\n").toSeq == Seq(
+      "This line survives fine.",
+      "  Spaced   But  Valid  line.  ",
+      "Ends with a question?",
+      "QUOTED LINE ENDS RIGHT \""),
+      "kept lines must keep their ORIGINAL (unfolded) text and order")
+    // doc floor composes downstream: n_kept >= 3 here
+    assert(out._2 >= 3)
+    // minWords raised: the 4-word lines die too — only the quoted
+    // line survives (5 folded tokens: the trailing quote is its own
+    // whitespace-separated token)
+    val strict = Seq(Tuple1(text)).toDF("t")
+      .select(TextAnalysis.c4LineClean(col("t"), minWords = 5).as("c"))
+      .select(col("c.n_kept")).as[Int].head()
+    assert(strict == 1, "only the 5+-word survivor remains")
+  }
+
+  test("dedupLines: first occurrence wins, order preserved, counts exact") {
+    val docs = Seq(
+      (1L, Seq("nav bar", "body one", "nav bar", "body two", "nav bar").mkString("\n")),
+      (2L, "only line"),
+      (3L, Seq("x", "x", "x").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5, 3, "nav bar\nbody one\nbody two"),
+      (2L, 1, 1, "only line"),
+      (3L, 3, 1, "x")), s"got $got")
+    // partitioning invariance (the min(pos) aggregation is order-free)
+    val rep = TextAnalysis.dedupLines(docs.repartition(5), col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(rep == got)
+  }
 }
