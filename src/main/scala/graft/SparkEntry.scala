@@ -3896,7 +3896,9 @@ object SparkEntry {
     * terminal period when `(doc_id + line_idx) % 3 == 0` — planting
     * violations for every C4 rule. Returns (doc_id, __lines).
     */
-  private def synthLines(s: SparkSession, dir: String): DataFrame = {
+  private def synthLines(s: SparkSession, dir: String,
+                         decorate: (Column, Column) => Column =
+                           (l, _) => l): DataFrame = {
     val w = ext.TextAnalysis.tokens(col("text"))
     val L = (lit(4) + col("doc_id") % 5).cast("int")
     val nl = ceil(size(w).cast("double") / L).cast("int")
@@ -3904,8 +3906,8 @@ object SparkEntry {
       .filter(col("text").isNotNull && size(w) > 0)
       .select(col("doc_id"),
         transform(sequence(lit(0), nl - 1), i =>
-          concat(array_join(slice(w, i * L + 1, L), " "),
-            when((col("doc_id") + i) % 3 === 0, lit("")).otherwise(lit("."))))
+          decorate(concat(array_join(slice(w, i * L + 1, L), " "),
+            when((col("doc_id") + i) % 3 === 0, lit("")).otherwise(lit("."))), i))
           .as("__lines"))
   }
 
@@ -3948,6 +3950,61 @@ object SparkEntry {
     ext.TextAnalysis.dedupLines(withDup, col("doc_id"), col("__t"))
       .select(col("doc_id"), col("n_lines"), col("n_unique"),
         md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q192 — ⊕ Gopher quality gate
+    * ([[graft.ext.TextAnalysis.gopherQualityGate]], Rae et al. 2021
+    * Appendix A1.1): the MassiveText heuristic screen over the
+    * synthesized multi-line docs with PLANTED violations — every 4th
+    * line gets a bullet prefix, every 7th an ellipsis suffix
+    * (deterministic doc_id arithmetic, the q159/q190 convention) — so
+    * the bullet-fraction, ellipsis-line, symbol-ratio, and stop-word
+    * rules all fire with both verdicts present. Row-local; ratios at
+    * the 4-dp convention; readout = all metrics + per-rule verdicts +
+    * the conjunction.
+    */
+  private val q192GopherGate: Q = (s, dir) => {
+    val g = ext.TextAnalysis.gopherQualityGate(col("__t"), minWords = 10)
+    synthLines(s, dir, decorate = (l, i) =>
+        when((col("doc_id") + i) % 4 === 0, concat(lit("- "), l))
+          .when((col("doc_id") + i) % 7 === 0, concat(l, lit("...")))
+          .otherwise(l))
+      .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
+      .select(col("doc_id"), g.as("__g"))
+      .select(col("doc_id"), col("__g.n_words"), col("__g.mean_word_len"),
+        col("__g.hash_ratio"), col("__g.ellipsis_ratio"),
+        col("__g.bullet_frac"), col("__g.ellipsis_line_frac"),
+        col("__g.n_stop"), col("__g.ok_words"), col("__g.ok_word_len"),
+        col("__g.ok_symbols"), col("__g.ok_bullets"),
+        col("__g.ok_ellipsis_lines"), col("__g.ok_stops"), col("__g.passes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q193 — ⊕ Unicode normalization
+    * ([[graft.functions.UnicodeNorm]]): accents planted
+    * deterministically in BOTH encodings — a decomposed prefix
+    * (`e` + U+0301) and composed bodies (every `a` → U+00E1) — then
+    * NFC-composed (length shrinks by exactly the combining mark) and
+    * accent-stripped (which must round-trip to the original ASCII
+    * text, pinned as an in-result invariant). The canonicalization a
+    * multilingual corpus needs before hash-keyed dedup: composed and
+    * decomposed spellings of the same text otherwise get different
+    * fingerprints. Both engines run standard NFC (JDK Normalizer vs
+    * utf8proc), so the md5s hash-compare exactly.
+    */
+  private val q193UnicodeNormalize: Q = (s, dir) => {
+    import graft.functions.UnicodeNorm.{nfc_normalize, strip_accents}
+    val t2 = concat(lit("é "), replace(col("text"), lit("a"), lit("á")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), t2.as("__t"))
+      .select(col("doc_id"),
+        length(col("__t")).as("len_raw"),
+        length(nfc_normalize(col("__t"))).as("len_nfc"),
+        md5(nfc_normalize(col("__t"))).as("nfc_md5"),
+        md5(strip_accents(col("__t"))).as("strip_md5"),
+        (strip_accents(col("__t")) === concat(lit("e "), col("text")))
+          .as("strip_roundtrip"))
       .orderBy(col("doc_id"))
   }
 
@@ -4161,6 +4218,8 @@ object SparkEntry {
     "q189_exact_substr_spans" -> q189ExactSubstrSpans,
     "q190_c4_line_clean"    -> q190C4LineClean,
     "q191_line_dedup"       -> q191LineDedup,
+    "q192_gopher_gate"      -> q192GopherGate,
+    "q193_unicode_normalize" -> q193UnicodeNormalize,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6851,6 +6910,71 @@ object SparkEntry {
         |  CAST(ag.n_unique AS INTEGER) AS n_unique,
         |  md5(ag.tc) AS clean_md5
         |FROM d2 JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q192: the decorated synthesized lines + every Gopher metric
+    // recomputed with the shared q80 fold; ratios at 4 dp (the
+    // cross-engine double convention), counts exact, verdicts and the
+    // conjunction derived in an outer select so both engines compare
+    // the ROUNDED ratios.
+    "q192_gopher_gate" -> {
+      val bl = s"($synthBaseLineSql)"
+      raw"""${synthLinesCtesWith(
+        s"CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' || $bl " +
+          s"WHEN (doc_id + i) % 7 = 0 THEN $bl || '...' ELSE $bl END")},
+        |txts AS (SELECT doc_id, array_to_string(lines, chr(10)) AS txt FROM lns),
+        |gw AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS wt,
+        |    length(lower(trim(regexp_replace(txt, '\s+', ' ', 'g')))) AS clen,
+        |    list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lns2
+        |  FROM txts),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(wt) AS INTEGER) AS n_words,
+        |    round((CAST(clen AS DOUBLE) - (len(wt) - 1)) / len(wt), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(wt, t -> contains(t, '#'))) AS DOUBLE)
+        |      / len(wt), 4) AS hash_ratio,
+        |    round(CAST(len(list_filter(wt, t -> contains(t, '...'))) AS DOUBLE)
+        |      / len(wt), 4) AS ellipsis_ratio,
+        |    round(CAST(len(list_filter(lns2, l -> starts_with(l, '-')
+        |        OR starts_with(l, '*') OR starts_with(l, '•'))) AS DOUBLE)
+        |      / greatest(len(lns2), 1), 4) AS bullet_frac,
+        |    round(CAST(len(list_filter(lns2, l -> suffix(l, '...'))) AS DOUBLE)
+        |      / greatest(len(lns2), 1), 4) AS ellipsis_line_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(wt, s))) AS INTEGER) AS n_stop
+        |  FROM gw),
+        |v AS (
+        |  SELECT *,
+        |    (n_words >= 10 AND n_words <= 100000) AS ok_words,
+        |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        |    (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
+        |    (bullet_frac <= 0.9) AS ok_bullets,
+        |    (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+        |    (n_stop >= 2) AS ok_stops
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+        |  bullet_frac, ellipsis_line_frac, n_stop, ok_words, ok_word_len,
+        |  ok_symbols, ok_bullets, ok_ellipsis_lines, ok_stops,
+        |  (ok_words AND ok_word_len AND ok_symbols AND ok_bullets
+        |   AND ok_ellipsis_lines AND ok_stops) AS passes
+        |FROM v ORDER BY doc_id""".stripMargin
+    },
+    // q193: the same planting in pure-ASCII SQL (chr(769) combining
+    // acute, chr(225) composed a-acute), standard NFC on both engines
+    // (JDK Normalizer vs utf8proc), strip_accents round-trip pinned.
+    "q193_unicode_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    'e' || chr(769) || ' ' || replace(text, 'a', chr(225)) AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t2) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc_normalize(t2)) AS INTEGER) AS len_nfc,
+        |  md5(nfc_normalize(t2)) AS nfc_md5,
+        |  md5(strip_accents(t2)) AS strip_md5,
+        |  (strip_accents(t2) = 'e ' || text) AS strip_roundtrip
+        |FROM t ORDER BY doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.
@@ -8952,7 +9076,16 @@ object SparkEntry {
     * [[synthLines]]: q80 token split, lines of `4 + doc_id % 5`
     * words, terminal period withheld when `(doc_id + i) % 3 == 0`.
     */
-  private def synthLinesCtes: String =
+  private def synthLinesCtes: String = synthLinesCtesWith(synthBaseLineSql)
+
+  /** The base synthesized line as a SQL expression over `(doc_id, w,
+    * L, i)` — q192 wraps it with its bullet/ellipsis decoration.
+    */
+  private def synthBaseLineSql: String =
+    "array_to_string(w[i*L+1:i*L+L], ' ') || " +
+      "CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END"
+
+  private def synthLinesCtesWith(lineSql: String): String =
     raw"""WITH t AS (
         |  SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -8964,9 +9097,7 @@ object SparkEntry {
         |  FROM t WHERE len(w) > 0),
         |lns AS (
         |  SELECT doc_id,
-        |    list_transform(range(0, nl), i ->
-        |      array_to_string(w[i*L+1:i*L+L], ' ') ||
-        |      CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS lines
+        |    list_transform(range(0, nl), i -> $lineSql) AS lines
         |  FROM p)""".stripMargin
 
   /** Shared q97/q189 cover chain: tokenized docs `t(doc_id, w)`,

@@ -70,6 +70,65 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Text.cleanText(lower(text)))
 
+  /** ⊕ Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the
+    * MassiveText heuristic gate, also FineWeb's "Gopher filtering"
+    * stage): the canonical per-document screen run before any trained
+    * filter. Emits every metric AND every rule verdict so a curation
+    * run can report WHY a document died, plus the conjunction
+    * `passes`:
+    *
+    *  - `n_words` in [minWords, maxWords]    (default 50..100,000)
+    *  - `mean_word_len` in [3, 10]
+    *  - `hash_ratio` ≤ 0.1 and `ellipsis_ratio` ≤ 0.1 (symbol-to-word)
+    *  - `bullet_frac` ≤ 0.9  (lines starting with a bullet)
+    *  - `ellipsis_line_frac` ≤ 0.3  (lines ending with "...")
+    *  - `n_stop` ≥ 2 of the canonical stop set (the, be, to, of, and,
+    *    that, have, with)
+    *
+    * ROW-LOCAL (one fold + HOF passes over tokens and lines; no
+    * shuffle, streamable). Ratios are rounded to 4 dp — the repo's
+    * cross-engine double convention; counts are exact integers. Word
+    * metrics use the q80 token fold; line metrics split on `\n` and
+    * trim before the prefix/suffix checks.
+    */
+  def gopherQualityGate(text: Column, minWords: Int = 50,
+                        maxWords: Int = 100000): Column = {
+    val toks = tokens(text)
+    val nW = size(toks)
+    val nWd = nW.cast("double")
+    val meanLen = round((length(Text.cleanText(lower(text))).cast("double") -
+      (nWd - 1)) / nWd, 4)
+    def ratioOf(pred: Column => Column): Column =
+      round(size(filter(toks, pred)).cast("double") / nWd, 4)
+    val hashRatio = ratioOf(t => t.contains(lit("#")))
+    val ellipsisRatio = ratioOf(t => t.contains(lit("...")))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(typedLit(stops), s => array_contains(toks, s)))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val nL = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nL, 4)
+    val ellLineFrac = round(size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nL, 4)
+    val okWords = nW >= minWords && nW <= maxWords
+    val okLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSym = hashRatio <= 0.1 && ellipsisRatio <= 0.1
+    val okBullet = bulletFrac <= 0.9
+    val okEll = ellLineFrac <= 0.3
+    val okStop = nStop >= 2
+    struct(
+      nW.as("n_words"), meanLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      bulletFrac.as("bullet_frac"), ellLineFrac.as("ellipsis_line_frac"),
+      nStop.as("n_stop"),
+      okWords.as("ok_words"), okLen.as("ok_word_len"), okSym.as("ok_symbols"),
+      okBullet.as("ok_bullets"), okEll.as("ok_ellipsis_lines"),
+      okStop.as("ok_stops"),
+      (okWords && okLen && okSym && okBullet && okEll && okStop).as("passes"))
+  }
+
   /** ⊕ C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
     * per-LINE rules applied before any document-level gate; FineWeb
     * and MassiveText run the same family): a line survives iff it

@@ -327,6 +327,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(strict == 1, "only the 5+-word survivor remains")
   }
 
+  test("gopherQualityGate: hand-computed metrics and per-rule verdicts") {
+    // 18 tokens; 2 stop words (the, with); one of four lines bulleted
+    // (0.25), one ends with ellipsis (0.25); one token carries '...'
+    // (1/18 = 0.0556 ≤ 0.1) and none carry '#'
+    val text = Seq(
+      "the cat sat with dog.",
+      "- big red barn here.",
+      "more words come now...",
+      "final line goes here.").mkString("\n")
+    val out = Seq(Tuple1(text)).toDF("t")
+      .select(TextAnalysis.gopherQualityGate(col("t"), minWords = 10).as("g"))
+      .select(col("g.n_words"), col("g.hash_ratio"), col("g.ellipsis_ratio"),
+        col("g.bullet_frac"), col("g.ellipsis_line_frac"), col("g.n_stop"),
+        col("g.passes"))
+      .as[(Int, Double, Double, Double, Double, Int, Boolean)].head()
+    assert(out._1 == 18, s"token count: $out")
+    assert(out._2 == 0.0 && out._3 == 0.0556, s"symbol ratios: $out")
+    assert(out._4 == 0.25 && out._5 == 0.25, s"line fractions: $out")
+    assert(out._6 == 2 && out._7, s"stops/pass: $out")
+    // violations flip their own rule only
+    val bullets = (1 to 10).map(i => s"- bullet item number $i here.").mkString("\n")
+    val b = Seq(Tuple1(bullets)).toDF("t")
+      .select(TextAnalysis.gopherQualityGate(col("t"), minWords = 10).as("g"))
+      .select(col("g.bullet_frac"), col("g.ok_bullets"), col("g.passes"))
+      .as[(Double, Boolean, Boolean)].head()
+    assert(b._1 == 1.0 && !b._2 && !b._3, s"all-bullet doc must fail: $b")
+  }
+
   test("dedupLines: first occurrence wins, order preserved, counts exact") {
     val docs = Seq(
       (1L, Seq("nav bar", "body one", "nav bar", "body two", "nav bar").mkString("\n")),
