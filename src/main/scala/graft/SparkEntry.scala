@@ -4008,6 +4008,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q194 — ⊕ exact token-budget selection
+    * ([[graft.ops.Sampling.tokenBudgetSample]]): fill a fixed
+    * per-source token budget (800 here — binding at sf0.01+) greedily in deterministic id
+    * order — the "assemble exactly N tokens from each source" cut a
+    * training run actually needs, vs the rate-based approximation.
+    * Built on the q152/q167 two-pass prefix-sum core over the global
+    * (source, id) order, so no per-source single-task window exists
+    * anywhere in the plan; the oracle replays the naive per-source
+    * window (the q167 convention). The kept doc that CROSSES the
+    * budget boundary stays (tokens-before < budget — the streaming
+    * quota rule, batch ≡ stream proved in QuotaSpec).
+    */
+  private val q194TokenBudget: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+    val sources = t.select(col("source")).distinct().orderBy(col("source"))
+      .collect().map(_.getString(0)).toSeq // source-count driver rows
+    ops.Sampling.tokenBudgetSample(t, col("source"), col("doc_id"), col("__nt"),
+        sources.map(_ -> 800L))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4220,6 +4242,7 @@ object SparkEntry {
     "q191_line_dedup"       -> q191LineDedup,
     "q192_gopher_gate"      -> q192GopherGate,
     "q193_unicode_normalize" -> q193UnicodeNormalize,
+    "q194_token_budget"     -> q194TokenBudget,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6975,6 +6998,21 @@ object SparkEntry {
         |  md5(strip_accents(t2)) AS strip_md5,
         |  (strip_accents(t2) = 'e ' || text) AS strip_roundtrip
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q194: the naive per-source window prefix sum (the q167 oracle
+    // convention for the distributed two-pass form), exclusive frame,
+    // keep-iff-tokens-before-under-budget.
+    "q194_token_budget" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_toks, cum AS tok_start_in_source
+        |FROM c WHERE cum < 800 ORDER BY source, doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

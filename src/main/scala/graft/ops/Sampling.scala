@@ -190,4 +190,46 @@ object Sampling {
         floor(col("__rate") * (1L << 20).toDouble).cast("long"))
       .drop("__src", "__rate")
   }
+
+  /** ⊕ Exact per-source token-budget selection — the "fill a 10B-token
+    * budget" cut that rate-based [[mixtureSample]] can only
+    * approximate: docs are taken per source in deterministic id
+    * order, each kept iff the tokens consumed BEFORE it are still
+    * under that source's budget (the
+    * [[graft.streaming.EventStream.quotaSampleStream]] rule, so the
+    * batch cut ≡ the streaming quota on the same arrival order —
+    * QuotaSpec proves it). Output: kept docs with
+    * `tok_start_in_source` (the exclusive per-source token prefix),
+    * which is also the doc's offset in the source's token stream.
+    *
+    * Scale shape: built on [[graft.ops.Ids.prefixSum]]'s two-pass
+    * range-partition prefix sum over the GLOBAL (source, id) order —
+    * per-source cumulative = global prefix − the source's first
+    * prefix (one tiny groupBy, broadcast back). NO per-source window:
+    * a window partitioned by source would funnel each source — there
+    * may be only a handful at 100 TB — through a single task.
+    * Sources without a budget row are dropped (the mixtureSample
+    * unlisted-source stance); budgets are model-sized driver state.
+    */
+  def tokenBudgetSample(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
+                        idCol: org.apache.spark.sql.Column,
+                        tokenCol: org.apache.spark.sql.Column,
+                        budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample needs at least one budget")
+    require(budgets.forall(_._2 >= 0), "budgets must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pre = df.select(sourceCol.as("source"), idCol.as("doc_id"),
+      tokenCol.cast("long").as("n_toks"))
+    val summed = graft.ops.Ids.prefixSum(pre,
+      Seq(col("source"), col("doc_id")), "n_toks", "__gcum")
+    val offs = summed.groupBy(col("source")).agg(min(col("__gcum")).as("__off"))
+    val budgetDf = budgets.toDF("source", "__budget")
+    summed
+      .join(broadcast(offs), Seq("source"))
+      .join(broadcast(budgetDf), Seq("source"))
+      .filter(col("__gcum") - col("__off") < col("__budget"))
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        (col("__gcum") - col("__off")).as("tok_start_in_source"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+class QuotaSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // source a: tokens 5, 4, 6, 2 — budget 10 keeps 5, 4, and the
+    // boundary-crossing 6 (tokens-before 9 < 10), drops the 2
+    (1L, "a", 5L), (2L, "a", 4L), (3L, "a", 6L), (4L, "a", 2L),
+    // source b: budget 10 keeps the single 30-token doc (0 < 10)
+    (5L, "b", 30L), (6L, "b", 1L),
+    // source c has no budget row — dropped entirely
+    (7L, "c", 1L)
+  ).toDF("doc_id", "source", "n_tokens")
+
+  test("tokenBudgetSample: greedy cut, boundary doc kept, unlisted source dropped") {
+    val got = Sampling.tokenBudgetSample(corpus, col("source"), col("doc_id"),
+        col("n_tokens"), Seq("a" -> 10L, "b" -> 10L))
+      .orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 5L, 0L), ("a", 2L, 4L, 5L), ("a", 3L, 6L, 9L),
+      ("b", 5L, 30L, 0L)), s"got $got")
+    // zero budget keeps nothing from that source
+    val z = Sampling.tokenBudgetSample(corpus, col("source"), col("doc_id"),
+      col("n_tokens"), Seq("a" -> 0L, "b" -> 10L))
+    assert(z.filter(col("source") === "a").isEmpty)
+  }
+
+  test("batch cut ≡ streaming quota on the same arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = graft.streaming.EventStream.quotaSampleStream(
+      mem.toDF().toDF("doc_id", "source", "n_tokens"), quotaTokens = 10L)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("quota_batch_eq").start()
+    try {
+      mem.addData(Seq((1L, "a", 5L), (2L, "a", 4L), (3L, "a", 6L),
+        (4L, "a", 2L), (5L, "b", 30L), (6L, "b", 1L), (7L, "c", 1L)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quota_batch_eq")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = Sampling.tokenBudgetSample(corpus, col("source"), col("doc_id"),
+          col("n_tokens"), Seq("a" -> 10L, "b" -> 10L, "c" -> 10L))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch == streamed,
+        s"batch $batch != streamed $streamed - the quota rules diverged")
+    } finally q.stop()
+  }
+
+  test("invariance: partition count does not change the cut") {
+    val base = Sampling.tokenBudgetSample(corpus, col("source"), col("doc_id"),
+      col("n_tokens"), Seq("a" -> 10L, "b" -> 10L))
+    val rep = Sampling.tokenBudgetSample(corpus.repartition(7), col("source"),
+      col("doc_id"), col("n_tokens"), Seq("a" -> 10L, "b" -> 10L))
+    assert(base.except(rep).isEmpty && rep.except(base).isEmpty)
+  }
+}
