@@ -4030,6 +4030,54 @@ object SparkEntry {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q195 — ⊕ corpus-wide paragraph dedup
+    * ([[graft.ext.TextAnalysis.dedupParagraphsGlobal]], the
+    * RefinedWeb rule): every synthesized line keeps only its FIRST
+    * corpus occurrence under (doc_id, position) — the fixture's
+    * planted near-dup documents share identical token runs, so
+    * cross-document paragraph collisions occur naturally and later
+    * copies drop corpus-wide (q191 removes only WITHIN-doc repeats).
+    * Fully-claimed docs surface with n_kept = 0, not silently
+    * dropped.
+    */
+  private val q195ParagraphDedup: Q = (s, dir) => {
+    val docs = synthLines(s, dir)
+      .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
+    ext.TextAnalysis.dedupParagraphsGlobal(docs, col("doc_id"), col("__t"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q196 — ⊕ CCNet head/middle/tail perplexity bucketing (Wenzek et
+    * al. 2020: the corpus is cut at LM-score terciles and downstream
+    * mixing consumes the buckets — "head" is the in-domain third):
+    * q93's char-bigram scores → exact interpolated tercile boundaries
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` to the bit, the
+    * q124/q140 evidence) → `>=`-bucketed with per-bucket stats. The
+    * boundary row is the usual single-row broadcast normalizer; the
+    * corpus never re-shuffles for the bucketing itself.
+    */
+  private val q196CcnetBuckets: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = ext.TextAnalysis.charBigramLm(
+      docs.filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), model)
+    val bounds = scored.agg(
+      percentile(col("lm_score"), typedLit(Seq(1.0 / 3, 2.0 / 3))).as("bs"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("lm_score"),
+        when(col("lm_score") >= element_at(col("bs"), 2), lit("head"))
+          .when(col("lm_score") >= element_at(col("bs"), 1), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("lm_score")), 4).as("min_score"),
+        round(max(col("lm_score")), 4).as("max_score"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("bucket"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4243,6 +4291,8 @@ object SparkEntry {
     "q192_gopher_gate"      -> q192GopherGate,
     "q193_unicode_normalize" -> q193UnicodeNormalize,
     "q194_token_budget"     -> q194TokenBudget,
+    "q195_paragraph_dedup"  -> q195ParagraphDedup,
+    "q196_ccnet_buckets"    -> q196CcnetBuckets,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6150,27 +6200,26 @@ object SparkEntry {
     // ln(c/total), left join, coalesce to the ln(0.5/total) floor,
     // avg rounded 4dp on both sides (cross-partition double mean).
     "q93_lm_quality" ->
-      raw"""WITH t AS (
-        |  SELECT doc_id,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, substring(c, CAST(i.i AS INTEGER), 2) AS bg
-        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
-        |  WHERE length(c) >= 2),
-        |cnt AS (
-        |  SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
-        |tot AS (SELECT sum(c) AS total FROM cnt),
-        |model AS (
-        |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
-        |  FROM cnt CROSS JOIN tot),
-        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot)
-        |SELECT bg.doc_id,
-        |  round(avg(coalesce(model.logp, flr.f)), 4) AS lm_score
-        |FROM bg CROSS JOIN flr
-        |LEFT JOIN model ON bg.bg = model.bg
-        |GROUP BY bg.doc_id
-        |ORDER BY bg.doc_id""".stripMargin,
+      s"""$lmChainCtes
+        |SELECT doc_id, lm_score FROM scored ORDER BY doc_id""".stripMargin,
+    // q196: q93's shared LM chain → exact interpolated terciles of
+    // the ROUNDED scores (percentile ≡ quantile_cont to the bit, the
+    // q124/q140 evidence) → head/middle/tail with >= boundaries —
+    // per-bucket stats readout.
+    "q196_ccnet_buckets" ->
+      s"""$lmChainCtes,
+        |b AS (SELECT quantile_cont(lm_score, [1.0/3, 2.0/3]) AS bs FROM scored),
+        |x AS (
+        |  SELECT doc_id, lm_score,
+        |    CASE WHEN lm_score >= bs[2] THEN 'head'
+        |         WHEN lm_score >= bs[1] THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored CROSS JOIN b)
+        |SELECT bucket, count(*) AS n_docs,
+        |  round(min(lm_score), 4) AS min_score,
+        |  round(max(lm_score), 4) AS max_score,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q92: q50's md5 digit arithmetic re-derives the hash bucket; the
     // A-Res priority ln(h)/w uses the identical expression tree and
     // stays internal (cross-libm ulps) — only the selection is output.
@@ -7013,6 +7062,29 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, doc_id, n_toks, cum AS tok_start_in_source
         |FROM c WHERE cum < 800 ORDER BY source, doc_id""".stripMargin,
+    // q195: the shared synthesized lines; global first occurrence =
+    // ROW_NUMBER over (content hash) ordered (doc_id, pos) — the
+    // min-struct aggregation's windowed mirror; per-doc reassembly in
+    // pos order; fully-claimed docs via the LEFT join + COALESCE.
+    "q195_paragraph_dedup" ->
+      s"""$synthLinesCtes,
+        |ex AS (
+        |  SELECT doc_id, p.p AS p, lines[p.p + 1] AS l,
+        |    md5(lines[p.p + 1]) AS h
+        |  FROM lns, LATERAL (SELECT unnest(range(0, len(lines))) AS p) p),
+        |k AS (
+        |  SELECT doc_id, p, l,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |  FROM ex),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    array_to_string(list(l ORDER BY p), chr(10)) AS tc
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT lns.doc_id,
+        |  CAST(len(lines) AS INTEGER) AS n_paras,
+        |  CAST(COALESCE(ag.n_kept, 0) AS INTEGER) AS n_kept,
+        |  md5(COALESCE(ag.tc, '')) AS clean_md5
+        |FROM lns LEFT JOIN ag USING (doc_id) ORDER BY lns.doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.
@@ -9137,6 +9209,35 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_transform(range(0, nl), i -> $lineSql) AS lines
         |  FROM p)""".stripMargin
+
+  /** q93/q196's shared LM chain: the char-bigram model trained on the
+    * even-id half, every doc scored by mean log-prob (OOV floor for
+    * unseen bigrams), rounded at 4 — ends in `scored(doc_id,
+    * lm_score)`. One definition so the score view (q93) and the
+    * CCNet bucket view (q196) can never drift.
+    */
+  private def lmChainCtes: String =
+    raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
+        |cnt AS (
+        |  SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
+        |tot AS (SELECT sum(c) AS total FROM cnt),
+        |model AS (
+        |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |  FROM cnt CROSS JOIN tot),
+        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    round(avg(coalesce(model.logp, flr.f)), 4) AS lm_score
+        |  FROM bg CROSS JOIN flr
+        |  LEFT JOIN model ON bg.bg = model.bg
+        |  GROUP BY bg.doc_id)""".stripMargin
 
   /** Shared q97/q189 cover chain: tokenized docs `t(doc_id, w)`,
     * 10-gram md5 windows `win`, the ≥2-repeated gate `rep`, and the

@@ -129,6 +129,47 @@ object TextAnalysis {
       (okWords && okLen && okSym && okBullet && okEll && okStop).as("passes"))
   }
 
+  /** ⊕ CORPUS-WIDE paragraph dedup (the RefinedWeb/FineWeb rule,
+    * Penedo et al. 2023: repeated paragraphs are removed across the
+    * whole crawl, not just within a document — [[dedupLines]]' global
+    * dual): every paragraph keeps exactly its FIRST corpus occurrence
+    * under the total order (doc_id, position); later copies anywhere
+    * drop. Output: `(doc_id, n_paras, n_kept, text_clean)` for every
+    * input document (a doc whose every paragraph is claimed elsewhere
+    * comes back with `n_kept = 0` and empty text — visible, not
+    * dropped).
+    *
+    * Scale shape: paragraphs are keyed by md5 (fixed 32-byte shuffle
+    * key — the q97 stance); the global first occurrence is ONE
+    * min-struct aggregation per key (map-side combinable), the
+    * winners semi-join back against the exploded paragraphs, and
+    * reassembly is a per-doc sort-collect over that doc's own
+    * SURVIVING paragraphs only. Nothing is quadratic; the only
+    * corpus-wide exchanges are hash-partitioned on paragraph content.
+    */
+  def dedupParagraphsGlobal(df: DataFrame, id: Column, text: Column,
+                            sep: String = "\n"): DataFrame = {
+    val base = df.select(id.as("doc_id"), split(text, sep).as("__ps"))
+    val ex = base.select(col("doc_id"), posexplode(col("__ps")).as(Seq("__p", "__t")))
+      .select(col("doc_id"), col("__p"), col("__t"), md5(col("__t")).as("__h"))
+    // global first occurrence per content key: lexicographic min of
+    // (doc_id, pos) — deterministic, order-free aggregation
+    val winners = ex.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("__p"))).as("__w"))
+      .select(col("__h"), col("__w.doc_id").as("doc_id"), col("__w.__p").as("__p"))
+    val kept = ex.join(winners, Seq("__h", "doc_id", "__p"), "left_semi")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__p"), col("__t")))), s => s.getField("__t")), sep)
+          .as("text_clean"))
+    base.select(col("doc_id"), size(col("__ps")).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** ⊕ C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
     * per-LINE rules applied before any document-level gate; FineWeb
     * and MassiveText run the same family): a line survives iff it

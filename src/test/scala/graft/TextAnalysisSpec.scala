@@ -355,6 +355,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(b._1 == 1.0 && !b._2 && !b._3, s"all-bullet doc must fail: $b")
   }
 
+  test("dedupParagraphsGlobal: first corpus occurrence wins across docs; claimed docs surface empty") {
+    val docs = Seq(
+      (1L, Seq("shared header", "unique one").mkString("\n")),
+      (2L, Seq("shared header", "unique two", "unique two").mkString("\n")),
+      (3L, "shared header") // every paragraph claimed by doc 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphsGlobal(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2, 2, "shared header\nunique one"),
+      (2L, 3, 1, "unique two"),   // header claimed by doc 1; within-doc dup also collapses
+      (3L, 1, 0, "")), s"got $got")
+    // partition invariance (min-struct aggregation is order-free)
+    val rep = TextAnalysis.dedupParagraphsGlobal(docs.repartition(5),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(rep == got)
+  }
+
   test("dedupLines: first occurrence wins, order preserved, counts exact") {
     val docs = Seq(
       (1L, Seq("nav bar", "body one", "nav bar", "body two", "nav bar").mkString("\n")),
