@@ -114,7 +114,10 @@ class PlansSpec extends SparkSuite {
       "q183_forget_flow",
       // q154's class-dimension scoring cross, audited over the full
       // corpus
-      "q185_lang_audit")
+      "q185_lang_audit",
+      // scored-docs × single-row tercile-boundary normalizer (the q93
+      // stance applied to the CCNet bucket cut)
+      "q196_ccnet_buckets")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
@@ -128,6 +131,42 @@ class PlansSpec extends SparkSuite {
       })
       assert(!hasScalaUdf, s"$name uses a scalar ScalaUDF (zero-UDF contract)")
     }
+  }
+
+  test("round-13 operators keep their promised plan shapes") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.size
+    // row-local line ops: ZERO shuffles, ZERO windows
+    val clean = docs.select(
+      graft.ext.TextAnalysis.c4LineClean(col("text")).as("c"),
+      graft.ext.TextAnalysis.gopherQualityGate(col("text")).as("g"))
+    assert(exchanges(clean) == 0 && windows(clean) == 0,
+      "line cleaning / gopher gate must stay row-local")
+    // token-budget cut: NO per-source window anywhere (the whole
+    // point of the prefix-sum construction)
+    val budget = graft.ops.Sampling.tokenBudgetSample(
+      docs.select(col("doc_id"), col("source"), col("n_chars").as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), Seq("src0" -> 100L))
+    assert(windows(budget) == 0, "tokenBudgetSample must not plan a window")
+    // global paragraph dedup: no window; the min-struct aggregation
+    // carries the first-occurrence choice
+    val para = graft.ext.TextAnalysis.dedupParagraphsGlobal(
+      docs, col("doc_id"), col("text"))
+    assert(windows(para) == 0, "dedupParagraphsGlobal must not plan a window")
+    // the normalization expressions ride whole-stage codegen contexts
+    // (no BatchEvalPython / ScalaUDF anywhere - covered by the sweep)
+    val uni = docs.select(
+      graft.functions.UnicodeNorm.nfc_normalize(col("text")),
+      graft.functions.UnicodeNorm.strip_accents(col("text")))
+    assert(exchanges(uni) == 0)
   }
 
   test("GraftExtensions registers the rule at session build time") {
