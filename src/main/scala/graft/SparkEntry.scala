@@ -4078,6 +4078,39 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q197 — ⊕ FineWeb-shaped pipeline capstone: C4 line cleaning
+    * (q190's config) → CORPUS-WIDE paragraph dedup over the cleaned
+    * text (q195's rule) → token counting → 256-token sequence packing
+    * (q167's two-pass prefix sum). The line-granularity third of a
+    * web-corpus pipeline end to end, with every stage reusing the
+    * exact shared oracle chain of its own query — the capstone hash
+    * pins the whole composition (the q166/q177 convention). Docs that
+    * lose every line or every paragraph exit at their stage; the
+    * packed stream covers survivors only.
+    */
+  private val q197FinewebPipeline: Q = (s, dir) => {
+    val c = ext.TextAnalysis.c4LineClean(col("__t"), minWords = 3,
+      banned = Seq("slow"))
+    val cleaned = synthLines(s, dir)
+      .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
+      .select(col("doc_id"), c.as("__c"))
+      .select(col("doc_id"), col("__c.n_kept").as("c4_kept"),
+        col("__c.text_clean").as("__tc"))
+      .filter(col("c4_kept") >= 1)
+    val para = ext.TextAnalysis.dedupParagraphsGlobal(cleaned, col("doc_id"),
+        col("__tc"))
+      .filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("n_kept").as("n_paras_kept"), col("text_clean"))
+    val sized = para.select(col("doc_id"), col("n_paras_kept"),
+      ext.TextAnalysis.tokenCount(col("text_clean")).cast("long").as("n_toks2"))
+    ops.Packing.packSequences(sized, Seq(col("doc_id")), "n_toks2", 256L)
+      .join(cleaned.select(col("doc_id"), col("c4_kept")), Seq("doc_id"))
+      .select(col("doc_id"), col("c4_kept"), col("n_paras_kept"),
+        col("n_toks2").as("n_toks"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4293,6 +4326,7 @@ object SparkEntry {
     "q194_token_budget"     -> q194TokenBudget,
     "q195_paragraph_dedup"  -> q195ParagraphDedup,
     "q196_ccnet_buckets"    -> q196CcnetBuckets,
+    "q197_fineweb_pipeline" -> q197FinewebPipeline,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6945,15 +6979,7 @@ object SparkEntry {
     // folded per line (fold/trim/normalize before every check, the
     // c4LineClean contract); all integer/string arithmetic.
     "q190_c4_line_clean" ->
-      raw"""$synthLinesCtes,
-        |cl AS (
-        |  SELECT doc_id, len(lines) AS n_lines,
-        |    list_filter(lines, l ->
-        |      regexp_matches(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '[.!?"]$$')
-        |      AND len(string_split(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), ' ')) >= 3
-        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), 'slow')
-        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '{')) AS kept
-        |  FROM lns)
+      s"""$c4CleanCtes
         |SELECT doc_id,
         |  CAST(n_lines AS INTEGER) AS n_lines,
         |  CAST(len(kept) AS INTEGER) AS n_kept,
@@ -6963,6 +6989,43 @@ object SparkEntry {
         |  -- hashes identically on both sides
         |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // q197: the FineWeb-shaped capstone — the SHARED c4 clean CTEs →
+    // global paragraph dedup over the CLEANED lines (the q195 window
+    // mirror) → token counts → the q167 packing window at capacity
+    // 256. Every stage reuses its own query's oracle chain, so the
+    // capstone hash pins the whole composition.
+    "q197_fineweb_pipeline" ->
+      raw"""$c4CleanCtes,
+        |c2 AS (
+        |  SELECT doc_id, kept, len(kept) AS c4_kept FROM cl WHERE len(kept) >= 1),
+        |ex2 AS (
+        |  SELECT doc_id, p.p AS p, kept[p.p + 1] AS l, md5(kept[p.p + 1]) AS h
+        |  FROM c2, LATERAL (SELECT unnest(range(0, len(kept))) AS p) p),
+        |k2 AS (
+        |  SELECT doc_id, p, l,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |  FROM ex2),
+        |ag2 AS (
+        |  SELECT doc_id, count(*) AS n_paras_kept,
+        |    array_to_string(list(l ORDER BY p), chr(10)) AS tc
+        |  FROM k2 WHERE rn = 1 GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, n_paras_kept,
+        |    CAST(len(string_split(lower(trim(regexp_replace(tc, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM ag2),
+        |f AS (SELECT * FROM tk WHERE n_toks > 0),
+        |cpre AS (
+        |  SELECT doc_id, n_paras_kept, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM f)
+        |SELECT cpre.doc_id, CAST(c2.c4_kept AS INTEGER) AS c4_kept,
+        |  CAST(n_paras_kept AS INTEGER) AS n_paras_kept, n_toks, tok_start,
+        |  (tok_start // 256) AS seq_first,
+        |  ((tok_start + n_toks - 1) // 256) AS seq_last,
+        |  ((tok_start + n_toks - 1) // 256) - (tok_start // 256) + 1 AS n_seqs
+        |FROM cpre JOIN c2 ON c2.doc_id = cpre.doc_id
+        |ORDER BY cpre.doc_id""".stripMargin,
     // q191: the shared lines + a planted duplicate (first line
     // appended), first-occurrence dedup via min(pos) per (doc, line)
     // and pos-ordered reassembly — the dedupLines plan mirrored.
@@ -9209,6 +9272,22 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_transform(range(0, nl), i -> $lineSql) AS lines
         |  FROM p)""".stripMargin
+
+  /** q190/q197's shared C4 clean chain: the synthesized lines plus
+    * the three folded per-line rules, ending in `cl(doc_id, n_lines,
+    * kept)` — one definition so the clean view and the capstone can
+    * never drift.
+    */
+  private def c4CleanCtes: String =
+    raw"""$synthLinesCtes,
+        |cl AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '[.!?"]$$')
+        |      AND len(string_split(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), ' ')) >= 3
+        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), 'slow')
+        |      AND NOT contains(lower(trim(regexp_replace(l, '\s+', ' ', 'g'))), '{')) AS kept
+        |  FROM lns)""".stripMargin
 
   /** q93/q196's shared LM chain: the char-bigram model trained on the
     * even-id half, every doc scored by mean log-prob (OOV floor for
