@@ -4111,6 +4111,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q198 — ⊕ ANN recall@10 measurement
+    * ([[graft.ext.Similarity.recallAtK]]): the q38 IVF search (pinned
+    * k=16/nprobe=4) scored against the exact brute-force ground truth
+    * over every 25th vector as a query — THE number a deployment
+    * tunes nprobe against, computed exactly (deterministic tie-breaks
+    * on both rankings) rather than sampled. The query universe is the
+    * exact side's, so a query the index loses entirely surfaces with
+    * recall 0. The brute side is the labeled O(n·q) baseline (the q24
+    * stance).
+    */
+  private val q198AnnRecall: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val approx = ext.Similarity.ivfSearchDf(ivf, queries,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+    val exact = ext.Similarity.bruteForceKnnDf(em, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10)
+    ext.Similarity.recallAtK(approx, exact, k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4327,6 +4350,7 @@ object SparkEntry {
     "q195_paragraph_dedup"  -> q195ParagraphDedup,
     "q196_ccnet_buckets"    -> q196CcnetBuckets,
     "q197_fineweb_pipeline" -> q197FinewebPipeline,
+    "q198_ann_recall"       -> q198AnnRecall,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4587,13 +4611,23 @@ object SparkEntry {
        |ORDER BY query_id, adc_sim DESC, neighbor_id""".stripMargin
   }
 
-  private def ivfOracleSql: String = {
+  private def ivfOracleSql: String =
+    s"""${ivfSearchRankedCtes("vec_id IN (0, 1, 2)")}
+       |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin
+
+  /** The q38 IVF search chain through `ranked` (probe selection +
+    * in-cluster scoring + per-query ranking), with the query set
+    * parameterized — shared by q38 and the q198 recall measurement
+    * so the approximate side can never drift.
+    */
+  private def ivfSearchRankedCtes(queryWhere: String): String = {
     val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
     s"""$ivfTrainCtes,
        |qs AS (
        |  SELECT vec_id AS query_id, nv AS qnv,
        |    list_transform(c2.cs, c -> $dot) AS sims
-       |  FROM nv CROSS JOIN c2 WHERE vec_id IN (0, 1, 2)),
+       |  FROM nv CROSS JOIN c2 WHERE $queryWhere),
        |pq AS (
        |  SELECT query_id, qnv,
        |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
@@ -4613,9 +4647,7 @@ object SparkEntry {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rn
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 10
-       |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7148,6 +7180,30 @@ object SparkEntry {
         |  CAST(COALESCE(ag.n_kept, 0) AS INTEGER) AS n_kept,
         |  md5(COALESCE(ag.tc, '')) AS clean_md5
         |FROM lns LEFT JOIN ag USING (doc_id) ORDER BY lns.doc_id""".stripMargin,
+    // q198: the SHARED q38 search chain (ivfSearchRankedCtes) as the
+    // approximate side, the q24 brute chain as ground truth, exact
+    // per-query hit counts — recall is measured, not sampled.
+    "q198_ann_recall" ->
+      s"""${ivfSearchRankedCtes("vec_id % 25 = 0")},
+        |ax AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10),
+        |bq AS (SELECT vec_id AS query_id, nv AS qnv FROM nv WHERE vec_id % 25 = 0),
+        |bscored AS (
+        |  SELECT bq.query_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> bq.qnv[i] * a.nv[i])), 4) AS cos_sim
+        |  FROM nv a CROSS JOIN bq WHERE a.vec_id <> bq.query_id),
+        |bx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos_sim DESC, neighbor_id) AS rn2
+        |    FROM bscored) WHERE rn2 <= 10),
+        |h AS (
+        |  SELECT bx.query_id, count(ax.neighbor_id) AS n_hits
+        |  FROM bx LEFT JOIN ax ON ax.query_id = bx.query_id
+        |                      AND ax.neighbor_id = bx.neighbor_id
+        |  GROUP BY bx.query_id)
+        |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / 10.0, 4) AS recall
+        |FROM h ORDER BY query_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

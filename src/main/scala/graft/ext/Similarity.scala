@@ -103,6 +103,49 @@ object Similarity {
       .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
   }
 
+  /** [[bruteForceKnn]] with the query side as a DataFrame (the
+    * ivfSearchDf batch shape) — the exact ground-truth generator for
+    * [[recallAtK]]. Still the labeled O(n·q) baseline: broadcast the
+    * query table, score every corpus row.
+    */
+  def bruteForceKnnDf(vectors: DataFrame, id: Column, vec: Column,
+                      queries: DataFrame, qid: Column, qvec: Column,
+                      k: Int, roundTo: Int = 4): DataFrame = {
+    val nv = vectors.select(id.as("id"), normalize(vecD(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
+    val q = queries.select(qid.as("query_id"), normalize(vecD(qvec)).as("q_nv"))
+      .filter(col("q_nv").isNotNull)
+    val scored = nv.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("q_nv"), col("nv")), roundTo).as("cos_sim"))
+    graft.ops.TopK.perGroupTopK(scored,
+        Seq(col("query_id")), Seq(desc("cos_sim"), asc("neighbor_id")), k)
+      .orderBy(col("query_id"), desc("cos_sim"), col("neighbor_id"))
+  }
+
+  /** ⊕ Recall@k of an approximate neighbor table against the exact
+    * ground truth — the standard ANN index-quality measurement (the
+    * number a FAISS deployment tunes nprobe against). Both inputs are
+    * `(query_id, neighbor_id, ...)` tables; the query universe is the
+    * EXACT side's distinct queries, so a query the index lost
+    * entirely surfaces with recall 0 instead of vanishing. One
+    * equi-semi-join + one count per query — nothing quadratic; with
+    * deterministic tie-breaks on both input rankings the measurement
+    * is exact and oracle-able, not a sampled estimate.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK needs k > 0, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, dim-index):
     * sign from md5 parity of `"t|b|d"` (low bit of the first digest
     * byte). Rademacher sign projections are a standard SRP-LSH variant

@@ -117,7 +117,10 @@ class PlansSpec extends SparkSuite {
       "q185_lang_audit",
       // scored-docs × single-row tercile-boundary normalizer (the q93
       // stance applied to the CCNet bucket cut)
-      "q196_ccnet_buckets")
+      "q196_ccnet_buckets",
+      // the recall measurement's EXACT side is the labeled q24 brute
+      // baseline (broadcast query table × corpus)
+      "q198_ann_recall")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val physical = df.queryExecution.executedPlan.toString
