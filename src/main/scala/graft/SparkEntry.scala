@@ -3330,7 +3330,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("top_cnt"))
     val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
       Seq(desc("top_cnt"), asc("topic")), 1)
-    val nch = labeled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    // n_chunks = Σ top_cnt over the doc's topics — derived from the
+    // TINY per-topic table, not a second pass of the chunk chain
+    val nch = perTopic.groupBy(col("doc_id"))
+      .agg(sum(col("top_cnt")).as("n_chunks"))
     top.join(nch, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"),
         col("topic").as("top_topic"), col("top_cnt"),
@@ -3499,7 +3502,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("top_cnt"))
     val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
       Seq(desc("top_cnt"), asc("topic")), 1)
-    val nch = labeled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    // n_chunks = Σ top_cnt over the doc's topics — derived from the
+    // TINY per-topic table, not a second pass of the chunk chain
+    val nch = perTopic.groupBy(col("doc_id"))
+      .agg(sum(col("top_cnt")).as("n_chunks"))
     val pass = top.join(nch, Seq("doc_id"))
       .filter(col("top_cnt") * 5 >= col("n_chunks") * 4)
       .select(col("doc_id"))
