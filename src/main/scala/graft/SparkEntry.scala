@@ -3509,7 +3509,12 @@ object SparkEntry {
     val pass = top.join(nch, Seq("doc_id"))
       .filter(col("top_cnt") * 5 >= col("n_chunks") * 4)
       .select(col("doc_id"))
-    val s2 = s1.join(pass, Seq("doc_id"))
+    // the gate SURVIVORS are the curated subset any real deployment
+    // materializes between stages; temperatureMixture walks its input
+    // twice (rates pass + membership join), so without this the whole
+    // canon→head→chunk→gate chain re-evaluates — measured 2.5 s of
+    // q166's 6.3 s at sf0.1 (Q166Probe)
+    val s2 = s1.join(pass, Seq("doc_id")).localCheckpoint()
     ops.Sampling.temperatureMixture(s2, col("source"), "doc_id", totalN = 150)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
@@ -3741,6 +3746,10 @@ object SparkEntry {
       .withColumn("split", ops.Sampling.assignSplit("cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
       .filter(col("split") === "train")
+      // the train split is the between-stages materialization point of
+      // any real pipeline; without it the entropy-gate + dup-cluster
+      // chain re-evaluates under the encode pass (the q166 lesson)
+      .localCheckpoint()
     val toks = bpeTokenCounts(docs, train)
     ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
       .select(col("doc_id"), col("n_toks"), col("tok_start"),

@@ -36,11 +36,23 @@ object TextAnalysis {
     * characteristic-token hits, pick the max; ties break by label
     * order, so classification is deterministic).
     *
+    * Hot path: all labels are counted in ONE codegen'd pass over one
+    * tokenization ([[graft.functions.LexiconScores]]) — the previous
+    * per-label `tokens + filter` HOF form paid k regex splits and k
+    * interpreted lambda passes per row, which dominated CHUNK-level
+    * classification (q160/q166). Counts and tie-breaks are
+    * bit-identical; the scores array is one subexpression, eliminated
+    * to a single evaluation by codegen CSE.
+    *
     * @param lexicons (label, characteristic tokens) in priority order
     */
   def classifyByLexicon(text: Column, lexicons: Seq[(String, Seq[String])],
                         fallback: String = "und"): Column = {
-    val scores = lexicons.map { case (label, lex) => label -> lexiconHits(text, lex) }
+    val sc = graft.functions.LexiconScores.lexicon_scores(
+      tokens(text), lexicons.map(_._2))
+    val scores = lexicons.zipWithIndex.map { case ((label, _), i) =>
+      label -> element_at(sc, i + 1)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit(fallback): Column) { case ((label, s), rest) =>
       when(s === best && best > 0, lit(label)).otherwise(rest)
