@@ -4156,6 +4156,27 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** q199 — ⊕ incremental corpus-wide paragraph dedup
+    * ([[graft.ext.TextAnalysis.dedupParagraphsIncremental]]): q195's
+    * rule as a daily increment — history (doc_id < 250) contributes
+    * only its distinct paragraph-hash seen-set; the increment pays
+    * one anti-join and its own first-occurrence pass. Under
+    * append-only ids the result equals the full q195 recompute
+    * restricted to the increment, so the oracle byte-shares q195's
+    * chain with an output filter (the q186 convention applied to
+    * paragraph dedup).
+    */
+  private val q199ParagraphDedupIncr: Q = (s, dir) => {
+    val lines = synthLines(s, dir)
+      .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
+    ext.TextAnalysis.dedupParagraphsIncremental(
+        lines.filter(col("doc_id") < 250), lines.filter(col("doc_id") >= 250),
+        col("doc_id"), col("__t"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4373,6 +4394,7 @@ object SparkEntry {
     "q196_ccnet_buckets"    -> q196CcnetBuckets,
     "q197_fineweb_pipeline" -> q197FinewebPipeline,
     "q198_ann_recall"       -> q198AnnRecall,
+    "q199_paragraph_dedup_incr" -> q199ParagraphDedupIncr,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7226,6 +7248,31 @@ object SparkEntry {
         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
         |  round(CAST(n_hits AS DOUBLE) / 10.0, 4) AS recall
         |FROM h ORDER BY query_id""".stripMargin,
+    // q199: q195's chain byte-shared, output restricted to the
+    // increment — under append-only ids the global ROW_NUMBER rule
+    // already gives history precedence, which is exactly the
+    // incremental seen-set semantics (the q186 convention).
+    "q199_paragraph_dedup_incr" ->
+      s"""$synthLinesCtes,
+        |ex AS (
+        |  SELECT doc_id, p.p AS p, lines[p.p + 1] AS l,
+        |    md5(lines[p.p + 1]) AS h
+        |  FROM lns, LATERAL (SELECT unnest(range(0, len(lines))) AS p) p),
+        |k AS (
+        |  SELECT doc_id, p, l,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |  FROM ex),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    array_to_string(list(l ORDER BY p), chr(10)) AS tc
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT lns.doc_id,
+        |  CAST(len(lines) AS INTEGER) AS n_paras,
+        |  CAST(COALESCE(ag.n_kept, 0) AS INTEGER) AS n_kept,
+        |  md5(COALESCE(ag.tc, '')) AS clean_md5
+        |FROM lns LEFT JOIN ag USING (doc_id)
+        |WHERE lns.doc_id >= 250
+        |ORDER BY lns.doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

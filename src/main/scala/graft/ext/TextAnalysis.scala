@@ -161,11 +161,49 @@ object TextAnalysis {
     */
   def dedupParagraphsGlobal(df: DataFrame, id: Column, text: Column,
                             sep: String = "\n"): DataFrame = {
+    val (base, ex) = paragraphExplode(df, id, text, sep)
+    firstOccurrenceRebuild(base, ex, sep)
+  }
+
+  /** ⊕ INCREMENTAL corpus-wide paragraph dedup — the daily-increment
+    * form of [[dedupParagraphsGlobal]] (the q123/q186 maintenance
+    * convention): an increment paragraph survives iff its content
+    * hash appears NOWHERE in the history corpus AND it is the first
+    * occurrence within the increment under (doc_id, pos). Under
+    * append-only ids (history ids < increment ids) this is EXACTLY
+    * the global rule over history ∪ increment restricted to the
+    * increment — TextAnalysisSpec proves the equivalence, and the
+    * q199 oracle byte-shares q195's chain with an output filter.
+    *
+    * Scale shape: history contributes only its DISTINCT paragraph
+    * hashes (the maintained seen-set — one anti-join key per distinct
+    * paragraph, the q123 stance); the increment never re-reads
+    * history text, so a daily run costs the increment plus one
+    * hash-keyed anti-join.
+    */
+  def dedupParagraphsIncremental(history: DataFrame, increment: DataFrame,
+                                 id: Column, text: Column,
+                                 sep: String = "\n"): DataFrame = {
+    val seen = history.select(explode(split(text, sep)).as("__t"))
+      .select(md5(col("__t")).as("__h")).distinct()
+    val (base, ex) = paragraphExplode(increment, id, text, sep)
+    firstOccurrenceRebuild(base, ex.join(seen, Seq("__h"), "left_anti"), sep)
+  }
+
+  private def paragraphExplode(df: DataFrame, id: Column, text: Column,
+                               sep: String): (DataFrame, DataFrame) = {
     val base = df.select(id.as("doc_id"), split(text, sep).as("__ps"))
     val ex = base.select(col("doc_id"), posexplode(col("__ps")).as(Seq("__p", "__t")))
       .select(col("doc_id"), col("__p"), col("__t"), md5(col("__t")).as("__h"))
-    // global first occurrence per content key: lexicographic min of
-    // (doc_id, pos) — deterministic, order-free aggregation
+    (base, ex)
+  }
+
+  /** First occurrence per content key — lexicographic min of
+    * (doc_id, pos), a deterministic order-free aggregation — then
+    * per-doc pos-ordered reassembly over each doc's own survivors.
+    */
+  private def firstOccurrenceRebuild(base: DataFrame, ex: DataFrame,
+                                     sep: String): DataFrame = {
     val winners = ex.groupBy(col("__h"))
       .agg(min(struct(col("doc_id"), col("__p"))).as("__w"))
       .select(col("__h"), col("__w.doc_id").as("doc_id"), col("__w.__p").as("__p"))

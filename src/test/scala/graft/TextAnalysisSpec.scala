@@ -375,6 +375,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rep == got)
   }
 
+  test("dedupParagraphsIncremental ≡ global recompute restricted to the increment (append-only ids)") {
+    val all = Seq(
+      (1L, "h one\nh two"),
+      (2L, "h two\nh three"),
+      (10L, "h one\ninc fresh"),          // history hit + fresh
+      (11L, "inc fresh\ninc other"),      // claimed within increment + fresh
+      (12L, "h three")                    // fully claimed by history
+    ).toDF("doc_id", "text")
+    val hist = all.filter(col("doc_id") < 10)
+    val inc = all.filter(col("doc_id") >= 10)
+    val incr = TextAnalysis.dedupParagraphsIncremental(hist, inc,
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(incr == Seq(
+      (10L, 2, 1, "inc fresh"),
+      (11L, 2, 1, "inc other"),
+      (12L, 1, 0, "")), s"got $incr")
+    // the maintenance contract: ≡ full global recompute on history ∪
+    // increment, restricted to increment docs
+    val global = TextAnalysis.dedupParagraphsGlobal(all, col("doc_id"), col("text"))
+      .filter(col("doc_id") >= 10)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(incr == global, s"incremental $incr != global-restricted $global")
+  }
+
   test("dedupLines: first occurrence wins, order preserved, counts exact") {
     val docs = Seq(
       (1L, Seq("nav bar", "body one", "nav bar", "body two", "nav bar").mkString("\n")),
