@@ -4177,6 +4177,44 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q200 — ⊕ per-source corpus datacard (the "datasheets for
+    * datasets" summary panel a curation run publishes): docs, token
+    * budget, language spread, exact-duplicate exposure (docs whose
+    * corpus-wide fingerprint count exceeds 1 — the q30/q21 key),
+    * mean q28 quality, stop-word mass and Gopher-gate pass count per
+    * source. One fingerprint aggregation + one per-source
+    * aggregation; every statistic reuses an already-oracled chain.
+    * (The fixture's synthetic vocabulary carries only "the" from the
+    * canonical stop set, so n_gopher_pass is honestly 0 there — the
+    * stop-rule mass shows in sum_stops instead.)
+    */
+  private val q200CorpusDatacard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fp = ext.TextAnalysis.fingerprint(col("text"))
+    val fpCounts = docs.select(fp.as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__fc"))
+    val g = ext.TextAnalysis.gopherQualityGate(col("text"), minWords = 10)
+    docs
+      .select(col("source"), col("lang"), col("doc_id"), fp.as("__fp"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
+        ext.TextAnalysis.qualityScore(col("text")).as("__q"),
+        g.getField("n_stop").as("__ns"),
+        g.getField("passes").as("__gp"))
+      // empty docs have no quality/stop semantics — excluded on BOTH
+      // sides (the oracle's len(w) > 0 guard)
+      .filter(col("__nt") > 0)
+      .join(fpCounts, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("__fc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(avg(col("__q")), 4).as("mean_quality"),
+        sum(col("__ns")).cast("long").as("sum_stops"),
+        sum(when(col("__gp"), 1L).otherwise(0L)).as("n_gopher_pass"))
+      .orderBy(col("source"))
+  }
+
   /** q155 — ⊕ BPE tokenizer training ([[graft.ext.Bpe]]): learn 8
     * merges over the documents word-frequency table. The corpus is
     * touched ONCE (the word count); every merge iteration runs on
@@ -4395,6 +4433,7 @@ object SparkEntry {
     "q197_fineweb_pipeline" -> q197FinewebPipeline,
     "q198_ann_recall"       -> q198AnnRecall,
     "q199_paragraph_dedup_incr" -> q199ParagraphDedupIncr,
+    "q200_corpus_datacard"  -> q200CorpusDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7273,6 +7312,48 @@ object SparkEntry {
         |FROM lns LEFT JOIN ag USING (doc_id)
         |WHERE lns.doc_id >= 250
         |ORDER BY lns.doc_id""".stripMargin,
+    // q200: every statistic mirrors its own already-oracled chain —
+    // the q28 quality formula, the q30 fingerprint key, the q192
+    // Gopher components (single-line degenerate case: the raw fixture
+    // text has no newlines, so the line set is [trim(text)]), stop
+    // counting over the shared q80 fold; avg rounded at 4 on both
+    // sides (the q93 convention).
+    "q200_corpus_datacard" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |fpc AS (SELECT md5(clean) AS fpk, count(*) AS fc FROM t GROUP BY md5(clean)),
+        |f AS (
+        |  SELECT t.doc_id, t.source, t.lang, md5(clean) AS fpk,
+        |    CAST(len(w) AS BIGINT) AS nt,
+        |    round(least(CAST(len(w) AS DOUBLE) / 20.0, 1.0)
+        |          * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |          * (CASE WHEN (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w)
+        |                       BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS q,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS INTEGER) AS nstop,
+        |    (len(w) BETWEEN 10 AND 100000) AS okw,
+        |    (round((CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w), 4)
+        |       BETWEEN 3.0 AND 10.0) AS okl,
+        |    (round(CAST(len(list_filter(w, x -> contains(x, '#'))) AS DOUBLE) / len(w), 4) <= 0.1
+        |     AND round(CAST(len(list_filter(w, x -> contains(x, '...'))) AS DOUBLE) / len(w), 4) <= 0.1) AS oks,
+        |    (round(CASE WHEN starts_with(trim(text), '-') OR starts_with(trim(text), '*')
+        |                     OR starts_with(trim(text), chr(8226)) THEN 1.0 ELSE 0.0 END, 4) <= 0.9) AS okb,
+        |    (round(CASE WHEN ends_with(trim(text), '...') THEN 1.0 ELSE 0.0 END, 4) <= 0.3) AS oke
+        |  FROM t WHERE len(w) > 0)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN fc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  round(avg(q), 4) AS mean_quality,
+        |  CAST(sum(nstop) AS BIGINT) AS sum_stops,
+        |  CAST(sum(CASE WHEN okw AND okl AND oks AND okb AND oke AND nstop >= 2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+        |FROM f JOIN fpc USING (fpk)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.
