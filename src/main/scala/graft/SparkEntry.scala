@@ -3874,6 +3874,13 @@ object SparkEntry {
     * for the √n coarse-k search schedule: at 200M vectors k ≈ 5000
     * literal centroids stops compiling; the indexed form's plan cost
     * is constant in k.
+    *
+    * Output contract (round-14 lesson, the X5/X6 precedent extended):
+    * every registry query's hashed projection must be SCALAR — the
+    * probe list is emitted as a comma-joined string, never a raw
+    * array (a raw array column is unsortable in the driver's pandas
+    * compare and reds the row no matter how correct the operator is).
+    * PlansSpec asserts this contract registry-wide.
     */
   private val q188CoarseAssignIndexed: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
@@ -3881,8 +3888,9 @@ object SparkEntry {
       k = 100, iters = 0, quantize = Some(9))
     val out = ivf.assigned
       .select(col("id").as("vec_id"), col("cluster"),
-        graft.functions.CentroidArgmax.centroid_topk(col("nv"), ivf.centroids, 3)
-          .as("probes"))
+        array_join(
+          graft.functions.CentroidArgmax.centroid_topk(col("nv"), ivf.centroids, 3)
+            .cast("array<string>"), ",").as("probes"))
       .orderBy(col("vec_id"))
     ivf.unpersist()
     out
@@ -7395,8 +7403,8 @@ object SparkEntry {
         |  FROM nv CROSS JOIN c0)
         |SELECT vec_id,
         |  CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS cluster,
-        |  list_transform(list_sort(list_transform(range(1, len(ss) + 1),
-        |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3] AS probes
+        |  array_to_string(list_transform(list_sort(list_transform(range(1, len(ss) + 1),
+        |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3], ',') AS probes
         |FROM sims ORDER BY vec_id""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale

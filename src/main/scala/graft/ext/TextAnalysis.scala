@@ -36,28 +36,26 @@ object TextAnalysis {
     * characteristic-token hits, pick the max; ties break by label
     * order, so classification is deterministic).
     *
-    * Hot path: all labels are counted in ONE codegen'd pass over one
-    * tokenization ([[graft.functions.LexiconScores]]) — the previous
-    * per-label `tokens + filter` HOF form paid k regex splits and k
-    * interpreted lambda passes per row, which dominated CHUNK-level
-    * classification (q160/q166). Counts and tie-breaks are
-    * bit-identical; the scores array is one subexpression, eliminated
-    * to a single evaluation by codegen CSE.
+    * Hot path: count-and-argmax is ONE fused codegen'd pass over one
+    * tokenization ([[graft.functions.LexiconScores.lexicon_best]]).
+    * History: the original per-label `tokens + filter` HOF form paid
+    * k regex splits and k interpreted lambda passes per row (lost at
+    * CHUNK granularity, q160/q166); the round-13 `lexicon_scores` +
+    * `greatest`/`when` fold referenced the scores array ~2k times and
+    * codegen CSE did NOT collapse them on q46's filter+project shape
+    * (judge-bisected 2.2× regression at DOCUMENT granularity). The
+    * fused expression makes single evaluation structural — fast at
+    * BOTH granularities. Labels/tie-breaks/fallback are bit-identical
+    * to the fold (first max in priority order; fallback when all
+    * counts are 0, including for null text via the coalesce).
     *
     * @param lexicons (label, characteristic tokens) in priority order
     */
   def classifyByLexicon(text: Column, lexicons: Seq[(String, Seq[String])],
-                        fallback: String = "und"): Column = {
-    val sc = graft.functions.LexiconScores.lexicon_scores(
-      tokens(text), lexicons.map(_._2))
-    val scores = lexicons.zipWithIndex.map { case ((label, _), i) =>
-      label -> element_at(sc, i + 1)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit(fallback): Column) { case ((label, s), rest) =>
-      when(s === best && best > 0, lit(label)).otherwise(rest)
-    }
-  }
+                        fallback: String = "und"): Column =
+    coalesce(
+      graft.functions.LexiconScores.lexicon_best(tokens(text), lexicons, fallback),
+      lit(fallback))
 
   /** Quality features: token count, type-token ratio, mean token
     * length, and a composite [0,1] score (long-enough, diverse,

@@ -70,6 +70,20 @@ final class CentroidIndex(val centroids: Array[Array[Double]]) extends Serializa
   require(centroids.forall(_.length == dim),
     "centroid_argmax: ragged centroid matrix")
 
+  // content-based equality — expression reference objects must equal
+  // by content or Catalyst CSE/cache plan-matching silently fails
+  // (the q46/r14 lesson; see LexiconIndex). The derived group index
+  // is a pure function of `centroids`, so comparing centroids alone
+  // is exact.
+  override def equals(o: Any): Boolean = o match {
+    case that: CentroidIndex =>
+      java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]], that.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   private val eps = 1e-9
 
   // groupMembers(g) = ascending original centroid indices; superCents

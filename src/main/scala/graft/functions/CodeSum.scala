@@ -130,6 +130,19 @@ case class SdcSum(left: Expression, right: Expression,
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CodeSum.sdc($a, $b, $tRef)")
   }
 
+  // content-based equality: the synthesized equals compares the SDC
+  // table Array by reference, defeating CSE/cache plan-matching (the
+  // q46/r14 lesson; see LexiconIndex)
+  override def equals(o: Any): Boolean = o match {
+    case that: SdcSum => left == that.left && right == that.right &&
+      java.util.Arrays.deepEquals(table.asInstanceOf[Array[AnyRef]],
+        that.table.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (left.hashCode * 31 + right.hashCode) * 31 +
+      java.util.Arrays.deepHashCode(table.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SdcSum =
     copy(left = newLeft, right = newRight)
 }

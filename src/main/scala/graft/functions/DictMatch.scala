@@ -98,6 +98,21 @@ final class DictAutomaton(rawTerms: Array[String], val caseInsensitive: Boolean)
 
   val nTerms: Int = needles.length
 
+  // content-based equality — expression reference objects must equal
+  // by content or Catalyst CSE/cache plan-matching silently fails
+  // (the q46/r14 lesson; see LexiconIndex). The automaton arrays are
+  // a pure function of (needles, caseInsensitive).
+  override def equals(o: Any): Boolean = o match {
+    case that: DictAutomaton =>
+      caseInsensitive == that.caseInsensitive &&
+        java.util.Arrays.equals(needles.asInstanceOf[Array[AnyRef]],
+          that.needles.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.hashCode(needles.asInstanceOf[Array[AnyRef]]) * 31 +
+      caseInsensitive.hashCode
+
   // --- frozen automaton arrays (built once in the constructor) ---
   // edgeLabels(u) = ascending byte labels (0..255 as Int); edgeTargets
   // aligns. fail(u) = longest proper suffix node. endTerms(u) = term

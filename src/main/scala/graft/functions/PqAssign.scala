@@ -162,6 +162,20 @@ case class PqAssignSub(left: Expression, right: Expression,
     defineCodeGen(ctx, ev, (s, j) => s"graft.functions.PqAssign.computeSub($s, $j, $cbRef)")
   }
 
+  // content-based equality: the synthesized case-class equals compares
+  // the codebook Array by REFERENCE, which defeats Catalyst CSE and
+  // CacheManager plan-matching across query builds (the q46/r14
+  // lesson; see LexiconIndex).
+  override def equals(o: Any): Boolean = o match {
+    case that: PqAssignSub => left == that.left && right == that.right &&
+      java.util.Arrays.deepEquals(codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (left.hashCode * 31 + right.hashCode) * 31 +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAssignSub =
     copy(left = newLeft, right = newRight)
 }
@@ -181,6 +195,17 @@ case class PqAssignAll(child: Expression, codebooks: Array[Array[Array[Double]]]
     val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
     defineCodeGen(ctx, ev, nv => s"graft.functions.PqAssign.computeAll($nv, $cbRef)")
   }
+
+  // content-based equality (see PqAssignSub)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqAssignAll => child == that.child &&
+      java.util.Arrays.deepEquals(codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    child.hashCode * 31 +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): PqAssignAll =
     copy(child = newChild)

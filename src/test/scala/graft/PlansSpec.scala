@@ -123,6 +123,18 @@ class PlansSpec extends SparkSuite {
       "q198_ann_recall")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
+      // scalar-only output contract (the q188/r13 lesson): the driver's
+      // correctness harness sorts result rows with pandas, which cannot
+      // sort array/struct/map cells — a non-scalar output column reds
+      // the row no matter how correct the operator is. The builder's
+      // local checker tuple-converts arrays; the driver's does not, so
+      // this gap is only catchable here.
+      for (f <- df.schema.fields)
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+          s"$name output column '${f.name}' is non-scalar (${f.dataType.simpleString}); " +
+            "emit array_join/concat_ws or per-element columns instead")
       val physical = df.queryExecution.executedPlan.toString
       if (!cartesianOk(name))
         assert(!physical.contains("CartesianProduct") && !physical.contains("BroadcastNestedLoopJoin"),

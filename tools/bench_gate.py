@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Per-query bench regression gate.
 
-Usage: python3 tools/bench_gate.py BENCH_new.json BENCH_old.json [--max-ratio 2.0] [--no-retime]
+Usage: python3 tools/bench_gate.py BENCH_new.json [BENCH_old.json] [--max-ratio 2.0] [--no-retime]
+
+With no BENCH_old.json, compares against the latest committed
+BENCH_LOCAL_r{N}.json round record (never a rolling/mid-round file —
+a mid-round regression must not become its own baseline).
 
 Compares the per-query seconds of two Bench JSON outputs (the one-line
 {"metric":"total",...,"queries":{...}} format) and FAILS (exit 1),
@@ -126,6 +130,23 @@ def main():
         else:
             args.append(a)
         i += 1
+    # Baseline default: the latest COMMITTED per-round record
+    # (BENCH_LOCAL_r{N}.json), NOT a rolling file like
+    # target/bench_last.json. Round-13 lesson (judge-caught): gating
+    # against the rolling record let a mid-round regression become its
+    # own baseline — the q46 2.3x slip passed the gate because
+    # bench_last.json had already absorbed it.
+    if len(args) == 1:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        committed = sorted(
+            (f for f in os.listdir(repo)
+             if re.fullmatch(r'BENCH_LOCAL_r(\d+)\.json', f)),
+            key=lambda f: int(re.search(r'(\d+)', f).group(1)))
+        if not committed:
+            raise SystemExit("no committed BENCH_LOCAL_r*.json baseline found\n"
+                             + __doc__)
+        args.append(os.path.join(repo, committed[-1]))
+        print(f"baseline: {committed[-1]} (latest committed round record)")
     if len(args) != 2:
         raise SystemExit(__doc__)
     floor = 0.2
