@@ -4240,6 +4240,43 @@ object SparkEntry {
       .orderBy(col("merge_rank"))
   }
 
+  /** Blocklist for q201 — substring/phrase terms over the fixture
+    * vocabulary: multi-word phrases exercise cross-token matching
+    * (the thing a token-set lexicon can NOT express), "conflictfree"
+    * and "merge conflict" are planted never-hits, and single frequent
+    * words guarantee dense hits. Dictionary ORDER is part of the
+    * contract (dict_matches reports matches in dictionary order).
+    */
+  private val blocklistTerms: Seq[String] = Seq(
+    "slow scan", "big table", "merge conflict", "drop part",
+    "small batch", "stale key", "stream", "vector", "conflictfree",
+    "fast merge", "slow join", "bad data")
+
+  /** q201 — ⊕ dictionary blocklist screen
+    * ([[graft.functions.DictMatch]]): the C4-badwords / RefinedWeb
+    * blocklist stage — per document, the any-hit flag and the matched
+    * terms (dictionary order, comma-joined per the scalar output
+    * contract). Both columns share ONE Aho-Corasick automaton
+    * reference object, so the plan is O(1) in dictionary size and
+    * each row's text is scanned once per column regardless of term
+    * count — at a 10k-1M-phrase production blocklist the composable
+    * `filter(array(lits), t -> contains(...))` chain would put O(k)
+    * nodes in the projection and scan the text k times. Semantics are
+    * defined to mirror exactly that composable form, which is what
+    * the oracle replays (DictMatchSpec additionally proves the
+    * automaton ≡ HOF-chain equivalence at a generated 10k-term
+    * dictionary, where the HOF plan no longer even compiles usefully).
+    */
+  private val q201BlocklistScreen: Q = (s, dir) => {
+    val dict = graft.functions.DictMatch.automaton(blocklistTerms)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.DictMatch.dict_contains_any(col("text"), dict).as("flagged"),
+        array_join(graft.functions.DictMatch.dict_matches(col("text"), dict), ",")
+          .as("matched"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -4442,6 +4479,7 @@ object SparkEntry {
     "q198_ann_recall"       -> q198AnnRecall,
     "q199_paragraph_dedup_incr" -> q199ParagraphDedupIncr,
     "q200_corpus_datacard"  -> q200CorpusDatacard,
+    "q201_blocklist_screen" -> q201BlocklistScreen,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7362,6 +7400,24 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
         |FROM f JOIN fpc USING (fpk)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q201: the composable HOF form the automaton is defined to
+    // mirror — matched terms are the dictionary-order list_filter of
+    // the literal term list by substring containment in lower(text),
+    // joined per the scalar output contract; the flag is its any-hit.
+    // COALESCE because DuckDB's array_to_string of an empty list is
+    // NULL where Spark's array_join is ''.
+    "q201_blocklist_screen" ->
+      """SELECT doc_id, source,
+        |  len(list_filter(['slow scan','big table','merge conflict','drop part',
+        |                   'small batch','stale key','stream','vector','conflictfree',
+        |                   'fast merge','slow join','bad data'],
+        |      t -> contains(lower(text), t))) > 0 AS flagged,
+        |  COALESCE(array_to_string(list_filter(
+        |      ['slow scan','big table','merge conflict','drop part',
+        |       'small batch','stale key','stream','vector','conflictfree',
+        |       'fast merge','slow join','bad data'],
+        |      t -> contains(lower(text), t)), ','), '') AS matched
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

@@ -24,6 +24,14 @@ object Curation {
 
   /** @param topics      classifier labels to KEEP (see
     *                    [[TextAnalysis.classifyByLexicon]])
+    * @param blocklist   substring/phrase terms that DROP a document on
+    *                    any hit (case-insensitive) — the C4-badwords /
+    *                    RefinedWeb blocklist stage, matched by ONE
+    *                    Aho-Corasick automaton
+    *                    ([[graft.functions.DictMatch]]) so the gate is
+    *                    O(text + matches) per row and O(1) plan nodes
+    *                    at any dictionary size (10k-1M terms in
+    *                    production)
     * @param jaccard     near-dup threshold for the MinHash pipeline
     * @param maxBucket   LSH skew backstop, see [[Dedup.bucketPairs]]
     */
@@ -32,6 +40,7 @@ object Curation {
       minQuality: Double = 0.35,
       topics: Seq[String] = Nil,        // empty = keep all labels
       lexicons: Seq[(String, Seq[String])] = Nil,
+      blocklist: Seq[String] = Nil,     // empty = no blocklist gate
       jaccard: Double = 0.8,
       maxBucket: Int = Dedup.DefaultMaxBucket)
 
@@ -56,6 +65,9 @@ object Curation {
     val gated = scored
       .filter(col("n_tokens") >= p.minTokens && col("quality") >= p.minQuality)
       .filter(if (p.topics.nonEmpty) col("topic").isin(p.topics: _*) else lit(true))
+      .filter(if (p.blocklist.nonEmpty)
+          !graft.functions.DictMatch.dict_contains_any(col("text"), p.blocklist)
+        else lit(true))
     // exact dedup: min-id survivor per content fingerprint (W1 head on
     // the 32-byte fp key — the text itself never shuffles). The
     // survivor set feeds TWO consumers (near-dup pair generation and

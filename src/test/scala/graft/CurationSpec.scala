@@ -27,6 +27,25 @@ class CurationSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("curate: blocklist gate drops on any-hit, including cross-token phrases") {
+    val base = "spark query engine runs a fast distributed query plan " +
+      "over columnar data with vectorized execution and shuffle stages"
+    val docs = Seq(
+      (1L, "a", base),                                    // kept
+      (2L, "a", base.replace("columnar data", "leaked credentials")), // term hit
+      (3L, "b", base.replace("fast distributed", "Slow Shuffle"))     // phrase hit (CI)
+    ).toDF("doc_id", "source", "text")
+    val kept = Curation.curate(docs, col("doc_id"), col("source"), col("text"),
+      Curation.Params(minTokens = 10, minQuality = 0.3, lexicons = lex,
+        blocklist = Seq("leaked credentials", "slow shuffle"), jaccard = 0.95))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // empty blocklist = gate absent (q46's pinned oracle path unchanged)
+    val all = Curation.curate(docs, col("doc_id"), col("source"), col("text"),
+      Curation.Params(minTokens = 10, minQuality = 0.3, lexicons = lex,
+        jaccard = 0.95))
+    assert(all.count() == 3)
+  }
+
   test("packShards: running-total assignment fills budget without splitting docs") {
     val docs = Seq(
       (1L, "s", 800L), (2L, "s", 800L), (3L, "s", 800L),  // starts 0,800,1600 -> shard 0

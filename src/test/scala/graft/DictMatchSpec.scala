@@ -103,6 +103,31 @@ class DictMatchSpec extends SparkSuite {
       s"plan grew with dictionary size: $small vs $large expression nodes")
   }
 
+  test("10k-term dictionary over the fixture corpus ≡ driver-side contains scan") {
+    // the q201 anchor at production-blocklist scale: 10,000 generated
+    // terms (48 drawn from the fixture vocabulary incl. cross-token
+    // phrases, the rest guaranteed never-hits) — the HOF chain is no
+    // longer a usable comparator at this k (O(k) plan nodes, k text
+    // scans per row), so equivalence is proven against a plain
+    // driver-side contains scan over a 100-doc sample
+    val vocab = Seq("scan", "table", "merge", "stream", "vector", "batch",
+      "slow scan", "big table", "fast merge", "row order", "part hash", "the line")
+    val dict = (vocab ++ vocab.map(v => s"$v x") ++ vocab.map(v => s"zq$v") ++
+      (0 until 10000).map(i => f"zzterm$i%05d")).distinct
+    assert(dict.size >= 10000)
+    val docs = sources.Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), col("text"))
+    val got = docs
+      .select(col("doc_id"), col("text"),
+        DictMatch.dict_matches(col("text"), dict).as("m"))
+      .collect()
+    for (r <- got) {
+      val expect = dict.filter(t => r.getString(1).toLowerCase.contains(t))
+      assert(r.getSeq[String](2) == expect, s"doc ${r.getLong(0)} diverged")
+    }
+    assert(got.exists(_.getSeq[String](2).nonEmpty), "sample should have hits")
+  }
+
   test("early exit: a full-coverage dictionary terminates the scan") {
     // every term seen by position 3 of a 1M-char text — the nSeen ==
     // nTerms early exit keeps this instant even though hasOut fires at
