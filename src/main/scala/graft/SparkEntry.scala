@@ -4277,6 +4277,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q202 — ⊕ recall@10 of the DEPLOYED index, per nprobe
+    * ([[graft.ext.Similarity.recallAtK]] over the auto-sized IVF-PQ
+    * search path — the q151/q165 family): q198 measured the pinned
+    * q38 flat-IVF config, but a 100 TB deployment runs `ivfFitSized`
+    * (√-schedule coarse k) + PQ ADC scoring and tunes NPROBE against
+    * THAT index — recall vs probe cost at two operating points is the
+    * tuning curve. One sized fit + one PQ fit + one brute-force
+    * ground truth (the labeled q24 baseline), then the SAME search
+    * chain at nprobe = 2 and 4; recall is exact (deterministic
+    * tie-breaks both sides), reported per (nprobe, query). The oracle
+    * replays the shared PQ train/ADC chain once, derives both probe
+    * depths from one ranked probe list, and mirrors the hit counting.
+    * NOTE the measured non-monotonicity: the CANDIDATE SET grows with
+    * nprobe, but ADC-ranked top-k recall need not — a deeper probe
+    * can surface a candidate whose quantized score beats a true
+    * neighbor's and displaces it from the top-k (observed on the
+    * fixture: 7/20 queries dip at nprobe 2→4). This is exactly why
+    * the measurement exists — the nprobe/recall curve of a PQ index
+    * is an empirical object, not a monotone law.
+    */
+  private val q202PqRecallByNprobe: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    val ivf = ext.Similarity.ivfFitSized(em, col("vec_id"), col("embedding"),
+      iters = 2, quantize = Some(9))
+    val pq = ext.Similarity.pqFit(em, col("vec_id"), col("embedding"),
+      m = 4, k = 16, iters = 1, quantize = Some(9))
+    // ground truth feeds FOUR consumers (hits + query-universe per
+    // recallAtK, × two nprobe branches); persisted so the labeled
+    // O(n·q) brute baseline runs once — it is q·k rows, the smallest
+    // table in the query, and the artifact a deployment would write
+    // anyway (the q46 survivor-set stance)
+    val exact = ext.Similarity.bruteForceKnnDf(em, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10).persist()
+    Seq(2, 4).map { np =>
+      val approx = ext.Similarity.ivfPqSearchDf(ivf, pq, queries,
+        col("vec_id"), col("embedding"), nprobe = np, k = 10)
+      ext.Similarity.recallAtK(approx, exact, k = 10)
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("query_id"), col("n_hits"), col("recall"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary,
@@ -4480,6 +4524,7 @@ object SparkEntry {
     "q199_paragraph_dedup_incr" -> q199ParagraphDedupIncr,
     "q200_corpus_datacard"  -> q200CorpusDatacard,
     "q201_blocklist_screen" -> q201BlocklistScreen,
+    "q202_pq_recall_nprobe" -> q202PqRecallByNprobe,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4744,6 +4789,79 @@ object SparkEntry {
     s"""${ivfSearchRankedCtes("vec_id IN (0, 1, 2)")}
        |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 10
        |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin
+
+  /** q202: the shared PQ-train/ADC chain evaluated ONCE, both probe
+    * depths derived from one ranked probe list (probe rank `prn` kept
+    * through scoring, per-nprobe re-ranking after the `prn <= nprobe`
+    * cut), the q198 brute chain as ground truth, exact per-(nprobe,
+    * query) hit counts.
+    */
+  private def pqRecallOracleSql(queryPred: String, nprobes: Seq[Int],
+                                k: Int = 10): String = {
+    val dot64 = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    val maxNp = nprobes.max
+    s"""${pqTrainCtesT("")},
+       |qs AS (
+       |  SELECT vec_id AS query_id, nv AS qnv,
+       |    list_transform(c2.cs, c -> $dot64) AS sims
+       |  FROM nv CROSS JOIN c2 WHERE vec_id $queryPred),
+       |pqx AS (
+       |  SELECT query_id, qnv,
+       |    unnest(list_transform(range(1, 17), i -> {'idx': i - 1, 'sim': sims[i]})) AS u
+       |  FROM qs),
+       |probes AS (
+       |  SELECT query_id, cluster, rn AS prn FROM (
+       |    SELECT query_id, u.idx AS cluster,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY u.sim DESC, u.idx) AS rn
+       |    FROM pqx)
+       |  WHERE rn <= $maxNp),
+       |lutj AS (
+       |  SELECT q.query_id, pc1.j,
+       |    list_transform(pc1.cs, c -> round(list_sum(list_transform(range(1, 17),
+       |      i -> q.qnv[pc1.j * 16 + i] * c[i])), 9)) AS parts
+       |  FROM (SELECT DISTINCT query_id, qnv FROM qs) q CROSS JOIN pc1),
+       |lutq AS (SELECT query_id, list(parts ORDER BY j) AS lut
+       |         FROM lutj GROUP BY query_id),
+       |scored AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id, p.prn,
+       |    round(list_sum(list_transform(range(1, 5),
+       |      j -> lutq.lut[j][paf.codes[j] + 1])), 4) AS adc_sim
+       |  FROM af
+       |  JOIN probes p ON af.cluster = p.cluster
+       |  JOIN paf ON paf.vec_id = af.vec_id
+       |  JOIN lutq ON lutq.query_id = p.query_id
+       |  WHERE af.vec_id <> p.query_id),
+       |np AS (SELECT unnest([${nprobes.mkString(", ")}]) AS nprobe),
+       |ax AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT np.nprobe, s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY np.nprobe, s.query_id
+       |                         ORDER BY s.adc_sim DESC, s.neighbor_id) AS rn
+       |    FROM scored s JOIN np ON s.prn <= np.nprobe)
+       |  WHERE rn <= $k),
+       |bq AS (SELECT vec_id AS query_id, nv AS qnv FROM nv WHERE vec_id $queryPred),
+       |bscored AS (
+       |  SELECT bq.query_id, a.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), i -> bq.qnv[i] * a.nv[i])), 4) AS cos_sim
+       |  FROM nv a CROSS JOIN bq WHERE a.vec_id <> bq.query_id),
+       |bx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id) AS rn2
+       |    FROM bscored) WHERE rn2 <= $k),
+       |h AS (
+       |  SELECT np.nprobe, bx.query_id, count(ax.neighbor_id) AS n_hits
+       |  FROM bx CROSS JOIN np
+       |  LEFT JOIN ax ON ax.nprobe = np.nprobe
+       |              AND ax.query_id = bx.query_id
+       |              AND ax.neighbor_id = bx.neighbor_id
+       |  GROUP BY np.nprobe, bx.query_id)
+       |SELECT CAST(nprobe AS INTEGER) AS nprobe, query_id,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / $k.0, 4) AS recall
+       |FROM h ORDER BY nprobe, query_id""".stripMargin
+  }
 
   /** The q38 IVF search chain through `ranked` (probe selection +
     * in-cluster scoring + per-query ranking), with the query set
@@ -7418,6 +7536,10 @@ object SparkEntry {
         |       'fast merge','slow join','bad data'],
         |      t -> contains(lower(text), t)), ','), '') AS matched
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q202: see pqRecallOracleSql — the shared PQ/ADC chain once, both
+    // probe depths from one ranked probe list, the q198 brute ground
+    // truth, exact per-(nprobe, query) hit counting.
+    "q202_pq_recall_nprobe" -> pqRecallOracleSql("% 25 = 0", Seq(2, 4)),
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

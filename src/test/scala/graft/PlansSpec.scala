@@ -118,9 +118,9 @@ class PlansSpec extends SparkSuite {
       // scored-docs × single-row tercile-boundary normalizer (the q93
       // stance applied to the CCNet bucket cut)
       "q196_ccnet_buckets",
-      // the recall measurement's EXACT side is the labeled q24 brute
+      // the recall measurements' EXACT side is the labeled q24 brute
       // baseline (broadcast query table × corpus)
-      "q198_ann_recall")
+      "q198_ann_recall", "q202_pq_recall_nprobe")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
