@@ -85,14 +85,21 @@ object Bpe {
     require(nMerges > 0, "nMerges must be positive")
     val spark = wordFreqs.sparkSession
     import spark.implicits._
-    // one job: the bound check IS the collect (limit bound+1 — if the
-    // extra row comes back the table exceeds the bound and we fall
-    // back without having paid more than the bound's worth of rows)
-    val head = wordFreqs.select(col("word").cast("string"), col("freq").cast("long"))
-      .as[(String, Long)].limit(maxLocalTypes + 1).collect()
-    if (head.length > maxLocalTypes) learnMergesDistributed(wordFreqs, nMerges)
-    else learnMergesLocal(head, nMerges).toDF(
-      "merge_rank", "sym_left", "sym_right", "pair_count")
+    // engine selection gated by a COUNT before any collect (review
+    // round-14): the former "the bound check IS the collect" form
+    // (limit bound+1) pulled up to 2M+1 word/freq ROWS to the driver
+    // just to decide — with long word types that can pressure or OOM
+    // a small driver before the distributed fallback is ever chosen.
+    // A count() moves one long to the driver; only a table already
+    // known to fit pays the collect.
+    val nTypes = wordFreqs.count()
+    if (nTypes > maxLocalTypes) learnMergesDistributed(wordFreqs, nMerges)
+    else {
+      val head = wordFreqs.select(col("word").cast("string"), col("freq").cast("long"))
+        .as[(String, Long)].collect()
+      learnMergesLocal(head, nMerges).toDF(
+        "merge_rank", "sym_left", "sym_right", "pair_count")
+    }
   }
 
   /** The distributed merge loop — one vocabulary-sized Spark job +

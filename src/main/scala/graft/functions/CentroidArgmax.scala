@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * two-level index (the standard 2-level-IVF move, done exactly):
   * centroids are grouped into ~√k super-clusters by a deterministic
   * driver-side k-means (model-sized work); per row, each group's
-  * upper bound `ub_g = dot(x, s_g) + r_g·‖x‖ + ε` (Cauchy-Schwarz
-  * plus fp slack ε=1e-9 ≫ the ~1e-13 fold error) prunes groups that
+  * upper bound `ub_g = dot(x, s_g) + r_g·‖x‖ + ε·(1+|dot|+r_g·‖x‖)`
+  * (Cauchy-Schwarz plus MAGNITUDE-RELATIVE fp slack, ε=1e-9 — an
+  * absolute slack would only dominate the fold's rounding error for
+  * ≈unit-norm inputs) prunes groups that
   * cannot contain the winner. The slack makes pruning CONSERVATIVE
   * only, so the result is bit-identical to the flat argmax at any k:
   * the member dot is the same ascending sequential fold as
@@ -84,7 +86,21 @@ final class CentroidIndex(val centroids: Array[Array[Double]]) extends Serializa
   override def hashCode(): Int =
     java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
 
+  // Pruning slack is RELATIVE to the bound's own magnitude (review
+  // round-14): an absolute 1e-9 only dominates the fp error of the
+  // dot/bound folds for bounded (≈unit-norm) inputs — at large
+  // magnitudes the rounding error of `x·s_g + r_g·‖x‖` itself can
+  // exceed an absolute slack and prune the true winner. The factor
+  // 1 + |dot| + r·‖x‖ upper-bounds every intermediate's magnitude, so
+  // eps·(that) dominates the fold's rounding error at ANY input
+  // scale; the slack only ever LOOSENS the bound, so exactness
+  // (bit-identical to the flat argmax) is preserved, a pruning never
+  // removes the winner, and efficiency at unit-norm inputs is
+  // unchanged (slack stays ~1e-9 there).
   private val eps = 1e-9
+
+  @inline private def slack(dot: Double, rnrm: Double): Double =
+    eps * (1.0 + math.abs(dot) + rnrm)
 
   // groupMembers(g) = ascending original centroid indices; superCents
   // and radii align with it
@@ -175,7 +191,8 @@ final class CentroidIndex(val centroids: Array[Array[Double]]) extends Serializa
       val sc = superCents(g)
       var d = 0.0; var j = 0
       while (j < dim) { d += x(j) * sc(j); j += 1 }
-      ubs(g) = d + radii(g) * nrm + eps
+      val rn = radii(g) * nrm
+      ubs(g) = d + rn + slack(d, rn)
       order(g) = g
       g += 1
     }
@@ -247,7 +264,8 @@ final class CentroidIndex(val centroids: Array[Array[Double]]) extends Serializa
       val sc = superCents(g)
       var d = 0.0; var j = 0
       while (j < dim) { d += x(j) * sc(j); j += 1 }
-      ubs(g) = d + radii(g) * nrm + eps
+      val rn = radii(g) * nrm
+      ubs(g) = d + rn + slack(d, rn)
       order(g) = g
       g += 1
     }

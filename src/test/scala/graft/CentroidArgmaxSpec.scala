@@ -78,6 +78,24 @@ class CentroidArgmaxSpec extends SparkSuite {
     assert(probe._1 == probe._2)
   }
 
+  test("large-magnitude vectors: still bitwise-identical to flat (relative slack)") {
+    // the review-flagged failure mode of an ABSOLUTE pruning slack:
+    // scale vectors and centroids by 1e8, so the fp error of the
+    // dot/bound folds (~1e-13 relative => ~1e3 absolute at |dot|~1e16)
+    // dwarfs any absolute epsilon — the magnitude-relative slack must
+    // keep pruning conservative and the result exactly the flat argmax
+    val scale = 1e8
+    val scaled = fixtureNv.select(col("vec_id"),
+      transform(col("nv"), x => x * scale).as("nv"))
+    val cents = scaled.orderBy(col("vec_id")).limit(48).select(col("nv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val diff = scaled.select(col("vec_id"),
+        CentroidArgmax.centroid_argmax(col("nv"), cents).as("a"),
+        flatArgmax(col("nv"), cents).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.isEmpty, diff.collect().take(5).mkString("; "))
+  }
+
   test("loud failures: ragged matrix, dim mismatch, null component") {
     intercept[IllegalArgumentException] {
       new CentroidIndex(Array(Array(1.0, 0.0), Array(1.0)))
