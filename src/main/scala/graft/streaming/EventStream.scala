@@ -232,6 +232,71 @@ object EventStream {
       }
   }
 
+  // --- streaming corpus-wide paragraph dedup ------------------------------
+
+  case class ParaRow(doc_id: Long, p: Int, t: String, h: String)
+  case class ParaOut(doc_id: Long, p: Int, t: String, kept: Boolean)
+
+  /** ⊕ Streaming corpus-wide paragraph dedup — the incremental form of
+    * [[graft.ext.TextAnalysis.dedupParagraphsIncremental]] (q199, the
+    * RefinedWeb rule) as a stream: the batch form's history seen-set
+    * IS per-hash streaming state. Arriving documents explode to
+    * paragraphs keyed by content md5; a `flatMapGroupsWithState`
+    * bucket per hash remembers whether the paragraph was ever seen —
+    * an arriving paragraph survives iff its hash is new AND it is the
+    * (doc_id, p)-minimal occurrence in its micro-batch (the same
+    * lexicographic first-occurrence rule as the batch min-struct
+    * aggregation, so batch ≡ streaming whenever micro-batch arrival
+    * respects the append-only id order — StreamingSpec proves the
+    * fold). Every paragraph row is emitted with its verdict so the
+    * per-document rebuild ([[rebuildParagraphDocs]], the foreachBatch
+    * step — a document's paragraphs ride one input row, hence one
+    * micro-batch) can reassemble `text_clean` and count survivors.
+    *
+    * State/scale shape: ONE BOOLEAN per distinct paragraph hash —
+    * exactly the anti-join seen-set the batch incremental form
+    * carries, sharded by the hash key. NoTimeout for the test horizon
+    * (the [[nearDupPairsStream]] trade); a deployment bounds history
+    * with timeout eviction, accepting re-admitted paragraphs older
+    * than the horizon — the same trade the batch form makes when it
+    * compacts its history table.
+    */
+  def dedupParagraphsStream(docs: DataFrame, idCol: String, textCol: String,
+                            sep: String = "\n")
+      : org.apache.spark.sql.Dataset[ParaOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p").cast("int").as("p"), col("t"),
+        md5(col("t")).as("h"))
+      .as[ParaRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[ParaRow], state: GroupState[Boolean]) =>
+          val sorted = rows.toArray.sortBy(r => (r.doc_id, r.p))
+          val already = state.getOption.getOrElse(false)
+          if (!already) state.update(true)
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            ParaOut(r.doc_id, r.p, r.t, kept = !already && i == 0)
+          }
+      }
+  }
+
+  /** Per-document reassembly of [[dedupParagraphsStream]] output — the
+    * foreachBatch step (plain batch aggregation; a doc's paragraphs
+    * share its micro-batch by construction). Output schema matches
+    * the batch form: (doc_id, n_paras, n_kept, text_clean).
+    */
+  def rebuildParagraphDocs(batch: DataFrame, sep: String = "\n"): DataFrame =
+    batch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("int").as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("p"), col("t"))))),
+          s => s.getField("t")), sep).as("text_clean"))
+
   // --- streaming funnel: per-user step progression ------------------------
 
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)

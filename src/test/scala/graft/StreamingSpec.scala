@@ -174,6 +174,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupParagraphsStream ≡ batch dedupParagraphsIncremental under append-only arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // multi-paragraph docs drawn from a small paragraph pool so
+    // cross-doc duplication is dense; deterministic construction
+    val pool = Vector("alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+      "kappa lambda mu", "nu xi omicron", "pi rho sigma")
+    val docs = (0L until 30L).map { id =>
+      val ps = (0 until (2 + (id % 3).toInt)).map { j =>
+        pool(((id * 7 + j * 5) % pool.size).toInt)
+      }
+      id -> ps.mkString("\n")
+    }
+    val history = docs.filter(_._1 < 15)
+    val increment = docs.filter(_._1 >= 15)
+    // batch reference: q199's operator on the same split
+    val expected = graft.ext.TextAnalysis.dedupParagraphsIncremental(
+        history.toDF("doc_id", "text"), increment.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    // streaming: history arrives as micro-batch 1, increment as 2; the
+    // foreachBatch rebuild accumulates per-doc rows
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+    val out = EventStream.dedupParagraphsStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.ParaOut], _: Long) =>
+        got.synchronized {
+          got ++= EventStream.rebuildParagraphDocs(b.toDF())
+            .as[(Long, Int, Int, String)].collect()
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(history: _*)
+      q.processAllAvailable()
+      mem.addData(increment: _*)
+      q.processAllAvailable()
+      val incGot = got.synchronized { got.filter(_._1 >= 15).toSet }
+      assert(incGot == expected, s"stream $incGot != batch $expected")
+      // the proof is non-vacuous: some increment paragraphs must have
+      // been suppressed by history state across the batch boundary
+      assert(expected.exists(r => r._3 < r._2),
+        "fixture must exercise cross-batch suppression")
+    } finally q.stop()
+  }
+
   test("funnelStream advances per-user steps across micro-batches, folding to the batch funnel counts") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
