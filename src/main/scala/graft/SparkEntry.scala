@@ -4192,20 +4192,31 @@ object SparkEntry {
     * mean q28 quality, stop-word mass and Gopher-gate pass count per
     * source. One fingerprint aggregation + one per-source
     * aggregation; every statistic reuses an already-oracled chain.
-    * (The fixture's synthetic vocabulary carries only "the" from the
-    * canonical stop set, so n_gopher_pass is honestly 0 there — the
-    * stop-rule mass shows in sum_stops instead.)
+    *
+    * Stop-word realism (round-14, the q159/q190 derived-noise
+    * convention): the synthetic vocabulary carries only "the" from
+    * the canonical stop set, which left the r13 datacard's
+    * n_gopher_pass branch honestly-but-vacuously 0. The datacard now
+    * scores a DERIVED text — every-third-id documents get a deterministic
+    * stop-word tail (" the and that have with", all ≥ 3 chars so the
+    * mean-word-length rule is not distorted) — so BOTH gate verdicts
+    * are exercised at oracle scale; fingerprints/dup exposure stay on
+    * the derived text uniformly, and the oracle mirrors the same
+    * decoration.
     */
   private val q200CorpusDatacard: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val fp = ext.TextAnalysis.fingerprint(col("text"))
+      .withColumn("__dt", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the and that have with"))
+          .otherwise(lit(""))))
+    val fp = ext.TextAnalysis.fingerprint(col("__dt"))
     val fpCounts = docs.select(fp.as("__fp"))
       .groupBy(col("__fp")).agg(count(lit(1)).as("__fc"))
-    val g = ext.TextAnalysis.gopherQualityGate(col("text"), minWords = 10)
+    val g = ext.TextAnalysis.gopherQualityGate(col("__dt"), minWords = 10)
     docs
       .select(col("source"), col("lang"), col("doc_id"), fp.as("__fp"),
-        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
-        ext.TextAnalysis.qualityScore(col("text")).as("__q"),
+        ext.TextAnalysis.tokenCount(col("__dt")).cast("long").as("__nt"),
+        ext.TextAnalysis.qualityScore(col("__dt")).as("__q"),
         g.getField("n_stop").as("__ns"),
         g.getField("passes").as("__gp"))
       // empty docs have no quality/stop semantics — excluded on BOTH
@@ -7478,16 +7489,22 @@ object SparkEntry {
         |ORDER BY lns.doc_id""".stripMargin,
     // q200: every statistic mirrors its own already-oracled chain —
     // the q28 quality formula, the q30 fingerprint key, the q192
-    // Gopher components (single-line degenerate case: the raw fixture
+    // Gopher components (single-line degenerate case: the derived
     // text has no newlines, so the line set is [trim(text)]), stop
     // counting over the shared q80 fold; avg rounded at 4 on both
-    // sides (the q93 convention).
+    // sides (the q93 convention). The dt CTE mirrors the
+    // stop-word tail decoration (see the Spark side's scaladoc).
     "q200_corpus_datacard" ->
-      raw"""WITH t AS (
+      raw"""WITH dt AS (
+        |  SELECT doc_id, source, lang,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |                 THEN ' the and that have with' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
         |  SELECT doc_id, source, lang, text,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
+        |  FROM dt),
         |fpc AS (SELECT md5(clean) AS fpk, count(*) AS fc FROM t GROUP BY md5(clean)),
         |f AS (
         |  SELECT t.doc_id, t.source, t.lang, md5(clean) AS fpk,
