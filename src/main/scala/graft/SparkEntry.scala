@@ -764,6 +764,74 @@ object SparkEntry {
     ext.Curation.stats(kept)
   }
 
+  /** q203 — ⊕ the q46 curation pipeline WITH the blocklist stage
+    * ([[graft.ext.Curation.Params.blocklist]], wired round 14): the
+    * same gates + exact dedup + near-dup removal + accounting, plus
+    * the q201 Aho-Corasick any-hit exclusion between the topic gate
+    * and the dedup shuffles (row-local, so blocked documents never
+    * pay a shuffle). The oracle byte-shares q46's chain with the
+    * blocklist clause landed in the gated CTE — the two queries can
+    * never drift, and their DIFFERENCE is exactly the blocklist's
+    * effect on the corpus.
+    */
+  private val q203CurationBlocklist: Q = (s, dir) => {
+    val kept = ext.Curation.curate(Tables.documents(s, dir),
+      col("doc_id"), col("source"), col("text"),
+      ext.Curation.Params(minTokens = 25, minQuality = 0.35,
+        topics = Seq("exec", "storage", "streaming"), lexicons = topicLexicons,
+        blocklist = blocklistTerms))
+    ext.Curation.stats(kept)
+  }
+
+  /** q204 — ⊕ Gopher REPETITION filters
+    * ([[graft.ext.TextAnalysis.gopherRepetitionGate]], Rae et al.
+    * 2021 Appendix A1.1 — the repetition half of the MassiveText
+    * screen; q192 covers the quality half): dup-line fraction and
+    * char fraction, top-{2,3,4}-gram char fraction, dup-{5,10}-gram
+    * position-union coverage, each with the paper's threshold and the
+    * conjunction. Input is the synthesized multi-line text with
+    * q191's planted duplicate first line, so the dup-line rules have
+    * mass and the duplicated L-word line plants repeated 5-grams for
+    * L ≥ 5 docs — both verdicts occur for the line rules, the
+    * top-gram rules (tiny fixture vocabulary → some docs exceed the
+    * top-2-gram cap) and dup5. The oracle replays every metric over
+    * the shared synthesized-line CTEs: line counting, the one-pass
+    * (n × position) gram table, top-1 ranking with (count DESC, gram
+    * ASC) ties, the ≥2-count semi-join + position-union coverage.
+    */
+  private val q204GopherRepetition: Q = (s, dir) => {
+    val withDup = synthLines(s, dir)
+      .select(col("doc_id"),
+        array_join(concat(col("__lines"), slice(col("__lines"), 1, 1)), "\n")
+          .as("__t"))
+    ext.TextAnalysis.gopherRepetitionGate(withDup, col("doc_id"), col("__t"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q205 — ⊕ epoch allocation under a token budget
+    * ([[graft.ops.Sampling.epochAllocation]], Muennighoff et al.
+    * 2023): the data-constrained mixing plan — water-fill the budget
+    * across sources under temperature-√ weights with a 4-epoch cap,
+    * small sources saturating and their unused share redistributing.
+    * The budget is derived IN-QUERY as ⌊79·T/20⌋ (= 3.95 T, just
+    * under the 4 T all-caps ceiling) from one 1-row total readout —
+    * exact integer arithmetic the oracle replays — so the knife
+    * lands where both verdicts occur: sources below mean size cap,
+    * larger ones draw λ·w. The oracle replays the whole water-fill:
+    * the same integer micro-unit weights, the (r, source) sort,
+    * prefix sums, candidate levels, the unique valid λ, and the
+    * per-source min.
+    */
+  private val q205EpochAllocation: Q = (s, dir) => {
+    val pre = Tables.documents(s, dir)
+      .select(col("source"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val total = pre.agg(sum(col("nt"))).head.getLong(0)
+    ops.Sampling.epochAllocation(pre, col("source"), col("nt"),
+        budget = total * 79 / 20, maxEpochs = 4.0)
+      .orderBy(col("source"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4536,6 +4604,9 @@ object SparkEntry {
     "q200_corpus_datacard"  -> q200CorpusDatacard,
     "q201_blocklist_screen" -> q201BlocklistScreen,
     "q202_pq_recall_nprobe" -> q202PqRecallByNprobe,
+    "q203_curation_blocklist" -> q203CurationBlocklist,
+    "q204_gopher_repetition" -> q204GopherRepetition,
+    "q205_epoch_allocation" -> q205EpochAllocation,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4795,6 +4866,89 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adc_sim FROM ranked WHERE rn <= 10
        |ORDER BY query_id, adc_sim DESC, neighbor_id""".stripMargin
   }
+
+  /** q46/q203 shared curation chain; `blockClause` lands inside the
+    * gated CTE (the blocklist gate's position in Curation.curate).
+    */
+  private def curationOracleSql(blockClause: String): String =
+    raw"""WITH t AS (
+        |  SELECT doc_id, source, lower(text) AS lt,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source, lt, clean, w,
+        |    CAST(len(w) AS INTEGER) AS n_tokens,
+        |    round(least(CAST(len(w) AS DOUBLE) / 20.0, 1.0)
+        |          * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |          * (CASE WHEN (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w)
+        |                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality,
+        |    len(list_filter(w, x -> list_contains(['table','row','column','key','part'], x))) AS s1,
+        |    len(list_filter(w, x -> list_contains(['scan','filter','join','sort','merge','hash'], x))) AS s2,
+        |    len(list_filter(w, x -> list_contains(['stream','window','batch'], x))) AS s3,
+        |    len(list_filter(w, x -> list_contains(['query','data','value'], x))) AS s4,
+        |    md5(clean) AS fp
+        |  FROM t WHERE len(w) > 0),
+        |lab AS (
+        |  SELECT *, greatest(s1, s2, s3, s4) AS best FROM feat),
+        |topic AS (
+        |  SELECT *, CASE WHEN s1 = best AND best > 0 THEN 'storage'
+        |                 WHEN s2 = best AND best > 0 THEN 'exec'
+        |                 WHEN s3 = best AND best > 0 THEN 'streaming'
+        |                 WHEN s4 = best AND best > 0 THEN 'general'
+        |                 ELSE 'und' END AS topic
+        |  FROM lab),
+        |gated AS (
+        |  SELECT doc_id, source, w, n_tokens, quality, fp FROM topic
+        |  WHERE n_tokens >= 25 AND quality >= 0.35
+        |    AND topic IN ('exec', 'storage', 'streaming')$blockClause),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM gated)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM exact WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+        |     list_min(list_transform(sh, s -> md5('1|' || s))),
+        |     list_min(list_transform(sh, s -> md5('2|' || s))),
+        |     list_min(list_transform(sh, s -> md5('3|' || s))),
+        |     list_min(list_transform(sh, s -> md5('4|' || s))),
+        |     list_min(list_transform(sh, s -> md5('5|' || s))),
+        |     list_min(list_transform(sh, s -> md5('6|' || s))),
+        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |bsz AS (
+        |  SELECT band_idx, band_key FROM bands
+        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bsz USING (band_idx, band_key)
+        |              JOIN bands bb USING (band_idx, band_key)
+        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM (SELECT id_a, id_b,
+        |          len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+        |          len(sa.sh) AS la, len(sb.sh) AS lb
+        |        FROM cand JOIN sh sa ON sa.doc_id = id_a
+        |                  JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+        |kept AS (
+        |  SELECT * FROM exact
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.id_b = exact.doc_id))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
+        |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   private def ivfOracleSql: String =
     s"""${ivfSearchRankedCtes("vec_id IN (0, 1, 2)")}
@@ -6081,85 +6235,13 @@ object SparkEntry {
     // oracled stages: q28's quality formula, q27's lexicon argmax,
     // q30's fingerprint, q22's MinHash-LSH chain over the survivors,
     // the canonical-min drop rule, and the per-source rollup.
-    "q46_curation" ->
-      raw"""WITH t AS (
-        |  SELECT doc_id, source,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
-        |feat AS (
-        |  SELECT doc_id, source, clean, w,
-        |    CAST(len(w) AS INTEGER) AS n_tokens,
-        |    round(least(CAST(len(w) AS DOUBLE) / 20.0, 1.0)
-        |          * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
-        |          * (CASE WHEN (CAST(length(clean) AS DOUBLE) - (len(w) - 1)) / len(w)
-        |                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality,
-        |    len(list_filter(w, x -> list_contains(['table','row','column','key','part'], x))) AS s1,
-        |    len(list_filter(w, x -> list_contains(['scan','filter','join','sort','merge','hash'], x))) AS s2,
-        |    len(list_filter(w, x -> list_contains(['stream','window','batch'], x))) AS s3,
-        |    len(list_filter(w, x -> list_contains(['query','data','value'], x))) AS s4,
-        |    md5(clean) AS fp
-        |  FROM t WHERE len(w) > 0),
-        |lab AS (
-        |  SELECT *, greatest(s1, s2, s3, s4) AS best FROM feat),
-        |topic AS (
-        |  SELECT *, CASE WHEN s1 = best AND best > 0 THEN 'storage'
-        |                 WHEN s2 = best AND best > 0 THEN 'exec'
-        |                 WHEN s3 = best AND best > 0 THEN 'streaming'
-        |                 WHEN s4 = best AND best > 0 THEN 'general'
-        |                 ELSE 'und' END AS topic
-        |  FROM lab),
-        |gated AS (
-        |  SELECT doc_id, source, w, n_tokens, quality, fp FROM topic
-        |  WHERE n_tokens >= 25 AND quality >= 0.35
-        |    AND topic IN ('exec', 'storage', 'streaming')),
-        |exact AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |    FROM gated)
-        |  WHERE rn = 1),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM exact WHERE len(w) >= 3),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |    [list_min(list_transform(sh, s -> md5('0|' || s))),
-        |     list_min(list_transform(sh, s -> md5('1|' || s))),
-        |     list_min(list_transform(sh, s -> md5('2|' || s))),
-        |     list_min(list_transform(sh, s -> md5('3|' || s))),
-        |     list_min(list_transform(sh, s -> md5('4|' || s))),
-        |     list_min(list_transform(sh, s -> md5('5|' || s))),
-        |     list_min(list_transform(sh, s -> md5('6|' || s))),
-        |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS hs
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, b.b AS band_idx, md5(hs[b.b*2+1] || hs[b.b*2+2]) AS band_key
-        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
-        |bsz AS (
-        |  SELECT band_idx, band_key FROM bands
-        |  GROUP BY band_idx, band_key HAVING count(*) <= $MaxBucketCap),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bsz USING (band_idx, band_key)
-        |              JOIN bands bb USING (band_idx, band_key)
-        |  WHERE a.doc_id < bb.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b
-        |  FROM (SELECT id_a, id_b,
-        |          len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
-        |          len(sa.sh) AS la, len(sb.sh) AS lb
-        |        FROM cand JOIN sh sa ON sa.doc_id = id_a
-        |                  JOIN sh sb ON sb.doc_id = id_b)
-        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
-        |kept AS (
-        |  SELECT * FROM exact
-        |  WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.id_b = exact.doc_id))
-        |SELECT source, count(*) AS n_kept,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  CAST((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
-        |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
-        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // q46/q203: ONE curation oracle chain (byte-shared), the blocklist
+    // stage parameterized into the gated CTE — q46 passes the empty
+    // clause, q203 the mirrored any-hit exclusion over lower(text).
+    "q46_curation" -> curationOracleSql(""),
+    "q203_curation_blocklist" -> curationOracleSql(
+      "\n        |    AND len(list_filter(['slow scan','big table','merge conflict','drop part','small batch','stale key','stream','vector','conflictfree','fast merge','slow join','bad data'], t -> contains(lt, t))) = 0"
+        .stripMargin),
     "q47_topk_aggregator" ->
       """SELECT l_returnflag, rnk, id, w FROM (
         |  SELECT l_returnflag,
@@ -7557,6 +7639,142 @@ object SparkEntry {
     // probe depths from one ranked probe list, the q198 brute ground
     // truth, exact per-(nprobe, query) hit counting.
     "q202_pq_recall_nprobe" -> pqRecallOracleSql("% 25 = 0", Seq(2, 4)),
+    // q204: the shared synthesized lines + q191's planted duplicate,
+    // then every repetition metric replayed — per-line counts, the
+    // one (n × position) gram table, top-1 with (count DESC, gram ASC)
+    // ties, ≥2-count semi-join + position-union coverage; fracs
+    // rounded at 4 on both sides, verdicts on the rounded values.
+    "q204_gopher_repetition" ->
+      s"""$synthLinesCtes,
+        |d AS (
+        |  SELECT doc_id, list_append(lines, lines[1]) AS ls,
+        |    array_to_string(list_append(lines, lines[1]), chr(10)) AS txt
+        |  FROM lns),
+        |tt AS (
+        |  SELECT doc_id, ls,
+        |    lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))), ' ') AS w
+        |  FROM d),
+        |tb AS (
+        |  SELECT doc_id, ls, clean, w,
+        |    CAST(length(clean) AS DOUBLE) AS cb,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS tw
+        |  FROM tt),
+        |lc AS (
+        |  SELECT doc_id, l, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ls) AS l FROM d) GROUP BY doc_id, l),
+        |lm AS (
+        |  SELECT doc_id, sum(c) AS nl, sum(c - 1) AS nd,
+        |    sum((c - 1) * length(l)) AS dch, sum(c * length(l)) AS tch
+        |  FROM lc GROUP BY doc_id),
+        |gx AS (
+        |  SELECT doc_id, n, e.i AS i, e.g AS gr FROM (
+        |    SELECT tb.doc_id, n.n AS n,
+        |      unnest(list_transform(range(0, len(tb.w) - n.n + 1),
+        |        i -> {'i': i, 'g': array_to_string(tb.w[i + 1:i + n.n], ' ')})) AS e
+        |    FROM tb, (SELECT unnest([2, 3, 4, 5, 10]) AS n) n
+        |    WHERE len(tb.w) >= n.n)),
+        |gc AS (
+        |  SELECT doc_id, n, gr, count(*) AS c FROM gx GROUP BY doc_id, n, gr),
+        |tp0 AS (
+        |  SELECT doc_id, n, c * length(gr) AS topch FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |                                 ORDER BY c DESC, gr) AS rn
+        |    FROM gc WHERE n IN (2, 3, 4)) WHERE rn = 1),
+        |tp AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN topch END) AS top2,
+        |    max(CASE WHEN n = 3 THEN topch END) AS top3,
+        |    max(CASE WHEN n = 4 THEN topch END) AS top4
+        |  FROM tp0 GROUP BY doc_id),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, n, j FROM (
+        |    SELECT gx.doc_id, gx.n, unnest(range(gx.i, gx.i + gx.n)) AS j
+        |    FROM gx JOIN gc USING (doc_id, n, gr)
+        |    WHERE gc.c >= 2 AND gx.n IN (5, 10))),
+        |cc AS (
+        |  SELECT cov.doc_id, cov.n,
+        |    sum(length(tb.w[cov.j + 1])) AS covch
+        |  FROM cov JOIN tb USING (doc_id) GROUP BY cov.doc_id, cov.n),
+        |cv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 5 THEN covch END) AS cov5,
+        |    max(CASE WHEN n = 10 THEN covch END) AS cov10
+        |  FROM cc GROUP BY doc_id),
+        |fr AS (
+        |  SELECT tb.doc_id,
+        |    CAST(lm.nl AS INTEGER) AS n_lines,
+        |    round(CAST(lm.nd AS DOUBLE) / lm.nl, 4) AS dup_line_frac,
+        |    round(CAST(lm.dch AS DOUBLE) / greatest(lm.tch, 1), 4) AS dup_line_char_frac,
+        |    round(CAST(COALESCE(tp.top2, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top2_frac,
+        |    round(CAST(COALESCE(tp.top3, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top3_frac,
+        |    round(CAST(COALESCE(tp.top4, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top4_frac,
+        |    round(CAST(COALESCE(cv.cov5, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup5_frac,
+        |    round(CAST(COALESCE(cv.cov10, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup10_frac
+        |  FROM tb JOIN lm USING (doc_id)
+        |          LEFT JOIN tp USING (doc_id)
+        |          LEFT JOIN cv USING (doc_id))
+        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |  top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
+        |  dup_line_frac <= 0.30 AS ok_dup_line,
+        |  dup_line_char_frac <= 0.20 AS ok_dup_line_char,
+        |  top2_frac <= 0.20 AS ok_top2,
+        |  top3_frac <= 0.18 AS ok_top3,
+        |  top4_frac <= 0.16 AS ok_top4,
+        |  dup5_frac <= 0.15 AS ok_dup5,
+        |  dup10_frac <= 0.10 AS ok_dup10,
+        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |   AND top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |   AND dup5_frac <= 0.15 AND dup10_frac <= 0.10) AS passes
+        |FROM fr ORDER BY doc_id""".stripMargin,
+    // q205: the whole water-fill replayed — per-source token sums,
+    // integer micro-unit sqrt weights, caps, the (r, source) sort with
+    // prefix sums, candidate levels lam_k = (B - prefCap)/(totW -
+    // prefW), the unique valid boundary (prevR <= lam < r), and the
+    // per-source min(cap, round(lam*w)). B = 79*T/20 in exact integer
+    // arithmetic on both sides.
+    "q205_epoch_allocation" ->
+      raw"""WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |srcs AS (SELECT source, sum(nt) AS t FROM d GROUP BY source),
+        |bb AS (SELECT (sum(t) * 79) // 20 AS b FROM srcs),
+        |base AS (
+        |  SELECT source, t,
+        |    CAST(round(sqrt(CAST(t AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w,
+        |    CAST(round(CAST(t AS DOUBLE) * 4.0, 0) AS BIGINT) AS cap
+        |  FROM srcs),
+        |rr AS (SELECT *, CAST(cap AS DOUBLE) / CAST(w AS DOUBLE) AS r FROM base),
+        |rk AS (
+        |  SELECT *,
+        |    COALESCE(sum(cap) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefCap,
+        |    COALESCE(sum(w) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefW,
+        |    COALESCE(lag(r) OVER (ORDER BY r, source), 0.0) AS prevR
+        |  FROM rr),
+        |tw AS (SELECT sum(w) AS totW FROM base),
+        |cand AS (
+        |  SELECT lam, prevR, r FROM (
+        |    SELECT (CAST(bb.b AS DOUBLE) - CAST(rk.prefCap AS DOUBLE))
+        |           / CAST(tw.totW - rk.prefW AS DOUBLE) AS lam,
+        |           rk.prevR AS prevR, rk.r AS r
+        |    FROM rk, tw, bb)
+        |  WHERE lam >= prevR AND lam < r),
+        |lam AS (SELECT min(lam) AS lam FROM cand)
+        |SELECT source, n_tokens, weight, tokens_drawn,
+        |  round(CAST(tokens_drawn AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+        |  capped
+        |FROM (
+        |  SELECT rr.source AS source, rr.t AS n_tokens, rr.w AS weight,
+        |    CASE WHEN lam.lam IS NULL OR rr.r <= lam.lam THEN rr.cap
+        |         ELSE least(rr.cap,
+        |           CAST(round(lam.lam * CAST(rr.w AS DOUBLE), 0) AS BIGINT)) END
+        |      AS tokens_drawn,
+        |    (lam.lam IS NULL OR rr.r <= lam.lam) AS capped
+        |  FROM rr, lam)
+        |ORDER BY source""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

@@ -157,6 +157,138 @@ object TextAnalysis {
     * SURVIVING paragraphs only. Nothing is quadratic; the only
     * corpus-wide exchanges are hash-partitioned on paragraph content.
     */
+  /** ⊕ Gopher REPETITION filters (Rae et al. 2021, Appendix A1.1 —
+    * the other half of the MassiveText screen; [[gopherQualityGate]]
+    * covers the quality rules, this covers the repetition rules that
+    * catch templated/looping documents near-dup passes miss because
+    * the repetition is INTERNAL to the document):
+    *
+    *  - `dup_line_frac` ≤ 0.30 — fraction of line occurrences beyond
+    *    the first of each distinct line content;
+    *  - `dup_line_char_frac` ≤ 0.20 — characters in those beyond-first
+    *    occurrences over all line characters;
+    *  - `top{2,3,4}_frac` ≤ 0.20/0.18/0.16 — characters of the most
+    *    frequent word n-gram (count × gram chars incl. separators,
+    *    ties to the lexicographically smallest gram) over the cleaned
+    *    text's characters;
+    *  - `dup{5,10}_frac` ≤ 0.15/0.10 — characters of TOKEN POSITIONS
+    *    covered by some n-gram occurring ≥ 2× in the document, over
+    *    all token characters (position-union coverage, the q97 cover
+    *    idea turned row-metric — a char is never counted twice no
+    *    matter how many repeated grams span it).
+    *
+    * Documented deviation: the paper's dup-gram definition is
+    * ambiguous about overlap; this implementation pins the
+    * position-union reading (deterministic, never exceeds 1.0).
+    * Thresholds are the paper's; n = 6..9 are omitted from the
+    * default readout (same machinery, linearly more gram volume) —
+    * the two endpoints bracket the family.
+    *
+    * Plan shape at scale: all n-gram strings are built ROW-LOCALLY in
+    * one `transform` and exploded once for every n in one pass
+    * (row width stays (doc, n, pos, gram)); counting is one hash
+    * shuffle on (doc, n, gram) — partial-aggregated, key cardinality
+    * ≈ corpus gram volume; coverage is a semi-join of the gram table
+    * against its own ≥2 counts + one distinct on (doc, n, pos).
+    * Line metrics are one shuffle on (doc, line). NOTHING is
+    * quadratic in document length (the HOF alternative — counting
+    * each gram with a per-element filter — is O(m²) per doc and dies
+    * on long documents).
+    */
+  def gopherRepetitionGate(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupNs = Seq(5 -> 0.15, 10 -> 0.10)
+    val base = df.select(id.as("doc_id"), text.as("__txt"))
+      .select(col("doc_id"),
+        tokens(col("__txt")).as("__w"),
+        split(col("__txt"), "\n").as("__ls"),
+        length(Text.cleanText(lower(col("__txt")))).cast("double").as("__cb"))
+      .withColumn("__m", size(col("__w")))
+      .withColumn("__wlen", transform(col("__w"), w => length(w)))
+      .withColumn("__tw",
+        aggregate(col("__wlen"), lit(0L), (a, x) => a + x).cast("double"))
+    val lineStats = base
+      .select(col("doc_id"), explode(col("__ls")).as("__l"))
+      .groupBy(col("doc_id"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("__nl"),
+        sum(col("__c") - 1).as("__nd"),
+        sum((col("__c") - 1) * length(col("__l"))).as("__dch"),
+        sum(col("__c") * length(col("__l"))).as("__tch"))
+    val allNs = (topNs.map(_._1) ++ dupNs.map(_._1)).distinct
+    def grams = base
+      .select(col("doc_id"), col("__w"), col("__m"),
+        explode(array(allNs.map(lit(_)): _*)).as("__n"))
+      .filter(col("__m") >= col("__n"))
+      .select(col("doc_id"), col("__n"),
+        explode(transform(sequence(lit(0), col("__m") - col("__n")),
+          i => struct(i.cast("int").as("i"),
+            array_join(slice(col("__w"), i + 1, col("__n")), " ").as("g"))))
+          .as("__e"))
+      .select(col("doc_id"), col("__n"),
+        col("__e.i").as("__i"), col("__e.g").as("__g"))
+    val counts = grams.groupBy(col("doc_id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val top = graft.ops.TopK.perGroupTopK(
+        counts.filter(col("__n").isin(topNs.map(_._1): _*)),
+        Seq(col("doc_id"), col("__n")), Seq(desc("__c"), asc("__g")), 1)
+      .select(col("doc_id"), col("__n"),
+        (col("__c") * length(col("__g"))).as("__topch"))
+    val dupG = counts
+      .filter(col("__n").isin(dupNs.map(_._1): _*) && col("__c") >= 2)
+      .select(col("doc_id"), col("__n"), col("__g"))
+    val tokLens = base.select(col("doc_id"),
+      posexplode(col("__wlen")).as(Seq("__j", "__wl")))
+    val covChars = grams.filter(col("__n").isin(dupNs.map(_._1): _*))
+      .join(dupG, Seq("doc_id", "__n", "__g"), "left_semi")
+      .select(col("doc_id"), col("__n"),
+        explode(sequence(col("__i"), col("__i") + col("__n") - 1)).as("__j"))
+      .distinct()
+      .join(tokLens, Seq("doc_id", "__j"))
+      .groupBy(col("doc_id"), col("__n")).agg(sum(col("__wl")).as("__covch"))
+    val topP = top.groupBy(col("doc_id"))
+      .agg(max(when(col("__n") === topNs.head._1, col("__topch"))).as(s"__top${topNs.head._1}"),
+        topNs.tail.map { case (n, _) =>
+          max(when(col("__n") === n, col("__topch"))).as(s"__top$n") }: _*)
+    val covP = covChars.groupBy(col("doc_id"))
+      .agg(max(when(col("__n") === dupNs.head._1, col("__covch"))).as(s"__cov${dupNs.head._1}"),
+        dupNs.tail.map { case (n, _) =>
+          max(when(col("__n") === n, col("__covch"))).as(s"__cov$n") }: _*)
+    val joined = base.select(col("doc_id"), col("__cb"), col("__tw"))
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(topP, Seq("doc_id"), "left")
+      .join(covP, Seq("doc_id"), "left")
+    val dupLineFrac = round(coalesce(col("__nd"), lit(0L)).cast("double") /
+      col("__nl"), 4)
+    val dupLineCharFrac = round(coalesce(col("__dch"), lit(0L)).cast("double") /
+      greatest(col("__tch"), lit(1L)), 4)
+    val topFracs = topNs.map { case (n, thr) =>
+      val f = round(coalesce(col(s"__top$n"), lit(0L)).cast("double") /
+        greatest(col("__cb"), lit(1.0)), 4)
+      (n, thr, f)
+    }
+    val dupFracs = dupNs.map { case (n, thr) =>
+      val f = round(coalesce(col(s"__cov$n"), lit(0L)).cast("double") /
+        greatest(col("__tw"), lit(1.0)), 4)
+      (n, thr, f)
+    }
+    val okDupLine = dupLineFrac <= 0.30
+    val okDupLineChar = dupLineCharFrac <= 0.20
+    val okCols = topFracs.map { case (n, thr, f) => (s"ok_top$n", f <= thr) } ++
+      dupFracs.map { case (n, thr, f) => (s"ok_dup$n", f <= thr) }
+    val passes = okCols.map(_._2).foldLeft(okDupLine && okDupLineChar)(_ && _)
+    joined.select(
+      col("doc_id") +:
+        col("__nl").cast("int").as("n_lines") +:
+        dupLineFrac.as("dup_line_frac") +:
+        dupLineCharFrac.as("dup_line_char_frac") +:
+        (topFracs.map { case (n, _, f) => f.as(s"top${n}_frac") } ++
+          dupFracs.map { case (n, _, f) => f.as(s"dup${n}_frac") } ++
+          Seq(okDupLine.as("ok_dup_line"), okDupLineChar.as("ok_dup_line_char")) ++
+          okCols.map { case (nm, c) => c.as(nm) } ++
+          Seq(passes.as("passes"))): _*)
+  }
+
   def dedupParagraphsGlobal(df: DataFrame, id: Column, text: Column,
                             sep: String = "\n"): DataFrame = {
     val (base, ex) = paragraphExplode(df, id, text, sep)

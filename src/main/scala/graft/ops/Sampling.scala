@@ -232,4 +232,73 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("n_toks"),
         (col("__gcum") - col("__off")).as("tok_start_in_source"))
   }
+
+  /** ⊕ Epoch allocation under a token budget — the data-constrained
+    * mixing plan (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": repeating data up to ~4 epochs is nearly as
+    * good as fresh data; beyond that returns decay fast, hence the
+    * epoch CAP). Given per-source available tokens t_s, a total
+    * training budget B, temperature-α mixing weights w_s = t_s^α
+    * (integer micro-units — the [[temperatureMixture]] quantization),
+    * and `maxEpochs` E, allocate
+    *
+    *   drawn_s = min(λ·w_s, E·t_s)   with λ s.t. Σ drawn_s = B
+    *
+    * — WATER-FILLING: small sources saturate at their epoch cap and
+    * their unused share redistributes to the rest, which plain
+    * proportional allocation gets wrong the moment any source caps.
+    * λ is found exactly in one pass: sort sources by saturation point
+    * r_s = cap_s/w_s, prefix-sum caps and weights, test the candidate
+    * level λ_k = (B − Σ_{j<k} cap_j)/Σ_{j≥k} w_j for each boundary k
+    * (valid iff lag(r) ≤ λ_k < r_k; B ≥ Σ cap ⇒ no valid row ⇒
+    * everything caps). The windows run over the SOURCE table —
+    * model-sized state (handfuls to thousands of rows), the one place
+    * a single-task window is the documented right call; the corpus
+    * itself is touched only by the per-source token sum.
+    *
+    * Output per source: `n_tokens`, `weight`, `tokens_drawn`,
+    * `epochs` (= drawn/t, ≤ E by construction, rounded at 6),
+    * `capped`. Σ tokens_drawn = B up to per-source half-up rounding
+    * of λ·w_s (exact when everything caps ⇒ Σ = Σ cap < B).
+    */
+  def epochAllocation(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
+                      tokenCol: org.apache.spark.sql.Column, budget: Long,
+                      maxEpochs: Double = 4.0, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val wExpr =
+      if (alpha == 0.5) round(sqrt(col("t").cast("double")) * 1e6, 0).cast("long")
+      else round(pow(col("t").cast("double"), alpha) * 1e6, 0).cast("long")
+    val src = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCol.cast("long")).as("t"))
+      .withColumn("w", wExpr)
+      .withColumn("cap", round(col("t").cast("double") * maxEpochs, 0).cast("long"))
+      .withColumn("r", col("cap").cast("double") / col("w").cast("double"))
+    val ord = Window.orderBy(col("r"), col("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = src
+      .withColumn("__prefCap", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("__prefW", coalesce(sum(col("w")).over(pre), lit(0L)))
+      .withColumn("__prevR", coalesce(lag(col("r"), 1).over(ord), lit(0.0)))
+    val totals = src.agg(sum(col("w")).as("__totW"))
+    val cand = ranked.crossJoin(broadcast(totals))
+      .withColumn("__lam",
+        (lit(budget.toDouble) - col("__prefCap").cast("double")) /
+          (col("__totW") - col("__prefW")).cast("double"))
+      .filter(col("__lam") >= col("__prevR") && col("__lam") < col("r"))
+    val lam = cand.agg(min(col("__lam")).as("__lam"))
+    src.crossJoin(broadcast(lam))
+      .select(col("source"), col("t").as("n_tokens"), col("w").as("weight"),
+        when(col("__lam").isNull || col("r") <= col("__lam"), col("cap"))
+          .otherwise(least(col("cap"),
+            round(col("__lam") * col("w").cast("double"), 0).cast("long")))
+          .as("tokens_drawn"),
+        (col("__lam").isNull || col("r") <= col("__lam")).as("capped"))
+      .withColumn("epochs",
+        round(col("tokens_drawn").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("tokens_drawn"), col("epochs"), col("capped"))
+  }
 }

@@ -60,4 +60,36 @@ class QuotaSpec extends SparkSuite {
       col("doc_id"), col("n_tokens"), Seq("a" -> 10L, "b" -> 10L))
     assert(base.except(rep).isEmpty && rep.except(base).isEmpty)
   }
+
+  test("epochAllocation: hand-computed water-fill with caps redistributing") {
+    // per-source tokens 100/400/10000, E=4 -> caps 400/1600/40000;
+    // sqrt weights 10e6/20e6/100e6; r = 4e-5/8e-5/4e-4. Budget 20000:
+    // the valid level is k=3 (A and B saturated),
+    // lam = (20000-2000)/100e6 = 1.8e-4 -> C draws 18000 (1.8 epochs)
+    val docs = (
+      (1 to 10).map(i => (s"d$i", "a", 10L)) ++     // t=100
+      (1 to 10).map(i => (s"e$i", "b", 40L)) ++     // t=400
+      (1 to 10).map(i => (s"f$i", "c", 1000L))      // t=10000
+    ).toDF("doc_id", "source", "nt")
+    val got = Sampling.epochAllocation(docs, col("source"), col("nt"),
+        budget = 20000L, maxEpochs = 4.0)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 10000000L, 400L, 4.0, true),
+      ("b", 400L, 20000000L, 1600L, 4.0, true),
+      ("c", 10000L, 100000000L, 18000L, 1.8, false)))
+    assert(got.map(_._4).sum == 20000L)  // the budget is spent exactly
+    // budget >= sum of caps: no valid level, everything caps at E
+    val all = Sampling.epochAllocation(docs, col("source"), col("nt"),
+        budget = 50000L, maxEpochs = 4.0)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    assert(all.forall(r => r._5 == 4.0 && r._6) && all.map(_._4).sum == 42000L)
+    // partitioning invariance (the window runs over the source table)
+    val rep2 = Sampling.epochAllocation(docs.repartition(7), col("source"),
+      col("nt"), budget = 20000L, maxEpochs = 4.0)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rep2 == got)
+  }
 }

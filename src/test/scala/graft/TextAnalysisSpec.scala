@@ -91,6 +91,41 @@ class TextAnalysisSpec extends SparkSuite {
     assert(df.as[String].collect().toSeq == Seq("fr", "en", "und", "fr"))
   }
 
+  test("gopherRepetitionGate: hand-computed metrics on planted repetition") {
+    // doc 1: duplicated line + repeated 2/3-grams, all short-doc caps blown
+    //   w = [aa,bb,cc,aa,bb,cc,dd,ee,ff]; clean chars = 26; line chars = 24
+    // doc 2: 30 distinct tokens over 3 lines — every rule passes
+    val diverse = (0 until 30).map(i => f"tok$i%02d")
+    val docs = Seq(
+      (1L, "aa bb cc\naa bb cc\ndd ee ff"),
+      (2L, diverse.grouped(10).map(_.mkString(" ")).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionGate(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Int]("n_lines") == 3)
+    assert(r1.getAs[Double]("dup_line_frac") == 0.3333)      // 1 of 3 repeats
+    assert(r1.getAs[Double]("dup_line_char_frac") == 0.3333) // 8 of 24 chars
+    assert(r1.getAs[Double]("top2_frac") == 0.3846)          // "aa bb"×2·5 / 26
+    assert(r1.getAs[Double]("top3_frac") == 0.6154)          // "aa bb cc"×2·8 / 26
+    assert(r1.getAs[Double]("top4_frac") == 0.4231)          // lex-min 1×11 / 26
+    assert(r1.getAs[Double]("dup5_frac") == 0.0)             // all 5-grams distinct
+    assert(r1.getAs[Double]("dup10_frac") == 0.0)            // m = 9 < 10
+    assert(!r1.getAs[Boolean]("ok_dup_line") && !r1.getAs[Boolean]("ok_top2")
+      && r1.getAs[Boolean]("ok_dup5") && !r1.getAs[Boolean]("passes"))
+    val r2 = got(1)
+    assert(r2.getAs[Boolean]("passes"), r2.toString)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    // verdicts flip only their own rule: appending a repeated 5-gram
+    // tail fails dup5 without touching the line rules
+    val tail = Seq.fill(4)("pp qq rr ss tt").mkString(" ")
+    val d3 = Seq((3L, diverse.mkString(" ") + " " + tail)).toDF("doc_id", "text")
+    val r3 = TextAnalysis.gopherRepetitionGate(d3, col("doc_id"), col("text"))
+      .collect()(0)
+    assert(!r3.getAs[Boolean]("ok_dup5") && r3.getAs[Boolean]("ok_dup_line"),
+      r3.toString)
+  }
+
   test("qualityScore in [0,1]; repetitive text scores below diverse text") {
     val df = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
