@@ -832,6 +832,24 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q206 — ⊕ ExactSubstr dedup POLICY
+    * ([[graft.ext.Dedup.exactSubstrDedup]], Lee et al. 2022): q189's
+    * span structure APPLIED with the paper's actual removal rule —
+    * per distinct span content the (doc_id, span_start)-minimal
+    * occurrence keeps its text, every other occurrence strips. The
+    * corpus-mass-preserving counterpart of q97 (which deletes EVERY
+    * copy). The oracle extends q189's shared chain with the winner
+    * ROW_NUMBER per span md5 and the q97-style position anti-join
+    * rebuild; text_clean is md5'd (the q199 readout convention).
+    */
+  private val q206ExactSubstrDedup: Q = (s, dir) => {
+    ext.Dedup.exactSubstrDedup(Tables.documents(s, dir),
+        col("doc_id"), col("text"), minLen = 10, minDf = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4607,6 +4625,7 @@ object SparkEntry {
     "q203_curation_blocklist" -> q203CurationBlocklist,
     "q204_gopher_repetition" -> q204GopherRepetition,
     "q205_epoch_allocation" -> q205EpochAllocation,
+    "q206_exact_substr_dedup" -> q206ExactSubstrDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -7775,6 +7794,46 @@ object SparkEntry {
         |    (lam.lam IS NULL OR rr.r <= lam.lam) AS capped
         |  FROM rr, lam)
         |ORDER BY source""".stripMargin,
+    // q206: q189's shared span chain + winner ROW_NUMBER per span md5
+    // ((doc_id, start) order), loser positions exploded, the q97
+    // position-anti-join rebuild, clean text md5'd.
+    "q206_exact_substr_dedup" ->
+      s"""$spanCoverCtes,
+        |isl AS (
+        |  SELECT doc_id, cj,
+        |    cj - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cj) AS g
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, min(cj) AS s, max(cj) AS e
+        |  FROM isl GROUP BY doc_id, g),
+        |spm AS (
+        |  SELECT sp.doc_id, s, e,
+        |    md5(array_to_string(t.w[s+1:e+1], ' ')) AS h
+        |  FROM sp JOIN t ON t.doc_id = sp.doc_id),
+        |wnr AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        |  FROM spm),
+        |rm AS (
+        |  SELECT DISTINCT doc_id, j FROM (
+        |    SELECT doc_id, unnest(range(s, e + 1)) AS j FROM wnr WHERE rn > 1)),
+        |tok AS (
+        |  SELECT doc_id, w[x.j + 1] AS tok, x.j AS j
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(w))) AS j) x),
+        |kept AS (
+        |  SELECT tok.doc_id,
+        |    array_to_string(list(tok.tok ORDER BY tok.j), ' ') AS text_clean
+        |  FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.j = rm.j
+        |  WHERE rm.j IS NULL
+        |  GROUP BY tok.doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(rem.n_removed, 0) AS INTEGER) AS n_removed,
+        |  md5(coalesce(kept.text_clean, '')) AS clean_md5
+        |FROM t
+        |LEFT JOIN rem ON t.doc_id = rem.doc_id
+        |LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.

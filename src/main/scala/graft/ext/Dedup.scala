@@ -901,4 +901,47 @@ object Dedup {
         md5(array_join(slice(col("__w"), col("span_start") + 1,
           col("span_end") - col("span_start") + 1), " ")).as("span_md5"))
   }
+
+  /** ⊕ ExactSubstr DEDUP POLICY (Lee et al. 2022's actual removal
+    * rule — "remove all but one copy"): [[maximalRepeatedSpans]]'s
+    * span structure APPLIED. Per distinct span CONTENT (span_md5) the
+    * (doc_id, span_start)-minimal occurrence KEEPS its text; every
+    * other occurrence's token positions are removed and the document
+    * reassembles from the survivors. Contrast [[removeRepeatedSpans]]
+    * (q97): that deletes EVERY copy — the conservative
+    * training-contamination stance; this keeps exactly one — the
+    * corpus-mass-preserving stance the paper ships. Maximal runs
+    * within a document are DISJOINT by construction (they are maximal
+    * runs of the covered-position set), so loser-span removal never
+    * double-counts a position.
+    *
+    * Scale shape: the span pass is q189's (no suffix array, no
+    * per-doc collect); the winner choice is one min-struct
+    * aggregation on span_md5 (the q195 first-occurrence shape); only
+    * LOSER positions explode. Output: (doc_id, n_tokens, n_removed,
+    * text_clean).
+    */
+  def exactSubstrDedup(df: DataFrame, id: Column, text: Column,
+                       minLen: Int = 10, minDf: Int = 2): DataFrame = {
+    val spans = maximalRepeatedSpans(df, id, text, minLen, minDf)
+    val winners = spans.groupBy(col("span_md5"))
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("__w"))
+      .select(col("span_md5"), col("__w.doc_id").as("doc_id"),
+        col("__w.span_start").as("span_start"))
+    val losers = spans.join(winners, Seq("span_md5", "doc_id", "span_start"),
+      "left_anti")
+    val removed = losers
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("__j"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("__j")).as("__rm"))
+    val base = df.select(id.as("doc_id"), tokens(text).as("__w"))
+      .withColumn("__n", size(col("__w")))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col("doc_id"), col("__n").as("n_tokens"),
+        size(col("__rm")).as("n_removed"),
+        array_join(filter(col("__w"),
+          (t, j) => not(array_contains(col("__rm"), j))), " ").as("text_clean"))
+  }
 }

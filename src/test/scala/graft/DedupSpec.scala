@@ -367,6 +367,33 @@ class DedupSpec extends SparkSuite {
     assert(bySpan == byQ97, s"span union $bySpan != q97 covered $byQ97")
   }
 
+  test("exactSubstrDedup: first occurrence keeps, every later copy strips (vs q97 deleting all)") {
+    // same fixture as the span test: the winner of each repeated span
+    // content is its (doc_id, span_start)-minimal occurrence — d1
+    // keeps both planted runs intact, d2 loses exactly those token
+    // positions, d3 (sub-minLen overlap) is untouched
+    val docs = Seq(
+      (1L, "a b c d u1 u2 r s t"),
+      (2L, "v1 a b c d v2 v3 r s t v4"),
+      (3L, "a b w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(docs, col("doc_id"), col("text"),
+        minLen = 3, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 9, 0, "a b c d u1 u2 r s t"),
+      (2L, 11, 7, "v1 v2 v3 v4"),
+      (3L, 5, 0, "a b w1 w2 w3")
+    ), s"got $got")
+    // the q97 contrast: remove-ALL-copies strips d1 too
+    val all97 = Dedup.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDf = 2)
+      .filter(col("doc_id") === 1L).select(col("n_removed"))
+      .as[Int].head()
+    assert(all97 == 7, s"q97 should strip d1's 7 covered positions, got $all97")
+  }
+
   test("incrementalNearDup: history match flags, earlier-incoming match flags, clean passes") {
     import spark.implicits._
     val base = (1 to 8).map(i =>
