@@ -276,20 +276,27 @@ object Sampling {
       .withColumn("w", wExpr)
       .withColumn("cap", round(col("t").cast("double") * maxEpochs, 0).cast("long"))
       .withColumn("r", col("cap").cast("double") / col("w").cast("double"))
+    // everything below the per-source aggregate rides ONE window stage
+    // over the source table — re-referencing `src` from separate
+    // aggregates would re-run the corpus scan once per reference
+    // (PlansSpec pins the single-scan shape)
     val ord = Window.orderBy(col("r"), col("source"))
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = src
       .withColumn("__prefCap", coalesce(sum(col("cap")).over(pre), lit(0L)))
       .withColumn("__prefW", coalesce(sum(col("w")).over(pre), lit(0L)))
       .withColumn("__prevR", coalesce(lag(col("r"), 1).over(ord), lit(0.0)))
-    val totals = src.agg(sum(col("w")).as("__totW"))
-    val cand = ranked.crossJoin(broadcast(totals))
-      .withColumn("__lam",
+      .withColumn("__totW", sum(col("w")).over(full))
+      .withColumn("__cand",
         (lit(budget.toDouble) - col("__prefCap").cast("double")) /
           (col("__totW") - col("__prefW")).cast("double"))
-      .filter(col("__lam") >= col("__prevR") && col("__lam") < col("r"))
-    val lam = cand.agg(min(col("__lam")).as("__lam"))
-    src.crossJoin(broadcast(lam))
+      // min over the full window skips nulls; null lam = no valid
+      // boundary = budget >= sum of caps = everything caps
+      .withColumn("__lam",
+        min(when(col("__cand") >= col("__prevR") && col("__cand") < col("r"),
+          col("__cand"))).over(full))
+    ranked
       .select(col("source"), col("t").as("n_tokens"), col("w").as("weight"),
         when(col("__lam").isNull || col("r") <= col("__lam"), col("cap"))
           .otherwise(least(col("cap"),

@@ -184,6 +184,39 @@ class PlansSpec extends SparkSuite {
     assert(exchanges(uni) == 0)
   }
 
+  test("round-14 operators keep their promised plan shapes") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    // dictionary screen: row-local — ZERO shuffles at any term count
+    val dict = graft.functions.DictMatch.automaton(
+      (0 until 5000).map(i => f"zq$i%04d"))
+    val screen = docs.select(
+      graft.functions.DictMatch.dict_contains_any(col("text"), dict),
+      graft.functions.DictMatch.dict_matches(col("text"), dict))
+    assert(exchanges(screen) == 0, "blocklist screen must stay row-local")
+    // repetition gate: shuffle-based (per design), but NEVER an
+    // unbounded join and NEVER a per-doc O(m^2) HOF — the gram/count
+    // machinery must not plan a cartesian
+    val rep = graft.ext.TextAnalysis.gopherRepetitionGate(
+      docs, col("doc_id"), col("text"))
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.contains("CartesianProduct") &&
+      !repPlan.contains("BroadcastNestedLoopJoin"),
+      "gopherRepetitionGate must not plan an unbounded join")
+    // epoch water-fill: windows only over the SOURCE table (documented
+    // model-sized single-task state), corpus touched once
+    val alloc = graft.ops.Sampling.epochAllocation(
+      docs.select(col("source"), col("n_chars").as("nt")),
+      col("source"), col("nt"), budget = 1000L)
+    val scans = alloc.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"epochAllocation must scan the corpus exactly once, got $scans scans")
+  }
+
   test("GraftExtensions registers the rule at session build time") {
     val s = SparkSession.builder()
       .master("local[2]")

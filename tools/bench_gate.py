@@ -138,9 +138,11 @@ def main():
     # bench_last.json had already absorbed it.
     if len(args) == 1:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        new_abs = os.path.abspath(args[0])
         committed = sorted(
             (f for f in os.listdir(repo)
-             if re.fullmatch(r'BENCH_LOCAL_r(\d+)\.json', f)),
+             if re.fullmatch(r'BENCH_LOCAL_r(\d+)\.json', f)
+             and os.path.abspath(os.path.join(repo, f)) != new_abs),
             key=lambda f: int(re.search(r'(\d+)', f).group(1)))
         if not committed:
             raise SystemExit("no committed BENCH_LOCAL_r*.json baseline found\n"
