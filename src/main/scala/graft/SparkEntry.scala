@@ -850,6 +850,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q207 — ⊕ per-source dual-gate hygiene datacard: the MassiveText
+    * screen COMPLETE — q192's quality rules AND q204's repetition
+    * rules scored over the SAME text, rolled up per source (pass
+    * counts for each family, their conjunction, and the two headline
+    * repetition means). Input is the dup-line synthesized text with
+    * the q200 stop-word-tail decoration (as an extra line, every
+    * third doc), so both families produce both verdicts. Both oracle
+    * chains are byte-shared: the repetition side via
+    * [[repetitionFrCtes]], the quality side replaying q192's metric
+    * block over the same `d.txt` — the datacard can never drift from
+    * the per-document gates it summarizes.
+    */
+  private val q207HygieneDatacard: Q = (s, dir) => {
+    val withDup = synthLines(s, dir)
+      .select(col("doc_id"),
+        concat(
+          array_join(concat(col("__lines"), slice(col("__lines"), 1, 1)), "\n"),
+          when(col("doc_id") % 3 === 0, lit("\nthe and that have with."))
+            .otherwise(lit(""))).as("__t"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val g = ext.TextAnalysis.gopherQualityGate(col("__t"), minWords = 10)
+    val qual = withDup.select(col("doc_id"), g.getField("passes").as("__qp"))
+    val rep = ext.TextAnalysis.gopherRepetitionGate(withDup, col("doc_id"), col("__t"))
+      .select(col("doc_id"), col("passes").as("__rp"),
+        col("dup5_frac"), col("top2_frac"))
+    src.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__qp"), 1L).otherwise(0L)).as("n_quality_pass"),
+        sum(when(col("__rp"), 1L).otherwise(0L)).as("n_repetition_pass"),
+        sum(when(col("__qp") && col("__rp"), 1L).otherwise(0L)).as("n_pass_both"),
+        round(avg(col("dup5_frac")), 4).as("mean_dup5_frac"),
+        round(avg(col("top2_frac")), 4).as("mean_top2_frac"))
+      .orderBy(col("source"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4626,6 +4662,7 @@ object SparkEntry {
     "q204_gopher_repetition" -> q204GopherRepetition,
     "q205_epoch_allocation" -> q205EpochAllocation,
     "q206_exact_substr_dedup" -> q206ExactSubstrDedup,
+    "q207_hygiene_datacard" -> q207HygieneDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -4968,6 +5005,77 @@ object SparkEntry {
         |  CAST((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
         |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality
         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
+  /** Repetition-metric chain (q204/q207 byte-shared): expects a CTE
+    * `d(doc_id, ls, txt)` upstream; yields `fr` with every rounded
+    * metric (n_lines, dup_line_frac, dup_line_char_frac,
+    * top{2,3,4}_frac, dup{5,10}_frac).
+    */
+  private def repetitionFrCtes: String =
+    raw"""|tt AS (
+        |  SELECT doc_id, ls,
+        |    lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS clean,
+        |    string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM d),
+        |tb AS (
+        |  SELECT doc_id, ls, clean, w,
+        |    CAST(length(clean) AS DOUBLE) AS cb,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS tw
+        |  FROM tt),
+        |lc AS (
+        |  SELECT doc_id, l, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ls) AS l FROM d) GROUP BY doc_id, l),
+        |lm AS (
+        |  SELECT doc_id, sum(c) AS nl, sum(c - 1) AS nd,
+        |    sum((c - 1) * length(l)) AS dch, sum(c * length(l)) AS tch
+        |  FROM lc GROUP BY doc_id),
+        |gx AS (
+        |  SELECT doc_id, n, e.i AS i, e.g AS gr FROM (
+        |    SELECT tb.doc_id, n.n AS n,
+        |      unnest(list_transform(range(0, len(tb.w) - n.n + 1),
+        |        i -> {'i': i, 'g': array_to_string(tb.w[i + 1:i + n.n], ' ')})) AS e
+        |    FROM tb, (SELECT unnest([2, 3, 4, 5, 10]) AS n) n
+        |    WHERE len(tb.w) >= n.n)),
+        |gc AS (
+        |  SELECT doc_id, n, gr, count(*) AS c FROM gx GROUP BY doc_id, n, gr),
+        |tp0 AS (
+        |  SELECT doc_id, n, c * length(gr) AS topch FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |                                 ORDER BY c DESC, gr) AS rn
+        |    FROM gc WHERE n IN (2, 3, 4)) WHERE rn = 1),
+        |tp AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN topch END) AS top2,
+        |    max(CASE WHEN n = 3 THEN topch END) AS top3,
+        |    max(CASE WHEN n = 4 THEN topch END) AS top4
+        |  FROM tp0 GROUP BY doc_id),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, n, j FROM (
+        |    SELECT gx.doc_id, gx.n, unnest(range(gx.i, gx.i + gx.n)) AS j
+        |    FROM gx JOIN gc USING (doc_id, n, gr)
+        |    WHERE gc.c >= 2 AND gx.n IN (5, 10))),
+        |cc AS (
+        |  SELECT cov.doc_id, cov.n,
+        |    sum(length(tb.w[cov.j + 1])) AS covch
+        |  FROM cov JOIN tb USING (doc_id) GROUP BY cov.doc_id, cov.n),
+        |cv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 5 THEN covch END) AS cov5,
+        |    max(CASE WHEN n = 10 THEN covch END) AS cov10
+        |  FROM cc GROUP BY doc_id),
+        |fr AS (
+        |  SELECT tb.doc_id,
+        |    CAST(lm.nl AS INTEGER) AS n_lines,
+        |    round(CAST(lm.nd AS DOUBLE) / lm.nl, 4) AS dup_line_frac,
+        |    round(CAST(lm.dch AS DOUBLE) / greatest(lm.tch, 1), 4) AS dup_line_char_frac,
+        |    round(CAST(COALESCE(tp.top2, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top2_frac,
+        |    round(CAST(COALESCE(tp.top3, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top3_frac,
+        |    round(CAST(COALESCE(tp.top4, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top4_frac,
+        |    round(CAST(COALESCE(cv.cov5, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup5_frac,
+        |    round(CAST(COALESCE(cv.cov10, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup10_frac
+        |  FROM tb JOIN lm USING (doc_id)
+        |          LEFT JOIN tp USING (doc_id)
+        |          LEFT JOIN cv USING (doc_id))""".stripMargin
 
   private def ivfOracleSql: String =
     s"""${ivfSearchRankedCtes("vec_id IN (0, 1, 2)")}
@@ -7669,70 +7777,7 @@ object SparkEntry {
         |  SELECT doc_id, list_append(lines, lines[1]) AS ls,
         |    array_to_string(list_append(lines, lines[1]), chr(10)) AS txt
         |  FROM lns),
-        |tt AS (
-        |  SELECT doc_id, ls,
-        |    lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) AS clean,
-        |    string_split(lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))), ' ') AS w
-        |  FROM d),
-        |tb AS (
-        |  SELECT doc_id, ls, clean, w,
-        |    CAST(length(clean) AS DOUBLE) AS cb,
-        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS tw
-        |  FROM tt),
-        |lc AS (
-        |  SELECT doc_id, l, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(ls) AS l FROM d) GROUP BY doc_id, l),
-        |lm AS (
-        |  SELECT doc_id, sum(c) AS nl, sum(c - 1) AS nd,
-        |    sum((c - 1) * length(l)) AS dch, sum(c * length(l)) AS tch
-        |  FROM lc GROUP BY doc_id),
-        |gx AS (
-        |  SELECT doc_id, n, e.i AS i, e.g AS gr FROM (
-        |    SELECT tb.doc_id, n.n AS n,
-        |      unnest(list_transform(range(0, len(tb.w) - n.n + 1),
-        |        i -> {'i': i, 'g': array_to_string(tb.w[i + 1:i + n.n], ' ')})) AS e
-        |    FROM tb, (SELECT unnest([2, 3, 4, 5, 10]) AS n) n
-        |    WHERE len(tb.w) >= n.n)),
-        |gc AS (
-        |  SELECT doc_id, n, gr, count(*) AS c FROM gx GROUP BY doc_id, n, gr),
-        |tp0 AS (
-        |  SELECT doc_id, n, c * length(gr) AS topch FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
-        |                                 ORDER BY c DESC, gr) AS rn
-        |    FROM gc WHERE n IN (2, 3, 4)) WHERE rn = 1),
-        |tp AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN n = 2 THEN topch END) AS top2,
-        |    max(CASE WHEN n = 3 THEN topch END) AS top3,
-        |    max(CASE WHEN n = 4 THEN topch END) AS top4
-        |  FROM tp0 GROUP BY doc_id),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, n, j FROM (
-        |    SELECT gx.doc_id, gx.n, unnest(range(gx.i, gx.i + gx.n)) AS j
-        |    FROM gx JOIN gc USING (doc_id, n, gr)
-        |    WHERE gc.c >= 2 AND gx.n IN (5, 10))),
-        |cc AS (
-        |  SELECT cov.doc_id, cov.n,
-        |    sum(length(tb.w[cov.j + 1])) AS covch
-        |  FROM cov JOIN tb USING (doc_id) GROUP BY cov.doc_id, cov.n),
-        |cv AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN n = 5 THEN covch END) AS cov5,
-        |    max(CASE WHEN n = 10 THEN covch END) AS cov10
-        |  FROM cc GROUP BY doc_id),
-        |fr AS (
-        |  SELECT tb.doc_id,
-        |    CAST(lm.nl AS INTEGER) AS n_lines,
-        |    round(CAST(lm.nd AS DOUBLE) / lm.nl, 4) AS dup_line_frac,
-        |    round(CAST(lm.dch AS DOUBLE) / greatest(lm.tch, 1), 4) AS dup_line_char_frac,
-        |    round(CAST(COALESCE(tp.top2, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top2_frac,
-        |    round(CAST(COALESCE(tp.top3, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top3_frac,
-        |    round(CAST(COALESCE(tp.top4, 0) AS DOUBLE) / greatest(tb.cb, 1.0), 4) AS top4_frac,
-        |    round(CAST(COALESCE(cv.cov5, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup5_frac,
-        |    round(CAST(COALESCE(cv.cov10, 0) AS DOUBLE) / greatest(tb.tw, 1.0), 4) AS dup10_frac
-        |  FROM tb JOIN lm USING (doc_id)
-        |          LEFT JOIN tp USING (doc_id)
-        |          LEFT JOIN cv USING (doc_id))
+        |$repetitionFrCtes
         |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
         |  top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
         |  dup_line_frac <= 0.30 AS ok_dup_line,
@@ -7834,6 +7879,61 @@ object SparkEntry {
         |LEFT JOIN rem ON t.doc_id = rem.doc_id
         |LEFT JOIN kept ON t.doc_id = kept.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q207: BOTH gate chains byte-shared over the same decorated text
+    // d(doc_id, ls, txt) — repetition via repetitionFrCtes, quality
+    // replaying q192's metric block (minWords=10) — then one
+    // per-source rollup; avg rounded at 4 (the q93/q200 convention).
+    "q207_hygiene_datacard" ->
+      s"""$synthLinesCtes,
+        |d AS (
+        |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN list_append(list_append(lines, lines[1]),
+        |                            'the and that have with.')
+        |           ELSE list_append(lines, lines[1]) END AS ls
+        |    FROM lns)),
+        |$repetitionFrCtes,
+        |gw AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))), ' ') AS wt,
+        |    length(lower(trim(regexp_replace(txt, '\\s+', ' ', 'g')))) AS clen,
+        |    list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lns2
+        |  FROM d),
+        |qv AS (
+        |  SELECT doc_id,
+        |    ((len(wt) BETWEEN 10 AND 100000)
+        |     AND (round((CAST(clen AS DOUBLE) - (len(wt) - 1)) / len(wt), 4)
+        |          BETWEEN 3.0 AND 10.0)
+        |     AND (round(CAST(len(list_filter(wt, t -> contains(t, '#'))) AS DOUBLE)
+        |            / len(wt), 4) <= 0.1
+        |          AND round(CAST(len(list_filter(wt, t -> contains(t, '...'))) AS DOUBLE)
+        |            / len(wt), 4) <= 0.1)
+        |     AND (round(CAST(len(list_filter(lns2, l -> starts_with(l, '-')
+        |              OR starts_with(l, '*') OR starts_with(l, chr(8226)))) AS DOUBLE)
+        |            / greatest(len(lns2), 1), 4) <= 0.9)
+        |     AND (round(CAST(len(list_filter(lns2, l -> suffix(l, '...'))) AS DOUBLE)
+        |            / greatest(len(lns2), 1), 4) <= 0.3)
+        |     AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+        |            s -> list_contains(wt, s))) >= 2)) AS qp
+        |  FROM gw),
+        |rv AS (
+        |  SELECT doc_id,
+        |    (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |     AND top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |     AND dup5_frac <= 0.15 AND dup10_frac <= 0.10) AS rp,
+        |    dup5_frac, top2_frac
+        |  FROM fr)
+        |SELECT dd.source AS source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN qv.qp THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+        |  CAST(sum(CASE WHEN rv.rp THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_pass,
+        |  CAST(sum(CASE WHEN qv.qp AND rv.rp THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_both,
+        |  round(avg(rv.dup5_frac), 4) AS mean_dup5_frac,
+        |  round(avg(rv.top2_frac), 4) AS mean_top2_frac
+        |FROM documents dd JOIN qv ON dd.doc_id = qv.doc_id
+        |                  JOIN rv ON dd.doc_id = rv.doc_id
+        |GROUP BY dd.source ORDER BY dd.source""".stripMargin,
     // q189: the shared q97 cover CTEs + the identical gaps-and-islands
     // run grouping (cj − ROW_NUMBER per doc), span text md5'd from the
     // same token array — all integer/string arithmetic, exact compare.
