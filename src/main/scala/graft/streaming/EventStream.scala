@@ -284,6 +284,68 @@ object EventStream {
       }
   }
 
+  /** Per-paragraph-hash seen-state as a [[StatefulProcessor]] — the
+    * `transformWithState` form of [[dedupParagraphsStream]]'s
+    * flatMapGroupsWithState bucket, with the PRODUCTION history bound
+    * made explicit: `ttl` configures state TTL (RocksDB-evicted), so
+    * a paragraph unseen for longer than the horizon is re-admitted —
+    * exactly the trade the batch incremental form makes when it
+    * compacts its history table, now enforced by the store instead of
+    * a compaction job. `TTLConfig.NONE` = unbounded ≡ the
+    * flatMapGroupsWithState form (StreamingSpec proves the fold).
+    */
+  class ParaSeenProcessor extends StatefulProcessor[String, ParaRow, ParaOut] {
+    @transient private var seen: ValueState[Boolean] = _
+    private var ttl: TTLConfig = TTLConfig.NONE
+    def this(ttlMs: Long) = { this(); ttl = TTLConfig(java.time.Duration.ofMillis(ttlMs)) }
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, ttl)
+    override def handleInputRows(h: String, rows: Iterator[ParaRow],
+                                 timerValues: TimerValues): Iterator[ParaOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.doc_id, r.p))
+      val already = seen.exists() && seen.get()
+      if (!already) seen.update(true)
+      sorted.iterator.zipWithIndex.map { case (r, i) =>
+        ParaOut(r.doc_id, r.p, r.t, kept = !already && i == 0)
+      }
+    }
+  }
+
+  /** [[dedupParagraphsStream]] on the Spark 4 `transformWithState`
+    * surface with an optional TTL history bound (see
+    * [[ParaSeenProcessor]]). `ttlMs = None` ≡ the
+    * flatMapGroupsWithState form and runs in `TimeMode.None` (no
+    * timers, no extra batches). A TTL bound REQUIRES
+    * `TimeMode.ProcessingTime`, and in that mode Spark's
+    * `TransformWithStateExec.shouldRunAnotherBatch` is always true —
+    * under the default hot trigger the query constructs no-data
+    * micro-batches back-to-back forever (observed: checkpoint-rename
+    * churn saturating a core). So the TTL form must be driven by a
+    * real trigger: `Trigger.ProcessingTime(interval)` in a long-lived
+    * deployment, or `Trigger.AvailableNow` for the
+    * run-compact-rerun shape (state persists in the checkpoint across
+    * runs; expired hashes re-admit on the next run — the same trade
+    * the batch incremental form makes when it compacts its history
+    * table).
+    */
+  def dedupParagraphsStreamV2(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n", ttlMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[ParaOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val proc = ttlMs.fold(new ParaSeenProcessor)(ms => new ParaSeenProcessor(ms))
+    val timeMode = if (ttlMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p").cast("int").as("p"), col("t"),
+        md5(col("t")).as("h"))
+      .as[ParaRow]
+      .groupByKey(_.h)
+      .transformWithState(proc, timeMode, OutputMode.Append())
+  }
+
   /** Per-document reassembly of [[dedupParagraphsStream]] output — the
     * foreachBatch step (plain batch aggregation; a doc's paragraphs
     * share its micro-batch by construction). Output schema matches

@@ -148,6 +148,17 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("oracle SQL carries no doubled backslash escapes (the r14 no-op-regex lesson)") {
+    // Scala plain AND raw triple-quoted strings do not process
+    // backslash escapes, so a '\\s+' written there reaches DuckDB as
+    // a two-backslash pattern — regexp_replace silently no-ops, and
+    // the row stays green only while the fixture text has nothing to
+    // collapse. 35 chains carried this latently until round 14.
+    for ((k, v) <- SparkEntry.oracleSql)
+      assert(!v.contains("\\\\"),
+        s"$k oracle SQL contains a doubled backslash — write the single-backslash regex")
+  }
+
   test("round-13 operators keep their promised plan shapes") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -428,6 +428,77 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("dedupParagraphsStreamV2 (transformWithState): ≡ v1 unbounded; TTL re-admits expired history") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // unbounded (no TTL): same fold as the flatMapGroupsWithState form
+      val docs = Seq(1L -> "pa\npb", 2L -> "pb\npc")
+      val expected = graft.ext.TextAnalysis.dedupParagraphsIncremental(
+          docs.take(1).toDF("doc_id", "text"), docs.drop(1).toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .as[(Long, Int, Int, String)].collect().toSet
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      val q = EventStream.dedupParagraphsStreamV2(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.ParaOut], _: Long) =>
+          got.synchronized {
+            got ++= EventStream.rebuildParagraphDocs(b.toDF())
+              .as[(Long, Int, Int, String)].collect()
+          }
+          ()
+        }.start()
+      try {
+        mem.addData(docs.head); q.processAllAvailable()
+        mem.addData(docs(1)); q.processAllAvailable()
+        assert(got.synchronized(got.filter(_._1 >= 2).toSet) == expected)
+      } finally q.stop()
+      // TTL horizon: the same paragraph re-admits once its state expires.
+      // The TTL form runs in TimeMode.ProcessingTime, where Spark's
+      // TransformWithStateExec.shouldRunAnotherBatch is ALWAYS true —
+      // so neither processAllAvailable nor Trigger.AvailableNow ever
+      // settles (both wait for a "no more batches" signal that never
+      // comes; measured, not assumed). Drive each run with a real
+      // trigger interval, poll for the expected output, then stop() —
+      // two runs over one checkpoint, state carried by RocksDB between
+      // them, the second starting after the 1 s TTL has lapsed.
+      val ckpt = java.nio.file.Files.createTempDirectory("paradedup_ttl_ckpt").toString
+      val mem2 = MemoryStream[(Long, String)]
+      val out2 = EventStream.dedupParagraphsStreamV2(
+        mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        ttlMs = Some(1000L))
+      val kept2 = scala.collection.mutable.Set.empty[Long]
+      def runUntil(expect: Long): Unit = {
+        val q2 = out2.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.ParaOut], _: Long) =>
+            val ids = b.filter(_.kept).collect().map(_.doc_id)
+            kept2.synchronized { kept2 ++= ids }
+            ()
+          }.start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (!kept2.synchronized(kept2.contains(expect)) && System.nanoTime() < deadline)
+            Thread.sleep(50)
+        } finally q2.stop()
+      }
+      mem2.addData(10L -> "px"); runUntil(10L)
+      Thread.sleep(2500)  // let the 1s TTL lapse between runs
+      mem2.addData(11L -> "px"); runUntil(11L)
+      val kept = kept2.synchronized(kept2.toSet)
+      assert(kept == Set(10L, 11L),
+        s"expired paragraph must re-admit (the bounded-history trade), got $kept")
+    } finally {
+      prevProvider.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("errorAlerts emits on every k-th error per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
