@@ -886,6 +886,70 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q208 — ⊕ SFT pair mining ([[graft.ext.Posttrain.sftPairs]], the
+    * ELI5/Fan et al. 2019 construction over the reference's
+    * posts+comments model): prompt = normalized title+selftext,
+    * response = the top-ranked clean comment (token count desc,
+    * flat_idx asc), acceptance flagged against a response-length
+    * floor. Oracle replays the q43 comments derivation + the same
+    * window; the threshold is chosen so both acceptance verdicts
+    * occur at oracle scale.
+    */
+  private val q208SftPairs: Q = (s, dir) => {
+    ext.Posttrain.sftPairs(docsAsPosts(s, dir), docsAsComments(s, dir),
+        minResponseTokens = 13)
+      .select(col("post_id"), col("subreddit"), col("prompt"), col("response"),
+        col("n_prompt_tokens").cast("long").as("n_prompt_tokens"),
+        col("n_resp_tokens").cast("long").as("n_resp_tokens"),
+        col("accepted"))
+      .orderBy(col("post_id"))
+  }
+
+  /** q209 — ⊕ multi-turn dialog assembly
+    * ([[graft.ext.Posttrain.assembleDialogs]], the OpenAssistant
+    * shape): post as turn 0, surviving comments as alternating-role
+    * turns in flat_idx order, with the alternation-validity audit (no
+    * two consecutive comment turns by one author). All turn logic is
+    * row-local HOFs over one collect_list per post; the oracle
+    * rebuilds the dialog with ordered string_agg + a lag() audit.
+    */
+  private val q209DialogThreads: Q = (s, dir) => {
+    // The fixture's (doc_id + idx) % 7 authors never repeat on
+    // consecutive comments, so every ninth post gets a deterministic
+    // SELF-REPLY chain (one constant author for its clean comments —
+    // the q159 derived-noise convention, mirrored in the oracle) so
+    // the alternation audit produces both verdicts at oracle scale.
+    val selfReply = docsAsComments(s, dir).withColumn("author",
+      when(col("post_id").cast("long") % 9 === 0 &&
+          col("author").isNotNull && col("author") =!= "[deleted]",
+        concat(lit("c_author_"), (col("post_id").cast("long") % 7).cast("string")))
+        .otherwise(col("author")))
+    ext.Posttrain.assembleDialogs(docsAsPosts(s, dir), selfReply)
+      .select(col("post_id"), col("subreddit"),
+        col("n_turns").cast("long").as("n_turns"),
+        col("alternation_ok"), md5(col("dialog")).as("dialog_md5"))
+      .orderBy(col("post_id"))
+  }
+
+  /** q210 — ⊕ preference (DPO) pair mining
+    * ([[graft.ext.Posttrain.preferencePairs]], the SHP/Ethayarajh et
+    * al. 2022 construction with the documented token-count rank):
+    * chosen = top candidate, rejected = bottom candidate, pairs kept
+    * only at margin ≥ 1 so a tie never fabricates preference signal.
+    * Spark runs the window-free max_by/min_by aggregation (map-side
+    * combinable); the oracle replays it as two ROW_NUMBER extremes —
+    * hash equality proves the aggregation picks exactly the window's
+    * deterministic endpoints.
+    */
+  private val q210PreferencePairs: Q = (s, dir) => {
+    ext.Posttrain.preferencePairs(docsAsPosts(s, dir), docsAsComments(s, dir),
+        minMarginTokens = 1)
+      .select(col("post_id"), col("subreddit"), col("prompt"),
+        col("n_cands"), col("chosen"), col("rejected"),
+        col("margin_tokens").cast("long").as("margin_tokens"))
+      .orderBy(col("post_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4663,6 +4727,9 @@ object SparkEntry {
     "q205_epoch_allocation" -> q205EpochAllocation,
     "q206_exact_substr_dedup" -> q206ExactSubstrDedup,
     "q207_hygiene_datacard" -> q207HygieneDatacard,
+    "q208_sft_pairs"        -> q208SftPairs,
+    "q209_dialog_threads"   -> q209DialogThreads,
+    "q210_preference_pairs" -> q210PreferencePairs,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9082,7 +9149,108 @@ object SparkEntry {
     // q174: q86's shared chain + sym/top-k, then the integer-units
     // margin (HALF_UP 2a+b trick) and the mutual self-join.
     "q174_margin_mining" -> oracleForQ174,
+    // q208: the shared posts/clean-comments derivation + the same
+    // (tokens DESC, flat_idx ASC) top-1 window; acceptance replayed
+    // against the same floor.
+    "q208_sft_pairs" ->
+      s"""$sftCommentsCtes,
+        |best AS (
+        |  SELECT post_id, response, n_resp_tokens FROM (
+        |    SELECT cr.*, row_number() OVER (PARTITION BY post_id
+        |        ORDER BY n_resp_tokens DESC, flat_idx) AS rn FROM cr)
+        |  WHERE rn = 1)
+        |SELECT p.post_id, p.subreddit, p.prompt, b.response,
+        |  CAST(p.n_prompt_tokens AS BIGINT) AS n_prompt_tokens,
+        |  CAST(b.n_resp_tokens AS BIGINT) AS n_resp_tokens,
+        |  b.n_resp_tokens >= 13 AS accepted
+        |FROM p JOIN best b ON p.post_id = b.post_id
+        |ORDER BY p.post_id""".stripMargin,
+    // q209: ordered string_agg rebuilds the dialog (1-based pos odd =
+    // assistant ≡ Spark's 0-based even), lag() audits alternation;
+    // the rendered dialog compares by md5 (scalar output contract).
+    "q209_dialog_threads" ->
+      s"""$sftCommentsCtes,
+        |crv AS (
+        |  SELECT post_id, flat_idx, response, n_resp_tokens,
+        |    CASE WHEN CAST(post_id AS BIGINT) % 9 = 0
+        |         THEN 'c_author_' || CAST(CAST(post_id AS BIGINT) % 7 AS VARCHAR)
+        |         ELSE author END AS author
+        |  FROM cr),
+        |cr2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY post_id ORDER BY flat_idx) AS pos,
+        |    lag(author) OVER (PARTITION BY post_id ORDER BY flat_idx) AS prev_author
+        |  FROM crv),
+        |d AS (
+        |  SELECT post_id, count(*) AS n_c,
+        |    string_agg(CASE WHEN pos % 2 = 1 THEN 'assistant: ' ELSE 'user: ' END
+        |        || response, chr(10) ORDER BY flat_idx) AS turns,
+        |    bool_and(prev_author IS NULL OR prev_author <> author) AS alternation_ok
+        |  FROM cr2 GROUP BY post_id)
+        |SELECT p.post_id, p.subreddit, CAST(d.n_c + 1 AS BIGINT) AS n_turns,
+        |  d.alternation_ok,
+        |  md5('user: ' || p.prompt || chr(10) || d.turns) AS dialog_md5
+        |FROM p JOIN d ON p.post_id = d.post_id
+        |ORDER BY p.post_id""".stripMargin,
+    // q210: the max_by/min_by extremes replayed as two ROW_NUMBER
+    // windows over the same deterministic (tokens, flat_idx) order —
+    // hash equality proves the combinable aggregation picks exactly
+    // the window's endpoints.
+    "q210_preference_pairs" ->
+      s"""$sftCommentsCtes,
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY post_id
+        |        ORDER BY n_resp_tokens DESC, flat_idx ASC) AS rc,
+        |    row_number() OVER (PARTITION BY post_id
+        |        ORDER BY n_resp_tokens ASC, flat_idx DESC) AS rr,
+        |    count(*) OVER (PARTITION BY post_id) AS n_cands
+        |  FROM cr),
+        |pair AS (
+        |  SELECT c.post_id, c.n_cands, c.response AS chosen, r.response AS rejected,
+        |    c.n_resp_tokens - r.n_resp_tokens AS margin_tokens
+        |  FROM (SELECT * FROM ranked WHERE rc = 1) c
+        |  JOIN (SELECT * FROM ranked WHERE rr = 1) r ON c.post_id = r.post_id
+        |  WHERE c.n_cands >= 2 AND c.n_resp_tokens - r.n_resp_tokens >= 1)
+        |SELECT p.post_id, p.subreddit, p.prompt,
+        |  CAST(pair.n_cands AS BIGINT) AS n_cands,
+        |  pair.chosen, pair.rejected,
+        |  CAST(pair.margin_tokens AS BIGINT) AS margin_tokens
+        |FROM p JOIN pair ON p.post_id = pair.post_id
+        |ORDER BY p.post_id""".stripMargin,
   )
+
+  /** Shared CTE chain for the post-training mining family
+    * (q208/q209/q210): the q43 posts/comments derivation
+    * (`docsAsPosts`/`docsAsComments` replayed in SQL) + the
+    * candidate-response gate — tombstone/author filters, whitespace
+    * normalization, non-empty, token counts. Byte-shared so the three
+    * miners can never drift from one candidate definition.
+    */
+  private def sftCommentsCtes: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS prompt,
+      |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+      |      AS n_prompt_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS post_id, i.idx AS flat_idx,
+      |    CASE WHEN i.idx = 1 AND doc_id % 13 = 0 THEN '[deleted]'
+      |         WHEN i.idx = 2 AND doc_id % 7 = 0 THEN NULL
+      |         WHEN i.idx = 3 AND doc_id % 5 = 0 THEN ' '
+      |         ELSE substring(text, CAST(i.idx * 20 + 1 AS INTEGER), 80) END AS body,
+      |    CASE WHEN (doc_id + i.idx) % 11 = 0 THEN '[deleted]'
+      |         ELSE 'c_author_' || CAST((doc_id + i.idx) % 7 AS VARCHAR) END AS author
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS idx) i),
+      |cc AS (
+      |  SELECT post_id, CAST(flat_idx AS INTEGER) AS flat_idx, author,
+      |    trim(regexp_replace(body, '\s+', ' ', 'g')) AS response
+      |  FROM c
+      |  WHERE body IS NOT NULL AND author IS NOT NULL AND author <> '[deleted]'
+      |    AND body NOT IN ('[deleted]', '[removed]')),
+      |cr AS (
+      |  SELECT *, len(string_split(lower(response), ' ')) AS n_resp_tokens
+      |  FROM cc WHERE length(response) > 0)""".stripMargin
 
   /** q174's oracle (also q176's — the auto form floors to the same
     * pinned configuration at fixture scale).

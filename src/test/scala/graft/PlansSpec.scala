@@ -7,6 +7,30 @@ import graft.plans.{GraftExtensions, ShortCircuitExists}
 class PlansSpec extends SparkSuite {
   import spark.implicits._
 
+  /** The physical plan with the AQE wrapper removed: collect/exists on
+    * an `AdaptiveSparkPlanExec` do NOT descend into the wrapped plan
+    * (it is held as a field, not a child), so shape assertions against
+    * the raw executedPlan are vacuously true for any plan with an
+    * exchange. Discovered when the q208 one-window assertion read 0.
+    */
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+
+  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    physicalPlan(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+
+  private def countWindows(df: org.apache.spark.sql.DataFrame): Int =
+    physicalPlan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+
   private def matchedCond = {
     val kws = array(lit("spark"), lit("query"))
     size(filter(kws, k => col("t").contains(k))) > 0
@@ -162,53 +186,41 @@ class PlansSpec extends SparkSuite {
   test("round-13 operators keep their promised plan shapes") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.size
-    def windows(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }.size
     // row-local line ops: ZERO shuffles, ZERO windows
     val clean = docs.select(
       graft.ext.TextAnalysis.c4LineClean(col("text")).as("c"),
       graft.ext.TextAnalysis.gopherQualityGate(col("text")).as("g"))
-    assert(exchanges(clean) == 0 && windows(clean) == 0,
+    assert(countExchanges(clean) == 0 && countWindows(clean) == 0,
       "line cleaning / gopher gate must stay row-local")
     // token-budget cut: NO per-source window anywhere (the whole
     // point of the prefix-sum construction)
     val budget = graft.ops.Sampling.tokenBudgetSample(
       docs.select(col("doc_id"), col("source"), col("n_chars").as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), Seq("src0" -> 100L))
-    assert(windows(budget) == 0, "tokenBudgetSample must not plan a window")
+    assert(countWindows(budget) == 0, "tokenBudgetSample must not plan a window")
     // global paragraph dedup: no window; the min-struct aggregation
     // carries the first-occurrence choice
     val para = graft.ext.TextAnalysis.dedupParagraphsGlobal(
       docs, col("doc_id"), col("text"))
-    assert(windows(para) == 0, "dedupParagraphsGlobal must not plan a window")
+    assert(countWindows(para) == 0, "dedupParagraphsGlobal must not plan a window")
     // the normalization expressions ride whole-stage codegen contexts
     // (no BatchEvalPython / ScalaUDF anywhere - covered by the sweep)
     val uni = docs.select(
       graft.functions.UnicodeNorm.nfc_normalize(col("text")),
       graft.functions.UnicodeNorm.strip_accents(col("text")))
-    assert(exchanges(uni) == 0)
+    assert(countExchanges(uni) == 0)
   }
 
   test("round-14 operators keep their promised plan shapes") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.size
     // dictionary screen: row-local — ZERO shuffles at any term count
     val dict = graft.functions.DictMatch.automaton(
       (0 until 5000).map(i => f"zq$i%04d"))
     val screen = docs.select(
       graft.functions.DictMatch.dict_contains_any(col("text"), dict),
       graft.functions.DictMatch.dict_matches(col("text"), dict))
-    assert(exchanges(screen) == 0, "blocklist screen must stay row-local")
+    assert(countExchanges(screen) == 0, "blocklist screen must stay row-local")
     // repetition gate: shuffle-based (per design), but NEVER an
     // unbounded join and NEVER a per-doc O(m^2) HOF — the gram/count
     // machinery must not plan a cartesian
@@ -226,6 +238,29 @@ class PlansSpec extends SparkSuite {
     val scans = alloc.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"epochAllocation must scan the corpus exactly once, got $scans scans")
+  }
+
+  test("post-training miners keep their promised plan shapes") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val posts = docs.select(col("doc_id").cast("string").as("post_id"),
+      col("source").as("subreddit"), col("text").as("title"), lit("").as("selftext"))
+    val comments = docs.select(col("doc_id").cast("string").as("post_id"),
+      col("doc_id").cast("string").as("comment_id"), lit(0).as("flat_idx"),
+      col("text").as("body"), lit("u").as("author"))
+    // preference pairs: the whole point of the max_by/min_by shape is
+    // NO window — the extremes fold map-side as a partial aggregate
+    val pref = graft.ext.Posttrain.preferencePairs(posts, comments, 1)
+    assert(countWindows(pref) == 0, "preferencePairs must not plan a window")
+    assert(pref.queryExecution.executedPlan.toString.contains("partial_max_by"),
+      "preferencePairs must partially aggregate map-side")
+    // dialog assembly: one aggregation, no window — turn logic is
+    // row-local HOFs over the collected array
+    val dia = graft.ext.Posttrain.assembleDialogs(posts, comments)
+    assert(countWindows(dia) == 0, "assembleDialogs must not plan a window")
+    // sft pairs: exactly the one documented top-1 window (per post_id)
+    val sft = graft.ext.Posttrain.sftPairs(posts, comments, 1)
+    assert(countWindows(sft) == 1, sft.queryExecution.executedPlan.toString.take(4000))
   }
 
   test("GraftExtensions registers the rule at session build time") {
