@@ -950,6 +950,69 @@ object SparkEntry {
       .orderBy(col("post_id"))
   }
 
+  /** q211 — ⊕ eval decontamination of the SFT set: the q91 trigram
+    * contamination screen ([[graft.ext.Dedup.contaminationPairs]])
+    * run with the q208 pair PROMPTS as the train side and a held-out
+    * benchmark (every tenth document) as the protected set — the
+    * hygiene step between "pairs mined" and "pairs trained on" (a
+    * prompt overlapping the benchmark leaks the answer into SFT).
+    * Every pair is emitted with its hit count and verdict; ~10% are
+    * contaminated by construction (a %10 post's prompt IS its eval
+    * text), so both verdicts occur at oracle scale.
+    */
+  private val q211SftDecontam: Q = (s, dir) => {
+    val pairs = ext.Posttrain.sftPairs(docsAsPosts(s, dir), docsAsComments(s, dir),
+      minResponseTokens = 13)
+    val evalSet = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+    val hits = ext.Dedup.contaminationPairs(
+        pairs.select(col("post_id").cast("long").as("id"), col("prompt").as("text")),
+        evalSet, col("id"), col("text"), k = 3, minOverlap = 3)
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("test_id")).as("n_eval_hits"))
+    pairs.join(hits, pairs("post_id").cast("long") === hits("train_id"), "left")
+      .select(col("post_id"), col("subreddit"), col("accepted"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("post_id"))
+  }
+
+  /** q212 — ⊕ per-subreddit SFT mining datacard (the q200/q207
+    * convention applied to the post-training family): posts seen,
+    * pairs mined, acceptance count, mean response tokens, preference
+    * pairs and their mean margin, mean dialog turns — every statistic
+    * mirroring an already-oracled chain (q208's best, q210's
+    * extremes, q209's turn count), one aggregation per family member
+    * + one rollup join.
+    */
+  private val q212SftDatacard: Q = (s, dir) => {
+    val posts = docsAsPosts(s, dir)
+    val comments = docsAsComments(s, dir)
+    val pa = ext.Posttrain.sftPairs(posts, comments, minResponseTokens = 13)
+      .groupBy(col("subreddit"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"),
+        round(avg(col("n_resp_tokens")), 4).as("mean_resp_tokens"))
+    val pr = ext.Posttrain.preferencePairs(posts, comments, minMarginTokens = 1)
+      .groupBy(col("subreddit"))
+      .agg(count(lit(1)).as("n_pref_pairs"),
+        round(avg(col("margin_tokens")), 4).as("mean_margin_tokens"))
+    val di = ext.Posttrain.assembleDialogs(posts, comments)
+      .groupBy(col("subreddit"))
+      .agg(round(avg(col("n_turns")), 4).as("mean_turns"))
+    posts.groupBy(col("subreddit")).agg(count(lit(1)).as("n_posts"))
+      .join(pa, Seq("subreddit"), "left")
+      .join(pr, Seq("subreddit"), "left")
+      .join(di, Seq("subreddit"), "left")
+      .select(col("subreddit"), col("n_posts"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+        col("mean_resp_tokens"),
+        coalesce(col("n_pref_pairs"), lit(0L)).as("n_pref_pairs"),
+        col("mean_margin_tokens"), col("mean_turns"))
+      .orderBy(col("subreddit"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4730,6 +4793,8 @@ object SparkEntry {
     "q208_sft_pairs"        -> q208SftPairs,
     "q209_dialog_threads"   -> q209DialogThreads,
     "q210_preference_pairs" -> q210PreferencePairs,
+    "q211_sft_decontam"     -> q211SftDecontam,
+    "q212_sft_datacard"     -> q212SftDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9154,11 +9219,7 @@ object SparkEntry {
     // against the same floor.
     "q208_sft_pairs" ->
       s"""$sftCommentsCtes,
-        |best AS (
-        |  SELECT post_id, response, n_resp_tokens FROM (
-        |    SELECT cr.*, row_number() OVER (PARTITION BY post_id
-        |        ORDER BY n_resp_tokens DESC, flat_idx) AS rn FROM cr)
-        |  WHERE rn = 1)
+        |$sftBestCte
         |SELECT p.post_id, p.subreddit, p.prompt, b.response,
         |  CAST(p.n_prompt_tokens AS BIGINT) AS n_prompt_tokens,
         |  CAST(b.n_resp_tokens AS BIGINT) AS n_resp_tokens,
@@ -9197,26 +9258,73 @@ object SparkEntry {
     // the window's endpoints.
     "q210_preference_pairs" ->
       s"""$sftCommentsCtes,
-        |ranked AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY post_id
-        |        ORDER BY n_resp_tokens DESC, flat_idx ASC) AS rc,
-        |    row_number() OVER (PARTITION BY post_id
-        |        ORDER BY n_resp_tokens ASC, flat_idx DESC) AS rr,
-        |    count(*) OVER (PARTITION BY post_id) AS n_cands
-        |  FROM cr),
-        |pair AS (
-        |  SELECT c.post_id, c.n_cands, c.response AS chosen, r.response AS rejected,
-        |    c.n_resp_tokens - r.n_resp_tokens AS margin_tokens
-        |  FROM (SELECT * FROM ranked WHERE rc = 1) c
-        |  JOIN (SELECT * FROM ranked WHERE rr = 1) r ON c.post_id = r.post_id
-        |  WHERE c.n_cands >= 2 AND c.n_resp_tokens - r.n_resp_tokens >= 1)
+        |$sftPrefCtes
         |SELECT p.post_id, p.subreddit, p.prompt,
         |  CAST(pair.n_cands AS BIGINT) AS n_cands,
         |  pair.chosen, pair.rejected,
         |  CAST(pair.margin_tokens AS BIGINT) AS margin_tokens
         |FROM p JOIN pair ON p.post_id = pair.post_id
         |ORDER BY p.post_id""".stripMargin,
+    // q211: the q208 pair chain feeds the SHARED q91 contamination
+    // CTEs (train = pair prompts, test = every tenth document), then
+    // one per-prompt hit rollup + LEFT JOIN for the verdict.
+    "q211_sft_decontam" ->
+      s"""$sftCommentsCtes,
+        |$sftBestCte,
+        |pairs AS (
+        |  SELECT p.post_id, p.subreddit, p.prompt,
+        |    b.n_resp_tokens >= 13 AS accepted
+        |  FROM p JOIN best b ON p.post_id = b.post_id),
+        |${contaminationCtes(
+            "SELECT CAST(post_id AS BIGINT) AS id, prompt AS txt FROM pairs",
+            "SELECT doc_id AS id, text AS txt FROM documents WHERE doc_id % 10 = 0")},
+        |hits AS (
+        |  SELECT train_id, count(DISTINCT test_id) AS n_eval_hits
+        |  FROM j WHERE n_overlap >= 3 GROUP BY train_id)
+        |SELECT pairs.post_id, pairs.subreddit, pairs.accepted,
+        |  COALESCE(hits.n_eval_hits, 0) AS n_eval_hits,
+        |  COALESCE(hits.n_eval_hits, 0) > 0 AS contaminated
+        |FROM pairs LEFT JOIN hits
+        |  ON CAST(pairs.post_id AS BIGINT) = hits.train_id
+        |ORDER BY pairs.post_id""".stripMargin,
+    // q212: every statistic replays its own family member's shared
+    // chain — q208's best (acceptance, response tokens), q210's pair
+    // (margins), q209's per-post candidate count (+1 = turns) — then
+    // one rollup per chain and a LEFT-JOIN assembly on subreddit.
+    "q212_sft_datacard" ->
+      s"""$sftCommentsCtes,
+        |$sftBestCte,
+        |$sftPrefCtes,
+        |pag AS (
+        |  SELECT p.subreddit, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN b.n_resp_tokens >= 13 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_accepted,
+        |    round(avg(b.n_resp_tokens), 4) AS mean_resp_tokens
+        |  FROM p JOIN best b ON p.post_id = b.post_id
+        |  GROUP BY p.subreddit),
+        |prg AS (
+        |  SELECT p.subreddit, count(*) AS n_pref_pairs,
+        |    round(avg(pair.margin_tokens), 4) AS mean_margin_tokens
+        |  FROM pair JOIN p ON p.post_id = pair.post_id
+        |  GROUP BY p.subreddit),
+        |dig AS (
+        |  SELECT p.subreddit, round(avg(d.n_c + 1), 4) AS mean_turns
+        |  FROM (SELECT post_id, count(*) AS n_c FROM cr GROUP BY post_id) d
+        |  JOIN p ON p.post_id = d.post_id
+        |  GROUP BY p.subreddit),
+        |basec AS (
+        |  SELECT subreddit, count(*) AS n_posts FROM p GROUP BY subreddit)
+        |SELECT basec.subreddit, basec.n_posts,
+        |  COALESCE(pag.n_pairs, 0) AS n_pairs,
+        |  COALESCE(pag.n_accepted, 0) AS n_accepted,
+        |  pag.mean_resp_tokens,
+        |  COALESCE(prg.n_pref_pairs, 0) AS n_pref_pairs,
+        |  prg.mean_margin_tokens, dig.mean_turns
+        |FROM basec
+        |LEFT JOIN pag ON basec.subreddit = pag.subreddit
+        |LEFT JOIN prg ON basec.subreddit = prg.subreddit
+        |LEFT JOIN dig ON basec.subreddit = dig.subreddit
+        |ORDER BY basec.subreddit""".stripMargin,
   )
 
   /** Shared CTE chain for the post-training mining family
@@ -9226,6 +9334,36 @@ object SparkEntry {
     * normalization, non-empty, token counts. Byte-shared so the three
     * miners can never drift from one candidate definition.
     */
+  /** The q208 top-1 candidate CTE (`best`) over [[sftCommentsCtes]]'s
+    * `cr` — shared by q208, q211 and q212.
+    */
+  private def sftBestCte: String =
+    """best AS (
+      |  SELECT post_id, response, n_resp_tokens FROM (
+      |    SELECT cr.*, row_number() OVER (PARTITION BY post_id
+      |        ORDER BY n_resp_tokens DESC, flat_idx) AS rn FROM cr)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** The q210 chosen/rejected extremes as two ROW_NUMBER windows,
+    * ending in `pair(post_id, n_cands, chosen, rejected,
+    * margin_tokens)` — shared by q210 and q212.
+    */
+  private def sftPrefCtes: String =
+    """ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY post_id
+      |        ORDER BY n_resp_tokens DESC, flat_idx ASC) AS rc,
+      |    row_number() OVER (PARTITION BY post_id
+      |        ORDER BY n_resp_tokens ASC, flat_idx DESC) AS rr,
+      |    count(*) OVER (PARTITION BY post_id) AS n_cands
+      |  FROM cr),
+      |pair AS (
+      |  SELECT c.post_id, c.n_cands, c.response AS chosen, r.response AS rejected,
+      |    c.n_resp_tokens - r.n_resp_tokens AS margin_tokens
+      |  FROM (SELECT * FROM ranked WHERE rc = 1) c
+      |  JOIN (SELECT * FROM ranked WHERE rr = 1) r ON c.post_id = r.post_id
+      |  WHERE c.n_cands >= 2 AND c.n_resp_tokens - r.n_resp_tokens >= 1)""".stripMargin
+
   private def sftCommentsCtes: String =
     """WITH p AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS post_id, source AS subreddit,
@@ -9865,30 +10003,45 @@ object SparkEntry {
     * q158 (bloom-pruned train side) shares it verbatim — the prune is
     * a superset filter followed by the same exact join.
     */
-  private def contaminationOracleSql: String =
-    raw"""WITH toks AS (
-      |  SELECT doc_id,
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(w)-1),
+  /** Contamination chain CTEs over arbitrary train/test `(id, txt)`
+    * selects, ending in `j(test_id, train_id, n_test, n_overlap)` —
+    * the q91 trigram-shingle overlap with the train-side df cap.
+    * Byte-shared by q91, q158 (whose bloom-pruned plan must be
+    * result-identical) and q211 (SFT-prompt decontamination).
+    */
+  private def contaminationCtes(trainSel: String, testSel: String): String =
+    raw"""trd AS ($trainSel),
+      |ted AS ($testSel),
+      |trsh AS (
+      |  SELECT id, list_distinct(list_transform(range(1, len(w)-1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM toks),
+      |  FROM (SELECT id,
+      |          string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM trd)),
+      |tesh AS (
+      |  SELECT id, list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT id,
+      |          string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM ted)),
       |tr AS (
-      |  SELECT doc_id AS train_id, unnest(sh) AS s
-      |  FROM sh WHERE doc_id % 2 = 0),
+      |  SELECT id AS train_id, unnest(sh) AS s FROM trsh),
       |cap AS (
       |  SELECT s FROM tr GROUP BY s HAVING count(*) <= 10000),
       |te AS (
-      |  SELECT doc_id AS test_id, len(sh) AS n_test, unnest(sh) AS s
-      |  FROM sh WHERE doc_id % 2 = 1 AND len(sh) > 0),
+      |  SELECT id AS test_id, len(sh) AS n_test, unnest(sh) AS s
+      |  FROM tesh WHERE len(sh) > 0),
       |j AS (
       |  SELECT te.test_id, tr.train_id, te.n_test, count(*) AS n_overlap
       |  FROM te
       |  JOIN cap ON te.s = cap.s
       |  JOIN tr ON te.s = tr.s
-      |  GROUP BY te.test_id, tr.train_id, te.n_test)
+      |  GROUP BY te.test_id, tr.train_id, te.n_test)""".stripMargin
+
+  private def contaminationOracleSql: String =
+    s"""WITH ${contaminationCtes(
+         "SELECT doc_id AS id, text AS txt FROM documents WHERE doc_id % 2 = 0",
+         "SELECT doc_id AS id, text AS txt FROM documents WHERE doc_id % 2 = 1")}
       |SELECT test_id, train_id, n_overlap,
       |  round(CAST(n_overlap AS DOUBLE) / n_test, 4) AS overlap_frac
       |FROM j WHERE n_overlap >= 3
