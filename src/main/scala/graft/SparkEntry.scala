@@ -1013,6 +1013,26 @@ object SparkEntry {
       .orderBy(col("subreddit"))
   }
 
+  /** q213 — ⊕ ROUGE-L-verified near-dup pairs
+    * ([[graft.ext.Dedup.rougeVerifiedPairs]]): the Self-Instruct
+    * instruction-dedup rule — simhash banding with a VERY loose
+    * hamming gate (32 — the exact verify owns precision here, the
+    * banding only owns recall) as candidates, then the
+    * ORDER-SENSITIVE verify: ROUGE-L F1 =
+    * 2·LCS/(|a|+|b|) over word tokens (bounded to the first 40 —
+    * prompt-granularity similarity; the DP is quadratic per pair and
+    * runs only on banded candidates). The LCS row update is the
+    * scan-free running-max form so the oracle can replay the exact DP
+    * as a recursive CTE. Verdicts are flagged, not filtered, so the
+    * screen's selectivity stays visible at both thresholds.
+    */
+  private val q213RougeDedup: Q = (s, dir) => {
+    ext.Dedup.rougeVerifiedPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), maxHamming = 32, maxTokens = 40,
+        minRouge = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4795,6 +4815,7 @@ object SparkEntry {
     "q210_preference_pairs" -> q210PreferencePairs,
     "q211_sft_decontam"     -> q211SftDecontam,
     "q212_sft_datacard"     -> q212SftDatacard,
+    "q213_rouge_dedup"      -> q213RougeDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5539,6 +5560,46 @@ object SparkEntry {
         |JOIN t2 tb ON tb.doc_id = h.id_b
         |WHERE h.hamming <= 8 AND levenshtein(ta.c, tb.c) <= 40
         |ORDER BY id_a, id_b""".stripMargin,
+    // q213: the same loose banding, then the exact token-LCS DP as a
+    // RECURSIVE CTE over row index i — each new dp row is the
+    // prefix-max of h[k] = max(prev[k+1], prev[k] + eq_k) (the
+    // scan-free form Dedup.lcsLen uses), so both engines run the
+    // identical recurrence. Tokens bounded to the first 40 per side.
+    "q213_rouge_dedup" ->
+      s"""${simhashHamCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |t40 AS (
+        |  SELECT doc_id, list_slice(w, 1, 40) AS t FROM toks),
+        |pt AS (
+        |  SELECT h.id_a, h.id_b, h.hamming, ta.t AS a, tb.t AS b
+        |  FROM ham h
+        |  JOIN t40 ta ON ta.doc_id = h.id_a
+        |  JOIN t40 tb ON tb.doc_id = h.id_b
+        |  WHERE h.hamming <= 32),
+        |rec AS (
+        |  SELECT id_a AS ra, id_b AS rb, 0 AS i,
+        |    list_transform(range(0, len(b)+1), x -> 0) AS row
+        |  FROM pt
+        |  UNION ALL
+        |  SELECT r.ra, r.rb, r.i + 1,
+        |    list_prepend(0,
+        |      list_transform(range(1, len(p.b)+1), j ->
+        |        list_max(list_slice(
+        |          list_transform(range(1, len(p.b)+1), k ->
+        |            greatest(r.row[k+1],
+        |                     r.row[k] + CASE WHEN p.b[k] = p.a[r.i+1]
+        |                                THEN 1 ELSE 0 END)),
+        |          1, j)))) AS row
+        |  FROM rec r JOIN pt p ON p.id_a = r.ra AND p.id_b = r.rb
+        |  WHERE r.i < len(p.a)),
+        |fin AS (
+        |  SELECT r.ra, r.rb, r.row[-1] AS lcs
+        |  FROM rec r JOIN pt p ON p.id_a = r.ra AND p.id_b = r.rb
+        |  WHERE r.i = len(p.a))
+        |SELECT p.id_a, p.id_b, p.hamming, CAST(f.lcs AS INTEGER) AS lcs,
+        |  round(2.0 * f.lcs / (len(p.a) + len(p.b)), 4) AS rouge_l,
+        |  round(2.0 * f.lcs / (len(p.a) + len(p.b)), 4) >= 0.5 AS is_dup
+        |FROM pt p JOIN fin f ON f.ra = p.id_a AND f.rb = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
   ) ++ oracleSqlRest
 
   /** q23's full simhash derivation up to the verified `ham(id_a,

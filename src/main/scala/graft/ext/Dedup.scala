@@ -259,6 +259,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
   }
 
+  /** Token-sequence LCS length as a pure Catalyst HOF fold — the DP
+    * that order-sensitive similarity (ROUGE-L) needs, with the
+    * row-update rewritten scan-free so BOTH engines can express it:
+    * `dp[i][j] = max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1] + eq)` is a
+    * running max in `j`, so each new row is the prefix-max of
+    * `h[k] = max(prev[k+1], prev[k] + eq_k)` — no left-to-right
+    * carry, just `array_max(slice(h, 1, j))`. O(n·m²) per pair, which
+    * is why callers bound token counts ([[rougeVerifiedPairs]]'
+    * `maxTokens`) and run it on BANDED candidates only, never
+    * all-pairs. Arrays must be non-null; empty sides yield 0.
+    */
+  def lcsLen(a: Column, b: Column): Column = {
+    val m = size(b)
+    when(size(a) === 0 || m === 0, lit(0)).otherwise(
+      aggregate(
+        a,
+        transform(sequence(lit(0), m), _ => lit(0)),
+        (prev, tok) => {
+          val h = transform(sequence(lit(1), m), k =>
+            greatest(element_at(prev, k + 1),
+              element_at(prev, k) +
+                when(element_at(b, k) === tok, 1).otherwise(0)))
+          concat(array(lit(0)),
+            transform(sequence(lit(1), m), j =>
+              array_max(slice(h, lit(1), j))))
+        },
+        acc => element_at(acc, -1)))
+  }
+
+  /** ⊕ ROUGE-L-verified near-dup pairs — the Self-Instruct (Wang et
+    * al. 2023) instruction-dedup rule made distributed: a new
+    * instruction is a duplicate when its ROUGE-L F1 against an
+    * existing one exceeds a threshold. Same blocking+verify shape as
+    * [[editVerifiedPairs]] (loose simhash banding → exact verify),
+    * but the verify is ORDER-SENSITIVE: ROUGE-L F1 =
+    * 2·LCS(a, b) / (|a| + |b|) over word tokens, so shuffled
+    * bags-of-words that fool Jaccard score low here. Tokens are
+    * bounded to the first `maxTokens` per side (prompt-granularity
+    * similarity — the DP is quadratic per pair), and every candidate
+    * pair is emitted with its verdict (flag, not filter) so the
+    * screen's selectivity stays visible.
+    */
+  def rougeVerifiedPairs(df: DataFrame, id: Column, text: Column,
+                         maxHamming: Int = 8, maxTokens: Int = 40,
+                         minRouge: Double = 0.5,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val toks = df.select(id.as("id"),
+      slice(split(graft.ops.Text.cleanText(lower(text)), " "),
+        1, maxTokens).as("__t"))
+    simhashNearDup(df, id, text, maxHamming, maxBucket)
+      .join(toks.select(col("id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("lcs", lcsLen(col("__ta"), col("__tb")))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("lcs"),
+        round(lit(2.0) * col("lcs") / (size(col("__ta")) + size(col("__tb"))), 4)
+          .as("rouge_l"))
+      .withColumn("is_dup", col("rouge_l") >= minRouge)
+  }
+
   /** Banded hamming self-join over ANY 64-bit signature column
     * (`(id, sig)` rows): 4×16-bit bands bucket the candidates, so the
     * pair set is COMPLETE for `maxHamming` ≤ 3 by pigeonhole (a pair

@@ -446,4 +446,53 @@ class DedupSpec extends SparkSuite {
     assert(loose.exists(p => p._1 == 3L || p._2 == 3L), s"tail doc never paired: $loose")
     assert(!loose.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $loose")
   }
+
+  test("lcsLen matches the classic DP on random sequences and edges") {
+    import spark.implicits._
+    def refLcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(20260814L)
+    val alphabet = Vector("a", "b", "c", "d")
+    val cases = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq("q"), Seq("r")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "a", "b"), Seq("a", "b", "a"))) ++
+      (1 to 40).map { _ =>
+        (Seq.fill(rng.nextInt(12))(alphabet(rng.nextInt(4))),
+         Seq.fill(rng.nextInt(12))(alphabet(rng.nextInt(4))))
+      }
+    val got = cases.toDF("a", "b")
+      .select(Dedup.lcsLen(col("a"), col("b")).as("l"))
+      .as[Int].collect().toSeq
+    val want = cases.map { case (a, b) => refLcs(a, b) }
+    assert(got == want, s"lcsLen mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("rougeVerifiedPairs: order sensitivity — swapped words score below the identical pair") {
+    import spark.implicits._
+    val base = (1 to 8).map(i =>
+      s"step $i mix the flour and water then knead the dough gently").mkString(" ")
+    // swap two adjacent words once: same bag of words, different
+    // order — nearly all shingles survive so it stays a banding
+    // candidate, but LCS (order-sensitive) drops below 1
+    val swapped = base.replaceFirst("the flour", "flour the")
+    val docs = Seq(1L -> base, 2L -> base, 3L -> swapped).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.rougeVerifiedPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 32, maxTokens = 40, minRouge = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(got((1L, 2L)) == 1.0, s"identical pair must score 1.0: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) < 1.0,
+      s"swapped pair must be a candidate scoring < 1: $got")
+    // Jaccard over the same word sets would be 1.0 for (1,3) — the
+    // LCS penalty is what ROUGE-L adds
+    assert(got((1L, 3L)) > 0.7, s"swap penalty should be mild: $got")
+  }
 }
