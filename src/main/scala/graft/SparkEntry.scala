@@ -1033,6 +1033,36 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q214 — ⊕ trained hashed-LR quality classifier
+    * ([[graft.ext.Classify.logisticFit]]): the fastText-shaped linear
+    * screen (Joulin 2017; the CCNet/LLaMA "reference corpus"
+    * classifier) with the feature-hashing trick — 64 hashed presence
+    * dims + bias, 8 full-batch GD steps at Robbins–Monro 1/t decay,
+    * integer nano-unit weights throughout (the q154
+    * quantize-at-birth convention; the ONLY transcendental site is
+    * the per-(doc, iter) residual floor, guard-band-audited in
+    * LrSpec). Labels are the q200/q207 stop-word-tail decoration
+    * (every third doc is "reference-like"); trained on the q154
+    * split (doc_id % 10 ≠ 0), scored over the FULL corpus — scoring
+    * is one row-local integer fold per doc, no join, no shuffle: the
+    * deployment shape at 100 TB. The fit separates the fixtures
+    * perfectly (500/500 hit) — measured, not assumed.
+    */
+  private val q214QualityLr: Q = (s, dir) => {
+    val dec = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the and that have with."))
+          .otherwise(lit(""))).as("__t"))
+    val model = ext.Classify.logisticFit(
+      dec.filter(col("doc_id") % 10 =!= 0),
+      (col("doc_id") % 3 === 0).cast("int"), col("__t"))
+    ext.Classify.logisticScore(model, dec, col("doc_id"), col("__t"))
+      .select(col("id").as("doc_id"), (col("id") % 3 === 0).as("is_ref"),
+        col("pred"), col("margin_units"),
+        (col("pred") === (col("id") % 3 === 0)).as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4816,6 +4846,7 @@ object SparkEntry {
     "q211_sft_decontam"     -> q211SftDecontam,
     "q212_sft_datacard"     -> q212SftDatacard,
     "q213_rouge_dedup"      -> q213RougeDedup,
+    "q214_quality_lr"       -> q214QualityLr,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9073,6 +9104,10 @@ object SparkEntry {
     // q155: the full training loop replayed as chained CTEs — same
     // sentinel encoding, same literal-replace merge semantics, same
     // (count DESC, pair ASC) argmax tie-break.
+    // q214: the hashed-LR training loop unrolled (the q155 stance
+    // applied to gradient descent) — 5 iteration CTE blocks, integer
+    // nano-unit weights, the pmod floor-division step.
+    "q214_quality_lr" -> lrOracleSql(64, 8, 1L, 1L),
     "q155_bpe_train" -> bpeOracleSql(8),
     // q156: q143/q148's byte-shared chain with the FIT restricted to
     // yesterday's rows and assignment/encoding over the full corpus —
@@ -9683,6 +9718,73 @@ object SparkEntry {
     * (doc_id, pred, score_units, rn) and `te` (doc_id, actual, text)
     * to the caller's readout.
     */
+  /** q214's full hashed-LR training loop replayed as chained CTEs —
+    * one (score, residual, gradient, weight-update) CTE block per GD
+    * iteration, all arithmetic in integer nano-units: the margin is
+    * an integer sum over the weight table, the residual is the SAME
+    * single floor-quantization site the Spark side computes, and the
+    * weight step is the pmod floor-division identity so both engines
+    * floor (never truncate) negative gradients identically.
+    */
+  private def lrOracleSql(dims: Int, iters: Int,
+                          lrNum: Long, lrDen: Long): String = {
+    def fdiv(a: String, b: String): String =
+      s"($a - (($a % $b + $b) % $b)) // $b"
+    val iterCtes = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      val g = s"${lrNum} * COALESCE(g.g, 0)"
+      // 1/t step decay: the denominator literal grows per iteration
+      val d = s"(${lrDen * i} * nn.n)"
+      s"""s$i AS (
+        |  SELECT f.doc_id, max(f.y) AS y, sum(w.wt) AS wx
+        |  FROM fx f JOIN $pw w ON w.dim = f.dim GROUP BY f.doc_id),
+        |r$i AS (
+        |  SELECT doc_id,
+        |    CAST(floor((1.0 / (1.0 + exp(-CAST(wx AS DOUBLE) / 1e9)) - y)
+        |               * 1e9 + 0.5) AS BIGINT) AS r
+        |  FROM s$i),
+        |g$i AS (
+        |  SELECT f.dim, sum(r.r) AS g
+        |  FROM fx f JOIN r$i r USING (doc_id) GROUP BY f.dim),
+        |w$i AS (
+        |  SELECT w.dim, w.wt - CAST(${fdiv(s"($g)", d)} AS BIGINT) AS wt
+        |  FROM $pw w LEFT JOIN g$i g USING (dim) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH dec AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0 THEN ' the and that have with.'
+      |                 ELSE '' END AS txt,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |dd AS (
+      |  SELECT doc_id, y,
+      |    list_prepend(-1, list_distinct(list_transform(
+      |      string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' '),
+      |      t -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(t) + 1),
+      |               i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |             (h, c) -> (h * 31 + c) % 2147483648) % $dims AS INTEGER))))
+      |      AS dims
+      |  FROM dec),
+      |fx AS (
+      |  SELECT doc_id, y, CAST(unnest(dims) AS INTEGER) AS dim
+      |  FROM dd WHERE doc_id % 10 <> 0),
+      |nn AS (SELECT count(DISTINCT doc_id) AS n FROM fx),
+      |w0 AS (
+      |  SELECT CAST(u AS INTEGER) AS dim, CAST(0 AS BIGINT) AS wt
+      |  FROM (SELECT unnest(range(-1, $dims)) AS u)),
+      |$iterCtes,
+      |sc AS (
+      |  SELECT d2.doc_id, sum(w.wt) AS wx
+      |  FROM (SELECT doc_id, CAST(unnest(dims) AS INTEGER) AS dim FROM dd) d2
+      |  JOIN w$iters w ON w.dim = d2.dim GROUP BY d2.doc_id)
+      |SELECT dd.doc_id, dd.y = 1 AS is_ref, sc.wx >= 0 AS pred,
+      |  CAST(sc.wx AS BIGINT) AS margin_units,
+      |  (sc.wx >= 0) = (dd.y = 1) AS hit
+      |FROM dd JOIN sc USING (doc_id)
+      |ORDER BY dd.doc_id""".stripMargin
+  }
+
   private def nbOracleSql(label: String, trainWhere: String,
                           testWhere: String, readout: String): String =
     raw"""WITH tr AS (

@@ -138,4 +138,154 @@ object Classify {
         Seq(desc("score_units"), asc("label")), 1)
       .select(col("__id").as("id"), col("label").as("pred"), col("score_units"))
   }
+
+  // --------------------------------------------------------------------
+  // ⊕ Hashed logistic regression — the fastText-shaped quality
+  // classifier (Joulin et al. 2017 bag-of-features linear model;
+  // CCNet/LLaMA train exactly this against a reference corpus) with
+  // the feature-hashing trick (Weinberger et al. 2009) so model size
+  // is FIXED at `dims` weights regardless of vocabulary.
+  //
+  // Scale shape: each GD iteration is ONE map-side-combinable integer
+  // aggregation over the labeled sample (never the corpus) producing
+  // `dims + 1` gradient rows; the weight vector lives on the driver
+  // (bounded model state, the centroid/codebook stance) and re-enters
+  // each pass as a literal array. Scoring the full corpus is one
+  // row-local fold per document — no join, no shuffle.
+  //
+  // Determinism (the oracle contract): weights are integer NANO-UNITS
+  // throughout. The per-doc margin Σ w[d] is exact integer summation;
+  // the ONLY transcendental site is the per-(doc, iteration) residual
+  // quantization floor((σ(margin/1e9) − y)·1e9 + 0.5), audited by
+  // [[residualInputs]] exactly like the Naive Bayes `ln` sites; the
+  // weight update runs in driver-side Math.floorDiv — exact integer
+  // arithmetic end to end, order-free under any partitioning.
+  // --------------------------------------------------------------------
+
+  /** Fitted hashed-LR model: integer nano-unit bias + one weight per
+    * hashed dimension.
+    */
+  final case class LrModel(bias: Long, w: Seq[Long])
+
+  /** Distinct hashed PRESENCE features of a document: each token maps
+    * to `polyHash31(token) mod dims` (h = (h·31 + codepoint) mod 2³¹ —
+    * integer arithmetic both engines express natively; md5 would work
+    * but costs a digest per token where this is two multiplies).
+    * Binary presence (not counts) keeps the margin bounded by
+    * `dims·max|w|` so σ never needs feature scaling.
+    */
+  def hashedDims(textCol: Column, dims: Int): Column =
+    array_distinct(transform(TextAnalysis.tokens(textCol), t =>
+      (polyHash31(t) % dims).cast("int")))
+
+  /** h = (h·31 + codepoint) mod 2³¹ over the string's characters —
+    * via explicit 1-based substr indexing so the character walk is
+    * structurally identical in both engines (no splitter
+    * empty-trailing-element ambiguity). Empty string hashes to 0.
+    */
+  private def polyHash31(t: Column): Column =
+    when(length(t) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+        lit(0L), (h, c) => (h * 31 + c) % 2147483648L))
+
+  /** Margin in nano-units for one document given literal weights:
+    * bias + Σ_{d ∈ dims present} w[d] — a row-local integer fold.
+    */
+  private def marginUnits(dimsCol: Column, model: LrModel): Column = {
+    val wLit = array(model.w.map(v => lit(v)): _*)
+    lit(model.bias) + aggregate(dimsCol, lit(0L),
+      (acc, d) => acc + element_at(wLit, d + 1))
+  }
+
+  /** Per-row residual nano-units at the current weights:
+    * floor((σ(wx/1e9) − y)·1e9 + 0.5) — the one quantize-at-birth
+    * site (see [[residualInputs]] for the guard-band audit surface).
+    */
+  private def residualUnits(wx: Column, y: Column): Column =
+    floor((lit(1.0) / (lit(1.0) + exp(-wx.cast("double") / 1e9))
+      - y.cast("double")) * 1e9 + 0.5).cast("long")
+
+  /** The shared GD loop over a prepared `(__y, __d)` feature table —
+    * [[logisticFit]] runs it for the model, [[residualInputs]] runs
+    * it with the trace on; ONE loop so the audited residuals are
+    * exactly the residuals the fit quantizes (the [[fitRaw]] stance).
+    */
+  private def gdLoop(feats: DataFrame, dims: Int, iters: Int,
+                     lrNum: Long, lrDen: Long,
+                     trace: Boolean): (LrModel, Option[DataFrame]) = {
+    val n = feats.count()
+    var model = LrModel(0L, Vector.fill(dims)(0L))
+    var traced: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val wx = marginUnits(col("__d"), model)
+      if (trace) {
+        val x = (lit(1.0) / (lit(1.0) + exp(-wx.cast("double") / 1e9))
+          - col("__y").cast("double")) * 1e9 + 0.5
+        val slice = feats.select(lit(it).as("iter"), x.as("x"))
+        traced = Some(traced.map(_.unionAll(slice)).getOrElse(slice))
+      }
+      // bias rides along as dim −1: one exploded integer aggregation
+      // yields every gradient component (≤ dims + 1 rows collected)
+      val grad = feats
+        .select(residualUnits(wx, col("__y")).as("__r"),
+          explode(concat(array(lit(-1)), col("__d"))).as("__dim"))
+        .groupBy(col("__dim")).agg(sum(col("__r")).as("__g"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      // Robbins–Monro 1/t step decay keeps full-batch GD from
+      // oscillating at count-scale margins — and `lrDen·n·t` stays an
+      // integer denominator, so the decayed step is still exact
+      def step(g: Long): Long = Math.floorDiv(lrNum * g, lrDen * n * it)
+      model = LrModel(
+        model.bias - step(grad.getOrElse(-1, 0L)),
+        Vector.tabulate(dims)(d => model.w(d) - step(grad.getOrElse(d, 0L))))
+    }
+    (model, traced)
+  }
+
+  /** Fit by `iters` full-batch gradient-descent steps at decaying
+    * learning rate `lrNum/(lrDen·t)`:
+    * w ← w − floorDiv(lrNum·Σ r·x, lrDen·n·t). `labelCol` must be
+    * 0/1. The labeled sample is persisted for the `iters` passes (it
+    * is the SAMPLE, not the corpus — the training set of a quality
+    * classifier is small by construction). Defaults measured on the
+    * fixtures: 64 presence dims at lr 1/t separate the stop-word
+    * decoration perfectly by step 5.
+    */
+  def logisticFit(train: DataFrame, labelCol: Column, textCol: Column,
+                  dims: Int = 64, iters: Int = 8,
+                  lrNum: Long = 1L, lrDen: Long = 1L): LrModel = {
+    val feats = train.select(labelCol.cast("long").as("__y"),
+        hashedDims(textCol, dims).as("__d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try gdLoop(feats, dims, iters, lrNum, lrDen, trace = false)._1
+    finally { feats.unpersist() }
+  }
+
+  /** Score `docs`: `(id, margin_units, pred)` — pred = margin ≥ 0.
+    * Row-local, no shuffle; margins are exact integers so the full
+    * row is safe across an engine boundary.
+    */
+  def logisticScore(model: LrModel, docs: DataFrame,
+                    idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("id"),
+        marginUnits(hashedDims(textCol, model.w.length), model)
+          .as("margin_units"))
+      .withColumn("pred", col("margin_units") >= 0)
+
+  /** Every pre-floor residual value the fit quantizes, one row per
+    * (iteration, doc): `(iter, x)` where the quantized residual is
+    * `floor(x)`. LrSpec asserts each `x` sits ≥ 1e-5 nano-units from
+    * its floor bin edge — cross-libm `exp` last-ulp drift moves `x`
+    * by ~1e-7, so the contract is CHECKED with a 100× margin rather
+    * than lucky (the [[quantizationInputs]] convention).
+    */
+  private[graft] def residualInputs(train: DataFrame, labelCol: Column,
+                                    textCol: Column, dims: Int = 64,
+                                    iters: Int = 8, lrNum: Long = 1L,
+                                    lrDen: Long = 1L): DataFrame = {
+    val feats = train.select(labelCol.cast("long").as("__y"),
+      hashedDims(textCol, dims).as("__d"))
+    gdLoop(feats, dims, iters, lrNum, lrDen, trace = true)._2.get
+  }
 }

@@ -117,4 +117,61 @@ class ClassifySpec extends SparkSuite {
       .select(col("id"), col("pred")).as[(Long, String)].collect().toMap
     assert(preds == Map(1L -> "pos", 2L -> "neg", 3L -> "pos"))
   }
+
+  // ---- hashed logistic regression (q214) ----
+
+  test("hashedDims matches the reference polynomial hash") {
+    def refHash(t: String): Long = {
+      var h = 0L
+      t.foreach(c => h = (h * 31 + c.toInt) % 2147483648L)
+      h
+    }
+    // no empty token: cleanText collapses whitespace, so tokens()
+    // can never emit one
+    val toks = Seq("with.", "the", "engine", "Zz9")
+    // tokens() lower-cases, so feed pre-lowered text and check dims
+    val got = Seq(toks.mkString(" ")).toDF("text")
+      .select(Classify.hashedDims(col("text"), 64).as("d"))
+      .as[Seq[Int]].collect().head.toSet
+    val want = toks.map(t => (refHash(t.toLowerCase) % 64).toInt).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("logisticFit separates a synthetic screen and is partitioning-invariant") {
+    val mk = (id: Long, spam: Boolean) =>
+      (id, if (spam) s"buy now cheap pills offer $id" else s"regular prose about engines $id",
+        if (spam) 1 else 0)
+    val rows = (1L to 80L).map(i => mk(i, i % 2 == 0))
+    val tr = rows.toDF("id", "text", "y")
+    val m1 = Classify.logisticFit(tr, col("y"), col("text"))
+    val m2 = Classify.logisticFit(tr.repartition(7, col("id")), col("y"), col("text"))
+    assert(m1 == m2, "model must be identical under any partitioning")
+    val scored = Classify.logisticScore(m1, tr, col("id"), col("text"))
+      .join(tr.select(col("id"), col("y")), "id")
+      .select((col("pred") === (col("y") === 1)).as("hit"))
+      .filter(!col("hit")).count()
+    assert(scored == 0, s"$scored training rows misclassified on a separable set")
+  }
+
+  test("q214 guard band: residual quantization inputs sit far from bin edges") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" the and that have with."))
+              .otherwise(lit(""))).as("t"))
+      val xs = Classify.residualInputs(docs.filter(col("doc_id") % 10 =!= 0),
+        (col("doc_id") % 3 === 0).cast("int"), col("t"))
+      val fr = col("x") - floor(col("x"))
+      val worst = xs.select(col("iter"), col("x"),
+          least(fr, lit(1.0) - fr).as("dist"))
+        .orderBy(col("dist")).limit(1).collect()(0)
+      assert(worst.getDouble(2) >= 1e-5,
+        s"$dir: residual input x=${worst.getDouble(1)} at iter " +
+          s"${worst.getInt(0)} sits ${worst.getDouble(2)} units from a " +
+          "floor bin edge - inside the cross-libm exp knife edge; " +
+          "adjust lr/iters")
+    }
+  }
 }
