@@ -1063,6 +1063,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q215 — ⊕ reward-scored best-of-n mining (rejection sampling —
+    * the Constitutional-AI/Llama-2 "sample n, keep the
+    * reward-argmax" construction over the reference's candidate
+    * model): every q208 candidate response is scored under the q93
+    * char-bigram reward LM ([[graft.ext.TextAnalysis.lmScore]] —
+    * standing in for a trained reward model, exactly as it stands in
+    * for hashed n-gram LMs in q107), and the per-post winner is kept
+    * by a window-free `max_by` on the (reward, −flat_idx) struct —
+    * the q210 combinable-aggregation shape: each partition ships at
+    * most one candidate per post to the exchange. Candidates without
+    * bigram evidence are out of reward scope (the q93 stance).
+    * Oracle: the shared sftCommentsCtes chain + the shared
+    * [[lmScoreCtes]] reward chain + a two-window replay proving the
+    * aggregation picks the window's endpoint.
+    */
+  private val q215BestOfN: Q = (s, dir) => {
+    val cands = ext.Posttrain.candidateResponses(docsAsComments(s, dir))
+      .withColumn("__sid",
+        concat_ws("#", col("post_id"), col("flat_idx")))
+    val lm = ext.TextAnalysis.charBigramLm(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmScore(cands, col("__sid"),
+      col("response"), lm)
+    cands.join(scored, cands("__sid") === scored("doc_id"))
+      .groupBy(col("post_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        max_by(struct(col("response"), col("lm_score")),
+            struct(col("lm_score"), (col("flat_idx") * -1).as("nidx")))
+          .as("__best"))
+      .select(col("post_id"), col("n_cands"),
+        col("__best.response").as("chosen"),
+        col("__best.lm_score").as("reward"))
+      .orderBy(col("post_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4847,6 +4882,7 @@ object SparkEntry {
     "q212_sft_datacard"     -> q212SftDatacard,
     "q213_rouge_dedup"      -> q213RougeDedup,
     "q214_quality_lr"       -> q214QualityLr,
+    "q215_best_of_n"        -> q215BestOfN,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9421,6 +9457,29 @@ object SparkEntry {
         |LEFT JOIN prg ON basec.subreddit = prg.subreddit
         |LEFT JOIN dig ON basec.subreddit = dig.subreddit
         |ORDER BY basec.subreddit""".stripMargin,
+    // q215: the shared candidate chain + the shared reward-LM chain
+    // (lmScoreCtes over candidate responses), then the two-window
+    // replay of the max_by endpoint (the q210 proof shape).
+    "q215_best_of_n" ->
+      s"""$sftCommentsCtes,
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT post_id || '#' || CAST(flat_idx AS VARCHAR) AS sid, " +
+              "response AS txt FROM cr")},
+        |j AS (
+        |  SELECT cr.post_id, cr.flat_idx, cr.response, s.lm_score
+        |  FROM cr JOIN scored s
+        |    ON s.sid = cr.post_id || '#' || CAST(cr.flat_idx AS VARCHAR)),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY post_id
+        |        ORDER BY lm_score DESC, flat_idx ASC) AS rn,
+        |    count(*) OVER (PARTITION BY post_id) AS n_cands
+        |  FROM j)
+        |SELECT post_id, CAST(n_cands AS BIGINT) AS n_cands,
+        |  response AS chosen, lm_score AS reward
+        |FROM rk WHERE rn = 1
+        |ORDER BY post_id""".stripMargin,
   )
 
   /** Shared CTE chain for the post-training mining family
@@ -10565,28 +10624,50 @@ object SparkEntry {
     * lm_score)`. One definition so the score view (q93) and the
     * CCNet bucket view (q196) can never drift.
     */
-  private def lmChainCtes: String =
-    raw"""WITH t AS (
-        |  SELECT doc_id,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, substring(c, CAST(i.i AS INTEGER), 2) AS bg
-        |  FROM t, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+  /** Parameterized char-bigram LM chain (the q91→contaminationCtes
+    * stance applied to the q93 reward model): `train` yields `(txt)`
+    * rows the model counts, `score` yields `(sid, txt)` rows to
+    * score; emits BODY-ONLY CTEs ending in
+    * `scored($idAlias, lm_score)` so callers compose it into their
+    * own WITH chains. q93/q196 instantiate it over `documents`;
+    * q215 scores SFT candidate responses under the same model — one
+    * definition, so reward scoring can never drift between the
+    * corpus screen and the best-of-n miner.
+    */
+  private def lmScoreCtes(train: String, score: String,
+                          idAlias: String = "sid"): String =
+    raw"""ttr AS (
+        |  SELECT lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
+        |  FROM ($train)),
+        |tsc AS (
+        |  SELECT sid, lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
+        |  FROM ($score)),
+        |bgt AS (
+        |  SELECT substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM ttr, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
         |  WHERE length(c) >= 2),
-        |cnt AS (
-        |  SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
+        |cnt AS (SELECT bg, count(*) AS c FROM bgt GROUP BY bg),
         |tot AS (SELECT sum(c) AS total FROM cnt),
         |model AS (
         |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
         |  FROM cnt CROSS JOIN tot),
         |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot),
+        |bgs AS (
+        |  SELECT sid, substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM tsc, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
         |scored AS (
-        |  SELECT bg.doc_id,
+        |  SELECT bgs.sid AS $idAlias,
         |    round(avg(coalesce(model.logp, flr.f)), 4) AS lm_score
-        |  FROM bg CROSS JOIN flr
-        |  LEFT JOIN model ON bg.bg = model.bg
-        |  GROUP BY bg.doc_id)""".stripMargin
+        |  FROM bgs CROSS JOIN flr
+        |  LEFT JOIN model ON bgs.bg = model.bg
+        |  GROUP BY bgs.sid)""".stripMargin
+
+  private def lmChainCtes: String =
+    "WITH " + lmScoreCtes(
+      "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+      "SELECT doc_id AS sid, text AS txt FROM documents",
+      idAlias = "doc_id")
 
   /** Shared q97/q189 cover chain: tokenized docs `t(doc_id, w)`,
     * 10-gram md5 windows `win`, the ≥2-repeated gate `rep`, and the
