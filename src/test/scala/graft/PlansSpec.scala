@@ -144,7 +144,10 @@ class PlansSpec extends SparkSuite {
       "q196_ccnet_buckets",
       // the recall measurements' EXACT side is the labeled q24 brute
       // baseline (broadcast query table × corpus)
-      "q198_ann_recall", "q202_pq_recall_nprobe")
+      "q198_ann_recall", "q202_pq_recall_nprobe",
+      // candidate responses × the reward LM's single-row OOV floor —
+      // the q93 normalizer stance (ext/TextAnalysis.lmScore)
+      "q215_best_of_n")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
