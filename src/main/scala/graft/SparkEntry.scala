@@ -1098,6 +1098,26 @@ object SparkEntry {
       .orderBy(col("post_id"))
   }
 
+  /** q216 — ⊕ k-anonymity release screen
+    * ([[graft.ext.Redact.kAnonymize]]): the metadata-privacy step of
+    * a corpus release (Sweeney 2002) — each document's
+    * (lang, source) quasi-identifier tuple is released at the first
+    * generalization level whose group reaches k = 4 members
+    * (level 0 = full detail, 1 = source wildcarded, 2 = fully
+    * suppressed). ONE rollup pass computes every level's group sizes;
+    * the distinct-QI level tables broadcast back — the corpus is
+    * touched once, no window, no per-level re-shuffle. Both release
+    * levels occur at oracle scale (singleton (lang, source) cells
+    * generalize; every lang clears k).
+    */
+  private val q216KAnonymity: Q = (s, dir) => {
+    ext.Redact.kAnonymize(Tables.documents(s, dir), col("doc_id"),
+        Seq("lang" -> col("lang"), "source" -> col("source")), k = 4L)
+      .select(col("id").as("doc_id"), col("lang_out"), col("source_out"),
+        col("anon_level"), col("group_n"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4883,6 +4903,7 @@ object SparkEntry {
     "q213_rouge_dedup"      -> q213RougeDedup,
     "q214_quality_lr"       -> q214QualityLr,
     "q215_best_of_n"        -> q215BestOfN,
+    "q216_k_anonymity"      -> q216KAnonymity,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -5667,6 +5688,28 @@ object SparkEntry {
         |  round(2.0 * f.lcs / (len(p.a) + len(p.b)), 4) >= 0.5 AS is_dup
         |FROM pt p JOIN fin f ON f.ra = p.id_a AND f.rb = p.id_b
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    // q216: the three generalization strata as plain GROUP BYs, the
+    // first-level-clearing-k CASE, and the released group's size.
+    "q216_k_anonymity" ->
+      """WITH l0 AS (
+        |  SELECT lang, source, count(*) AS n0 FROM documents GROUP BY 1, 2),
+        |l1 AS (SELECT lang, count(*) AS n1 FROM documents GROUP BY 1),
+        |l2 AS (SELECT count(*) AS n2 FROM documents),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, d.source, l0.n0, l1.n1, l2.n2,
+        |    CASE WHEN l0.n0 >= 4 THEN 0 WHEN l1.n1 >= 4 THEN 1
+        |         ELSE 2 END AS anon_level
+        |  FROM documents d
+        |  JOIN l0 ON l0.lang = d.lang AND l0.source = d.source
+        |  JOIN l1 ON l1.lang = d.lang
+        |  CROSS JOIN l2)
+        |SELECT doc_id,
+        |  CASE WHEN anon_level <= 1 THEN lang ELSE '*' END AS lang_out,
+        |  CASE WHEN anon_level <= 0 THEN source ELSE '*' END AS source_out,
+        |  CAST(anon_level AS INTEGER) AS anon_level,
+        |  CAST(CASE anon_level WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END
+        |       AS BIGINT) AS group_n
+        |FROM j ORDER BY doc_id""".stripMargin,
   ) ++ oracleSqlRest
 
   /** q23's full simhash derivation up to the verified `ham(id_a,

@@ -42,4 +42,65 @@ object Redact {
     val i = regexp_replace(e, Ipv4Re, "<IP>")
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
+
+  /** ⊕ k-anonymity with progressive generalization (Sweeney 2002 —
+    * the metadata-release side of corpus privacy, next to the text
+    * side above): each row's quasi-identifier tuple is released at
+    * the FIRST prefix level whose group reaches `k` members,
+    * generalizing right-to-left — level 0 releases every QI, level
+    * `i` wildcards the last `i` columns, level `qis.length` is full
+    * suppression. Output: the input's `id`, one `<name>_out` per QI
+    * (`*` where generalized), `anon_level`, and `group_n` (the size
+    * of the group actually released — ≥ k by construction except at
+    * full suppression, where it is the table size).
+    *
+    * Scale shape: ONE `rollup` aggregation computes every prefix
+    * level's group sizes in a single map-side-combinable pass; the
+    * level tables are distinct-QI-sized (≪ corpus) and BROADCAST
+    * back, one left join per level — no row explosion, no window, no
+    * per-level corpus re-shuffle. At 100 TB the corpus is touched
+    * once.
+    */
+  def kAnonymize(df: org.apache.spark.sql.DataFrame, id: Column,
+                 qis: Seq[(String, Column)], k: Long):
+      org.apache.spark.sql.DataFrame = {
+    require(qis.nonEmpty, "need at least one quasi-identifier")
+    val names = qis.map(_._1)
+    val base = df.select(id.as("id") +: qis.map { case (n, c) => c.as(n) }: _*)
+    // one pass: group sizes at every QI-prefix level (+ grand total);
+    // grouping() markers disambiguate rollup nulls from data nulls
+    val counts = base.rollup(names.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        names.map(n => grouping(col(n)).as(s"__g_$n")): _*)
+    var out = base
+    // level L (0 = full detail … names.length = fully suppressed):
+    // the rollup stratum where the first (length - L) QIs are
+    // concrete and the last L are rolled up
+    for (level <- 0 to names.length) {
+      val kept = names.take(names.length - level)
+      val lvl = counts
+        .filter(names.map(n =>
+            col(s"__g_$n") === (if (kept.contains(n)) 0 else 1))
+          .reduce(_ && _))
+        .select(kept.map(col) :+ col("__n").as(s"__n$level"): _*)
+      out =
+        if (kept.isEmpty) out.crossJoin(broadcast(lvl))
+        else out.join(broadcast(lvl), kept, "left")
+    }
+    // first level whose group clears k; nothing clears → suppress
+    val lvlCol = coalesce(
+      (0 until names.length).map(l =>
+        when(col(s"__n$l") >= k, lit(l))) :+ lit(names.length): _*)
+    val withLvl = out.withColumn("anon_level", lvlCol)
+    // QI at index i survives while fewer than (length - i) columns
+    // are generalized: released iff anon_level <= length - 1 - i
+    val outCols = names.zipWithIndex.map { case (n, i) =>
+      when(col("anon_level") <= names.length - 1 - i, col(n))
+        .otherwise(lit("*")).as(s"${n}_out")
+    }
+    val groupN = coalesce((0 to names.length).map(l =>
+      when(col("anon_level") === l, col(s"__n$l"))): _*)
+    withLvl.select(col("id") +: outCols :+
+      col("anon_level") :+ groupN.as("group_n"): _*)
+  }
 }

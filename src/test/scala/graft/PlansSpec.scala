@@ -147,7 +147,10 @@ class PlansSpec extends SparkSuite {
       "q198_ann_recall", "q202_pq_recall_nprobe",
       // candidate responses × the reward LM's single-row OOV floor —
       // the q93 normalizer stance (ext/TextAnalysis.lmScore)
-      "q215_best_of_n")
+      "q215_best_of_n",
+      // corpus × the single-row grand-total stratum of the rollup —
+      // the full-suppression level's group size (ext/Redact.kAnonymize)
+      "q216_k_anonymity")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's

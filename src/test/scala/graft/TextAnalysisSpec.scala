@@ -453,4 +453,39 @@ class TextAnalysisSpec extends SparkSuite {
       .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
     assert(rep == got)
   }
+
+  test("kAnonymize: all three levels, k-boundary, and data-null QI disambiguation") {
+    import spark.implicits._
+    // (a, x): 3 rows — clears k=3 at level 0
+    // (a, y): 1 row  — level 0 fails, lang 'a' has 4 ≥ 3 → level 1
+    // (b, z): 1 row  — lang 'b' has 2 < 3 → level 2 (full suppression)
+    // (b, NULL): a DATA null QI — never matches a release cell (join
+    //            null semantics) so it generalizes; and without the
+    //            grouping() markers its (b, NULL) count row would be
+    //            indistinguishable from the lang-'b' rollup STRATUM
+    //            row, duplicating lang=b rows through the level-1
+    //            join (the 6-row assert below catches that)
+    val rows = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "a", "y"),
+      (5L, "b", "z"), (6L, "b", null))
+      .toDF("id", "lang", "src")
+    val got = graft.ext.Redact.kAnonymize(rows, col("id"),
+        Seq("lang" -> col("lang"), "src" -> col("src")), k = 3L)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", "x", 0, 3L), (2L, "a", "x", 0, 3L), (3L, "a", "x", 0, 3L),
+      (4L, "a", "*", 1, 4L),
+      (5L, "*", "*", 2, 6L), (6L, "*", "*", 2, 6L)), s"got $got")
+    // partitioning invariance: every count is one rollup aggregation
+    val rep = graft.ext.Redact.kAnonymize(rows.repartition(4), col("id"),
+        Seq("lang" -> col("lang"), "src" -> col("src")), k = 3L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(rep == got)
+  }
 }
