@@ -1118,6 +1118,57 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q217 — ⊕ post-training capstone: the train-ready SFT export —
+    * the family's q197/q177-style end-to-end chain, every stage
+    * byte-sharing the oracle of its own query: pairs mined (q208) →
+    * decontaminated against the held-out benchmark (q211's trigram
+    * screen) → reward-gated above the bottom tercile of the q215
+    * reward LM's scores (the q196 CCNet cut applied to responses:
+    * drop the tail bucket) → deterministic 80/10/10 split assignment
+    * (q81's md5-bucket convention). Only the acceptance flag, the
+    * decontam verdict, the reward cut and the split compose — no new
+    * operator semantics, which is the point: a capstone hash pins
+    * the COMPOSITION. Pairs without bigram evidence are out of
+    * reward scope (the q93 stance).
+    */
+  private val q217SftExport: Q = (s, dir) => {
+    // the mined-pairs table is the artifact a real mining run
+    // materializes between stages; three consumers below (decontam
+    // train side, reward scoring, final assembly) would otherwise
+    // re-evaluate the whole posts+comments window chain (the q166
+    // staging lesson)
+    val pairs = ext.Posttrain.sftPairs(docsAsPosts(s, dir),
+      docsAsComments(s, dir), minResponseTokens = 13).localCheckpoint()
+    val evalSet = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+    val contaminated = ext.Dedup.contaminationPairs(
+        pairs.select(col("post_id").cast("long").as("id"),
+          col("prompt").as("text")),
+        evalSet, col("id"), col("text"), k = 3, minOverlap = 3)
+      .select(col("train_id")).distinct()
+    val lm = ext.TextAnalysis.charBigramLm(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    val rewards = ext.TextAnalysis.lmScore(pairs, col("post_id"),
+        col("response"), lm)
+      .select(col("doc_id").as("post_id"), col("lm_score").as("reward"))
+    val bound = rewards.agg(
+      percentile(col("reward"), typedLit(Seq(1.0 / 3))).as("bs"))
+    pairs
+      .join(contaminated,
+        pairs("post_id").cast("long") === contaminated("train_id"),
+        "left_anti")
+      .join(rewards, Seq("post_id"))
+      .crossJoin(broadcast(bound))
+      .filter(col("accepted") && col("reward") >= element_at(col("bs"), 1))
+      .withColumn("split", graft.ops.Sampling.assignSplit("post_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .select(col("post_id"), col("subreddit"),
+        col("n_prompt_tokens").cast("long").as("n_prompt_tokens"),
+        col("n_resp_tokens").cast("long").as("n_resp_tokens"),
+        col("reward"), col("split"))
+      .orderBy(col("post_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4904,6 +4955,7 @@ object SparkEntry {
     "q214_quality_lr"       -> q214QualityLr,
     "q215_best_of_n"        -> q215BestOfN,
     "q216_k_anonymity"      -> q216KAnonymity,
+    "q217_sft_export"       -> q217SftExport,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9522,6 +9574,54 @@ object SparkEntry {
         |SELECT post_id, CAST(n_cands AS BIGINT) AS n_cands,
         |  response AS chosen, lm_score AS reward
         |FROM rk WHERE rn = 1
+        |ORDER BY post_id""".stripMargin,
+    // q217: the capstone — q208's pair chain + q211's contamination
+    // chain + q215's reward chain + q196's quantile cut + q81's
+    // md5-bucket split, assembled; every stage the byte-shared
+    // generator of its own query.
+    "q217_sft_export" ->
+      s"""$sftCommentsCtes,
+        |$sftBestCte,
+        |pairs AS (
+        |  SELECT p.post_id, p.subreddit, p.prompt, p.n_prompt_tokens,
+        |    b.response, b.n_resp_tokens,
+        |    b.n_resp_tokens >= 13 AS accepted
+        |  FROM p JOIN best b ON p.post_id = b.post_id),
+        |${contaminationCtes(
+            "SELECT CAST(post_id AS BIGINT) AS id, prompt AS txt FROM pairs",
+            "SELECT doc_id AS id, text AS txt FROM documents WHERE doc_id % 10 = 0")},
+        |contam AS (
+        |  SELECT DISTINCT train_id FROM j WHERE n_overlap >= 3),
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT post_id AS sid, response AS txt FROM pairs")},
+        |bound AS (SELECT quantile_cont(lm_score, 1.0/3) AS b FROM scored),
+        |sel AS (
+        |  SELECT pairs.post_id, pairs.subreddit, pairs.n_prompt_tokens,
+        |    pairs.n_resp_tokens, s.lm_score AS reward
+        |  FROM pairs
+        |  JOIN scored s ON s.sid = pairs.post_id
+        |  LEFT JOIN contam ON contam.train_id = CAST(pairs.post_id AS BIGINT)
+        |  CROSS JOIN bound
+        |  WHERE pairs.accepted AND s.lm_score >= bound.b
+        |    AND contam.train_id IS NULL),
+        |sb AS (
+        |  SELECT *, md5(post_id || '|0') AS hh FROM sel),
+        |sbk AS (
+        |  SELECT *,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |  FROM sb)
+        |SELECT post_id, subreddit,
+        |  CAST(n_prompt_tokens AS BIGINT) AS n_prompt_tokens,
+        |  CAST(n_resp_tokens AS BIGINT) AS n_resp_tokens, reward,
+        |  CASE WHEN bucket < 838861 THEN 'train'
+        |       WHEN bucket < 943718 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sbk
         |ORDER BY post_id""".stripMargin,
   )
 

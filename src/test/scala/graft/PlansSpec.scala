@@ -150,7 +150,10 @@ class PlansSpec extends SparkSuite {
       "q215_best_of_n",
       // corpus × the single-row grand-total stratum of the rollup —
       // the full-suppression level's group size (ext/Redact.kAnonymize)
-      "q216_k_anonymity")
+      "q216_k_anonymity",
+      // pairs × the single-row reward-tercile boundary (the q196
+      // stance) + the reward LM's OOV floor (the q93/q215 stance)
+      "q217_sft_export")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
