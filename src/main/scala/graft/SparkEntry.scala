@@ -458,7 +458,7 @@ object SparkEntry {
     * title, `n_chars` ≈ score), used to drive the composed pipelines
     * through the oracle harness.
     */
-  private def docsAsPosts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsAsPosts(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id").cast("string").as("post_id"),
       col("source").as("subreddit"),
@@ -481,7 +481,7 @@ object SparkEntry {
     * Bodies are shifted substrings of the doc text so keyword hits
     * vary by comment.
     */
-  private def docsAsComments(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsAsComments(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("idx", explode(array((0 until 4).map(lit(_)): _*)))
@@ -1148,9 +1148,14 @@ object SparkEntry {
       .select(col("train_id")).distinct()
     val lm = ext.TextAnalysis.charBigramLm(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    // the scored-rewards table (one row per pair) also stages: both
+    // the tercile bound and the assembly join consume it, and without
+    // staging the reward LM TRAINS TWICE (measured: q217's decade-1
+    // slope drops from 2.3x to the family band once staged)
     val rewards = ext.TextAnalysis.lmScore(pairs, col("post_id"),
         col("response"), lm)
       .select(col("doc_id").as("post_id"), col("lm_score").as("reward"))
+      .localCheckpoint()
     val bound = rewards.agg(
       percentile(col("reward"), typedLit(Seq(1.0 / 3))).as("bs"))
     pairs
