@@ -270,6 +270,12 @@ class PlansSpec extends SparkSuite {
     // sft pairs: exactly the one documented top-1 window (per post_id)
     val sft = graft.ext.Posttrain.sftPairs(posts, comments, 1)
     assert(countWindows(sft) == 1, sft.queryExecution.executedPlan.toString.take(4000))
+    // best-of-n (q215): the reward argmax is the same window-free
+    // combinable max_by shape as preferencePairs — the per-post
+    // winner folds map-side
+    val bon = graft.SparkEntry.queries("q215_best_of_n")(spark, sfDir)
+    assert(bon.queryExecution.executedPlan.toString.contains("partial_max_by"),
+      "q215 best-of-n must partially aggregate its reward argmax map-side")
   }
 
   test("GraftExtensions registers the rule at session build time") {
