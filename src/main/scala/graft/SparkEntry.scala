@@ -1174,6 +1174,45 @@ object SparkEntry {
       .orderBy(col("post_id"))
   }
 
+  /** q218 — ⊕ tokenizer-fairness audit: per-language compression of
+    * the trained q155 BPE — the "token premium" an under-represented
+    * language pays when the tokenizer's merges were learned from a
+    * corpus that under-samples it (Petrov et al. 2023's language
+    * unfairness measurement, run as a corpus datacard). Every non-en
+    * document carries one deterministic lang-marker word (the
+    * q159/q190 derived-text convention) that the 8-merge vocabulary
+    * never learns, so those languages measurably fragment — the
+    * phenomenon the audit exists to catch — while the shared
+    * vocabulary's words compress identically everywhere. Readout per
+    * lang: word/char/token totals and chars-per-token (higher =
+    * better compression). Training + encoding reuse the q155/q170
+    * chains verbatim on the decorated corpus; the rollup is one
+    * aggregation keyed on 5 langs.
+    */
+  private val q218TokenFairness: Q = (s, dir) => {
+    val dec = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("lang") =!= "en",
+            concat(lit(" "), repeat(concat(lit("q"), col("lang")), 3)))
+          .otherwise(lit(""))).as("__t"))
+    val merges = ext.Bpe.learnMerges(
+        ext.Bpe.wordFreqs(dec, col("__t")), nMerges = 32)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    dec.select(col("lang"),
+        explode(ext.TextAnalysis.tokens(col("__t"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(col("lang"), length(col("word")).cast("long").as("__nc"),
+        size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
+          .cast("long").as("__nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nc")).as("n_chars"),
+        sum(col("__nt")).as("n_toks"),
+        round(sum(col("__nc")).cast("double") / sum(col("__nt")), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -4961,6 +5000,7 @@ object SparkEntry {
     "q215_best_of_n"        -> q215BestOfN,
     "q216_k_anonymity"      -> q216KAnonymity,
     "q217_sft_export"       -> q217SftExport,
+    "q218_token_fairness"   -> q218TokenFairness,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9408,6 +9448,29 @@ object SparkEntry {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q170: shared BPE chain + per-doc encode + the q167 packing window.
     "q170_bpe_packing" -> bpePackOracleSql(8, 512),
+    // q218: the q155 training chain + q170 encode chain over the
+    // lang-decorated corpus, then one per-lang compression rollup.
+    "q218_token_fairness" -> {
+      val decSrc = "(SELECT doc_id, lang, text || CASE WHEN lang <> 'en' " +
+        "THEN ' ' || repeat('q' || lang, 3) ELSE '' END AS text FROM documents) dd0"
+      bpeChainCtes(32, decSrc) + bpeEncodeCtes(32, decSrc) +
+        """,
+          |dt AS (
+          |  SELECT doc_id,
+          |    CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(SUM(length(regexp_replace(sym, '[<>]', '', 'g')) - 1) AS BIGINT) AS n_chars,
+          |    CAST(SUM(len(string_split(substr(sym, 2, length(sym) - 2), '><'))) AS BIGINT) AS n_toks
+          |  FROM d32 GROUP BY doc_id),
+          |lr AS (
+          |  SELECT d.lang,
+          |    CAST(SUM(dt.n_words) AS BIGINT) AS n_words,
+          |    CAST(SUM(dt.n_chars) AS BIGINT) AS n_chars,
+          |    CAST(SUM(dt.n_toks) AS BIGINT) AS n_toks
+          |  FROM dt JOIN documents d USING (doc_id) GROUP BY d.lang)
+          |SELECT lang, n_words, n_chars, n_toks,
+          |  round(CAST(n_chars AS DOUBLE) / n_toks, 4) AS chars_per_token
+          |FROM lr ORDER BY lang""".stripMargin
+    },
     // q171: identical count → smoothed-rate → quantize → integer-
     // product tree; the only doubles are one division and one ln per
     // cell, quantized at birth (the q154 convention).
@@ -10486,28 +10549,28 @@ object SparkEntry {
     * SELECT, so callers append their own readout (q155: the merge
     * table; q170: per-doc encoding + packing).
     */
-  private def bpeChainCtes(nMerges: Int): String = {
+  private def bpeChainCtes(nMerges: Int, src: String = "documents"): String = {
     val sb = new StringBuilder
     sb.append(
-      raw"""WITH s0 AS (
+      raw"""WITH s0 AS MATERIALIZED (
         |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') || '<_>' AS sym,
         |         CAST(count(*) AS BIGINT) AS freq
         |  FROM (
         |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
-        |    FROM documents) t
+        |    FROM SRC_TABLE) t
         |  WHERE regexp_full_match(word, '[a-z0-9]+')
-        |  GROUP BY word)""".stripMargin)
+        |  GROUP BY word)""".stripMargin.replace("SRC_TABLE", src))
     for (i <- 1 to nMerges) {
       sb.append(s""",
-        |p$i AS (
+        |p$i AS MATERIALIZED (
         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
         |    SELECT freq, a[i] AS l, a[i + 1] AS r FROM (
         |      SELECT freq, a, unnest(range(1, len(a))) AS i FROM (
         |        SELECT freq, string_split(substr(sym, 2, length(sym) - 2), '><') AS a
         |        FROM s${i - 1}) t1) t2) t3
         |  GROUP BY l, r),
-        |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-        |s$i AS (
+        |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |s$i AS MATERIALIZED (
         |  SELECT replace(s.sym, '<' || b.l || '><' || b.r || '>',
         |                 '<' || b.l || b.r || '>') AS sym, s.freq
         |  FROM s${i - 1} s, b$i b)""".stripMargin)
@@ -10529,7 +10592,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb.append(
       raw""",
-        |d0 AS (
+        |d0 AS MATERIALIZED (
         |  SELECT doc_id, regexp_replace(word, '(.)', '<\1>', 'g') || '<_>' AS sym
         |  FROM (
         |    SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
@@ -10538,7 +10601,7 @@ object SparkEntry {
       .replace("SRC_TABLE", src))
     for (i <- 1 to nMerges) {
       sb.append(s""",
-        |d$i AS (
+        |d$i AS MATERIALIZED (
         |  SELECT doc_id, replace(d.sym, '<' || b.l || '><' || b.r || '>',
         |                 '<' || b.l || b.r || '>') AS sym
         |  FROM d${i - 1} d, b$i b)""".stripMargin)
