@@ -1213,6 +1213,36 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** q219 — ⊕ soft dedup: count-based duplicate DOWNWEIGHTING
+    * instead of removal (the SoftDeDup construction — a document in
+    * an n-member near-dup cluster trains at weight 1/n, so the
+    * cluster's total contribution equals one copy without the recall
+    * loss hard removal costs). Cluster structure is q48's chain
+    * verbatim; singletons (no near-dup pair) weigh 1. Per-doc
+    * readout: copies, weight, raw and effective token mass — the
+    * numbers a sampler (q92) consumes directly as its weight column.
+    * One left join against the cluster table (≪ corpus at 100 TB);
+    * everything else row-local.
+    */
+  private val q219SoftDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = ext.Dedup.dupClusters(
+      ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text")))
+    docs.select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(clusters.select(col("doc_id"), col("cluster_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("n_copies"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 4)
+          .as("weight"),
+        col("n_toks"),
+        round(col("n_toks") /
+            coalesce(col("cluster_size"), lit(1L)).cast("double"), 4)
+          .as("eff_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5001,6 +5031,7 @@ object SparkEntry {
     "q216_k_anonymity"      -> q216KAnonymity,
     "q217_sft_export"       -> q217SftExport,
     "q218_token_fairness"   -> q218TokenFairness,
+    "q219_soft_dedup"       -> q219SoftDedup,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6166,6 +6197,23 @@ object SparkEntry {
     // components by construction, so it byte-shares this oracle.
     "q48_dup_clusters" -> dupClustersOracleSql,
     "q169_cc_contracted" -> dupClustersOracleSql,
+    // q219: q48's component chain + one LEFT JOIN onto the corpus —
+    // singletons coalesce to one copy at weight 1.
+    "q219_soft_dedup" ->
+      raw"""$dupClustersCtes,
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+        |cm AS (SELECT v AS doc_id, cluster_size FROM comp JOIN sizes USING (cluster_id)),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT tk.doc_id,
+        |  CAST(COALESCE(cm.cluster_size, 1) AS BIGINT) AS n_copies,
+        |  round(1.0 / COALESCE(cm.cluster_size, 1), 4) AS weight,
+        |  tk.n_toks,
+        |  round(tk.n_toks / CAST(COALESCE(cm.cluster_size, 1) AS DOUBLE), 4) AS eff_tokens
+        |FROM tk LEFT JOIN cm USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
     // q49 — exact anchor columns hard-compared; sketch columns bound-
     // checked in-query (see q34's pattern).
     "q49_quantile_sketch" ->
