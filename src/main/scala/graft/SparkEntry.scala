@@ -1243,6 +1243,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q220 — ⊕ retrieval ranking metrics
+    * ([[graft.ext.Similarity.rankingMetrics]]): MRR and nDCG@10 of
+    * the q198 IVF ranking against the exact brute ground truth —
+    * recall (q198) says whether the true neighbors are FOUND, this
+    * says whether they are found EARLY, graded so displacing the true
+    * #1 costs more than the true #10. Index, search, and brute chains
+    * are q198's verbatim (same config), so the two measurements can
+    * never drift; only the metric fold differs.
+    */
+  private val q220RankingMetrics: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val queries = em.filter(col("vec_id") % 25 === 0)
+    val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
+      k = 16, iters = 2, quantize = Some(9))
+    val approx = ext.Similarity.ivfSearchDf(ivf, queries,
+      col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+    val exact = ext.Similarity.bruteForceKnnDf(em, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10)
+    ext.Similarity.rankingMetrics(approx, exact, k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5032,6 +5054,7 @@ object SparkEntry {
     "q217_sft_export"       -> q217SftExport,
     "q218_token_fairness"   -> q218TokenFairness,
     "q219_soft_dedup"       -> q219SoftDedup,
+    "q220_ranking_metrics"  -> q220RankingMetrics,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -8119,6 +8142,38 @@ object SparkEntry {
         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
         |  round(CAST(n_hits AS DOUBLE) / 10.0, 4) AS recall
         |FROM h ORDER BY query_id""".stripMargin,
+    // q220: q198's search + brute chains verbatim; only the fold
+    // differs — graded rel = 11 − exact_rank, DCG over approx ranks,
+    // MRR = 1/first-hit-rank, both normalized/rounded at 4.
+    "q220_ranking_metrics" ->
+      s"""${ivfSearchRankedCtes("vec_id % 25 = 0")},
+        |ax AS (SELECT query_id, neighbor_id, rn AS rank_a FROM ranked WHERE rn <= 10),
+        |bq AS (SELECT vec_id AS query_id, nv AS qnv FROM nv WHERE vec_id % 25 = 0),
+        |bscored AS (
+        |  SELECT bq.query_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> bq.qnv[i] * a.nv[i])), 4) AS cos_sim
+        |  FROM nv a CROSS JOIN bq WHERE a.vec_id <> bq.query_id),
+        |bx AS (
+        |  SELECT query_id, neighbor_id, rn2 AS rank_e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos_sim DESC, neighbor_id) AS rn2
+        |    FROM bscored) WHERE rn2 <= 10),
+        |h AS (
+        |  SELECT bx.query_id,
+        |    count(ax.neighbor_id) AS n_hits,
+        |    max(1.0 / ax.rank_a) AS mrr_raw,
+        |    sum(CASE WHEN ax.neighbor_id IS NULL THEN 0.0
+        |             ELSE (11 - bx.rank_e) / log2(ax.rank_a + 1) END) AS dcg
+        |  FROM bx LEFT JOIN ax ON ax.query_id = bx.query_id
+        |                      AND ax.neighbor_id = bx.neighbor_id
+        |  GROUP BY bx.query_id),
+        |idcg AS (
+        |  SELECT sum((11 - i.i) / log2(CAST(i.i AS DOUBLE) + 1)) AS v
+        |  FROM (SELECT unnest(range(1, 11)) AS i) i)
+        |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(coalesce(mrr_raw, 0.0), 4) AS mrr,
+        |  round(coalesce(dcg, 0.0) / idcg.v, 4) AS ndcg
+        |FROM h CROSS JOIN idcg ORDER BY query_id""".stripMargin,
     // q199: q195's chain byte-shared, output restricted to the
     // increment — under append-only ids the global ROW_NUMBER rule
     // already gives history precedence, which is exactly the

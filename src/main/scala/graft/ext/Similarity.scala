@@ -146,6 +146,50 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** ⊕ Ranking-quality metrics beyond recall — per-query MRR and
+    * nDCG@k of an approximate neighbor ranking against the exact
+    * ranking as graded ground truth (the IR-evaluation pair a
+    * retrieval deployment reports next to [[recallAtK]]: recall says
+    * whether the true neighbors are FOUND, these say whether they are
+    * found EARLY). Relevance is graded by exact rank — `rel = k+1 −
+    * exact_rank` for the exact top-k, 0 otherwise — so displacing the
+    * true #1 costs more than displacing the true #10; IDCG is the
+    * constant perfect-ordering fold, making nDCG comparable across
+    * queries. Both inputs are `(query_id, neighbor_id, cos_sim)`
+    * tables with deterministic tie-breaks (the q38/q24 chains); ranks
+    * are re-derived here under the same `(cos_sim desc, neighbor_id)`
+    * order, so the measurement is exact and oracle-able. The query
+    * universe is the exact side's — a query the index loses entirely
+    * surfaces at 0/0/0, never vanishes.
+    *
+    * Plan shape: both inputs are already model-sized (q·k rows — the
+    * corpus never reaches this operator), so the two rank windows and
+    * the metric join cost nothing at any corpus scale.
+    */
+  def rankingMetrics(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"rankingMetrics needs k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rankCol: String) =
+      df.select(col("query_id"), col("neighbor_id"),
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(desc("cos_sim"), asc("neighbor_id"))).as(rankCol))
+        .filter(col(rankCol) <= k)
+    val a = ranked(approx, "rank_a")
+    val e = ranked(exact, "rank_e")
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(lit(1.0) / col("rank_a")).as("__mrr"),
+        sum((lit(k + 1) - col("rank_e")) / log2(col("rank_a") + 1)).as("__dcg"))
+    val idcg = (1 to k).map(i => (k + 1 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__mrr"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / lit(idcg), 4).as("ndcg"))
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, dim-index):
     * sign from md5 parity of `"t|b|d"` (low bit of the first digest
     * byte). Rademacher sign projections are a standard SRP-LSH variant

@@ -145,6 +145,8 @@ class PlansSpec extends SparkSuite {
       // the recall measurements' EXACT side is the labeled q24 brute
       // baseline (broadcast query table × corpus)
       "q198_ann_recall", "q202_pq_recall_nprobe",
+      // q220 shares q198's brute ground-truth side verbatim
+      "q220_ranking_metrics",
       // candidate responses × the reward LM's single-row OOV floor —
       // the q93 normalizer stance (ext/TextAnalysis.lmScore)
       "q215_best_of_n",

@@ -302,4 +302,31 @@ class SimilaritySpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(all === Set(0L, 1L, 2L, 10L, 11L, 20L))
   }
+
+  test("rankingMetrics: graded nDCG + MRR hand case; lost query at zero; rows past k ignored") {
+    // exact top-3 per query encoded by cos_sim order (1.0 > 0.9 > 0.8)
+    val exact = Seq(
+      (1L, 100L, 1.0), (1L, 101L, 0.9), (1L, 102L, 0.8),
+      (2L, 200L, 1.0), (2L, 201L, 0.9), (2L, 202L, 0.8),
+      (3L, 300L, 1.0), (3L, 301L, 0.9), (3L, 302L, 0.8)
+    ).toDF("query_id", "neighbor_id", "cos_sim")
+    // q1: approx = (101, 100, 999) → hits at rank 1 (rel 2) and rank 2
+    // (rel 3); a 4th-ranked true hit (102) must NOT count at k=3.
+    // q2: no overlap. q3: absent from approx entirely.
+    val approx = Seq(
+      (1L, 101L, 1.0), (1L, 100L, 0.9), (1L, 999L, 0.8), (1L, 102L, 0.7),
+      (2L, 900L, 1.0), (2L, 901L, 0.9), (2L, 902L, 0.8)
+    ).toDF("query_id", "neighbor_id", "cos_sim")
+    val got = Similarity.rankingMetrics(approx, exact, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val idcg = 3 / lg2(2) + 2 / lg2(3) + 1 / lg2(4)
+    val dcg1 = 2 / lg2(2) + 3 / lg2(3) // rel-2 hit at rank 1, rel-3 hit at rank 2
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got === Seq(
+      (1L, 2L, 1.0, r4(dcg1 / idcg)),
+      (2L, 0L, 0.0, 0.0),
+      (3L, 0L, 0.0, 0.0)))
+  }
 }
