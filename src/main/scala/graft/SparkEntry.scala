@@ -1265,6 +1265,37 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** q221 — ⊕ synthetic-text screen
+    * ([[graft.ext.TextAnalysis.lmBurstiness]]): the GLTR/DetectGPT
+    * family's observable heuristic as a corpus gate — per-doc mean
+    * log-prob under the q93 reward LM plus BURSTINESS (stddev of
+    * per-50-bigram-chunk means). Model-sampled text sits uniformly
+    * high-likelihood; human text alternates predictable and
+    * surprising stretches. `suspect` = more corpus-like than the
+    * MEDIAN and less bursty than the median, both cut at a single-row
+    * broadcast of exact interpolated percentiles (the q196 precedent:
+    * Spark `percentile` ≡ DuckDB `quantile_cont` to the bit, so the
+    * boundary is engine-stable where a rounded mean is not; the
+    * corpus never re-shuffles for the verdict). Model training
+    * byte-shares q93's chain (even-id half).
+    */
+  private val q221SyntheticScreen: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = ext.TextAnalysis.charBigramLm(
+      docs.filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmBurstiness(
+      docs, col("doc_id"), col("text"), model)
+    val stats = scored.agg(
+      percentile(col("lm_mean"), lit(0.5)).as("__ml"),
+      percentile(col("burstiness"), lit(0.5)).as("__mb"))
+    scored.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_chunks"), col("lm_mean"),
+        col("burstiness"),
+        (col("lm_mean") > col("__ml") && col("burstiness") < col("__mb"))
+          .as("suspect"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5055,6 +5086,7 @@ object SparkEntry {
     "q218_token_fairness"   -> q218TokenFairness,
     "q219_soft_dedup"       -> q219SoftDedup,
     "q220_ranking_metrics"  -> q220RankingMetrics,
+    "q221_synthetic_screen" -> q221SyntheticScreen,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -8174,6 +8206,38 @@ object SparkEntry {
         |  round(coalesce(mrr_raw, 0.0), 4) AS mrr,
         |  round(coalesce(dcg, 0.0) / idcg.v, 4) AS ndcg
         |FROM h CROSS JOIN idcg ORDER BY query_id""".stripMargin,
+    // q221: the q93 model chain byte-shared (lmModelCtes); scoring
+    // folds per-50-bigram chunk means (1-based i → chunk (i-1)//50,
+    // UNROUNDED — rounding first puts the doc average on a decimal
+    // grid whose half-ties engines resolve differently), then doc
+    // mean + sample stddev rounded at 4, then the single-row MEDIAN
+    // cut (quantile_cont ≡ Spark percentile to the bit — the q196
+    // precedent).
+    "q221_synthetic_screen" ->
+      s"""WITH ${lmModelCtes("SELECT text AS txt FROM documents WHERE doc_id % 2 = 0")},
+        |tsc AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS c
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT doc_id, CAST((i.i - 1) // 50 AS INTEGER) AS chunk,
+        |    substring(c, CAST(i.i AS INTEGER), 2) AS bg
+        |  FROM tsc, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  WHERE length(c) >= 2),
+        |cl AS (
+        |  SELECT doc_id, chunk,
+        |    avg(coalesce(model.logp, flr.f)) AS clm
+        |  FROM bgp CROSS JOIN flr
+        |  LEFT JOIN model ON bgp.bg = model.bg
+        |  GROUP BY doc_id, chunk),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_chunks, round(avg(clm), 4) AS lm_mean,
+        |    round(coalesce(stddev_samp(clm), 0.0), 4) AS burstiness
+        |  FROM cl GROUP BY doc_id),
+        |st AS (SELECT quantile_cont(lm_mean, 0.5) AS ml,
+        |              quantile_cont(burstiness, 0.5) AS mb FROM d)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, lm_mean, burstiness,
+        |  (lm_mean > st.ml AND burstiness < st.mb) AS suspect
+        |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin,
     // q199: q195's chain byte-shared, output restricted to the
     // increment — under append-only ids the global ROW_NUMBER rule
     // already gives history precedence, which is exactly the
@@ -10948,14 +11012,15 @@ object SparkEntry {
     * definition, so reward scoring can never drift between the
     * corpus screen and the best-of-n miner.
     */
-  private def lmScoreCtes(train: String, score: String,
-                          idAlias: String = "sid"): String =
+  /** Model-building half of [[lmScoreCtes]] — body-only CTEs ending
+    * in `model(bg, logp)` + `flr(f)`, so chains that score with a
+    * DIFFERENT fold (q221's chunked burstiness) byte-share the
+    * trained model with the mean-log-prob scorers.
+    */
+  private def lmModelCtes(train: String): String =
     raw"""ttr AS (
         |  SELECT lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
         |  FROM ($train)),
-        |tsc AS (
-        |  SELECT sid, lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
-        |  FROM ($score)),
         |bgt AS (
         |  SELECT substring(c, CAST(i.i AS INTEGER), 2) AS bg
         |  FROM ttr, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
@@ -10965,7 +11030,14 @@ object SparkEntry {
         |model AS (
         |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
         |  FROM cnt CROSS JOIN tot),
-        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot),
+        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot)""".stripMargin
+
+  private def lmScoreCtes(train: String, score: String,
+                          idAlias: String = "sid"): String =
+    raw"""${lmModelCtes(train)},
+        |tsc AS (
+        |  SELECT sid, lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
+        |  FROM ($score)),
         |bgs AS (
         |  SELECT sid, substring(c, CAST(i.i AS INTEGER), 2) AS bg
         |  FROM tsc, LATERAL (SELECT unnest(range(1, length(c))) AS i) i

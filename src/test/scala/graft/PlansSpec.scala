@@ -147,6 +147,9 @@ class PlansSpec extends SparkSuite {
       "q198_ann_recall", "q202_pq_recall_nprobe",
       // q220 shares q198's brute ground-truth side verbatim
       "q220_ranking_metrics",
+      // scored-docs × single-row median normalizer + the LM model's
+      // OOV-floor cross (the q93/q196 stance)
+      "q221_synthetic_screen",
       // candidate responses × the reward LM's single-row OOV floor —
       // the q93 normalizer stance (ext/TextAnalysis.lmScore)
       "q215_best_of_n",

@@ -488,4 +488,33 @@ class TextAnalysisSpec extends SparkSuite {
         r.getInt(3), r.getLong(4))).toSeq
     assert(rep == got)
   }
+
+  test("lmBurstiness: hand-computed chunk means; uniform doc at 0; chunk boundary rule") {
+    import spark.implicits._
+    // model trained on "aaaa": one bigram type "aa", logp = ln(3/3) = 0,
+    // OOV floor = ln(0.5/3)
+    val train = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val model = TextAnalysis.charBigramLm(train, col("text"))
+    val floor = math.log(0.5 / 3.0)
+    // chunkSize 2: "aaaaa" → bigrams (aa,aa,aa,aa) → chunks (0,0)(1,1),
+    // both mean 0 → burstiness 0. "aabb" → (aa,ab,bb) → chunk0 mean
+    // (0+floor)/2, chunk1 mean floor → hand stddev. "a" → no bigrams,
+    // absent from output.
+    val probe = Seq((10L, "aaaaa"), (11L, "aabb"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmBurstiness(probe, col("doc_id"), col("text"),
+        model, chunkSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val c0 = (0.0 + floor) / 2
+    val mean11 = (c0 + floor) / 2
+    val sd11 = math.sqrt(math.pow(c0 - mean11, 2) + math.pow(floor - mean11, 2))
+    assert(got.map(_._1) === Seq(10L, 11L))
+    assert(got(0) === ((10L, 2L, 0.0, 0.0)))
+    assert(got(1)._2 === 2L)
+    assert(math.abs(got(1)._3 - r4(mean11)) < 2e-4 &&
+      math.abs(got(1)._4 - r4(sd11)) < 2e-4,
+      s"hand-computed chunk stats mismatch: ${got(1)} vs ($mean11, $sd11)")
+  }
 }
