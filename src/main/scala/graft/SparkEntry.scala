@@ -1296,6 +1296,53 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q222 — ⊕ URL↔content consistency audit (the crawl-hygiene
+    * screen between fetch and dedup): per canonical URL (the q159
+    * chain), how many distinct content fingerprints (the q30 key) it
+    * served — `unstable` marks dynamic/rotating pages whose recrawls
+    * disagree — and whether any of its content also appears under
+    * OTHER URLs (`mirrored` — the alias/mirror exposure URL-level
+    * dedup would miss and content-level dedup silently collapses).
+    * Plan shape: one (url, fp) aggregation, one fp-keyed spread
+    * count joined back on fp, one per-url rollup — every exchange
+    * hashes on a fixed-width key, nothing quadratic.
+    *
+    * Served-content realism (the q159/q190/q200 derived-text
+    * convention — the raw fixture partitions cleanly into its URL
+    * classes, leaving every URL unstable and none mirrored): even-id
+    * docs serve a deterministic per-site landing page (same content
+    * under the http AND https variants → stable + mirrored),
+    * id%5==0 odd docs serve one of two boilerplate blobs (the same
+    * content scattered across many URLs → unstable + mirrored), the
+    * rest serve their own text (unstable, unmirrored).
+    */
+  private val q222UrlContentAudit: Q = (s, dir) => {
+    val d = col("doc_id")
+    val served = when(d % 2 === 0,
+        concat(lit("landing page for site "), (d % 25).cast("string")))
+      .when(d % 5 === 0,
+        concat(lit("mirror boilerplate "), (d % 4).cast("string")))
+      .otherwise(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      ext.UrlOps.canonicalize(syntheticNoisyUrl(col("doc_id"))).as("url"),
+      ext.TextAnalysis.fingerprint(served).as("fp"))
+    val pairs = base.groupBy(col("url"), col("fp"))
+      .agg(count(lit(1)).as("n_docs_pair"))
+    val spread = pairs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_urls_for_fp"))
+    pairs.join(spread, Seq("fp"))
+      .groupBy(col("url"))
+      .agg(sum(col("n_docs_pair")).as("n_docs"),
+        count(lit(1)).as("n_content_variants"),
+        max(col("n_urls_for_fp")).as("max_content_spread"))
+      .select(col("url"), col("n_docs"), col("n_content_variants"),
+        col("max_content_spread"),
+        (col("n_content_variants") > 1).as("unstable"),
+        (col("max_content_spread") > 1).as("mirrored"))
+      .orderBy(col("url"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5087,6 +5134,7 @@ object SparkEntry {
     "q219_soft_dedup"       -> q219SoftDedup,
     "q220_ranking_metrics"  -> q220RankingMetrics,
     "q221_synthetic_screen" -> q221SyntheticScreen,
+    "q222_url_content_audit" -> q222UrlContentAudit,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -8238,6 +8286,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, lm_mean, burstiness,
         |  (lm_mean > st.ml AND burstiness < st.mb) AS suspect
         |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin,
+    // q222: the q159 canonicalization chain + the q30 fingerprint key
+    // byte-shared; (url, fp) pairs, fp-spread joined back, per-url
+    // rollup with both verdicts.
+    "q222_url_content_audit" ->
+      ("WITH " + urlCanonicalCtes + ",\n" +
+      raw"""b AS (
+        |  SELECT c.canonical_url AS url,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN d.doc_id % 2 = 0
+        |             THEN 'landing page for site ' || CAST(d.doc_id % 25 AS VARCHAR)
+        |           WHEN d.doc_id % 5 = 0
+        |             THEN 'mirror boilerplate ' || CAST(d.doc_id % 4 AS VARCHAR)
+        |           ELSE d.text END, '\s+', ' ', 'g')))) AS fp
+        |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+        |p AS (SELECT url, fp, count(*) AS n_docs_pair FROM b GROUP BY url, fp),
+        |s AS (SELECT fp, count(*) AS n_urls_for_fp FROM p GROUP BY fp)
+        |SELECT p.url,
+        |  CAST(sum(p.n_docs_pair) AS BIGINT) AS n_docs,
+        |  count(*) AS n_content_variants,
+        |  CAST(max(s.n_urls_for_fp) AS BIGINT) AS max_content_spread,
+        |  (count(*) > 1) AS unstable,
+        |  (max(s.n_urls_for_fp) > 1) AS mirrored
+        |FROM p JOIN s ON p.fp = s.fp
+        |GROUP BY p.url ORDER BY p.url""".stripMargin),
     // q199: q195's chain byte-shared, output restricted to the
     // increment — under append-only ids the global ROW_NUMBER rule
     // already gives history precedence, which is exactly the
