@@ -1343,6 +1343,51 @@ object SparkEntry {
       .orderBy(col("url"))
   }
 
+  /** q223 — ⊕ classifier calibration audit (reliability diagram +
+    * ECE for the q214 trained quality screen — the measurement
+    * between "the classifier separates" and "its scores are usable
+    * as sampling weights/thresholds"): docs binned into margin
+    * deciles by exact interpolated percentile boundaries (the q196
+    * bit-equal precedent — NO global ntile window over the corpus),
+    * then per-bin empirical positive rate vs mean predicted
+    * probability (sigmoid of the integer nano-unit margin), the gap,
+    * and the expected calibration error as the n-weighted gap sum.
+    * Model training and scoring byte-share q214's chain. The final
+    * unpartitioned window runs over the 10-row bin table — the q205
+    * documented model-sized single-task window, never the corpus.
+    */
+  private val q223Calibration: Q = (s, dir) => {
+    val dec = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the and that have with."))
+          .otherwise(lit(""))).as("__t"))
+    val model = ext.Classify.logisticFit(
+      dec.filter(col("doc_id") % 10 =!= 0),
+      (col("doc_id") % 3 === 0).cast("int"), col("__t"))
+    val sy = ext.Classify.logisticScore(model, dec, col("doc_id"), col("__t"))
+      .select(col("id"), col("margin_units").cast("double").as("m"),
+        (col("id") % 3 === 0).cast("int").as("y"))
+    val qs = sy.agg(percentile(col("m"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+    val binned = sy.crossJoin(broadcast(qs))
+      .select(col("y"), col("m"),
+        (size(filter(col("qs"), q => col("m") > q)) + 1).as("bin"))
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("y")).as("__acc"),
+        avg(lit(1.0) / (lit(1.0) + exp(-col("m") / lit(1e9)))).as("__conf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bins.select(col("bin"), col("n"),
+        round(col("__acc"), 4).as("pos_rate"),
+        round(col("__conf"), 4).as("confidence"),
+        round(abs(col("__acc") - col("__conf")), 4).as("gap"),
+        round(sum(col("n") * abs(col("__acc") - col("__conf"))).over(w) /
+          sum(col("n")).over(w), 4).as("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5135,6 +5180,7 @@ object SparkEntry {
     "q220_ranking_metrics"  -> q220RankingMetrics,
     "q221_synthetic_screen" -> q221SyntheticScreen,
     "q222_url_content_audit" -> q222UrlContentAudit,
+    "q223_calibration"      -> q223Calibration,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9523,6 +9569,29 @@ object SparkEntry {
     // applied to gradient descent) — 5 iteration CTE blocks, integer
     // nano-unit weights, the pmod floor-division step.
     "q214_quality_lr" -> lrOracleSql(64, 8, 1L, 1L),
+    // q223: q214's train+score chain byte-shared (lrChainCtes);
+    // decile boundaries by quantile_cont (≡ Spark percentile to the
+    // bit), bin = 1 + #{boundaries below}, per-bin acc vs sigmoid
+    // confidence, ECE = n-weighted gap over the 10-row bin table.
+    "q223_calibration" ->
+      (lrChainCtes(64, 8, 1L, 1L) + ",\n" +
+      raw"""sy AS MATERIALIZED (
+        |  SELECT sc.doc_id, CAST(sc.wx AS DOUBLE) AS m, dd.y
+        |  FROM sc JOIN dd USING (doc_id)),
+        |qs AS (SELECT quantile_cont(m, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |       FROM sy),
+        |binned AS (
+        |  SELECT y, m,
+        |    CAST(1 + len(list_filter(qs.qs, q -> m > q)) AS INTEGER) AS bin
+        |  FROM sy CROSS JOIN qs),
+        |bins AS (
+        |  SELECT bin, count(*) AS n, avg(CAST(y AS DOUBLE)) AS acc,
+        |    avg(1.0 / (1.0 + exp(-m / 1e9))) AS conf
+        |  FROM binned GROUP BY bin)
+        |SELECT bin, n, round(acc, 4) AS pos_rate, round(conf, 4) AS confidence,
+        |  round(abs(acc - conf), 4) AS gap,
+        |  round(sum(n * abs(acc - conf)) OVER () / sum(n) OVER (), 4) AS ece
+        |FROM bins ORDER BY bin""".stripMargin),
     "q155_bpe_train" -> bpeOracleSql(8),
     // q156: q143/q148's byte-shared chain with the FIT restricted to
     // yesterday's rows and assignment/encoding over the full corpus —
@@ -10236,6 +10305,20 @@ object SparkEntry {
     * floor (never truncate) negative gradients identically.
     */
   private def lrOracleSql(dims: Int, iters: Int,
+                          lrNum: Long, lrDen: Long): String =
+    lrChainCtes(dims, iters, lrNum, lrDen) + "\n" +
+      raw"""SELECT dd.doc_id, dd.y = 1 AS is_ref, sc.wx >= 0 AS pred,
+        |  CAST(sc.wx AS BIGINT) AS margin_units,
+        |  (sc.wx >= 0) = (dd.y = 1) AS hit
+        |FROM dd JOIN sc USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin
+
+  /** The q214 train+score chain (decorated text, hashed dims, the
+    * 8-iteration integer GD unrolled, full-corpus scoring), ending in
+    * `dd(doc_id, y, dims)` + `sc(doc_id, wx)` — body shared by the
+    * per-doc readout (q214) and the calibration audit (q223).
+    */
+  private def lrChainCtes(dims: Int, iters: Int,
                           lrNum: Long, lrDen: Long): String = {
     def fdiv(a: String, b: String): String =
       s"($a - (($a % $b + $b) % $b)) // $b"
@@ -10255,7 +10338,7 @@ object SparkEntry {
         |g$i AS (
         |  SELECT f.dim, sum(r.r) AS g
         |  FROM fx f JOIN r$i r USING (doc_id) GROUP BY f.dim),
-        |w$i AS (
+        |w$i AS MATERIALIZED (
         |  SELECT w.dim, w.wt - CAST(${fdiv(s"($g)", d)} AS BIGINT) AS wt
         |  FROM $pw w LEFT JOIN g$i g USING (dim) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
@@ -10265,7 +10348,7 @@ object SparkEntry {
       |                 ELSE '' END AS txt,
       |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
       |  FROM documents),
-      |dd AS (
+      |dd AS MATERIALIZED (
       |  SELECT doc_id, y,
       |    list_prepend(-1, list_distinct(list_transform(
       |      string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' '),
@@ -10275,23 +10358,18 @@ object SparkEntry {
       |             (h, c) -> (h * 31 + c) % 2147483648) % $dims AS INTEGER))))
       |      AS dims
       |  FROM dec),
-      |fx AS (
+      |fx AS MATERIALIZED (
       |  SELECT doc_id, y, CAST(unnest(dims) AS INTEGER) AS dim
       |  FROM dd WHERE doc_id % 10 <> 0),
-      |nn AS (SELECT count(DISTINCT doc_id) AS n FROM fx),
+      |nn AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM fx),
       |w0 AS (
       |  SELECT CAST(u AS INTEGER) AS dim, CAST(0 AS BIGINT) AS wt
       |  FROM (SELECT unnest(range(-1, $dims)) AS u)),
       |$iterCtes,
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT d2.doc_id, sum(w.wt) AS wx
       |  FROM (SELECT doc_id, CAST(unnest(dims) AS INTEGER) AS dim FROM dd) d2
-      |  JOIN w$iters w ON w.dim = d2.dim GROUP BY d2.doc_id)
-      |SELECT dd.doc_id, dd.y = 1 AS is_ref, sc.wx >= 0 AS pred,
-      |  CAST(sc.wx AS BIGINT) AS margin_units,
-      |  (sc.wx >= 0) = (dd.y = 1) AS hit
-      |FROM dd JOIN sc USING (doc_id)
-      |ORDER BY dd.doc_id""".stripMargin
+      |  JOIN w$iters w ON w.dim = d2.dim GROUP BY d2.doc_id)""".stripMargin
   }
 
   private def nbOracleSql(label: String, trainWhere: String,

@@ -158,7 +158,10 @@ class PlansSpec extends SparkSuite {
       "q216_k_anonymity",
       // pairs × the single-row reward-tercile boundary (the q196
       // stance) + the reward LM's OOV floor (the q93/q215 stance)
-      "q217_sft_export")
+      "q217_sft_export",
+      // scored-docs × single-row decile-boundary normalizer (the q196
+      // stance applied to the reliability-diagram bin cut)
+      "q223_calibration")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
