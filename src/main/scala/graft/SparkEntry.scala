@@ -1388,6 +1388,133 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** q224 — ⊕ reward length-bias audit (the RLHF pathology
+    * measurement — Singhal et al. 2023's "reward models prefer longer
+    * responses": if reward correlates with length, best-of-n and DPO
+    * silently optimize verbosity): every q215 candidate's reward is
+    * set against its token length as (a) the corpus-wide Pearson
+    * correlation and (b) mean reward per length QUARTILE — the
+    * monotone readout a correlation alone can hide (U-shapes). The
+    * quartile cut is the q223 decile construction (exact interpolated
+    * `percentile` boundaries at a single-row broadcast — no corpus
+    * ntile window); candidate + reward chains are q215's verbatim, so
+    * the audit measures exactly the scores q215 selects on.
+    */
+  private val q224RewardLengthBias: Q = (s, dir) => {
+    val cands = ext.Posttrain.candidateResponses(docsAsComments(s, dir))
+      .withColumn("__sid",
+        concat_ws("#", col("post_id"), col("flat_idx")))
+    val lm = ext.TextAnalysis.charBigramLm(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmScore(cands, col("__sid"),
+      col("response"), lm)
+    val sl = cands.join(scored, cands("__sid") === scored("doc_id"))
+      .select(col("n_resp_tokens").cast("double").as("nt"),
+        col("lm_score").as("r"))
+    val stats = sl.agg(corr(col("nt"), col("r")).as("__c"),
+      percentile(col("nt"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("__qs"))
+    sl.crossJoin(broadcast(stats))
+      .select(col("nt"), col("r"), col("__c"),
+        (size(filter(col("__qs"), q => col("nt") > q)) + 1).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nt")), 4).as("mean_tokens"),
+        round(avg(col("r")), 4).as("mean_reward"),
+        round(max(col("__c")), 4).as("pearson_r"))
+      .orderBy(col("bin"))
+  }
+
+  /** q225 — ⊕ preference-criteria concordance (the inter-annotator
+    * agreement measurement a preference dataset publishes before
+    * anyone trains on it — here between the two ranking criteria this
+    * repo actually mines with: q210's token-count rank and q215's
+    * reward score): per post, every unordered candidate pair is
+    * concordant (both criteria order it the same way), discordant, or
+    * tied, and Kendall's tau-a = (C−D)/pairs summarizes. The
+    * candidate self-join is POST-LOCAL — candidates per post are
+    * bounded by thread size (≤ 4 on the fixture shape), so the pair
+    * fan-out is O(posts·b²) with b a constant, the q213 bounded-group
+    * stance — and rewards compare at their published 4-decimal
+    * rounding on both engines, so the sign of every pair is
+    * engine-stable by construction.
+    */
+  private val q225PrefConcordance: Q = (s, dir) => {
+    val cands = ext.Posttrain.candidateResponses(docsAsComments(s, dir))
+      .withColumn("__sid",
+        concat_ws("#", col("post_id"), col("flat_idx")))
+    val lm = ext.TextAnalysis.charBigramLm(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmScore(cands, col("__sid"),
+      col("response"), lm)
+    val sl = cands.join(scored, cands("__sid") === scored("doc_id"))
+      .select(col("post_id"), col("flat_idx"),
+        col("n_resp_tokens").cast("long").as("nt"), col("lm_score").as("r"))
+    val a = sl.select(col("post_id"), col("flat_idx").as("ia"),
+      col("nt").as("ta"), col("r").as("ra"))
+    val b = sl.select(col("post_id"), col("flat_idx").as("ib"),
+      col("nt").as("tb"), col("r").as("rb"))
+    a.join(b, Seq("post_id"))
+      .filter(col("ia") < col("ib"))
+      .select(col("post_id"),
+        ((col("ta") - col("tb")) * signum(col("ra") - col("rb"))).as("__s"))
+      .groupBy(col("post_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__s") > 0, 1L).otherwise(0L)).as("n_concordant"),
+        sum(when(col("__s") < 0, 1L).otherwise(0L)).as("n_discordant"),
+        sum(when(col("__s") === 0, 1L).otherwise(0L)).as("n_tied"),
+        round((sum(when(col("__s") > 0, 1L).otherwise(0L)) -
+            sum(when(col("__s") < 0, 1L).otherwise(0L))).cast("double") /
+          count(lit(1)), 4).as("tau_a"))
+      .orderBy(col("post_id"))
+  }
+
+  /** q226 — ⊕ embedding sanity screen (the pre-ANN hygiene gate every
+    * vector pipeline needs before q38/q143's index fit: a zero vector
+    * cannot L2-normalize — [[graft.functions.L2Normalize]] returns
+    * null and the row silently exits the index — a constant
+    * "placeholder" vector (the failed-encoder fingerprint) collapses
+    * whole batches onto one point, and a norm far off the corpus band
+    * distorts every unnormalized distance): per vector, the L2 norm,
+    * zero flag, EXACT-duplicate family size (md5 over components
+    * quantized to 1e-5 by floor(x·1e5 + 0.5) — integer formatting is
+    * engine-stable where float formatting is not), and a q124-style
+    * MAD outlier verdict on the norm (median + MAD at single-row
+    * broadcasts — the corpus never re-shuffles for the cut; the cut
+    * carries a 1e-6 absolute guard band so a degenerate corpus —
+    * e.g. pre-normalized vectors, MAD exactly 0 — does not flag
+    * float-noise deviations as outliers).
+    * Degradation realism (the q159 derived convention): every 97th
+    * vector is zeroed, every 89th is the constant placeholder — both
+    * failure classes occur at oracle scale.
+    */
+  private val q226EmbeddingSanity: Q = (s, dir) => {
+    val emb0 = Tables.embeddings(s, dir).select(col("vec_id"),
+      when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+        .when(col("vec_id") % 89 === 0,
+          transform(col("embedding"), _ => lit(0.25f)))
+        .otherwise(col("embedding")).as("emb"))
+    val v = ext.Similarity.vecD(col("emb"))
+    val base = emb0.select(col("vec_id"),
+      ext.Similarity.norm(v).as("norm"),
+      md5(array_join(transform(v,
+          x => floor(x * lit(100000.0) + lit(0.5)).cast("long").cast("string")),
+        ",")).as("fp"))
+    val dups = base.groupBy(col("fp")).agg(count(lit(1)).as("n_same_vec"))
+    val med = base.agg(percentile(col("norm"), lit(0.5)).as("__med"))
+    val wm = base.crossJoin(broadcast(med))
+    val mad = wm.agg(
+      percentile(abs(col("norm") - col("__med")), lit(0.5)).as("__mad"))
+    wm.join(dups, Seq("fp"))
+      .crossJoin(broadcast(mad))
+      .select(col("vec_id"), round(col("norm"), 4).as("norm"),
+        (col("norm") === 0.0).as("is_zero"), col("n_same_vec"),
+        (abs(col("norm") - col("__med")) >
+            lit(3.0) * col("__mad") + lit(1e-6)).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5181,6 +5308,9 @@ object SparkEntry {
     "q221_synthetic_screen" -> q221SyntheticScreen,
     "q222_url_content_audit" -> q222UrlContentAudit,
     "q223_calibration"      -> q223Calibration,
+    "q224_reward_length_bias" -> q224RewardLengthBias,
+    "q225_pref_concordance" -> q225PrefConcordance,
+    "q226_embedding_sanity" -> q226EmbeddingSanity,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9951,6 +10081,91 @@ object SparkEntry {
         |  response AS chosen, lm_score AS reward
         |FROM rk WHERE rn = 1
         |ORDER BY post_id""".stripMargin,
+    // q224: q215's candidate + reward chains verbatim; corr + exact
+    // interpolated quartile boundaries (quantile_cont ≡ Spark
+    // percentile to the bit — the q196/q223 precedent), bin = 1 +
+    // #{boundaries below}, per-bin mean tokens/reward + the global
+    // Pearson r carried through the rollup.
+    "q224_reward_length_bias" ->
+      s"""$sftCommentsCtes,
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT post_id || '#' || CAST(flat_idx AS VARCHAR) AS sid, " +
+              "response AS txt FROM cr")},
+        |sl AS (
+        |  SELECT CAST(cr.n_resp_tokens AS DOUBLE) AS nt, s.lm_score AS r
+        |  FROM cr JOIN scored s
+        |    ON s.sid = cr.post_id || '#' || CAST(cr.flat_idx AS VARCHAR)),
+        |st AS (
+        |  SELECT corr(nt, r) AS c,
+        |    quantile_cont(nt, [0.25, 0.5, 0.75]) AS qs
+        |  FROM sl)
+        |SELECT bin, count(*) AS n, round(avg(nt), 4) AS mean_tokens,
+        |  round(avg(r), 4) AS mean_reward, round(max(c), 4) AS pearson_r
+        |FROM (
+        |  SELECT nt, r, c,
+        |    CAST(1 + len(list_filter(qs, q -> nt > q)) AS INTEGER) AS bin
+        |  FROM sl CROSS JOIN st)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+    // q225: same candidate + reward chains; the post-local pair
+    // self-join replayed, sign of (token-order × reward-order) per
+    // pair, tau-a = (C−D)/pairs. Rewards compare at their published
+    // 4-decimal rounding on both engines, so every pair's verdict is
+    // engine-stable.
+    "q225_pref_concordance" ->
+      s"""$sftCommentsCtes,
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT post_id || '#' || CAST(flat_idx AS VARCHAR) AS sid, " +
+              "response AS txt FROM cr")},
+        |sl AS (
+        |  SELECT cr.post_id, cr.flat_idx,
+        |    CAST(cr.n_resp_tokens AS BIGINT) AS nt, s.lm_score AS r
+        |  FROM cr JOIN scored s
+        |    ON s.sid = cr.post_id || '#' || CAST(cr.flat_idx AS VARCHAR)),
+        |pw AS (
+        |  SELECT a.post_id,
+        |    CAST(a.nt - b.nt AS DOUBLE) * sign(a.r - b.r) AS s
+        |  FROM sl a JOIN sl b
+        |    ON a.post_id = b.post_id AND a.flat_idx < b.flat_idx)
+        |SELECT post_id, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+        |  round(CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+        |           - sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS tau_a
+        |FROM pw GROUP BY post_id ORDER BY post_id""".stripMargin,
+    // q226: the q26-chain vector conventions (CAST DOUBLE[],
+    // list_sum fold ≡ the Spark sequential dot fold) + quantized-int
+    // md5 fingerprint + the q124 MAD construction at single-row
+    // crosses.
+    "q226_embedding_sanity" ->
+      raw"""WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0
+        |           THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |         WHEN vec_id % 89 = 0
+        |           THEN list_transform(embedding, x -> CAST(0.25 AS FLOAT))
+        |         ELSE embedding END AS emb
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(CAST(emb AS DOUBLE[]), x -> x * x)))
+        |      AS norm,
+        |    md5(array_to_string(list_transform(CAST(emb AS DOUBLE[]),
+        |      x -> CAST(CAST(floor(x * 100000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+        |      ',')) AS fp
+        |  FROM e),
+        |d AS (SELECT fp, count(*) AS n_same_vec FROM b GROUP BY fp),
+        |m1 AS (SELECT quantile_cont(norm, 0.5) AS med FROM b),
+        |m2 AS (SELECT quantile_cont(abs(norm - med), 0.5) AS mad
+        |       FROM b CROSS JOIN m1)
+        |SELECT b.vec_id, round(b.norm, 4) AS norm, b.norm = 0.0 AS is_zero,
+        |  d.n_same_vec,
+        |  abs(b.norm - m1.med) > 3.0 * m2.mad + 0.000001 AS is_outlier
+        |FROM b JOIN d USING (fp) CROSS JOIN m1 CROSS JOIN m2
+        |ORDER BY b.vec_id""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared

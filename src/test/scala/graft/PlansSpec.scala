@@ -161,7 +161,16 @@ class PlansSpec extends SparkSuite {
       "q217_sft_export",
       // scored-docs × single-row decile-boundary normalizer (the q196
       // stance applied to the reliability-diagram bin cut)
-      "q223_calibration")
+      "q223_calibration",
+      // candidates × single-row corr/quartile-boundary normalizer +
+      // the reward LM's OOV floor (the q93/q215 stance)
+      "q224_reward_length_bias",
+      // the reward LM's OOV floor cross (the q93/q215 stance); the
+      // candidate pair join itself is post-keyed, not cartesian
+      "q225_pref_concordance",
+      // vectors × single-row median/MAD normalizers (the q124
+      // construction at corpus level — the q93 stance)
+      "q226_embedding_sanity")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
