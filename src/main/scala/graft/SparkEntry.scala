@@ -1515,6 +1515,43 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q227 — ⊕ code-switching screen (the multilingual-corpus hygiene
+    * measurement between doc-level lang-ID and reality: a document
+    * whose PARAGRAPHS classify differently is code-switched or
+    * mis-segmented, and a doc-level label silently mistrains on it —
+    * the per-paragraph disagreement audit CCNet/ROOTS-style pipelines
+    * publish): every q190 synthesized line is classified by the q27
+    * lexicon argmax, then per doc — paragraph count, distinct topics,
+    * dominant topic (count desc, topic asc — the q27 deterministic
+    * tie-break expressed as a `min_by` on the (−count, topic) struct:
+    * window-free, map-side combinable, the q210/q215 shape), dominant
+    * share, and the `code_switched` verdict. Plan: one explode + one
+    * (doc, topic) hash aggregation + one doc rollup — no window over
+    * the corpus, nothing quadratic.
+    */
+  private val q227CodeSwitching: Q = (s, dir) => {
+    val byTopic = synthLines(s, dir)
+      .select(col("doc_id"), explode(col("__lines")).as("__line"))
+      .select(col("doc_id"),
+        ext.TextAnalysis.classifyByLexicon(col("__line"), topicLexicons)
+          .as("topic"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("__n"))
+    byTopic.groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_paras"),
+        count(lit(1)).as("n_topics"),
+        min_by(col("topic"),
+          struct((col("__n") * -1).as("nn"), col("topic")))
+          .as("dominant_topic"),
+        max(col("__n")).as("__dom_n"))
+      .select(col("doc_id"), col("n_paras"), col("n_topics"),
+        col("dominant_topic"),
+        round(col("__dom_n").cast("double") / col("n_paras"), 4)
+          .as("dominant_share"),
+        (col("n_topics") > 1).as("code_switched"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5311,6 +5348,7 @@ object SparkEntry {
     "q224_reward_length_bias" -> q224RewardLengthBias,
     "q225_pref_concordance" -> q225PrefConcordance,
     "q226_embedding_sanity" -> q226EmbeddingSanity,
+    "q227_code_switching"   -> q227CodeSwitching,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10166,6 +10204,43 @@ object SparkEntry {
         |  abs(b.norm - m1.med) > 3.0 * m2.mad + 0.000001 AS is_outlier
         |FROM b JOIN d USING (fp) CROSS JOIN m1 CROSS JOIN m2
         |ORDER BY b.vec_id""".stripMargin,
+    // q227: the shared synthesized-line chain + the q27 lexicon
+    // construction per LINE, then the (doc, topic) agg replayed with
+    // a (n desc, topic asc) row_number — proving the window-free
+    // min_by picks exactly the window's winner.
+    "q227_code_switching" ->
+      raw"""$synthLinesCtes,
+        |ln AS (SELECT doc_id, unnest(lines) AS line FROM lns),
+        |lw AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(line, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM ln),
+        |ls AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> list_contains(['table','row','column','key','part'], x))) AS s1,
+        |    len(list_filter(w, x -> list_contains(['scan','filter','join','sort','merge','hash'], x))) AS s2,
+        |    len(list_filter(w, x -> list_contains(['stream','window','batch'], x))) AS s3,
+        |    len(list_filter(w, x -> list_contains(['query','data','value'], x))) AS s4
+        |  FROM lw),
+        |lt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s1 = best AND best > 0 THEN 'storage'
+        |         WHEN s2 = best AND best > 0 THEN 'exec'
+        |         WHEN s3 = best AND best > 0 THEN 'streaming'
+        |         WHEN s4 = best AND best > 0 THEN 'general'
+        |         ELSE 'und' END AS topic
+        |  FROM (SELECT *, greatest(s1, s2, s3, s4) AS best FROM ls)),
+        |ag AS (SELECT doc_id, topic, count(*) AS n FROM lt GROUP BY doc_id, topic),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, topic ASC) AS rn,
+        |    sum(n) OVER (PARTITION BY doc_id) AS np,
+        |    count(*) OVER (PARTITION BY doc_id) AS nt
+        |  FROM ag)
+        |SELECT doc_id, CAST(np AS BIGINT) AS n_paras, CAST(nt AS BIGINT) AS n_topics,
+        |  topic AS dominant_topic, round(CAST(n AS DOUBLE) / np, 4) AS dominant_share,
+        |  nt > 1 AS code_switched
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
