@@ -1552,6 +1552,53 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q228 — ⊕ domain mixture reweighting (the DoReMi-shaped static
+    * step, Xie et al. 2023: upweight domains where a small PROXY
+    * model lags the REFERENCE model — excess likelihood marks the
+    * domains worth more epochs): the full corpus is scored under two
+    * q93 char-bigram LMs trained on different deterministic slices
+    * (reference = even ids, proxy = %3 ids), per-source mean scores
+    * and token shares roll up, and the published mixture weight is
+    * share·exp(excess) normalized — exponentiated-gradient form, one
+    * step, η=1. The exp/normalize arithmetic runs on the SOURCES-sized
+    * table (5 rows) at single-row broadcast normalizers; the corpus
+    * work is two linear scoring passes (broadcast models), one join,
+    * one per-source aggregation. Excess is computed from the
+    * published 4-decimal means so the exp input is engine-stable by
+    * construction.
+    */
+  private val q228DomainReweight: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ref = ext.TextAnalysis.charBigramLm(
+      docs.filter(col("doc_id") % 2 === 0), col("text"))
+    val prox = ext.TextAnalysis.charBigramLm(
+      docs.filter(col("doc_id") % 3 === 0), col("text"))
+    val sr = ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), ref)
+      .withColumnRenamed("lm_score", "__r")
+    val sp = ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), prox)
+      .withColumnRenamed("lm_score", "__p")
+    val per = docs.select(col("doc_id"), col("source"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .join(sr, Seq("doc_id")).join(sp, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_toks"),
+        round(avg(col("__r")), 4).as("mean_ref"),
+        round(avg(col("__p")), 4).as("mean_proxy"))
+    val tot = per.agg(sum(col("n_toks")).as("__tt"))
+    val u = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("mean_ref"), col("mean_proxy"),
+        round(col("mean_ref") - col("mean_proxy"), 4).as("excess"),
+        (col("n_toks").cast("double") / col("__tt") *
+          exp(round(col("mean_ref") - col("mean_proxy"), 4))).as("__u"))
+    val z = u.agg(sum(col("__u")).as("__z"))
+    u.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("mean_ref"),
+        col("mean_proxy"), col("excess"),
+        round(col("__u") / col("__z"), 4).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5349,6 +5396,7 @@ object SparkEntry {
     "q225_pref_concordance" -> q225PrefConcordance,
     "q226_embedding_sanity" -> q226EmbeddingSanity,
     "q227_code_switching"   -> q227CodeSwitching,
+    "q228_domain_reweight"  -> q228DomainReweight,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10241,6 +10289,37 @@ object SparkEntry {
         |  topic AS dominant_topic, round(CAST(n AS DOUBLE) / np, 4) AS dominant_share,
         |  nt > 1 AS code_switched
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q228: two prefixed instances of the shared LM chain (reference
+    // r_, proxy p_) + the per-source rollup; exp/normalize replayed on
+    // the 5-row source table from the published 4-decimal means.
+    "q228_domain_reweight" ->
+      s"""WITH ${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT doc_id AS sid, text AS txt FROM documents",
+            idAlias = "doc_id", px = "r_")},
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 3 = 0",
+            "SELECT doc_id AS sid, text AS txt FROM documents",
+            idAlias = "doc_id", px = "p_")},
+        |per AS (
+        |  SELECT d.source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_toks,
+        |    round(avg(r.lm_score), 4) AS mean_ref,
+        |    round(avg(p.lm_score), 4) AS mean_proxy
+        |  FROM documents d
+        |  JOIN r_scored r ON r.doc_id = d.doc_id
+        |  JOIN p_scored p ON p.doc_id = d.doc_id
+        |  GROUP BY d.source),
+        |tt AS (SELECT sum(n_toks) AS t FROM per),
+        |u AS (
+        |  SELECT per.*, round(mean_ref - mean_proxy, 4) AS excess,
+        |    (CAST(n_toks AS DOUBLE) / tt.t)
+        |      * exp(round(mean_ref - mean_proxy, 4)) AS uu
+        |  FROM per CROSS JOIN tt),
+        |z AS (SELECT sum(uu) AS zz FROM u)
+        |SELECT source, n_docs, n_toks, mean_ref, mean_proxy, excess,
+        |  round(uu / z.zz, 4) AS mix_weight
+        |FROM u CROSS JOIN z ORDER BY source""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
@@ -11457,37 +11536,41 @@ object SparkEntry {
     * DIFFERENT fold (q221's chunked burstiness) byte-share the
     * trained model with the mean-log-prob scorers.
     */
-  private def lmModelCtes(train: String): String =
-    raw"""ttr AS (
+  /** `px` prefixes every CTE name so two independent LMs (e.g.
+    * q228's reference + proxy) can coexist in one oracle; the default
+    * "" keeps every existing call site byte-identical.
+    */
+  private def lmModelCtes(train: String, px: String = ""): String =
+    raw"""${px}ttr AS (
         |  SELECT lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
         |  FROM ($train)),
-        |bgt AS (
+        |${px}bgt AS (
         |  SELECT substring(c, CAST(i.i AS INTEGER), 2) AS bg
-        |  FROM ttr, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  FROM ${px}ttr, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
         |  WHERE length(c) >= 2),
-        |cnt AS (SELECT bg, count(*) AS c FROM bgt GROUP BY bg),
-        |tot AS (SELECT sum(c) AS total FROM cnt),
-        |model AS (
+        |${px}cnt AS (SELECT bg, count(*) AS c FROM ${px}bgt GROUP BY bg),
+        |${px}tot AS (SELECT sum(c) AS total FROM ${px}cnt),
+        |${px}model AS (
         |  SELECT bg, ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
-        |  FROM cnt CROSS JOIN tot),
-        |flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM tot)""".stripMargin
+        |  FROM ${px}cnt CROSS JOIN ${px}tot),
+        |${px}flr AS (SELECT ln(0.5 / CAST(total AS DOUBLE)) AS f FROM ${px}tot)""".stripMargin
 
   private def lmScoreCtes(train: String, score: String,
-                          idAlias: String = "sid"): String =
-    raw"""${lmModelCtes(train)},
-        |tsc AS (
+                          idAlias: String = "sid", px: String = ""): String =
+    raw"""${lmModelCtes(train, px)},
+        |${px}tsc AS (
         |  SELECT sid, lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS c
         |  FROM ($score)),
-        |bgs AS (
+        |${px}bgs AS (
         |  SELECT sid, substring(c, CAST(i.i AS INTEGER), 2) AS bg
-        |  FROM tsc, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
+        |  FROM ${px}tsc, LATERAL (SELECT unnest(range(1, length(c))) AS i) i
         |  WHERE length(c) >= 2),
-        |scored AS (
-        |  SELECT bgs.sid AS $idAlias,
-        |    round(avg(coalesce(model.logp, flr.f)), 4) AS lm_score
-        |  FROM bgs CROSS JOIN flr
-        |  LEFT JOIN model ON bgs.bg = model.bg
-        |  GROUP BY bgs.sid)""".stripMargin
+        |${px}scored AS (
+        |  SELECT ${px}bgs.sid AS $idAlias,
+        |    round(avg(coalesce(${px}model.logp, ${px}flr.f)), 4) AS lm_score
+        |  FROM ${px}bgs CROSS JOIN ${px}flr
+        |  LEFT JOIN ${px}model ON ${px}bgs.bg = ${px}model.bg
+        |  GROUP BY ${px}bgs.sid)""".stripMargin
 
   private def lmChainCtes: String =
     "WITH " + lmScoreCtes(

@@ -170,7 +170,11 @@ class PlansSpec extends SparkSuite {
       "q225_pref_concordance",
       // vectors × single-row median/MAD normalizers (the q124
       // construction at corpus level — the q93 stance)
-      "q226_embedding_sanity")
+      "q226_embedding_sanity",
+      // two LM OOV-floor crosses (reference + proxy) + the two
+      // single-row token-share/softmax normalizers over the 5-row
+      // source table (the q93 stance)
+      "q228_domain_reweight")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
