@@ -1599,6 +1599,50 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q229 — ⊕ label-noise screen (confident learning, Northcutt et
+    * al. 2021 — the audit run on any labeled set before it trains a
+    * production classifier): every 17th doc's label is FLIPPED
+    * against its text signal (the derived-noise convention — text
+    * still carries the q214 %3 stop-word decoration, so the flip is
+    * detectable), the q214 LR trains on the noisy labels, and a doc
+    * is a suspected label error when its predicted probability for
+    * the OPPOSITE class clears that class's self-confidence threshold
+    * (mean predicted probability among docs labeled that class — the
+    * CL per-class cut). Thresholds compare at 6-decimal rounding on
+    * both engines so every verdict is engine-stable (p1 publishes at
+    * the same 6-dp precision — re-rounding to 4 hit a .5 boundary); `planted_flip`
+    * publishes the ground truth so the screen's precision/recall is
+    * visible at oracle scale. Corpus work: the q214 train+score
+    * chain + one aggregation; the threshold is a single-row
+    * broadcast.
+    */
+  private val q229LabelNoise: Q = (s, dir) => {
+    val dec = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the and that have with."))
+          .otherwise(lit(""))).as("__t"),
+      ((col("doc_id") % 3 === 0) =!= (col("doc_id") % 17 === 0))
+        .cast("int").as("__y"))
+    val model = ext.Classify.logisticFit(
+      dec.filter(col("doc_id") % 10 =!= 0), col("__y"), col("__t"))
+    val py = ext.Classify.logisticScore(model, dec, col("doc_id"), col("__t"))
+      .select(col("id"),
+        ((col("id") % 3 === 0) =!= (col("id") % 17 === 0))
+          .cast("int").as("y"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("margin_units").cast("double") / lit(1e9))), 6).as("p1"))
+    val th = py.agg(
+      round(avg(when(col("y") === 1, col("p1"))), 6).as("__t1"),
+      round(avg(when(col("y") === 0, lit(1.0) - col("p1"))), 6).as("__t0"))
+    py.crossJoin(broadcast(th))
+      .select(col("id").as("doc_id"), (col("y") === 1).as("y_given"),
+        col("p1"),
+        when(col("y") === 0, col("p1") >= col("__t1"))
+          .otherwise(lit(1.0) - col("p1") >= col("__t0")).as("suspect"),
+        (col("id") % 17 === 0).as("planted_flip"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5397,6 +5441,7 @@ object SparkEntry {
     "q226_embedding_sanity" -> q226EmbeddingSanity,
     "q227_code_switching"   -> q227CodeSwitching,
     "q228_domain_reweight"  -> q228DomainReweight,
+    "q229_label_noise"      -> q229LabelNoise,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10320,6 +10365,24 @@ object SparkEntry {
         |SELECT source, n_docs, n_toks, mean_ref, mean_proxy, excess,
         |  round(uu / z.zz, 4) AS mix_weight
         |FROM u CROSS JOIN z ORDER BY source""".stripMargin,
+    // q229: the q214 chain with the label condition flipped every
+    // 17th doc; sigmoid probabilities and per-class self-confidence
+    // thresholds at 6-decimal rounding, the CL verdict per doc.
+    "q229_label_noise" ->
+      (lrChainCtes(64, 8, 1L, 1L,
+          labelCond = "(doc_id % 3 = 0) <> (doc_id % 17 = 0)") + ",\n" +
+      raw"""py AS (
+        |  SELECT sc.doc_id, dd.y,
+        |    round(1.0 / (1.0 + exp(-CAST(sc.wx AS DOUBLE) / 1e9)), 6) AS p1
+        |  FROM sc JOIN dd USING (doc_id)),
+        |th AS (
+        |  SELECT round(avg(CASE WHEN y = 1 THEN p1 END), 6) AS t1,
+        |    round(avg(CASE WHEN y = 0 THEN 1.0 - p1 END), 6) AS t0
+        |  FROM py)
+        |SELECT doc_id, y = 1 AS y_given, p1,
+        |  CASE WHEN y = 0 THEN p1 >= t1 ELSE (1.0 - p1) >= t0 END AS suspect,
+        |  doc_id % 17 = 0 AS planted_flip
+        |FROM py CROSS JOIN th ORDER BY doc_id""".stripMargin),
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
@@ -10688,7 +10751,8 @@ object SparkEntry {
     * per-doc readout (q214) and the calibration audit (q223).
     */
   private def lrChainCtes(dims: Int, iters: Int,
-                          lrNum: Long, lrDen: Long): String = {
+                          lrNum: Long, lrDen: Long,
+                          labelCond: String = "doc_id % 3 = 0"): String = {
     def fdiv(a: String, b: String): String =
       s"($a - (($a % $b + $b) % $b)) // $b"
     val iterCtes = (1 to iters).map { i =>
@@ -10715,7 +10779,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    text || CASE WHEN doc_id % 3 = 0 THEN ' the and that have with.'
       |                 ELSE '' END AS txt,
-      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      |    CASE WHEN $labelCond THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |dd AS MATERIALIZED (
       |  SELECT doc_id, y,

@@ -174,7 +174,10 @@ class PlansSpec extends SparkSuite {
       // two LM OOV-floor crosses (reference + proxy) + the two
       // single-row token-share/softmax normalizers over the 5-row
       // source table (the q93 stance)
-      "q228_domain_reweight")
+      "q228_domain_reweight",
+      // scored-docs × single-row per-class confidence thresholds (the
+      // q93/q223 stance applied to the confident-learning cut)
+      "q229_label_noise")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
