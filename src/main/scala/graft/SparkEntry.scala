@@ -1643,6 +1643,73 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q230 — ⊕ near-dup cluster quality audit (the check on the
+    * clustering operator itself: connected components chain A~B~C
+    * into one cluster even when A and C are NOT similar — the known
+    * MinHash-CC pathology; a removal policy that keeps one doc per
+    * chained cluster silently deletes non-duplicates): within every
+    * q48 cluster up to an audit cap, all member pairs re-verify by
+    * exact shingle Jaccard, and the cluster publishes its pair count,
+    * min/mean similarity, and the `chained` verdict (some member pair
+    * below the 0.8 pairing threshold — reachable only transitively).
+    * Scale shape: the pair join is CLUSTER-LOCAL and the cap bounds
+    * it at O(cap²) per cluster; clusters above the cap are published
+    * `audited = false` (a production run samples them) — the same
+    * honest-refusal stance as the semdedup bucket cap. Cluster chain
+    * is q48's verbatim (shared oracle CTEs), so the audit inspects
+    * exactly the clusters q48 ships.
+    */
+  private val q230ClusterAudit: Q = (s, dir) => {
+    val auditCap = 8
+    // Planted structure (the q159/q190 derived-text convention; the
+    // raw fixture's clusters are all small near-cliques, so neither
+    // interesting branch fires on it): docs 0-11 share one constant
+    // text — a 12-member exact-dup family above the audit cap
+    // (audited = false at every scale, constant cost); every
+    // (100k+97, 100k+98, 100k+99) triple gets sliding 21-token
+    // windows over a group-unique vocabulary stepped by 2 — adjacent
+    // Jaccard 17/21 ≈ 0.8095 (pairs), end-to-end 15/23 ≈ 0.652
+    // (< 0.8): a genuine transitive chain, so `chained` fires.
+    val m2 = (col("doc_id") % 100 - 97) * 2
+    val g = expr("doc_id div 100")
+    val chainText = array_join(transform(sequence(m2 + 1, m2 + 21),
+      j => concat(lit("qch"), g.cast("string"), lit("w"),
+        j.cast("string"))), " ")
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") < 12,
+          lit("qbig qdup qfamily qtext qconstant qblock qcopy"))
+        .when(col("doc_id") % 100 >= 97, chainText)
+        .otherwise(col("text")).as("text"))
+    val clusters = ext.Dedup.dupClusters(
+      ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text")))
+    val sh = docs.select(col("doc_id"),
+        ext.Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cz = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val mem = clusters.join(sh, Seq("doc_id"))
+      .join(cz.filter(col("n_docs") <= auditCap).select(col("cluster_id")),
+        Seq("cluster_id"))
+    val a = mem.select(col("cluster_id"), col("doc_id").as("ia"),
+      col("sh").as("sha"))
+    val b = mem.select(col("cluster_id"), col("doc_id").as("ib"),
+      col("sh").as("shb"))
+    val ad = a.join(b, Seq("cluster_id")).filter(col("ia") < col("ib"))
+      .select(col("cluster_id"),
+        round(ext.Dedup.jaccard(col("sha"), col("shb")), 4).as("sim"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(min(col("sim")), 4).as("min_sim"),
+        round(avg(col("sim")), 4).as("mean_sim"))
+    cz.join(ad, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_docs"),
+        (col("n_docs") <= auditCap).as("audited"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("min_sim"), col("mean_sim"),
+        when(col("n_docs") <= auditCap, col("min_sim") < lit(0.8))
+          .as("chained"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5442,6 +5509,7 @@ object SparkEntry {
     "q227_code_switching"   -> q227CodeSwitching,
     "q228_domain_reweight"  -> q228DomainReweight,
     "q229_label_noise"      -> q229LabelNoise,
+    "q230_cluster_audit"    -> q230ClusterAudit,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10383,6 +10451,44 @@ object SparkEntry {
         |  CASE WHEN y = 0 THEN p1 >= t1 ELSE (1.0 - p1) >= t0 END AS suspect,
         |  doc_id % 17 = 0 AS planted_flip
         |FROM py CROSS JOIN th ORDER BY doc_id""".stripMargin),
+    // q230: q48's shared cluster chain + the in-cluster pair audit —
+    // exact Jaccard replay per member pair under the cap, min/mean
+    // rollup, the chained verdict.
+    "q230_cluster_audit" ->
+      (dupClustersCtes("qdocs").replaceFirst("WITH RECURSIVE ",
+        "WITH RECURSIVE qdocs AS (\n" +
+        raw"""  SELECT doc_id,
+          |    CASE WHEN doc_id < 12
+          |           THEN 'qbig qdup qfamily qtext qconstant qblock qcopy'
+          |         WHEN doc_id % 100 >= 97 THEN
+          |           array_to_string(list_transform(
+          |             range((doc_id % 100 - 97)*2 + 1, (doc_id % 100 - 97)*2 + 22),
+          |             j -> 'qch' || CAST(doc_id // 100 AS VARCHAR)
+          |                  || 'w' || CAST(j AS VARCHAR)), ' ')
+          |         ELSE text END AS text
+          |  FROM documents),
+          |""".stripMargin) + ",\n" +
+      raw"""cl AS (SELECT v AS doc_id, cluster_id FROM comp),
+        |cz AS (SELECT cluster_id, count(*) AS n_docs FROM cl GROUP BY cluster_id),
+        |mem AS (
+        |  SELECT cl.cluster_id, cl.doc_id, s.sh
+        |  FROM cl JOIN sh s ON s.doc_id = cl.doc_id
+        |  JOIN cz ON cz.cluster_id = cl.cluster_id AND cz.n_docs <= 8),
+        |pw AS (
+        |  SELECT a.cluster_id,
+        |    round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4) AS sim
+        |  FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+        |ad AS (
+        |  SELECT cluster_id, count(*) AS n_pairs, round(min(sim), 4) AS min_sim,
+        |    round(avg(sim), 4) AS mean_sim
+        |  FROM pw GROUP BY cluster_id)
+        |SELECT cz.cluster_id, cz.n_docs, cz.n_docs <= 8 AS audited,
+        |  COALESCE(ad.n_pairs, 0) AS n_pairs, ad.min_sim, ad.mean_sim,
+        |  CASE WHEN cz.n_docs <= 8 THEN ad.min_sim < 0.8 END AS chained
+        |FROM cz LEFT JOIN ad ON ad.cluster_id = cz.cluster_id
+        |ORDER BY cz.cluster_id""".stripMargin),
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
