@@ -1710,6 +1710,32 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  /** q231 — ⊕ packing-efficiency datacard (the number a trainer reads
+    * before choosing a context length: the q167 contiguous packing is
+    * pad-free by construction, so its cost is FRAGMENTATION — docs
+    * straddling sequence boundaries lose cross-boundary attention):
+    * per candidate context capacity (512 and 2048), the doc/token
+    * totals, sequence count, straddling-doc count and fraction, and
+    * capacity utilization (< 1 only from the final partial sequence).
+    * Each capacity is one q167 packing (two-pass prefix sum — no
+    * single-task window) + one aggregation; the readout is two rows.
+    */
+  private val q231PackingDatacard: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    def card(cap: Long): DataFrame =
+      ops.Packing.packSequences(t, Seq(col("doc_id")), "n_toks", cap)
+        .groupBy(lit(cap).as("capacity"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+          (max(col("seq_last")) + 1).as("n_seqs"),
+          sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("n_straddling"),
+          round(avg(when(col("n_seqs") > 1, 1.0).otherwise(0.0)), 4)
+            .as("straddle_frac"),
+          round(sum(col("n_toks")).cast("double") /
+            ((max(col("seq_last")) + 1) * cap), 4).as("utilization"))
+    card(512L).unionByName(card(2048L)).orderBy(col("capacity"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5510,6 +5536,7 @@ object SparkEntry {
     "q228_domain_reweight"  -> q228DomainReweight,
     "q229_label_noise"      -> q229LabelNoise,
     "q230_cluster_audit"    -> q230ClusterAudit,
+    "q231_packing_datacard" -> q231PackingDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10489,6 +10516,31 @@ object SparkEntry {
         |  CASE WHEN cz.n_docs <= 8 THEN ad.min_sim < 0.8 END AS chained
         |FROM cz LEFT JOIN ad ON ad.cluster_id = cz.cluster_id
         |ORDER BY cz.cluster_id""".stripMargin),
+    // q231: the q167 prefix-sum chain computed once, the per-capacity
+    // seq arithmetic replayed over a 2-row capacity list, one rollup
+    // per capacity.
+    "q231_packing_datacard" ->
+      raw"""WITH dt AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |dc AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM dt WHERE n_toks > 0),
+        |per AS (
+        |  SELECT c.cap, doc_id, n_toks,
+        |    (tok_start // c.cap) AS sf,
+        |    ((tok_start + n_toks - 1) // c.cap) AS sl
+        |  FROM dc CROSS JOIN (SELECT unnest([512, 2048]) AS cap) c)
+        |SELECT CAST(cap AS BIGINT) AS capacity, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |  CAST(max(sl) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN sl > sf THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+        |  round(avg(CASE WHEN sl > sf THEN 1.0 ELSE 0.0 END), 4) AS straddle_frac,
+        |  round(CAST(sum(n_toks) AS DOUBLE) / ((max(sl) + 1) * cap), 4) AS utilization
+        |FROM per GROUP BY cap ORDER BY capacity""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
