@@ -1736,6 +1736,43 @@ object SparkEntry {
     card(512L).unionByName(card(2048L)).orderBy(col("capacity"))
   }
 
+  /** q232 — ⊕ structured-payload validity screen (the datacard a
+    * tool-trace / synthetic-data pipeline publishes before training
+    * on machine-generated JSON: malformed payloads, missing fields,
+    * and type drift each poison a different consumer): per event
+    * type, the counts and rates of (a) JSON-valid payloads, (b) the
+    * contract field `k` present, (c) `k` numeric. Three corruption
+    * classes are planted by the q159 derived convention — every 13th
+    * event's payload truncates (malformed), every 17th renames the
+    * field (schema drift), every 11th stringifies the value (type
+    * drift) — so all four verdict combinations occur at oracle scale.
+    * Row-local parsing + one hash aggregation; nothing shuffles but
+    * the rollup.
+    */
+  private val q232PayloadValidity: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      when(col("event_id") % 13 === 0, substring(col("props"), 1, 6))
+        .when(col("event_id") % 17 === 0,
+          regexp_replace(col("props"), lit("\"k\""), lit("\"v\"")))
+        .when(col("event_id") % 11 === 0,
+          concat(lit("{\"k\": \"x"), (col("event_id") % 100).cast("string"),
+            lit("\"}")))
+        .otherwise(col("props")).as("p"))
+    e.select(col("event_type"),
+        get_json_object(col("p"), "$").isNotNull.as("ok"),
+        get_json_object(col("p"), "$.k").isNotNull.as("hask"),
+        expr("try_cast(get_json_object(p, '$.k') AS BIGINT)").isNotNull
+          .as("numk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("hask"), 1L).otherwise(0L)).as("n_field"),
+        sum(when(col("numk"), 1L).otherwise(0L)).as("n_typed"),
+        round(avg(when(col("ok"), 1.0).otherwise(0.0)), 4).as("valid_rate"),
+        round(avg(when(col("numk"), 1.0).otherwise(0.0)), 4).as("typed_rate"))
+      .orderBy(col("event_type"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5537,6 +5574,7 @@ object SparkEntry {
     "q229_label_noise"      -> q229LabelNoise,
     "q230_cluster_audit"    -> q230ClusterAudit,
     "q231_packing_datacard" -> q231PackingDatacard,
+    "q232_payload_validity" -> q232PayloadValidity,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10541,6 +10579,28 @@ object SparkEntry {
         |  round(avg(CASE WHEN sl > sf THEN 1.0 ELSE 0.0 END), 4) AS straddle_frac,
         |  round(CAST(sum(n_toks) AS DOUBLE) / ((max(sl) + 1) * cap), 4) AS utilization
         |FROM per GROUP BY cap ORDER BY capacity""".stripMargin,
+    // q232: the three planted corruptions replayed, json_valid +
+    // json_extract_string + try_cast, one rollup.
+    "q232_payload_validity" ->
+      raw"""WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN substring(props, 1, 6)
+        |         WHEN event_id % 17 = 0 THEN regexp_replace(props, '"k"', '"v"')
+        |         WHEN event_id % 11 = 0
+        |           THEN '{"k": "x' || CAST(event_id % 100 AS VARCHAR) || '"}'
+        |         ELSE props END AS p
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, json_valid(p) AS ok,
+        |    CASE WHEN json_valid(p) THEN json_extract_string(p, '$$.k') END AS ks
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN ks IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_field,
+        |  CAST(sum(CASE WHEN try_cast(ks AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_typed,
+        |  round(avg(CASE WHEN ok THEN 1.0 ELSE 0.0 END), 4) AS valid_rate,
+        |  round(avg(CASE WHEN try_cast(ks AS BIGINT) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS typed_rate
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
