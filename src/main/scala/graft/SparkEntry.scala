@@ -1773,6 +1773,75 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** q233 — ⊕ inter-source duplication matrix (the provenance
+    * measurement a multi-source corpus release publishes — FineWeb/
+    * Dolma-style: how much content two ingest sources share tells you
+    * whether they re-crawl each other before any dedup decision is
+    * made): distinct (fingerprint, source) pairs self-join on the
+    * fingerprint and roll up to a source×source shared-content count.
+    * The fan-out per fingerprint is bounded by the SOURCE count (a
+    * constant), never the corpus — the q213 bounded-group stance
+    * applied to provenance. Cross-source duplicates are planted by
+    * the derived convention (every 7th doc serves one of three
+    * boilerplate blobs, and 7 ⊥ 20 spreads them across all sources).
+    */
+  private val q233SourceOverlap: Q = (s, dir) => {
+    val fps = Tables.documents(s, dir).select(col("source"),
+        ext.TextAnalysis.fingerprint(
+          when(col("doc_id") % 7 === 0,
+            concat(lit("qboiler blob "), (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text"))).as("fp"))
+      .distinct()
+    val a = fps.select(col("fp"), col("source").as("src_a"))
+    val b = fps.select(col("fp"), col("source").as("src_b"))
+    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q234 — ⊕ lexical diversity datacard (the mode-collapse detector
+    * a synthetic-data pipeline tracks per generation round: falling
+    * distinct-n-gram ratio and a rising top-n-gram share are the
+    * observable signature of a collapsing generator — the Self-BLEU
+    * phenomenon read through counts, which distribute where pairwise
+    * BLEU does not): per source, total and distinct word-trigram
+    * counts, their ratio, the single most frequent trigram's share,
+    * and the collapse verdict. Trigrams keep DUPLICATE occurrences
+    * (corpus diversity is an occurrence measure; the dedup families
+    * use per-doc distinct sets) — the token array materializes as a
+    * column first so the lambda walks a row-local array, not the
+    * regex chain (the shinglesComposed O(len²) lesson). Collapse is
+    * planted in sources 0-6 only (every 9th doc there degenerates to
+    * a two-token loop), so both verdicts occur at oracle scale.
+    */
+  private val q234DiversityDatacard: Q = (s, dir) => {
+    val degenerate = col("doc_id") % 9 === 0 && col("doc_id") % 20 < 7
+    val tw = Tables.documents(s, dir).select(col("source"),
+        ext.TextAnalysis.tokens(
+          when(degenerate, array_join(transform(sequence(lit(1), lit(15)),
+            _ => lit("qrep loop")), " ")).otherwise(col("text"))).as("w"))
+      .filter(size(col("w")) >= 3)
+    val tri = tw.select(col("source"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2), i =>
+          concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          .as("tri"))
+      .groupBy(col("source"), col("tri"))
+      .agg(count(lit(1)).as("__n"))
+    tri.groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("__n")), 4)
+          .as("distinct_ratio"),
+        round(max(col("__n")).cast("double") / sum(col("__n")), 4)
+          .as("top_share"))
+      .select(col("source"), col("n_trigrams"), col("n_distinct"),
+        col("distinct_ratio"), col("top_share"),
+        (col("top_share") > 0.01).as("collapse_suspect"))
+      .orderBy(col("source"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5575,6 +5644,8 @@ object SparkEntry {
     "q230_cluster_audit"    -> q230ClusterAudit,
     "q231_packing_datacard" -> q231PackingDatacard,
     "q232_payload_validity" -> q232PayloadValidity,
+    "q233_source_overlap"   -> q233SourceOverlap,
+    "q234_diversity_datacard" -> q234DiversityDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10601,6 +10672,40 @@ object SparkEntry {
         |  round(avg(CASE WHEN ok THEN 1.0 ELSE 0.0 END), 4) AS valid_rate,
         |  round(avg(CASE WHEN try_cast(ks AS BIGINT) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS typed_rate
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q233: the q30 md5 fingerprint over the derived corpus, distinct
+    // (fp, source), fp-keyed self-join, source-pair rollup.
+    "q233_source_overlap" ->
+      raw"""WITH fp AS (
+        |  SELECT DISTINCT source,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 7 = 0
+        |             THEN 'qboiler blob ' || CAST(doc_id % 3 AS VARCHAR)
+        |           ELSE text END, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q234: occurrence trigrams (no per-doc distinct), (source, tri)
+    // rollup, per-source diversity readout.
+    "q234_diversity_datacard" ->
+      raw"""WITH t AS (
+        |  SELECT source,
+        |    string_split(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 9 = 0 AND doc_id % 20 < 7
+        |             THEN trim(repeat('qrep loop ', 15))
+        |           ELSE text END, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+        |  FROM t WHERE len(w) >= 3),
+        |st AS (SELECT source, tri, count(*) AS n FROM tri GROUP BY source, tri)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |  count(*) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / sum(n), 4) AS distinct_ratio,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_share,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) > 0.01 AS collapse_suspect
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
