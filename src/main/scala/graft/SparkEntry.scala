@@ -1842,6 +1842,43 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q235 — ⊕ crawl saturation curve (the novelty-decay measurement
+    * that tells an ingest team when a source stops paying for its
+    * crawl budget: per ingest batch, how much of the arriving
+    * paragraph content was never seen in any earlier batch): every
+    * paragraph hash's FIRST occurrence (min doc_id — a combinable
+    * aggregation, the q195 shape) is assigned to its batch, and each
+    * batch publishes instance/distinct/new counts and the novelty
+    * rate. Saturation is planted by the q192 decorate convention —
+    * every second line draws from a fixed 200-line pool (7 ⊥ 200
+    * cycles it), so early batches discover the pool and later ones
+    * re-see it: the curve decays, visibly, from batch 0. Plan: one
+    * explode + two hash aggregations + one batch-keyed join — the
+    * only corpus-wide exchange hashes on paragraph content.
+    */
+  private val q235NoveltyCurve: Q = (s, dir) => {
+    val lines = synthLines(s, dir, decorate = (l, i) =>
+      when((col("doc_id") + i) % 2 === 0,
+        concat(lit("qpool "),
+          pmod(col("doc_id") * 7 + i, lit(200)).cast("string")))
+        .otherwise(l))
+    val ex = lines.select(col("doc_id"), explode(col("__lines")).as("__l"))
+      .select(expr("doc_id div 50").as("batch"), col("doc_id"),
+        md5(col("__l")).as("h"))
+    val inst = ex.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_instances"),
+        countDistinct(col("h")).as("n_distinct"))
+    val news = ex.groupBy(col("h")).agg(min(col("doc_id")).as("__fd"))
+      .groupBy(expr("__fd div 50").as("batch"))
+      .agg(count(lit(1)).as("n_new"))
+    inst.join(news, Seq("batch"), "left")
+      .select(col("batch"), col("n_instances"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_distinct"), 4).as("novelty_rate"))
+      .orderBy(col("batch"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5646,6 +5683,7 @@ object SparkEntry {
     "q232_payload_validity" -> q232PayloadValidity,
     "q233_source_overlap"   -> q233SourceOverlap,
     "q234_diversity_datacard" -> q234DiversityDatacard,
+    "q235_novelty_curve"    -> q235NoveltyCurve,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10706,6 +10744,26 @@ object SparkEntry {
         |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_share,
         |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) > 0.01 AS collapse_suspect
         |FROM st GROUP BY source ORDER BY source""".stripMargin,
+    // q235: the decorated synthesized-line chain (pool lines every
+    // second slot), first-occurrence min per hash, per-batch rollup.
+    "q235_novelty_curve" ->
+      (synthLinesCtesWith(
+        "CASE WHEN (doc_id + i) % 2 = 0 " +
+        "THEN 'qpool ' || CAST((doc_id*7 + i) % 200 AS VARCHAR) " +
+        "ELSE " + synthBaseLineSql + " END") + ",\n" +
+      raw"""exl AS (SELECT doc_id, unnest(lines) AS l FROM lns),
+        |ex AS (SELECT doc_id // 50 AS batch, doc_id, md5(l) AS h FROM exl),
+        |inst AS (
+        |  SELECT batch, count(*) AS n_instances,
+        |    count(DISTINCT h) AS n_distinct
+        |  FROM ex GROUP BY batch),
+        |fh AS (SELECT h, min(doc_id) AS fd FROM ex GROUP BY h),
+        |nw AS (SELECT fd // 50 AS batch, count(*) AS n_new FROM fh GROUP BY 1)
+        |SELECT i.batch, i.n_instances, i.n_distinct,
+        |  CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+        |  round(CAST(COALESCE(nw.n_new, 0) AS DOUBLE) / i.n_distinct, 4) AS novelty_rate
+        |FROM inst i LEFT JOIN nw ON nw.batch = i.batch
+        |ORDER BY i.batch""".stripMargin),
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
