@@ -1879,6 +1879,85 @@ object SparkEntry {
       .orderBy(col("batch"))
   }
 
+  /** q236 — ⊕ Bradley–Terry system rating (the Arena-style readout
+    * over mined pairwise preferences — Zermelo 1929 / Hunter 2004's
+    * minorization iteration, the fit behind every LLM leaderboard):
+    * candidate slots (flat_idx) are the competing "systems", every
+    * decisive same-post reward comparison is a game (ties at the
+    * published 4-dp reward rounding are excluded, so the game set is
+    * engine-stable), and eight MM rounds fit the strengths:
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j), renormalized. All corpus work is
+    * ONE pair aggregation (post-local self-join, the q225 bounded
+    * stance); the iteration runs on the 6-row game / 4-row rating
+    * tables, staged once via localCheckpoint so the LM chain is never
+    * re-evaluated, with every per-round quantity quantized to integer
+    * micro/nano units before any cross-row sum (the q187 exact-
+    * integer convention — double sums over a group are order-
+    * sensitive; integer sums are not).
+    */
+  private val q236BtRating: Q = (s, dir) => {
+    val cands = ext.Posttrain.candidateResponses(docsAsComments(s, dir))
+      .withColumn("__sid",
+        concat_ws("#", col("post_id"), col("flat_idx")))
+    val lm = ext.TextAnalysis.charBigramLm(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = ext.TextAnalysis.lmScore(cands, col("__sid"),
+      col("response"), lm)
+    val sys = cands.join(scored, cands("__sid") === scored("doc_id"))
+      .select(col("post_id"), col("flat_idx").as("sysid"),
+        col("lm_score").as("r"))
+    val a = sys.select(col("post_id"), col("sysid").as("sa"),
+      col("r").as("ra"))
+    val b = sys.select(col("post_id"), col("sysid").as("sb"),
+      col("r").as("rb"))
+    val games = a.join(b, Seq("post_id"))
+      .filter(col("sa") < col("sb") && col("ra") =!= col("rb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") > col("rb"), 1L).otherwise(0L)).as("wa"))
+      .localCheckpoint()
+    val wins = games.select(col("sa").as("sysid"), col("n"),
+        col("wa").as("w"))
+      .unionByName(games.select(col("sb").as("sysid"), col("n"),
+        (col("n") - col("wa")).as("w")))
+      .groupBy(col("sysid"))
+      .agg(sum(col("n")).as("n_games"), sum(col("w")).as("n_wins"))
+      .localCheckpoint()
+    var p = wins.select(col("sysid"), lit(250000000L).as("pn"))
+    for (_ <- 1 to 8) {
+      val t = games
+        .join(p.select(col("sysid").as("sa"), col("pn").as("pa")), Seq("sa"))
+        .join(p.select(col("sysid").as("sb"), col("pn").as("pb")), Seq("sb"))
+        .select(col("sa"), col("sb"),
+          round(lit(1e6) * col("n") /
+            ((col("pa") + col("pb")).cast("double") / lit(1e9)))
+            .cast("long").as("t"))
+      val den = t.select(col("sa").as("sysid"), col("t"))
+        .unionByName(t.select(col("sb").as("sysid"), col("t")))
+        .groupBy(col("sysid")).agg(sum(col("t")).as("den"))
+      val praw = wins.join(den, Seq("sysid"))
+        .select(col("sysid"),
+          round(col("n_wins").cast("double") /
+            (col("den").cast("double") / lit(1e6)) * lit(1e9))
+            .cast("long").as("pq"))
+      val z = praw.agg(sum(col("pq")).as("z"))
+      // localCheckpoint per round (the dupClusters convention): praw
+      // is referenced by BOTH z and the renormalized p, so without a
+      // cut the lineage doubles per MM round — 2^8 plan expansion by
+      // round eight. The table is 4 rows; the checkpoint is free.
+      p = praw.crossJoin(broadcast(z))
+        .select(col("sysid"),
+          round(col("pq").cast("double") / col("z").cast("double") * lit(1e9))
+            .cast("long").as("pn"))
+        .localCheckpoint()
+    }
+    wins.join(p, Seq("sysid"))
+      .select(col("sysid").cast("long").as("sysid"), col("n_games"),
+        col("n_wins"),
+        round(col("pn").cast("double") / lit(1e9), 6).as("bt_score"))
+      .orderBy(col("sysid"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5684,6 +5763,7 @@ object SparkEntry {
     "q233_source_overlap"   -> q233SourceOverlap,
     "q234_diversity_datacard" -> q234DiversityDatacard,
     "q235_novelty_curve"    -> q235NoveltyCurve,
+    "q236_bt_rating"        -> q236BtRating,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10764,6 +10844,36 @@ object SparkEntry {
         |  round(CAST(COALESCE(nw.n_new, 0) AS DOUBLE) / i.n_distinct, 4) AS novelty_rate
         |FROM inst i LEFT JOIN nw ON nw.batch = i.batch
         |ORDER BY i.batch""".stripMargin),
+    // q236: the shared candidate + reward chains, the post-local game
+    // aggregation, then eight unrolled Bradley-Terry MM rounds in the
+    // exact integer micro/nano quantization the Spark side uses.
+    "q236_bt_rating" ->
+      s"""$sftCommentsCtes,
+        |${lmScoreCtes(
+            "SELECT text AS txt FROM documents WHERE doc_id % 2 = 0",
+            "SELECT post_id || '#' || CAST(flat_idx AS VARCHAR) AS sid, " +
+              "response AS txt FROM cr")},
+        |sys AS MATERIALIZED (
+        |  SELECT cr.post_id, cr.flat_idx AS sysid, s.lm_score AS r
+        |  FROM cr JOIN scored s
+        |    ON s.sid = cr.post_id || '#' || CAST(cr.flat_idx AS VARCHAR)),
+        |games AS MATERIALIZED (
+        |  SELECT a.sysid AS sa, b.sysid AS sb, count(*) AS n,
+        |    CAST(sum(CASE WHEN a.r > b.r THEN 1 ELSE 0 END) AS BIGINT) AS wa
+        |  FROM sys a JOIN sys b
+        |    ON a.post_id = b.post_id AND a.sysid < b.sysid AND a.r <> b.r
+        |  GROUP BY 1, 2),
+        |wins AS MATERIALIZED (
+        |  SELECT sysid, CAST(sum(n) AS BIGINT) AS n_games,
+        |    CAST(sum(w) AS BIGINT) AS n_wins FROM (
+        |    SELECT sa AS sysid, n, wa AS w FROM games
+        |    UNION ALL SELECT sb, n, n - wa FROM games)
+        |  GROUP BY sysid),
+        |${btRoundsSql(8)}
+        |SELECT CAST(w.sysid AS BIGINT) AS sysid, w.n_games, w.n_wins,
+        |  round(CAST(p8.pn AS DOUBLE) / 1e9, 6) AS bt_score
+        |FROM wins w JOIN p8 ON p8.sysid = w.sysid
+        |ORDER BY sysid""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
@@ -11981,6 +12091,38 @@ object SparkEntry {
     * DIFFERENT fold (q221's chunked burstiness) byte-share the
     * trained model with the mean-log-prob scorers.
     */
+
+  /** q236's eight unrolled Bradley-Terry MM rounds — every per-round
+    * quantity quantized to integer micro/nano units before any
+    * cross-row sum, mirroring the Spark side operation for operation.
+    */
+  private def btRoundsSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("p0 AS MATERIALIZED (SELECT sysid, CAST(250000000 AS BIGINT) AS pn FROM wins)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |t$i AS MATERIALIZED (
+        |  SELECT g.sa, g.sb,
+        |    CAST(round(1e6 * g.n / ((pa.pn + pb.pn) / 1e9)) AS BIGINT) AS t
+        |  FROM games g JOIN p${i - 1} pa ON pa.sysid = g.sa
+        |               JOIN p${i - 1} pb ON pb.sysid = g.sb),
+        |den$i AS MATERIALIZED (
+        |  SELECT sysid, CAST(sum(t) AS BIGINT) AS den FROM (
+        |    SELECT sa AS sysid, t FROM t$i UNION ALL SELECT sb, t FROM t$i)
+        |  GROUP BY sysid),
+        |pr$i AS MATERIALIZED (
+        |  SELECT w.sysid,
+        |    CAST(round(CAST(w.n_wins AS DOUBLE) / (CAST(d.den AS DOUBLE) / 1e6) * 1e9)
+        |      AS BIGINT) AS pq
+        |  FROM wins w JOIN den$i d ON d.sysid = w.sysid),
+        |z$i AS MATERIALIZED (SELECT CAST(sum(pq) AS BIGINT) AS z FROM pr$i),
+        |p$i AS MATERIALIZED (
+        |  SELECT sysid, CAST(round(CAST(pq AS DOUBLE) / CAST(z AS DOUBLE) * 1e9) AS BIGINT) AS pn
+        |  FROM pr$i CROSS JOIN z$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** `px` prefixes every CTE name so two independent LMs (e.g.
     * q228's reference + proxy) can coexist in one oracle; the default
     * "" keeps every existing call site byte-identical.

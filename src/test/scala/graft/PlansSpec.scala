@@ -177,7 +177,10 @@ class PlansSpec extends SparkSuite {
       "q228_domain_reweight",
       // scored-docs × single-row per-class confidence thresholds (the
       // q93/q223 stance applied to the confident-learning cut)
-      "q229_label_noise")
+      "q229_label_noise",
+      // the reward LM's OOV floor + the per-MM-round single-row
+      // renormalizer over the 4-row rating table (the q93 stance)
+      "q236_bt_rating")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
