@@ -1888,12 +1888,15 @@ object SparkEntry {
     * engine-stable), and eight MM rounds fit the strengths:
     * p_i ← W_i / Σ_j n_ij/(p_i+p_j), renormalized. All corpus work is
     * ONE pair aggregation (post-local self-join, the q225 bounded
-    * stance); the iteration runs on the 6-row game / 4-row rating
-    * tables, staged once via localCheckpoint so the LM chain is never
-    * re-evaluated, with every per-round quantity quantized to integer
-    * micro/nano units before any cross-row sum (the q187 exact-
-    * integer convention — double sums over a group are order-
-    * sensitive; integer sums are not).
+    * stance); the game table is (#slots choose 2) rows at ANY corpus
+    * size, so it collects under an explicit bound (the BPE
+    * bounded-state convention) and the rounds run in memory — the
+    * first cut ran them as 8×(join+broadcast) Spark rounds and paid
+    * 14 s of pure per-round job overhead on 6 rows. Every per-round
+    * quantity quantizes to integer micro/nano units before any
+    * cross-row sum (the q187 exact-integer convention — double sums
+    * are order-sensitive; integer sums are not), with BigDecimal
+    * HALF_UP mirroring engine `round` semantics exactly.
     */
   private val q236BtRating: Q = (s, dir) => {
     val cands = ext.Posttrain.candidateResponses(docsAsComments(s, dir))
@@ -1903,9 +1906,14 @@ object SparkEntry {
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
     val scored = ext.TextAnalysis.lmScore(cands, col("__sid"),
       col("response"), lm)
+    // Staged once (the q177 materialization-boundary lesson): the
+    // scored table feeds BOTH sides of the pair self-join and two
+    // separate actions (the bounded game collect and the wins
+    // aggregate) — unstaged, the LM train+score chain evaluates 4x.
     val sys = cands.join(scored, cands("__sid") === scored("doc_id"))
       .select(col("post_id"), col("flat_idx").as("sysid"),
         col("lm_score").as("r"))
+      .localCheckpoint()
     val a = sys.select(col("post_id"), col("sysid").as("sa"),
       col("r").as("ra"))
     val b = sys.select(col("post_id"), col("sysid").as("sb"),
@@ -1915,7 +1923,6 @@ object SparkEntry {
       .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ra") > col("rb"), 1L).otherwise(0L)).as("wa"))
-      .localCheckpoint()
     val wins = games.select(col("sa").as("sysid"), col("n"),
         col("wa").as("w"))
       .unionByName(games.select(col("sb").as("sysid"), col("n"),
@@ -1923,35 +1930,42 @@ object SparkEntry {
       .groupBy(col("sysid"))
       .agg(sum(col("n")).as("n_games"), sum(col("w")).as("n_wins"))
       .localCheckpoint()
-    var p = wins.select(col("sysid"), lit(250000000L).as("pn"))
+    // The MM iteration state is (#systems choose 2) rows — systems
+    // are candidate SLOTS (4 on this data model), a constant at any
+    // corpus size, so the game table collects under an explicit bound
+    // (the BPE bounded-state convention) and the eight rounds run in
+    // memory instead of as 8x(join+broadcast) Spark rounds (measured
+    // 14 s of pure per-round job overhead on 6 rows). Quantization
+    // mirrors the engine convention exactly: BigDecimal HALF_UP (what
+    // Spark `round` does) on the identical double expressions, and
+    // integer sums so no cross-row double addition exists.
+    val gameRows = games.limit(4097).collect()
+    require(gameRows.length <= 4096,
+      "q236: game table exceeded the 4096-pair bound — systems are " +
+        "expected to be a bounded candidate-slot set")
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val nMap = gameRows.map(r =>
+      ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val sysIds = nMap.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val winsMap = sysIds.map(i => i -> nMap.collect {
+      case ((a, b), (n, wa)) if a == i => wa
+      case ((a, b), (n, wa)) if b == i => n - wa
+    }.sum).toMap
+    var pn = sysIds.map(_ -> 250000000L).toMap
     for (_ <- 1 to 8) {
-      val t = games
-        .join(p.select(col("sysid").as("sa"), col("pn").as("pa")), Seq("sa"))
-        .join(p.select(col("sysid").as("sb"), col("pn").as("pb")), Seq("sb"))
-        .select(col("sa"), col("sb"),
-          round(lit(1e6) * col("n") /
-            ((col("pa") + col("pb")).cast("double") / lit(1e9)))
-            .cast("long").as("t"))
-      val den = t.select(col("sa").as("sysid"), col("t"))
-        .unionByName(t.select(col("sb").as("sysid"), col("t")))
-        .groupBy(col("sysid")).agg(sum(col("t")).as("den"))
-      val praw = wins.join(den, Seq("sysid"))
-        .select(col("sysid"),
-          round(col("n_wins").cast("double") /
-            (col("den").cast("double") / lit(1e6)) * lit(1e9))
-            .cast("long").as("pq"))
-      val z = praw.agg(sum(col("pq")).as("z"))
-      // localCheckpoint per round (the dupClusters convention): praw
-      // is referenced by BOTH z and the renormalized p, so without a
-      // cut the lineage doubles per MM round — 2^8 plan expansion by
-      // round eight. The table is 4 rows; the checkpoint is free.
-      p = praw.crossJoin(broadcast(z))
-        .select(col("sysid"),
-          round(col("pq").cast("double") / col("z").cast("double") * lit(1e9))
-            .cast("long").as("pn"))
-        .localCheckpoint()
+      val t = nMap.map { case ((a, b), (n, _)) =>
+        ((a, b), q(1e6 * n / ((pn(a) + pn(b)).toDouble / 1e9))) }
+      val den = sysIds.map(i => i -> t.collect {
+        case ((a, b), tv) if a == i || b == i => tv }.sum).toMap
+      val pq = sysIds.map(i =>
+        i -> q(winsMap(i).toDouble / (den(i).toDouble / 1e6) * 1e9)).toMap
+      val z = pq.values.sum
+      pn = sysIds.map(i => i -> q(pq(i).toDouble / z.toDouble * 1e9)).toMap
     }
-    wins.join(p, Seq("sysid"))
+    val ratings = s.createDataFrame(
+      sysIds.map(i => (i, pn(i)))).toDF("sysid", "pn")
+    wins.join(broadcast(ratings), Seq("sysid"))
       .select(col("sysid").cast("long").as("sysid"), col("n_games"),
         col("n_wins"),
         round(col("pn").cast("double") / lit(1e9), 6).as("bt_score"))
