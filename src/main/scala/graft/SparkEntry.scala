@@ -1972,6 +1972,61 @@ object SparkEntry {
       .orderBy(col("sysid"))
   }
 
+  /** q237 — ⊕ screen-redundancy audit (the measurement that tells a
+    * curation pipeline which of its gates actually pull their weight:
+    * two screens that reject nearly the same documents are one screen
+    * plus maintenance cost): the three production screens — the q192
+    * Gopher gate, the q201 dictionary blocklist, the q196 LM bottom
+    * tercile — each mark their reject set over the SAME corpus (the
+    * q200 stop-word-decorated convention so the Gopher gate has a
+    * pass branch), and every screen pair publishes reject counts,
+    * overlap, reject-set Jaccard, and P(b rejects | a rejects). All
+    * three flags are row-local (the tercile boundary is the q196
+    * single-row broadcast); the pair table comes from ONE explode —
+    * three rows per doc, one aggregation, no self-join.
+    */
+  private val q237ScreenOverlap: Q = (s, dir) => {
+    val dec = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the and that have with."))
+          .otherwise(lit(""))).as("__t"))
+    val model = ext.TextAnalysis.charBigramLm(
+      dec.filter(col("doc_id") % 2 === 0), col("__t"))
+    val scored = ext.TextAnalysis.lmScore(dec, col("doc_id"), col("__t"), model)
+    val bound = scored.agg(percentile(col("lm_score"), lit(1.0 / 3)).as("__b"))
+    val dict = graft.functions.DictMatch.automaton(blocklistTerms)
+    val flags = dec.join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(bound))
+      .select(
+        not(ext.TextAnalysis.gopherQualityGate(col("__t"), minWords = 10)
+          .getField("passes")).as("ga"),
+        graft.functions.DictMatch.dict_contains_any(col("__t"), dict).as("bl"),
+        (col("lm_score") < col("__b")).as("lt"))
+    flags.select(explode(array(
+        struct(lit("gopher").as("sa"), lit("blocklist").as("sb"),
+          col("ga").as("ra"), col("bl").as("rb")),
+        struct(lit("gopher").as("sa"), lit("lm_tail").as("sb"),
+          col("ga").as("ra"), col("lt").as("rb")),
+        struct(lit("blocklist").as("sa"), lit("lm_tail").as("sb"),
+          col("bl").as("ra"), col("lt").as("rb")))).as("p"))
+      .select(col("p.sa").as("screen_a"), col("p.sb").as("screen_b"),
+        col("p.ra"), col("p.rb"))
+      .groupBy(col("screen_a"), col("screen_b"))
+      .agg(sum(when(col("ra"), 1L).otherwise(0L)).as("n_rej_a"),
+        sum(when(col("rb"), 1L).otherwise(0L)).as("n_rej_b"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("screen_a"), col("screen_b"), col("n_rej_a"),
+        col("n_rej_b"), col("n_both"),
+        when(col("n_rej_a") + col("n_rej_b") - col("n_both") > 0,
+          round(col("n_both").cast("double") /
+            (col("n_rej_a") + col("n_rej_b") - col("n_both")), 4))
+          .as("reject_jaccard"),
+        when(col("n_rej_a") > 0,
+          round(col("n_both").cast("double") / col("n_rej_a"), 4))
+          .as("p_b_given_a"))
+      .orderBy(col("screen_a"), col("screen_b"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5778,6 +5833,7 @@ object SparkEntry {
     "q234_diversity_datacard" -> q234DiversityDatacard,
     "q235_novelty_curve"    -> q235NoveltyCurve,
     "q236_bt_rating"        -> q236BtRating,
+    "q237_screen_overlap"   -> q237ScreenOverlap,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -8749,38 +8805,7 @@ object SparkEntry {
         s"CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' || $bl " +
           s"WHEN (doc_id + i) % 7 = 0 THEN $bl || '...' ELSE $bl END")},
         |txts AS (SELECT doc_id, array_to_string(lines, chr(10)) AS txt FROM lns),
-        |gw AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS wt,
-        |    length(lower(trim(regexp_replace(txt, '\s+', ' ', 'g')))) AS clen,
-        |    list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
-        |                l -> l <> '') AS lns2
-        |  FROM txts),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(wt) AS INTEGER) AS n_words,
-        |    round((CAST(clen AS DOUBLE) - (len(wt) - 1)) / len(wt), 4) AS mean_word_len,
-        |    round(CAST(len(list_filter(wt, t -> contains(t, '#'))) AS DOUBLE)
-        |      / len(wt), 4) AS hash_ratio,
-        |    round(CAST(len(list_filter(wt, t -> contains(t, '...'))) AS DOUBLE)
-        |      / len(wt), 4) AS ellipsis_ratio,
-        |    round(CAST(len(list_filter(lns2, l -> starts_with(l, '-')
-        |        OR starts_with(l, '*') OR starts_with(l, '•'))) AS DOUBLE)
-        |      / greatest(len(lns2), 1), 4) AS bullet_frac,
-        |    round(CAST(len(list_filter(lns2, l -> suffix(l, '...'))) AS DOUBLE)
-        |      / greatest(len(lns2), 1), 4) AS ellipsis_line_frac,
-        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      s -> list_contains(wt, s))) AS INTEGER) AS n_stop
-        |  FROM gw),
-        |v AS (
-        |  SELECT *,
-        |    (n_words >= 10 AND n_words <= 100000) AS ok_words,
-        |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
-        |    (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
-        |    (bullet_frac <= 0.9) AS ok_bullets,
-        |    (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
-        |    (n_stop >= 2) AS ok_stops
-        |  FROM m)
+        |${gopherGateCtes("txts")}
         |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
         |  bullet_frac, ellipsis_line_frac, n_stop, ok_words, ok_word_len,
         |  ok_symbols, ok_bullets, ok_ellipsis_lines, ok_stops,
@@ -10888,6 +10913,52 @@ object SparkEntry {
         |  round(CAST(p8.pn AS DOUBLE) / 1e9, 6) AS bt_score
         |FROM wins w JOIN p8 ON p8.sysid = w.sysid
         |ORDER BY sysid""".stripMargin,
+    // q237: the decorated corpus, the SHARED gopher chain
+    // (gopherGateCtes), the q201 blocklist filter, the q196 tercile
+    // boundary, then the three pair rows via UNION ALL.
+    "q237_screen_overlap" ->
+      s"""WITH dd2 AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' the and that have with.'
+        |                 ELSE '' END AS txt
+        |  FROM documents),
+        |${lmScoreCtes(
+            "SELECT txt FROM dd2 WHERE doc_id % 2 = 0",
+            "SELECT doc_id AS sid, txt FROM dd2",
+            idAlias = "doc_id")},
+        |bnd AS (SELECT quantile_cont(lm_score, 1.0/3) AS b FROM scored),
+        |${gopherGateCtes("dd2")},
+        |fl AS (
+        |  SELECT d.doc_id,
+        |    NOT (v.ok_words AND v.ok_word_len AND v.ok_symbols AND v.ok_bullets
+        |         AND v.ok_ellipsis_lines AND v.ok_stops) AS ga,
+        |    len(list_filter(['slow scan','big table','merge conflict','drop part',
+        |                     'small batch','stale key','stream','vector','conflictfree',
+        |                     'fast merge','slow join','bad data'],
+        |        t -> contains(lower(d.txt), t))) > 0 AS bl,
+        |    s.lm_score < bnd.b AS lt
+        |  FROM dd2 d JOIN v ON v.doc_id = d.doc_id
+        |  JOIN scored s ON s.doc_id = d.doc_id CROSS JOIN bnd),
+        |pw AS (
+        |  SELECT 'gopher' AS screen_a, 'blocklist' AS screen_b, ga AS ra, bl AS rb FROM fl
+        |  UNION ALL
+        |  SELECT 'gopher', 'lm_tail', ga, lt FROM fl
+        |  UNION ALL
+        |  SELECT 'blocklist', 'lm_tail', bl, lt FROM fl),
+        |ag AS (
+        |  SELECT screen_a, screen_b,
+        |    CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_a,
+        |    CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_b,
+        |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM pw GROUP BY 1, 2)
+        |SELECT screen_a, screen_b, n_rej_a, n_rej_b, n_both,
+        |  CASE WHEN n_rej_a + n_rej_b - n_both > 0
+        |       THEN round(CAST(n_both AS DOUBLE) / (n_rej_a + n_rej_b - n_both), 4)
+        |  END AS reject_jaccard,
+        |  CASE WHEN n_rej_a > 0
+        |       THEN round(CAST(n_both AS DOUBLE) / n_rej_a, 4)
+        |  END AS p_b_given_a
+        |FROM ag ORDER BY screen_a, screen_b""".stripMargin,
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
@@ -12105,6 +12176,46 @@ object SparkEntry {
     * DIFFERENT fold (q221's chunked burstiness) byte-share the
     * trained model with the mean-log-prob scorers.
     */
+
+
+  /** The q192 Gopher-metric chain over an arbitrary `src(doc_id,
+    * txt)` CTE, ending in `v` (metrics + per-rule verdicts) — shared
+    * by q192 and the q237 screen-overlap audit so the rule replay can
+    * never drift. `minWords` mirrors the Spark-side parameter.
+    */
+  private def gopherGateCtes(src: String, minWords: Int = 10): String =
+    raw"""gw AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))), ' ') AS wt,
+        |    length(lower(trim(regexp_replace(txt, '\s+', ' ', 'g')))) AS clen,
+        |    list_filter(list_transform(string_split(txt, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lns2
+        |  FROM SRC_TABLE),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(wt) AS INTEGER) AS n_words,
+        |    round((CAST(clen AS DOUBLE) - (len(wt) - 1)) / len(wt), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(wt, t -> contains(t, '#'))) AS DOUBLE)
+        |      / len(wt), 4) AS hash_ratio,
+        |    round(CAST(len(list_filter(wt, t -> contains(t, '...'))) AS DOUBLE)
+        |      / len(wt), 4) AS ellipsis_ratio,
+        |    round(CAST(len(list_filter(lns2, l -> starts_with(l, '-')
+        |        OR starts_with(l, '*') OR starts_with(l, '•'))) AS DOUBLE)
+        |      / greatest(len(lns2), 1), 4) AS bullet_frac,
+        |    round(CAST(len(list_filter(lns2, l -> suffix(l, '...'))) AS DOUBLE)
+        |      / greatest(len(lns2), 1), 4) AS ellipsis_line_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(wt, s))) AS INTEGER) AS n_stop
+        |  FROM gw),
+        |v AS (
+        |  SELECT *,
+        |    (n_words >= $minWords AND n_words <= 100000) AS ok_words,
+        |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        |    (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
+        |    (bullet_frac <= 0.9) AS ok_bullets,
+        |    (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+        |    (n_stop >= 2) AS ok_stops
+        |  FROM m)""".stripMargin.replace("SRC_TABLE", src)
 
   /** q236's eight unrolled Bradley-Terry MM rounds — every per-round
     * quantity quantized to integer micro/nano units before any

@@ -180,7 +180,9 @@ class PlansSpec extends SparkSuite {
       "q229_label_noise",
       // the reward LM's OOV floor + the per-MM-round single-row
       // renormalizer over the 4-row rating table (the q93 stance)
-      "q236_bt_rating")
+      "q236_bt_rating",
+      // LM OOV floor + single-row tercile boundary (the q196 stance)
+      "q237_screen_overlap")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
