@@ -1992,7 +1992,12 @@ object SparkEntry {
           .otherwise(lit(""))).as("__t"))
     val model = ext.TextAnalysis.charBigramLm(
       dec.filter(col("doc_id") % 2 === 0), col("__t"))
+    // staged once: the scored table feeds the boundary aggregation AND
+    // the flag join — unstaged, the LM train+score chain runs twice
+    // (measured 4.4 s -> see BENCH_NOTES; q196's counter-measurement
+    // went the other way on its lighter shape)
     val scored = ext.TextAnalysis.lmScore(dec, col("doc_id"), col("__t"), model)
+      .localCheckpoint()
     val bound = scored.agg(percentile(col("lm_score"), lit(1.0 / 3)).as("__b"))
     val dict = graft.functions.DictMatch.automaton(blocklistTerms)
     val flags = dec.join(scored, Seq("doc_id"))
