@@ -2032,6 +2032,56 @@ object SparkEntry {
       .orderBy(col("screen_a"), col("screen_b"))
   }
 
+  /** q238 — ⊕ MinHash banding recall (the dedup family's q198: the
+    * banded near-dup join trades recall for the one-shuffle plan, and
+    * the band/row configuration is tuned against a MEASURED recall,
+    * not the textbook S-curve): q22's banded+verified pairs are
+    * compared against the exact set-similarity join (q184's
+    * prefix-filter chain — same shingles, same rounded-Jaccard
+    * contract, so banded ⊆ exact by construction and the only
+    * discrepancy is band misses) at TWO operating points, 0.5 and
+    * 0.8: with 4 bands of 2 rows the per-pair miss probability is
+    * (1−J²)⁴ ≈ 1.7% at J = 0.8 but 32% at J = 0.5 — the recall curve
+    * IS the tuning decision. Per threshold: exact pairs, banded
+    * pairs, missed pairs, recall. The oracle's exact side is the
+    * labeled O(n²) brute join — affordable there; the Spark side
+    * runs the scale paths.
+    */
+  private val q238BandingRecall: Q = (s, dir) => {
+    // Planted threshold-band pairs (the q230 sliding construction at
+    // a wider step): every (50k+47, 50k+48, 50k+49) triple gets
+    // 20-token windows over group-unique vocabulary stepped by 3 —
+    // adjacent Jaccard 15/21 = 0.7143, end-to-end 12/24 = 0.5. The
+    // raw fixture's organic dups all sit at J >= 0.9 where this
+    // banding essentially never misses (measured recall 1.0); the
+    // miss phenomenon lives at low J, so without these pairs the
+    // measurement has no signal at the 0.5 operating point.
+    val m3 = (col("doc_id") % 50 - 47) * 3
+    val g = expr("doc_id div 50")
+    val chainText = array_join(transform(sequence(m3 + 1, m3 + 20),
+      j => concat(lit("qbr"), g.cast("string"), lit("w"),
+        j.cast("string"))), " ")
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 50 >= 47, chainText)
+        .otherwise(col("text")).as("text"))
+    def at(t: Double): DataFrame = {
+      val exact = ext.Dedup.setSimJoinExact(docs, col("doc_id"), col("text"),
+          threshold = t)
+        .select(col("id_a"), col("id_b"))
+      val banded = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
+          threshold = t)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      exact.join(banded, Seq("id_a", "id_b"), "left")
+        .groupBy(lit(t).as("exact_threshold"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("__f").isNotNull, 1L).otherwise(0L)).as("n_banded"),
+          sum(when(col("__f").isNull, 1L).otherwise(0L)).as("n_missed"),
+          round(avg(when(col("__f").isNotNull, 1.0).otherwise(0.0)), 4)
+            .as("band_recall"))
+    }
+    at(0.5).unionByName(at(0.8)).orderBy(col("exact_threshold"))
+  }
+
   /** q47 — ⊕ custom typed `Aggregator` (SURVEY §2.7's sanctioned
     * custom-aggregate surface, [[graft.functions.TopKByWeight]]):
     * bounded-state per-group top-k as a hash aggregate — every
@@ -5839,6 +5889,7 @@ object SparkEntry {
     "q235_novelty_curve"    -> q235NoveltyCurve,
     "q236_bt_rating"        -> q236BtRating,
     "q237_screen_overlap"   -> q237ScreenOverlap,
+    "q238_banding_recall"   -> q238BandingRecall,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10964,6 +11015,41 @@ object SparkEntry {
         |       THEN round(CAST(n_both AS DOUBLE) / n_rej_a, 4)
         |  END AS p_b_given_a
         |FROM ag ORDER BY screen_a, screen_b""".stripMargin,
+    // q238: q48's shared chain supplies both sides — `pairs` is the
+    // banded+verified set; the exact side is the labeled O(n^2) brute
+    // join over the same `sh` shingle sets (oracle-affordable).
+    "q238_banding_recall" ->
+      (dupClustersCtes("qd238").replaceFirst("WITH RECURSIVE ",
+        "WITH RECURSIVE qd238 AS (\n" +
+        raw"""  SELECT doc_id,
+          |    CASE WHEN doc_id % 50 >= 47 THEN
+          |      array_to_string(list_transform(
+          |        range((doc_id % 50 - 47)*3 + 1, (doc_id % 50 - 47)*3 + 21),
+          |        j -> 'qbr' || CAST(doc_id // 50 AS VARCHAR)
+          |             || 'w' || CAST(j AS VARCHAR)), ' ')
+          |    ELSE text END AS text
+          |  FROM documents),
+          |""".stripMargin) + ",\n" +
+      raw"""cj AS (
+        |  SELECT c.id_a, c.id_b FROM cand c),
+        |exj AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |th AS (SELECT unnest([0.5, 0.8]) AS t),
+        |fl AS (
+        |  SELECT th.t, exj.id_a, exj.id_b,
+        |    cj.id_a IS NOT NULL AS in_band
+        |  FROM th CROSS JOIN exj
+        |  LEFT JOIN cj ON cj.id_a = exj.id_a AND cj.id_b = exj.id_b
+        |  WHERE exj.j >= th.t)
+        |SELECT t AS exact_threshold, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT) AS n_banded,
+        |  CAST(sum(CASE WHEN NOT in_band THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+        |  round(avg(CASE WHEN in_band THEN 1.0 ELSE 0.0 END), 4) AS band_recall
+        |FROM fl GROUP BY t ORDER BY exact_threshold""".stripMargin),
     // q217: the capstone — q208's pair chain + q211's contamination
     // chain + q215's reward chain + q196's quantile cut + q81's
     // md5-bucket split, assembled; every stage the byte-shared
