@@ -91,15 +91,22 @@ object Bpe {
     // just to decide — with long word types that can pressure or OOM
     // a small driver before the distributed fallback is ever chosen.
     // A count() moves one long to the driver; only a table already
-    // known to fit pays the collect.
-    val nTypes = wordFreqs.count()
-    if (nTypes > maxLocalTypes) learnMergesDistributed(wordFreqs, nMerges)
-    else {
-      val head = wordFreqs.select(col("word").cast("string"), col("freq").cast("long"))
-        .as[(String, Long)].collect()
-      learnMergesLocal(head, nMerges).toDF(
-        "merge_rank", "sym_left", "sym_right", "pair_count")
-    }
+    // known to fit pays the collect. The aggregation is persisted
+    // across the count/collect (or count/first-merge-round) pair so
+    // the corpus scan behind it runs once, not once per action
+    // (review round-15: the un-persisted form paid two full scans on
+    // the local path).
+    val staged = wordFreqs.persist()
+    try {
+      val nTypes = staged.count()
+      if (nTypes > maxLocalTypes) learnMergesDistributed(staged, nMerges)
+      else {
+        val head = staged.select(col("word").cast("string"), col("freq").cast("long"))
+          .as[(String, Long)].collect()
+        learnMergesLocal(head, nMerges).toDF(
+          "merge_rank", "sym_left", "sym_right", "pair_count")
+      }
+    } finally staged.unpersist()
   }
 
   /** The distributed merge loop — one vocabulary-sized Spark job +

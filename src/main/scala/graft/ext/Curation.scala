@@ -32,6 +32,15 @@ object Curation {
     *                    O(text + matches) per row and O(1) plan nodes
     *                    at any dictionary size (10k-1M terms in
     *                    production)
+    * @param repetitionGate run [[TextAnalysis.gopherRepetitionGate]]
+    *                    (Rae et al. 2021 repetition rules — dup
+    *                    lines, top/dup n-gram coverage) and drop
+    *                    documents failing ANY rule — the other half
+    *                    of the MassiveText screen next to the quality
+    *                    gate; default off like the blocklist. q237
+    *                    measured the two gates' reject sets as
+    *                    non-redundant, so a production `curate` run
+    *                    wants both on.
     * @param jaccard     near-dup threshold for the MinHash pipeline
     * @param maxBucket   LSH skew backstop, see [[Dedup.bucketPairs]]
     */
@@ -41,6 +50,7 @@ object Curation {
       topics: Seq[String] = Nil,        // empty = keep all labels
       lexicons: Seq[(String, Seq[String])] = Nil,
       blocklist: Seq[String] = Nil,     // empty = no blocklist gate
+      repetitionGate: Boolean = false,
       jaccard: Double = 0.8,
       maxBucket: Int = Dedup.DefaultMaxBucket)
 
@@ -62,12 +72,22 @@ object Curation {
          TextAnalysis.classifyByLexicon(text, p.lexicons)
        else lit("und")).as("topic"),
       TextAnalysis.fingerprint(text).as("fp"))
-    val gated = scored
+    val rowGated = scored
       .filter(col("n_tokens") >= p.minTokens && col("quality") >= p.minQuality)
       .filter(if (p.topics.nonEmpty) col("topic").isin(p.topics: _*) else lit(true))
       .filter(if (p.blocklist.nonEmpty)
           !graft.functions.DictMatch.dict_contains_any(col("text"), p.blocklist)
         else lit(true))
+    // repetition gate AFTER the row-local gates: it is the one
+    // shuffle-bearing screen (per-doc gram aggregation), so it should
+    // only touch row-local survivors; its pass set semi-joins back —
+    // survivors keep their full feature row
+    val gated =
+      if (!p.repetitionGate) rowGated
+      else rowGated.join(
+        TextAnalysis.gopherRepetitionGate(rowGated, col("doc_id"), col("text"))
+          .filter(col("passes")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
     // exact dedup: min-id survivor per content fingerprint (W1 head on
     // the 32-byte fp key — the text itself never shuffles). The
     // survivor set feeds TWO consumers (near-dup pair generation and

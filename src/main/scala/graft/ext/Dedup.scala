@@ -673,6 +673,62 @@ object Dedup {
     }
   }
 
+  /** AUTO-SIZED banding from a target recall — the fixed→auto
+    * treatment (q26→q149, q174→q176, bloom bits, bucket width) applied
+    * to the last fixed-knob candidate-generation family, after q238
+    * MEASURED the cost of fixed (4 bands × 2 rows): recall 0.887 at
+    * threshold 0.5 (true pairs in J∈[0.5, 0.72] missed) vs 1.0 at 0.8.
+    *
+    * Inverts the banding S-curve `P(collide | J=s) = 1 − (1 − sʳ)ᵇ`
+    * (Broder; Mining of Massive Datasets §3.4): a pair AT the
+    * threshold must become a candidate with probability ≥
+    * `targetRecall`, so for each row count r the minimal band count is
+    *
+    *   b_min(r) = ⌈ ln(1 − targetRecall) / ln(1 − tʳ) ⌉
+    *
+    * Every (r, b_min(r)) with r·b ≤ `maxHashes` meets the recall
+    * target; among them the PRECISION differs enormously (r = 1 means
+    * any shared minhash collides), so the pick minimizes the collision
+    * probability of a NON-pair at s = t/2 — the standard noise point —
+    * and the signature length r·b is the cost cap, not the objective.
+    * Pairs ABOVE the threshold collide with probability > targetRecall
+    * (the S-curve is increasing in s), so the target is a floor for
+    * the whole accepted range.
+    *
+    * Returns (numHashes, rowsPerBand) for [[nearDupPairs]] — numHashes
+    * = b·r exactly, so every hash is used. Deterministic pure
+    * arithmetic: the derived geometry is oracle-replayable as
+    * literals (q239 anchors it against the exact set-sim join and
+    * re-measures q238's curve at the derived point).
+    */
+  def bandingForRecall(threshold: Double, targetRecall: Double,
+                       maxHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    val feasible = (1 to maxHashes).flatMap { r =>
+      val pAtT = math.pow(threshold, r)
+      // feasibility test in the DOUBLE domain: for large r the band
+      // count explodes (t^r underflows), and a premature .toInt would
+      // saturate/overflow into a bogus "feasible" entry
+      val bD = math.ceil(math.log1p(-targetRecall) / math.log1p(-pAtT))
+      if (bD >= 1 && bD.isFinite && r * bD <= maxHashes) Some((r, bD.toInt))
+      else None
+    }
+    require(feasible.nonEmpty,
+      s"no (rows, bands) with <= $maxHashes hashes reaches recall " +
+        s"$targetRecall at threshold $threshold — raise maxHashes")
+    val noise = threshold / 2
+    val (r, b) = feasible.minBy { case (r, b) =>
+      // collision probability of a noise-similarity non-pair; ties
+      // (r maxed out) break to the cheaper signature
+      (1.0 - math.pow(1.0 - math.pow(noise, r), b), r * b)
+    }
+    (b * r, r)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for candidate pairs whose exact shingle Jaccard ≥ threshold, with
     * id_a < id_b, deterministic order.
@@ -806,8 +862,11 @@ object Dedup {
       .groupBy(col("test_id"), col("train_id"), col("n_test_shingles"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
+      // tie-free publish: the fraction of two exact counts ships as
+      // floor division at 4 dp (the round(double, 4) form landed
+      // exactly on .5 boundaries — r15 guard-band sweep, q91/q158)
       .select(col("test_id"), col("train_id"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / col("n_test_shingles"), 4)
+        graft.ops.Exact.ratio(col("n_overlap"), col("n_test_shingles"), 4)
           .as("overlap_frac"))
   }
 

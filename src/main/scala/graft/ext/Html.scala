@@ -57,13 +57,15 @@ object Html {
     * anchors — THE boilerplate signal (nav bars and footers are
     * link-dense; real prose is not). 0.0 for empty documents.
     */
+  private def linkChars(html: Column): Column = aggregate(
+    transform(regexp_extract_all(html, lit(LinkRe), lit(1)),
+      s => length(stripTags(s))),
+    lit(0), (acc, x) => acc + x)
+
   def linkTextFraction(html: Column): Column = {
-    val linkChars = aggregate(
-      transform(regexp_extract_all(html, lit(LinkRe), lit(1)),
-        s => length(stripTags(s))),
-      lit(0), (acc, x) => acc + x)
     val total = length(stripTags(html))
-    when(total > 0, linkChars.cast("double") / total.cast("double")).otherwise(lit(0.0))
+    when(total > 0, linkChars(html).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
   }
 
   /** Main-text extraction + boilerplate gate: the stripped text, its
@@ -71,10 +73,18 @@ object Html {
     * fraction ≤ `maxLinkFrac`) — the CCNet-style keep/drop decision.
     * Returns `struct(text, n_links, link_frac, kept)`.
     */
+  /** The struct's `link_frac` is published tie-free: char counts are
+    * exact integers, so the fraction ships as [[graft.ops.Exact.ratio]]
+    * (floor division at 6 dp) — the raw-double form landed exactly on
+    * `.5·10⁻⁶` boundaries (13/128, …; r15 guard-band sweep) where a
+    * `round` publish is engine tie-rule convention. The keep decision
+    * gates on the same quantized fraction.
+    */
   def extractText(html: Column, minWords: Int = 5,
                   maxLinkFrac: Double = 0.2): Column = {
     val text = stripTags(html)
-    val frac = linkTextFraction(html)
+    val frac = graft.ops.Exact.ratio(
+      linkChars(html), greatest(length(text), lit(1)), 6)
     val words = regexp_count(text, lit("\\S+"))
     struct(
       text.as("text"),

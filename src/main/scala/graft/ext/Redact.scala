@@ -49,7 +49,10 @@ object Redact {
     * the FIRST prefix level whose group reaches `k` members,
     * generalizing right-to-left — level 0 releases every QI, level
     * `i` wildcards the last `i` columns, level `qis.length` is full
-    * suppression. Output: the input's `id`, one `<name>_out` per QI
+    * suppression. A NULL QI value is a group of its own (null-safe
+    * join semantics): rows sharing a NULL release at whatever level
+    * that NULL group clears `k`, exactly like any other value.
+    * Output: the input's `id`, one `<name>_out` per QI
     * (`*` where generalized), `anon_level`, and `group_n` (the size
     * of the group actually released — ≥ k by construction except at
     * full suppression, where it is the table size).
@@ -66,6 +69,10 @@ object Redact {
       org.apache.spark.sql.DataFrame = {
     require(qis.nonEmpty, "need at least one quasi-identifier")
     val names = qis.map(_._1)
+    require(!names.contains("id"),
+      "QI name 'id' collides with the id output column — alias the QI")
+    require(names.forall(!_.startsWith("__")),
+      "QI names starting with '__' collide with internal columns")
     val base = df.select(id.as("id") +: qis.map { case (n, c) => c.as(n) }: _*)
     // one pass: group sizes at every QI-prefix level (+ grand total);
     // grouping() markers disambiguate rollup nulls from data nulls
@@ -82,10 +89,18 @@ object Redact {
         .filter(names.map(n =>
             col(s"__g_$n") === (if (kept.contains(n)) 0 else 1))
           .reduce(_ && _))
-        .select(kept.map(col) :+ col("__n").as(s"__n$level"): _*)
+        .select(kept.map(n => col(n).as(s"__k_$n")) :+
+          col("__n").as(s"__n$level"): _*)
+      // null-SAFE join keys (<=>): a NULL QI value is a legitimate
+      // group (the rollup's grouping() markers already separate it
+      // from the stratum rows) — null-unsafe equality would silently
+      // drop NULL-QI rows through every level to full suppression
+      // even when their NULL group clears k (review round-15)
       out =
         if (kept.isEmpty) out.crossJoin(broadcast(lvl))
-        else out.join(broadcast(lvl), kept, "left")
+        else out.join(broadcast(lvl),
+            kept.map(n => col(n) <=> col(s"__k_$n")).reduce(_ && _), "left")
+          .drop(kept.map(n => s"__k_$n"): _*)
     }
     // first level whose group clears k; nothing clears → suppress
     val lvlCol = coalesce(

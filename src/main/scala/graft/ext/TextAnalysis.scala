@@ -62,16 +62,26 @@ object TextAnalysis {
     * word-sized tokens). The score form mirrors common heuristic
     * quality filters (length + lexical-diversity gates) from public
     * data-pipeline literature.
+    *
+    * The score is min(n,20)/20 · distinct/n · wordGate with
+    * wordGate ∈ {1, ½} — a RATIO OF SMALL INTEGERS, so the former
+    * `round(double, 4)` publish landed exactly on `.5` boundaries
+    * (0.59375, 0.28125, … — 21 sightings in the r15 guard-band
+    * sweep) where the verdict is engine tie-rule convention. Now
+    * published tie-free via [[graft.ops.Exact.ratio]]: exact integer
+    * floor division at 4 dp, same schema, same scale. The word gate
+    * compares mean token length ∈ [2, 12] as the equivalent integer
+    * inequality 3n ≤ cleanLen+1 ≤ 13n — no double in the whole
+    * computation.
     */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val distinctN = size(array_distinct(toks)).cast("double")
-    val ttr = distinctN / n
-    val meanLen = (length(Text.cleanText(text)).cast("double") - (n - 1)) / n
-    val lenGate = least(n / lit(20.0), lit(1.0))
-    val wordGate = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.5)
-    round(lenGate * ttr * wordGate, 4)
+    val n = size(toks).cast("long")
+    val d = size(array_distinct(toks)).cast("long")
+    val lenC = length(Text.cleanText(text)).cast("long")
+    // meanLen = (lenC - (n-1))/n in [2, 12]  ⇔  3n ≤ lenC+1 ≤ 13n
+    val w2 = when((lenC + 1).between(n * 3, n * 13), lit(2L)).otherwise(lit(1L))
+    graft.ops.Exact.ratio(least(n, lit(20L)) * d * w2, n * lit(40L), 4)
   }
 
   /** Content fingerprint: md5 of the case-folded, whitespace-normalized
@@ -186,7 +196,10 @@ object TextAnalysis {
     *
     * Plan shape at scale: all n-gram strings are built ROW-LOCALLY in
     * one `transform` and exploded once for every n in one pass
-    * (row width stays (doc, n, pos, gram)); counting is one hash
+    * (row width stays (doc, n, pos, gram)), then STAGED (lazy
+    * localCheckpoint) because both the counts aggregation and the
+    * coverage semi-join consume it — one materialization, not one
+    * execution per reference; counting is one hash
     * shuffle on (doc, n, gram) — partial-aggregated, key cardinality
     * ≈ corpus gram volume; coverage is a semi-join of the gram table
     * against its own ≥2 counts + one distinct on (doc, n, pos).
@@ -202,11 +215,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         tokens(col("__txt")).as("__w"),
         split(col("__txt"), "\n").as("__ls"),
-        length(Text.cleanText(lower(col("__txt")))).cast("double").as("__cb"))
+        length(Text.cleanText(lower(col("__txt")))).cast("long").as("__cb"))
       .withColumn("__m", size(col("__w")))
       .withColumn("__wlen", transform(col("__w"), w => length(w)))
       .withColumn("__tw",
-        aggregate(col("__wlen"), lit(0L), (a, x) => a + x).cast("double"))
+        aggregate(col("__wlen"), lit(0L), (a, x) => a + x))
     val lineStats = base
       .select(col("doc_id"), explode(col("__ls")).as("__l"))
       .groupBy(col("doc_id"), col("__l")).agg(count(lit(1)).as("__c"))
@@ -216,7 +229,12 @@ object TextAnalysis {
         sum((col("__c") - 1) * length(col("__l"))).as("__dch"),
         sum(col("__c") * length(col("__l"))).as("__tch"))
     val allNs = (topNs.map(_._1) ++ dupNs.map(_._1)).distinct
-    def grams = base
+    // the gram table is the query's most expensive subtree (tokenize +
+    // per-n explode over the corpus) and feeds BOTH the counts agg and
+    // the coverage semi-join — stage it lazily so the explode runs
+    // once per job instead of once per reference (r14 ADVICE: a `def`
+    // here re-planned and re-executed the pass twice)
+    val grams = (base
       .select(col("doc_id"), col("__w"), col("__m"),
         explode(array(allNs.map(lit(_)): _*)).as("__n"))
       .filter(col("__m") >= col("__n"))
@@ -227,6 +245,7 @@ object TextAnalysis {
           .as("__e"))
       .select(col("doc_id"), col("__n"),
         col("__e.i").as("__i"), col("__e.g").as("__g"))
+      ).localCheckpoint(eager = false)
     val counts = grams.groupBy(col("doc_id"), col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val top = graft.ops.TopK.perGroupTopK(
@@ -258,18 +277,22 @@ object TextAnalysis {
       .join(lineStats, Seq("doc_id"), "left")
       .join(topP, Seq("doc_id"), "left")
       .join(covP, Seq("doc_id"), "left")
-    val dupLineFrac = round(coalesce(col("__nd"), lit(0L)).cast("double") /
-      col("__nl"), 4)
-    val dupLineCharFrac = round(coalesce(col("__dch"), lit(0L)).cast("double") /
-      greatest(col("__tch"), lit(1L)), 4)
+    // fracs publish via Exact.ratio (integer floor division at 4 dp,
+    // tie-free) — these are ratios of small integer char/line counts,
+    // and the former round(double, 4) landed exactly on .5 boundaries
+    // (0.18125, 0.15625, … — the r15 guard-band sweep's q204 hits)
+    val dupLineFrac = graft.ops.Exact.ratio(
+      coalesce(col("__nd"), lit(0L)), col("__nl"), 4)
+    val dupLineCharFrac = graft.ops.Exact.ratio(
+      coalesce(col("__dch"), lit(0L)), greatest(col("__tch"), lit(1L)), 4)
     val topFracs = topNs.map { case (n, thr) =>
-      val f = round(coalesce(col(s"__top$n"), lit(0L)).cast("double") /
-        greatest(col("__cb"), lit(1.0)), 4)
+      val f = graft.ops.Exact.ratio(
+        coalesce(col(s"__top$n"), lit(0L)), greatest(col("__cb"), lit(1L)), 4)
       (n, thr, f)
     }
     val dupFracs = dupNs.map { case (n, thr) =>
-      val f = round(coalesce(col(s"__cov$n"), lit(0L)).cast("double") /
-        greatest(col("__tw"), lit(1.0)), 4)
+      val f = graft.ops.Exact.ratio(
+        coalesce(col(s"__cov$n"), lit(0L)), greatest(col("__tw"), lit(1L)), 4)
       (n, thr, f)
     }
     val okDupLine = dupLineFrac <= 0.30

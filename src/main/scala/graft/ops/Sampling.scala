@@ -257,8 +257,14 @@ object Sampling {
     * itself is touched only by the per-source token sum.
     *
     * Output per source: `n_tokens`, `weight`, `tokens_drawn`,
-    * `epochs` (= drawn/t, ≤ E by construction, rounded at 6),
-    * `capped`. Σ tokens_drawn = B up to per-source half-up rounding
+    * `epochs_ppm` (= ⌊10⁶·drawn/t⌋, ≤ 10⁶·E by construction —
+    * INTEGER parts-per-million, never a rounded double: a float64
+    * ratio rounded at k dp lands on a .5 boundary eventually and the
+    * verdict then depends on the reader's decimal library, whereas
+    * floor division of exact integers is engine- and
+    * environment-stable; the multiply rides decimal(38,0) so it
+    * cannot overflow at any corpus size), `capped`.
+    * Σ tokens_drawn = B up to per-source half-up rounding
     * of λ·w_s (exact when everything caps ⇒ Σ = Σ cap < B).
     */
   def epochAllocation(df: DataFrame, sourceCol: org.apache.spark.sql.Column,
@@ -303,9 +309,11 @@ object Sampling {
             round(col("__lam") * col("w").cast("double"), 0).cast("long")))
           .as("tokens_drawn"),
         (col("__lam").isNull || col("r") <= col("__lam")).as("capped"))
-      .withColumn("epochs",
-        round(col("tokens_drawn").cast("double") / col("n_tokens").cast("double"), 6))
+      // both operands are non-negative, so integral `div` (truncation)
+      // IS floor division — identical to DuckDB `//` on the same ints
+      .withColumn("epochs_ppm",
+        expr("(CAST(tokens_drawn AS DECIMAL(38,0)) * 1000000) div n_tokens"))
       .select(col("source"), col("n_tokens"), col("weight"),
-        col("tokens_drawn"), col("epochs"), col("capped"))
+        col("tokens_drawn"), col("epochs_ppm"), col("capped"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -368,6 +368,60 @@ object EventStream {
   case class FunnelState(t1: Long, tp: Long, step: Int)
   case class FunnelAdvance(user_id: Long, step_idx: Int, step_name: String,
                            ts: java.sql.Timestamp)
+
+  /** ⊕ Streaming eval decontamination — q211's trigram contamination
+    * screen ([[graft.ext.Dedup.contaminationPairs]]) as a
+    * STREAM-STATIC join, the last batch-only screen a
+    * continuously-ingesting pipeline wants streamed: arriving
+    * documents (the would-be training side) are checked against the
+    * STATIC protected eval set before they ever land in a training
+    * shard.
+    *
+    * Plan shape: the eval posting (test_id, n_test_shingles, sh) is
+    * derived once from the static side and broadcast per micro-batch
+    * (the [[enriched]] stream-static convention — eval sets are
+    * small and slowly-changing, re-read per batch so benchmark
+    * updates apply without a restart); each arriving doc explodes to
+    * its distinct k-shingles, inner-joins the posting, and one
+    * watermark-windowed aggregation counts |S_train ∩ S_test| per
+    * (train, test) pair — every shingle of a doc carries the doc's
+    * own event time, so a pair's count closes as soon as the
+    * watermark passes its window (bounded state, append output).
+    *
+    * Output rows match the batch form: (test_id, train_id,
+    * n_overlap, overlap_frac) with the same `minOverlap` cut and the
+    * same tie-free [[graft.ops.Exact.ratio]] fraction — batch ≡
+    * streaming on any prefix of the stream EXCEPT that the batch
+    * form's train-side document-frequency cap (`maxDocsPerShingle`,
+    * an offline skew guard over the whole train corpus) is not
+    * computable online and is omitted: below the cap the two are
+    * row-identical (StreamingSpec proves it on the fixture corpus).
+    */
+  def contaminationPairsStream(docs: DataFrame, evalSet: DataFrame,
+                               tsCol: String, idCol: String, textCol: String,
+                               evalId: Column, evalText: Column,
+                               k: Int = 3, minOverlap: Int = 3,
+                               lateness: String = "10 minutes",
+                               windowLen: String = "1 minute"): DataFrame = {
+    val posting = evalSet
+      .select(evalId.as("test_id"), graft.ext.Dedup.shingles(evalText, k).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("test_id"), size(col("__shs")).as("n_test_shingles"),
+        explode(col("__shs")).as("sh"))
+    val trainSh = docs
+      .select(col(tsCol).as("__ts"), col(idCol).cast("long").as("train_id"),
+        explode(graft.ext.Dedup.shingles(col(textCol), k)).as("sh"))
+    trainSh
+      .withWatermark("__ts", lateness)
+      .join(broadcast(posting), "sh")
+      .groupBy(window(col("__ts"), windowLen),
+        col("test_id"), col("train_id"), col("n_test_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("test_id"), col("train_id"), col("n_overlap"),
+        graft.ops.Exact.ratio(col("n_overlap"), col("n_test_shingles"), 4)
+          .as("overlap_frac"))
+  }
 
   /** ⊕ Streaming funnel progression — the incremental form of
     * [[graft.ops.Funnel.funnelSteps]]: per-user state is the same two

@@ -171,6 +171,36 @@ class DedupSpec extends SparkSuite {
     assert(ext.Dedup.rowsPerBandForThreshold(0.6, 12) == 3) // (1/4)^(1/3)=0.63
   }
 
+  test("bandingForRecall: S-curve inversion meets the recall target, hand-checked picks") {
+    def recallAt(s: Double, n: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), n / r)
+    // the q239 operating point: t=0.5, target 0.95 → 11 bands × 2 rows
+    assert(ext.Dedup.bandingForRecall(0.5, 0.95) == (22, 2))
+    assert(recallAt(0.5, 22, 2) >= 0.95)
+    // every derived geometry meets its target AT the threshold, for a
+    // grid of operating points; and strictly exceeds it above it
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9); rho <- Seq(0.9, 0.95, 0.99)) {
+      val (n, r) = ext.Dedup.bandingForRecall(t, rho)
+      assert(n % r == 0 && n <= 64, s"($n, $r) at t=$t rho=$rho")
+      assert(recallAt(t, n, r) >= rho,
+        s"recall ${recallAt(t, n, r)} < $rho at t=$t, geometry ($n, $r)")
+      assert(recallAt(math.min(1.0, t + 0.1), n, r) >= recallAt(t, n, r),
+        "S-curve must be non-decreasing in similarity")
+    }
+    // precision choice: at (0.8, 0.9) the pick must beat r=1's noise
+    // collision rate (r=1 would flood candidates: any shared minhash)
+    val (n08, r08) = ext.Dedup.bandingForRecall(0.8, 0.9)
+    assert(r08 > 1, s"picked r=$r08 — r=1 floods candidates")
+    val noise = 1.0 - math.pow(1.0 - math.pow(0.4, r08), n08 / r08)
+    val noiseR1 = 1.0 - math.pow(1.0 - 0.4, math.ceil(
+      math.log1p(-0.9) / math.log1p(-0.8)))
+    assert(noise < noiseR1, "pick must be more precise than the r=1 form")
+    // infeasible: recall 0.999 at t=0.1 needs > 64 hashes
+    intercept[IllegalArgumentException] {
+      ext.Dedup.bandingForRecall(0.1, 0.999, maxHashes = 64)
+    }
+  }
+
   test("setSimJoinExact ≡ naive all-pairs join (completeness), and catches LSH misses by construction") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = ext.Dedup.setSimJoinExact(docs, col("doc_id"), col("text"), 0.8)

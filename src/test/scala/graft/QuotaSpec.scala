@@ -74,22 +74,22 @@ class QuotaSpec extends SparkSuite {
     val got = Sampling.epochAllocation(docs, col("source"), col("nt"),
         budget = 20000L, maxEpochs = 4.0)
       .orderBy("source")
-      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(got == Seq(
-      ("a", 100L, 10000000L, 400L, 4.0, true),
-      ("b", 400L, 20000000L, 1600L, 4.0, true),
-      ("c", 10000L, 100000000L, 18000L, 1.8, false)))
+      ("a", 100L, 10000000L, 400L, 4000000L, true),
+      ("b", 400L, 20000000L, 1600L, 4000000L, true),
+      ("c", 10000L, 100000000L, 18000L, 1800000L, false)))
     assert(got.map(_._4).sum == 20000L)  // the budget is spent exactly
     // budget >= sum of caps: no valid level, everything caps at E
     val all = Sampling.epochAllocation(docs, col("source"), col("nt"),
         budget = 50000L, maxEpochs = 4.0)
-      .as[(String, Long, Long, Long, Double, Boolean)].collect()
-    assert(all.forall(r => r._5 == 4.0 && r._6) && all.map(_._4).sum == 42000L)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(all.forall(r => r._5 == 4000000L && r._6) && all.map(_._4).sum == 42000L)
     // partitioning invariance (the window runs over the source table)
     val rep2 = Sampling.epochAllocation(docs.repartition(7), col("source"),
       col("nt"), budget = 20000L, maxEpochs = 4.0)
       .orderBy("source")
-      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(rep2 == got)
   }
 }

@@ -174,6 +174,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("contaminationPairsStream ≡ batch contaminationPairs (stream-static decontamination)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // static eval set (the protected benchmark)
+    val evalDocs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine")
+    // streamed train docs: 2 = verbatim eval leak, 4 = partial (first
+    // 6 tokens of eval 3 → 4 shared trigrams), 6 = clean
+    val trainDocs = Seq(
+      (at(0), 2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (at(1), 4L, "one two three four five six unrelated tail words here"),
+      (at(2), 6L, "totally clean content about compaction and codecs"))
+    val evalDf = evalDocs.toDF("doc_id", "text")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = EventStream.contaminationPairsStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), evalDf,
+      "ts", "doc_id", "text", col("doc_id"), col("text"),
+      k = 3, minOverlap = 3, lateness = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out").start()
+    try {
+      mem.addData(trainDocs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(trainDocs.drop(2): _*)
+      q.processAllAvailable()
+      // flush: a clean far-future doc advances the watermark past
+      // every real window so the append-mode aggregation emits
+      mem.addData((at(120), 99L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"))
+      q.processAllAvailable()
+      val got = spark.table("decontam_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = graft.ext.Dedup.contaminationPairs(
+          trainDocs.toDF("ts", "doc_id", "text"), evalDf,
+          col("doc_id"), col("text"), k = 3, minOverlap = 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // the planted verdicts: verbatim leak + partial leak, clean doc absent
+      assert(batch.exists { case (t, tr, _, f) => t == 1L && tr == 2L && f == 1.0 })
+      assert(batch.exists { case (t, tr, _, _) => t == 3L && tr == 4L })
+      assert(!batch.exists { case (_, tr, _, _) => tr == 6L })
+    } finally q.stop()
+  }
+
   test("dedupParagraphsStream ≡ batch dedupParagraphsIncremental under append-only arrival") {
     implicit val sqlCtx = spark.sqlContext
     // multi-paragraph docs drawn from a small paragraph pool so

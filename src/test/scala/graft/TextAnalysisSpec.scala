@@ -106,9 +106,10 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r1.getAs[Int]("n_lines") == 3)
     assert(r1.getAs[Double]("dup_line_frac") == 0.3333)      // 1 of 3 repeats
     assert(r1.getAs[Double]("dup_line_char_frac") == 0.3333) // 8 of 24 chars
-    assert(r1.getAs[Double]("top2_frac") == 0.3846)          // "aa bb"×2·5 / 26
-    assert(r1.getAs[Double]("top3_frac") == 0.6154)          // "aa bb cc"×2·8 / 26
-    assert(r1.getAs[Double]("top4_frac") == 0.4231)          // lex-min 1×11 / 26
+    // fracs publish via Exact.ratio (FLOOR at 4 dp, tie-free — r15)
+    assert(r1.getAs[Double]("top2_frac") == 0.3846)          // ⌊"aa bb"×2·5 / 26⌋
+    assert(r1.getAs[Double]("top3_frac") == 0.6153)          // ⌊"aa bb cc"×2·8 / 26⌋
+    assert(r1.getAs[Double]("top4_frac") == 0.4230)          // ⌊lex-min 1×11 / 26⌋
     assert(r1.getAs[Double]("dup5_frac") == 0.0)             // all 5-grams distinct
     assert(r1.getAs[Double]("dup10_frac") == 0.0)            // m = 9 < 10
     assert(!r1.getAs[Boolean]("ok_dup_line") && !r1.getAs[Boolean]("ok_top2")
@@ -459,16 +460,23 @@ class TextAnalysisSpec extends SparkSuite {
     // (a, x): 3 rows — clears k=3 at level 0
     // (a, y): 1 row  — level 0 fails, lang 'a' has 4 ≥ 3 → level 1
     // (b, z): 1 row  — lang 'b' has 2 < 3 → level 2 (full suppression)
-    // (b, NULL): a DATA null QI — never matches a release cell (join
-    //            null semantics) so it generalizes; and without the
+    // (b, NULL): a DATA null QI in an undersized group — (b, NULL)
+    //            has 1 < k and lang 'b' has 2 < k, so it suppresses
+    //            like any small group; the null-SAFE join means it
+    //            matched its own NULL-group count at every level
+    //            rather than falling through unmatched. Without the
     //            grouping() markers its (b, NULL) count row would be
     //            indistinguishable from the lang-'b' rollup STRATUM
     //            row, duplicating lang=b rows through the level-1
-    //            join (the 6-row assert below catches that)
+    //            join (the 9-row assert below catches that)
+    // (c, NULL): a DATA null QI whose NULL group CLEARS k — releases
+    //            at level 0 with the null published as-is (the
+    //            null-unsafe form wrongly suppressed these rows)
     val rows = Seq(
       (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
       (4L, "a", "y"),
-      (5L, "b", "z"), (6L, "b", null))
+      (5L, "b", "z"), (6L, "b", null),
+      (7L, "c", null), (8L, "c", null), (9L, "c", null))
       .toDF("id", "lang", "src")
     val got = graft.ext.Redact.kAnonymize(rows, col("id"),
         Seq("lang" -> col("lang"), "src" -> col("src")), k = 3L)
@@ -479,7 +487,14 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == Seq(
       (1L, "a", "x", 0, 3L), (2L, "a", "x", 0, 3L), (3L, "a", "x", 0, 3L),
       (4L, "a", "*", 1, 4L),
-      (5L, "*", "*", 2, 6L), (6L, "*", "*", 2, 6L)), s"got $got")
+      (5L, "*", "*", 2, 9L), (6L, "*", "*", 2, 9L),
+      (7L, "c", null, 0, 3L), (8L, "c", null, 0, 3L),
+      (9L, "c", null, 0, 3L)), s"got $got")
+    // QI named 'id' collides with the id output column — rejected
+    intercept[IllegalArgumentException] {
+      graft.ext.Redact.kAnonymize(rows, col("id"),
+        Seq("id" -> col("lang")), k = 3L)
+    }
     // partitioning invariance: every count is one rollup aggregation
     val rep = graft.ext.Redact.kAnonymize(rows.repartition(4), col("id"),
         Seq("lang" -> col("lang"), "src" -> col("src")), k = 3L)

@@ -42,7 +42,9 @@ object CentroidPlanProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  (checksum $r)")
     }
 
-    for (k <- Seq(64, 256, 1024, 4096)) {
+    // 5000 = the √n schedule's k at a 200M-vector corpus (balance 8)
+    // — the round-15 verdict's requested probe point
+    for (k <- Seq(64, 256, 1024, 4096, 5000)) {
       val cents = nv.orderBy(col("vec_id")).limit(k).select(col("nv"))
         .collect().map(_.getSeq[Double](0).toArray)
       time(s"k=$k indexed") {

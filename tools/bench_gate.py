@@ -139,9 +139,23 @@ def main():
     if len(args) == 1:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         new_abs = os.path.abspath(args[0])
+        # "committed" must mean COMMITTED: filter through git ls-files
+        # so an uncommitted/abandoned r{N+1} record lying in the
+        # working directory cannot silently become the baseline (that
+        # would recreate the exact mid-round self-baselining failure
+        # this default exists to prevent). Directory listing is only
+        # the fallback when git itself is unavailable.
+        try:
+            tracked = set(subprocess.run(
+                ['git', '-C', repo, 'ls-files', 'BENCH_LOCAL_r*.json'],
+                capture_output=True, text=True, check=True,
+            ).stdout.split())
+        except (OSError, subprocess.CalledProcessError):
+            tracked = None  # git unavailable: fall back to the listing
         committed = sorted(
             (f for f in os.listdir(repo)
              if re.fullmatch(r'BENCH_LOCAL_r(\d+)\.json', f)
+             and (tracked is None or f in tracked)
              and os.path.abspath(os.path.join(repo, f)) != new_abs),
             key=lambda f: int(re.search(r'(\d+)', f).group(1)))
         if not committed:
