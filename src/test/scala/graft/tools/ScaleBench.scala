@@ -79,6 +79,20 @@ object ScaleBench {
         graft.ext.Similarity.semDedupPqSized(
           graft.sources.Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), tau = 0.25)),
+      // q220's IVF SIDE alone (fit + probe search, sized schedule) —
+      // the full q220 is brute-ground-truth-bound at sf10 by design
+      // (8k queries × 200k vectors × 3 passes ≈ hours), so decade-2
+      // measures the deployment path and the brute side stays the
+      // labeled-exact baseline it is
+      "q220_IVF_SIDE" -> ((s: SS, dir: String) => {
+        val em = graft.sources.Tables.embeddings(s, dir)
+        val queries = em.filter(col("vec_id") % 25 === 0)
+        val ivf = graft.ext.Similarity.ivfFitSized(em, col("vec_id"),
+          col("embedding"), iters = 2, quantize = Some(9))
+        val out = graft.ext.Similarity.ivfSearchDf(ivf, queries,
+          col("vec_id"), col("embedding"), nprobe = 4, k = 10)
+        out
+      }),
       "q86_knn_graph_SIZED" -> ((s: SS, dir: String) => {
         import org.apache.spark.sql.expressions.Window
         val pairs = graft.ext.Similarity.annLshPairsSized(
