@@ -2143,20 +2143,33 @@ object SparkEntry {
       .localCheckpoint()
     val bound = scored.agg(percentile(col("lm_score"), lit(1.0 / 3)).as("__b"))
     val dict = graft.functions.DictMatch.automaton(blocklistTerms)
-    val flags = dec.join(scored, Seq("doc_id"))
+    // r15: the composed pipeline (q240) now gates on the q204
+    // repetition screen too, so the redundancy audit covers the
+    // pipeline's ACTUAL gate set — four screens, six pairs
+    val rep = ext.TextAnalysis.gopherRepetitionGate(
+        dec, col("doc_id"), col("__t"))
+      .select(col("doc_id"), not(col("passes")).as("rp"))
+    val flags = dec.join(scored, Seq("doc_id")).join(rep, Seq("doc_id"))
       .crossJoin(broadcast(bound))
       .select(
         not(ext.TextAnalysis.gopherQualityGate(col("__t"), minWords = 10)
           .getField("passes")).as("ga"),
         graft.functions.DictMatch.dict_contains_any(col("__t"), dict).as("bl"),
-        (col("lm_score") < col("__b")).as("lt"))
+        (col("lm_score") < col("__b")).as("lt"),
+        col("rp"))
     flags.select(explode(array(
         struct(lit("gopher").as("sa"), lit("blocklist").as("sb"),
           col("ga").as("ra"), col("bl").as("rb")),
         struct(lit("gopher").as("sa"), lit("lm_tail").as("sb"),
           col("ga").as("ra"), col("lt").as("rb")),
+        struct(lit("gopher").as("sa"), lit("repetition").as("sb"),
+          col("ga").as("ra"), col("rp").as("rb")),
         struct(lit("blocklist").as("sa"), lit("lm_tail").as("sb"),
-          col("bl").as("ra"), col("lt").as("rb")))).as("p"))
+          col("bl").as("ra"), col("lt").as("rb")),
+        struct(lit("blocklist").as("sa"), lit("repetition").as("sb"),
+          col("bl").as("ra"), col("rp").as("rb")),
+        struct(lit("lm_tail").as("sa"), lit("repetition").as("sb"),
+          col("lt").as("ra"), col("rp").as("rb")))).as("p"))
       .select(col("p.sa").as("screen_a"), col("p.sb").as("screen_b"),
         col("p.ra"), col("p.rb"))
       .groupBy(col("screen_a"), col("screen_b"))
@@ -11282,6 +11295,8 @@ object SparkEntry {
             idAlias = "doc_id")},
         |bnd AS (SELECT quantile_cont(lm_score, 1.0/3) AS b FROM scored),
         |${gopherGateCtes("dd2")},
+        |d AS (SELECT doc_id, string_split(txt, chr(10)) AS ls, txt FROM dd2),
+        |$repetitionFrCtes,
         |fl AS (
         |  SELECT d.doc_id,
         |    NOT (v.ok_words AND v.ok_word_len AND v.ok_symbols AND v.ok_bullets
@@ -11290,15 +11305,26 @@ object SparkEntry {
         |                     'small batch','stale key','stream','vector','conflictfree',
         |                     'fast merge','slow join','bad data'],
         |        t -> contains(lower(d.txt), t))) > 0 AS bl,
-        |    s.lm_score < bnd.b AS lt
+        |    s.lm_score < bnd.b AS lt,
+        |    NOT (fr.dup_line_frac <= 0.30 AND fr.dup_line_char_frac <= 0.20
+        |         AND fr.top2_frac <= 0.20 AND fr.top3_frac <= 0.18
+        |         AND fr.top4_frac <= 0.16 AND fr.dup5_frac <= 0.15
+        |         AND fr.dup10_frac <= 0.10) AS rp
         |  FROM dd2 d JOIN v ON v.doc_id = d.doc_id
-        |  JOIN scored s ON s.doc_id = d.doc_id CROSS JOIN bnd),
+        |  JOIN scored s ON s.doc_id = d.doc_id
+        |  JOIN fr ON fr.doc_id = d.doc_id CROSS JOIN bnd),
         |pw AS (
         |  SELECT 'gopher' AS screen_a, 'blocklist' AS screen_b, ga AS ra, bl AS rb FROM fl
         |  UNION ALL
         |  SELECT 'gopher', 'lm_tail', ga, lt FROM fl
         |  UNION ALL
-        |  SELECT 'blocklist', 'lm_tail', bl, lt FROM fl),
+        |  SELECT 'gopher', 'repetition', ga, rp FROM fl
+        |  UNION ALL
+        |  SELECT 'blocklist', 'lm_tail', bl, lt FROM fl
+        |  UNION ALL
+        |  SELECT 'blocklist', 'repetition', bl, rp FROM fl
+        |  UNION ALL
+        |  SELECT 'lm_tail', 'repetition', lt, rp FROM fl),
         |ag AS (
         |  SELECT screen_a, screen_b,
         |    CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_a,
