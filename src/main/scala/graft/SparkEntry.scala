@@ -1714,17 +1714,22 @@ object SparkEntry {
       (r.getString(0), r.getLong(1), r.getLong(2), mr, mp, excess)
     }.sortBy(_._1)
     val total = srcs.map(_._3).sum
-    // BigInt: n_toks·10⁹ overflows a long at corpus scale (the oracle
-    // mirrors with a HUGEINT cast); later rounds stay in longs — u is
-    // bounded by the weight scale, not the corpus
-    var w: Array[Long] =
-      srcs.map(t => (BigInt(t._3) * 1000000000 / BigInt(total)).toLong)
-    val trajSum = Array.fill(srcs.length)(0L)
+    // BigInt THROUGHOUT the integer steps: n_toks·10⁹ overflows a
+    // long at corpus scale, and the per-round u(i)·10⁹ does too the
+    // moment exp(excess) > ~9.2 on a dominant source (u ≤
+    // exp(excess)·10⁹; nothing bounds excess) — a silent Scala wrap
+    // where the oracle's HUGEINT multiply stays exact, i.e. a
+    // data-dependent engine divergence. The table is ≤4096 rows, so
+    // BigInt cost is nil. Values are identical to the long path in
+    // the non-overflow regime (same floor division).
+    var w: Array[BigInt] =
+      srcs.map(t => BigInt(t._3) * 1000000000 / BigInt(total))
+    val trajSum = Array.fill(srcs.length)(BigInt(0))
     for (_ <- 1 to rounds) {
       val u = srcs.indices.map { i =>
         // mirrored double product, ONE HALF_UP quantization per round
         BigDecimal(w(i).toDouble / 1e9 * math.exp(srcs(i)._6) * 1e9)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
       }
       val z = u.sum
       w = srcs.indices.map(i => u(i) * 1000000000L / z).toArray
@@ -9461,54 +9466,72 @@ object SparkEntry {
         |   AND top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
         |   AND dup5_frac <= 0.15 AND dup10_frac <= 0.10) AS passes
         |FROM fr ORDER BY doc_id""".stripMargin,
-    // q205: the whole water-fill replayed — per-source token sums,
-    // integer micro-unit sqrt weights, caps, the (r, source) sort with
-    // prefix sums, candidate levels lam_k = (B - prefCap)/(totW -
-    // prefW), the unique valid boundary (prevR <= lam < r), and the
-    // per-source min(cap, round(lam*w)). B = 79*T/20 in exact integer
-    // arithmetic on both sides. epochs_ppm = floor(1e6*drawn/t) in
-    // exact integers (HUGEINT here, decimal(38,0) div on the Spark
-    // side) — no double survives in the output (the q229 class fix).
+    // q205: the whole water-fill replayed in EXACT INTEGERS — no
+    // double anywhere in the decision path (the r14/r15 driver reds:
+    // the double λ predicate sat 3e-8 from its boundary and
+    // round(λ·w) 4e-4 from .5). w = isqrt(t·10¹²) via a double guess
+    // + the same ±2 integer adjustment as the Spark side (converges
+    // to the true floor on any engine); cap = half-up of t·4 in
+    // integers; sort key qr = cap·10¹⁸ // w; λ validity
+    // cross-multiplied in HUGEINT (Spark decimal(38,0)); the draw
+    // half-up in integers. B = 79·T/20 exact on both sides.
     "q205_epoch_allocation" ->
       raw"""WITH d AS (
         |  SELECT source,
         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS nt
         |  FROM documents),
         |srcs AS (SELECT source, sum(nt) AS t FROM d GROUP BY source),
-        |bb AS (SELECT (sum(t) * 79) // 20 AS b FROM srcs),
+        |bb AS (SELECT CAST((sum(t) * 79) // 20 AS HUGEINT) AS b FROM srcs),
+        |sq0 AS (
+        |  SELECT source, t,
+        |    CAST(t AS HUGEINT) * 1000000000000 AS n12,
+        |    greatest(CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1e6) AS HUGEINT),
+        |             CAST(0 AS HUGEINT)) AS g
+        |  FROM srcs),
+        |sq1 AS (SELECT source, t, n12, CASE WHEN g*g > n12 THEN g - 1 ELSE g END AS g FROM sq0),
+        |sq2 AS (SELECT source, t, n12, CASE WHEN g*g > n12 THEN g - 1 ELSE g END AS g FROM sq1),
+        |sq3 AS (SELECT source, t, n12, CASE WHEN (g+1)*(g+1) <= n12 THEN g + 1 ELSE g END AS g FROM sq2),
         |base AS (
         |  SELECT source, t,
-        |    CAST(round(sqrt(CAST(t AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w,
-        |    CAST(round(CAST(t AS DOUBLE) * 4.0, 0) AS BIGINT) AS cap
-        |  FROM srcs),
-        |rr AS (SELECT *, CAST(cap AS DOUBLE) / CAST(w AS DOUBLE) AS r FROM base),
+        |    CASE WHEN (g+1)*(g+1) <= n12 THEN g + 1 ELSE g END AS w,
+        |    (CAST(t AS HUGEINT) * 8000000 + 1000000) // 2000000 AS cap
+        |  FROM sq3),
+        |rr AS (SELECT *, (cap * 1000000000000000000) // w AS qr FROM base),
         |rk AS (
         |  SELECT *,
-        |    COALESCE(sum(cap) OVER (ORDER BY r, source
+        |    COALESCE(sum(cap) OVER (ORDER BY qr, source
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefCap,
-        |    COALESCE(sum(w) OVER (ORDER BY r, source
+        |    COALESCE(sum(w) OVER (ORDER BY qr, source
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefW,
-        |    COALESCE(lag(r) OVER (ORDER BY r, source), 0.0) AS prevR
+        |    COALESCE(lag(cap) OVER (ORDER BY qr, source), 0) AS lagCap,
+        |    COALESCE(lag(w) OVER (ORDER BY qr, source), 1) AS lagW
         |  FROM rr),
-        |tw AS (SELECT sum(w) AS totW FROM base),
+        |tw AS (SELECT CAST(sum(w) AS HUGEINT) AS totW FROM base),
         |cand AS (
-        |  SELECT lam, prevR, r FROM (
-        |    SELECT (CAST(bb.b AS DOUBLE) - CAST(rk.prefCap AS DOUBLE))
-        |           / CAST(tw.totW - rk.prefW AS DOUBLE) AS lam,
-        |           rk.prevR AS prevR, rk.r AS r
+        |  SELECT rem, dd FROM (
+        |    SELECT bb.b - CAST(rk.prefCap AS HUGEINT) AS rem,
+        |           tw.totW - CAST(rk.prefW AS HUGEINT) AS dd,
+        |           CAST(rk.lagCap AS HUGEINT) AS lagCap,
+        |           CAST(rk.lagW AS HUGEINT) AS lagW,
+        |           CAST(rk.cap AS HUGEINT) AS cap, CAST(rk.w AS HUGEINT) AS w
         |    FROM rk, tw, bb)
-        |  WHERE lam >= prevR AND lam < r),
-        |lam AS (SELECT min(lam) AS lam FROM cand)
+        |  WHERE rem * lagW >= lagCap * dd AND rem * w < cap * dd),
+        |lam AS (SELECT min(rem) AS lamRem, min(dd) AS lamD FROM cand)
         |SELECT source, n_tokens, weight, tokens_drawn,
         |  CAST(CAST(tokens_drawn AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
         |  capped
         |FROM (
-        |  SELECT rr.source AS source, rr.t AS n_tokens, rr.w AS weight,
-        |    CASE WHEN lam.lam IS NULL OR rr.r <= lam.lam THEN rr.cap
-        |         ELSE least(rr.cap,
-        |           CAST(round(lam.lam * CAST(rr.w AS DOUBLE), 0) AS BIGINT)) END
+        |  SELECT rr.source AS source, rr.t AS n_tokens,
+        |    CAST(rr.w AS BIGINT) AS weight,
+        |    CASE WHEN lam.lamRem IS NULL
+        |              OR CAST(rr.cap AS HUGEINT) * lam.lamD <= lam.lamRem * CAST(rr.w AS HUGEINT)
+        |         THEN CAST(rr.cap AS BIGINT)
+        |         ELSE CAST(least(CAST(rr.cap AS HUGEINT),
+        |           (2 * lam.lamRem * CAST(rr.w AS HUGEINT) + lam.lamD)
+        |             // (2 * lam.lamD)) AS BIGINT) END
         |      AS tokens_drawn,
-        |    (lam.lam IS NULL OR rr.r <= lam.lam) AS capped
+        |    (lam.lamRem IS NULL
+        |      OR CAST(rr.cap AS HUGEINT) * lam.lamD <= lam.lamRem * CAST(rr.w AS HUGEINT)) AS capped
         |  FROM rr, lam)
         |ORDER BY source""".stripMargin,
     // q206: q189's shared span chain + winner ROW_NUMBER per span md5

@@ -33,13 +33,21 @@ object Exact {
 
   /** floor(num·10ᵏ / den) as a long — exact integer floor division.
     * Inputs must be integral columns (cast upstream); a zero/null
-    * denominator yields null (Spark division semantics).
+    * denominator yields null (Spark division semantics). The scale
+    * multiply rides DECIMAL(38,0), NOT long: this helper is the
+    * generic publish path, and a corpus-scale numerator (a 100 TB
+    * token sum is ~2.5e13; ·10⁹ = 2.5e22) would wrap a plain long
+    * multiply SILENTLY in non-ANSI Spark — a confidently wrong
+    * published value, the worst failure mode. Only the final
+    * quotient (the published ratio·10ᵏ, small by contract) casts
+    * back to long.
     */
   def ratioUnits(num: Column, den: Column, k: Int): Column = {
     require(k >= 0 && k <= 9, s"scale must be in [0, 9], got $k")
-    val scaled = num.cast("long") * lit(math.pow(10, k).toLong)
-    val d = den.cast("long")
-    val safeDen = when(d === 0L, lit(null).cast("long")).otherwise(d)
+    val dec = "decimal(38,0)"
+    val scaled = num.cast(dec) * lit(math.pow(10, k).toLong).cast(dec)
+    val d = den.cast(dec)
+    val safeDen = when(d === 0L, lit(null).cast(dec)).otherwise(d)
     call_function("div", scaled - pmod(scaled, safeDen), safeDen)
   }
 

@@ -250,20 +250,50 @@ object Sampling {
     * λ is found exactly in one pass: sort sources by saturation point
     * r_s = cap_s/w_s, prefix-sum caps and weights, test the candidate
     * level λ_k = (B − Σ_{j<k} cap_j)/Σ_{j≥k} w_j for each boundary k
-    * (valid iff lag(r) ≤ λ_k < r_k; B ≥ Σ cap ⇒ no valid row ⇒
+    * (valid iff r_{k−1} ≤ λ_k < r_k; B ≥ Σ cap ⇒ no valid row ⇒
     * everything caps). The windows run over the SOURCE table —
     * model-sized state (handfuls to thousands of rows), the one place
     * a single-task window is the documented right call; the corpus
     * itself is touched only by the per-source token sum.
     *
+    * EVERY DECISION RIDES EXACT INTEGERS — no double anywhere between
+    * the token sums and the verdicts. The r14/r15 driver reds proved
+    * why publish-level integerization alone is not enough: at the
+    * sf0.01 fixture the double λ-validity predicate sat 3e-8 from its
+    * boundary and `round(λ·w)` 4e-4 from .5, so an environment whose
+    * fp path lands a whisker to the other side flips `tokens_drawn`
+    * for every uncapped source at once. Concretely, for the default
+    * α = ½ (all arithmetic DECIMAL(38,0); every `div`/`pmod` operand
+    * below is non-negative, so truncating `div` IS floor — identical
+    * to DuckDB `//` on the same integers):
+    *  - w = isqrt(t·10¹²) — exact integer square root: a double
+    *    guess ⌊√t·10⁶⌋, then ±2 integer adjustment, which converges
+    *    to the true floor on ANY engine whose guess lands within ±2
+    *    (the guess's total fp error is < 1), so the result is
+    *    engine-independent, unlike round(√t·10⁶);
+    *  - cap = ⌊(2·t·E₆ + 10⁶) / (2·10⁶)⌋ with E₆ = round(E·10⁶)
+    *    exact on the driver — the half-up of t·E in integers;
+    *  - the sort key is qr = ⌊cap·10¹⁸/w⌋, kept DECIMAL (qr exceeds
+    *    a long once r > ~9.2), tie-broken by source;
+    *  - λ validity is CROSS-MULTIPLIED: with rem = B − prefCap and
+    *    d = totW − prefW (> 0), valid ⇔ rem·w_prev ≥ cap_prev·d AND
+    *    rem·w < cap·d; the first row takes (cap_prev, w_prev) =
+    *    (0, 1) so its test degrades to rem ≥ 0, the λ ≥ 0 floor;
+    *  - the unique valid boundary's (rem*, d*) is selected by
+    *    min-over-struct (rem strictly decreases down the order, so
+    *    lexicographic min = the same row for both fields on any
+    *    engine);
+    *  - capped ⇔ no valid boundary (B ≥ Σ cap) or cap·d* ≤ rem*·w;
+    *  - the draw is half-up in integers:
+    *    min(cap, ⌊(2·rem*·w + d*) / (2·d*)⌋) = min(cap, round(λ·w)).
+    * α ≠ ½ keeps the documented double-quantized weight
+    * round(t^α·10⁶) — t^α has no exact integer form; callers who
+    * need engine-proof verdicts use the default.
+    *
     * Output per source: `n_tokens`, `weight`, `tokens_drawn`,
     * `epochs_ppm` (= ⌊10⁶·drawn/t⌋, ≤ 10⁶·E by construction —
-    * INTEGER parts-per-million, never a rounded double: a float64
-    * ratio rounded at k dp lands on a .5 boundary eventually and the
-    * verdict then depends on the reader's decimal library, whereas
-    * floor division of exact integers is engine- and
-    * environment-stable; the multiply rides decimal(38,0) so it
-    * cannot overflow at any corpus size), `capped`.
+    * INTEGER parts-per-million in decimal(38,0), engine-stable at
+    * any corpus size), `capped`.
     * Σ tokens_drawn = B up to per-source half-up rounding
     * of λ·w_s (exact when everything caps ⇒ Σ = Σ cap < B).
     */
@@ -274,43 +304,72 @@ object Sampling {
     require(maxEpochs > 0, "maxEpochs must be positive")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def asDec(c: org.apache.spark.sql.Column) = c.cast(dec)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
     val wExpr =
-      if (alpha == 0.5) round(sqrt(col("t").cast("double")) * 1e6, 0).cast("long")
-      else round(pow(col("t").cast("double"), alpha) * 1e6, 0).cast("long")
+      if (alpha == 0.5) {
+        val n = asDec(col("t")) * lit(1000000000000L).cast(dec)
+        val g0 = greatest(floor(sqrt(col("t").cast("double")) * 1e6).cast(dec),
+          lit(0L).cast(dec))
+        def down(g: org.apache.spark.sql.Column) =
+          when(g * g > n, g - lit(1L).cast(dec)).otherwise(g)
+        def up(g: org.apache.spark.sql.Column) = {
+          val g1 = g + lit(1L).cast(dec)
+          when(g1 * g1 <= n, g1).otherwise(g)
+        }
+        up(up(down(down(g0))))
+      } else asDec(round(pow(col("t").cast("double"), alpha) * 1e6, 0).cast("long"))
+    val e6: Long =
+      BigDecimal(maxEpochs).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(6).longValueExact()
     val src = df.groupBy(sourceCol.as("source"))
       .agg(sum(tokenCol.cast("long")).as("t"))
       .withColumn("w", wExpr)
-      .withColumn("cap", round(col("t").cast("double") * maxEpochs, 0).cast("long"))
-      .withColumn("r", col("cap").cast("double") / col("w").cast("double"))
+      .withColumn("cap",
+        asDec(idiv(asDec(col("t")) * lit(2L * e6).cast(dec) + lit(1000000L).cast(dec),
+          lit(2000000L).cast(dec))))
+      // the sort key ⌊cap·10¹⁸/w⌋: the pmod subtraction makes the
+      // decimal division exact (integral quotient), and it STAYS
+      // decimal — the quotient exceeds a long once cap/w > ~9.2
+      .withColumn("__capS", col("cap") * lit(1000000000000000000L).cast(dec))
+      .withColumn("__qr", (col("__capS") - pmod(col("__capS"), col("w"))) / col("w"))
     // everything below the per-source aggregate rides ONE window stage
     // over the source table — re-referencing `src` from separate
     // aggregates would re-run the corpus scan once per reference
     // (PlansSpec pins the single-scan shape)
-    val ord = Window.orderBy(col("r"), col("source"))
+    val ord = Window.orderBy(col("__qr"), col("source"))
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
     val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = src
-      .withColumn("__prefCap", coalesce(sum(col("cap")).over(pre), lit(0L)))
-      .withColumn("__prefW", coalesce(sum(col("w")).over(pre), lit(0L)))
-      .withColumn("__prevR", coalesce(lag(col("r"), 1).over(ord), lit(0.0)))
-      .withColumn("__totW", sum(col("w")).over(full))
-      .withColumn("__cand",
-        (lit(budget.toDouble) - col("__prefCap").cast("double")) /
-          (col("__totW") - col("__prefW")).cast("double"))
-      // min over the full window skips nulls; null lam = no valid
+      .withColumn("__rem",
+        lit(budget).cast(dec) - asDec(coalesce(sum(col("cap")).over(pre), lit(0L))))
+      .withColumn("__d",
+        asDec(sum(col("w")).over(full)) -
+          asDec(coalesce(sum(col("w")).over(pre), lit(0L))))
+      .withColumn("__lagCap", asDec(coalesce(lag(col("cap"), 1).over(ord), lit(0L))))
+      .withColumn("__lagW", asDec(coalesce(lag(col("w"), 1).over(ord), lit(1L))))
+      .withColumn("__valid",
+        col("__rem") * col("__lagW") >= col("__lagCap") * col("__d") &&
+          col("__rem") * col("w") < col("cap") * col("__d"))
+      // min over the full window skips nulls; null = no valid
       // boundary = budget >= sum of caps = everything caps
-      .withColumn("__lam",
-        min(when(col("__cand") >= col("__prevR") && col("__cand") < col("r"),
-          col("__cand"))).over(full))
+      .withColumn("__lamPair",
+        min(when(col("__valid"), struct(col("__rem"), col("__d")))).over(full))
+      .withColumn("__lamRem", col("__lamPair").getField("__rem"))
+      .withColumn("__lamD", col("__lamPair").getField("__d"))
+    val capped = col("__lamRem").isNull ||
+      col("cap") * col("__lamD") <= col("__lamRem") * col("w")
+    val halfUp = asDec(idiv(
+      lit(2L).cast(dec) * col("__lamRem") * col("w") + col("__lamD"),
+      lit(2L).cast(dec) * col("__lamD")))
     ranked
-      .select(col("source"), col("t").as("n_tokens"), col("w").as("weight"),
-        when(col("__lam").isNull || col("r") <= col("__lam"), col("cap"))
-          .otherwise(least(col("cap"),
-            round(col("__lam") * col("w").cast("double"), 0).cast("long")))
-          .as("tokens_drawn"),
-        (col("__lam").isNull || col("r") <= col("__lam")).as("capped"))
-      // both operands are non-negative, so integral `div` (truncation)
-      // IS floor division — identical to DuckDB `//` on the same ints
+      .select(col("source"), col("t").as("n_tokens"),
+        col("w").cast("long").as("weight"),
+        when(capped, col("cap")).otherwise(least(col("cap"), halfUp))
+          .cast("long").as("tokens_drawn"),
+        capped.as("capped"))
       .withColumn("epochs_ppm",
         expr("(CAST(tokens_drawn AS DECIMAL(38,0)) * 1000000) div n_tokens"))
       .select(col("source"), col("n_tokens"), col("weight"),

@@ -92,4 +92,35 @@ class QuotaSpec extends SparkSuite {
       .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(rep2 == got)
   }
+
+  test("epochAllocation: the α=½ weight is the EXACT integer sqrt (isqrt(t·10¹²))") {
+    // the r16 integer-exact decision path hinges on w = isqrt(t·10¹²)
+    // being bit-identical on every engine; the implementation is a
+    // double guess + ±2 integer adjustment, so stress it with
+    // adversarial t — perfect squares at the 10⁶ unit scale and their
+    // ±1 neighbors (where round-vs-floor and guess-off-by-one bite),
+    // tiny t, huge t (past double's 2⁵³ for t·10¹²), and a seeded
+    // random sweep. Ground truth: BigInt Newton isqrt.
+    def isqrt(n: BigInt): BigInt = {
+      var x = BigInt(math.sqrt(n.toDouble).toLong + 2)
+      while (x * x > n) x = (x + n / x) / 2
+      x
+    }
+    val rnd = new scala.util.Random(7)
+    val ts = (Seq(1L, 2L, 3L, 99L, 100L, 101L, 9999L, 10000L, 10001L,
+        1000000L, 1000000000L, 10000000000000L - 1, 10000000000000L) ++
+      (999999L to 1000020L).map(k => k * k / 1000000L) ++
+      Seq.fill(200)(1L + math.abs(rnd.nextLong()) % 10000000000000L)).distinct
+    val docs = ts.zipWithIndex.map { case (t, i) => (f"s$i%05d", t) }
+      .toDF("source", "nt")
+    val got = Sampling.epochAllocation(docs, col("source"), col("nt"),
+        budget = 1L << 60, maxEpochs = 4.0)
+      .select("source", "n_tokens", "weight")
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (s, t, w) =>
+      val expect = isqrt(BigInt(t) * BigInt(1000000000000L))
+      assert(BigInt(w) == expect, s"$s: t=$t weight=$w expected isqrt=$expect")
+    }
+    assert(got.length == ts.length)
+  }
 }
