@@ -743,7 +743,11 @@ object Dedup {
     *                    the cost of more candidates to verify;
     *                    [[rowsPerBandForThreshold]] derives the
     *                    cost-balanced geometry instead — r=4 at 0.8 —
-    *                    when candidate volume, not recall, binds)
+    *                    when candidate volume, not recall, binds.
+    *                    At corpus scale call [[nearDupPairsForRecall]]
+    *                    instead: it derives BOTH knobs from the recall
+    *                    the user actually wants; the fixed defaults
+    *                    here stay as the oracle-replayable anchor)
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
                    shingleK: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
@@ -773,6 +777,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .distinct()  // same pair from multiple bands → identical jaccard
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CORPUS-SCALE entry point of the near-dup family: [[nearDupPairs]]
+    * with the banding geometry DERIVED from (threshold, targetRecall)
+    * via [[bandingForRecall]] — the fixed→auto convention
+    * (`annLshPairsSized`, `semDedupSized`) applied to its last family.
+    * A user states the semantic contract ("pairs at Jaccard ≥ 0.5,
+    * catch ≥ 95% of them") and the S-curve inversion picks the
+    * cheapest (bands × rows) signature that meets it — at (0.5, 0.95)
+    * that is 11 bands × 2 rows = 22 hashes, the geometry q239 anchors
+    * with a measured recall of 0.9811 on q238's planted fixture
+    * (fixed 4×2 measured 0.887 on the same fixture — the gap is the
+    * reason this wrapper, not [[nearDupPairs]]'s defaults, is the
+    * documented deployment form).
+    *
+    * Scale shape is unchanged from [[nearDupPairs]]: one band shuffle,
+    * bucketed candidate generation (never all-pairs), exact-Jaccard
+    * verify before the pair dedup. A larger band count multiplies the
+    * EXPLODE factor (rows into the band shuffle), not the shuffle
+    * count — recall is bought with b·r hashes per doc, linear in
+    * corpus size.
+    */
+  def nearDupPairsForRecall(df: DataFrame, id: Column, text: Column,
+                            threshold: Double, targetRecall: Double,
+                            shingleK: Int = 3, maxHashes: Int = 64,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (numHashes, rowsPerBand) = bandingForRecall(threshold, targetRecall, maxHashes)
+    nearDupPairs(df, id, text, shingleK, numHashes, rowsPerBand, threshold, maxBucket)
   }
 
   /** ⊕ Train/test CONTAMINATION check: for every (test, train)

@@ -201,6 +201,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("nearDupPairsForRecall: deployed auto form ≡ nearDupPairs at the derived geometry") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the wrapper must ride EXACTLY the geometry bandingForRecall
+    // derives — q239's operating point (0.5, 0.95) → 22 hashes × 2 rows
+    val auto = ext.Dedup.nearDupPairsForRecall(
+      docs, col("doc_id"), col("text"), threshold = 0.5, targetRecall = 0.95)
+    val explicit = ext.Dedup.nearDupPairs(
+      docs, col("doc_id"), col("text"),
+      numHashes = 22, rowsPerBand = 2, threshold = 0.5)
+    val a = auto.collect().toSeq
+    val e = explicit.collect().toSeq
+    assert(a == e, s"auto form diverged from explicit (22, 2): " +
+      s"${a.size} vs ${e.size} rows")
+    assert(a.nonEmpty, "fixture must produce near-dup pairs at t=0.5")
+    // and it must be a superset of the fixed 8×2 default's pairs at
+    // the same threshold (more bands can only ADD candidates; the
+    // exact-Jaccard verify keeps precision)
+    val fixed = ext.Dedup.nearDupPairs(
+      docs, col("doc_id"), col("text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect().toSet
+    val autoKeys = auto.select(col("id_a"), col("id_b")).collect().toSet
+    assert(fixed.subsetOf(autoKeys),
+      s"auto recall regressed vs the fixed default: missing ${fixed -- autoKeys}")
+  }
+
   test("setSimJoinExact ≡ naive all-pairs join (completeness), and catches LSH misses by construction") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = ext.Dedup.setSimJoinExact(docs, col("doc_id"), col("text"), 0.8)
