@@ -62,22 +62,33 @@ object Curation {
     * is a multi-job fixpoint; the greedy rule over-drops only inside
     * chains a<b<c where a~b, b~c, a≁c, and never under-drops).
     */
-  def curate(docs: DataFrame, id: Column, source: Column, text: Column,
-             p: Params): DataFrame = {
-    val scored = docs.select(
-      id.as("doc_id"), source.as("source"), text.as("text"),
-      TextAnalysis.tokenCount(text).as("n_tokens"),
-      TextAnalysis.qualityScore(text).as("quality"),
-      (if (p.lexicons.nonEmpty)
-         TextAnalysis.classifyByLexicon(text, p.lexicons)
-       else lit("und")).as("topic"),
-      TextAnalysis.fingerprint(text).as("fp"))
-    val rowGated = scored
+  /** The pipeline's ROW-LOCAL prefix — scoring projection + quality/
+    * topic/blocklist gates. Stateless (scan-local, no shuffle), so it
+    * is valid verbatim on a STREAMING DataFrame too: this is the
+    * stage [[graft.streaming.EventStream]]'s `curateStream` shares
+    * byte-for-byte with the batch form, which is what makes the
+    * batch≡streaming equivalence a structural property rather than a
+    * re-implementation kept in sync by hand.
+    */
+  def rowStages(docs: DataFrame, id: Column, source: Column, text: Column,
+                p: Params): DataFrame =
+    docs.select(
+        id.as("doc_id"), source.as("source"), text.as("text"),
+        TextAnalysis.tokenCount(text).as("n_tokens"),
+        TextAnalysis.qualityScore(text).as("quality"),
+        (if (p.lexicons.nonEmpty)
+           TextAnalysis.classifyByLexicon(text, p.lexicons)
+         else lit("und")).as("topic"),
+        TextAnalysis.fingerprint(text).as("fp"))
       .filter(col("n_tokens") >= p.minTokens && col("quality") >= p.minQuality)
       .filter(if (p.topics.nonEmpty) col("topic").isin(p.topics: _*) else lit(true))
       .filter(if (p.blocklist.nonEmpty)
           !graft.functions.DictMatch.dict_contains_any(col("text"), p.blocklist)
         else lit(true))
+
+  def curate(docs: DataFrame, id: Column, source: Column, text: Column,
+             p: Params): DataFrame = {
+    val rowGated = rowStages(docs, id, source, text, p)
     // repetition gate AFTER the row-local gates: it is the one
     // shuffle-bearing screen (per-doc gram aggregation), so it should
     // only touch row-local survivors; its pass set semi-joins back —

@@ -312,6 +312,105 @@ object TextAnalysis {
           Seq(passes.as("passes"))): _*)
   }
 
+  /** ROW-LOCAL twin of [[gopherRepetitionGate]]'s `passes` verdict,
+    * for the streaming pipeline ([[graft.streaming.EventStream]]
+    * `curateStream`): the gate is semantically a function of ONE
+    * document's text, but the batch form spells it as explode +
+    * aggregation so Tungsten owns the gram table at corpus scale — a
+    * shape a streaming micro-batch cannot ride (mid-stream multi-key
+    * aggregations are stateful operators with different semantics).
+    * This twin computes the identical metrics per row with hash maps
+    * (O(tokens) per doc, no shuffle) inside a typed filter.
+    *
+    * Parity is a TESTED contract, not an aspiration:
+    * TextAnalysisSpec asserts verdict equality against the batch gate
+    * per document over the planted-repetition fixture plus
+    * adversarial edge cases (empty text, one line, all-duplicate
+    * lines, short docs below every n). Every detail mirrors the batch
+    * chain: the tokenizer (`split(cleanText(lower(text)), " ")`,
+    * Locale.ROOT lowercasing), raw-text `\n` line split with trailing
+    * empties kept (Spark `split` limit −1), top-1 gram ties broken
+    * (count DESC, gram ASC), dup-gram position-UNION coverage, and
+    * the tie-free `Exact.ratio` publish arithmetic — integer floor
+    * division at 4 dp, then the same double `<=` threshold compare.
+    */
+  def repetitionPassesLocal(text: String): Boolean = {
+    val t = if (text == null) "" else text
+    // tokens/cb mirror tokens(col)/length(cleanText(lower(col)))
+    val cleaned =
+      t.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    val w = cleaned.split(" ", -1)
+    val m = w.length
+    val wlen = w.map(_.length)
+    val tw = wlen.map(_.toLong).sum
+    val cb = cleaned.length.toLong
+    // line stats over the RAW text (batch: split(__txt, "\n"))
+    val lines = t.split("\n", -1)
+    val nl = lines.length.toLong
+    val byLine = new scala.collection.mutable.HashMap[String, Long]()
+    lines.foreach(l => byLine.update(l, byLine.getOrElse(l, 0L) + 1L))
+    val nd = byLine.valuesIterator.map(_ - 1L).sum
+    var dch = 0L; var tch = 0L
+    byLine.foreach { case (l, c) =>
+      dch += (c - 1L) * l.length; tch += c * l.length
+    }
+    // Exact.ratio(num, den, 4) then the batch double threshold compare
+    def fracLe(num: Long, den: Long, thr: Double): Boolean =
+      Math.floorDiv(num * 10000L, math.max(den, 1L)).toDouble / 10000.0 <= thr
+    val okDupLine = fracLe(nd, nl, 0.30)
+    val okDupLineChar = fracLe(dch, math.max(tch, 1L), 0.20)
+    def gramAt(i: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder(wlen.slice(i, i + n).sum + n)
+      var j = i
+      while (j < i + n) { if (j > i) sb.append(' '); sb.append(w(j)); j += 1 }
+      sb.toString
+    }
+    // top-{2,3,4}-gram char fraction of the cleaned byte length
+    val okTop = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, thr) =>
+      if (m < n) fracLe(0L, math.max(cb, 1L), thr)
+      else {
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        var i = 0
+        while (i <= m - n) {
+          val g = gramAt(i, n)
+          counts.update(g, counts.getOrElse(g, 0L) + 1L); i += 1
+        }
+        // ties: count DESC, gram ASC (ASCII fixture ⇒ UTF8 == UTF16 order)
+        var bestG: String = null; var bestC = 0L
+        counts.foreach { case (g, c) =>
+          if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+            bestG = g; bestC = c
+          }
+        }
+        fracLe(bestC * bestG.length, math.max(cb, 1L), thr)
+      }
+    }
+    // dup-{5,10}-gram position-union coverage of the token char mass
+    val okDup = Seq(5 -> 0.15, 10 -> 0.10).map { case (n, thr) =>
+      if (m < n) fracLe(0L, math.max(tw, 1L), thr)
+      else {
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        var i = 0
+        while (i <= m - n) {
+          val g = gramAt(i, n)
+          counts.update(g, counts.getOrElse(g, 0L) + 1L); i += 1
+        }
+        val covered = new Array[Boolean](m)
+        i = 0
+        while (i <= m - n) {
+          if (counts(gramAt(i, n)) >= 2L) {
+            var j = i; while (j < i + n) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        var covch = 0L; var j = 0
+        while (j < m) { if (covered(j)) covch += wlen(j); j += 1 }
+        fracLe(covch, math.max(tw, 1L), thr)
+      }
+    }
+    okDupLine && okDupLineChar && (okTop ++ okDup).forall(identity)
+  }
+
   def dedupParagraphsGlobal(df: DataFrame, id: Column, text: Column,
                             sep: String = "\n"): DataFrame = {
     val (base, ex) = paragraphExplode(df, id, text, sep)

@@ -359,6 +359,162 @@ object EventStream {
             when(col("kept"), struct(col("p"), col("t"))))),
           s => s.getField("t")), sep).as("text_clean"))
 
+  // --- streaming curation: the composed MassiveText screen stack ----------
+
+  case class CurateDoc(doc_id: Long, source: String, text: String,
+                       n_tokens: Int, quality: Double, topic: String,
+                       fp: String)
+  case class BandIn(band_idx: Int, band_key: String, doc_id: Long,
+                    sh: Array[String], payload: Option[CurateDoc])
+  case class BandVerdict(doc_id: Long, hit: Boolean,
+                         payload: Option[CurateDoc])
+  /** Per-band-bucket near-dup state: ids + shingle sets of the docs
+    * stored so far — the streaming mirror of the batch pipeline
+    * carrying `sh` through the ONE band shuffle.
+    */
+  case class BucketDocs(ids: Array[Long], shs: Array[Array[String]])
+
+  /** ⊕ STREAMING curation — [[graft.ext.Curation.curate]]'s composed
+    * MassiveText screen stack (q240's batch form) as one streaming
+    * pipeline, same gate ORDER and same semantics per stage:
+    *
+    *  1. row-local gates — byte-shared with batch via
+    *     [[graft.ext.Curation.rowStages]] (stateless projection +
+    *     filters, valid verbatim on a streaming DataFrame);
+    *  2. Gopher repetition gate — the row-local typed twin
+    *     [[graft.ext.TextAnalysis.repetitionPassesLocal]] (per-doc
+    *     verdict; parity with the batch explode/agg form is a tested
+    *     contract in TextAnalysisSpec);
+    *  3. exact dedup — first-wins per content fingerprint, ONE boolean
+    *     of state per distinct fp (the batch min-id-per-fp rule under
+    *     the append-only id-order arrival convention);
+    *  4. near-dup removal — the SAME MinHash banding columns as batch
+    *     ([[graft.ext.Dedup.shingles]]/`minhash_sig`/`bandKeys`, so
+    *     LSH candidate generation is identical by construction), with
+    *     a per-bucket state of stored (id, shingle-set) pairs: an
+    *     arriving doc is DROPPED iff some stored earlier (lower-id)
+    *     doc in a shared band bucket has exact Jaccard ≥ threshold
+    *     after the batch form's round-to-4dp — the same greedy
+    *     drop-against-any-lower-id rule. Docs with empty shingle sets
+    *     (null signature) ride a solo bucket and are always kept,
+    *     matching the batch null-key filter.
+    *
+    * Batch ≡ streaming whenever (a) micro-batch arrival respects the
+    * append-only doc-id order (the [[dedupParagraphsStream]]
+    * convention — within a batch rows process in id order, so only
+    * CROSS-batch order matters) and (b) no band bucket overflows
+    * `maxPerBucket` (the batch `maxBucket` skew backstop's streaming
+    * mirror; an overflowing boilerplate bucket stops absorbing new
+    * signatures — the [[nearDupPairsStream]] trade). StreamingSpec
+    * proves row-identity against the batch `curate` on the planted
+    * q240-style fixture, split across micro-batches.
+    *
+    * State/scale shape: stage 3 is one boolean per distinct
+    * fingerprint; stage 4 buckets hold ids + shingle sets capped at
+    * `maxPerBucket` per bucket and one boolean per doc for the
+    * verdict join — all sharded by their group keys, nothing
+    * corpus-sized in one place. NoTimeout for the test horizon; a
+    * deployment bounds history with timeout eviction, accepting
+    * re-admitted duplicates older than the horizon (the same trade
+    * the batch form makes when it compacts its history).
+    */
+  def curateStream(docs: DataFrame, id: Column, source: Column, text: Column,
+                   p: graft.ext.Curation.Params,
+                   numHashes: Int = 8, rowsPerBand: Int = 2,
+                   maxPerBucket: Int = 10000)
+      : org.apache.spark.sql.Dataset[CurateDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowGated = graft.ext.Curation.rowStages(docs, id, source, text, p)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"), col("n_tokens").cast("int").as("n_tokens"),
+        col("quality").cast("double").as("quality"), col("topic"), col("fp"))
+      .as[CurateDoc]
+    val gated =
+      if (!p.repetitionGate) rowGated
+      else rowGated.filter(d =>
+        graft.ext.TextAnalysis.repetitionPassesLocal(d.text))
+    // stage 3: exact dedup — first fp occurrence wins (id-min in-batch)
+    val exact = gated.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[CurateDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+      }
+    // stage 4: the batch banding columns, then stateful bucket compare
+    val banded = exact.toDF()
+      .withColumn("__sh", graft.ext.Dedup.shingles(col("text"), 3))
+      .withColumn("__sig",
+        graft.functions.MinHashSig.minhash_sig(col("__sh"), numHashes))
+      .withColumn("__bands",
+        when(col("__sig").isNull,
+          array(struct(lit(-1).as("band_idx"),
+            concat(lit("solo:"), col("doc_id")).as("band_key"))))
+          .otherwise(graft.ext.Dedup.bandKeys(col("__sig"), numHashes, rowsPerBand)))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+        col("quality"), col("topic"), col("fp"), col("__sh"),
+        explode(col("__bands")).as("__b"))
+      .select(
+        col("__b.band_idx").as("band_idx"),
+        col("__b.band_key").as("band_key"),
+        col("doc_id"),
+        col("__sh").as("sh"),
+        when(col("__b.band_idx") <= 0,
+          struct(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+            col("quality"), col("topic"), col("fp")))
+          .otherwise(lit(null)).as("payload"))
+      .as[BandIn]
+    val verdicts = banded.groupByKey(r => (r.band_idx, r.band_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandIn],
+         state: GroupState[BucketDocs]) =>
+          val st = state.getOption.getOrElse(
+            BucketDocs(Array.empty, Array.empty))
+          var ids = st.ids; var shs = st.shs
+          val out = scala.collection.mutable.ArrayBuffer[BandVerdict]()
+          rows.toArray.sortBy(_.doc_id).foreach { r =>
+            val mySh = r.sh.toSet
+            var hit = false
+            var i = 0
+            while (i < ids.length && !hit) {
+              if (ids(i) != r.doc_id) {
+                val other = shs(i)
+                val inter = other.count(mySh.contains)
+                val union = mySh.size + other.length - inter
+                if (union > 0) {
+                  // the batch verify: round(jaccard, 4) >= threshold
+                  val j4 = java.math.BigDecimal
+                    .valueOf(inter.toDouble / union)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                  if (j4 >= p.jaccard) hit = true
+                }
+              }
+              i += 1
+            }
+            out += BandVerdict(r.doc_id, hit, r.payload)
+            if (ids.length < maxPerBucket && !ids.contains(r.doc_id)) {
+              ids = ids :+ r.doc_id; shs = shs :+ r.sh
+            }
+          }
+          state.update(BucketDocs(ids, shs))
+          out.iterator
+      }
+    // verdict join: a doc's band rows share its micro-batch; kept iff
+    // NO band reported a lower-id near-match. One boolean of state
+    // per doc absorbs source re-deliveries.
+    verdicts.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[BandVerdict], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val rs = rows.toArray
+            if (rs.exists(_.hit)) Iterator.empty
+            else rs.flatMap(_.payload).headOption.iterator
+          }
+      }
+  }
+
   // --- streaming funnel: per-user step progression ------------------------
 
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)

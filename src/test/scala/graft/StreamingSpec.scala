@@ -266,6 +266,97 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curateStream ≡ batch Curation.curate (q240's composed form) under append-only arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture exercising EVERY stage in both verdicts:
+    //  - topic/blocklist row gates (und-topic and badword docs drop)
+    //  - repetition gate (tripled-line doc drops)
+    //  - exact dedup (byte-identical text, later id, LATER batch)
+    //  - near-dup removal (one-token perturbations at J≈0.806 ≥ 0.8,
+    //    incl. an a<b<c chain where c pairs with b but not a)
+    //  - the null-signature solo path (1-token doc: shingle set is
+    //    empty AND every n-gram repetition rule passes vacuously — a
+    //    2-token doc cannot reach it, its single 2-gram spans ~100%
+    //    of the cleaned chars and the Gopher top2 cap drops it)
+    def doc(seed: Int, topicWord: String): String = {
+      val toks = topicWord +: (1 until 30).map(i => s"w${seed}x$i")
+      toks.grouped(10).map(_.mkString(" ")).mkString("\n")
+    }
+    def perturb(text: String, at: Int, repl: String): String = {
+      val toks = text.split("[\\s\\n]+").toVector.updated(at, repl)
+      toks.grouped(10).map(_.mkString(" ")).mkString("\n")
+    }
+    val base0 = doc(0, "query")
+    val base8 = doc(8, "disk")
+    val fixture: Seq[(Long, String, String)] = Seq(
+      (0L, "srcA", base0),
+      (2L, "srcA", perturb(base0, 15, "mut")),      // near-dup of 0, same batch
+      (3L, "srcA", Seq.fill(4)("query alpha beta gamma").mkString("\n")),
+      (4L, "srcB", doc(4, "query").replace("w4x20", "badword")),
+      (5L, "srcB", doc(5, "neutral")),              // no topic word → und
+      (6L, "srcB", "query"),                        // 1 token: solo path
+      (7L, "srcB", doc(7, "file")),
+      // --- micro-batch 2 ---
+      (8L, "srcC", base8),
+      (9L, "srcC", base0),                          // exact dup of 0, cross-batch
+      (10L, "srcC", doc(10, "plan")),
+      // --- micro-batch 3 ---
+      (16L, "srcD", perturb(base8, 20, "aaa")),     // near-dup of 8, cross-batch
+      (17L, "srcD", perturb(perturb(base8, 20, "aaa"), 25, "bbb")), // chain: ~16 only
+      (18L, "srcD", doc(18, "query")))
+    val p = graft.ext.Curation.Params(
+      minTokens = 1, minQuality = 0.0,
+      topics = Seq("exec", "storage"),
+      lexicons = Seq("exec" -> Seq("query", "plan"), "storage" -> Seq("disk", "file")),
+      blocklist = Seq("badword"), repetitionGate = true)
+    val df = fixture.toDF("doc_id", "source", "text")
+    val expected = graft.ext.Curation.curate(
+        df, col("doc_id"), col("source"), col("text"), p)
+      .as[EventStream.CurateDoc].collect().toSet
+    // the near-dup stage must be non-vacuous in BATCH terms: at least
+    // one candidate pair passes the banding + exact-Jaccard verify
+    val exactSurvivors = graft.ops.TopK.perGroupHead(
+      graft.ext.Curation.rowStages(df, col("doc_id"), col("source"), col("text"), p)
+        .join(graft.ext.TextAnalysis.gopherRepetitionGate(
+            graft.ext.Curation.rowStages(df, col("doc_id"), col("source"), col("text"), p),
+            col("doc_id"), col("text"))
+          .filter(col("passes")).select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      col("fp"), col("doc_id"), 1)
+    val batchPairs = graft.ext.Dedup.nearDupPairs(
+      exactSurvivors, col("doc_id"), col("text"), threshold = p.jaccard).collect()
+    assert(batchPairs.nonEmpty, "fixture must produce at least one " +
+      "near-dup pair through the banding (re-seed the perturbations)")
+    assert(!expected.exists(_.doc_id == 9L), "exact dup must drop")
+    assert(!expected.exists(_.doc_id == 3L), "repetition doc must drop")
+    assert(expected.exists(_.doc_id == 6L), "solo-path doc must survive")
+    // streaming: same rows, three id-ordered micro-batches
+    val mem = MemoryStream[(Long, String, String)]
+    val out = EventStream.curateStream(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      col("doc_id"), col("source"), col("text"), p)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      mem.addData(fixture.filter(_._1 < 8): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.filter(r => r._1 >= 8 && r._1 < 16): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.filter(_._1 >= 16): _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_out").as[EventStream.CurateDoc]
+        .collect().toSet
+      assert(got == expected,
+        s"stream kept ${got.map(_.doc_id).toSeq.sorted} != " +
+          s"batch kept ${expected.map(_.doc_id).toSeq.sorted}")
+      // cross-batch suppression is non-vacuous: the exact dup (id 9)
+      // and at least one near-dup arrived AFTER their lower-id
+      // counterpart's micro-batch and were still dropped
+      val dropped = fixture.map(_._1).toSet -- got.map(_.doc_id)
+      assert(dropped.contains(9L) && dropped.exists(_ >= 16L),
+        s"fixture must exercise cross-batch dedup state (dropped=$dropped)")
+    } finally q.stop()
+  }
+
   test("funnelStream advances per-user steps across micro-batches, folding to the batch funnel counts") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp

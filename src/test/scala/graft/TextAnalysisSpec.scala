@@ -127,6 +127,53 @@ class TextAnalysisSpec extends SparkSuite {
       r3.toString)
   }
 
+  test("repetitionPassesLocal ≡ gopherRepetitionGate verdict per document") {
+    import spark.implicits._
+    // every rule family exercised in BOTH verdicts, plus edge shapes
+    // the row-local twin must not diverge on
+    val diverse = (0 until 30).map(i => f"tok$i%02d")
+    val handmade = Seq(
+      1L -> "aa bb cc\naa bb cc\ndd ee ff",                 // dup line fail
+      2L -> diverse.grouped(10).map(_.mkString(" ")).mkString("\n"), // pass
+      3L -> (diverse.mkString(" ") + " " +
+        Seq.fill(4)("pp qq rr ss tt").mkString(" ")),       // dup5 fail
+      4L -> "",                                             // empty text
+      5L -> "solo",                                         // one token
+      6L -> "x\nx\nx\nx",                                   // all-dup lines
+      7L -> "one two three four",                           // m < every n
+      8L -> ("ga gb " * 20).trim,                           // top2 blowout
+      9L -> ("  padded   whitespace\t\ttabs \n mixed   runs  \n end  "),
+      10L -> (diverse.take(12).mkString(" ") + "\n" +
+        diverse.take(12).mkString(" ") + "\n" +
+        diverse.drop(12).mkString(" ")))                    // dup line mid
+    // plus the q240-style decorated corpus: documents.parquet text
+    // with the dup-first-line / stop-word-tail planting
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id") + 100L, // keep ids disjoint from handmade
+        concat(
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit("\n"), col("text")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 3 === 0, lit("\nthe and that have with."))
+            .otherwise(lit(""))))
+      .as[(Long, String)].collect().toSeq
+    val all = handmade ++ corpus
+    val df = all.toDF("doc_id", "text")
+    val batch = TextAnalysis.gopherRepetitionGate(df, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("passes")).as[(Long, Boolean)]
+      .collect().toMap
+    val local = all.map { case (id, t) =>
+      id -> TextAnalysis.repetitionPassesLocal(t) }.toMap
+    assert(batch.keySet == local.keySet)
+    val diffs = batch.keys.filter(id => batch(id) != local(id)).toSeq.sorted
+    assert(diffs.isEmpty,
+      s"row-local twin diverges from the batch gate on docs $diffs: " +
+        diffs.take(5).map(id => s"$id batch=${batch(id)} local=${local(id)} " +
+          s"text=${all.toMap.apply(id).take(60)}").mkString("; "))
+    // non-vacuous: both verdicts occur in the fixture
+    assert(batch.values.exists(identity) && batch.values.exists(!_),
+      "fixture must exercise both verdicts")
+  }
+
   test("qualityScore in [0,1]; repetitive text scores below diverse text") {
     val df = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
