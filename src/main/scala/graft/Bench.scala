@@ -104,11 +104,46 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    // Load-normalization metadata (VERDICT r15 #6): three same-code
+    // full cuts spanned ±7% in round 15 and every gate flag was
+    // ambient machine load, re-derived by hand from BENCH_NOTES each
+    // round. The record now defends itself: the CONTROL TRIO
+    // (q22/q38/q93 — untouched since r2, fixed-overhead shapes) is
+    // compared against a reference vector (SPARK_GRAFT_CONTROL_REF,
+    // normally the committed previous-round BENCH_LOCAL), and the
+    // per-control ratios + their median ride IN the JSON line, so a
+    // judge or gate can divide any apparent regression by the ambient
+    // factor without reconstructing it from prose.
+    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q93_lm_quality")
+    val controls = sys.env.get("SPARK_GRAFT_CONTROL_REF").flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        val ref = """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val now = results.toMap
+        val trio = controlNames.flatMap { c =>
+          (ref.get(c), now.get(c)) match {
+            case (Some(r), Some(n)) if r > 0 && n > 0 => Some((c, n, r, n / r))
+            case _ => None
+          }
+        }
+        if (trio.isEmpty) None
+        else {
+          val ratios = trio.map(_._4).sorted
+          val median = ratios(ratios.size / 2)
+          val entries = trio.map { case (c, n, r, x) =>
+            f""""$c":{"now":$n%.3f,"ref":$r%.3f,"ratio":$x%.3f}""" }
+            .mkString("{", ",", "}")
+          Some(f""","controls":$entries,"control_ratio_median":$median%.3f,"control_ref":"$p"""")
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse("")
     // total_s / n_failed / n_queries repeat at the END of the line: the
     // driver preserves only the final ~2000 chars of stdout, which
     // truncates the leading "value" and most per-query entries — the
     // tail window must be self-contained.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min","total_s":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_failed":$nFailed}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"$controls,"total_s":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_failed":$nFailed}"""
     println(line)
     // Also persist the full line: the driver's fixed-size stdout tail
     // capture truncated BENCH_r06.json (lost q01-q24 + the total), so

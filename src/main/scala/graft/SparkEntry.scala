@@ -5434,10 +5434,10 @@ object SparkEntry {
     * the k = 5000 row — the 200M-vector schedule point — this
     * round).
     */
-  private val q241SizedAssignHier: Q = (s, dir) => {
+  private def sizedAssignHier(minK: Int): Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
     val k = ext.Similarity.searchClustersForCorpus(em.count(),
-      balance = 1, minK = 256)
+      balance = 1, minK = minK)
     val ivf = ext.Similarity.ivfFit(em, col("vec_id"), col("embedding"),
       k = k, iters = 0, quantize = Some(9))
     val out = ivf.assigned
@@ -5449,6 +5449,29 @@ object SparkEntry {
     ivf.unpersist()
     out
   }
+
+  private val q241SizedAssignHier: Q = sizedAssignHier(256)
+
+  /** q243 — ⊕ the q241 anchor at a SECOND schedule floor (minK = 512
+    * → ~23 supergroups of ~23 at the fixture, a different hierarchy
+    * GEOMETRY, not just a bigger constant): hash equality against the
+    * flat replay at BOTH derived k's closes the last caveat on the
+    * ANN coarse-assignment family — that the k in q241's oracle was a
+    * literal that might as well have been a constant. With two floors
+    * oracled through the SAME [[graft.ext.Similarity.searchClustersForCorpus]]
+    * schedule and the SAME two-level index expressions, the SCHEDULE
+    * demonstrably drives the plan and the indexed path is exact at
+    * whatever depth it derives.
+    *
+    * Fixture honesty: at the sf0.01 gate fixture (500 vectors) the
+    * 512 floor saturates at n — the seed LIMIT yields all 500 rows
+    * on BOTH engines (the oracle's LIMIT caps identically), so the
+    * second geometry exercised is 500 centroids (~22×22 supergroups)
+    * vs q241's 256 (~16×16). Different depth either way, which is
+    * the point; at sf0.1+ the floor binds and the anchor runs at a
+    * true 512.
+    */
+  private val q243SizedAssignHier2: Q = sizedAssignHier(512)
 
   /** q189 — ⊕ ExactSubstr maximal repeated spans
     * ([[graft.ext.Dedup.maximalRepeatedSpans]], Lee et al. 2022):
@@ -6142,6 +6165,7 @@ object SparkEntry {
     "q239_banding_auto"     -> q239BandingAuto,
     "q240_curation_repetition" -> q240CurationRepetition,
     "q241_sized_assign_hier" -> q241SizedAssignHier,
+    "q243_sized_assign_hier2" -> q243SizedAssignHier2,
     "q242_doremi_rounds"    -> q242DoremiRounds,
   )
 
@@ -9666,27 +9690,12 @@ object SparkEntry {
         |  array_to_string(list_transform(list_sort(list_transform(range(1, len(ss) + 1),
         |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3], ',') AS probes
         |FROM sims ORDER BY vec_id""".stripMargin,
-    // q241: q188's flat replay with the seed LIMIT at the
-    // stress-floored sized k (256 at every driver fixture — the
-    // schedule's minK floor, replayable as a literal).
-    "q241_sized_assign_hier" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
-        |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),
-        |c0 AS (
-        |  SELECT list_transform(list(nv ORDER BY vec_id),
-        |                        v -> list_transform(v, x -> round(x, 9))) AS cs
-        |  FROM (SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT 256)),
-        |sims AS (
-        |  SELECT vec_id,
-        |    list_transform(c0.cs,
-        |      c -> list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))) AS ss
-        |  FROM nv CROSS JOIN c0)
-        |SELECT vec_id,
-        |  CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS cluster,
-        |  array_to_string(list_transform(list_sort(list_transform(range(1, len(ss) + 1),
-        |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3], ',') AS probes
-        |FROM sims ORDER BY vec_id""".stripMargin,
+    // q241/q243: q188's flat replay with the seed LIMIT at the
+    // stress-floored sized k (the schedule's minK floor, replayable
+    // as a literal) — generated at BOTH floors from one template so
+    // the two anchors differ by exactly the derived k.
+    "q241_sized_assign_hier" -> sizedAssignHierOracleSql(256),
+    "q243_sized_assign_hier2" -> sizedAssignHierOracleSql(512),
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale
     // and error round at 6 (operation-for-operation mirrored trees).
@@ -12007,6 +12016,30 @@ object SparkEntry {
     * fixture and brute exact side, single-operating-point readout
     * with the derivation inputs published.
     */
+  /** q241/q243 shared oracle template: q188's flat argmax/ranking
+    * replay with the seed LIMIT at the derived sized k. One generator
+    * for both schedule floors (256, 512), so the anchors are
+    * byte-identical up to the k literal the schedule derived.
+    */
+  private def sizedAssignHierOracleSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),
+       |c0 AS (
+       |  SELECT list_transform(list(nv ORDER BY vec_id),
+       |                        v -> list_transform(v, x -> round(x, 9))) AS cs
+       |  FROM (SELECT vec_id, nv FROM nv ORDER BY vec_id LIMIT $k)),
+       |sims AS (
+       |  SELECT vec_id,
+       |    list_transform(c0.cs,
+       |      c -> list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))) AS ss
+       |  FROM nv CROSS JOIN c0)
+       |SELECT vec_id,
+       |  CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS cluster,
+       |  array_to_string(list_transform(list_sort(list_transform(range(1, len(ss) + 1),
+       |      i -> {'ns': -ss[i], 'i': i - 1})), s -> CAST(s.i AS INTEGER))[1:3], ',') AS probes
+       |FROM sims ORDER BY vec_id""".stripMargin
+
   private def bandingAutoOracleSql(t: Double, target: Double): String = {
     val (numHashes, rowsPerBand) = graft.ext.Dedup.bandingForRecall(t, target)
     val nBands = numHashes / rowsPerBand
