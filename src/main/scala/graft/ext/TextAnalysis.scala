@@ -208,9 +208,20 @@ object TextAnalysis {
     * each gram with a per-element filter — is O(m²) per doc and dies
     * on long documents).
     */
+  /** Gopher repetition thresholds (Rae et al. 2021 Appendix A1.1) —
+    * ONE definition shared by the batch gate and the row-local
+    * streaming twin [[repetitionPassesLocal]], so the two forms
+    * cannot drift on the contract itself (the parity spec then only
+    * has to prove the METRIC arithmetic agrees).
+    */
+  val RepetitionTopNs: Seq[(Int, Double)] = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val RepetitionDupNs: Seq[(Int, Double)] = Seq(5 -> 0.15, 10 -> 0.10)
+  val RepetitionDupLineMax: Double = 0.30
+  val RepetitionDupLineCharMax: Double = 0.20
+
   def gopherRepetitionGate(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val topNs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
-    val dupNs = Seq(5 -> 0.15, 10 -> 0.10)
+    val topNs = RepetitionTopNs
+    val dupNs = RepetitionDupNs
     val base = df.select(id.as("doc_id"), text.as("__txt"))
       .select(col("doc_id"),
         tokens(col("__txt")).as("__w"),
@@ -295,8 +306,8 @@ object TextAnalysis {
         coalesce(col(s"__cov$n"), lit(0L)), greatest(col("__tw"), lit(1L)), 4)
       (n, thr, f)
     }
-    val okDupLine = dupLineFrac <= 0.30
-    val okDupLineChar = dupLineCharFrac <= 0.20
+    val okDupLine = dupLineFrac <= RepetitionDupLineMax
+    val okDupLineChar = dupLineCharFrac <= RepetitionDupLineCharMax
     val okCols = topFracs.map { case (n, thr, f) => (s"ok_top$n", f <= thr) } ++
       dupFracs.map { case (n, thr, f) => (s"ok_dup$n", f <= thr) }
     val passes = okCols.map(_._2).foldLeft(okDupLine && okDupLineChar)(_ && _)
@@ -357,8 +368,8 @@ object TextAnalysis {
     // Exact.ratio(num, den, 4) then the batch double threshold compare
     def fracLe(num: Long, den: Long, thr: Double): Boolean =
       Math.floorDiv(num * 10000L, math.max(den, 1L)).toDouble / 10000.0 <= thr
-    val okDupLine = fracLe(nd, nl, 0.30)
-    val okDupLineChar = fracLe(dch, math.max(tch, 1L), 0.20)
+    val okDupLine = fracLe(nd, nl, RepetitionDupLineMax)
+    val okDupLineChar = fracLe(dch, math.max(tch, 1L), RepetitionDupLineCharMax)
     def gramAt(i: Int, n: Int): String = {
       val sb = new java.lang.StringBuilder(wlen.slice(i, i + n).sum + n)
       var j = i
@@ -366,7 +377,7 @@ object TextAnalysis {
       sb.toString
     }
     // top-{2,3,4}-gram char fraction of the cleaned byte length
-    val okTop = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, thr) =>
+    val okTop = RepetitionTopNs.map { case (n, thr) =>
       if (m < n) fracLe(0L, math.max(cb, 1L), thr)
       else {
         val counts = new scala.collection.mutable.HashMap[String, Long]()
@@ -386,7 +397,7 @@ object TextAnalysis {
       }
     }
     // dup-{5,10}-gram position-union coverage of the token char mass
-    val okDup = Seq(5 -> 0.15, 10 -> 0.10).map { case (n, thr) =>
+    val okDup = RepetitionDupNs.map { case (n, thr) =>
       if (m < n) fracLe(0L, math.max(tw, 1L), thr)
       else {
         val counts = new scala.collection.mutable.HashMap[String, Long]()
