@@ -42,6 +42,13 @@ object Curation {
     *                    non-redundant, so a production `curate` run
     *                    wants both on.
     * @param jaccard     near-dup threshold for the MinHash pipeline
+    * @param targetRecall when set, the near-dup stage derives its
+    *                    banding geometry from (jaccard, targetRecall)
+    *                    via [[Dedup.bandingForRecall]] instead of the
+    *                    fixed 8×2 default — [[Dedup.nearDupPairsForRecall]]
+    *                    deployed inside the pipeline (a corpus-scale
+    *                    run wants `Some(0.95)`; the default None keeps
+    *                    the oracle-anchored fixed geometry)
     * @param maxBucket   LSH skew backstop, see [[Dedup.bucketPairs]]
     */
   case class Params(
@@ -52,7 +59,16 @@ object Curation {
       blocklist: Seq[String] = Nil,     // empty = no blocklist gate
       repetitionGate: Boolean = false,
       jaccard: Double = 0.8,
-      maxBucket: Int = Dedup.DefaultMaxBucket)
+      targetRecall: Option[Double] = None,
+      maxBucket: Int = Dedup.DefaultMaxBucket) {
+    /** The near-dup banding geometry this parameter set rides:
+      * derived from the recall contract when given, else the fixed
+      * oracle-anchored default. One definition consumed by BOTH the
+      * batch pipeline and the streaming form.
+      */
+    def bandGeometry: (Int, Int) =
+      targetRecall.fold((8, 2))(r => Dedup.bandingForRecall(jaccard, r))
+  }
 
   /** Survivors of the full pipeline, with their curation features
     * (n_tokens, quality, topic) attached. Near-dup survivor rule:
@@ -111,8 +127,11 @@ object Curation {
     // via its own handle.
     val exact = graft.ops.TopK.perGroupHead(gated, col("fp"), col("doc_id"), 1)
       .persist()
-    // near-dup removal among exact survivors
+    // near-dup removal among exact survivors, at the geometry the
+    // Params' recall contract derives (fixed 8×2 when none given)
+    val (numHashes, rowsPerBand) = p.bandGeometry
     val pairs = Dedup.nearDupPairs(exact, col("doc_id"), col("text"),
+      numHashes = numHashes, rowsPerBand = rowsPerBand,
       threshold = p.jaccard, maxBucket = p.maxBucket)
     val drops = pairs.select(col("id_b").as("doc_id")).distinct()
     exact.join(drops, Seq("doc_id"), "left_anti")

@@ -33,22 +33,40 @@ object Exact {
 
   /** floor(num·10ᵏ / den) as a long — exact integer floor division.
     * Inputs must be integral columns (cast upstream); a zero/null
-    * denominator yields null (Spark division semantics). The scale
-    * multiply rides DECIMAL(38,0), NOT long: this helper is the
-    * generic publish path, and a corpus-scale numerator (a 100 TB
-    * token sum is ~2.5e13; ·10⁹ = 2.5e22) would wrap a plain long
-    * multiply SILENTLY in non-ANSI Spark — a confidently wrong
-    * published value, the worst failure mode. Only the final
-    * quotient (the published ratio·10ᵏ, small by contract) casts
-    * back to long.
+    * denominator yields null (Spark division semantics).
+    *
+    * Overflow-exact AND codegen-fast, as a per-row HYBRID: the r15
+    * form multiplied in long and wrapped SILENTLY on a corpus-scale
+    * numerator (a 100 TB token sum is ~2.5e13; ·10⁹ = 2.5e22 — a
+    * confidently wrong published value, the r16 ADVICE item); the
+    * first fix computed everything in decimal(38,0), which is exact
+    * but measured 2.5× on q237's composed screen shape (3.3 s →
+    * 8.6 s at sf0.1, worktree A/B at equal ambient — Spark's Decimal
+    * arithmetic is object-boxed per row where the long path is
+    * primitive codegen). So: a guard proves the scaled numerator
+    * fits a long (|num| ≤ Long.MaxValue/10ᵏ — and Long.MinValue
+    * SAFELY fails the guard, abs wraps negative) and takes the
+    * primitive path; only rows that would actually overflow pay the
+    * decimal branch. Both branches are the identical floor division
+    * (DuckDB mirror `(num*10^k)//den` in HUGEINT), and `div` returns
+    * LONG for either operand type, so the schema is unchanged.
     */
   def ratioUnits(num: Column, den: Column, k: Int): Column = {
     require(k >= 0 && k <= 9, s"scale must be in [0, 9], got $k")
+    val scale = math.pow(10, k).toLong
+    val n = num.cast("long")
+    val dL = den.cast("long")
+    val safeDenL = when(dL === 0L, lit(null).cast("long")).otherwise(dL)
+    val scaledL = n * lit(scale)
+    val longPath =
+      call_function("div", scaledL - pmod(scaledL, safeDenL), safeDenL)
     val dec = "decimal(38,0)"
-    val scaled = num.cast(dec) * lit(math.pow(10, k).toLong).cast(dec)
-    val d = den.cast(dec)
-    val safeDen = when(d === 0L, lit(null).cast(dec)).otherwise(d)
-    call_function("div", scaled - pmod(scaled, safeDen), safeDen)
+    val scaledD = num.cast(dec) * lit(scale).cast(dec)
+    val dD = den.cast(dec)
+    val safeDenD = when(dD === 0L, lit(null).cast(dec)).otherwise(dD)
+    val decPath =
+      call_function("div", scaledD - pmod(scaledD, safeDenD), safeDenD)
+    when(abs(n) <= lit(Long.MaxValue / scale), longPath).otherwise(decPath)
   }
 
   /** The tie-free published ratio: [[ratioUnits]] / 10ᵏ as a double —

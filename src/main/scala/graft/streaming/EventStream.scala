@@ -420,11 +420,13 @@ object EventStream {
     */
   def curateStream(docs: DataFrame, id: Column, source: Column, text: Column,
                    p: graft.ext.Curation.Params,
-                   numHashes: Int = 8, rowsPerBand: Int = 2,
                    maxPerBucket: Int = 10000)
       : org.apache.spark.sql.Dataset[CurateDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the SAME banding geometry the batch pipeline derives from the
+    // Params (fixed 8×2, or the recall contract via bandingForRecall)
+    val (numHashes, rowsPerBand) = p.bandGeometry
     val rowGated = graft.ext.Curation.rowStages(docs, id, source, text, p)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         col("text"), col("n_tokens").cast("int").as("n_tokens"),

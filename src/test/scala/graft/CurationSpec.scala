@@ -27,6 +27,38 @@ class CurationSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("curate: targetRecall derives the banding geometry and rides nearDupPairsForRecall's pairs") {
+    // geometry contract: (jaccard, targetRecall) → bandingForRecall
+    assert(Curation.Params(jaccard = 0.5, targetRecall = Some(0.95))
+      .bandGeometry == (22, 2))
+    assert(Curation.Params(jaccard = 0.5).bandGeometry == (8, 2))
+    // behavior: the auto form's kept set equals the pipeline rebuilt
+    // around an explicit nearDupPairsForRecall call (same stages)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit("s").as("source"), col("text"))
+    val p = Curation.Params(minTokens = 5, minQuality = 0.0,
+      jaccard = 0.5, targetRecall = Some(0.95))
+    val kept = Curation.curate(docs, col("doc_id"), col("source"),
+      col("text"), p).select("doc_id").as[Long].collect().toSet
+    val exact = graft.ops.TopK.perGroupHead(
+      Curation.rowStages(docs, col("doc_id"), col("source"), col("text"), p),
+      col("fp"), col("doc_id"), 1)
+    val drops = graft.ext.Dedup.nearDupPairsForRecall(exact, col("doc_id"),
+        col("text"), threshold = 0.5, targetRecall = 0.95)
+      .select(col("id_b")).as[Long].collect().toSet
+    val manual = exact.select("doc_id").as[Long].collect().toSet -- drops
+    assert(kept == manual,
+      s"auto-geometry curate diverged: ${kept.size} vs ${manual.size} kept")
+    // non-vacuous: the recall-derived geometry drops at least as much
+    // as the fixed default at the same threshold (superset property)
+    val keptFixed = Curation.curate(docs, col("doc_id"), col("source"),
+        col("text"), p.copy(targetRecall = None))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptFixed),
+      "more bands can only ADD verified drops at the same threshold")
+    assert(drops.nonEmpty, "fixture must have near-dups at t=0.5")
+  }
+
   test("curate: blocklist gate drops on any-hit, including cross-token phrases") {
     val base = "spark query engine runs a fast distributed query plan " +
       "over columnar data with vectorized execution and shuffle stages"

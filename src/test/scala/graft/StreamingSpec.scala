@@ -266,53 +266,86 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("curateStream ≡ batch Curation.curate (q240's composed form) under append-only arrival") {
-    implicit val sqlCtx = spark.sqlContext
-    // fixture exercising EVERY stage in both verdicts:
-    //  - topic/blocklist row gates (und-topic and badword docs drop)
-    //  - repetition gate (tripled-line doc drops)
-    //  - exact dedup (byte-identical text, later id, LATER batch)
-    //  - near-dup removal (one-token perturbations at J≈0.806 ≥ 0.8,
-    //    incl. an a<b<c chain where c pairs with b but not a)
-    //  - the null-signature solo path (1-token doc: shingle set is
-    //    empty AND every n-gram repetition rule passes vacuously — a
-    //    2-token doc cannot reach it, its single 2-gram spans ~100%
-    //    of the cleaned chars and the Gopher top2 cap drops it)
-    def doc(seed: Int, topicWord: String): String = {
-      val toks = topicWord +: (1 until 30).map(i => s"w${seed}x$i")
-      toks.grouped(10).map(_.mkString(" ")).mkString("\n")
-    }
-    def perturb(text: String, at: Int, repl: String): String = {
-      val toks = text.split("[\\s\\n]+").toVector.updated(at, repl)
-      toks.grouped(10).map(_.mkString(" ")).mkString("\n")
-    }
-    val base0 = doc(0, "query")
-    val base8 = doc(8, "disk")
-    val fixture: Seq[(Long, String, String)] = Seq(
+  // --- curateStream fixture (shared by the two equivalence tests) ---
+  // exercises EVERY stage in both verdicts:
+  //  - topic/blocklist row gates (und-topic and badword docs drop)
+  //  - repetition gate (tripled-line doc drops)
+  //  - exact dedup (byte-identical text, later id, LATER batch)
+  //  - near-dup removal (one-token perturbations at J≈0.806,
+  //    incl. an a<b<c chain where c pairs with b but not a)
+  //  - the null-signature solo path (1-token doc: shingle set is
+  //    empty AND every n-gram repetition rule passes vacuously — a
+  //    2-token doc cannot reach it, its single 2-gram spans ~100%
+  //    of the cleaned chars and the Gopher top2 cap drops it)
+  private def curateDocText(seed: Int, topicWord: String): String = {
+    val toks = topicWord +: (1 until 30).map(i => s"w${seed}x$i")
+    toks.grouped(10).map(_.mkString(" ")).mkString("\n")
+  }
+  private def curatePerturb(text: String, at: Int, repl: String): String = {
+    val toks = text.split("[\\s\\n]+").toVector.updated(at, repl)
+    toks.grouped(10).map(_.mkString(" ")).mkString("\n")
+  }
+  private lazy val curateFixture: Seq[(Long, String, String)] = {
+    val base0 = curateDocText(0, "query")
+    val base8 = curateDocText(8, "disk")
+    Seq(
       (0L, "srcA", base0),
-      (2L, "srcA", perturb(base0, 15, "mut")),      // near-dup of 0, same batch
+      (2L, "srcA", curatePerturb(base0, 15, "mut")), // near-dup of 0, same batch
       (3L, "srcA", Seq.fill(4)("query alpha beta gamma").mkString("\n")),
-      (4L, "srcB", doc(4, "query").replace("w4x20", "badword")),
-      (5L, "srcB", doc(5, "neutral")),              // no topic word → und
-      (6L, "srcB", "query"),                        // 1 token: solo path
-      (7L, "srcB", doc(7, "file")),
+      (4L, "srcB", curateDocText(4, "query").replace("w4x20", "badword")),
+      (5L, "srcB", curateDocText(5, "neutral")),     // no topic word → und
+      (6L, "srcB", "query"),                         // 1 token: solo path
+      (7L, "srcB", curateDocText(7, "file")),
       // --- micro-batch 2 ---
       (8L, "srcC", base8),
-      (9L, "srcC", base0),                          // exact dup of 0, cross-batch
-      (10L, "srcC", doc(10, "plan")),
+      (9L, "srcC", base0),                           // exact dup of 0, cross-batch
+      (10L, "srcC", curateDocText(10, "plan")),
       // --- micro-batch 3 ---
-      (16L, "srcD", perturb(base8, 20, "aaa")),     // near-dup of 8, cross-batch
-      (17L, "srcD", perturb(perturb(base8, 20, "aaa"), 25, "bbb")), // chain: ~16 only
-      (18L, "srcD", doc(18, "query")))
-    val p = graft.ext.Curation.Params(
-      minTokens = 1, minQuality = 0.0,
-      topics = Seq("exec", "storage"),
-      lexicons = Seq("exec" -> Seq("query", "plan"), "storage" -> Seq("disk", "file")),
-      blocklist = Seq("badword"), repetitionGate = true)
-    val df = fixture.toDF("doc_id", "source", "text")
+      (16L, "srcD", curatePerturb(base8, 20, "aaa")), // near-dup of 8, cross-batch
+      (17L, "srcD", curatePerturb(curatePerturb(base8, 20, "aaa"), 25, "bbb")), // chain: ~16 only
+      (18L, "srcD", curateDocText(18, "query")))
+  }
+  private val curateParams = graft.ext.Curation.Params(
+    minTokens = 1, minQuality = 0.0,
+    topics = Seq("exec", "storage"),
+    lexicons = Seq("exec" -> Seq("query", "plan"), "storage" -> Seq("disk", "file")),
+    blocklist = Seq("badword"), repetitionGate = true)
+
+  /** Runs curateStream over the fixture in three id-ordered
+    * micro-batches and asserts row-identity against the batch
+    * `curate` with the same Params; returns (batchKept, streamKept).
+    */
+  private def curateEquivalence(p: graft.ext.Curation.Params, sink: String)
+      : Set[EventStream.CurateDoc] = {
+    implicit val sqlCtx = spark.sqlContext
+    val df = curateFixture.toDF("doc_id", "source", "text")
     val expected = graft.ext.Curation.curate(
         df, col("doc_id"), col("source"), col("text"), p)
       .as[EventStream.CurateDoc].collect().toSet
+    val mem = MemoryStream[(Long, String, String)]
+    val out = EventStream.curateStream(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      col("doc_id"), col("source"), col("text"), p)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      mem.addData(curateFixture.filter(_._1 < 8): _*)
+      q.processAllAvailable()
+      mem.addData(curateFixture.filter(r => r._1 >= 8 && r._1 < 16): _*)
+      q.processAllAvailable()
+      mem.addData(curateFixture.filter(_._1 >= 16): _*)
+      q.processAllAvailable()
+      val got = spark.table(sink).as[EventStream.CurateDoc].collect().toSet
+      assert(got == expected,
+        s"stream kept ${got.map(_.doc_id).toSeq.sorted} != " +
+          s"batch kept ${expected.map(_.doc_id).toSeq.sorted}")
+      expected
+    } finally q.stop()
+  }
+
+  test("curateStream ≡ batch Curation.curate (q240's composed form) under append-only arrival") {
+    val p = curateParams
+    val df = curateFixture.toDF("doc_id", "source", "text")
     // the near-dup stage must be non-vacuous in BATCH terms: at least
     // one candidate pair passes the banding + exact-Jaccard verify
     val exactSurvivors = graft.ops.TopK.perGroupHead(
@@ -326,35 +359,28 @@ class StreamingSpec extends SparkSuite {
       exactSurvivors, col("doc_id"), col("text"), threshold = p.jaccard).collect()
     assert(batchPairs.nonEmpty, "fixture must produce at least one " +
       "near-dup pair through the banding (re-seed the perturbations)")
+    val expected = curateEquivalence(p, "curate_out")
     assert(!expected.exists(_.doc_id == 9L), "exact dup must drop")
     assert(!expected.exists(_.doc_id == 3L), "repetition doc must drop")
     assert(expected.exists(_.doc_id == 6L), "solo-path doc must survive")
-    // streaming: same rows, three id-ordered micro-batches
-    val mem = MemoryStream[(Long, String, String)]
-    val out = EventStream.curateStream(
-      mem.toDF().toDF("doc_id", "source", "text"),
-      col("doc_id"), col("source"), col("text"), p)
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName("curate_out").start()
-    try {
-      mem.addData(fixture.filter(_._1 < 8): _*)
-      q.processAllAvailable()
-      mem.addData(fixture.filter(r => r._1 >= 8 && r._1 < 16): _*)
-      q.processAllAvailable()
-      mem.addData(fixture.filter(_._1 >= 16): _*)
-      q.processAllAvailable()
-      val got = spark.table("curate_out").as[EventStream.CurateDoc]
-        .collect().toSet
-      assert(got == expected,
-        s"stream kept ${got.map(_.doc_id).toSeq.sorted} != " +
-          s"batch kept ${expected.map(_.doc_id).toSeq.sorted}")
-      // cross-batch suppression is non-vacuous: the exact dup (id 9)
-      // and at least one near-dup arrived AFTER their lower-id
-      // counterpart's micro-batch and were still dropped
-      val dropped = fixture.map(_._1).toSet -- got.map(_.doc_id)
-      assert(dropped.contains(9L) && dropped.exists(_ >= 16L),
-        s"fixture must exercise cross-batch dedup state (dropped=$dropped)")
-    } finally q.stop()
+    // cross-batch suppression is non-vacuous: the exact dup (id 9)
+    // and at least one near-dup arrived AFTER their lower-id
+    // counterpart's micro-batch and were still dropped
+    val dropped = curateFixture.map(_._1).toSet -- expected.map(_.doc_id)
+    assert(dropped.contains(9L) && dropped.exists(_ >= 16L),
+      s"fixture must exercise cross-batch dedup state (dropped=$dropped)")
+  }
+
+  test("curateStream ≡ batch curate at the recall-derived banding geometry (targetRecall wired through Params)") {
+    // the corpus-scale configuration: geometry derived from the
+    // recall contract, shared by BOTH modes via Params.bandGeometry
+    val p2 = curateParams.copy(jaccard = 0.5, targetRecall = Some(0.95))
+    assert(p2.bandGeometry == (22, 2),
+      s"(0.5, 0.95) must derive q239's 11×2 geometry, got ${p2.bandGeometry}")
+    val expected = curateEquivalence(p2, "curate_out_auto")
+    // at t=0.5 with 11 bands the chain pair (16,17 vs 8) and the
+    // (0,2) pair are all in range — more drops than the fixed test
+    assert(!expected.exists(_.doc_id == 2L), "J≈0.806 near-dup must drop at t=0.5")
   }
 
   test("funnelStream advances per-user steps across micro-batches, folding to the batch funnel counts") {
