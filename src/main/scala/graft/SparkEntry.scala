@@ -5473,6 +5473,73 @@ object SparkEntry {
     */
   private val q243SizedAssignHier2: Q = sizedAssignHier(512)
 
+  /** q244 — ⊕ hybrid retrieval fusion
+    * ([[graft.ext.TextRank.rrfFuse]]): the q73 lexical BM25 ranking
+    * and a q24-style dense cosine ranking (query = vec 0) fused by
+    * reciprocal rank — the production hybrid-search combiner (RAG
+    * retrieval stacks run exactly this pair). Each side reduces to
+    * its top-100 IN ITS OWN PLAN (TakeOrderedAndProject — the
+    * distributed top-k, never a global sort), rank assignment is a
+    * window over the already-reduced ≤100-row table (constant-size
+    * single partition by construction), and the fusion is a
+    * union+groupBy over ≤200 rows. `rrf_units` is the exact integer
+    * Σ floor(10⁶/(60+rank)) — the fused ordering is tie-free, so the
+    * published top-50 cannot depend on a double anywhere.
+    */
+  private val q244HybridRrf: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val lex = ext.TextRank.bm25(docs, ext.TextAnalysis.tokens(col("text")),
+        terms = Seq("spark", "merge", "vector"))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(100)
+      .withColumn("rank",
+        row_number().over(W.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val dense = ext.Similarity.bruteForceKnn(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), queryIds = Seq(0L), k = 100)
+      .withColumn("rank",
+        row_number().over(W.orderBy(desc("cos_sim"), col("neighbor_id"))))
+      .select(col("neighbor_id").as("id"), col("rank"))
+    ext.TextRank.rrfFuse(Seq("lex" -> lex, "dense" -> dense), k0 = 60)
+      .select(col("id").as("doc_id"), col("rank_lex"), col("rank_dense"),
+        col("rrf_units"))
+      .orderBy(desc("rrf_units"), col("doc_id"))
+      .limit(50)
+  }
+
+  /** q245 — ⊕ top principal component of the embedding corpus
+    * ([[graft.ext.Spectral.pcaTopComponent]]): 4 matrix-free power
+    * iteration steps from the deterministic all-ones start, published
+    * per dimension with the Rayleigh eigenvalue and explained-variance
+    * fraction — the corpus-collapse diagnostic a datacard reports
+    * next to q180/q226. The oracle unrolls the identical 4 steps as
+    * CTEs (the q242 unrolled-iteration convention), so centering,
+    * every C·v fold, both normalizations and the final Rayleigh
+    * quotient are all replayed in SQL.
+    */
+  private val q245PcaComponent: Q = (s, dir) => {
+    ext.Spectral.pcaTopComponent(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), iterations = 4)
+  }
+
+  /** q246 — ⊕ PCA projection + residual screen
+    * ([[graft.ext.Spectral.pcaProject]]): every vector's coordinate
+    * along q245's component and its squared off-component residual —
+    * the deployment readout (high residual = off-manifold outlier:
+    * corrupt encode, wrong modality; the projection is the 1-d
+    * whitening coordinate SemDeDup-style pipelines cluster on). The
+    * screen verdict itself is left to the consumer: publishing the
+    * measured values ordered by id keeps every row's fate free of
+    * double comparisons (the q205 lesson applied by construction).
+    */
+  private val q246PcaProject: Q = (s, dir) => {
+    ext.Spectral.pcaProject(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), iterations = 4)
+      .select(col("id").as("vec_id"), col("proj"), col("resid_sq"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q189 — ⊕ ExactSubstr maximal repeated spans
     * ([[graft.ext.Dedup.maximalRepeatedSpans]], Lee et al. 2022):
     * q97's covered-position set promoted to SPAN STRUCTURE — every
@@ -6167,6 +6234,9 @@ object SparkEntry {
     "q241_sized_assign_hier" -> q241SizedAssignHier,
     "q243_sized_assign_hier2" -> q243SizedAssignHier2,
     "q242_doremi_rounds"    -> q242DoremiRounds,
+    "q244_hybrid_rrf"       -> q244HybridRrf,
+    "q245_pca_component"    -> q245PcaComponent,
+    "q246_pca_project"      -> q246PcaProject,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9696,6 +9766,87 @@ object SparkEntry {
     // the two anchors differ by exactly the derived k.
     "q241_sized_assign_hier" -> sizedAssignHierOracleSql(256),
     "q243_sized_assign_hier2" -> sizedAssignHierOracleSql(512),
+    // q244: both rankings re-derived in full (the q73 BM25 chain +
+    // the q24 single-query dense chain), ranks windowed with the
+    // identical tie-breaks, fusion as exact integer floor division —
+    // `1000000 // (60 + r)` is Exact.ratioUnits' documented mirror.
+    "q244_hybrid_rrf" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |  FROM d),
+        |st AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t),
+        |lexs AS (
+        |  SELECT doc_id,
+        |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM t, st),
+        |lexr AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        |  FROM lexs),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+        |nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv
+        |  FROM nrm WHERE sq > 0),
+        |q AS (SELECT nv AS qv FROM nv WHERE vec_id = 0),
+        |dens AS (
+        |  SELECT a.vec_id AS id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1),
+        |                                  i -> qv[i] * a.nv[i])), 4) AS cs
+        |  FROM nv a, q WHERE a.vec_id <> 0),
+        |denr AS (
+        |  SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS r FROM dens),
+        |u AS (
+        |  SELECT id, 'lex' AS sys, r FROM lexr WHERE r <= 100
+        |  UNION ALL
+        |  SELECT id, 'dense' AS sys, r FROM denr WHERE r <= 100)
+        |SELECT id AS doc_id,
+        |  max(CASE WHEN sys = 'lex' THEN r END) AS rank_lex,
+        |  max(CASE WHEN sys = 'dense' THEN r END) AS rank_dense,
+        |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_units
+        |FROM u GROUP BY id
+        |ORDER BY rrf_units DESC, doc_id LIMIT 50""".stripMargin,
+    // q245/q246: the full matrix-free power iteration replayed as
+    // unrolled CTEs from one shared template (centering, each C·v
+    // fold, each normalization) — the two PCA oracles cannot drift.
+    "q245_pca_component" ->
+      raw"""${pcaPowerCte(4)},
+        |pf AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM c, v4),
+        |ev AS (SELECT avg(p * p) AS eigenvalue FROM pf),
+        |tr AS (SELECT avg(list_sum(list_transform(c, x -> x * x))) AS trace FROM c)
+        |SELECT dim, round(loading, 6) AS loading,
+        |  round(eigenvalue, 6) AS eigenvalue,
+        |  round(eigenvalue / trace, 6) AS explained_frac
+        |FROM (SELECT unnest(pc) AS loading,
+        |        unnest(range(1, len(pc) + 1)) AS dim FROM v4), ev, tr
+        |ORDER BY dim""".stripMargin,
+    "q246_pca_project" ->
+      raw"""${pcaPowerCte(4)},
+        |pf AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM c, v4)
+        |SELECT vec_id, round(p, 4) AS proj,
+        |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
+        |FROM pf ORDER BY vec_id""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale
     // and error round at 6 (operation-for-operation mirrored trees).
@@ -12016,6 +12167,43 @@ object SparkEntry {
     * fixture and brute exact side, single-operating-point readout
     * with the derivation inputs published.
     */
+  /** q245/q246 shared oracle chain
+    * ([[graft.ext.Spectral]]'s power iteration unrolled): centering
+    * CTEs + `iterations` (multiply, per-dim sum, normalize) step
+    * triples, ending at `v<iterations>` — the single-row unit
+    * component, with the centered corpus available as CTE `c`. One
+    * generator for both PCA anchors so they cannot drift.
+    */
+  private def pcaPowerCte(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      raw"""p$k AS (
+          |  SELECT vec_id, c,
+          |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+          |  FROM c, v${k - 1}),
+          |s$k AS (
+          |  SELECT i, sum(cx * p) AS s FROM (
+          |    SELECT p, unnest(c) AS cx, unnest(range(1, len(c) + 1)) AS i
+          |    FROM p$k)
+          |  GROUP BY i),
+          |n$k AS (SELECT sqrt(sum(s * s)) AS nrm FROM s$k),
+          |v$k AS (SELECT list(s / nrm ORDER BY i) AS pc FROM s$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |ex AS (
+        |  SELECT vec_id, i, v[i] AS x FROM (
+        |    SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+        |mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+        |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
+        |  FROM e, mul),
+        |v0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
+        |$steps""".stripMargin
+  }
+
   /** q241/q243 shared oracle template: q188's flat argmax/ranking
     * replay with the seed LIMIT at the derived sized k. One generator
     * for both schedule floors (256, 512), so the anchors are

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ⊕ Spectral embedding analysis (north-star X15 extension): the top
+  * principal component of an embedding column by power iteration,
+  * expressed entirely as Spark aggregations, plus the per-vector
+  * projection/residual screen built on it. The training-data uses:
+  * dominant-direction diagnostics (a corpus whose first PC explains
+  * most variance is cluster-collapsed or template-dominated — see the
+  * q180 drift and q226 sanity screens this complements), residual
+  * outlier screening (off-manifold vectors: corrupt encodes, wrong
+  * modality), and de-biasing/whitening preprocessing before cosine
+  * dedup (SemDeDup-style pipelines whiten before clustering).
+  *
+  * Algorithm: k fixed power-iteration steps v ← C·v / ‖C·v‖ from the
+  * deterministic all-ones start, where C = (1/n)Σ(x−μ)(x−μ)ᵀ is the
+  * covariance. C is never materialized (d² doubles would be fine at
+  * d=64 but the MATRIX-FREE form scales to any d): C·v folds as
+  * (1/n)Σ cᵢ·(cᵢ·v) — one row-local dot per vector, then a per-dim
+  * sum. The 1/n and the norm cancel in the normalization, so each
+  * step aggregates raw Σ cᵢ·(cᵢ·v) and rescales once.
+  *
+  * Plan shape per step: broadcast the current d-vector (single-row
+  * array), one row-local dot, one posexplode to (dim, c_j·p), one
+  * groupBy(dim) that partially aggregates map-side — the shuffle
+  * carries d rows per partition, never corpus rows. The centered
+  * corpus is lazily localCheckpoint'ed so the k steps re-read its
+  * materialized blocks instead of re-scanning the source (the q25
+  * convention). At 100 TB the fit side runs on a `.sample` upstream
+  * (a principal direction needs ~10⁵ rows, not 10¹¹); the PROJECT
+  * side ([[pcaProject]]) is one scan-speed row-local pass and runs on
+  * everything.
+  *
+  * Numeric portability: all arithmetic is in double with the q24
+  * fold-order convention (row-local dots are sequential folds on both
+  * engines); cross-row sums round only at publish (the q01
+  * convention). Fixed iteration count + deterministic start means the
+  * published component is a well-defined function of the data, not an
+  * "until converged" loop whose trip count could differ by engine.
+  */
+object Spectral {
+
+  /** Fitted state: `cent` = (id, c) centered vectors (lazily
+    * checkpointed), `comp` = single-row `pc` array (the unit-norm
+    * component after `iterations` steps), `mu` = single-row mean.
+    */
+  private[ext] case class Fit(cent: DataFrame, comp: DataFrame, mu: DataFrame)
+
+  private[ext] def fit(vectors: DataFrame, id: Column, vec: Column,
+                       iterations: Int): Fit = {
+    require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
+    val pts = vectors
+      .select(id.as("id"), Similarity.vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    // per-dim mean -> single-row array (d rows through the shuffle,
+    // map-side combined; the array_sort(struct) collect is the repo's
+    // standing ordered-collect idiom)
+    val muRow = pts.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        p => p.getField("m")).as("mu"))
+    val cent = pts.crossJoin(broadcast(muRow))
+      .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"))
+      .localCheckpoint(eager = false)
+    var comp = muRow.select(transform(col("mu"), _ => lit(1.0)).as("pc"))
+    for (_ <- 1 to iterations) {
+      val sRow = cent.crossJoin(broadcast(comp))
+        .select(col("c"), Similarity.dot(col("c"), col("pc")).as("p"))
+        .select(col("p"), posexplode(col("c")).as(Seq("i", "cj")))
+        .groupBy(col("i")).agg(sum(col("cj") * col("p")).as("s"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          q => q.getField("s")).as("sv"))
+      comp = sRow.select(
+        transform(col("sv"),
+          x => x / sqrt(Similarity.dot(col("sv"), col("sv")))).as("pc"))
+    }
+    Fit(cent, comp, muRow)
+  }
+
+  /** Top principal component, published per dimension: `(dim
+    * [1-based], loading, eigenvalue, explained_frac)` — d rows.
+    * `eigenvalue` is the Rayleigh quotient vᵀCv = mean(projection²)
+    * at the final component; `explained_frac` divides it by the
+    * covariance trace (= mean ‖c‖²), the "how collapsed is this
+    * corpus" number a datacard reports.
+    */
+  def pcaTopComponent(vectors: DataFrame, id: Column, vec: Column,
+                      iterations: Int = 4, roundTo: Int = 6): DataFrame = {
+    val f = fit(vectors, id, vec, iterations)
+    val eig = f.cent.crossJoin(broadcast(f.comp))
+      .select(Similarity.dot(col("c"), col("pc")).as("p"))
+      .agg(avg(col("p") * col("p")).as("eigenvalue"))
+    val tr = f.cent
+      .agg(avg(Similarity.dot(col("c"), col("c"))).as("trace"))
+    f.comp.select(posexplode(col("pc")).as(Seq("i", "loading")))
+      .crossJoin(broadcast(eig)).crossJoin(broadcast(tr))
+      .select((col("i") + 1).cast("long").as("dim"),
+        round(col("loading"), roundTo).as("loading"),
+        round(col("eigenvalue"), roundTo).as("eigenvalue"),
+        round(col("eigenvalue") / col("trace"), roundTo).as("explained_frac"))
+      .orderBy(col("dim"))
+  }
+
+  /** Per-vector projection onto the fitted component and squared
+    * residual distance from the component line — `(id, proj,
+    * resid_sq)`. High `resid_sq` = off-manifold outlier (the screen);
+    * `proj` is the 1-d whitening coordinate. `resid_sq` clamps at 0
+    * (an exactly-on-axis vector can land at −ε in doubles, and −0.0
+    * must never publish). One row-local pass over the corpus after
+    * the (sample-sized) fit.
+    */
+  def pcaProject(vectors: DataFrame, id: Column, vec: Column,
+                 iterations: Int = 4, roundTo: Int = 4): DataFrame = {
+    val f = fit(vectors, id, vec, iterations)
+    f.cent.crossJoin(broadcast(f.comp))
+      .select(col("id"), Similarity.dot(col("c"), col("pc")).as("p"),
+        Similarity.dot(col("c"), col("c")).as("cc"))
+      .select(col("id"),
+        round(col("p"), roundTo).as("proj"),
+        round(greatest(lit(0.0), col("cc") - col("p") * col("p")),
+          roundTo).as("resid_sq"))
+  }
+}

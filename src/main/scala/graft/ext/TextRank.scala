@@ -103,4 +103,46 @@ object TextRank {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** ⊕ Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    * 2009): combine several top-k rankings of the same corpus into
+    * one, `score(d) = Σ_lists 1/(k0 + rank_list(d))` — the standard
+    * hybrid-retrieval combiner (lexical BM25 + dense ANN), chosen
+    * over score interpolation because it needs no score calibration
+    * across systems: only ranks enter.
+    *
+    * Each input is a named `(id, rank)` table (rank 1-based within
+    * its own list; a document absent from a list simply contributes
+    * nothing). Output: one row per distinct id with `rrf_units` (the
+    * fused score), plus `rank_<name>` per input list (null = absent)
+    * for attribution.
+    *
+    * Published in exact integer micro-units — each list contributes
+    * `floor(10⁶ / (k0 + rank))` via [[graft.ops.Exact.ratioUnits]] —
+    * so the fused ORDERING is tie-free by construction (the
+    * q205/q229 publish convention: no double anywhere in a value
+    * that downstream code orders or compares by; DuckDB replay is
+    * literally `1000000 // (k0 + r)`).
+    *
+    * Scale shape: the inputs are already top-k reductions of their
+    * corpora (TakeOrderedAndProject on their own scores — constant
+    * rows each), so the fusion is one union + one groupBy over
+    * Σ|top-k| rows. The fusion never touches a corpus.
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rrfFuse list names must be unique (they become rank_<name> columns)")
+    require(k0 >= 0, s"rrfFuse k0 must be >= 0, got $k0")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("id"), lit(name).as("__sys"),
+        col("rank").cast("long").as("__r"))
+    }.reduce(_.unionByName(_))
+    val rankCols = lists.map { case (name, _) =>
+      max(when(col("__sys") === name, col("__r"))).as(s"rank_$name")
+    }
+    val aggs = sum(graft.ops.Exact.ratioUnits(
+      lit(1L), lit(k0.toLong) + col("__r"), 6)).as("rrf_units") +: rankCols
+    tagged.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 }

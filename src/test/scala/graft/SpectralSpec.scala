@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Spectral, TextRank}
+
+class SpectralSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Synthetic corpus with a KNOWN dominant direction: dim 2 carries
+    * variance ~25 (values ±5 alternating), dim 5 carries variance ~1,
+    * everything else constant — PC1 must be ±e₂ up to the small mixing
+    * the finite spectrum allows, and the exact answer is checkable by
+    * a driver-side 100-step power iteration on the collected rows.
+    */
+  private def synth = {
+    val d = 8
+    (0 until 64).map { r =>
+      val v = Array.fill(d)(0.0f)
+      v(2) = if (r % 2 == 0) 5.0f else -5.0f
+      v(5) = if (r % 4 < 2) 1.0f else -1.0f
+      v(0) = 3.0f // constant: zero variance, zero loading
+      (r.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pcaTopComponent finds the dominant axis with the right eigenvalue") {
+    val out = Spectral.pcaTopComponent(synth, col("vec_id"), col("embedding"),
+        iterations = 4)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 8)
+    val loadings = out.map(r => math.abs(r.getDouble(1)))
+    assert(loadings.indexOf(loadings.max) == 2, "dominant dim must be 2")
+    assert(loadings(2) > 0.999, s"PC1 should be ~e2, got ${loadings.toSeq}")
+    // eigenvalue = variance along dim 2 = 25 (population), and the
+    // constant dim contributes nothing to the trace
+    val eig = out.head.getDouble(2)
+    assert(math.abs(eig - 25.0) < 0.01, s"eigenvalue $eig != ~25")
+    val explained = out.head.getDouble(3)
+    assert(math.abs(explained - 25.0 / 26.0) < 0.01,
+      s"explained_frac $explained != ~25/26")
+  }
+
+  test("pcaTopComponent matches a driver-side exact power iteration") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Spectral.pcaTopComponent(em, col("vec_id"), col("embedding"),
+        iterations = 4)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    // replay: collect the raw vectors and run the IDENTICAL 4 steps
+    // (ones start, normalize each step) in plain Scala
+    val rows = em.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = rows.head.length
+    val n = rows.length
+    val mu = Array.tabulate(d)(j => rows.map(_(j)).sum / n)
+    val c = rows.map(r => Array.tabulate(d)(j => r(j) - mu(j)))
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 4) {
+      val s = Array.fill(d)(0.0)
+      c.foreach { ci =>
+        val p = (0 until d).map(j => ci(j) * v(j)).sum
+        (0 until d).foreach(j => s(j) += ci(j) * p)
+      }
+      val nrm = math.sqrt(s.map(x => x * x).sum)
+      v = s.map(_ / nrm)
+    }
+    (0 until d).foreach { j =>
+      assert(math.abs(got(j) - v(j)) < 1e-6,
+        s"loading mismatch at dim $j: ${got(j)} vs ${v(j)}")
+    }
+  }
+
+  test("pcaProject: on-axis vectors have ~zero residual, projections split by sign") {
+    val out = Spectral.pcaProject(synth, col("vec_id"), col("embedding"),
+        iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 64)
+    // residual = only the dim-5 component (variance 1), never negative
+    assert(out.forall(_._3 >= 0.0), "resid_sq must clamp at >= 0")
+    assert(out.forall(t => math.abs(t._3 - 1.0) < 0.01),
+      "every synthetic vector has exactly the unit dim-5 residual")
+    // projections are ±5 (the dim-2 coordinate), sign split evenly
+    assert(out.count(t => math.abs(math.abs(t._2) - 5.0) < 0.01) == 64)
+    assert(out.count(_._2 > 0) == 32)
+  }
+
+  test("pca is partitioning-invariant at published precision") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Spectral.pcaTopComponent(em, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Spectral.pcaTopComponent(em.repartition(7), col("vec_id"),
+        col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    a.zip(b).foreach { case ((d1, l1), (d2, l2)) =>
+      assert(d1 == d2 && math.abs(l1 - l2) < 1e-5,
+        s"partitioning changed dim $d1: $l1 vs $l2")
+    }
+  }
+
+  test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val den = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    // output columns: id, rrf_units, rank_lex, rank_dense
+    val rows = TextRank.rrfFuse(Seq("lex" -> lex, "dense" -> den), k0 = 60)
+      .collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(1)))).toMap
+    // doc 20 appears in both lists: 10^6//62 + 10^6//61
+    assert(byId(20L) == ((Some(2L), Some(1L),
+      1000000L / 62 + 1000000L / 61)))
+    // single-list docs: the other rank is null
+    assert(byId(10L) == ((Some(1L), None, 1000000L / 61)))
+    assert(byId(40L) == ((None, Some(2L), 1000000L / 62)))
+    assert(byId(30L) == ((Some(3L), None, 1000000L / 63)))
+    assert(rows.length == 4)
+  }
+
+  test("rrfFuse rejects duplicate list names and negative k0") {
+    val l = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException] {
+      TextRank.rrfFuse(Seq("a" -> l, "a" -> l))
+    }
+    intercept[IllegalArgumentException] {
+      TextRank.rrfFuse(Seq("a" -> l), k0 = -1)
+    }
+    intercept[IllegalArgumentException] { TextRank.rrfFuse(Seq.empty) }
+  }
+}
