@@ -5540,6 +5540,21 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q247 — ⊕ two-component spectrum by deflation
+    * ([[graft.ext.Spectral.pcaComponents]]): q245's component, then
+    * the corpus deflated by its own projection (c ← c − (c·v)v,
+    * row-local) and the SAME 4-step iteration re-run for PC2 — the
+    * spectrum readout whose top-k explained fractions are the
+    * whitening decision. The oracle replays BOTH iterations from the
+    * shared step template (the deflation is one list_transform CTE
+    * between them), so orthogonality isn't asserted — it EMERGES from
+    * hash equality of the replayed arithmetic on both engines.
+    */
+  private val q247PcaSpectrum: Q = (s, dir) => {
+    ext.Spectral.pcaComponents(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), nComponents = 2, iterations = 4)
+  }
+
   /** q189 — ⊕ ExactSubstr maximal repeated spans
     * ([[graft.ext.Dedup.maximalRepeatedSpans]], Lee et al. 2022):
     * q97's covered-position set promoted to SPAN STRUCTURE — every
@@ -6237,6 +6252,7 @@ object SparkEntry {
     "q244_hybrid_rrf"       -> q244HybridRrf,
     "q245_pca_component"    -> q245PcaComponent,
     "q246_pca_project"      -> q246PcaProject,
+    "q247_pca_spectrum"     -> q247PcaSpectrum,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9847,6 +9863,40 @@ object SparkEntry {
         |SELECT vec_id, round(p, 4) AS proj,
         |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
         |FROM pf ORDER BY vec_id""".stripMargin,
+    // q247: PC1's chain + one deflation CTE + the identical step
+    // template re-instantiated (prefix b) for PC2; per-component
+    // Rayleigh readouts against the shared trace.
+    "q247_pca_spectrum" ->
+      raw"""${pcaPowerCte(4)},
+        |pf AS MATERIALIZED (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM c, v4),
+        |ev1 AS (SELECT avg(p * p) AS ev FROM pf),
+        |tr AS (SELECT avg(list_sum(list_transform(c, x -> x * x))) AS trace FROM c),
+        |d AS MATERIALIZED (
+        |  SELECT pf.vec_id,
+        |    list_transform(range(1, len(c) + 1), j -> c[j] - p * pc[j]) AS c
+        |  FROM pf, v4),
+        |bv0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
+        |${pcaStepCtes("d", "b", 4)},
+        |pg AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM d, bv4),
+        |ev2 AS (SELECT avg(p * p) AS ev FROM pg),
+        |o1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS component, dim, round(loading, 6) AS loading,
+        |    round(ev, 6) AS eigenvalue, round(ev / trace, 6) AS explained_frac
+        |  FROM (SELECT unnest(pc) AS loading,
+        |          unnest(range(1, len(pc) + 1)) AS dim FROM v4), ev1, tr),
+        |o2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS component, dim, round(loading, 6) AS loading,
+        |    round(ev, 6) AS eigenvalue, round(ev / trace, 6) AS explained_frac
+        |  FROM (SELECT unnest(pc) AS loading,
+        |          unnest(range(1, len(pc) + 1)) AS dim FROM bv4), ev2, tr)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |ORDER BY component, dim""".stripMargin,
     // q110: the same scale/round/clamp-free arithmetic in SQL; the
     // integer self-norm is exact on both engines, the double scale
     // and error round at 6 (operation-for-operation mirrored trees).
@@ -12174,20 +12224,29 @@ object SparkEntry {
     * component, with the centered corpus available as CTE `c`. One
     * generator for both PCA anchors so they cannot drift.
     */
-  private def pcaPowerCte(iterations: Int): String = {
-    val steps = (1 to iterations).map { k =>
-      raw"""p$k AS (
+  // MATERIALIZED (the q242 convention) is load-bearing here: inlined,
+  // each step's two s-references and the next step's v-reference
+  // re-expand the whole upstream chain (2^iterations evaluations; the
+  // q247 two-chain form squares that).
+  private def pcaStepCtes(src: String, pfx: String, iterations: Int): String =
+    (1 to iterations).map { k =>
+      val prev = if (k == 1) s"${pfx}v0" else s"${pfx}v${k - 1}"
+      raw"""${pfx}p$k AS (
           |  SELECT vec_id, c,
           |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
-          |  FROM c, v${k - 1}),
-          |s$k AS (
+          |  FROM $src, $prev),
+          |${pfx}s$k AS MATERIALIZED (
           |  SELECT i, sum(cx * p) AS s FROM (
           |    SELECT p, unnest(c) AS cx, unnest(range(1, len(c) + 1)) AS i
-          |    FROM p$k)
+          |    FROM ${pfx}p$k)
           |  GROUP BY i),
-          |n$k AS (SELECT sqrt(sum(s * s)) AS nrm FROM s$k),
-          |v$k AS (SELECT list(s / nrm ORDER BY i) AS pc FROM s$k, n$k)""".stripMargin
+          |${pfx}n$k AS (SELECT sqrt(sum(s * s)) AS nrm FROM ${pfx}s$k),
+          |${pfx}v$k AS MATERIALIZED (
+          |  SELECT list(s / nrm ORDER BY i) AS pc FROM ${pfx}s$k, ${pfx}n$k)""".stripMargin
     }.mkString(",\n")
+
+  private def pcaPowerCte(iterations: Int): String = {
+    val steps = pcaStepCtes("c", "", iterations)
     raw"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
@@ -12195,8 +12254,8 @@ object SparkEntry {
         |  SELECT vec_id, i, v[i] AS x FROM (
         |    SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
         |mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
-        |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu),
-        |c AS (
+        |mul AS MATERIALIZED (SELECT list(m ORDER BY i) AS mu FROM mu),
+        |c AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
         |  FROM e, mul),

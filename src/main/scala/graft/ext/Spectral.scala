@@ -48,15 +48,16 @@ object Spectral {
     */
   private[ext] case class Fit(cent: DataFrame, comp: DataFrame, mu: DataFrame)
 
-  private[ext] def fit(vectors: DataFrame, id: Column, vec: Column,
-                       iterations: Int): Fit = {
-    require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
+  /** Centering pass: per-dim mean → single-row array (d rows through
+    * the shuffle, map-side combined; the array_sort(struct) collect
+    * is the repo's standing ordered-collect idiom), then one
+    * row-local subtraction, lazily checkpointed.
+    */
+  private def center(vectors: DataFrame, id: Column,
+                     vec: Column): (DataFrame, DataFrame) = {
     val pts = vectors
       .select(id.as("id"), Similarity.vecD(vec).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    // per-dim mean -> single-row array (d rows through the shuffle,
-    // map-side combined; the array_sort(struct) collect is the repo's
-    // standing ordered-collect idiom)
     val muRow = pts.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(avg(col("x")).as("m"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
@@ -64,6 +65,14 @@ object Spectral {
     val cent = pts.crossJoin(broadcast(muRow))
       .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"))
       .localCheckpoint(eager = false)
+    (cent, muRow)
+  }
+
+  /** `iterations` power steps over an (id, c) table from the
+    * deterministic all-ones start; returns the single-row unit `pc`.
+    */
+  private def powerComp(cent: DataFrame, muRow: DataFrame,
+                        iterations: Int): DataFrame = {
     var comp = muRow.select(transform(col("mu"), _ => lit(1.0)).as("pc"))
     for (_ <- 1 to iterations) {
       val sRow = cent.crossJoin(broadcast(comp))
@@ -76,7 +85,59 @@ object Spectral {
         transform(col("sv"),
           x => x / sqrt(Similarity.dot(col("sv"), col("sv")))).as("pc"))
     }
-    Fit(cent, comp, muRow)
+    comp
+  }
+
+  private[ext] def fit(vectors: DataFrame, id: Column, vec: Column,
+                       iterations: Int): Fit = {
+    require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
+    val (cent, muRow) = center(vectors, id, vec)
+    Fit(cent, powerComp(cent, muRow, iterations), muRow)
+  }
+
+  /** Top `nComponents` principal components by DEFLATION: fit a
+    * component, subtract each row's projection onto it (c ← c −
+    * (c·v)v — row-local, so the deflated corpus is one more
+    * checkpointed pass), fit the next from the same all-ones start.
+    * Published per (component [1-based], dim): loading, Rayleigh
+    * eigenvalue, and explained fraction against the SHARED covariance
+    * trace — the spectrum readout (top-k explained fractions are the
+    * whitening decision: how many coordinates carry the corpus).
+    * Deflated data is exactly mean-zero analytically, so no
+    * re-centering between components (the oracle mirrors this).
+    */
+  def pcaComponents(vectors: DataFrame, id: Column, vec: Column,
+                    nComponents: Int = 2, iterations: Int = 4,
+                    roundTo: Int = 6): DataFrame = {
+    require(nComponents >= 1,
+      s"pcaComponents needs nComponents >= 1, got $nComponents")
+    require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
+    var (cent, muRow) = center(vectors, id, vec)
+    val tr = cent.agg(avg(Similarity.dot(col("c"), col("c"))).as("trace"))
+    val parts = (1 to nComponents).map { k =>
+      val comp = powerComp(cent, muRow, iterations)
+      val eig = cent.crossJoin(broadcast(comp))
+        .select(Similarity.dot(col("c"), col("pc")).as("p"))
+        .agg(avg(col("p") * col("p")).as("eigenvalue"))
+      val published = comp
+        .select(posexplode(col("pc")).as(Seq("i", "loading")))
+        .crossJoin(broadcast(eig)).crossJoin(broadcast(tr))
+        .select(lit(k.toLong).as("component"),
+          (col("i") + 1).cast("long").as("dim"),
+          round(col("loading"), roundTo).as("loading"),
+          round(col("eigenvalue"), roundTo).as("eigenvalue"),
+          round(col("eigenvalue") / col("trace"), roundTo).as("explained_frac"))
+      if (k < nComponents) {
+        cent = cent.crossJoin(broadcast(comp))
+          .select(col("id"), col("c"), Similarity.dot(col("c"), col("pc")).as("p"),
+            col("pc"))
+          .select(col("id"),
+            zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p") * vj).as("c"))
+          .localCheckpoint(eager = false)
+      }
+      published
+    }
+    parts.reduce(_.unionByName(_)).orderBy(col("component"), col("dim"))
   }
 
   /** Top principal component, published per dimension: `(dim

@@ -83,6 +83,35 @@ class SpectralSpec extends SparkSuite {
     assert(out.count(_._2 > 0) == 32)
   }
 
+  test("pcaComponents: deflation yields an orthogonal second component " +
+      "with the subordinate eigenvalue") {
+    val out = ext.Spectral.pcaComponents(synth, col("vec_id"), col("embedding"),
+        nComponents = 2, iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 16)
+    val pc1 = out.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val pc2 = out.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    // PC1 = ±e2 (var 25), PC2 = ±e5 (var 1), orthogonal
+    assert(pc1.map(math.abs).indexOf(pc1.map(math.abs).max) == 2)
+    assert(pc2.map(math.abs).indexOf(pc2.map(math.abs).max) == 5)
+    val ortho = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 1e-6, s"components not orthogonal: $ortho")
+    val ev1 = out.find(_._1 == 1).get._4
+    val ev2 = out.find(_._1 == 2).get._4
+    assert(math.abs(ev1 - 25.0) < 0.01 && math.abs(ev2 - 1.0) < 0.01,
+      s"eigenvalues ($ev1, $ev2) != (~25, ~1)")
+    // explained fractions share one trace: 25/26 and 1/26
+    assert(math.abs(out.find(_._1 == 1).get._5 - 25.0 / 26.0) < 0.01)
+    assert(math.abs(out.find(_._1 == 2).get._5 - 1.0 / 26.0) < 0.01)
+    // component 1 rows replicate pcaTopComponent exactly (shared path)
+    val single = ext.Spectral.pcaTopComponent(synth, col("vec_id"),
+        col("embedding"), iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    single.foreach { case (d, l) =>
+      assert(out.find(t => t._1 == 1 && t._2 == d).get._3 == l) }
+  }
+
   test("pca is partitioning-invariant at published precision") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val a = Spectral.pcaTopComponent(em, col("vec_id"), col("embedding"))
