@@ -173,9 +173,40 @@ object Spectral {
     * the (sample-sized) fit.
     */
   def pcaProject(vectors: DataFrame, id: Column, vec: Column,
-                 iterations: Int = 4, roundTo: Int = 4): DataFrame = {
+                 iterations: Int = 4, roundTo: Int = 4): DataFrame =
+    projectWith(vectors, id, vec,
+      fitState(vectors, id, vec, iterations), roundTo)
+
+  /** The fitted model as ONE broadcastable row `(mu, pc)` — the
+    * static side of the stream-static deployment: fit offline (on a
+    * sample), hand the state to [[projectWith]] /
+    * [[graft.streaming.EventStream.pcaProjectStream]] for scoring
+    * batches or streams that the fit never saw.
+    */
+  def fitState(vectors: DataFrame, id: Column, vec: Column,
+               iterations: Int = 4): DataFrame = {
     val f = fit(vectors, id, vec, iterations)
-    f.cent.crossJoin(broadcast(f.comp))
+    f.mu.crossJoin(f.comp)
+  }
+
+  /** Score rows against an already-fitted [[fitState]] row: center,
+    * project, residual — stateless row-local arithmetic after the
+    * single-row broadcast join, so the SAME code path serves batch
+    * and streaming (batch ≡ streaming is structural, and
+    * StreamingSpec still proves it). The join rides a constant key
+    * (stream-static broadcast equi-join — supported in
+    * micro-batches, unlike a bare cross join).
+    */
+  def projectWith(vectors: DataFrame, id: Column, vec: Column,
+                  state: DataFrame, roundTo: Int = 4): DataFrame = {
+    val keyed = state.withColumn("__k", lit(1))
+    vectors
+      .select(id.as("id"), Similarity.vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("__k", lit(1))
+      .join(broadcast(keyed), "__k")
+      .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"),
+        col("pc"))
       .select(col("id"), Similarity.dot(col("c"), col("pc")).as("p"),
         Similarity.dot(col("c"), col("c")).as("cc"))
       .select(col("id"),

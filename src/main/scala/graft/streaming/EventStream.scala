@@ -581,6 +581,22 @@ object EventStream {
           .as("overlap_frac"))
   }
 
+  /** ⊕ Streaming PCA projection/residual screen — the q246 readout
+    * on a LIVE ingest: the offline-fitted single-row
+    * [[graft.ext.Spectral.fitState]] (mean + component) broadcasts
+    * onto each micro-batch, and scoring is the stateless row-local
+    * center/project/residual pass BYTE-SHARED with the batch form
+    * ([[graft.ext.Spectral.projectWith]] — this method pins the
+    * streaming contract; the arithmetic lives once). No watermark, no
+    * state: every arriving vector scores independently, append
+    * output — the shape a continuously-ingesting embedding pipeline
+    * wants its off-manifold alarm in. Batch ≡ streaming is structural
+    * here and StreamingSpec still proves it across micro-batches.
+    */
+  def pcaProjectStream(vectors: DataFrame, id: Column, vec: Column,
+                       fitted: DataFrame, roundTo: Int = 4): DataFrame =
+    graft.ext.Spectral.projectWith(vectors, id, vec, fitted, roundTo)
+
   /** ⊕ Streaming funnel progression — the incremental form of
     * [[graft.ops.Funnel.funnelSteps]]: per-user state is the same two
     * timestamps the batch form carries (entry anchor + previous step)

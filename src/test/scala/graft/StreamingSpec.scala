@@ -219,6 +219,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("pcaProjectStream ≡ batch pcaProject (stream-static spectral screen)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // offline fit on the static corpus; the single-row state is the
+    // broadcastable model a live ingest scores against
+    val state = graft.ext.Spectral.fitState(corpus, col("vec_id"),
+      col("embedding"), iterations = 4).cache()
+    val rows = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = EventStream.pcaProjectStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), state)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pca_out").start()
+    try {
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("pca_out")
+        .as[(Long, Double, Double)].collect().toSet
+      val batch = graft.ext.Spectral.pcaProject(corpus, col("vec_id"),
+          col("embedding"), iterations = 4)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got == batch, "stream != batch on the same vectors")
+      assert(got.size == rows.size)
+    } finally { q.stop(); state.unpersist() }
+  }
+
   test("dedupParagraphsStream ≡ batch dedupParagraphsIncremental under append-only arrival") {
     implicit val sqlCtx = spark.sqlContext
     // multi-paragraph docs drawn from a small paragraph pool so
