@@ -5136,6 +5136,44 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q248 — ⊕ tokenizer-fertility datacard: per-language subword
+    * fertility (BPE tokens per word) and compression (chars per BPE
+    * token) under the q155 corpus-trained merges — the number a
+    * multilingual data report publishes next to raw token counts
+    * (a language whose fertility sits far above the corpus mean is
+    * FRAGMENTED by this tokenizer: its token budget buys fewer words,
+    * its sequences pack worse — the q170/q194 accounting is silently
+    * skewed against it). Train once (the q155 8-merge chain), ENCODE
+    * everywhere (pure projection — the fit-once/encode-everything
+    * shape), one groupBy(lang). Token counts use q170's billed
+    * convention (the end-of-word marker is part of the symbol stream
+    * unless merged away); char counts are pre-merge word lengths.
+    * Every readout is an exact integer or an [[graft.ops.Exact.ratio]]
+    * — tie-free.
+    */
+  private val q248BpeFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = ext.Bpe.learnMerges(
+        ext.Bpe.wordFreqs(docs, col("text")), nMerges = 8)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("lang"),
+        explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(col("lang"), length(col("word")).cast("long").as("n_chars"),
+        size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
+          .cast("long").as("n_sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subtokens"),
+        sum(col("n_chars")).as("n_chars"),
+        graft.ops.Exact.ratio(sum(col("n_sub")), count(lit(1)), 6)
+          .as("fertility"),
+        graft.ops.Exact.ratio(sum(col("n_chars")), sum(col("n_sub")), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** q171 — ⊕ snapshot drift screen ([[graft.ops.Drift]]): PSI
     * between the first and second half-month of events over
     * (event_type × value-bucket) categories — the gate that catches a
@@ -6253,6 +6291,7 @@ object SparkEntry {
     "q245_pca_component"    -> q245PcaComponent,
     "q246_pca_project"      -> q246PcaProject,
     "q247_pca_spectrum"     -> q247PcaSpectrum,
+    "q248_bpe_fertility"    -> q248BpeFertility,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10990,6 +11029,27 @@ object SparkEntry {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q170: shared BPE chain + per-doc encode + the q167 packing window.
     "q170_bpe_packing" -> bpePackOracleSql(8, 512),
+    // q248: the shared q155 training chain + q170 encode chain, then
+    // the per-language fertility rollup; token counts are q170's
+    // billed convention, chars recover pre-merge word lengths from
+    // the de-bracketed symbol string (minus the one marker char);
+    // ratios are Exact.ratio's floor-division mirror.
+    "q248_bpe_fertility" ->
+      (bpeChainCtes(8) + bpeEncodeCtes(8, "documents") +
+        raw""",
+        |ws AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(substr(sym, 2, length(sym) - 2), '><')) AS n_sub,
+        |    length(replace(replace(sym, '<', ''), '>', '')) - 1 AS n_chars
+        |  FROM d8 d),
+        |wl AS (SELECT ws.n_sub, ws.n_chars, doc.lang
+        |       FROM ws JOIN documents doc USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST((sum(n_sub) * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS fertility,
+        |  CAST((sum(n_chars) * 1000000) // sum(n_sub) AS DOUBLE) / 1000000.0 AS chars_per_token
+        |FROM wl GROUP BY lang ORDER BY lang""".stripMargin),
     // q218: the q155 training chain + q170 encode chain over the
     // lang-decorated corpus, then one per-lang compression rollup.
     "q218_token_fairness" -> {

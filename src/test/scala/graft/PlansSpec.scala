@@ -182,7 +182,15 @@ class PlansSpec extends SparkSuite {
       // renormalizer over the 4-row rating table (the q93 stance)
       "q236_bt_rating",
       // LM OOV floor + single-row tercile boundary (the q196 stance)
-      "q237_screen_overlap")
+      "q237_screen_overlap",
+      // the lexical side carries q73's single-row corpus-stats cross;
+      // the dense side is the q24 broadcast-query scoring at ONE query
+      // (1 × corpus = O(n), the labeled brute baseline shape)
+      "q244_hybrid_rrf",
+      // single-row mean/component broadcasts per power step (the q93
+      // stance: the build side is model-sized — one d-array row —
+      // regardless of corpus volume; ext/Spectral)
+      "q245_pca_component", "q246_pca_project", "q247_pca_spectrum")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
