@@ -5136,6 +5136,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q249 — ⊕ the SIZED spectral anchor
+    * ([[graft.ext.Spectral.pcaProjectSized]]): q246's screen with the
+    * fit capped at 256 rows via the q50 md5 sample rule — the shape
+    * the 100 TB deployment runs (a principal direction is a
+    * corpus-level statistic; ~10⁵–10⁶ rows pin it, so the fit rides a
+    * reproducible hash sample and only the ONE scoring pass touches
+    * everything). At sf0.01 the cap BINDS (500 vectors → a
+    * ~51%-rate fit subset) and every vector still scores against the
+    * sample-fitted (mean, component) — the oracle re-derives the md5
+    * buckets, the truncating rate threshold, the sampled fit chain,
+    * and the full-corpus scoring pass.
+    */
+  private val q249PcaProjectSized: Q = (s, dir) => {
+    ext.Spectral.pcaProjectSized(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), iterations = 4, maxFitRows = 256)
+      .select(col("id").as("vec_id"), col("proj"), col("resid_sq"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q248 — ⊕ tokenizer-fertility datacard: per-language subword
     * fertility (BPE tokens per word) and compression (chars per BPE
     * token) under the q155 corpus-trained merges — the number a
@@ -6292,6 +6311,7 @@ object SparkEntry {
     "q246_pca_project"      -> q246PcaProject,
     "q247_pca_spectrum"     -> q247PcaSpectrum,
     "q248_bpe_fertility"    -> q248BpeFertility,
+    "q249_pca_project_sized" -> q249PcaProjectSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9902,6 +9922,22 @@ object SparkEntry {
         |SELECT vec_id, round(p, 4) AS proj,
         |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
         |FROM pf ORDER BY vec_id""".stripMargin,
+    // q249: the sampled-fit chain (q50 md5 buckets + the truncating
+    // rate threshold) through the SAME step template, then the
+    // full-corpus scoring pass centered with the FIT mean.
+    "q249_pca_project_sized" ->
+      raw"""${pcaPowerCte(4, pcaSampledFitCtes(256))},
+        |ca AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
+        |  FROM e, mul),
+        |pf AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM ca, v4)
+        |SELECT vec_id, round(p, 4) AS proj,
+        |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
+        |FROM pf ORDER BY vec_id""".stripMargin,
     // q247: PC1's chain + one deflation CTE + the identical step
     // template re-instantiated (prefix b) for PC2; per-component
     // Rayleigh readouts against the shared trace.
@@ -12305,23 +12341,52 @@ object SparkEntry {
           |  SELECT list(s / nrm ORDER BY i) AS pc FROM ${pfx}s$k, ${pfx}n$k)""".stripMargin
     }.mkString(",\n")
 
-  private def pcaPowerCte(iterations: Int): String = {
+  /** `fitCtes` must define `fe` — the fit subset of `e` (default: the
+    * whole corpus; q249 swaps in the q50 md5-sampled subset). The
+    * mean and iteration chain fit on `fe`; scoring CTEs choose their
+    * own source (`c` = centered fit rows; q249 centers ALL of `e`
+    * with the fit mean in its own `ca` CTE).
+    */
+  private def pcaPowerCte(iterations: Int,
+                          fitCtes: String = "fe AS (SELECT * FROM e)"): String = {
     val steps = pcaStepCtes("c", "", iterations)
     raw"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |$fitCtes,
         |ex AS (
         |  SELECT vec_id, i, v[i] AS x FROM (
-        |    SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+        |    SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM fe)),
         |mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
         |mul AS MATERIALIZED (SELECT list(m ORDER BY i) AS mu FROM mu),
         |c AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
-        |  FROM e, mul),
+        |  FROM fe, mul),
         |v0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
         |$steps""".stripMargin
   }
+
+  /** q249's fit subset: the q50 md5-bucket sample of `e` at the rate
+    * the 256-row cap derives from the corpus count — `floor` (not a
+    * bare BIGINT cast, which rounds in DuckDB) mirrors Scala's
+    * truncating `toLong` on the rate·2²⁰ threshold exactly.
+    */
+  private def pcaSampledFitCtes(maxFitRows: Int): String =
+    raw"""hs AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR) || '|0') AS hh FROM e),
+        |bs AS (
+        |  SELECT vec_id,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) AS bucket
+        |  FROM hs),
+        |nr AS (SELECT count(*) AS n FROM e),
+        |fe AS (
+        |  SELECT e.vec_id, e.v FROM e JOIN bs USING (vec_id), nr
+        |  WHERE bucket < CAST(floor(least(1.0, $maxFitRows.0 / n) * 1048576) AS BIGINT))"""
+      .stripMargin
 
   /** q241/q243 shared oracle template: q188's flat argmax/ranking
     * replay with the seed LIMIT at the derived sized k. One generator

@@ -189,6 +189,41 @@ object Spectral {
     f.mu.crossJoin(f.comp)
   }
 
+  /** The 100 TB fit: [[fitState]] over a DETERMINISTIC hash sample of
+    * the corpus capped at `maxFitRows` — the q50 md5 rule
+    * ([[graft.ops.Sampling.byHash]]) on the id, so the fit set is
+    * reproducible under any partitioning or cluster size. A principal
+    * direction is a corpus-level statistic: ~10⁵–10⁶ rows pin it, and
+    * fitting on 10¹¹ rows buys nothing but `iterations` extra full
+    * scans. The rate derives from ONE corpus count (the sized-family
+    * convention); below the cap the sample is the corpus and the
+    * sized form IS the fixed form (spec-proven). Scoring still covers
+    * every row — hand this state to [[projectWith]] /
+    * [[graft.streaming.EventStream.pcaProjectStream]].
+    */
+  def fitStateSized(vectors: DataFrame, id: Column, vec: Column,
+                    iterations: Int = 4, maxFitRows: Long = 1L << 20,
+                    salt: Long = 0L): DataFrame = {
+    require(maxFitRows > 0, s"fitStateSized needs maxFitRows > 0, got $maxFitRows")
+    val pts = vectors
+      .select(id.as("id"), Similarity.vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val n = pts.count()
+    val rate = math.min(1.0, maxFitRows.toDouble / math.max(n, 1L).toDouble)
+    val sampled = graft.ops.Sampling.byHash(pts, "id", rate, salt)
+    fitState(sampled, col("id"), col("v"), iterations)
+  }
+
+  /** [[pcaProject]] with the sized fit: sample-fitted component,
+    * every row scored.
+    */
+  def pcaProjectSized(vectors: DataFrame, id: Column, vec: Column,
+                      iterations: Int = 4, roundTo: Int = 4,
+                      maxFitRows: Long = 1L << 20,
+                      salt: Long = 0L): DataFrame =
+    projectWith(vectors, id, vec,
+      fitStateSized(vectors, id, vec, iterations, maxFitRows, salt), roundTo)
+
   /** Score rows against an already-fitted [[fitState]] row: center,
     * project, residual — stateless row-local arithmetic after the
     * single-row broadcast join, so the SAME code path serves batch

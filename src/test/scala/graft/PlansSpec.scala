@@ -190,7 +190,8 @@ class PlansSpec extends SparkSuite {
       // single-row mean/component broadcasts per power step (the q93
       // stance: the build side is model-sized — one d-array row —
       // regardless of corpus volume; ext/Spectral)
-      "q245_pca_component", "q246_pca_project", "q247_pca_spectrum")
+      "q245_pca_component", "q246_pca_project", "q247_pca_spectrum",
+      "q249_pca_project_sized")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's

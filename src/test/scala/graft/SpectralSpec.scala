@@ -125,6 +125,38 @@ class SpectralSpec extends SparkSuite {
     }
   }
 
+  test("fitStateSized: sized ≡ fixed below the cap; a binding cap still " +
+      "recovers the dominant axis and scores every row") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // cap >= n: rate saturates at 1.0, byHash keeps every row -> the
+    // sized state IS the fixed state, bit-for-bit
+    val fixed = ext.Spectral.fitState(em, col("vec_id"), col("embedding"))
+      .collect()(0)
+    val sat = ext.Spectral.fitStateSized(em, col("vec_id"), col("embedding"),
+        maxFitRows = 1000000L)
+      .collect()(0)
+    assert(fixed.getSeq[Double](0) == sat.getSeq[Double](0) &&
+      fixed.getSeq[Double](1) == sat.getSeq[Double](1),
+      "saturated sized fit must equal the fixed fit exactly")
+    // binding cap on the known-axis synthetic: the fit sees a strict
+    // subset, the component still lands on the planted axis
+    val n = synth.count()
+    val sizedRows = ext.Spectral.pcaProjectSized(synth, col("vec_id"),
+        col("embedding"), maxFitRows = 24)
+      .collect()
+    assert(sizedRows.length == n, "every row must score, cap or no cap")
+    val comp = ext.Spectral.fitStateSized(synth, col("vec_id"),
+        col("embedding"), maxFitRows = 24)
+      .collect()(0).getSeq[Double](1)
+    assert(comp.map(math.abs).zipWithIndex.maxBy(_._1)._2 == 2,
+      s"sample-fitted component must still find dim 2: $comp")
+    assert(math.abs(comp(2)) > 0.999)
+    // and the cap truly bound: the sample the fit used is smaller
+    val kept = graft.ops.Sampling.byHash(
+      synth.select(col("vec_id").as("id")), "id", 24.0 / n).count()
+    assert(kept < n && kept > 0, s"cap should bind: kept $kept of $n")
+  }
+
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
