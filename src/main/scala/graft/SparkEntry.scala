@@ -5136,6 +5136,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q250 — ⊕ hybrid fusion on the ANN path: q244 with the dense side
+    * served by the q38 IVF index (fit + 4-probe search) instead of
+    * the brute scan — the DEPLOYMENT pairing (lexical top-k from the
+    * inverted-text side, dense top-k from the vector index, RRF on
+    * ranks). The fused list legitimately differs from q244 where the
+    * index's probe set misses a true neighbor — that trade is the
+    * whole point of indexing, and both forms being oracled lets a
+    * user MEASURE it (diff the two results) instead of trusting a
+    * recall claim. Same tie-free integer fusion.
+    */
+  private val q250HybridRrfIvf: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val lex = ext.TextRank.bm25(docs, ext.TextAnalysis.tokens(col("text")),
+        terms = Seq("spark", "merge", "vector"))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(100)
+      .withColumn("rank",
+        row_number().over(W.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val model = ext.Similarity.ivfFit(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), k = 16, iters = 2, quantize = Some(9))
+    val dense = ext.Similarity.ivfSearch(model, queryIds = Seq(0L),
+        nprobe = 4, k = 100)
+      .withColumn("rank",
+        row_number().over(W.orderBy(desc("cos_sim"), col("neighbor_id"))))
+      .select(col("neighbor_id").as("id"), col("rank"))
+    ext.TextRank.rrfFuse(Seq("lex" -> lex, "dense" -> dense), k0 = 60)
+      .select(col("id").as("doc_id"), col("rank_lex"), col("rank_dense"),
+        col("rrf_units"))
+      .orderBy(desc("rrf_units"), col("doc_id"))
+      .limit(50)
+  }
+
   /** q249 — ⊕ the SIZED spectral anchor
     * ([[graft.ext.Spectral.pcaProjectSized]]): q246's screen with the
     * fit capped at 256 rows via the q50 md5 sample rule — the shape
@@ -6312,6 +6346,7 @@ object SparkEntry {
     "q247_pca_spectrum"     -> q247PcaSpectrum,
     "q248_bpe_fertility"    -> q248BpeFertility,
     "q249_pca_project_sized" -> q249PcaProjectSized,
+    "q250_hybrid_rrf_ivf"   -> q250HybridRrfIvf,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9922,6 +9957,48 @@ object SparkEntry {
         |SELECT vec_id, round(p, 4) AS proj,
         |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
         |FROM pf ORDER BY vec_id""".stripMargin,
+    // q250: the q38 IVF train+search chain (queries = vec 0, ranked
+    // by the same tie-break) + q244's BM25 chain (no CTE-name
+    // collisions by construction) + the identical integer fusion.
+    "q250_hybrid_rrf_ivf" ->
+      raw"""${ivfSearchRankedCtes("vec_id = 0")},
+        |d AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |  FROM d),
+        |st AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t),
+        |lexs AS (
+        |  SELECT doc_id,
+        |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM t, st),
+        |lexr AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        |  FROM lexs),
+        |u AS (
+        |  SELECT id, 'lex' AS sys, r FROM lexr WHERE r <= 100
+        |  UNION ALL
+        |  SELECT neighbor_id AS id, 'dense' AS sys, rn AS r
+        |  FROM ranked WHERE rn <= 100)
+        |SELECT id AS doc_id,
+        |  max(CASE WHEN sys = 'lex' THEN r END) AS rank_lex,
+        |  max(CASE WHEN sys = 'dense' THEN r END) AS rank_dense,
+        |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_units
+        |FROM u GROUP BY id
+        |ORDER BY rrf_units DESC, doc_id LIMIT 50""".stripMargin,
     // q249: the sampled-fit chain (q50 md5 buckets + the truncating
     // rate threshold) through the SAME step template, then the
     // full-corpus scoring pass centered with the FIT mean.

@@ -185,8 +185,10 @@ class PlansSpec extends SparkSuite {
       "q237_screen_overlap",
       // the lexical side carries q73's single-row corpus-stats cross;
       // the dense side is the q24 broadcast-query scoring at ONE query
-      // (1 × corpus = O(n), the labeled brute baseline shape)
-      "q244_hybrid_rrf",
+      // (1 × corpus = O(n), the labeled brute baseline shape); q250
+      // swaps the dense side to the q38 IVF index (its centroid table
+      // is a single-row broadcast — the q93 stance)
+      "q244_hybrid_rrf", "q250_hybrid_rrf_ivf",
       // single-row mean/component broadcasts per power step (the q93
       // stance: the build side is model-sized — one d-array row —
       // regardless of corpus volume; ext/Spectral)
