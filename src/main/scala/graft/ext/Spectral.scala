@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   * carries d rows per partition, never corpus rows. The centered
   * corpus is lazily localCheckpoint'ed so the k steps re-read its
   * materialized blocks instead of re-scanning the source (the q25
-  * convention). At 100 TB the fit side runs on a `.sample` upstream
-  * (a principal direction needs ~10⁵ rows, not 10¹¹); the PROJECT
-  * side ([[pcaProject]]) is one scan-speed row-local pass and runs on
-  * everything.
+  * convention). At 100 TB the fit side rides [[fitStateSized]]'s
+  * deterministic hash-sampled cap (a principal direction needs ~10⁵
+  * rows, not 10¹¹); the PROJECT side ([[pcaProject]]/[[projectWith]])
+  * is one scan-speed row-local pass and runs on everything.
   *
   * Numeric portability: all arithmetic is in double with the q24
   * fold-order convention (row-local dots are sequential folds on both
