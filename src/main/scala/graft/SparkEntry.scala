@@ -5136,6 +5136,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q251 — ⊕ JL projection distortion
+    * ([[graft.ext.Similarity.jlProject]]'s measurement anchor): for
+    * every adjacent pair (2t, 2t+1) of embedding ids, the TRUE
+    * squared Euclidean distance vs its estimate through the 64→16
+    * md5-parity ±1 projection — published per pair so the operating
+    * point is measured, not cited from the lemma (the q198/q238
+    * stance applied to dimensionality reduction). The projection of a
+    * DIFFERENCE equals the difference of projections (linearity), so
+    * the whole measurement is one equi-join + row-local folds: dv,
+    * dot(dv,dv), and Σ_t (dv·p_t)²/16 in fixed t-ascending fold order
+    * (the oracle's `list(dp ORDER BY t)` + list_sum mirrors the fold
+    * exactly — a bare SQL sum() would re-order the 16 addends).
+    */
+  private val q251JlDistortion: Q = (s, dir) => {
+    val outDim = 16
+    val dim = 64
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"), ext.Similarity.vecD(col("embedding")).as("v"))
+    val a = em.select(col("vec_id").as("vec_id_a"), col("v").as("va"))
+      .filter(col("vec_id_a") % 2 === 0)
+    val b = em.select(col("vec_id").as("vec_id_b"), col("v").as("vb"))
+    val pairs = a.join(b, col("vec_id_b") === col("vec_id_a") + 1)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        zip_with(col("va"), col("vb"), (x, y) => x - y).as("dv"))
+    val dproj2 = (0 until outDim).map { t =>
+      val p = ext.Similarity.dot(col("dv"),
+        typedLit((0 until dim).map(d => ext.Similarity.jlPlaneComp(t, d))))
+      p * p
+    }.reduce(_ + _) / lit(outDim.toDouble)
+    pairs
+      .select(col("vec_id_a"), col("vec_id_b"),
+        ext.Similarity.dot(col("dv"), col("dv")).as("dtrue2"),
+        dproj2.as("dproj2"))
+      .filter(col("dtrue2") > 0)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(col("dtrue2"), 6).as("dist_sq_true"),
+        round(col("dproj2"), 6).as("dist_sq_proj"),
+        round(col("dproj2") / col("dtrue2"), 4).as("distortion"))
+      .orderBy(col("vec_id_a"))
+  }
+
   /** q250 — ⊕ hybrid fusion on the ANN path: q244 with the dense side
     * served by the q38 IVF index (fit + 4-probe search) instead of
     * the brute scan — the DEPLOYMENT pairing (lexical top-k from the
@@ -6347,6 +6388,7 @@ object SparkEntry {
     "q248_bpe_fertility"    -> q248BpeFertility,
     "q249_pca_project_sized" -> q249PcaProjectSized,
     "q250_hybrid_rrf_ivf"   -> q250HybridRrfIvf,
+    "q251_jl_distortion"    -> q251JlDistortion,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9957,6 +9999,45 @@ object SparkEntry {
         |SELECT vec_id, round(p, 4) AS proj,
         |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
         |FROM pf ORDER BY vec_id""".stripMargin,
+    // q251: the JL planes re-derive from the md5 parity rule in the
+    // "jl|t|d" namespace (the q26 convention); the per-pair Σ(dv·p_t)²
+    // folds through list(dp ORDER BY t) + list_sum so the 16 addends
+    // sum in Spark's exact fold order.
+    "q251_jl_distortion" ->
+      raw"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS dv
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0),
+        |comp AS (
+        |  SELECT t.t, d.d,
+        |    CASE WHEN strpos('13579bdf',
+        |           substr(md5('jl|' || CAST(t.t AS VARCHAR)
+        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
+        |         THEN -1.0 ELSE 1.0 END AS c
+        |  FROM (SELECT unnest(range(0, 16)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+        |pl AS (SELECT t, list(c ORDER BY d) AS pv FROM comp GROUP BY t),
+        |prj AS (
+        |  SELECT id_a, id_b, t,
+        |    list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * pv[i])) AS dp
+        |  FROM p CROSS JOIN pl),
+        |agg AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(list(dp ORDER BY t), x -> x * x)) / 16.0 AS dproj2
+        |  FROM prj GROUP BY id_a, id_b),
+        |tru AS (
+        |  SELECT id_a, id_b, list_sum(list_transform(dv, x -> x * x)) AS dtrue2
+        |  FROM p)
+        |SELECT t.id_a AS vec_id_a, t.id_b AS vec_id_b,
+        |  round(t.dtrue2, 6) AS dist_sq_true,
+        |  round(a.dproj2, 6) AS dist_sq_proj,
+        |  round(a.dproj2 / t.dtrue2, 4) AS distortion
+        |FROM tru t JOIN agg a ON a.id_a = t.id_a AND a.id_b = t.id_b
+        |WHERE t.dtrue2 > 0
+        |ORDER BY vec_id_a""".stripMargin,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.

@@ -882,6 +882,42 @@ object Similarity {
       Some(graft.ops.Skew.partitionsForCorpus(n, rowsPerPartition)))
   }
 
+  /** md5-parity ±1 JL plane component — the [[planeComp]] derivation
+    * in its own `"jl|t|d"` namespace (disjoint from the LSH planes),
+    * so both engines re-derive the identical projection matrix from
+    * nothing but the rule.
+    */
+  def jlPlaneComp(t: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl|$t|$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** ⊕ Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    * form): project `dim`-dimensional vectors to `outDim` coordinates
+    * `y_t = (v · p_t)/√outDim` with deterministic md5-parity ±1
+    * planes ([[jlPlaneComp]]). E‖ya − yb‖² = ‖a − b‖², so Euclidean
+    * structure survives in expectation with relative spread
+    * ≈ √(2/outDim) per pair — the cheap front-end that lets dedup /
+    * ANN / clustering run on 16 doubles instead of 1024 (q251
+    * MEASURES the distortion instead of citing the lemma). Entirely
+    * row-local (the planes are literals folded by the codegen'd dot)
+    * — a scan-speed projection, no shuffle, streamable.
+    */
+  def jlProject(df: DataFrame, id: Column, vec: Column,
+                outDim: Int, dim: Int): DataFrame = {
+    require(outDim > 0 && dim > 0,
+      s"jlProject needs positive dims, got outDim=$outDim dim=$dim")
+    val scale = math.sqrt(outDim.toDouble)
+    val planes = (0 until outDim).map(t =>
+      (0 until dim).map(d => jlPlaneComp(t, d)))
+    df.select(id.as("id"), vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"),
+        array(planes.map(p => dot(col("v"), typedLit(p)) / lit(scale)): _*)
+          .as("y"))
+  }
+
   /** ⊕ ANN via random-hyperplane LSH (Charikar 2002, with ±1
     * Rademacher planes — [[planeComp]]): for each of `numTables`
     * tables, a `bitsPerTable`-bit bucket key from projection signs;

@@ -56,6 +56,49 @@ class SimilaritySpec extends SparkSuite {
     assert(auto.except(fixed).isEmpty && fixed.except(auto).isEmpty)
   }
 
+  test("jlProject: deterministic, row-local, distance-preserving in expectation") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val y = Similarity.jlProject(em, col("vec_id"), col("embedding"),
+        outDim = 16, dim = 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(y.head._2.length == 16)
+    // determinism + partitioning invariance (pure projection)
+    val y2 = Similarity.jlProject(em.repartition(7), col("vec_id"),
+        col("embedding"), outDim = 16, dim = 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(y == y2, "projection must be partitioning-invariant")
+    // distance preservation: mean distortion over adjacent pairs ≈ 1
+    // (E||ya-yb||² = ||a-b||²; spread ~ √(2/16) per pair, so the mean
+    // over 100+ pairs concentrates well inside [0.8, 1.2])
+    val v = em.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val pairs = v.keys.filter(k => k % 2 == 0 && v.contains(k + 1)).toSeq.sorted
+    assert(pairs.size >= 100)
+    val distortions = pairs.map { k =>
+      val dv = v(k).zip(v(k + 1)).map { case (p, q) => p - q }
+      val dTrue = dv.map(x => x * x).sum
+      val dProj = y(k).zip(y(k + 1)).map { case (p, q) =>
+        (p - q) * (p - q) }.sum
+      dProj / dTrue
+    }
+    val mean = distortions.sum / distortions.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean drifted from 1")
+    // no pathological pair (chi²₁₆/16 tails: P(<0.05 or >4) ≈ 0)
+    assert(distortions.forall(r => r > 0.05 && r < 4.0),
+      s"pair distortion out of plausible band: ${distortions.min}, ${distortions.max}")
+    // the q251 identity: projecting the difference ≡ differencing the
+    // projections (linearity), which is what the anchor publishes
+    val k0 = pairs.head
+    val dv = v(k0).zip(v(k0 + 1)).map { case (p, q) => p - q }
+    val dirProj = (0 until 16).map { t =>
+      val pt = (0 until 64).map(d => Similarity.jlPlaneComp(t, d))
+      val dp = dv.zip(pt).map { case (x, c) => x * c }.sum
+      dp * dp
+    }.sum / 16.0
+    val viaY = y(k0).zip(y(k0 + 1)).map { case (p, q) => (p - q) * (p - q) }.sum
+    assert(math.abs(dirProj - viaY) < 1e-9)
+  }
+
   test("dot/norm/cosine basics") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(2.0, 0.0), Seq(4.0, 0.0)))
       .toDF("a", "b")
