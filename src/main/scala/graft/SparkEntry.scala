@@ -5136,6 +5136,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q252 — ⊕ spectral datacard: the one-row corpus-geometry summary
+    * a data report publishes next to q200/q234 — top-2 explained
+    * fractions (q247's spectrum, the "is this corpus collapsed /
+    * template-dominated" verdict) and the residual-screen quantile
+    * profile (q246's readout: where the off-manifold tail starts).
+    * Quantiles ride Spark `percentile` ≡ DuckDB `quantile_cont` (the
+    * q196 stance) over the ALREADY-4dp-rounded residuals, so the
+    * interpolation inputs are bit-identical on both engines; the
+    * top-2 sum adds the ROUNDED fractions and re-rounds, mirrored
+    * exactly. The two single-row sides meet in one broadcast cross
+    * (the q93 stance).
+    */
+  private val q252SpectralDatacard: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val ex = ext.Spectral.pcaComponents(em, col("vec_id"), col("embedding"),
+        nComponents = 2, iterations = 4)
+      .groupBy()
+      .agg(max(when(col("component") === 1, col("explained_frac")))
+          .as("explained_1"),
+        max(when(col("component") === 2, col("explained_frac")))
+          .as("explained_2"))
+    val rq = ext.Spectral.pcaProject(em, col("vec_id"), col("embedding"),
+        iterations = 4)
+      .agg(count(lit(1)).as("n_vectors"),
+        percentile(col("resid_sq"), lit(0.5)).as("__p50"),
+        percentile(col("resid_sq"), lit(0.9)).as("__p90"),
+        percentile(col("resid_sq"), lit(0.99)).as("__p99"))
+    rq.crossJoin(broadcast(ex))
+      .select(col("n_vectors"), col("explained_1"), col("explained_2"),
+        round(col("explained_1") + col("explained_2"), 6).as("top2_explained"),
+        round(col("__p50"), 6).as("resid_p50"),
+        round(col("__p90"), 6).as("resid_p90"),
+        round(col("__p99"), 6).as("resid_p99"))
+  }
+
   /** q251 — ⊕ JL projection distortion
     * ([[graft.ext.Similarity.jlProject]]'s measurement anchor): for
     * every adjacent pair (2t, 2t+1) of embedding ids, the TRUE
@@ -6389,6 +6424,7 @@ object SparkEntry {
     "q249_pca_project_sized" -> q249PcaProjectSized,
     "q250_hybrid_rrf_ivf"   -> q250HybridRrfIvf,
     "q251_jl_distortion"    -> q251JlDistortion,
+    "q252_spectral_datacard" -> q252SpectralDatacard,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -9999,6 +10035,46 @@ object SparkEntry {
         |SELECT vec_id, round(p, 4) AS proj,
         |  round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
         |FROM pf ORDER BY vec_id""".stripMargin,
+    // q252: q247's two-chain spectrum + q246's residual readout,
+    // quantile_cont over the 4dp-rounded residuals (bit-identical
+    // interpolation inputs), rounded-fraction sum mirrored exactly.
+    "q252_spectral_datacard" ->
+      raw"""${pcaPowerCte(4)},
+        |pf AS MATERIALIZED (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM c, v4),
+        |ev1 AS (SELECT avg(p * p) AS ev FROM pf),
+        |tr AS (SELECT avg(list_sum(list_transform(c, x -> x * x))) AS trace FROM c),
+        |d AS MATERIALIZED (
+        |  SELECT pf.vec_id,
+        |    list_transform(range(1, len(c) + 1), j -> c[j] - p * pc[j]) AS c
+        |  FROM pf, v4),
+        |bv0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
+        |${pcaStepCtes("d", "b", 4)},
+        |pg AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM d, bv4),
+        |ev2 AS (SELECT avg(p * p) AS ev FROM pg),
+        |res AS (
+        |  SELECT vec_id,
+        |    round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4) AS resid_sq
+        |  FROM pf),
+        |q AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |    quantile_cont(resid_sq, 0.5) AS p50,
+        |    quantile_cont(resid_sq, 0.9) AS p90,
+        |    quantile_cont(resid_sq, 0.99) AS p99
+        |  FROM res)
+        |SELECT n_vectors,
+        |  round(ev1.ev / tr.trace, 6) AS explained_1,
+        |  round(ev2.ev / tr.trace, 6) AS explained_2,
+        |  round(round(ev1.ev / tr.trace, 6) + round(ev2.ev / tr.trace, 6), 6) AS top2_explained,
+        |  round(p50, 6) AS resid_p50,
+        |  round(p90, 6) AS resid_p90,
+        |  round(p99, 6) AS resid_p99
+        |FROM q, ev1, ev2, tr""".stripMargin,
     // q251: the JL planes re-derive from the md5 parity rule in the
     // "jl|t|d" namespace (the q26 convention); the per-pair Σ(dv·p_t)²
     // folds through list(dp ORDER BY t) + list_sum so the 16 addends

@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   * convention). Fixed iteration count + deterministic start means the
   * published component is a well-defined function of the data, not an
   * "until converged" loop whose trip count could differ by engine.
+  *
+  * Convergence semantics, measured (SpectralSpec): per-step
+  * contraction is λ₂/λ₁, so on a corpus WITH a dominant direction
+  * (the collapse/outlier use case) a handful of steps pins the
+  * eigenvector (synthetic gap fixture: 4 steps land within 1e-3 of
+  * the axis). On a NEARLY FLAT spectrum the direction is
+  * underdetermined — necessarily, there is nothing dominant to find —
+  * but the published Rayleigh quotient is still a valid lower bound
+  * on λ₁ within a bounded factor (measured 0.85× on the flat test
+  * fixture, λ₁/trace ≈ 0.029), so the datacard verdict the numbers
+  * exist for ("is this corpus collapsed?") reads identically.
   */
 object Spectral {
 

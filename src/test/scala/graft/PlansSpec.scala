@@ -193,7 +193,10 @@ class PlansSpec extends SparkSuite {
       // stance: the build side is model-sized — one d-array row —
       // regardless of corpus volume; ext/Spectral)
       "q245_pca_component", "q246_pca_project", "q247_pca_spectrum",
-      "q249_pca_project_sized")
+      "q249_pca_project_sized",
+      // the datacard's quantile row × the two-row spectrum readout —
+      // both single-row broadcasts (the q93 stance)
+      "q252_spectral_datacard")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
