@@ -5171,6 +5171,133 @@ object SparkEntry {
         round(col("__p99"), 6).as("resid_p99"))
   }
 
+  /** q253 — ⊕ SemDeDup over WHITENED coordinates — the composition
+    * the [[graft.ext.Spectral]] scaladoc promises: q246's projection
+    * readout (each vector's on-manifold coordinate `proj` and
+    * off-manifold distance √resid_sq — its spectral footprint,
+    * published rounded at 4 so both engines agree bit-exactly on the
+    * downstream INPUT) becomes the 2-d feature q106's ε-ball dedup
+    * runs on. [[graft.ext.Spectral.fitState]] fits once (single
+    * broadcastable row), [[graft.ext.Spectral.projectWith]] scores
+    * every row, [[graft.ext.Similarity.semDedup]] clusters the
+    * footprints (k-means, quantized 9) and keeps the min-id
+    * representative of every ≥-tau ε-ball. This is a COARSE collapse
+    * by construction and documented as such: normalized 2-d
+    * footprints live on the unit half-circle, so even the tightest
+    * 4-dp ball (tau 0.9999 here) merges whole footprint CLASSES —
+    * measured 32/496 survivors at sf0.01 (52 at tau = 1.0), vs
+    * q106's 489/496 in full embedding space. What it IS: an
+    * aggressive spectral DECIMATION — keep one representative per
+    * corpus-geometry class (diversity subsetting, coreset-style).
+    * What it is NOT — measured, not assumed (q256): a
+    * recall-preserving prefilter for embedding-space SemDeDup.
+    * Footprint proximity does not bound embedding cosine, so
+    * composing this before q106 keeps 6.5% of what direct q106
+    * keeps — q256 publishes that verdict as a datacard. Pair work is
+    * the q106 Σc² shape over 2-d vectors (32× smaller per pair); at
+    * 100 TB the fit is sample-sized ([[graft.ext.Spectral
+    * .fitStateSized]] — q249 pins that path) and scoring is one
+    * row-local pass.
+    */
+  private val q253WhitenedSemDedup: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitState(em, col("vec_id"), col("embedding"),
+      iterations = 4)
+    val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedup(wc, col("id"), col("w"), k = 16, iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q255 — ⊕ SemDeDup over the FULL whitening readout
+    * ([[graft.ext.Spectral.whitenedCoords]]): q253's composition at
+    * the 3-d footprint [p1, p2, √resid_sq] — coordinates in the top-2
+    * principal directions plus the off-plane distance. One more
+    * coordinate changes the operating point qualitatively (the reason
+    * both anchors exist): the 2-d footprint collapses classes
+    * (32/496 at sf0.01), the 3-d one is a genuine near-dup DEDUP —
+    * measured keep rates published in COVERAGE.md. Same k-means +
+    * ε-ball derivation; pair work still over model-sized 3-d vectors,
+    * fit still sample-sizable via the q249 path.
+    */
+  private val q255Whitened3SemDedup: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val wc = ext.Spectral.whitenedCoords(em, col("vec_id"), col("embedding"),
+        iterations = 4)
+      .select(col("id"),
+        array(col("p1"), col("p2"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedup(wc, col("id"), col("w"), k = 16, iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q256 — ⊕ the dedup FUNNEL datacard — a MEASURED NEGATIVE
+    * RESULT, kept on purpose (the q198/q238 stance: publish the
+    * operating point, don't cite it). The tempting composition —
+    * collapse spectral footprints first (q253), then run q106's
+    * full-vector SemDeDup on the survivors — looks like a cheap
+    * funnel, and this anchor measures it and REJECTS it: footprint
+    * proximity does not bound embedding cosine, so the coarse stage
+    * merges rows the direct dedup would keep. At sf0.01 the verdict
+    * row reads recall_vs_direct_ppm = 65439 (the funnel keeps 6.5%
+    * of what direct q106 keeps) with pairs_funnel ≥ pairs_direct —
+    * worse on BOTH axes; the right deployment is q253 as a
+    * standalone decimation or q106/q112 direct, never the stack.
+    * Three derivations over one corpus: (A) q253's 2-d footprint
+    * collapse, (B) q106's parameters DIRECT on the whole corpus,
+    * (C) the funnel — B's parameters on A's survivors only. One row
+    * publishes the stage populations, the funnel's agreement with
+    * direct (exact integer ppm), and the ε-ball pair-work integers
+    * (Σ c·(c−1)/2 over under-cap clusters) for both routes. Every
+    * published column explicitly cast BIGINT (the q205
+    * publish-dtype convention).
+    */
+  private val q256DedupFunnel: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitState(em, col("vec_id"), col("embedding"),
+      iterations = 4)
+    val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    val (coarseAsg, coarseKept) = ext.Similarity.semDedupParts(wc,
+      col("id"), col("w"), k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
+    val (directAsg, directKept) = ext.Similarity.semDedupParts(em,
+      col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
+      quantize = Some(9))
+    val surv = em.join(coarseKept.select(col("id").as("vec_id")), Seq("vec_id"))
+    val (funAsg, funKept) = ext.Similarity.semDedupParts(surv,
+      col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
+      quantize = Some(9))
+    def pairWork(asg: org.apache.spark.sql.DataFrame, as_ : String) = asg
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= lit(graft.ext.Dedup.DefaultMaxBucket.toLong))
+      .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
+        .cast("long").as(as_))
+    def one(df: org.apache.spark.sql.DataFrame, as_ : String) =
+      df.agg(count(lit(1)).cast("long").as(as_))
+    one(wc, "n_input")
+      .crossJoin(broadcast(one(coarseKept, "n_coarse_kept")))
+      .crossJoin(broadcast(one(directKept, "n_direct_kept")))
+      .crossJoin(broadcast(one(funKept, "n_funnel_kept")))
+      .crossJoin(broadcast(one(
+        funKept.select(col("id"))
+          .join(directKept.select(col("id")), Seq("id")), "n_agree")))
+      .crossJoin(broadcast(pairWork(coarseAsg, "pairs_coarse")))
+      .crossJoin(broadcast(pairWork(directAsg, "pairs_direct")))
+      .crossJoin(broadcast(pairWork(funAsg, "pairs_survivor")))
+      .select(col("n_input"), col("n_coarse_kept"), col("n_direct_kept"),
+        col("n_funnel_kept"), col("n_agree"),
+        expr("(n_agree * 1000000) div n_direct_kept").cast("long")
+          .as("recall_vs_direct_ppm"),
+        col("pairs_direct"),
+        (col("pairs_coarse") + col("pairs_survivor")).cast("long")
+          .as("pairs_funnel"))
+  }
+
   /** q251 — ⊕ JL projection distortion
     * ([[graft.ext.Similarity.jlProject]]'s measurement anchor): for
     * every adjacent pair (2t, 2t+1) of embedding ids, the TRUE
@@ -5184,8 +5311,23 @@ object SparkEntry {
     * (the oracle's `list(dp ORDER BY t)` + list_sum mirrors the fold
     * exactly — a bare SQL sum() would re-order the 16 addends).
     */
-  private val q251JlDistortion: Q = (s, dir) => {
-    val outDim = 16
+  private val q251JlDistortion: Q = jlDistortionQ(outDim = 16)
+
+  /** q254 — ⊕ the SECOND JL operating point (t = 8): q251's
+    * measurement re-run at half the output dimension, so the anchors
+    * pin the distortion–dimension SCHEDULE (variance of the estimate
+    * doubles when t halves — visible in the spread of `distortion`),
+    * not one constant — the q241/q243 two-floor convention applied to
+    * dimensionality reduction. Byte-shares q251's generator up to the
+    * t literal on both engines.
+    */
+  private val q254JlDistortionT8: Q = jlDistortionQ(outDim = 8)
+
+  /** One generator for both JL anchors (q251 t=16, q254 t=8) — the
+    * projection planes, the fixed t-ascending fold, and the readout
+    * are identical; only the output dimension differs.
+    */
+  private def jlDistortionQ(outDim: Int): Q = (s, dir) => {
     val dim = 64
     val em = Tables.embeddings(s, dir)
       .select(col("vec_id"), ext.Similarity.vecD(col("embedding")).as("v"))
@@ -6425,6 +6567,10 @@ object SparkEntry {
     "q250_hybrid_rrf_ivf"   -> q250HybridRrfIvf,
     "q251_jl_distortion"    -> q251JlDistortion,
     "q252_spectral_datacard" -> q252SpectralDatacard,
+    "q253_whitened_semdedup" -> q253WhitenedSemDedup,
+    "q254_jl_distortion_t8" -> q254JlDistortionT8,
+    "q255_whitened3_semdedup" -> q255Whitened3SemDedup,
+    "q256_dedup_funnel"     -> q256DedupFunnel,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -6525,7 +6671,27 @@ object SparkEntry {
     val t = if (trainWhere.isEmpty) "nv" else "nvt"
     val nvtCte = if (trainWhere.isEmpty) ""
       else s"\nnvt AS (SELECT * FROM nv WHERE $trainWhere),"
-    val dot = "list_sum(list_transform(range(1, 65), i -> c[i] * nv[i]))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),$nvtCte
+       |${ivfChainCtes(64, 16, t, afSrc)}""".stripMargin
+  }
+
+  /** The k-means derivation itself — seeds (first k by vec_id,
+    * round(,9)), two Lloyd rounds (round(,9) means, re-normalized,
+    * empty cluster keeps its centroid), final assignment `af(vec_id,
+    * nv, cluster)` — over an ALREADY-DEFINED `nv(vec_id, nv)` CTE,
+    * parameterized by vector dimension and k so the q253
+    * whitened-coordinate chain (dim 2) byte-shares the exact
+    * derivation the embedding chains (dim 64) have always used
+    * ([[graft.ext.Similarity.ivfFit]] at iters = 2, quantize 9).
+    * `pfx` renames every chain CTE (c0 → ${pfx}c0 … af → ${pfx}af)
+    * so one query can carry several independent chains (q256 runs
+    * three); empty prefix is byte-identical to the historical names.
+    */
+  private def ivfChainCtes(dim: Int, k: Int, t: String, afSrc: String,
+                           pfx: String = ""): String = {
+    val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> c[i] * nv[i]))"
     def assign(nvSrc: String, cents: String): String =
       s"""  SELECT vec_id, nv, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cluster
          |  FROM (SELECT vec_id, nv,
@@ -6535,7 +6701,7 @@ object SparkEntry {
       s"""m_$out AS (
          |  SELECT cluster, u.pos AS pos, round(avg(u.val), 9) AS m
          |  FROM (SELECT cluster,
-         |          unnest(list_transform(range(1, 65), i -> {'pos': i, 'val': nv[i]})) AS u
+         |          unnest(list_transform(range(1, ${dim + 1}), i -> {'pos': i, 'val': nv[i]})) AS u
          |        FROM $assigned)
          |  GROUP BY cluster, u.pos),
          |g_$out AS (
@@ -6548,24 +6714,21 @@ object SparkEntry {
          |        FROM g_$out)),
          |$out AS (
          |  SELECT list(COALESCE(n_$out.cent, $prev.cs[cid.i + 1]) ORDER BY cid.i) AS cs
-         |  FROM (SELECT unnest(range(0, 16)) AS i) cid
+         |  FROM (SELECT unnest(range(0, $k)) AS i) cid
          |  LEFT JOIN n_$out ON n_$out.cluster = cid.i
          |  CROSS JOIN $prev)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
-       |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM n0 WHERE sq > 0),$nvtCte
-       |c0 AS (
+    s"""${pfx}c0 AS (
        |  SELECT list_transform(list(nv ORDER BY vec_id),
        |                        v -> list_transform(v, x -> round(x, 9))) AS cs
-       |  FROM (SELECT vec_id, nv FROM $t ORDER BY vec_id LIMIT 16)),
-       |a0 AS (
-       |${assign(t, "c0")}),
-       |${lloyd("a0", "c0", "c1")},
-       |a1 AS (
-       |${assign(t, "c1")}),
-       |${lloyd("a1", "c1", "c2")},
-       |af AS (
-       |${assign(afSrc, "c2")})""".stripMargin
+       |  FROM (SELECT vec_id, nv FROM $t ORDER BY vec_id LIMIT $k)),
+       |${pfx}a0 AS (
+       |${assign(t, s"${pfx}c0")}),
+       |${lloyd(s"${pfx}a0", s"${pfx}c0", s"${pfx}c1")},
+       |${pfx}a1 AS (
+       |${assign(t, s"${pfx}c1")}),
+       |${lloyd(s"${pfx}a1", s"${pfx}c1", s"${pfx}c2")},
+       |${pfx}af AS (
+       |${assign(afSrc, s"${pfx}c2")})""".stripMargin
   }
 
   /** q143's oracle: the q38 coarse chain plus the PQ side — subvector
@@ -9803,7 +9966,7 @@ object SparkEntry {
         |  CAST(CAST(tokens_drawn AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
         |  capped
         |FROM (
-        |  SELECT rr.source AS source, rr.t AS n_tokens,
+        |  SELECT rr.source AS source, CAST(rr.t AS BIGINT) AS n_tokens,
         |    CAST(rr.w AS BIGINT) AS weight,
         |    CASE WHEN lam.lamRem IS NULL
         |              OR CAST(rr.cap AS HUGEINT) * lam.lamD <= lam.lamRem * CAST(rr.w AS HUGEINT)
@@ -10075,45 +10238,24 @@ object SparkEntry {
         |  round(p90, 6) AS resid_p90,
         |  round(p99, 6) AS resid_p99
         |FROM q, ev1, ev2, tr""".stripMargin,
-    // q251: the JL planes re-derive from the md5 parity rule in the
-    // "jl|t|d" namespace (the q26 convention); the per-pair Σ(dv·p_t)²
-    // folds through list(dp ORDER BY t) + list_sum so the 16 addends
-    // sum in Spark's exact fold order.
-    "q251_jl_distortion" ->
-      raw"""WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS dv
-        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
-        |  WHERE a.vec_id % 2 = 0),
-        |comp AS (
-        |  SELECT t.t, d.d,
-        |    CASE WHEN strpos('13579bdf',
-        |           substr(md5('jl|' || CAST(t.t AS VARCHAR)
-        |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
-        |         THEN -1.0 ELSE 1.0 END AS c
-        |  FROM (SELECT unnest(range(0, 16)) AS t) t
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
-        |pl AS (SELECT t, list(c ORDER BY d) AS pv FROM comp GROUP BY t),
-        |prj AS (
-        |  SELECT id_a, id_b, t,
-        |    list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * pv[i])) AS dp
-        |  FROM p CROSS JOIN pl),
-        |agg AS (
-        |  SELECT id_a, id_b,
-        |    list_sum(list_transform(list(dp ORDER BY t), x -> x * x)) / 16.0 AS dproj2
-        |  FROM prj GROUP BY id_a, id_b),
-        |tru AS (
-        |  SELECT id_a, id_b, list_sum(list_transform(dv, x -> x * x)) AS dtrue2
-        |  FROM p)
-        |SELECT t.id_a AS vec_id_a, t.id_b AS vec_id_b,
-        |  round(t.dtrue2, 6) AS dist_sq_true,
-        |  round(a.dproj2, 6) AS dist_sq_proj,
-        |  round(a.dproj2 / t.dtrue2, 4) AS distortion
-        |FROM tru t JOIN agg a ON a.id_a = t.id_a AND a.id_b = t.id_b
-        |WHERE t.dtrue2 > 0
-        |ORDER BY vec_id_a""".stripMargin,
+    // q251/q254: the JL planes re-derive from the md5 parity rule in
+    // the "jl|t|d" namespace (the q26 convention); the per-pair
+    // Σ(dv·p_t)² folds through list(dp ORDER BY t) + list_sum so the
+    // t addends sum in Spark's exact fold order. One generator, two
+    // operating points (t = 16 / t = 8).
+    "q251_jl_distortion" -> jlDistortionOracleSql(16),
+    "q254_jl_distortion_t8" -> jlDistortionOracleSql(8),
+    // q253: q246's replayed projection chain feeds the q106 ε-ball
+    // derivation at dim 2 — both halves byte-shared with their parent
+    // anchors via pcaPowerCte/ivfChainCtes.
+    "q253_whitened_semdedup" -> whitenedSemDedupOracleSql,
+    // q255: the q252 two-chain spectrum CTEs feed the same ε-ball
+    // derivation at dim 3.
+    "q255_whitened3_semdedup" -> whitened3SemDedupOracleSql,
+    // q256: three prefixed ivfChainCtes instances (w/f/s) — the q253
+    // footprint chain, the q106 direct chain, and the survivor
+    // re-run — plus integer pair-work and agreement readouts.
+    "q256_dedup_funnel" -> dedupFunnelOracleSql,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.
@@ -13577,4 +13719,182 @@ object SparkEntry {
       |SELECT af.vec_id AS id, af.cluster FROM af
       |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
       |ORDER BY id""".stripMargin
+
+  /** q251/q254 shared oracle generator — the JL measurement replayed
+    * at output dimension `outDim`; everything but the t range and the
+    * 1/t scale is byte-identical between the two anchors.
+    */
+  private def jlDistortionOracleSql(outDim: Int): String =
+    raw"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS dv
+      |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 2 = 0),
+      |comp AS (
+      |  SELECT t.t, d.d,
+      |    CASE WHEN strpos('13579bdf',
+      |           substr(md5('jl|' || CAST(t.t AS VARCHAR)
+      |                      || '|' || CAST(d.d AS VARCHAR)), 2, 1)) > 0
+      |         THEN -1.0 ELSE 1.0 END AS c
+      |  FROM (SELECT unnest(range(0, $outDim)) AS t) t
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+      |pl AS (SELECT t, list(c ORDER BY d) AS pv FROM comp GROUP BY t),
+      |prj AS (
+      |  SELECT id_a, id_b, t,
+      |    list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * pv[i])) AS dp
+      |  FROM p CROSS JOIN pl),
+      |agg AS (
+      |  SELECT id_a, id_b,
+      |    list_sum(list_transform(list(dp ORDER BY t), x -> x * x)) / $outDim.0 AS dproj2
+      |  FROM prj GROUP BY id_a, id_b),
+      |tru AS (
+      |  SELECT id_a, id_b, list_sum(list_transform(dv, x -> x * x)) AS dtrue2
+      |  FROM p)
+      |SELECT t.id_a AS vec_id_a, t.id_b AS vec_id_b,
+      |  round(t.dtrue2, 6) AS dist_sq_true,
+      |  round(a.dproj2, 6) AS dist_sq_proj,
+      |  round(a.dproj2 / t.dtrue2, 4) AS distortion
+      |FROM tru t JOIN agg a ON a.id_a = t.id_a AND a.id_b = t.id_b
+      |WHERE t.dtrue2 > 0
+      |ORDER BY vec_id_a""".stripMargin
+
+  /** q253's oracle — the composed whitened-coordinate SemDeDup:
+    * q246's power-iteration chain produces each vector's (proj,
+    * resid) whitened 2-d footprint (rounded at 4 exactly as
+    * [[graft.ext.Spectral.projectWith]] publishes it, THEN the
+    * row-local sqrt), and q106's ε-ball derivation — the SAME
+    * [[ivfChainCtes]] k-means at dim 2 — picks the survivors.
+    */
+  private def whitenedSemDedupOracleSql: String =
+    raw"""${pcaPowerCte(4)},
+      |pf AS (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM c, v4),
+      |wv AS (
+      |  SELECT vec_id, [round(p, 4),
+      |    sqrt(round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4))] AS v
+      |  FROM pf),
+      |wn0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM wv),
+      |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM wn0 WHERE sq > 0),
+      |${ivfChainCtes(2, 16, "nv", "nv")},
+      |cs AS (
+      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
+      |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id AS id
+      |  FROM capped a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, 3),
+      |          i -> a.nv[i] * b.nv[i])), 4) >= 0.9999)
+      |SELECT af.vec_id, af.cluster FROM af
+      |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
+  /** q255's oracle — q253 at the full whitening readout: q252's
+    * two-chain spectrum derivation (pf for p1, the deflation CTE `d`,
+    * the `b`-prefixed second iteration, pg for p2) produces the 3-d
+    * [p1, p2, √resid] footprint, then the SAME [[ivfChainCtes]]
+    * k-means at dim 3 and the q106 ε-ball tail.
+    */
+  private def whitened3SemDedupOracleSql: String =
+    raw"""${pcaPowerCte(4)},
+      |pf AS MATERIALIZED (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM c, v4),
+      |d AS MATERIALIZED (
+      |  SELECT pf.vec_id,
+      |    list_transform(range(1, len(c) + 1), j -> c[j] - p * pc[j]) AS c
+      |  FROM pf, v4),
+      |bv0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
+      |${pcaStepCtes("d", "b", 4)},
+      |pg AS (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM d, bv4),
+      |wv AS (
+      |  SELECT pf.vec_id, [round(pf.p, 4), round(pg.p, 4),
+      |    sqrt(round(greatest(0.0, list_sum(list_transform(pg.c, x -> x * x)) - pg.p * pg.p), 4))] AS v
+      |  FROM pf JOIN pg ON pg.vec_id = pf.vec_id),
+      |wn0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM wv),
+      |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM wn0 WHERE sq > 0),
+      |${ivfChainCtes(3, 16, "nv", "nv")},
+      |cs AS (
+      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
+      |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id AS id
+      |  FROM capped a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, 4),
+      |          i -> a.nv[i] * b.nv[i])), 4) >= 0.9999)
+      |SELECT af.vec_id, af.cluster FROM af
+      |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
+  /** q256's oracle — the funnel datacard: q253's footprint chain
+    * (prefix `w`), q106's direct chain (prefix `f`), the survivor
+    * re-run (prefix `s`), then integer pair-work and agreement
+    * readouts, every published column cast BIGINT.
+    */
+  private def dedupFunnelOracleSql: String = {
+    def ballTail(p: String, dim: Int, tau: String): String =
+      raw"""${p}cs AS (
+        |  SELECT cluster FROM ${p}af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
+        |${p}capped AS (SELECT ${p}af.* FROM ${p}af JOIN ${p}cs USING (cluster)),
+        |${p}dropped AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM ${p}capped a JOIN ${p}capped b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, ${dim + 1}),
+        |          i -> a.nv[i] * b.nv[i])), 4) >= $tau),
+        |${p}kept AS MATERIALIZED (
+        |  SELECT vec_id FROM ${p}af
+        |  WHERE vec_id NOT IN (SELECT id FROM ${p}dropped))""".stripMargin
+    def pairWork(p: String, out: String): String =
+      raw"""$out AS (
+        |  SELECT coalesce(sum((n * (n - 1)) // 2), 0) AS p FROM (
+        |    SELECT count(*) AS n FROM ${p}af GROUP BY cluster)
+        |  WHERE n <= $MaxBucketCap)""".stripMargin
+    raw"""${pcaPowerCte(4)},
+      |pf AS (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM c, v4),
+      |wv AS (
+      |  SELECT vec_id, [round(p, 4),
+      |    sqrt(round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4))] AS v
+      |  FROM pf),
+      |wn0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM wv),
+      |wnv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM wn0 WHERE sq > 0),
+      |${ivfChainCtes(2, 16, "wnv", "wnv", "w")},
+      |${ballTail("w", 2, "0.9999")},
+      |fn0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM e),
+      |fnv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM fn0 WHERE sq > 0),
+      |${ivfChainCtes(64, 16, "fnv", "fnv", "f")},
+      |${ballTail("f", 64, "0.42")},
+      |snv AS MATERIALIZED (SELECT fnv.* FROM fnv JOIN wkept USING (vec_id)),
+      |${ivfChainCtes(64, 16, "snv", "snv", "s")},
+      |${ballTail("s", 64, "0.42")},
+      |nin AS (SELECT count(*) AS n FROM wv),
+      |ncoarse AS (SELECT count(*) AS n FROM wkept),
+      |ndirect AS (SELECT count(*) AS n FROM fkept),
+      |nfunnel AS (SELECT count(*) AS n FROM skept),
+      |nagree AS (SELECT count(*) AS n FROM fkept JOIN skept USING (vec_id)),
+      |${pairWork("w", "pwc")},
+      |${pairWork("f", "pwf")},
+      |${pairWork("s", "pws")}
+      |SELECT CAST(nin.n AS BIGINT) AS n_input,
+      |  CAST(ncoarse.n AS BIGINT) AS n_coarse_kept,
+      |  CAST(ndirect.n AS BIGINT) AS n_direct_kept,
+      |  CAST(nfunnel.n AS BIGINT) AS n_funnel_kept,
+      |  CAST(nagree.n AS BIGINT) AS n_agree,
+      |  CAST((nagree.n * 1000000) // ndirect.n AS BIGINT) AS recall_vs_direct_ppm,
+      |  CAST(pwf.p AS BIGINT) AS pairs_direct,
+      |  CAST(pwc.p + pws.p AS BIGINT) AS pairs_funnel
+      |FROM nin, ncoarse, ndirect, nfunnel, nagree, pwc, pwf, pws""".stripMargin
+  }
 }

@@ -737,7 +737,20 @@ object Similarity {
   def semDedup(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
                tau: Double, quantize: Option[Int] = None, roundTo: Int = 4,
                maxCluster: Int = Dedup.DefaultMaxBucket,
-               numPartitions: Option[Int] = None): DataFrame = {
+               numPartitions: Option[Int] = None): DataFrame =
+    semDedupParts(df, id, vec, k, iters, tau, quantize, roundTo,
+      maxCluster, numPartitions)._2
+
+  /** [[semDedup]] plus the `(id, cluster)` ASSIGNMENT it derived —
+    * the datacard form: the q256 funnel measures its pair work
+    * (Σ c·(c−1)/2 over under-cap clusters) from the assignment
+    * table, which the kept-rows result alone cannot reconstruct.
+    * Returns (assigned, kept); [[semDedup]] is the kept half.
+    */
+  def semDedupParts(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+                    tau: Double, quantize: Option[Int] = None, roundTo: Int = 4,
+                    maxCluster: Int = Dedup.DefaultMaxBucket,
+                    numPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
     val model = ivfFit(df, id, vec, k, iters, quantize)
     val a = model.assigned  // (id, nv, cluster), persisted by ivfFit
     val okClusters = a.groupBy(col("cluster"))
@@ -754,8 +767,9 @@ object Similarity {
       .filter(col("id_a") < col("id_b") &&
         round(dot(col("nv_a"), col("nv_b")), roundTo) >= tau)
       .select(col("id_b").as("id")).distinct()
-    a.select(col("id"), col("cluster"))
-      .join(dropped, Seq("id"), "left_anti")
+    (a.select(col("id"), col("cluster")),
+      a.select(col("id"), col("cluster"))
+        .join(dropped, Seq("id"), "left_anti"))
   }
 
   /** ⊕ Per-dimension standardization (z-score whitening) — the

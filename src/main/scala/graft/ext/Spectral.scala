@@ -188,6 +188,42 @@ object Spectral {
     projectWith(vectors, id, vec,
       fitState(vectors, id, vec, iterations), roundTo)
 
+  /** The whitening readout the family's consumers cluster on: each
+    * vector's coordinates along the top-2 principal directions plus
+    * the off-plane residual — `(id, p1, p2, resid_sq)`, rounded at
+    * `roundTo` so the published triplet is the engine-stable INPUT of
+    * any downstream dedup/screen (the [[pcaProject]] convention at
+    * two components). Derivation byte-shares [[pcaComponents]]'
+    * deflation: p1 = c·v1, the corpus deflates row-locally (c ← c −
+    * p1·v1 — exactly mean-zero analytically, no re-centering), v2
+    * fits from the same all-ones start, p2 = c_defl·v2, and the
+    * residual is ‖c_defl‖² − p2² clamped at 0 (the −0.0 rule). Two
+    * d-row-shuffle fits over lazily checkpointed centered blocks plus
+    * two single-row broadcast readout passes; nothing corpus-sized
+    * crosses the driver.
+    */
+  def whitenedCoords(vectors: DataFrame, id: Column, vec: Column,
+                     iterations: Int = 4, roundTo: Int = 4): DataFrame = {
+    val (cent, muRow) = center(vectors, id, vec)
+    val v1 = powerComp(cent, muRow, iterations)
+    val defl = cent.crossJoin(broadcast(v1))
+      .select(col("id"), col("c"),
+        Similarity.dot(col("c"), col("pc")).as("p1"), col("pc"))
+      .select(col("id"), col("p1"),
+        zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("c"))
+      .localCheckpoint(eager = false)
+    val v2 = powerComp(defl.select(col("id"), col("c")), muRow, iterations)
+    defl.crossJoin(broadcast(v2))
+      .select(col("id"), col("p1"),
+        Similarity.dot(col("c"), col("pc")).as("p2"),
+        Similarity.dot(col("c"), col("c")).as("cc"))
+      .select(col("id"),
+        round(col("p1"), roundTo).as("p1"),
+        round(col("p2"), roundTo).as("p2"),
+        round(greatest(lit(0.0), col("cc") - col("p2") * col("p2")),
+          roundTo).as("resid_sq"))
+  }
+
   /** The fitted model as ONE broadcastable row `(mu, pc)` — the
     * static side of the stream-static deployment: fit offline (on a
     * sample), hand the state to [[projectWith]] /

@@ -33,10 +33,10 @@ object Profile {
     df.select(c.cast("double").as("__x")).filter(col("__x").isNotNull)
       .crossJoin(broadcast(mm))
       .select(
-        when(col("__mx") === col("__mn"), lit(0))
-          .otherwise(least(lit(buckets - 1),
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
             floor((col("__x") - col("__mn")) * buckets / (col("__mx") - col("__mn")))
-              .cast("int"))).as("bucket"),
+              .cast("long"))).as("bucket"),
         col("__mn"), col("__mx"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),

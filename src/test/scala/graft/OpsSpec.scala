@@ -327,12 +327,12 @@ class OpsSpec extends SparkSuite {
     import graft.ops.Profile
     val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null).toDF("x")
     val h = Profile.histogram(df, col("x"), 4).orderBy("bucket")
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     // range [0,10], width 2.5: 0,1 -> b0; 2.5 -> b1; 5 -> b2; 9.9,10 -> b3
     assert(h.toSeq === Seq(
-      (0, 2L, 0.0, 2.5), (1, 1L, 2.5, 5.0), (2, 1L, 5.0, 7.5), (3, 2L, 7.5, 10.0)))
+      (0L, 2L, 0.0, 2.5), (1L, 1L, 2.5, 5.0), (2L, 1L, 5.0, 7.5), (3L, 2L, 7.5, 10.0)))
     assert(h.map(_._2).sum == 6L, "null must not be bucketed")
     val const = Profile.histogram(Seq(3.0, 3.0).toDF("x"), col("x"), 4).collect()
-    assert(const.length == 1 && const.head.getInt(0) == 0 && const.head.getLong(1) == 2L)
+    assert(const.length == 1 && const.head.getLong(0) == 0L && const.head.getLong(1) == 2L)
   }
 }

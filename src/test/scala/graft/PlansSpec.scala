@@ -196,7 +196,16 @@ class PlansSpec extends SparkSuite {
       "q249_pca_project_sized",
       // the datacard's quantile row × the two-row spectrum readout —
       // both single-row broadcasts (the q93 stance)
-      "q252_spectral_datacard")
+      "q252_spectral_datacard",
+      // the power-step single-row crosses of the spectral fit plus
+      // the fitted (mu, pc) single-row state broadcast into
+      // projectWith (the q93 stance); the dedup half is the q106
+      // cluster-keyed equi-join, not cartesian
+      "q253_whitened_semdedup", "q255_whitened3_semdedup",
+      // the funnel datacard's readout row is eight single-row
+      // aggregates crossed (the q93 stance); every corpus-sized join
+      // upstream is cluster- or id-keyed
+      "q256_dedup_funnel")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's

@@ -99,6 +99,42 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(dirProj - viaY) < 1e-9)
   }
 
+  test("jl distortion SCHEDULE (q251/q254): halving t keeps the estimate " +
+      "unbiased but widens the per-pair spread") {
+    // the two-operating-point contract: per-pair variance ∝ 1/t, so
+    // t=8 must show a strictly larger spread than t=16 over the same
+    // pairs while both means stay near 1 (measured at sf0.01:
+    // stddev 0.506 vs 0.324, variance ratio 2.44 vs the theoretical
+    // 2.0). Deterministic given the fixture — a measurement, not a
+    // flaky statistical assertion.
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v = em.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val pairs = v.keys.filter(k => k % 2 == 0 && v.contains(k + 1)).toSeq.sorted
+    def distortions(t: Int): Seq[Double] = {
+      val y = Similarity.jlProject(em, col("vec_id"), col("embedding"),
+          outDim = t, dim = 64)
+        .as[(Long, Seq[Double])].collect().toMap
+      pairs.map { k =>
+        val dTrue = v(k).zip(v(k + 1)).map { case (p, q) => (p - q) * (p - q) }.sum
+        val dProj = y(k).zip(y(k + 1)).map { case (p, q) => (p - q) * (p - q) }.sum
+        dProj / dTrue
+      }
+    }
+    def stats(xs: Seq[Double]): (Double, Double) = {
+      val m = xs.sum / xs.size
+      (m, math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)))
+    }
+    val (m16, s16) = stats(distortions(16))
+    val (m8, s8) = stats(distortions(8))
+    assert(m8 > 0.8 && m8 < 1.2, s"t=8 mean distortion $m8 drifted from 1")
+    assert(s8 > s16, s"t=8 spread ($s8) must exceed t=16 ($s16)")
+    // and the widening is the 1/t schedule, not noise: variance ratio
+    // lands in a loose band around the theoretical 2
+    val ratio = (s8 * s8) / (s16 * s16)
+    assert(ratio > 1.3 && ratio < 3.5, s"variance ratio $ratio off the 1/t schedule")
+  }
+
   test("dot/norm/cosine basics") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(2.0, 0.0), Seq(4.0, 0.0)))
       .toDF("a", "b")

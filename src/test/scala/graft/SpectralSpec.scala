@@ -186,6 +186,66 @@ class SpectralSpec extends SparkSuite {
     assert(kept < n && kept > 0, s"cap should bind: kept $kept of $n")
   }
 
+  test("whitenedCoords: p1 ≡ pcaProject proj, exact energy decomposition, " +
+      "residual monotone, synth spectrum recovered") {
+    val wc = Spectral.whitenedCoords(synth, col("vec_id"), col("embedding"),
+        iterations = 4, roundTo = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val pj = Spectral.pcaProject(synth, col("vec_id"), col("embedding"),
+        iterations = 4, roundTo = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(wc.keySet == pj.keySet && wc.size == 64)
+    for ((id, (p1, p2, r2)) <- wc) {
+      val (pp, rr) = pj(id)
+      assert(math.abs(p1 - pp) < 1e-9, s"p1 must equal pcaProject proj at $id")
+      assert(r2 <= rr + 1e-6, s"two-component residual must not exceed one-component at $id")
+      // deflation removes exactly the p1 component (v1 unit), so
+      // ‖c_defl‖² = ‖c‖² − p1² and resid_sq == (pcaProject resid) − p2²
+      assert(math.abs((rr - p2 * p2) - r2) < 1e-4, s"energy decomposition at $id")
+    }
+    // synth's second axis is dim 5 (±1): |p2| ≈ 1 and the off-plane
+    // residual vanishes for every row
+    assert(wc.values.forall { case (_, p2, r2) =>
+      math.abs(math.abs(p2) - 1.0) < 0.05 && r2 < 0.02 })
+  }
+
+  test("whitened-footprint semDedup (q253 composition): identical " +
+      "footprints collapse to min-id; opposite-side footprints survive") {
+    // synth's dominant axis (dim 2, ±5) plus three probe rows:
+    // 100/101 are IDENTICAL vectors (identical (proj, resid)
+    // footprint — 101 must drop to its lower-id twin), 103 sits on
+    // the OPPOSITE side of the component (negative proj — cosine with
+    // every positive-proj footprint is negative, so it must survive).
+    // The probes are angularly ≥ ~0.997-cosine away from the corpus
+    // footprints, far below the 0.9999 ball, so only the twin drops.
+    val d = 8
+    def mk(id: Long, v2: Float, v5: Float) = {
+      val v = Array.fill(d)(0.0f); v(0) = 3.0f; v(2) = v2; v(5) = v5
+      (id, v.toSeq)
+    }
+    val df = synth.union(
+      Seq(mk(100L, 4.0f, 0.5f), mk(101L, 4.0f, 0.5f), mk(103L, -4.0f, 0.5f))
+        .toDF("vec_id", "embedding"))
+    val state = Spectral.fitState(df, col("vec_id"), col("embedding"),
+      iterations = 4)
+    val wc = Spectral.projectWith(df, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    val kept = graft.ext.Similarity.semDedup(wc, col("id"), col("w"),
+        k = 2, iters = 2, tau = 0.9999, quantize = Some(9))
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(100L), "min-id twin must survive")
+    assert(!kept.contains(101L), "identical footprint must drop to its lower-id twin")
+    assert(kept.contains(103L), "opposite-side footprint must survive")
+    // and the dedup is real but not a decimation: the ±5 corpus rows
+    // collapse within their two footprint classes, one survivor each
+    val corpusKept = kept.filter(_ < 64L)
+    assert(corpusKept.nonEmpty && corpusKept.size < 64,
+      s"corpus footprint classes should collapse: ${corpusKept.size} kept")
+  }
+
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

@@ -59,12 +59,36 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_bad += 1
         else:
+            # DTYPE-STRICT, driver-faithful compare (r16 verdict #1/#2):
+            # the driver hashes a string serialization of cell values, so a
+            # pandas dtype divergence (e.g. DuckDB HUGEINT -> float64 "1435.0"
+            # vs Spark int64 "1435") is a driver red even when values compare
+            # equal numerically. Mirror BOTH failure modes: exact value
+            # equality AND equality of the stringified frames; also surface
+            # the dtype diff itself so the publish-dtype convention ("every
+            # published column explicitly cast") stays enforced.
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-                print(f"ok   {name} ({len(got)} rows)")
             except AssertionError as e:
                 print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
                 n_bad += 1
+                continue
+            dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                      for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+            gs = got.astype(str)
+            ws = want.astype(str)
+            if not gs.equals(ws):
+                diff = [(c, gs[c][gs[c] != ws[c]].head(3).tolist(),
+                         ws[c][gs[c] != ws[c]].head(3).tolist())
+                        for c in gs.columns if not gs[c].equals(ws[c])]
+                print(f"FAIL {name}: stringified-hash mismatch (driver-red class) "
+                      f"dtypes={dt_bad} diff={str(diff)[:600]}")
+                n_bad += 1
+            elif dt_bad:
+                print(f"FAIL {name}: dtype mismatch spark-vs-oracle {dt_bad}")
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(got)} rows)")
     extra = set(json.loads((Path(out_dir) / "oracle_sql.json").read_text())) - set(oracle)
     print(f"== {len(oracle) - n_bad}/{len(oracle)} oracle-matched ==")
     return 1 if n_bad else 0
