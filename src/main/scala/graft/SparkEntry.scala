@@ -2580,11 +2580,17 @@ object SparkEntry {
     */
   /** Fixed per-query scratch dir, reused across invocations via the
     * sinks' overwrite mode — `createTempDirectory` per call would
-    * leak one full table copy per bench iteration per round.
+    * leak one full table copy per bench iteration per round. Keyed by
+    * PID so concurrent JVMs (a Verify overlapping a test suite — the
+    * overwrite-then-read race that failed four suite rows this round)
+    * cannot delete each other's scratch mid-read; within one process
+    * every iteration still reuses the same dir, so nothing
+    * accumulates.
     */
   private def scratchDir(name: String): String =
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_scratch_$name").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}_$name").toString
 
   private val q57CsvRoundtrip: Q = (s, dir) => {
     val out = scratchDir("q57_csv")
