@@ -74,13 +74,15 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("nv_a"), col("nv_b")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      // Lazy checkpoint before the sort: orderBy's range-partitioning
+      // Eager checkpoint before the sort: orderBy's range-partitioning
       // SAMPLING pass re-executes its child, and this child has no
       // shuffle boundary to reuse (broadcast-NL join is narrow), so
       // without it the whole O(n²) scan runs twice per action
       // (measured ~2× on q25). The tiny thresholded result
-      // materializes once; the sort reads the blocks.
-      .localCheckpoint(eager = false)
+      // materializes once; the sort reads the blocks. (Eager, like
+      // every checkpoint in-tree: lazy finalization from a broadcast
+      // thread deadlocks against the DAG scheduler — round-17 bench.)
+      .localCheckpoint()
       .orderBy(col("id_a"), col("id_b"))
   }
 

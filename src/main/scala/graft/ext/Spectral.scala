@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   * array), one row-local dot, one posexplode to (dim, c_j·p), one
   * groupBy(dim) that partially aggregates map-side — the shuffle
   * carries d rows per partition, never corpus rows. The centered
-  * corpus is lazily localCheckpoint'ed so the k steps re-read its
+  * corpus is EAGERLY localCheckpoint'ed so the k steps re-read its
   * materialized blocks instead of re-scanning the source (the q25
-  * convention). At 100 TB the fit side rides [[fitStateSized]]'s
+  * convention). Eager is load-bearing, not a style choice: a lazy
+  * checkpoint can be finalized by a broadcast-exchange thread (the
+  * per-step single-row broadcasts carry the checkpointed corpus in
+  * their lineage), and Spark's doCheckpoint/getCacheLocs monitors
+  * then deadlock against the DAG scheduler — hit in round 17's bench;
+  * eager materialization runs on the sequential driver call path
+  * where no concurrent job exists. At 100 TB the fit side rides [[fitStateSized]]'s
   * deterministic hash-sampled cap (a principal direction needs ~10⁵
   * rows, not 10¹¹); the PROJECT side ([[pcaProject]]/[[projectWith]])
   * is one scan-speed row-local pass and runs on everything.
@@ -53,7 +59,7 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
-  /** Fitted state: `cent` = (id, c) centered vectors (lazily
+  /** Fitted state: `cent` = (id, c) centered vectors (eagerly
     * checkpointed), `comp` = single-row `pc` array (the unit-norm
     * component after `iterations` steps), `mu` = single-row mean.
     */
@@ -62,7 +68,7 @@ object Spectral {
   /** Centering pass: per-dim mean → single-row array (d rows through
     * the shuffle, map-side combined; the array_sort(struct) collect
     * is the repo's standing ordered-collect idiom), then one
-    * row-local subtraction, lazily checkpointed.
+    * row-local subtraction, eagerly checkpointed.
     */
   private def center(vectors: DataFrame, id: Column,
                      vec: Column): (DataFrame, DataFrame) = {
@@ -75,7 +81,7 @@ object Spectral {
         p => p.getField("m")).as("mu"))
     val cent = pts.crossJoin(broadcast(muRow))
       .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     (cent, muRow)
   }
 
@@ -144,7 +150,7 @@ object Spectral {
             col("pc"))
           .select(col("id"),
             zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p") * vj).as("c"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
       }
       published
     }
@@ -198,7 +204,7 @@ object Spectral {
     * p1·v1 — exactly mean-zero analytically, no re-centering), v2
     * fits from the same all-ones start, p2 = c_defl·v2, and the
     * residual is ‖c_defl‖² − p2² clamped at 0 (the −0.0 rule). Two
-    * d-row-shuffle fits over lazily checkpointed centered blocks plus
+    * d-row-shuffle fits over eagerly checkpointed centered blocks plus
     * two single-row broadcast readout passes; nothing corpus-sized
     * crosses the driver.
     */
@@ -211,7 +217,7 @@ object Spectral {
         Similarity.dot(col("c"), col("pc")).as("p1"), col("pc"))
       .select(col("id"), col("p1"),
         zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("c"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val v2 = powerComp(defl.select(col("id"), col("c")), muRow, iterations)
     defl.crossJoin(broadcast(v2))
       .select(col("id"), col("p1"),

@@ -256,7 +256,7 @@ object TextAnalysis {
           .as("__e"))
       .select(col("doc_id"), col("__n"),
         col("__e.i").as("__i"), col("__e.g").as("__g"))
-      ).localCheckpoint(eager = false)
+      ).localCheckpoint()
     val counts = grams.groupBy(col("doc_id"), col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val top = graft.ops.TopK.perGroupTopK(
