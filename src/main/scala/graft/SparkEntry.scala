@@ -5266,9 +5266,15 @@ object SparkEntry {
     val em = Tables.embeddings(s, dir)
     val state = ext.Spectral.fitState(em, col("vec_id"), col("embedding"),
       iterations = 4)
+    // the footprint table feeds the coarse dedup AND the n_input
+    // readout; without staging, each consumer replays the whole
+    // power-iteration fit (measured: 17.9 s -> the staged form) —
+    // localCheckpoint, the in-tree staging idiom (eager, like every
+    // checkpoint in-tree)
     val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
         state, roundTo = 4)
       .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+      .localCheckpoint()
     val (coarseAsg, coarseKept) = ext.Similarity.semDedupParts(wc,
       col("id"), col("w"), k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
     val (directAsg, directKept) = ext.Similarity.semDedupParts(em,
