@@ -196,10 +196,17 @@ object TextAnalysis {
     *
     * Plan shape at scale: all n-gram strings are built ROW-LOCALLY in
     * one `transform` and exploded once for every n in one pass
-    * (row width stays (doc, n, pos, gram)), then STAGED (lazy
-    * localCheckpoint) because both the counts aggregation and the
-    * coverage semi-join consume it — one materialization, not one
-    * execution per reference; counting is one hash
+    * (row width stays (doc, n, pos, gram)), and the gram table is
+    * deliberately NOT staged: its two consumers (the counts
+    * aggregation and the coverage semi-join) each re-run the explode —
+    * a row-local, linear, memory-free pass — because caching a
+    * 5×-exploded corpus is exactly what does not survive 100 TB
+    * (500 TB of cache to buy back one map pass), and because an
+    * unstaged plan keeps Catalyst's whole-plan pruning (a consumer
+    * that never references the gate columns never pays for them).
+    * The previous lazy-localCheckpoint staging also carried a real
+    * deadlock (broadcast-thread checkpoint finalization vs the DAG
+    * scheduler — see Spectral's scaladoc); counting is one hash
     * shuffle on (doc, n, gram) — partial-aggregated, key cardinality
     * ≈ corpus gram volume; coverage is a semi-join of the gram table
     * against its own ≥2 counts + one distinct on (doc, n, pos).
@@ -240,11 +247,12 @@ object TextAnalysis {
         sum((col("__c") - 1) * length(col("__l"))).as("__dch"),
         sum(col("__c") * length(col("__l"))).as("__tch"))
     val allNs = (topNs.map(_._1) ++ dupNs.map(_._1)).distinct
-    // the gram table is the query's most expensive subtree (tokenize +
-    // per-n explode over the corpus) and feeds BOTH the counts agg and
-    // the coverage semi-join — stage it lazily so the explode runs
-    // once per job instead of once per reference (r14 ADVICE: a `def`
-    // here re-planned and re-executed the pass twice)
+    // UNSTAGED on purpose (round 17, reversing the r14 staging): the
+    // explode re-runs once per consumer, which is linear row-local
+    // work; staging it was measured 3.6-5× worse end-to-end once the
+    // checkpoint had to be eager (lazy checkpoints deadlock — see the
+    // scaladoc), and a cache of the exploded corpus is not a
+    // 100 TB-viable trade for one saved map pass
     val grams = (base
       .select(col("doc_id"), col("__w"), col("__m"),
         explode(array(allNs.map(lit(_)): _*)).as("__n"))
@@ -256,7 +264,7 @@ object TextAnalysis {
           .as("__e"))
       .select(col("doc_id"), col("__n"),
         col("__e.i").as("__i"), col("__e.g").as("__g"))
-      ).localCheckpoint()
+      )
     val counts = grams.groupBy(col("doc_id"), col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val top = graft.ops.TopK.perGroupTopK(
