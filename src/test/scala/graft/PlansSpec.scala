@@ -233,6 +233,25 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("no lazy localCheckpoint anywhere in src/main (the r17 deadlock lesson)") {
+    // A lazy checkpoint can be finalized by a broadcast-exchange
+    // thread (any broadcast whose lineage carries the checkpointed
+    // table runs its materialization job on that pool), and Spark's
+    // doCheckpoint / getCacheLocs monitors then deadlock against the
+    // DAG scheduler — hit as a permanent mid-bench hang in round 17.
+    // Convention: staging is always an EAGER localCheckpoint, and only
+    // for tables consumed many times that stay sample-sized at scale.
+    import scala.jdk.CollectionConverters._
+    val bad = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+        .contains("localCheckpoint(eager = false)"))
+      .map(_.toString).toList
+    assert(bad.isEmpty,
+      s"lazy localCheckpoint reintroduced (deadlocks vs the DAG scheduler): $bad")
+  }
+
   test("oracle SQL carries no doubled backslash escapes (the r14 no-op-regex lesson)") {
     // Scala plain AND raw triple-quoted strings do not process
     // backslash escapes, so a '\\s+' written there reaches DuckDB as
