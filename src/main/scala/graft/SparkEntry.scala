@@ -2584,12 +2584,46 @@ object SparkEntry {
     * PID so concurrent JVMs (a Verify overlapping a test suite — the
     * overwrite-then-read race that failed four suite rows this round)
     * cannot delete each other's scratch mid-read; within one process
-    * every iteration still reuses the same dir, so nothing
-    * accumulates.
+    * every iteration still reuses the same dir. Across processes a
+    * PID-keyed name would accumulate one set of table copies per JVM
+    * run (r17 ADVICE), so the first call registers a shutdown hook
+    * that deletes THIS process's dirs, and sweeps any stale
+    * `graft_scratch_<pid>_*` whose owning PID is no longer alive
+    * (a kill -9'd run never reaches its own hook).
     */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f =>
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () })
+      }
+    }
+    val mine = s"graft_scratch_${ProcessHandle.current().pid()}_"
+    try {
+      val re = """graft_scratch_(\d+)_.*""".r
+      Option(tmp.toFile.listFiles()).toSeq.flatten.foreach { f =>
+        f.getName match {
+          case re(pid) if !f.getName.startsWith(mine) &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            deleteTree(f.toPath)
+          case _ => ()
+        }
+      }
+    } catch { case _: Throwable => () }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        Option(tmp.toFile.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith(mine)).foreach(f => deleteTree(f.toPath))
+      } catch { case _: Throwable => () }))
+    tmp
+  }
+
   private def scratchDir(name: String): String =
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
+    scratchRoot.resolve(
       s"graft_scratch_${ProcessHandle.current().pid()}_$name").toString
 
   private val q57CsvRoundtrip: Q = (s, dir) => {
@@ -5241,6 +5275,37 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q257 — ⊕ the SIZED whitened SemDeDup — q253's composition on
+    * the 100 TB fit path, completing the family's fixed → sized
+    * convention (q95→q149, q106→q112, q38→ivfFitSized; q253's own
+    * scaladoc promises this form). [[graft.ext.Spectral.fitStateSized]]
+    * fits the principal direction on the q50 md5-hash sample capped at
+    * 256 rows (at sf0.01 the cap BINDS: 500 vectors → a ~51%-rate fit
+    * subset, so this anchor genuinely exercises the sampled-fit/
+    * full-scoring split — the q249 discipline), [[graft.ext.Spectral
+    * .projectWith]] scores EVERY row against the sample-fitted state,
+    * and the same k-means + ε-ball decimation picks survivors. The
+    * sample-fitted direction differs from q253's full fit, so the
+    * footprints — and the keep set — legitimately differ; the oracle
+    * re-derives the md5 buckets, the truncating rate threshold, the
+    * sampled fit chain, the full-corpus scoring pass, and the ε-ball
+    * tail. At 100 TB: the fit reads a ~10⁵-row sample (`iterations`
+    * scans of it), scoring is one row-local broadcast pass, pair work
+    * is the q106 Σc² shape over 2-d vectors.
+    */
+  private val q257WhitenedSemDedupSized: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitStateSized(em, col("vec_id"), col("embedding"),
+      iterations = 4, maxFitRows = 256)
+    val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedup(wc, col("id"), col("w"), k = 16, iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q256 — ⊕ the dedup FUNNEL datacard — a MEASURED NEGATIVE
     * RESULT, kept on purpose (the q198/q238 stance: publish the
     * operating point, don't cite it). The tempting composition —
@@ -5303,7 +5368,11 @@ object SparkEntry {
       .crossJoin(broadcast(pairWork(funAsg, "pairs_survivor")))
       .select(col("n_input"), col("n_coarse_kept"), col("n_direct_kept"),
         col("n_funnel_kept"), col("n_agree"),
-        expr("(n_agree * 1000000) div n_direct_kept").cast("long")
+        // nullif guard (r17 ADVICE): on a degenerate corpus with zero
+        // direct keeps, Spark's bare `div` returns NULL while DuckDB's
+        // `//` raises — nullif on BOTH sides makes the engines agree
+        // (NULL ratio) instead of diverging.
+        expr("(n_agree * 1000000) div nullif(n_direct_kept, 0)").cast("long")
           .as("recall_vs_direct_ppm"),
         col("pairs_direct"),
         (col("pairs_coarse") + col("pairs_survivor")).cast("long")
@@ -6583,6 +6652,7 @@ object SparkEntry {
     "q254_jl_distortion_t8" -> q254JlDistortionT8,
     "q255_whitened3_semdedup" -> q255Whitened3SemDedup,
     "q256_dedup_funnel"     -> q256DedupFunnel,
+    "q257_whitened_semdedup_sized" -> q257WhitenedSemDedupSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10268,6 +10338,9 @@ object SparkEntry {
     // footprint chain, the q106 direct chain, and the survivor
     // re-run — plus integer pair-work and agreement readouts.
     "q256_dedup_funnel" -> dedupFunnelOracleSql,
+    // q257: q249's sampled-fit prelude + the q253 tail (byte-shared
+    // via whitenedSemDedupOracleSqlWith).
+    "q257_whitened_semdedup_sized" -> whitenedSemDedupSizedOracleSql,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.
@@ -13772,19 +13845,22 @@ object SparkEntry {
       |WHERE t.dtrue2 > 0
       |ORDER BY vec_id_a""".stripMargin
 
-  /** q253's oracle — the composed whitened-coordinate SemDeDup:
-    * q246's power-iteration chain produces each vector's (proj,
-    * resid) whitened 2-d footprint (rounded at 4 exactly as
-    * [[graft.ext.Spectral.projectWith]] publishes it, THEN the
-    * row-local sqrt), and q106's ε-ball derivation — the SAME
-    * [[ivfChainCtes]] k-means at dim 2 — picks the survivors.
+  /** q253/q257 shared oracle generator — the composed
+    * whitened-coordinate SemDeDup: a power-iteration chain produces
+    * each vector's (proj, resid) whitened 2-d footprint (rounded at 4
+    * exactly as [[graft.ext.Spectral.projectWith]] publishes it, THEN
+    * the row-local sqrt), and q106's ε-ball derivation — the SAME
+    * [[ivfChainCtes]] k-means at dim 2 — picks the survivors. The two
+    * anchors differ ONLY in the prelude: q253 fits on the whole corpus
+    * and scores the centered fit rows (`c`); q257 fits on the q50
+    * md5-sampled subset ([[pcaSampledFitCtes]]) and scores ALL of `e`
+    * centered with the FIT mean (the q249 `ca` CTE) — everything
+    * downstream of `pf` is byte-identical.
     */
-  private def whitenedSemDedupOracleSql: String =
-    raw"""${pcaPowerCte(4)},
-      |pf AS (
-      |  SELECT vec_id, c,
-      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
-      |  FROM c, v4),
+  private def whitenedSemDedupOracleSqlWith(fitCtes: String,
+                                            scoreCtes: String): String =
+    raw"""${pcaPowerCte(4, fitCtes)},
+      |$scoreCtes,
       |wv AS (
       |  SELECT vec_id, [round(p, 4),
       |    sqrt(round(greatest(0.0, list_sum(list_transform(c, x -> x * x)) - p * p), 4))] AS v
@@ -13804,6 +13880,30 @@ object SparkEntry {
       |SELECT af.vec_id, af.cluster FROM af
       |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
       |ORDER BY vec_id""".stripMargin
+
+  private def whitenedSemDedupOracleSql: String =
+    whitenedSemDedupOracleSqlWith(
+      "fe AS (SELECT * FROM e)",
+      raw"""pf AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM c, v4)""".stripMargin)
+
+  /** q257's oracle — the sized prelude: q249's sampled-fit chain
+    * (md5 buckets, truncating rate threshold) plus its full-corpus
+    * `ca` scoring pass, feeding the shared q253 tail.
+    */
+  private def whitenedSemDedupSizedOracleSql: String =
+    whitenedSemDedupOracleSqlWith(
+      pcaSampledFitCtes(256),
+      raw"""ca AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
+        |  FROM e, mul),
+        |pf AS (
+        |  SELECT vec_id, c,
+        |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+        |  FROM ca, v4)""".stripMargin)
 
   /** q255's oracle — q253 at the full whitening readout: q252's
     * two-chain spectrum derivation (pf for p1, the deflation CTE `d`,
@@ -13904,7 +14004,7 @@ object SparkEntry {
       |  CAST(ndirect.n AS BIGINT) AS n_direct_kept,
       |  CAST(nfunnel.n AS BIGINT) AS n_funnel_kept,
       |  CAST(nagree.n AS BIGINT) AS n_agree,
-      |  CAST((nagree.n * 1000000) // ndirect.n AS BIGINT) AS recall_vs_direct_ppm,
+      |  CAST((nagree.n * 1000000) // nullif(ndirect.n, 0) AS BIGINT) AS recall_vs_direct_ppm,
       |  CAST(pwf.p AS BIGINT) AS pairs_direct,
       |  CAST(pwc.p + pws.p AS BIGINT) AS pairs_funnel
       |FROM nin, ncoarse, ndirect, nfunnel, nagree, pwc, pwf, pws""".stripMargin

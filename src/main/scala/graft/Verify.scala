@@ -23,15 +23,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.ShortCircuitExists.install(spark)
     new java.io.File(outDir).mkdirs()
+    var nRun = 0
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (nameFilter(name)) {
+        nRun += 1
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
+    // Self-reporting verdict on STDOUT (the per-query failure lines go
+    // to stderr, where sbt's [error] prefix noise buries them): one
+    // final line mirrors Bench's JSON-line convention so a local run
+    // reads its own result. The driver computes per-query status
+    // independently; this line is builder ergonomics.
+    println(s"[verify] ${failed.size} failed / $nRun run" +
+      (if (failed.nonEmpty) failed.sorted.mkString(" (", ", ", ")") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -82,6 +82,11 @@ object Similarity {
       // materializes once; the sort reads the blocks. (Eager, like
       // every checkpoint in-tree: lazy finalization from a broadcast
       // thread deadlocks against the DAG scheduler — round-17 bench.)
+      // NOTE the eager trade-off: CONSTRUCTING this DataFrame runs the
+      // O(n²) scan immediately — callers that build the query without
+      // executing it (plan sweeps, registries) still pay the job. The
+      // maxRows guard above bounds that cost; plan-only tooling should
+      // prefer the banded/IVF paths.
       .localCheckpoint()
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -202,6 +202,10 @@ class PlansSpec extends SparkSuite {
       // projectWith (the q93 stance); the dedup half is the q106
       // cluster-keyed equi-join, not cartesian
       "q253_whitened_semdedup", "q255_whitened3_semdedup",
+      // q257 = q253's composition on the q249 sampled-fit path — the
+      // same power-step single-row crosses and (mu, pc) state
+      // broadcast (the q93 stance)
+      "q257_whitened_semdedup_sized",
       // the funnel datacard's readout row is eight single-row
       // aggregates crossed (the q93 stance); every corpus-sized join
       // upstream is cluster- or id-keyed
@@ -242,11 +246,14 @@ class PlansSpec extends SparkSuite {
     // Convention: staging is always an EAGER localCheckpoint, and only
     // for tables consumed many times that stay sample-sized at scale.
     import scala.jdk.CollectionConverters._
+    // Regex, not an exact literal (r17 ADVICE): spacing variants and the
+    // positional form `localCheckpoint(false)` must trip the guard too.
+    val lazyCk = """localCheckpoint\s*\(\s*(eager\s*=\s*)?false""".r
     val bad = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
       .iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
-      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
-        .contains("localCheckpoint(eager = false)"))
+      .filter(p => lazyCk.findFirstIn(
+        new String(java.nio.file.Files.readAllBytes(p))).isDefined)
       .map(_.toString).toList
     assert(bad.isEmpty,
       s"lazy localCheckpoint reintroduced (deadlocks vs the DAG scheduler): $bad")

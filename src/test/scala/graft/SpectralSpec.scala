@@ -246,6 +246,39 @@ class SpectralSpec extends SparkSuite {
       s"corpus footprint classes should collapse: ${corpusKept.size} kept")
   }
 
+  test("sized whitened semDedup (q257 composition): sized fit below the " +
+      "cap reproduces the fixed-fit composition exactly") {
+    // Below the cap fitStateSized's sample IS the corpus (rate = 1.0,
+    // every md5 bucket < 2^20), so the whole q257 chain must equal
+    // q253's fixed-fit chain row for row — the sized-family spec
+    // discipline (q149/q112) applied to the composition, not just the
+    // fit. A BINDING cap is exercised by the q257 oracle at sf0.01
+    // (500 vectors vs cap 256), where survivors legitimately differ.
+    val d = 8
+    def mk(id: Long, v2: Float, v5: Float) = {
+      val v = Array.fill(d)(0.0f); v(0) = 3.0f; v(2) = v2; v(5) = v5
+      (id, v.toSeq)
+    }
+    val df = synth.union(
+      Seq(mk(100L, 4.0f, 0.5f), mk(101L, 4.0f, 0.5f), mk(103L, -4.0f, 0.5f))
+        .toDF("vec_id", "embedding"))
+    def chain(state: org.apache.spark.sql.DataFrame): Set[(Long, Int)] = {
+      val wc = Spectral.projectWith(df, col("vec_id"), col("embedding"),
+          state, roundTo = 4)
+        .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+      graft.ext.Similarity.semDedup(wc, col("id"), col("w"),
+          k = 2, iters = 2, tau = 0.9999, quantize = Some(9))
+        .select(col("id"), col("cluster"))
+        .as[(Long, Int)].collect().toSet
+    }
+    val fixed = chain(Spectral.fitState(df, col("vec_id"), col("embedding"),
+      iterations = 4))
+    val sized = chain(Spectral.fitStateSized(df, col("vec_id"), col("embedding"),
+      iterations = 4, maxFitRows = 1000L))
+    assert(sized == fixed,
+      s"sized-below-cap must equal fixed: ${sized.diff(fixed)} / ${fixed.diff(sized)}")
+  }
+
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
