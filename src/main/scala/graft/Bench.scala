@@ -75,7 +75,7 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
         if (!sfOk) Map.empty  // different scale factor: not comparable
-        else """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+        else """"(q[0-9][^"]*)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
@@ -84,10 +84,98 @@ object Bench {
       if (bySf.nonEmpty) bySf
       else readPrev(java.nio.file.Paths.get("target", "bench_last.json"))
     }
-    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = Seq.fill(3)(timeOnce(name, fn))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
-    }
+    // ---- load-normalization AS DATA (VERDICT r17 #1b) ----
+    // Two consecutive rounds shipped committed vectors contaminated by
+    // external machine load (control medians 1.119, 1.432) whose
+    // reading required the BENCH_NOTES triage prose. The record now
+    // carries its own correction: the CONTROL TRIO (q22/q38/q93 —
+    // untouched since r2, fixed-overhead shapes) is re-timed at suite
+    // START, MIDDLE, and END (the early-only trio could not see
+    // late-suite JVM aging / load arriving mid-run), each checkpoint's
+    // ratio-vs-reference rides in the JSON, and every query gets a
+    // `normalized_s` = raw / (ambient factor linearly interpolated
+    // between its two bracketing checkpoints by suite position).
+    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q93_lm_quality")
+    // reference vector: explicit SPARK_GRAFT_CONTROL_REF, else the
+    // newest committed BENCH_LOCAL_r*.json in cwd (excluding the file
+    // this run is about to write) — so the driver's un-parameterized
+    // runs normalize too.
+    val defaultRef: Option[String] = try {
+      val rec = sys.env.get("SPARK_GRAFT_RECORD")
+        .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      val re = """BENCH_LOCAL_r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case re(n) if !rec.contains(f.getName) => Some((n.toInt, f.getName))
+          case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)
+    } catch { case _: Throwable => None }
+    val refPath = sys.env.get("SPARK_GRAFT_CONTROL_REF").orElse(defaultRef)
+    // self-reporting (r17 lesson: a silently-missing ref produced an
+    // un-normalized committed vector nobody noticed until the judge)
+    System.err.println(s"[bench] control ref: ${refPath.getOrElse("NONE — " +
+      "no SPARK_GRAFT_CONTROL_REF and no committed BENCH_LOCAL_r*.json in " +
+      new java.io.File(".").getAbsolutePath)}")
+    val refTimes: Map[String, Double] = refPath.map { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        // same-sf only: control ratios against a different scale
+        // factor's vector are data-size artifacts, not load, and the
+        // normalized_s they'd produce would be nonsense.
+        val refSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!refSf.contains(sfDir)) {
+          System.err.println(s"[bench] control ref $p is for sf ${refSf.getOrElse("?")}, " +
+            s"this run is $sfDir — skipping normalization")
+          Map.empty[String, Double]
+        } else
+          // raw times win over any normalized_s entries in the ref
+          // file: later regex matches overwrite, and the emit order
+          // below puts the raw queries map AFTER normalized_s for
+          // exactly this reason.
+          """"(q[0-9][^"]*)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] control ref unreadable ($p): ${e.getMessage}")
+        Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+    if (refTimes.isEmpty)
+      System.err.println("[bench] NO control reference times — this vector " +
+        "will carry no checkpoint ratios or normalized_s")
+    // One checkpoint: min-of-3 per control, ratio vs ref, median.
+    def timeCheckpoint(): Option[(Seq[(String, Double, Double, Double)], Double)] =
+      if (refTimes.isEmpty) None
+      else {
+        val trio = controlNames.flatMap { c =>
+          SparkEntry.queries.get(c).flatMap { fn =>
+            val ts = Seq.fill(3)(timeOnce(c, fn)).filter(_ > 0)
+            for (t <- ts.minOption; r <- refTimes.get(c) if r > 0)
+              yield (c, t, r, t / r)
+          }
+        }
+        if (trio.isEmpty) None
+        else {
+          val rs = trio.map(_._4).sorted
+          Some((trio, rs(rs.size / 2)))
+        }
+      }
+    // Checkpoints only bracket FULL runs: a SPARK_GRAFT_ONLY subset is
+    // an iteration loop where 40s of control re-timing would dominate.
+    val doCheckpoints = only.isEmpty
+    val ordered = selected.toSeq.sortBy(_._1)
+    val ckStart = if (doCheckpoints) timeCheckpoint() else None
+    val (half1, half2) = ordered.splitAt(ordered.size / 2)
+    def runPass(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        val ts = Seq.fill(3)(timeOnce(name, fn))
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
+    val pass1 = runPass(half1)
+    val ckMid = if (doCheckpoints) timeCheckpoint() else None
+    val pass2 = runPass(half2)
+    val ckEnd = if (doCheckpoints) timeCheckpoint() else None
+    val firstPass = pass1 ++ pass2
     val results = firstPass.map { case (name, t) =>
       val prev = prevTimes.getOrElse(name, -1.0)
       // 0.2s floor: sub-floor queries sit at the per-job scheduling noise
@@ -104,61 +192,67 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    // Load-normalization metadata (VERDICT r15 #6): three same-code
-    // full cuts spanned ±7% in round 15 and every gate flag was
-    // ambient machine load, re-derived by hand from BENCH_NOTES each
-    // round. The record now defends itself: the CONTROL TRIO
-    // (q22/q38/q93 — untouched since r2, fixed-overhead shapes) is
-    // compared against a reference vector (SPARK_GRAFT_CONTROL_REF;
-    // defaults to the newest committed BENCH_LOCAL_r*.json so the
-    // driver's un-parameterized runs normalize too), and the
-    // per-control ratios + their median ride IN the JSON line, so a
-    // judge or gate can divide any apparent regression by the ambient
-    // factor without reconstructing it from prose.
-    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q93_lm_quality")
-    // default reference: the newest committed BENCH_LOCAL_r*.json in
-    // cwd (the driver runs from the repo root), excluding the file
-    // this run is about to write — so the DRIVER's own record carries
-    // the normalization too, not just builder-side cuts.
-    val defaultRef: Option[String] = try {
-      val rec = sys.env.get("SPARK_GRAFT_RECORD")
-        .map(p => java.nio.file.Paths.get(p).getFileName.toString)
-      val re = """BENCH_LOCAL_r(\d+)\.json""".r
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case re(n) if !rec.contains(f.getName) => Some((n.toInt, f.getName))
-          case _ => None
-        }).sortBy(-_._1).headOption.map(_._2)
-    } catch { case _: Throwable => None }
-    val controls = sys.env.get("SPARK_GRAFT_CONTROL_REF").orElse(defaultRef).flatMap { p =>
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), "UTF-8")
-        val ref = """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // ---- emit the normalization blocks ----
+    def ckJson(tag: String,
+               ck: Option[(Seq[(String, Double, Double, Double)], Double)]): String =
+      ck.map { case (trio, med) =>
+        val entries = trio.map { case (c, n, r, x) =>
+          f""""$c":{"now":$n%.3f,"ref":$r%.3f,"ratio":$x%.3f}""" }
+          .mkString("{", ",", "}")
+        f""","controls_$tag%s":$entries,"control_median_$tag%s":$med%.3f"""
+      }.getOrElse("")
+    // combined median over every checkpoint ratio — the single number
+    // gates already read (`control_ratio_median`); falls back to a
+    // from-results trio when checkpoints didn't run (partial runs).
+    val allRatios = Seq(ckStart, ckMid, ckEnd).flatten.flatMap(_._1.map(_._4))
+    val combinedMedian: Option[Double] =
+      if (allRatios.nonEmpty) { val s = allRatios.sorted; Some(s(s.size / 2)) }
+      else if (refTimes.nonEmpty) {
         val now = results.toMap
-        val trio = controlNames.flatMap { c =>
-          (ref.get(c), now.get(c)) match {
-            case (Some(r), Some(n)) if r > 0 && n > 0 => Some((c, n, r, n / r))
-            case _ => None
-          }
-        }
-        if (trio.isEmpty) None
-        else {
-          val ratios = trio.map(_._4).sorted
-          val median = ratios(ratios.size / 2)
-          val entries = trio.map { case (c, n, r, x) =>
-            f""""$c":{"now":$n%.3f,"ref":$r%.3f,"ratio":$x%.3f}""" }
-            .mkString("{", ",", "}")
-          Some(f""","controls":$entries,"control_ratio_median":$median%.3f,"control_ref":"$p"""")
-        }
-      } catch { case _: Throwable => None }
+        val rs = controlNames.flatMap(c =>
+          for (r <- refTimes.get(c) if r > 0; n <- now.get(c) if n > 0)
+            yield n / r).sorted
+        if (rs.isEmpty) None else Some(rs(rs.size / 2))
+      } else None
+    val medianJson = combinedMedian.map(m =>
+      f""","control_ratio_median":$m%.3f,"control_ref":"${refPath.getOrElse("")}"""")
+      .getOrElse("")
+    // Per-query normalized_s: ambient factor linearly interpolated by
+    // suite position between the bracketing checkpoint medians
+    // (start→mid for the first half, mid→end for the second), floored
+    // at 0.5 so a noisy fast checkpoint cannot inflate a query. This
+    // map intentionally precedes the raw "queries" map in the line:
+    // the same-name keys are read by later-wins regex scans (retime
+    // baseline, control ref), which must resolve to RAW times.
+    val normalized: Option[Seq[(String, Double)]] = for {
+      (_, ms) <- ckStart; (_, mm) <- ckMid; (_, me) <- ckEnd
+    } yield {
+      val n1 = math.max(half1.size, 1).toDouble
+      val n2 = math.max(half2.size, 1).toDouble
+      results.zipWithIndex.map { case ((name, t), i) =>
+        val amb = math.max(0.5,
+          if (i < half1.size) ms + (mm - ms) * ((i + 0.5) / n1)
+          else mm + (me - mm) * ((i - half1.size + 0.5) / n2))
+        name -> (if (t > 0) t / amb else t)
+      }
+    }
+    val normalizedJson = normalized.map { norm =>
+      norm.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString(""""normalized_s":{""", ",", "},")
     }.getOrElse("")
+    // normalized total rides in the TAIL window (next to total_s) so
+    // the driver's truncated stdout capture still shows the headline
+    // load-corrected number.
+    val normTotalJson = normalized.map { norm =>
+      f""","normalized_total_s":${norm.map(_._2).filter(_ >= 0).sum}%.3f"""
+    }.getOrElse("")
+    val controls = ckJson("start", ckStart) + ckJson("mid", ckMid) +
+      ckJson("end", ckEnd) + medianJson
     // total_s / n_failed / n_queries repeat at the END of the line: the
     // driver preserves only the final ~2000 chars of stdout, which
     // truncates the leading "value" and most per-query entries — the
     // tail window must be self-contained.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"$controls,"total_s":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_failed":$nFailed}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$normalizedJson"queries":$qs,"sf":"$sfDir","iterations":3,"agg":"min"$controls$normTotalJson,"total_s":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_failed":$nFailed}"""
     println(line)
     // Also persist the full line: the driver's fixed-size stdout tail
     // capture truncated BENCH_r06.json (lost q01-q24 + the total), so

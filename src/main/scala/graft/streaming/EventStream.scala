@@ -597,6 +597,95 @@ object EventStream {
                        fitted: DataFrame, roundTo: Int = 4): DataFrame =
     graft.ext.Spectral.projectWith(vectors, id, vec, fitted, roundTo)
 
+  case class DecimIn(id: Long, nv: Array[Double], cluster: Int)
+  /** Per-cluster state: every footprint SEEN so far (kept or dropped —
+    * the batch one-shot rule compares j against all earlier i, not
+    * just survivors), parallel arrays, capped at `maxPerCluster`.
+    */
+  case class ClusterSeen(ids: Array[Long], nvs: Array[Array[Double]])
+  case class DecimKeep(vec_id: Long, cluster: Int)
+
+  /** ⊕ Streaming spectral decimation — the q253 composition on a LIVE
+    * ingest, completing the family's batch/streaming symmetry
+    * ([[curateStream]] / [[pcaProjectStream]] are the other twins).
+    * Deployment shape: fit OFFLINE (the sample-sized
+    * [[graft.ext.Spectral.fitStateSized]] at corpus scale — q257's
+    * path — plus one [[graft.ext.Similarity.ivfFit]] over the static
+    * corpus's footprints), then hand BOTH models to the stream. Each
+    * arriving vector scores row-locally against the broadcast (mu, pc)
+    * state ([[graft.ext.Spectral.projectWith]] — byte-shared with
+    * batch), folds to its 2-d [proj, √resid] footprint, normalizes and
+    * assigns to its nearest literal centroid
+    * ([[graft.ext.Similarity.assignToCentroids]] — row-local, no
+    * shuffle), and a per-cluster `flatMapGroupsWithState` emits it iff
+    * no EARLIER-SEEN same-cluster footprint sits within the tau-ball
+    * (cosine rounded at `roundTo`, the exact batch comparison: Spark's
+    * HALF_UP `round`). Under id-ordered arrival this reproduces the
+    * batch [[graft.ext.Similarity.semDedup]] one-shot min-id rule
+    * exactly — StreamingSpec proves stream ≡ batch on the same corpus.
+    *
+    * State/scale shape: per-cluster state is the seen-footprint list
+    * (2-d vectors — 16 bytes each), capped at `maxPerCluster`, the
+    * streaming mirror of the batch `maxCluster` backstop with the
+    * DOCUMENTED divergence: the batch form keeps above-cap clusters
+    * intact (skips pair generation), while the stream keeps comparing
+    * late arrivals against the stored prefix — it cannot know a
+    * cluster's final size. NoTimeout state for the test horizon (the
+    * [[nearDupPairsStream]] trade); a deployment evicts idle clusters
+    * by timeout, accepting re-admitted footprint classes beyond it.
+    */
+  def spectralDecimateStream(vectors: DataFrame, id: Column, vec: Column,
+                             fitted: DataFrame,
+                             model: graft.ext.Similarity.IvfModel,
+                             tau: Double, roundTo: Int = 4,
+                             maxPerCluster: Int = 10000)
+      : org.apache.spark.sql.Dataset[DecimKeep] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(roundTo >= 0, "roundTo must be non-negative")
+    // Spark's round() is BigDecimal HALF_UP — the state-side compare
+    // must use the identical rounding or stream and batch disagree on
+    // exact-tau boundaries.
+    def roundAt(x: Double): Double =
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fp = graft.ext.Spectral.projectWith(vectors, id, vec, fitted, roundTo)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    val assigned = graft.ext.Similarity
+      .assignToCentroids(model, fp, col("id"), col("w"))
+      .select(col("id").cast("long").as("id"),
+        col("nv").cast("array<double>").as("nv"),
+        col("cluster").cast("int").as("cluster"))
+      .as[DecimIn]
+    assigned.groupByKey(_.cluster)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (cluster: Int, rows: Iterator[DecimIn], state: GroupState[ClusterSeen]) =>
+          val st = state.getOption.getOrElse(ClusterSeen(Array.empty, Array.empty))
+          var ids = st.ids; var nvs = st.nvs
+          val out = scala.collection.mutable.ArrayBuffer[DecimKeep]()
+          rows.toArray.sortBy(_.id).foreach { r =>
+            var dup = false
+            var i = 0
+            while (i < ids.length && !dup) {
+              if (ids(i) != r.id) {
+                var d = 0.0
+                var j = 0
+                while (j < r.nv.length) { d += nvs(i)(j) * r.nv(j); j += 1 }
+                dup = roundAt(d) >= tau
+              }
+              i += 1
+            }
+            // a re-delivered id is neither re-emitted nor re-stored
+            val seenSelf = ids.contains(r.id)
+            if (!dup && !seenSelf) out += DecimKeep(r.id, cluster)
+            if (!seenSelf && ids.length < maxPerCluster) {
+              ids = ids :+ r.id; nvs = nvs :+ r.nv
+            }
+          }
+          state.update(ClusterSeen(ids, nvs))
+          out.iterator
+      }
+  }
+
   /** ⊕ Streaming funnel progression — the incremental form of
     * [[graft.ops.Funnel.funnelSteps]]: per-user state is the same two
     * timestamps the batch form carries (entry anchor + previous step)

@@ -249,6 +249,44 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); state.unpersist() }
   }
 
+  test("spectralDecimateStream ≡ batch whitened-footprint semDedup (q253) under id-ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // offline: spectral fit + footprint k-means on the static corpus —
+    // the two models a deployment hands to the live ingest
+    val state = graft.ext.Spectral.fitState(corpus, col("vec_id"),
+      col("embedding"), iterations = 4).cache()
+    val wc = graft.ext.Spectral.projectWith(corpus, col("vec_id"),
+        col("embedding"), state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    val model = graft.ext.Similarity.ivfFit(wc, col("id"), col("w"),
+      k = 16, iters = 2, quantize = Some(9))
+    // batch truth: the exact q253 composition (semDedup refits the
+    // identical deterministic k-means internally)
+    val batch = graft.ext.Similarity.semDedup(wc, col("id"), col("w"),
+        k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
+      .as[(Long, Int)].collect().toSet
+    val rows = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = EventStream.spectralDecimateStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), state, model, tau = 0.9999)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decim_out").start()
+    try {
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      // second micro-batch includes a re-delivery of an already-kept id
+      mem.addData(rows.drop(rows.size / 2) ++ rows.take(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("decim_out").as[(Long, Int)].collect().toSet
+      assert(got == batch,
+        s"stream-only: ${got.diff(batch)}; batch-only: ${batch.diff(got)}")
+      assert(got.size < rows.size, "decimation should drop footprint classes")
+    } finally { q.stop(); state.unpersist(); model.unpersist() }
+  }
+
   test("dedupParagraphsStream ≡ batch dedupParagraphsIncremental under append-only arrival") {
     implicit val sqlCtx = spark.sqlContext
     // multi-paragraph docs drawn from a small paragraph pool so
