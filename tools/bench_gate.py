@@ -169,6 +169,19 @@ def main():
 
     new, old = load(args[0]), load(args[1])
     nq, oq = new['queries'], old['queries']
+    # Round-18: when BOTH records carry the in-record load normalization
+    # (per-query normalized_s from the start/mid/end control-trio
+    # checkpoints), gate on the normalized values — that is exactly the
+    # ambient-load correction the auto-retime pass approximates, so the
+    # retime is skipped too (a fresh raw retime is not comparable to a
+    # normalized baseline). Raw maps remain in the records for anyone
+    # who wants them.
+    if isinstance(new.get('normalized_s'), dict) and \
+            isinstance(old.get('normalized_s'), dict):
+        nq, oq = dict(new['normalized_s']), dict(old['normalized_s'])
+        do_retime = False
+        print("gating on normalized_s (both records carry control-trio "
+              "normalization); auto-retime disabled")
     shared = sorted(set(nq) & set(oq))
     only_new = sorted(set(nq) - set(oq))
     only_old = sorted(set(oq) - set(nq))
