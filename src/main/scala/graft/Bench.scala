@@ -164,6 +164,14 @@ object Bench {
     // an iteration loop where 40s of control re-timing would dominate.
     val doCheckpoints = only.isEmpty
     val ordered = selected.toSeq.sortBy(_._1)
+    // One UNTIMED trio pass before the first checkpoint: the r18 record's
+    // start checkpoint read 1.52 while mid/end read 0.93/1.06 — mostly
+    // first-execution JIT/codegen of the control paths, not ambient
+    // load. The checkpoints exist to measure MACHINE conditions, so all
+    // three must run equally warm.
+    if (doCheckpoints && refTimes.nonEmpty)
+      controlNames.foreach(c =>
+        SparkEntry.queries.get(c).foreach(fn => timeOnce(c, fn)))
     val ckStart = if (doCheckpoints) timeCheckpoint() else None
     val (half1, half2) = ordered.splitAt(ordered.size / 2)
     def runPass(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
