@@ -5306,6 +5306,36 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q258 — ⊕ the FULLY-sized whitened SemDeDup — BOTH scale knobs
+    * derived, not pinned: the fit rides [[graft.ext.Spectral
+    * .fitStateSized]]'s 256-row hash sample (q257's axis) AND the
+    * dedup rides [[graft.ext.Similarity.semDedupAuto]], which derives
+    * the cluster count ([[graft.ext.Similarity.clustersForCorpus]])
+    * and the pair-join partition count from ONE corpus count. This is
+    * the deployment composition the r18 decade-2 measurement points
+    * at: the fixture anchors q253/q257 keep k=16 pinned, which at
+    * sf10 pushes every cluster past the pair-work cap and degenerates
+    * the ε-ball stage toward keep-all (the measured q106→q112 story);
+    * the sized k holds cluster occupancy — and per-row pair work —
+    * constant as the corpus grows. At every driver fixture size both
+    * derivations floor to the pinned values (k = 16, 32 partitions),
+    * so q258 shares q257's oracle bit-for-bit (the q150/q112
+    * convention), and SpectralSpec proves composition-level identity
+    * with q257 below the floors.
+    */
+  private val q258WhitenedSemDedupAuto: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitStateSized(em, col("vec_id"), col("embedding"),
+      iterations = 4, maxFitRows = 256)
+    val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedupAuto(wc, col("id"), col("w"), iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q256 — ⊕ the dedup FUNNEL datacard — a MEASURED NEGATIVE
     * RESULT, kept on purpose (the q198/q238 stance: publish the
     * operating point, don't cite it). The tempting composition —
@@ -6653,6 +6683,7 @@ object SparkEntry {
     "q255_whitened3_semdedup" -> q255Whitened3SemDedup,
     "q256_dedup_funnel"     -> q256DedupFunnel,
     "q257_whitened_semdedup_sized" -> q257WhitenedSemDedupSized,
+    "q258_whitened_semdedup_auto" -> q258WhitenedSemDedupAuto,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10341,6 +10372,11 @@ object SparkEntry {
     // q257: q249's sampled-fit prelude + the q253 tail (byte-shared
     // via whitenedSemDedupOracleSqlWith).
     "q257_whitened_semdedup_sized" -> whitenedSemDedupSizedOracleSql,
+    // q258: both derivations (clustersForCorpus, partitionsForCorpus)
+    // floor to the pinned k=16 / 32 partitions at fixture size, so the
+    // fully-sized composition shares q257's oracle bit-for-bit (the
+    // q150/q112 convention).
+    "q258_whitened_semdedup_auto" -> whitenedSemDedupSizedOracleSql,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.

@@ -204,8 +204,9 @@ class PlansSpec extends SparkSuite {
       "q253_whitened_semdedup", "q255_whitened3_semdedup",
       // q257 = q253's composition on the q249 sampled-fit path — the
       // same power-step single-row crosses and (mu, pc) state
-      // broadcast (the q93 stance)
-      "q257_whitened_semdedup_sized",
+      // broadcast (the q93 stance); q258 = the fully-sized form
+      // (sized fit + semDedupAuto), same plan shapes
+      "q257_whitened_semdedup_sized", "q258_whitened_semdedup_auto",
       // the funnel datacard's readout row is eight single-row
       // aggregates crossed (the q93 stance); every corpus-sized join
       // upstream is cluster- or id-keyed

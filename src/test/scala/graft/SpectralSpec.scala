@@ -277,6 +277,27 @@ class SpectralSpec extends SparkSuite {
       iterations = 4, maxFitRows = 1000L))
     assert(sized == fixed,
       s"sized-below-cap must equal fixed: ${sized.diff(fixed)} / ${fixed.diff(sized)}")
+    // and the FULLY-sized composition (q258: sized fit + semDedupAuto)
+    // equals the explicit form below the derivation floors: on this
+    // ~67-row corpus clustersForCorpus floors to k = 16 and
+    // partitionsForCorpus to 32, so semDedupAuto must reproduce
+    // semDedup(k = 16) row for row — the q150/q112 oracle-sharing
+    // convention, proven at the composition level
+    def footprints = {
+      val state = Spectral.fitStateSized(df, col("vec_id"), col("embedding"),
+        iterations = 4, maxFitRows = 1000L)
+      Spectral.projectWith(df, col("vec_id"), col("embedding"),
+          state, roundTo = 4)
+        .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+    }
+    val auto = graft.ext.Similarity.semDedupAuto(footprints,
+        col("id"), col("w"), iters = 2, tau = 0.9999, quantize = Some(9))
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toSet
+    val explicit16 = graft.ext.Similarity.semDedup(footprints,
+        col("id"), col("w"), k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toSet
+    assert(auto == explicit16,
+      "q258's fully-sized composition must equal the explicit k=16 form below the floors")
   }
 
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
