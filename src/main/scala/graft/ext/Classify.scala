@@ -288,4 +288,120 @@ object Classify {
       hashedDims(textCol, dims).as("__d"))
     gdLoop(feats, dims, iters, lrNum, lrDen, trace = true)._2.get
   }
+
+  // --------------------------------------------------------------------
+  // DENSE-feature logistic regression — the EMBEDDING classifier (the
+  // FineWeb-Edu shape: train a tiny linear model on an annotated
+  // sample's embeddings, then score the whole corpus row-locally).
+  // Same determinism contract as the hashed form, adapted to dense
+  // real features: features are quantized AT BIRTH to integer
+  // MILLI-units (floor(x·1e3 + 0.5) — coarser than the nano-unit
+  // weights so a 64-term margin times a 10⁶-row gradient sum stays
+  // far inside Long range), weights are integer nano-units, the
+  // margin Σ w·x is an exact integer in 10⁻¹² units, and the ONLY
+  // transcendental site is the per-(row, iter) residual floor (same
+  // guard-band audit surface as [[residualUnits]]). Scale shape: the
+  // fit is `iters` aggregations over the LABELED SAMPLE (a quality
+  // classifier's training set is small by construction — the q214
+  // stance) with one (d+1)-row collect per step; scoring is a
+  // row-local zip_with fold against literal weights — no join, no
+  // shuffle, the 100 TB deployment shape.
+  // --------------------------------------------------------------------
+
+  /** Fitted dense model: one nano-unit weight per feature; `w(0)` is
+    * the bias, whose feature is the constant 1000 milli-units (1.0).
+    */
+  final case class DenseLrModel(w: Seq[Long])
+
+  /** Milli-unit quantized feature vector with the bias constant
+    * prepended: [1000, floor(v_1·1e3 + 0.5), ...]. floor(x + 0.5) is
+    * the engine-portable round-half-up both codebases already use.
+    */
+  def milliFeatures(vec: Column): Column =
+    concat(array(lit(1000L)),
+      transform(Similarity.vecD(vec), x => floor(x * 1000 + lit(0.5)).cast("long")))
+
+  /** Margin in 10⁻¹² units: Σ_j w_j(nano) · x_j(milli) — an exact
+    * integer row-local fold against literal weights.
+    */
+  private def denseMargin(xCol: Column, model: DenseLrModel): Column = {
+    val wLit = array(model.w.map(v => lit(v)): _*)
+    aggregate(zip_with(xCol, wLit, (x, w) => x * w), lit(0L), (a, b) => a + b)
+  }
+
+  private def denseGdLoop(feats: DataFrame, iters: Int, lrNum: Long,
+                          lrDen: Long, trace: Boolean)
+      : (DenseLrModel, Option[DataFrame]) = {
+    val n = feats.count()
+    require(n > 0, "denseLogisticFit needs a non-empty training set")
+    val dim = feats.select(size(col("__x"))).head().getInt(0)
+    var model = DenseLrModel(Vector.fill(dim)(0L))
+    var traced: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val wx = denseMargin(col("__x"), model)
+      val pre = (lit(1.0) / (lit(1.0) + exp(-wx.cast("double") / 1e12))
+        - col("__y").cast("double")) * 1e9 + lit(0.5)
+      if (trace) {
+        val slice = feats.select(lit(it).as("iter"), pre.as("x"))
+        traced = Some(traced.map(_.unionAll(slice)).getOrElse(slice))
+      }
+      val r = floor(pre).cast("long")
+      // dense features: every gradient component is present in every
+      // row, so one posexplode aggregation yields the full (d+1)-row
+      // gradient (map-side combinable; only the model crosses to the
+      // driver — the k-means convention)
+      val grad = feats
+        .select(r.as("__r"), posexplode(col("__x")).as(Seq("__j", "__xj")))
+        .groupBy(col("__j")).agg(sum(col("__r") * col("__xj")).as("__g"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      // nano-unit step: gradient units are 10⁻⁹·10⁻³ = 10⁻¹², so the
+      // ÷1000 converts back to nano; floorDiv mirrors the SQL pmod
+      // floor-division identity exactly (negative gradients FLOOR,
+      // never truncate, in both engines)
+      def step(g: Long): Long = Math.floorDiv(lrNum * g, lrDen * n * it * 1000L)
+      model = DenseLrModel(
+        Vector.tabulate(dim)(j => model.w(j) - step(grad.getOrElse(j, 0L))))
+    }
+    (model, traced)
+  }
+
+  /** Fit by `iters` full-batch GD steps at the Robbins–Monro
+    * `lrNum/(lrDen·t)` decay — the dense twin of [[logisticFit]].
+    * Rows with null/empty vectors are excluded (they have no features
+    * to learn from); `labelCol` must be 0/1.
+    */
+  def denseLogisticFit(train: DataFrame, labelCol: Column, vecCol: Column,
+                       iters: Int = 8, lrNum: Long = 1L,
+                       lrDen: Long = 1L): DenseLrModel = {
+    val feats = train
+      .select(labelCol.cast("long").as("__y"), milliFeatures(vecCol).as("__x"))
+      .filter(col("__x").isNotNull && size(col("__x")) > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try denseGdLoop(feats, iters, lrNum, lrDen, trace = false)._1
+    finally { feats.unpersist(); () }
+  }
+
+  /** Score: `(id, margin_units, pred)` — margin an exact integer in
+    * 10⁻¹² units, pred = margin ≥ 0 (σ is monotone, so the published
+    * row never computes a transcendental). Row-local, no shuffle.
+    */
+  def denseLogisticScore(model: DenseLrModel, df: DataFrame,
+                         idCol: Column, vecCol: Column): DataFrame =
+    df.select(idCol.as("id"), milliFeatures(vecCol).as("__x"))
+      .filter(col("__x").isNotNull && size(col("__x")) > 1)
+      .select(col("id"), denseMargin(col("__x"), model).as("margin_units"))
+      .withColumn("pred", col("margin_units") >= 0)
+
+  /** [[residualInputs]] for the dense fit — the guard-band audit
+    * surface of its one transcendental site.
+    */
+  private[graft] def denseResidualInputs(train: DataFrame, labelCol: Column,
+                                         vecCol: Column, iters: Int = 8,
+                                         lrNum: Long = 1L,
+                                         lrDen: Long = 1L): DataFrame = {
+    val feats = train
+      .select(labelCol.cast("long").as("__y"), milliFeatures(vecCol).as("__x"))
+      .filter(col("__x").isNotNull && size(col("__x")) > 1)
+    denseGdLoop(feats, iters, lrNum, lrDen, trace = true)._2.get
+  }
 }

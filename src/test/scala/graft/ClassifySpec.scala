@@ -174,4 +174,56 @@ class ClassifySpec extends SparkSuite {
           "adjust lr/iters")
     }
   }
+
+  test("denseLogisticFit recovers a planted linear teacher and is partitioning-invariant") {
+    // planted teacher in feature space: y = [x1 + x2 > 0] over random-ish
+    // deterministic vectors — the q259 construction at spec scale
+    val rows = (1L to 80L).map { i =>
+      // shader-hash pseudo-random features: near-independent across
+      // dims (a sin LATTICE is heavily cross-correlated and lets a
+      // noise dim shadow the teacher)
+      val v = Seq.tabulate(8) { d =>
+        val x = math.sin(i * 12.9898 + d * 78.233) * 43758.5453
+        2 * (x - math.floor(x)) - 1
+      }
+      (i, v, if (v(0) + v(1) > 0) 1 else 0)
+    }
+    val tr = rows.toDF("id", "v", "y")
+    val m1 = Classify.denseLogisticFit(tr, col("y"), col("v"), lrNum = 16L)
+    val m2 = Classify.denseLogisticFit(tr.repartition(7, col("id")),
+      col("y"), col("v"), lrNum = 16L)
+    assert(m1 == m2, "dense model must be identical under any partitioning")
+    // the teacher direction must dominate the learned weights: w(1), w(2)
+    // (the planted dims) carry the largest magnitudes after the bias
+    val planted = Seq(m1.w(1), m1.w(2)).map(math.abs).min
+    val rest = m1.w.drop(3).map(math.abs).max
+    assert(planted > rest,
+      s"planted dims must outweigh noise dims: ${m1.w}")
+    val mis = Classify.denseLogisticScore(m1, tr, col("id"), col("v"))
+      .join(tr.select(col("id"), col("y")), "id")
+      .filter(col("pred") =!= (col("y") === 1)).count()
+    assert(mis <= 8, s"$mis/80 misclassified — the 8-step budget should fit most of a separable set")
+  }
+
+  test("q259 guard band: dense residual quantization inputs sit far from bin edges") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val em = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .withColumn("__v", col("embedding").cast("array<double>"))
+        .withColumn("y",
+          (element_at(col("__v"), 1) + element_at(col("__v"), 2) > 0).cast("int"))
+      val xs = Classify.denseResidualInputs(em.filter(col("vec_id") % 10 =!= 0),
+        col("y"), col("embedding"), lrNum = 16L)
+      val fr = col("x") - floor(col("x"))
+      val worst = xs.select(col("iter"), col("x"),
+          least(fr, lit(1.0) - fr).as("dist"))
+        .orderBy(col("dist")).limit(1).collect()(0)
+      assert(worst.getDouble(2) >= 1e-5,
+        s"$dir: dense residual input x=${worst.getDouble(1)} at iter " +
+          s"${worst.getInt(0)} sits ${worst.getDouble(2)} units from a " +
+          "floor bin edge - inside the cross-libm exp knife edge; " +
+          "adjust lr/iters")
+    }
+  }
 }
