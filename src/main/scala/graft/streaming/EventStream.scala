@@ -597,6 +597,22 @@ object EventStream {
                        fitted: DataFrame, roundTo: Int = 4): DataFrame =
     graft.ext.Spectral.projectWith(vectors, id, vec, fitted, roundTo)
 
+  /** ⊕ Streaming embedding-classifier screen — q259's trained dense
+    * LR on a LIVE ingest: fit offline on the annotated sample
+    * ([[graft.ext.Classify.denseLogisticFit]]), hand the literal
+    * nano-unit weights to the stream, and every arriving vector
+    * scores as one row-local integer fold
+    * ([[graft.ext.Classify.denseLogisticScore]] — byte-shared with
+    * batch; no state, no watermark, no join, append output). The
+    * published row is transcendental-free (exact integer margin,
+    * pred = margin ≥ 0), so batch ≡ streaming is structural — and
+    * StreamingSpec still proves it across micro-batches, the
+    * [[pcaProjectStream]] stance.
+    */
+  def denseLogisticScoreStream(vectors: DataFrame, id: Column, vec: Column,
+                               model: graft.ext.Classify.DenseLrModel): DataFrame =
+    graft.ext.Classify.denseLogisticScore(model, vectors, id, vec)
+
   case class DecimIn(id: Long, nv: Array[Double], cluster: Int)
   /** Per-cluster state: every footprint SEEN so far (kept or dropped —
     * the batch one-shot rule compares j against all earlier i, not

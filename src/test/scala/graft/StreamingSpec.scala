@@ -249,6 +249,38 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); state.unpersist() }
   }
 
+  test("denseLogisticScoreStream ≡ batch denseLogisticScore (stream-static classifier screen)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("y",
+        (element_at(col("__v"), 1) + element_at(col("__v"), 2) > 0).cast("int"))
+    val model = graft.ext.Classify.denseLogisticFit(
+      corpus.filter(col("vec_id") % 10 =!= 0), col("y"), col("embedding"),
+      lrNum = 16L)
+    val batch = graft.ext.Classify.denseLogisticScore(model, corpus,
+        col("vec_id"), col("embedding"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val rows = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = EventStream.denseLogisticScoreStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), model)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lr_out").start()
+    try {
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("lr_out").as[(Long, Long, Boolean)].collect().toSet
+      assert(got == batch, "stream != batch on the same vectors")
+      assert(got.size == rows.size)
+    } finally q.stop()
+  }
+
   test("spectralDecimateStream ≡ batch whitened-footprint semDedup (q253) under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
