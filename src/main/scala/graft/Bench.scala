@@ -184,6 +184,7 @@ object Bench {
     val pass2 = runPass(half2)
     val ckEnd = if (doCheckpoints) timeCheckpoint() else None
     val firstPass = pass1 ++ pass2
+    val retimed = scala.collection.mutable.Set[String]()
     val results = firstPass.map { case (name, t) =>
       val prev = prevTimes.getOrElse(name, -1.0)
       // 0.2s floor: sub-floor queries sit at the per-job scheduling noise
@@ -192,7 +193,10 @@ object Bench {
         System.err.println(f"[bench] $name%s $t%.2fs is >2x last run's $prev%.2fs; re-timing once")
         val ts = Seq.fill(3)(timeOnce(name, selected(name)))
         val re = if (ts.exists(_ < 0)) t else math.min(t, ts.min)
-        if (re < t) System.err.println(f"[bench] $name%s re-timed $t%.2fs -> $re%.2fs (load burst)")
+        if (re < t) {
+          System.err.println(f"[bench] $name%s re-timed $t%.2fs -> $re%.2fs (load burst)")
+          retimed += name
+        }
         name -> re
       } else name -> t
     }
@@ -241,7 +245,12 @@ object Bench {
         val amb = math.max(0.5,
           if (i < half1.size) ms + (mm - ms) * ((i + 0.5) / n1)
           else mm + (me - mm) * ((i - half1.size + 0.5) / n2))
-        name -> (if (t > 0) t / amb else t)
+        // A RETIMED value was measured AFTER ckEnd under whatever
+        // conditions then held — dividing it by the burst-period
+        // ambient would double-correct and deflate the record, so a
+        // retimed query publishes its (already clean) raw value and
+        // the `retimed` list below says which rows those are.
+        name -> (if (t > 0 && !retimed.contains(name)) t / amb else t)
       }
     }
     val normalizedJson = normalized.map { norm =>
@@ -254,8 +263,12 @@ object Bench {
     val normTotalJson = normalized.map { norm =>
       f""","normalized_total_s":${norm.map(_._2).filter(_ >= 0).sum}%.3f"""
     }.getOrElse("")
+    val retimedJson =
+      if (retimed.isEmpty) ""
+      else retimed.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","retimed":[""", ",", "]")
     val controls = ckJson("start", ckStart) + ckJson("mid", ckMid) +
-      ckJson("end", ckEnd) + medianJson
+      ckJson("end", ckEnd) + medianJson + retimedJson
     // total_s / n_failed / n_queries repeat at the END of the line: the
     // driver preserves only the final ~2000 chars of stdout, which
     // truncates the leading "value" and most per-query entries — the

@@ -5364,8 +5364,14 @@ object SparkEntry {
     val em = Tables.embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .withColumn("__v", col("embedding").cast("array<double>"))
-      .withColumn("y",
-        (element_at(col("__v"), 1) + element_at(col("__v"), 2) > 0).cast("int"))
+      // try_element_at + coalesce: a short or NULL-element vector must
+      // label 0 exactly as the oracle's CASE does (NULL > 0 is NULL →
+      // ELSE 0 in DuckDB; a bare element_at would THROW under ANSI on
+      // a 1-element vector, and a bare NULL label would train Spark on
+      // one fewer row than the oracle)
+      .withColumn("y", coalesce(
+        (try_element_at(col("__v"), lit(1)) + try_element_at(col("__v"), lit(2)) > 0)
+          .cast("int"), lit(0)))
     val model = ext.Classify.denseLogisticFit(
       em.filter(col("vec_id") % 10 =!= 0), col("y"), col("embedding"),
       lrNum = 16L)

@@ -297,7 +297,9 @@ object Classify {
   // real features: features are quantized AT BIRTH to integer
   // MILLI-units (floor(x·1e3 + 0.5) — coarser than the nano-unit
   // weights so a 64-term margin times a 10⁶-row gradient sum stays
-  // far inside Long range), weights are integer nano-units, the
+  // inside Long range, with an explicit headroom `require` in the GD
+  // loop and a BigInt step so nothing can silently wrap), weights
+  // are integer nano-units, the
   // margin Σ w·x is an exact integer in 10⁻¹² units, and the ONLY
   // transcendental site is the per-(row, iter) residual floor (same
   // guard-band audit surface as [[residualUnits]]). Scale shape: the
@@ -334,6 +336,18 @@ object Classify {
       : (DenseLrModel, Option[DataFrame]) = {
     val n = feats.count()
     require(n > 0, "denseLogisticFit needs a non-empty training set")
+    // Gradient-sum headroom: each row contributes at most ~5e8 (the
+    // residual cap) × the milli-unit feature magnitude to a gradient
+    // component, so the Long sum is safe only while n × 5e8 × |x|
+    // stays under 2⁶³. At |x| ≈ 1000 (unit-scale embeddings) that is
+    // ~1.8e7 rows — far above any sensible labeled sample (a quality
+    // classifier trains on an annotated SAMPLE; hash-sample the
+    // labels if they outgrow this). Fail loudly rather than wrap:
+    // Spark's non-ANSI Long sum wraps silently while DuckDB raises,
+    // and a silent wrap trains a sign-flipped model.
+    require(n <= (1L << 24),
+      s"denseLogisticFit: $n training rows exceeds the integer-gradient " +
+        "headroom (~1.6e7 at unit-scale features); hash-sample the labeled set")
     val dim = feats.select(size(col("__x"))).head().getInt(0)
     var model = DenseLrModel(Vector.fill(dim)(0L))
     var traced: Option[DataFrame] = None
@@ -355,10 +369,16 @@ object Classify {
         .groupBy(col("__j")).agg(sum(col("__r") * col("__xj")).as("__g"))
         .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
       // nano-unit step: gradient units are 10⁻⁹·10⁻³ = 10⁻¹², so the
-      // ÷1000 converts back to nano; floorDiv mirrors the SQL pmod
-      // floor-division identity exactly (negative gradients FLOOR,
-      // never truncate, in both engines)
-      def step(g: Long): Long = Math.floorDiv(lrNum * g, lrDen * n * it * 1000L)
+      // ÷1000 converts back to nano; BigInt floor-division mirrors the
+      // SQL pmod identity exactly (negative gradients FLOOR, never
+      // truncate) AND cannot wrap where `lrNum * g` would exceed Long
+      // near the headroom bound above — Spark would wrap silently
+      // there while DuckDB raises, diverging the engines.
+      def step(g: Long): Long = {
+        val a = BigInt(lrNum) * g
+        val b = BigInt(lrDen) * n * it * 1000L
+        ((a - a.mod(b)) / b).toLong  // mod ≥ 0 for b > 0 ⇒ floor division
+      }
       model = DenseLrModel(
         Vector.tabulate(dim)(j => model.w(j) - step(grad.getOrElse(j, 0L))))
     }
@@ -402,6 +422,16 @@ object Classify {
     val feats = train
       .select(labelCol.cast("long").as("__y"), milliFeatures(vecCol).as("__x"))
       .filter(col("__x").isNotNull && size(col("__x")) > 1)
-    denseGdLoop(feats, iters, lrNum, lrDen, trace = true)._2.get
+      // persist like the fit path: without it each iteration's count/
+      // gradient pass rescans the source, and the traced union's
+      // collect re-derives every margin chain from scratch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // eager checkpoint makes the trace self-contained so feats can
+      // unpersist before the caller collects (the in-tree staging
+      // idiom — eager, like every checkpoint in-tree)
+      denseGdLoop(feats, iters, lrNum, lrDen, trace = true)._2.get
+        .localCheckpoint()
+    } finally { feats.unpersist(); () }
   }
 }

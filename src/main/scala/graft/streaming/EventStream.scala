@@ -616,9 +616,15 @@ object EventStream {
   case class DecimIn(id: Long, nv: Array[Double], cluster: Int)
   /** Per-cluster state: every footprint SEEN so far (kept or dropped —
     * the batch one-shot rule compares j against all earlier i, not
-    * just survivors), parallel arrays, capped at `maxPerCluster`.
+    * just survivors), parallel arrays, capped at `maxPerCluster`;
+    * `overflowIds` records ids seen AFTER the cap (id only, no
+    * footprint) so an at-least-once re-delivery of a beyond-cap row
+    * cannot re-emit it — 8 bytes per overflow row, the same
+    * output-proportional state order as [[nearDupPairsStream]]'s pair
+    * stage.
     */
-  case class ClusterSeen(ids: Array[Long], nvs: Array[Array[Double]])
+  case class ClusterSeen(ids: Array[Long], nvs: Array[Array[Double]],
+                         overflowIds: Array[Long])
   case class DecimKeep(vec_id: Long, cluster: Int)
 
   /** ⊕ Streaming spectral decimation — the q253 composition on a LIVE
@@ -675,8 +681,9 @@ object EventStream {
     assigned.groupByKey(_.cluster)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (cluster: Int, rows: Iterator[DecimIn], state: GroupState[ClusterSeen]) =>
-          val st = state.getOption.getOrElse(ClusterSeen(Array.empty, Array.empty))
-          var ids = st.ids; var nvs = st.nvs
+          val st = state.getOption.getOrElse(
+            ClusterSeen(Array.empty, Array.empty, Array.empty))
+          var ids = st.ids; var nvs = st.nvs; var over = st.overflowIds
           val out = scala.collection.mutable.ArrayBuffer[DecimKeep]()
           rows.toArray.sortBy(_.id).foreach { r =>
             var dup = false
@@ -690,14 +697,18 @@ object EventStream {
               }
               i += 1
             }
-            // a re-delivered id is neither re-emitted nor re-stored
-            val seenSelf = ids.contains(r.id)
+            // a re-delivered id is neither re-emitted nor re-stored —
+            // including one that arrived AFTER the cap and so was never
+            // stored with its footprint (overflowIds remembers it)
+            val seenSelf = ids.contains(r.id) || over.contains(r.id)
             if (!dup && !seenSelf) out += DecimKeep(r.id, cluster)
-            if (!seenSelf && ids.length < maxPerCluster) {
-              ids = ids :+ r.id; nvs = nvs :+ r.nv
+            if (!seenSelf) {
+              if (ids.length < maxPerCluster) {
+                ids = ids :+ r.id; nvs = nvs :+ r.nv
+              } else over = over :+ r.id
             }
           }
-          state.update(ClusterSeen(ids, nvs))
+          state.update(ClusterSeen(ids, nvs, over))
           out.iterator
       }
   }

@@ -176,12 +176,22 @@ def main():
     # retime is skipped too (a fresh raw retime is not comparable to a
     # normalized baseline). Raw maps remain in the records for anyone
     # who wants them.
+    # ... but ONLY when both were normalized against the SAME reference
+    # epoch: normalized_s values are seconds in ref-epoch units, and
+    # dividing r15-epoch units by r18-epoch units would bake a silent
+    # per-round drift factor into every ratio.
     if isinstance(new.get('normalized_s'), dict) and \
             isinstance(old.get('normalized_s'), dict):
-        nq, oq = dict(new['normalized_s']), dict(old['normalized_s'])
-        do_retime = False
-        print("gating on normalized_s (both records carry control-trio "
-              "normalization); auto-retime disabled")
+        if new.get('control_ref') == old.get('control_ref'):
+            nq, oq = dict(new['normalized_s']), dict(old['normalized_s'])
+            do_retime = False
+            print("gating on normalized_s (both records carry control-trio "
+                  f"normalization vs {new.get('control_ref')}); "
+                  "auto-retime disabled")
+        else:
+            print("both records carry normalized_s but against different "
+                  f"control refs ({new.get('control_ref')} vs "
+                  f"{old.get('control_ref')}); gating on RAW seconds")
     shared = sorted(set(nq) & set(oq))
     only_new = sorted(set(nq) - set(oq))
     only_old = sorted(set(oq) - set(nq))
