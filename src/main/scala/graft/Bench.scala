@@ -97,18 +97,28 @@ object Bench {
     // between its two bracketing checkpoints by suite position).
     val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q93_lm_quality")
     // reference vector: explicit SPARK_GRAFT_CONTROL_REF, else the
-    // newest committed BENCH_LOCAL_r*.json in cwd (excluding the file
-    // this run is about to write) — so the driver's un-parameterized
-    // runs normalize too.
+    // CANONICAL pinned epoch (BENCH_LOCAL_r15.json — the idle-machine
+    // epoch all committed records since r18 normalize against; see
+    // BENCH_NOTES "control reference epoch"). Pinning the default is
+    // what makes cross-round normalized gating engage without manual
+    // env plumbing (r18 ADVICE: a newest-record default advanced every
+    // round, so records never shared an epoch and the gate silently
+    // fell back to raw seconds). Falls back to the newest committed
+    // BENCH_LOCAL_r*.json only if the canonical epoch file is gone.
+    val canonicalEpoch = "BENCH_LOCAL_r15.json"
     val defaultRef: Option[String] = try {
       val rec = sys.env.get("SPARK_GRAFT_RECORD")
         .map(p => java.nio.file.Paths.get(p).getFileName.toString)
-      val re = """BENCH_LOCAL_r(\d+)\.json""".r
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case re(n) if !rec.contains(f.getName) => Some((n.toInt, f.getName))
-          case _ => None
-        }).sortBy(-_._1).headOption.map(_._2)
+      if (new java.io.File(canonicalEpoch).exists() &&
+          !rec.contains(canonicalEpoch)) Some(canonicalEpoch)
+      else {
+        val re = """BENCH_LOCAL_r(\d+)\.json""".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case re(n) if !rec.contains(f.getName) => Some((n.toInt, f.getName))
+            case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+      }
     } catch { case _: Throwable => None }
     val refPath = sys.env.get("SPARK_GRAFT_CONTROL_REF").orElse(defaultRef)
     // self-reporting (r17 lesson: a silently-missing ref produced an
@@ -247,10 +257,16 @@ object Bench {
           else mm + (me - mm) * ((i - half1.size + 0.5) / n2))
         // A RETIMED value was measured AFTER ckEnd under whatever
         // conditions then held — dividing it by the burst-period
-        // ambient would double-correct and deflate the record, so a
-        // retimed query publishes its (already clean) raw value and
-        // the `retimed` list below says which rows those are.
-        name -> (if (t > 0 && !retimed.contains(name)) t / amb else t)
+        // ambient would double-correct, so it normalizes by the ckEnd
+        // ambient (the closest measured condition) instead of its
+        // bracketing interpolation. This keeps every normalized_s
+        // entry in ref-epoch units (r18 ADVICE: a raw retimed value in
+        // this map made the gate compare mixed units); the `retimed`
+        // list still says which rows carry the coarser correction.
+        val ambEnd = math.max(0.5, me)
+        name -> (if (t <= 0) t
+                 else if (retimed.contains(name)) t / ambEnd
+                 else t / amb)
       }
     }
     val normalizedJson = normalized.map { norm =>

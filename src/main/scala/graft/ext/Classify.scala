@@ -349,6 +349,14 @@ object Classify {
       s"denseLogisticFit: $n training rows exceeds the integer-gradient " +
         "headroom (~1.6e7 at unit-scale features); hash-sample the labeled set")
     val dim = feats.select(size(col("__x"))).head().getInt(0)
+    // A variable-length vector would NULL-pad the zip_with margin
+    // (silently diverging from an oracle that truncates to the row's
+    // own length) — fail loudly instead: one count over the SAMPLE,
+    // once per fit, not per iteration.
+    val mismatched = feats.filter(size(col("__x")) =!= dim).count()
+    require(mismatched == 0,
+      s"denseLogisticFit: $mismatched training rows differ from the " +
+        s"model dimension ${dim - 1}; dense LR needs uniform-length vectors")
     var model = DenseLrModel(Vector.fill(dim)(0L))
     var traced: Option[DataFrame] = None
     for (it <- 1 to iters) {
@@ -409,7 +417,19 @@ object Classify {
                          idCol: Column, vecCol: Column): DataFrame =
     df.select(idCol.as("id"), milliFeatures(vecCol).as("__x"))
       .filter(col("__x").isNotNull && size(col("__x")) > 1)
-      .select(col("id"), denseMargin(col("__x"), model).as("margin_units"))
+      // Row-local length guard: a vector whose length differs from the
+      // model dimension would NULL-pad the zip_with margin — publish a
+      // loud per-row error instead of a silent NULL the oracle would
+      // diverge on (raise_error keeps the guard inside codegen; the
+      // happy path costs one size() compare).
+      .select(col("id"),
+        when(size(col("__x")) === lit(model.w.length),
+            denseMargin(col("__x"), model))
+          .otherwise(raise_error(concat(
+            lit("denseLogisticScore: feature length "),
+            (size(col("__x")) - 1).cast("string"),
+            lit(s" != model dimension ${model.w.length - 1}"))))
+          .as("margin_units"))
       .withColumn("pred", col("margin_units") >= 0)
 
   /** [[residualInputs]] for the dense fit — the guard-band audit

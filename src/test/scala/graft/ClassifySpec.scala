@@ -205,6 +205,31 @@ class ClassifySpec extends SparkSuite {
     assert(mis <= 8, s"$mis/80 misclassified — the 8-step budget should fit most of a separable set")
   }
 
+  test("dense LR fails loudly on variable-length vectors (no NULL-padded margins)") {
+    // r18 ADVICE: a length mismatch must never publish a NULL margin
+    // (zip_with NULL-pads where the oracle truncates — a silent
+    // cross-engine divergence). Fit: require at collect time. Score:
+    // row-local raise_error.
+    val good = (1L to 10L).map(i => (i, Seq.tabulate(4)(d => (i + d).toDouble / 10), (i % 2).toInt))
+    val short = Seq((99L, Seq(1.0, 2.0), 1))
+    val mixed = (good ++ short).toDF("id", "v", "y")
+    val eFit = intercept[IllegalArgumentException] {
+      Classify.denseLogisticFit(mixed, col("y"), col("v"), iters = 1)
+    }
+    assert(eFit.getMessage.contains("uniform-length"), eFit.getMessage)
+    val model = Classify.denseLogisticFit(good.toDF("id", "v", "y"),
+      col("y"), col("v"), iters = 1)
+    val eScore = intercept[Exception] {
+      Classify.denseLogisticScore(model, mixed, col("id"), col("v")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(eScore).contains("denseLogisticScore"), chain(eScore))
+    // uniform-length scoring still works against the same model
+    assert(Classify.denseLogisticScore(model, good.toDF("id", "v", "y"),
+      col("id"), col("v")).count() == 10)
+  }
+
   test("q259 guard band: dense residual quantization inputs sit far from bin edges") {
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")
          if new java.io.File(dir).isDirectory) {

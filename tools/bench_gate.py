@@ -78,6 +78,21 @@ def load(path):
     return out
 
 
+def control_refs(rec):
+    """The epoch control times a record normalized against: control ->
+    ref seconds, read from any checkpoint block (all three carry the
+    same ref vector)."""
+    for tag in ('controls_end', 'controls_mid', 'controls_start'):
+        blk = rec.get(tag)
+        if isinstance(blk, dict):
+            out = {c: v.get('ref') for c, v in blk.items()
+                   if isinstance(v, dict)
+                   and isinstance(v.get('ref'), (int, float))}
+            if out:
+                return out
+    return {}
+
+
 def retime(queries, sf_dir):
     """Re-run Bench restricted to `queries` (min-of-3 inside Bench) and
     return its per-query seconds. Empty dict on any failure — the gate
@@ -189,9 +204,32 @@ def main():
                   f"normalization vs {new.get('control_ref')}); "
                   "auto-retime disabled")
         else:
-            print("both records carry normalized_s but against different "
-                  f"control refs ({new.get('control_ref')} vs "
-                  f"{old.get('control_ref')}); gating on RAW seconds")
+            # Different epochs: chain-convert the baseline into the new
+            # record's epoch units via the ratio of the two epochs'
+            # control times (normalized_E2 = normalized_E1 ·
+            # E2_ref(c)/E1_ref(c); median over the shared control trio).
+            # r18 ADVICE: without this, any ref drift silently dropped
+            # the gate back to raw seconds.
+            nrefs, orefs = control_refs(new), control_refs(old)
+            factors = sorted(nrefs[c] / orefs[c]
+                             for c in set(nrefs) & set(orefs)
+                             if orefs[c] > 0)
+            if factors:
+                f = factors[len(factors) // 2]
+                nq = dict(new['normalized_s'])
+                oq = {q: v * f if v >= 0 else v
+                      for q, v in old['normalized_s'].items()}
+                do_retime = False
+                print("gating on normalized_s with EPOCH CHAIN-CONVERSION: "
+                      f"baseline units ({old.get('control_ref')}) x {f:.3f} "
+                      f"-> new epoch units ({new.get('control_ref')}); "
+                      f"factor = median over {len(factors)} shared controls; "
+                      "auto-retime disabled")
+            else:
+                print("both records carry normalized_s but against different "
+                      f"control refs ({new.get('control_ref')} vs "
+                      f"{old.get('control_ref')}) and no shared control trio "
+                      "to chain-convert through; gating on RAW seconds")
     shared = sorted(set(nq) & set(oq))
     only_new = sorted(set(nq) - set(oq))
     only_old = sorted(set(oq) - set(nq))
