@@ -5360,8 +5360,11 @@ object SparkEntry {
     * one row-local literal-weight fold per row — no join, no shuffle:
     * the 100 TB deployment shape.
     */
-  private val q259EmbeddingLr: Q = (s, dir) => {
-    val em = Tables.embeddings(s, dir)
+  /** q259/q260/q261 shared corpus prep: the labeled embeddings table
+    * with the planted linear teacher.
+    */
+  private def denseLrCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .withColumn("__v", col("embedding").cast("array<double>"))
       // try_element_at + coalesce: a short or NULL-element vector must
@@ -5372,14 +5375,119 @@ object SparkEntry {
       .withColumn("y", coalesce(
         (try_element_at(col("__v"), lit(1)) + try_element_at(col("__v"), lit(2)) > 0)
           .cast("int"), lit(0)))
+
+  /** The shared q259 train+score chain: fit on the q154 split, score
+    * the full corpus — `(labeled corpus, per-row scores)`.
+    */
+  private def denseLrScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val em = denseLrCorpus(s, dir)
     val model = ext.Classify.denseLogisticFit(
       em.filter(col("vec_id") % 10 =!= 0), col("y"), col("embedding"),
       lrNum = 16L)
-    ext.Classify.denseLogisticScore(model, em, col("vec_id"), col("embedding"))
+    (em, ext.Classify.denseLogisticScore(model, em, col("vec_id"), col("embedding")))
+  }
+
+  private val q259EmbeddingLr: Q = (s, dir) => {
+    val (em, scored) = denseLrScored(s, dir)
+    scored
       .join(em.select(col("vec_id").as("id"), col("y")), Seq("id"))
       .select(col("id").as("vec_id"), (col("y") === 1).as("is_pos"),
         col("pred"), col("margin_units"),
         (col("pred") === (col("y") === 1)).as("hit"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q260 — ⊕ classifier-gated corpus cut — the capstone composition
+    * the q259 screen exists for (FineWeb-Edu's deployment: train →
+    * score → threshold → corpus cut): q259's trained dense LR scores
+    * the FULL corpus ([[denseLrScored]], byte-shared), the cut
+    * boundary is the bottom-TERCILE margin (the q196 CCNet
+    * convention: drop the tail bucket; Spark `percentile` ≡ DuckDB
+    * `quantile_cont` to the bit over the exact integer margins), and
+    * the surviving corpus is emitted. The scored table stages once
+    * (eager localCheckpoint — the boundary aggregate and the cut both
+    * consume it; the q217 rewards lesson: without staging the model
+    * would re-score the corpus per consumer), the boundary rides a
+    * single-row broadcast cross (the q196 stance), the cut is a
+    * row-local filter. At 100 TB: one scoring pass + one percentile
+    * aggregation + one filter — no join, no corpus shuffle.
+    */
+  private val q260ClassifierCut: Q = (s, dir) => {
+    val scored = denseLrScored(s, dir)._2.localCheckpoint()
+    val bound = scored.agg(
+      percentile(col("margin_units"), lit(1.0 / 3)).as("b"))
+    scored.crossJoin(broadcast(bound))
+      .filter(col("margin_units") >= col("b"))
+      .select(col("id").as("vec_id"), col("margin_units"), col("pred"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q261 — ⊕ the classifier-cut DATACARD — q260's release panel (the
+    * q200 "datasheets" stance applied to the trained gate): one row
+    * carrying corpus size in, survivors at the tercile boundary, the
+    * EFFECTIVE integer threshold, and the screen's measured hit rate
+    * on the LABELED split (integer ppm — the q256 readout convention,
+    * with the same nullif guard on the division). `threshold_units`
+    * is the smallest SURVIVING margin, not the interpolated
+    * percentile: margins are exact integers, so the minimal kept
+    * margin is the threshold a consumer can actually re-apply — and
+    * it publishes integer-exact where a round(interpolated, 4) at
+    * 10¹¹-unit magnitudes sits inside fp rounding noise (caught by
+    * GuardBandSweepSpec in-round; the interpolated boundary stays
+    * INTERNAL, the q92/q196 "ln stays internal" stance). One pass
+    * with conditional sums — the q200 single-rollup shape.
+    */
+  private val q261ClassifierCard: Q = (s, dir) => {
+    val (em, scoredRaw) = denseLrScored(s, dir)
+    val scored = scoredRaw.localCheckpoint()
+    val bound = scored.agg(
+      percentile(col("margin_units"), lit(1.0 / 3)).as("b"))
+    scored
+      .join(em.select(col("vec_id").as("id"), col("y")), Seq("id"))
+      .crossJoin(broadcast(bound))
+      .agg(
+        count(lit(1)).cast("long").as("n_in"),
+        coalesce(sum(when(col("margin_units") >= col("b"), 1L)), lit(0L))
+          .cast("long").as("n_kept"),
+        min(when(col("margin_units") >= col("b"), col("margin_units")))
+          .cast("long").as("threshold_units"),
+        coalesce(sum(when(col("id") % 10 =!= 0, 1L)), lit(0L))
+          .cast("long").as("n_labeled"),
+        coalesce(sum(when(col("id") % 10 =!= 0 &&
+            (col("pred") === (col("y") === 1)), 1L)), lit(0L))
+          .cast("long").as("n_hit"))
+      .select(col("n_in"), col("n_kept"), col("threshold_units"),
+        col("n_labeled"),
+        expr("(n_hit * 1000000) div nullif(n_labeled, 0)").cast("long")
+          .as("hit_ppm"))
+  }
+
+  /** q262 — ⊕ the SIZED 3-d whitened SemDeDup — the q257 treatment
+    * applied to q255 (the family's fixed → sized convention, closing
+    * its last unsized member): [[graft.ext.Spectral.fitState2Sized]]
+    * fits BOTH principal directions on the q50 md5 sample capped at
+    * 256 rows (at sf0.01 the cap binds — the q257 sampled-fit/
+    * full-scoring split genuinely exercises), [[graft.ext.Spectral
+    * .whitenedWith]] scores EVERY row to its 3-d footprint
+    * [p1, p2, √resid], and the q106 ε-ball picks survivors. This is
+    * the USEFUL operating point (q255 measures genuine near-dup keep
+    * rates vs q253's aggressive decimation) and it previously had no
+    * 100 TB fit path. Sample-fitted directions differ from q255's
+    * full fit, so the keep set legitimately differs; the oracle
+    * re-derives the sampled two-component fit chain and the
+    * full-corpus scoring pass.
+    */
+  private val q262Whitened3SemDedupSized: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitState2Sized(em, col("vec_id"), col("embedding"),
+      iterations = 4, maxFitRows = 256)
+    val wc = ext.Spectral.whitenedWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"),
+        array(col("p1"), col("p2"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedup(wc, col("id"), col("w"), k = 16, iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
   }
 
@@ -6732,6 +6840,9 @@ object SparkEntry {
     "q257_whitened_semdedup_sized" -> q257WhitenedSemDedupSized,
     "q258_whitened_semdedup_auto" -> q258WhitenedSemDedupAuto,
     "q259_embedding_lr"     -> q259EmbeddingLr,
+    "q260_classifier_cut"   -> q260ClassifierCut,
+    "q261_classifier_card"  -> q261ClassifierCard,
+    "q262_whitened3_semdedup_sized" -> q262Whitened3SemDedupSized,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10425,6 +10536,10 @@ object SparkEntry {
     // fully-sized composition shares q257's oracle bit-for-bit (the
     // q150/q112 convention).
     "q258_whitened_semdedup_auto" -> whitenedSemDedupSizedOracleSql,
+    // q262: q255's two-chain spectrum + ε-ball tail on the q249
+    // sampled-fit prelude (both components fit on the capped sample,
+    // every row scored)
+    "q262_whitened3_semdedup_sized" -> whitened3SemDedupSizedOracleSql,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.
@@ -11426,6 +11541,10 @@ object SparkEntry {
     // q259: the dense-LR loop unrolled (the q214 template at embedding
     // features — milli-unit x, nano-unit w, planted linear teacher).
     "q259_embedding_lr" -> denseLrOracleSql(64, 8, 16L, 1L),
+    // q260/q261: the SAME chain generator + tercile boundary —
+    // the cut's surviving rows and its one-row datacard
+    "q260_classifier_cut" -> denseLrCutOracleSql,
+    "q261_classifier_card" -> denseLrCardOracleSql,
     // q223: q214's train+score chain byte-shared (lrChainCtes);
     // decile boundaries by quantile_cont (≡ Spark percentile to the
     // bit), bin = 1 + #{boundaries below}, per-bin acc vs sigmoid
@@ -12691,8 +12810,13 @@ object SparkEntry {
     * one GROUP BY over the unnested vector — no LEFT JOIN against a
     * dim table.
     */
-  private def denseLrOracleSql(dim: Int, iters: Int,
-                               lrNum: Long, lrDen: Long): String = {
+  /** The q259 training+scoring chain through `sc(vec_id, y, wx)` —
+    * shared by the q259 readout and the q260/q261 curation capstones
+    * (same fit, same scores, different tails — the chain cannot
+    * drift between the screen and the cut it gates).
+    */
+  private def denseLrCtes(dim: Int, iters: Int,
+                          lrNum: Long, lrDen: Long): String = {
     def fdiv(a: String, b: String): String =
       s"($a - (($a % $b + $b) % $b)) // $b"
     val iterCtes = (1 to iters).map { i =>
@@ -12733,12 +12857,46 @@ object SparkEntry {
       |sc AS (
       |  SELECT vec_id, y,
       |    list_sum(list_transform(range(1, len(x) + 1), j -> x[j] * w[j])) AS wx
-      |  FROM xx, dw$iters)
+      |  FROM xx, dw$iters)""".stripMargin
+  }
+
+  private def denseLrOracleSql(dim: Int, iters: Int,
+                               lrNum: Long, lrDen: Long): String =
+    denseLrCtes(dim, iters, lrNum, lrDen) +
+      raw"""
       |SELECT vec_id, y = 1 AS is_pos, wx >= 0 AS pred,
       |  CAST(wx AS BIGINT) AS margin_units,
       |  (wx >= 0) = (y = 1) AS hit
       |FROM sc ORDER BY vec_id""".stripMargin
-  }
+
+  /** q260's oracle — the chain + the tercile boundary (the q217
+    * `quantile_cont(x, 1.0/3)` idiom) + the surviving-corpus cut.
+    */
+  private def denseLrCutOracleSql: String =
+    denseLrCtes(64, 8, 16L, 1L) +
+      raw""",
+      |bnd AS (SELECT quantile_cont(wx, 1.0/3) AS b FROM sc)
+      |SELECT vec_id, CAST(wx AS BIGINT) AS margin_units, wx >= 0 AS pred
+      |FROM sc, bnd WHERE wx >= b ORDER BY vec_id""".stripMargin
+
+  /** q261's oracle — the chain + boundary + the one-row datacard
+    * (integer-ppm hit rate with the q256 nullif guard).
+    */
+  private def denseLrCardOracleSql: String =
+    denseLrCtes(64, 8, 16L, 1L) +
+      raw""",
+      |bnd AS (SELECT quantile_cont(wx, 1.0/3) AS b FROM sc),
+      |card AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+      |    CAST(coalesce(sum(CASE WHEN wx >= b THEN 1 END), 0) AS BIGINT) AS n_kept,
+      |    CAST(min(CASE WHEN wx >= b THEN wx END) AS BIGINT) AS threshold_units,
+      |    CAST(coalesce(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 END), 0) AS BIGINT) AS n_labeled,
+      |    CAST(coalesce(sum(CASE WHEN vec_id % 10 <> 0
+      |                       AND (wx >= 0) = (y = 1) THEN 1 END), 0) AS BIGINT) AS n_hit
+      |  FROM sc, bnd)
+      |SELECT n_in, n_kept, threshold_units, n_labeled,
+      |  CAST((n_hit * 1000000) // nullif(n_labeled, 0) AS BIGINT) AS hit_ppm
+      |FROM card""".stripMargin
 
   private def nbOracleSql(label: String, trainWhere: String,
                           testWhere: String, readout: String): String =
@@ -14070,6 +14228,64 @@ object SparkEntry {
       |  FROM pf, v4),
       |bv0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
       |${pcaStepCtes("d", "b", 4)},
+      |pg AS (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM d, bv4),
+      |wv AS (
+      |  SELECT pf.vec_id, [round(pf.p, 4), round(pg.p, 4),
+      |    sqrt(round(greatest(0.0, list_sum(list_transform(pg.c, x -> x * x)) - pg.p * pg.p), 4))] AS v
+      |  FROM pf JOIN pg ON pg.vec_id = pf.vec_id),
+      |wn0 AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS sq FROM wv),
+      |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(sq)) AS nv FROM wn0 WHERE sq > 0),
+      |${ivfChainCtes(3, 16, "nv", "nv")},
+      |cs AS (
+      |  SELECT cluster FROM af GROUP BY cluster HAVING count(*) <= $MaxBucketCap),
+      |capped AS (SELECT af.* FROM af JOIN cs USING (cluster)),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id AS id
+      |  FROM capped a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, 4),
+      |          i -> a.nv[i] * b.nv[i])), 4) >= 0.9999)
+      |SELECT af.vec_id, af.cluster FROM af
+      |WHERE af.vec_id NOT IN (SELECT id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
+  /** q262's oracle — q255 on the sized fit path: q249's sampled-fit
+    * prelude (md5 buckets, truncating rate threshold) fits BOTH
+    * components on the SAMPLE (`c` = centered sample rows → v4; the
+    * sample deflates through `dfit` → the `b`-prefixed second chain →
+    * bv4), then the full-corpus scoring pass (`ca` centers ALL of `e`
+    * with the FIT mean — the q249/q257 split) derives every row's
+    * 3-d [p1, p2, √resid] footprint, and the SAME [[ivfChainCtes]]
+    * k-means at dim 3 + q106 ε-ball tail picks survivors
+    * (byte-shared with q255's tail).
+    */
+  private def whitened3SemDedupSizedOracleSql: String =
+    raw"""${pcaPowerCte(4, pcaSampledFitCtes(256))},
+      |pfit AS MATERIALIZED (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM c, v4),
+      |dfit AS MATERIALIZED (
+      |  SELECT pfit.vec_id,
+      |    list_transform(range(1, len(c) + 1), j -> c[j] - p * pc[j]) AS c
+      |  FROM pfit, v4),
+      |bv0 AS (SELECT list_transform(mu, x -> 1.0) AS pc FROM mul),
+      |${pcaStepCtes("dfit", "b", 4)},
+      |ca AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(v) + 1), j -> v[j] - mu[j]) AS c
+      |  FROM e, mul),
+      |pf AS MATERIALIZED (
+      |  SELECT vec_id, c,
+      |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p
+      |  FROM ca, v4),
+      |d AS MATERIALIZED (
+      |  SELECT pf.vec_id,
+      |    list_transform(range(1, len(c) + 1), j -> c[j] - p * pc[j]) AS c
+      |  FROM pf, v4),
       |pg AS (
       |  SELECT vec_id, c,
       |    list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * pc[j])) AS p

@@ -242,6 +242,96 @@ object Spectral {
     f.mu.crossJoin(f.comp)
   }
 
+  /** The TWO-component fitted model as ONE broadcastable row
+    * `(mu, pc, pc2)` — [[fitState]] extended by [[pcaComponents]]'
+    * deflation: v1 from the centered fit rows, the fit rows deflate
+    * row-locally (c ← c − (c·v1)v1 — exactly mean-zero analytically,
+    * no re-centering), v2 from the same all-ones start on the
+    * deflated rows. The static side of the 3-d whitened readout's
+    * fit/score split ([[whitenedWith]] consumes it).
+    */
+  def fitState2(vectors: DataFrame, id: Column, vec: Column,
+                iterations: Int = 4): DataFrame = {
+    val (cent, muRow) = center(vectors, id, vec)
+    val v1 = powerComp(cent, muRow, iterations)
+    val defl = cent.crossJoin(broadcast(v1))
+      .select(col("id"), col("c"),
+        Similarity.dot(col("c"), col("pc")).as("p1"), col("pc"))
+      .select(col("id"),
+        zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("c"))
+      .localCheckpoint()
+    val v2 = powerComp(defl, muRow, iterations)
+    muRow.crossJoin(v1).crossJoin(v2.select(col("pc").as("pc2")))
+  }
+
+  /** The 100 TB fit for the 3-d whitened readout: [[fitState2]] over
+    * the SAME deterministic md5-hash sample [[fitStateSized]] uses —
+    * both principal directions are corpus-level statistics, so the
+    * q50 capped sample pins them and the full corpus only ever sees
+    * the row-local scoring pass ([[whitenedWith]]). Below the cap the
+    * sample is the corpus and this IS [[whitenedCoords]]'s fit
+    * (spec-proven).
+    */
+  def fitState2Sized(vectors: DataFrame, id: Column, vec: Column,
+                     iterations: Int = 4, maxFitRows: Long = 1L << 20,
+                     salt: Long = 0L): DataFrame = {
+    require(maxFitRows > 0, s"fitState2Sized needs maxFitRows > 0, got $maxFitRows")
+    val pts = vectors
+      .select(id.as("id"), Similarity.vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val n = pts.count()
+    val rate = math.min(1.0, maxFitRows.toDouble / math.max(n, 1L).toDouble)
+    val sampled = graft.ops.Sampling.byHash(pts, "id", rate, salt)
+    fitState2(sampled, col("id"), col("v"), iterations)
+  }
+
+  /** Score rows against an already-fitted [[fitState2]] row — the
+    * 3-d whitening readout `(id, p1, p2, resid_sq)` as ONE row-local
+    * pass after the single-row broadcast join: c = v − mu, p1 = c·v1,
+    * the row deflates in place (c − p1·v1), p2 = c_defl·v2, residual
+    * ‖c_defl‖² − p2² clamped at 0 (the −0.0 rule). Identical
+    * arithmetic (and publish rounding) to [[whitenedCoords]], so the
+    * full-corpus fit reproduces it bit-for-bit; with the
+    * [[fitState2Sized]] state this is the sample-fitted/
+    * full-scoring split the 100 TB deployment needs.
+    */
+  def whitenedWith(vectors: DataFrame, id: Column, vec: Column,
+                   state: DataFrame, roundTo: Int = 4): DataFrame = {
+    val keyed = state.withColumn("__k", lit(1))
+    vectors
+      .select(id.as("id"), Similarity.vecD(vec).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("__k", lit(1))
+      .join(broadcast(keyed), "__k")
+      .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"),
+        col("pc"), col("pc2"))
+      .select(col("id"), Similarity.dot(col("c"), col("pc")).as("p1"),
+        col("c"), col("pc"), col("pc2"))
+      .select(col("id"), col("p1"),
+        zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("cd"),
+        col("pc2"))
+      .select(col("id"), col("p1"),
+        Similarity.dot(col("cd"), col("pc2")).as("p2"),
+        Similarity.dot(col("cd"), col("cd")).as("cc"))
+      .select(col("id"),
+        round(col("p1"), roundTo).as("p1"),
+        round(col("p2"), roundTo).as("p2"),
+        round(greatest(lit(0.0), col("cc") - col("p2") * col("p2")),
+          roundTo).as("resid_sq"))
+  }
+
+  /** [[whitenedCoords]] on the sized fit path: both principal
+    * directions from the capped hash sample, every row scored — the
+    * q257 treatment applied to the 3-d readout (the genuine near-dup
+    * operating point gets its 100 TB fit).
+    */
+  def whitenedCoordsSized(vectors: DataFrame, id: Column, vec: Column,
+                          iterations: Int = 4, roundTo: Int = 4,
+                          maxFitRows: Long = 1L << 20,
+                          salt: Long = 0L): DataFrame =
+    whitenedWith(vectors, id, vec,
+      fitState2Sized(vectors, id, vec, iterations, maxFitRows, salt), roundTo)
+
   /** The 100 TB fit: [[fitState]] over a DETERMINISTIC hash sample of
     * the corpus capped at `maxFitRows` — the q50 md5 rule
     * ([[graft.ops.Sampling.byHash]]) on the id, so the fit set is

@@ -613,6 +613,23 @@ object EventStream {
                                model: graft.ext.Classify.DenseLrModel): DataFrame =
     graft.ext.Classify.denseLogisticScore(model, vectors, id, vec)
 
+  /** ⊕ Streaming classifier-gated cut — q260's curation composition
+    * on a LIVE ingest ([[curateStream]]'s stance for the trained
+    * gate): the tercile boundary is a CORPUS statistic, so it is
+    * computed OFFLINE on the static corpus (recomputing it per
+    * micro-batch would make the gate drift with arrival order — the
+    * same reason the fit is offline) and handed to the stream as a
+    * literal; each arriving vector then scores and gates row-locally
+    * (exact integer margin vs the literal threshold — no state, no
+    * watermark, no join, append output). Batch ≡ streaming is
+    * structural and StreamingSpec proves it across micro-batches.
+    */
+  def classifierCutStream(vectors: DataFrame, id: Column, vec: Column,
+                          model: graft.ext.Classify.DenseLrModel,
+                          thresholdUnits: Double): DataFrame =
+    graft.ext.Classify.denseLogisticScore(model, vectors, id, vec)
+      .filter(col("margin_units") >= lit(thresholdUnits))
+
   case class DecimIn(id: Long, nv: Array[Double], cluster: Int)
   /** Per-cluster state: every footprint SEEN so far (kept or dropped —
     * the batch one-shot rule compares j against all earlier i, not
@@ -683,7 +700,17 @@ object EventStream {
         (cluster: Int, rows: Iterator[DecimIn], state: GroupState[ClusterSeen]) =>
           val st = state.getOption.getOrElse(
             ClusterSeen(Array.empty, Array.empty, Array.empty))
-          var ids = st.ids; var nvs = st.nvs; var over = st.overflowIds
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long] ++ st.ids
+          val nvs = scala.collection.mutable.ArrayBuffer
+            .empty[Array[Double]] ++ st.nvs
+          val over = scala.collection.mutable.ArrayBuffer
+            .empty[Long] ++ st.overflowIds
+          // O(1) re-delivery membership: one O(stored) set build per
+          // group invocation instead of a linear Array.contains per
+          // arriving row (the state schema stays flat arrays — the
+          // set is rebuilt, never encoded)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          seen ++= ids; seen ++= over
           val out = scala.collection.mutable.ArrayBuffer[DecimKeep]()
           rows.toArray.sortBy(_.id).foreach { r =>
             var dup = false
@@ -700,15 +727,16 @@ object EventStream {
             // a re-delivered id is neither re-emitted nor re-stored —
             // including one that arrived AFTER the cap and so was never
             // stored with its footprint (overflowIds remembers it)
-            val seenSelf = ids.contains(r.id) || over.contains(r.id)
+            val seenSelf = seen.contains(r.id)
             if (!dup && !seenSelf) out += DecimKeep(r.id, cluster)
             if (!seenSelf) {
+              seen += r.id
               if (ids.length < maxPerCluster) {
-                ids = ids :+ r.id; nvs = nvs :+ r.nv
-              } else over = over :+ r.id
+                ids += r.id; nvs += r.nv
+              } else over += r.id
             }
           }
-          state.update(ClusterSeen(ids, nvs, over))
+          state.update(ClusterSeen(ids.toArray, nvs.toArray, over.toArray))
           out.iterator
       }
   }

@@ -210,7 +210,16 @@ class PlansSpec extends SparkSuite {
       // the funnel datacard's readout row is eight single-row
       // aggregates crossed (the q93 stance); every corpus-sized join
       // upstream is cluster- or id-keyed
-      "q256_dedup_funnel")
+      "q256_dedup_funnel",
+      // scored-corpus × single-row tercile-boundary normalizer (the
+      // q196 stance applied to the trained classifier's cut); q261 is
+      // the same cross feeding a one-row rollup
+      "q260_classifier_cut", "q261_classifier_card",
+      // q262 = q255's composition on the q249 sampled two-component
+      // fit — the same power-step single-row crosses and (mu, pc,
+      // pc2) state broadcast (the q93 stance); the dedup half is the
+      // q106 cluster-keyed equi-join, not cartesian
+      "q262_whitened3_semdedup_sized")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's
@@ -249,7 +258,9 @@ class PlansSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     // Regex, not an exact literal (r17 ADVICE): spacing variants and the
     // positional form `localCheckpoint(false)` must trip the guard too.
-    val lazyCk = """localCheckpoint\s*\(\s*(eager\s*=\s*)?false""".r
+    // and the trailing \b keeps identifiers like `falseFlag` from
+    // false-positiving (r18 ADVICE).
+    val lazyCk = """localCheckpoint\s*\(\s*(eager\s*=\s*)?false\b""".r
     val bad = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
       .iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))

@@ -300,6 +300,41 @@ class SpectralSpec extends SparkSuite {
       "q258's fully-sized composition must equal the explicit k=16 form below the floors")
   }
 
+  test("whitenedCoordsSized: saturated cap ≡ whitenedCoords bit-for-bit; " +
+      "a binding cap still scores every row on the planted axes") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // cap >= n: the sample IS the corpus, both components fit on the
+    // same rows in the same order, and the row-local scoring pass is
+    // the same arithmetic whitenedCoords runs inline — bit-for-bit
+    val fixed = Spectral.whitenedCoords(em, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val sat = Spectral.whitenedCoordsSized(em, col("vec_id"), col("embedding"),
+        maxFitRows = 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(sat == fixed, "saturated sized readout must equal the fixed one exactly")
+    // binding cap on the known-spectrum synthetic: every row still
+    // scores, and both sample-fitted directions land on the planted
+    // axes (dim 2 dominant, dim 5 second)
+    val n = synth.count()
+    val state2 = Spectral.fitState2Sized(synth, col("vec_id"), col("embedding"),
+      maxFitRows = 24)
+    val r0 = state2.collect()(0)
+    val pc = r0.getSeq[Double](1)
+    val pc2 = r0.getSeq[Double](2)
+    assert(pc.map(math.abs).zipWithIndex.maxBy(_._1)._2 == 2,
+      s"sample-fitted v1 must find dim 2: $pc")
+    assert(pc2.map(math.abs).zipWithIndex.maxBy(_._1)._2 == 5,
+      s"sample-fitted v2 must find dim 5: $pc2")
+    val scoredRows = Spectral.whitenedWith(synth, col("vec_id"),
+      col("embedding"), state2).count()
+    assert(scoredRows == n, "every row must score, cap or no cap")
+    val kept = graft.ops.Sampling.byHash(
+      synth.select(col("vec_id").as("id")), "id", 24.0 / n).count()
+    assert(kept < n && kept > 0, s"cap should bind: kept $kept of $n")
+  }
+
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

@@ -281,6 +281,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("classifierCutStream ≡ batch classifier-gated cut (q260) with the offline boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("y",
+        (element_at(col("__v"), 1) + element_at(col("__v"), 2) > 0).cast("int"))
+    val model = graft.ext.Classify.denseLogisticFit(
+      corpus.filter(col("vec_id") % 10 =!= 0), col("y"), col("embedding"),
+      lrNum = 16L)
+    val scored = graft.ext.Classify.denseLogisticScore(model, corpus,
+      col("vec_id"), col("embedding"))
+    // offline boundary: the q260 tercile over the static corpus
+    val bound = scored
+      .agg(percentile(col("margin_units"), lit(1.0 / 3))).head().getDouble(0)
+    val batch = scored.filter(col("margin_units") >= lit(bound))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty && batch.size < scored.count(),
+      "the tercile cut must drop some rows and keep some")
+    val rows = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = EventStream.classifierCutStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), model, bound)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cut_out").start()
+    try {
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("cut_out").as[(Long, Long, Boolean)].collect().toSet
+      assert(got == batch, "stream != batch on the same vectors and boundary")
+    } finally q.stop()
+  }
+
   test("spectralDecimateStream ≡ batch whitened-footprint semDedup (q253) under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -316,6 +353,43 @@ class StreamingSpec extends SparkSuite {
       assert(got == batch,
         s"stream-only: ${got.diff(batch)}; batch-only: ${batch.diff(got)}")
       assert(got.size < rows.size, "decimation should drop footprint classes")
+    } finally { q.stop(); state.unpersist(); model.unpersist() }
+  }
+
+  test("spectralDecimateStream cap-bound: beyond-cap re-delivery never re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    // 8 distinct vectors, one cluster (k = 1), cap 4: rows 5..8 land in
+    // overflow memory (id only, no footprint). tau > 1 disables the
+    // dup ball entirely, isolating exactly the re-delivery membership
+    // path the overflow array exists for.
+    val corpus = (1L to 8L)
+      .map(i => (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * i)))
+      .toDF("vec_id", "embedding")
+    val state = graft.ext.Spectral.fitState(corpus, col("vec_id"),
+      col("embedding"), iterations = 4).cache()
+    val model = graft.ext.Similarity.ivfFit(
+      graft.ext.Spectral.projectWith(corpus, col("vec_id"), col("embedding"),
+          state, roundTo = 4)
+        .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w")),
+      col("id"), col("w"), k = 1, iters = 2, quantize = Some(9))
+    val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = EventStream.spectralDecimateStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), state, model,
+      tau = 1.1, maxPerCluster = 4)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decim_cap_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // re-deliver ONLY the beyond-cap rows: their footprints were
+      // never stored, so only the overflow memory can suppress them
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("decim_cap_out").as[(Long, Int)].collect().toSeq
+      assert(got.size == 8, s"each row must emit exactly once, got $got")
+      assert(got.map(_._1).toSet == (1L to 8L).toSet)
     } finally { q.stop(); state.unpersist(); model.unpersist() }
   }
 

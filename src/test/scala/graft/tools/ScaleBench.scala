@@ -127,13 +127,18 @@ object ScaleBench {
       p
     })
 
-    def minOf3(q: String, dir: String): Double = {
+    // returns (min seconds, output rows) — the row count doubles as the
+    // operating-point readout for dedup queries (kept = output rows;
+    // the r18 verdict's q258 survivor-fraction ask)
+    def minOf3(q: String, dir: String): (Double, Long) = {
       spark.conf.set("spark.sql.shuffle.partitions", partsFor(dir).toString)
-      (1 to 3).map { _ =>
+      var rows = 0L
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        allQueries(q)(spark, dir).count()
+        rows = allQueries(q)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      (t, rows)
     }
 
     // FULL suite by default (VERDICT r6 #1); SPARK_GRAFT_ONLY filters
@@ -155,13 +160,13 @@ object ScaleBench {
       if (decade2) (sf1, sf10, "sf1", "sf10 (100x sf0.1)")
       else (sf01, sf1, "sf0.1", "sf1 (10x data)")
     val md = new StringBuilder
-    md ++= s"| query | $loName | $hiName | time ratio |\n|---|---|---|---|\n"
-    println(f"${"query"}%-24s ${loName}%8s ${"hi"}%8s ${"ratio"}%6s")
+    md ++= s"| query | $loName | $hiName | time ratio | rows lo→hi |\n|---|---|---|---|---|\n"
+    println(f"${"query"}%-24s ${loName}%8s ${"hi"}%8s ${"ratio"}%6s  rows")
     selected.foreach { q =>
-      val a = minOf3(q, loDir)
-      val b = minOf3(q, hiDir)
-      println(f"$q%-24s $a%8.2f $b%8.2f ${b / a}%6.1fx")
-      md ++= f"| $q | $a%.2f s | $b%.2f s | ${b / a}%.1f× |%n"
+      val (a, ra) = minOf3(q, loDir)
+      val (b, rb) = minOf3(q, hiDir)
+      println(f"$q%-24s $a%8.2f $b%8.2f ${b / a}%6.1fx  $ra%d -> $rb%d")
+      md ++= f"| $q | $a%.2f s | $b%.2f s | ${b / a}%.1f× | $ra → $rb |%n"
     }
     // persist the table so the console record can't be lost/truncated
     val out = java.nio.file.Paths.get("target",
