@@ -5475,7 +5475,10 @@ object SparkEntry {
     * 100 TB fit path. Sample-fitted directions differ from q255's
     * full fit, so the keep set legitimately differs; the oracle
     * re-derives the sampled two-component fit chain and the
-    * full-corpus scoring pass.
+    * full-corpus scoring pass. The pinned k = 16 remains a FIXTURE
+    * anchor: measured at sf10 it degenerates toward keep-all (85%
+    * kept — BENCH_NOTES r19) exactly like q253/q257; the deployment
+    * form is q263's fully-sized composition.
     */
   private val q262Whitened3SemDedupSized: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
@@ -5486,6 +5489,36 @@ object SparkEntry {
       .select(col("id"),
         array(col("p1"), col("p2"), sqrt(col("resid_sq"))).as("w"))
     ext.Similarity.semDedup(wc, col("id"), col("w"), k = 16, iters = 2,
+        tau = 0.9999, quantize = Some(9))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q263 — ⊕ the FULLY-sized 3-d whitened SemDeDup — the q258
+    * treatment for the 3-d family, and the measured reason it must
+    * exist: the r19 decade-2 cut shows q262's pinned k = 16 keeping
+    * 85% at sf10 (170103/200000 — clusters past the pair-work cap
+    * skip pair generation, the q253/q257 degeneration) while the
+    * 2-d fully-sized form (q258) holds its survivor fraction
+    * ~constant (0.57% → 0.50%) across the same decade at 1.9×
+    * time. Both scale knobs derive from the corpus:
+    * [[graft.ext.Spectral.fitState2Sized]]'s 256-row hash sample for
+    * the two directions, [[graft.ext.Similarity.semDedupAuto]] for
+    * cluster count + pair-join partitions. At every driver fixture
+    * size both derivations floor to the pinned values (k = 16, 32
+    * partitions), so q263 shares q262's oracle bit-for-bit (the
+    * q258/q257 convention) and SpectralSpec proves composition-level
+    * identity below the floors.
+    */
+  private val q263Whitened3SemDedupAuto: Q = (s, dir) => {
+    val em = Tables.embeddings(s, dir)
+    val state = ext.Spectral.fitState2Sized(em, col("vec_id"), col("embedding"),
+      iterations = 4, maxFitRows = 256)
+    val wc = ext.Spectral.whitenedWith(em, col("vec_id"), col("embedding"),
+        state, roundTo = 4)
+      .select(col("id"),
+        array(col("p1"), col("p2"), sqrt(col("resid_sq"))).as("w"))
+    ext.Similarity.semDedupAuto(wc, col("id"), col("w"), iters = 2,
         tau = 0.9999, quantize = Some(9))
       .select(col("id").as("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
@@ -6843,6 +6876,7 @@ object SparkEntry {
     "q260_classifier_cut"   -> q260ClassifierCut,
     "q261_classifier_card"  -> q261ClassifierCard,
     "q262_whitened3_semdedup_sized" -> q262Whitened3SemDedupSized,
+    "q263_whitened3_semdedup_auto" -> q263Whitened3SemDedupAuto,
   )
 
   /** Shared CTE chain: q26's full SRP-LSH derivation up to the
@@ -10540,6 +10574,11 @@ object SparkEntry {
     // sampled-fit prelude (both components fit on the capped sample,
     // every row scored)
     "q262_whitened3_semdedup_sized" -> whitened3SemDedupSizedOracleSql,
+    // q263: fully-sized (sized two-component fit + semDedupAuto);
+    // both derivations floor to the pinned k=16/32 partitions at
+    // fixture size, so it shares q262's oracle bit-for-bit (the
+    // q258/q257 convention)
+    "q263_whitened3_semdedup_auto" -> whitened3SemDedupSizedOracleSql,
     // q250: the q38 IVF train+search chain (queries = vec 0, ranked
     // by the same tie-break) + q244's BM25 chain (no CTE-name
     // collisions by construction) + the identical integer fusion.

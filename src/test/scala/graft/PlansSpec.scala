@@ -218,8 +218,9 @@ class PlansSpec extends SparkSuite {
       // q262 = q255's composition on the q249 sampled two-component
       // fit — the same power-step single-row crosses and (mu, pc,
       // pc2) state broadcast (the q93 stance); the dedup half is the
-      // q106 cluster-keyed equi-join, not cartesian
-      "q262_whitened3_semdedup_sized")
+      // q106 cluster-keyed equi-join, not cartesian; q263 = the
+      // fully-sized form (sized fit + semDedupAuto), same plan shapes
+      "q262_whitened3_semdedup_sized", "q263_whitened3_semdedup_auto")
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       // scalar-only output contract (the q188/r13 lesson): the driver's

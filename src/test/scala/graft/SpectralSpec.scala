@@ -333,6 +333,23 @@ class SpectralSpec extends SparkSuite {
     val kept = graft.ops.Sampling.byHash(
       synth.select(col("vec_id").as("id")), "id", 24.0 / n).count()
     assert(kept < n && kept > 0, s"cap should bind: kept $kept of $n")
+    // q263's fully-sized 3-d composition ≡ the explicit k=16 form
+    // below the derivation floors (the q258/q150 oracle-sharing
+    // convention, proven at the composition level on 3-d footprints)
+    def footprints3 = Spectral.whitenedWith(em, col("vec_id"),
+        col("embedding"), Spectral.fitState2Sized(em, col("vec_id"),
+          col("embedding"), maxFitRows = 1000000L))
+      .select(col("id"),
+        array(col("p1"), col("p2"), sqrt(col("resid_sq"))).as("w"))
+    val auto3 = graft.ext.Similarity.semDedupAuto(footprints3,
+        col("id"), col("w"), iters = 2, tau = 0.9999, quantize = Some(9))
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toSet
+    val explicit3 = graft.ext.Similarity.semDedup(footprints3,
+        col("id"), col("w"), k = 16, iters = 2, tau = 0.9999,
+        quantize = Some(9))
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toSet
+    assert(auto3 == explicit3,
+      "q263's fully-sized 3-d composition must equal the explicit k=16 form below the floors")
   }
 
   test("rrfFuse: exact integer units, per-list attribution, absent lists null") {
