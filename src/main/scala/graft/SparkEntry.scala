@@ -2242,6 +2242,14 @@ object SparkEntry {
     val banded = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
         numHashes = numHashes, rowsPerBand = rowsPerBand, threshold = t)
       .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+    bandingRecallReadout(exact, banded, t)
+  }
+
+  /** The q238/q239 readout over already-derived exact and banded pair
+    * sets at threshold `t`.
+    */
+  private def bandingRecallReadout(exact: DataFrame, banded: DataFrame,
+                                   t: Double): DataFrame = {
     val hit = sum(when(col("__f").isNotNull, 1L).otherwise(0L))
     exact.join(banded, Seq("id_a", "id_b"), "left")
       .groupBy(lit(t).as("exact_threshold"))
@@ -2252,10 +2260,33 @@ object SparkEntry {
   }
 
   private val q238BandingRecall: Q = (s, dir) => {
+    // ONE candidate generation per side for both operating points
+    // (round 19; guide §1.2 "don't compute things you throw away"):
+    // the exact prefix-filter join runs once at the LOWER threshold
+    // (its candidates are a superset — completeness makes
+    // raw(0.5).filter(__j >= t) ≡ a fresh run at t, see
+    // [[graft.ext.Dedup.setSimJoinExactRaw]]), and the banded side's
+    // candidates depend only on the (8, 2) geometry, with the
+    // threshold a post-verify filter on the SAME rounded jaccard.
+    // Shared via LAZY persist, not eager checkpoints: the per-
+    // threshold filters push below the distinct/sort exchanges, so
+    // bare re-reference computes both chains twice (measured: zero
+    // ReusedExchange in the executed plan), while an eager checkpoint
+    // SERIALIZES chains the one union action otherwise runs
+    // concurrently (measured 8.3 s warm vs ~3.0 s). The lazy cache
+    // keeps the single-action DAG parallelism and each side's heavy
+    // join runs once; both caches are pair-set-sized, not corpus-
+    // sized.
     val docs = bandingRecallDocs(s, dir)
-    bandingRecallAt(docs, 0.5, 8, 2)
-      .unionByName(bandingRecallAt(docs, 0.8, 8, 2))
-      .orderBy(col("exact_threshold"))
+    val exactRaw = ext.Dedup.setSimJoinExactRaw(docs, col("doc_id"),
+      col("text"), threshold = 0.5).persist()
+    val bandedRaw = ext.Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
+      numHashes = 8, rowsPerBand = 2, threshold = 0.5).persist()
+    def at(t: Double): DataFrame = bandingRecallReadout(
+      exactRaw.filter(col("__j") >= t).select(col("id_a"), col("id_b")),
+      bandedRaw.filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f")), t)
+    at(0.5).unionByName(at(0.8)).orderBy(col("exact_threshold"))
   }
 
   /** q239 — ⊕ AUTO-SIZED banding validated against q238's measured
@@ -5558,6 +5589,11 @@ object SparkEntry {
         state, roundTo = 4)
       .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
       .localCheckpoint()
+    // NOT persisted (round-19 measurement): each kept set is consumed
+    // 2-3×, but its recompute is one pair join over ivfFit's already-
+    // persisted assignment (~0.1 s); adding kept-set persists measured
+    // 6.2 s warm vs 5.8 s without — the materialization barriers cost
+    // more than the recompute saves.
     val (coarseAsg, coarseKept) = ext.Similarity.semDedupParts(wc,
       col("id"), col("w"), k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
     val (directAsg, directKept) = ext.Similarity.semDedupParts(em,

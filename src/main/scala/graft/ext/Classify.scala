@@ -334,7 +334,14 @@ object Classify {
   private def denseGdLoop(feats: DataFrame, iters: Int, lrNum: Long,
                           lrDen: Long, trace: Boolean)
       : (DenseLrModel, Option[DataFrame]) = {
-    val n = feats.count()
+    // ONE setup aggregation over the sample (round 19: this was three
+    // separate jobs — count, head for the dimension, a mismatch count
+    // — on a table the loop then scans `iters` more times): row count,
+    // min and max feature length in one pass. Uniform length ⇔
+    // min == max, and the model dimension is that shared length.
+    val setup = feats.agg(count(lit(1)), min(size(col("__x"))),
+      max(size(col("__x")))).head()
+    val n = setup.getLong(0)
     require(n > 0, "denseLogisticFit needs a non-empty training set")
     // Gradient-sum headroom: each row contributes at most ~5e8 (the
     // residual cap) × the milli-unit feature magnitude to a gradient
@@ -348,15 +355,14 @@ object Classify {
     require(n <= (1L << 24),
       s"denseLogisticFit: $n training rows exceeds the integer-gradient " +
         "headroom (~1.6e7 at unit-scale features); hash-sample the labeled set")
-    val dim = feats.select(size(col("__x"))).head().getInt(0)
+    val dim = setup.getInt(1)
     // A variable-length vector would NULL-pad the zip_with margin
     // (silently diverging from an oracle that truncates to the row's
-    // own length) — fail loudly instead: one count over the SAMPLE,
-    // once per fit, not per iteration.
-    val mismatched = feats.filter(size(col("__x")) =!= dim).count()
-    require(mismatched == 0,
-      s"denseLogisticFit: $mismatched training rows differ from the " +
-        s"model dimension ${dim - 1}; dense LR needs uniform-length vectors")
+    // own length) — fail loudly instead, from the same setup readout.
+    require(setup.getInt(2) == dim,
+      s"denseLogisticFit: training rows span feature lengths " +
+        s"${dim - 1}..${setup.getInt(2) - 1}; dense LR needs " +
+        "uniform-length vectors")
     var model = DenseLrModel(Vector.fill(dim)(0L))
     var traced: Option[DataFrame] = None
     for (it <- 1 to iters) {
@@ -369,13 +375,20 @@ object Classify {
       }
       val r = floor(pre).cast("long")
       // dense features: every gradient component is present in every
-      // row, so one posexplode aggregation yields the full (d+1)-row
-      // gradient (map-side combinable; only the model crosses to the
-      // driver — the k-means convention)
-      val grad = feats
-        .select(r.as("__r"), posexplode(col("__x")).as(Seq("__j", "__xj")))
-        .groupBy(col("__j")).agg(sum(col("__r") * col("__xj")).as("__g"))
-        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      // row, so ONE no-groupBy aggregation with dim+1 integer sums
+      // yields the whole gradient in a single-stage job (round 19:
+      // the former posexplode + groupBy(__j) shape paid a dim-fold
+      // row inflation plus a shuffle per iteration for the same
+      // order-free integer sums; only the model crosses to the
+      // driver — the k-means convention either way)
+      val gradRow = feats
+        .select(r.as("__r"), col("__x"))
+        .agg(sum(col("__r") * element_at(col("__x"), 1)),
+          (2 to dim).map(j =>
+            sum(col("__r") * element_at(col("__x"), j))): _*)
+        .head()
+      val grad = Array.tabulate(dim)(j =>
+        if (gradRow.isNullAt(j)) 0L else gradRow.getLong(j))
       // nano-unit step: gradient units are 10⁻⁹·10⁻³ = 10⁻¹², so the
       // ÷1000 converts back to nano; BigInt floor-division mirrors the
       // SQL pmod identity exactly (negative gradients FLOOR, never
@@ -388,7 +401,7 @@ object Classify {
         ((a - a.mod(b)) / b).toLong  // mod ≥ 0 for b > 0 ⇒ floor division
       }
       model = DenseLrModel(
-        Vector.tabulate(dim)(j => model.w(j) - step(grad.getOrElse(j, 0L))))
+        Vector.tabulate(dim)(j => model.w(j) - step(grad(j))))
     }
     (model, traced)
   }

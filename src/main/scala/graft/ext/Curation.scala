@@ -104,11 +104,20 @@ object Curation {
 
   def curate(docs: DataFrame, id: Column, source: Column, text: Column,
              p: Params): DataFrame = {
-    val rowGated = rowStages(docs, id, source, text, p)
+    val rowGated0 = rowStages(docs, id, source, text, p)
     // repetition gate AFTER the row-local gates: it is the one
     // shuffle-bearing screen (per-doc gram aggregation), so it should
     // only touch row-local survivors; its pass set semi-joins back —
-    // survivors keep their full feature row
+    // survivors keep their full feature row. The gate's metric chain
+    // scans its input ~5 times (line stats, two gram passes, token
+    // lengths) and the semi-join reads it once more, so when the gate
+    // is on the row-gated survivors are persisted — without this every
+    // gate scan re-ran the full quality/lexicon/fingerprint expression
+    // chain over the source (round 19: q240's executed plan carried 60
+    // source scans and it benched 8.7 s; staged, warm runs read 1.9 s).
+    // Same lifecycle stance as `exact` below.
+    val rowGated =
+      if (p.repetitionGate) rowGated0.persist() else rowGated0
     val gated =
       if (!p.repetitionGate) rowGated
       else rowGated.join(

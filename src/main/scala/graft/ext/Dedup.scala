@@ -171,6 +171,23 @@ object Dedup {
     */
   def setSimJoinExact(df: DataFrame, id: Column, text: Column,
                       threshold: Double, shingleK: Int = 3, roundTo: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    setSimJoinExactRaw(df, id, text, threshold, shingleK, maxBucket)
+      .select(col("id_a"), col("id_b"), round(col("__j"), roundTo).as("jaccard"))
+
+  /** [[setSimJoinExact]]'s verified pairs with the UNROUNDED exact
+    * Jaccard (`id_a, id_b, __j`) — package-private for measurement
+    * anchors that evaluate SEVERAL thresholds from one candidate
+    * generation (q238's two operating points): the prefix-filter
+    * completeness theorem makes `raw(t).filter(__j >= t')` for any
+    * t' ≥ t exactly the pair set a fresh run at t' would produce
+    * (t's longer prefix yields a candidate SUPERSET, `__j` is the
+    * true Jaccard either way, and the verify predicate is the same
+    * unrounded compare), so the expensive exact join runs once
+    * instead of once per threshold.
+    */
+  private[graft] def setSimJoinExactRaw(df: DataFrame, id: Column, text: Column,
+                      threshold: Double, shingleK: Int = 3,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
@@ -215,7 +232,7 @@ object Dedup {
       // provably never shorter than the true-J bound requires, so the
       // guarantee is airtight under this predicate)
       .filter(col("__j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__j"), roundTo).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("__j"))
       .distinct()
   }
 

@@ -22,29 +22,41 @@ import org.apache.spark.sql.functions._
   * sum. The 1/n and the norm cancel in the normalization, so each
   * step aggregates raw Σ cᵢ·(cᵢ·v) and rescales once.
   *
-  * Plan shape per step: broadcast the current d-vector (single-row
-  * array), one row-local dot, one posexplode to (dim, c_j·p), one
-  * groupBy(dim) that partially aggregates map-side — the shuffle
-  * carries d rows per partition, never corpus rows. The centered
-  * corpus is EAGERLY localCheckpoint'ed so the k steps re-read its
-  * materialized blocks instead of re-scanning the source (the q25
-  * convention). Eager is load-bearing, not a style choice: a lazy
-  * checkpoint can be finalized by a broadcast-exchange thread (the
-  * per-step single-row broadcasts carry the checkpointed corpus in
-  * their lineage), and Spark's doCheckpoint/getCacheLocs monitors
-  * then deadlock against the DAG scheduler — hit in round 17's bench;
-  * eager materialization runs on the sequential driver call path
-  * where no concurrent job exists. At 100 TB the fit side rides [[fitStateSized]]'s
+  * Plan shape per step (round 19 — the optimization round's measured
+  * re-cut): one row-local dot against the LITERAL current d-vector,
+  * one posexplode to (dim, c_j·p), one groupBy(dim) that partially
+  * aggregates map-side — the shuffle carries d rows per partition,
+  * never corpus rows — and the d-row result is COLLECTED to the
+  * driver (model-sized state, the k-means-centroid convention
+  * [[Similarity.ivfFit]] already rides) where it normalizes and
+  * re-enters the next step as a literal. The previous form kept each
+  * step's vector as a single-row DataFrame consumed via nested
+  * broadcast crossJoins; because a broadcast subtree re-executes per
+  * REFERENCE (no cross-action exchange reuse), every consumer of the
+  * fitted state replayed the whole iteration chain — measured at
+  * round-19 start as 709 Exchange nodes in q262's one plan and
+  * 57–120 Spark jobs per spectral-family query; the literal form cuts
+  * q255 to ~12 jobs with bit-identical output (guide §2.4: remove
+  * shuffles outright; §1.2: fix the algorithm before the config). The
+  * centered corpus is still EAGERLY localCheckpoint'ed so the k steps
+  * re-read materialized blocks instead of re-scanning the source (the
+  * q25 convention; eager, because a lazy checkpoint can be finalized
+  * by a broadcast-exchange thread and deadlock — hit in round 17's
+  * bench). At 100 TB the fit side rides [[fitStateSized]]'s
   * deterministic hash-sampled cap (a principal direction needs ~10⁵
   * rows, not 10¹¹); the PROJECT side ([[pcaProject]]/[[projectWith]])
   * is one scan-speed row-local pass and runs on everything.
   *
   * Numeric portability: all arithmetic is in double with the q24
   * fold-order convention (row-local dots are sequential folds on both
-  * engines); cross-row sums round only at publish (the q01
-  * convention). Fixed iteration count + deterministic start means the
-  * published component is a well-defined function of the data, not an
-  * "until converged" loop whose trip count could differ by engine.
+  * engines; the driver-side normalization divides each component by
+  * √(s·s) with the SAME left-to-right fold the in-plan
+  * `transform(sv, x => x / sqrt(dot(sv, sv)))` used, so the collected
+  * form is bit-identical to the broadcast form); cross-row sums round
+  * only at publish (the q01 convention). Fixed iteration count +
+  * deterministic start means the published component is a
+  * well-defined function of the data, not an "until converged" loop
+  * whose trip count could differ by engine.
   *
   * Convergence semantics, measured (SpectralSpec): per-step
   * contraction is λ₂/λ₁, so on a corpus WITH a dominant direction
@@ -59,58 +71,99 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
-  /** Fitted state: `cent` = (id, c) centered vectors (eagerly
-    * checkpointed), `comp` = single-row `pc` array (the unit-norm
-    * component after `iterations` steps), `mu` = single-row mean.
+  /** Driver-side mirror of [[graft.functions.DotProduct.compute]]'s
+    * sequential left-to-right fold — same order, same bits.
     */
-  private[ext] case class Fit(cent: DataFrame, comp: DataFrame, mu: DataFrame)
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
-  /** Centering pass: per-dim mean → single-row array (d rows through
-    * the shuffle, map-side combined; the array_sort(struct) collect
-    * is the repo's standing ordered-collect idiom), then one
-    * row-local subtraction, eagerly checkpointed.
+  /** Exact-double literal array column for a driver-side model vector
+    * (empty arrays keep the double element type).
+    */
+  private def litArr(v: Array[Double]): Column =
+    typedlit[Seq[Double]](v.toSeq)
+
+  /** Collect a `(i, value)` aggregation to a dense i-ascending array —
+    * the driver-side twin of the former
+    * `array_sort(collect_list(struct(i, v)))` readout (same values,
+    * same order; only the delivery changes from a single-row broadcast
+    * to a model-sized collect).
+    */
+  private def collectByIndex(df: DataFrame): Array[Double] =
+    df.collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+
+  /** Fitted state: `cent` = (id, c) centered vectors (eagerly
+    * checkpointed), `comp` = the unit-norm component after
+    * `iterations` steps, `mu` = the per-dim mean — both model-sized
+    * driver arrays (d doubles).
+    */
+  private[ext] case class Fit(cent: DataFrame, comp: Array[Double], mu: Array[Double])
+
+  /** Centering pass: per-dim mean → d-row aggregation collected to the
+    * driver (d rows through the shuffle, map-side combined), then one
+    * row-local subtraction against the literal mean, eagerly
+    * checkpointed.
     */
   private def center(vectors: DataFrame, id: Column,
-                     vec: Column): (DataFrame, DataFrame) = {
+                     vec: Column): (DataFrame, Array[Double]) = {
     val pts = vectors
       .select(id.as("id"), Similarity.vecD(vec).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    val muRow = pts.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(avg(col("x")).as("m"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-        p => p.getField("m")).as("mu"))
-    val cent = pts.crossJoin(broadcast(muRow))
-      .select(col("id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("c"))
+    val mu = collectByIndex(pts.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m")))
+    val cent = pts
+      .select(col("id"), zip_with(col("v"), litArr(mu), (a, b) => a - b).as("c"))
       .localCheckpoint()
-    (cent, muRow)
+    (cent, mu)
   }
 
   /** `iterations` power steps over an (id, c) table from the
-    * deterministic all-ones start; returns the single-row unit `pc`.
+    * deterministic all-ones start; each step is ONE map-side-combined
+    * d-row aggregation + a driver-side normalization whose fold order
+    * mirrors the in-plan dot exactly.
     */
-  private def powerComp(cent: DataFrame, muRow: DataFrame,
-                        iterations: Int): DataFrame = {
-    var comp = muRow.select(transform(col("mu"), _ => lit(1.0)).as("pc"))
+  private def powerComp(cent: DataFrame, dim: Int,
+                        iterations: Int): Array[Double] = {
+    var pc = Array.fill(dim)(1.0)
     for (_ <- 1 to iterations) {
-      val sRow = cent.crossJoin(broadcast(comp))
-        .select(col("c"), Similarity.dot(col("c"), col("pc")).as("p"))
+      val sv = collectByIndex(cent
+        .select(Similarity.dot(col("c"), litArr(pc)).as("p"), col("c"))
         .select(col("p"), posexplode(col("c")).as(Seq("i", "cj")))
-        .groupBy(col("i")).agg(sum(col("cj") * col("p")).as("s"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-          q => q.getField("s")).as("sv"))
-      comp = sRow.select(
-        transform(col("sv"),
-          x => x / sqrt(Similarity.dot(col("sv"), col("sv")))).as("pc"))
+        .groupBy(col("i")).agg(sum(col("cj") * col("p")).as("s")))
+      val nrm = math.sqrt(dotLocal(sv, sv))
+      pc = sv.map(_ / nrm)
     }
-    comp
+    pc
   }
 
   private[ext] def fit(vectors: DataFrame, id: Column, vec: Column,
                        iterations: Int): Fit = {
     require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
-    val (cent, muRow) = center(vectors, id, vec)
-    Fit(cent, powerComp(cent, muRow, iterations), muRow)
+    val (cent, mu) = center(vectors, id, vec)
+    Fit(cent, powerComp(cent, mu.length, iterations), mu)
   }
+
+  /** Nullable scalar readout (an aggregation over an empty corpus
+    * yields NULL; callers only publish it alongside rows that then
+    * don't exist, so NaN is a safe in-driver stand-in).
+    */
+  private def headDouble(df: DataFrame): Double = {
+    val r = df.head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** One-row (component, dim, …) publish base from a driver-side
+    * component vector: `(i, loading)` rows via posexplode of the
+    * literal array — the same rows the former single-row-DataFrame
+    * readout produced.
+    */
+  private def explodedComp(df: DataFrame, pc: Array[Double]): DataFrame =
+    df.sparkSession.range(1)
+      .select(posexplode(litArr(pc)).as(Seq("i", "loading")))
 
   /** Top `nComponents` principal components by DEFLATION: fit a
     * component, subtract each row's projection onto it (c ← c −
@@ -129,27 +182,29 @@ object Spectral {
     require(nComponents >= 1,
       s"pcaComponents needs nComponents >= 1, got $nComponents")
     require(iterations >= 1, s"power iteration needs >= 1 step, got $iterations")
-    var (cent, muRow) = center(vectors, id, vec)
-    val tr = cent.agg(avg(Similarity.dot(col("c"), col("c"))).as("trace"))
+    var (cent, mu) = center(vectors, id, vec)
+    // one trace readout shared by every component (the former
+    // single-row-broadcast form re-executed it per component)
+    val tr = headDouble(
+      cent.agg(avg(Similarity.dot(col("c"), col("c"))).as("trace")))
     val parts = (1 to nComponents).map { k =>
-      val comp = powerComp(cent, muRow, iterations)
-      val eig = cent.crossJoin(broadcast(comp))
-        .select(Similarity.dot(col("c"), col("pc")).as("p"))
-        .agg(avg(col("p") * col("p")).as("eigenvalue"))
-      val published = comp
-        .select(posexplode(col("pc")).as(Seq("i", "loading")))
-        .crossJoin(broadcast(eig)).crossJoin(broadcast(tr))
+      val comp = powerComp(cent, mu.length, iterations)
+      val eig = headDouble(cent
+        .select(Similarity.dot(col("c"), litArr(comp)).as("p"))
+        .agg(avg(col("p") * col("p")).as("eigenvalue")))
+      val published = explodedComp(cent, comp)
         .select(lit(k.toLong).as("component"),
           (col("i") + 1).cast("long").as("dim"),
           round(col("loading"), roundTo).as("loading"),
-          round(col("eigenvalue"), roundTo).as("eigenvalue"),
-          round(col("eigenvalue") / col("trace"), roundTo).as("explained_frac"))
+          round(lit(eig), roundTo).as("eigenvalue"),
+          round(lit(eig) / lit(tr), roundTo).as("explained_frac"))
       if (k < nComponents) {
-        cent = cent.crossJoin(broadcast(comp))
-          .select(col("id"), col("c"), Similarity.dot(col("c"), col("pc")).as("p"),
-            col("pc"))
+        cent = cent
+          .select(col("id"), col("c"),
+            Similarity.dot(col("c"), litArr(comp)).as("p"))
           .select(col("id"),
-            zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p") * vj).as("c"))
+            zip_with(col("c"), litArr(comp), (cj, vj) => cj - col("p") * vj)
+              .as("c"))
           .localCheckpoint()
       }
       published
@@ -167,17 +222,16 @@ object Spectral {
   def pcaTopComponent(vectors: DataFrame, id: Column, vec: Column,
                       iterations: Int = 4, roundTo: Int = 6): DataFrame = {
     val f = fit(vectors, id, vec, iterations)
-    val eig = f.cent.crossJoin(broadcast(f.comp))
-      .select(Similarity.dot(col("c"), col("pc")).as("p"))
-      .agg(avg(col("p") * col("p")).as("eigenvalue"))
-    val tr = f.cent
-      .agg(avg(Similarity.dot(col("c"), col("c"))).as("trace"))
-    f.comp.select(posexplode(col("pc")).as(Seq("i", "loading")))
-      .crossJoin(broadcast(eig)).crossJoin(broadcast(tr))
+    val eig = headDouble(f.cent
+      .select(Similarity.dot(col("c"), litArr(f.comp)).as("p"))
+      .agg(avg(col("p") * col("p")).as("eigenvalue")))
+    val tr = headDouble(
+      f.cent.agg(avg(Similarity.dot(col("c"), col("c"))).as("trace")))
+    explodedComp(f.cent, f.comp)
       .select((col("i") + 1).cast("long").as("dim"),
         round(col("loading"), roundTo).as("loading"),
-        round(col("eigenvalue"), roundTo).as("eigenvalue"),
-        round(col("eigenvalue") / col("trace"), roundTo).as("explained_frac"))
+        round(lit(eig), roundTo).as("eigenvalue"),
+        round(lit(eig) / lit(tr), roundTo).as("explained_frac"))
       .orderBy(col("dim"))
   }
 
@@ -205,23 +259,23 @@ object Spectral {
     * fits from the same all-ones start, p2 = c_defl·v2, and the
     * residual is ‖c_defl‖² − p2² clamped at 0 (the −0.0 rule). Two
     * d-row-shuffle fits over eagerly checkpointed centered blocks plus
-    * two single-row broadcast readout passes; nothing corpus-sized
-    * crosses the driver.
+    * one row-local readout pass; nothing corpus-sized crosses the
+    * driver (the fitted directions are d doubles each).
     */
   def whitenedCoords(vectors: DataFrame, id: Column, vec: Column,
                      iterations: Int = 4, roundTo: Int = 4): DataFrame = {
-    val (cent, muRow) = center(vectors, id, vec)
-    val v1 = powerComp(cent, muRow, iterations)
-    val defl = cent.crossJoin(broadcast(v1))
+    val (cent, mu) = center(vectors, id, vec)
+    val v1 = powerComp(cent, mu.length, iterations)
+    val defl = cent
       .select(col("id"), col("c"),
-        Similarity.dot(col("c"), col("pc")).as("p1"), col("pc"))
+        Similarity.dot(col("c"), litArr(v1)).as("p1"))
       .select(col("id"), col("p1"),
-        zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("c"))
+        zip_with(col("c"), litArr(v1), (cj, vj) => cj - col("p1") * vj).as("c"))
       .localCheckpoint()
-    val v2 = powerComp(defl.select(col("id"), col("c")), muRow, iterations)
-    defl.crossJoin(broadcast(v2))
+    val v2 = powerComp(defl.select(col("id"), col("c")), mu.length, iterations)
+    defl
       .select(col("id"), col("p1"),
-        Similarity.dot(col("c"), col("pc")).as("p2"),
+        Similarity.dot(col("c"), litArr(v2)).as("p2"),
         Similarity.dot(col("c"), col("c")).as("cc"))
       .select(col("id"),
         round(col("p1"), roundTo).as("p1"),
@@ -234,12 +288,15 @@ object Spectral {
     * static side of the stream-static deployment: fit offline (on a
     * sample), hand the state to [[projectWith]] /
     * [[graft.streaming.EventStream.pcaProjectStream]] for scoring
-    * batches or streams that the fit never saw.
+    * batches or streams that the fit never saw. The row is a literal
+    * local relation (the fitted vectors live on the driver), so
+    * scoring actions never re-execute the fit chain.
     */
   def fitState(vectors: DataFrame, id: Column, vec: Column,
                iterations: Int = 4): DataFrame = {
     val f = fit(vectors, id, vec, iterations)
-    f.mu.crossJoin(f.comp)
+    vectors.sparkSession.range(1)
+      .select(litArr(f.mu).as("mu"), litArr(f.comp).as("pc"))
   }
 
   /** The TWO-component fitted model as ONE broadcastable row
@@ -252,16 +309,17 @@ object Spectral {
     */
   def fitState2(vectors: DataFrame, id: Column, vec: Column,
                 iterations: Int = 4): DataFrame = {
-    val (cent, muRow) = center(vectors, id, vec)
-    val v1 = powerComp(cent, muRow, iterations)
-    val defl = cent.crossJoin(broadcast(v1))
+    val (cent, mu) = center(vectors, id, vec)
+    val v1 = powerComp(cent, mu.length, iterations)
+    val defl = cent
       .select(col("id"), col("c"),
-        Similarity.dot(col("c"), col("pc")).as("p1"), col("pc"))
+        Similarity.dot(col("c"), litArr(v1)).as("p1"))
       .select(col("id"),
-        zip_with(col("c"), col("pc"), (cj, vj) => cj - col("p1") * vj).as("c"))
+        zip_with(col("c"), litArr(v1), (cj, vj) => cj - col("p1") * vj).as("c"))
       .localCheckpoint()
-    val v2 = powerComp(defl, muRow, iterations)
-    muRow.crossJoin(v1).crossJoin(v2.select(col("pc").as("pc2")))
+    val v2 = powerComp(defl, mu.length, iterations)
+    vectors.sparkSession.range(1)
+      .select(litArr(mu).as("mu"), litArr(v1).as("pc"), litArr(v2).as("pc2"))
   }
 
   /** The 100 TB fit for the 3-d whitened readout: [[fitState2]] over
