@@ -1426,9 +1426,13 @@ object SparkEntry {
     val model = ext.Classify.logisticFit(
       dec.filter(col("doc_id") % 10 =!= 0),
       (col("doc_id") % 3 === 0).cast("int"), col("__t"))
+    // persisted (round 19): the decile-boundary agg and the binning
+    // pass both consume the scored table, and each evaluation re-runs
+    // the per-token polynomial feature hashing over the corpus
     val sy = ext.Classify.logisticScore(model, dec, col("doc_id"), col("__t"))
       .select(col("id"), col("margin_units").cast("double").as("m"),
         (col("id") % 3 === 0).cast("int").as("y"))
+      .persist()
     val qs = sy.agg(percentile(col("m"),
       array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
     val binned = sy.crossJoin(broadcast(qs))
@@ -6434,12 +6438,17 @@ object SparkEntry {
   private val q197FinewebPipeline: Q = (s, dir) => {
     val c = ext.TextAnalysis.c4LineClean(col("__t"), minWords = 3,
       banned = Seq("slow"))
+    // persisted (round 19): the paragraph-dedup stage consumes this
+    // table twice (the exploded first-occurrence side and the per-doc
+    // n_paras side), and each evaluation re-runs the synthesize +
+    // C4-clean regex chain — measured ~2.1 s per evaluation at sf0.1
     val cleaned = synthLines(s, dir)
       .select(col("doc_id"), array_join(col("__lines"), "\n").as("__t"))
       .select(col("doc_id"), c.as("__c"))
       .select(col("doc_id"), col("__c.n_kept").as("c4_kept"),
         col("__c.text_clean").as("__tc"))
       .filter(col("c4_kept") >= 1)
+      .persist()
     // n_paras of the dedup output IS the c4 kept-line count (the
     // cleaned text's paragraphs are exactly the kept lines), so the
     // clean chain is computed ONCE — no second branch for the join

@@ -225,20 +225,26 @@ object Classify {
         val slice = feats.select(lit(it).as("iter"), x.as("x"))
         traced = Some(traced.map(_.unionAll(slice)).getOrElse(slice))
       }
-      // bias rides along as dim −1: one exploded integer aggregation
-      // yields every gradient component (≤ dims + 1 rows collected)
-      val grad = feats
-        .select(residualUnits(wx, col("__y")).as("__r"),
-          explode(concat(array(lit(-1)), col("__d"))).as("__dim"))
-        .groupBy(col("__dim")).agg(sum(col("__r")).as("__g"))
-        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      // ONE no-groupBy aggregation with dims + 1 integer sums (round
+      // 19: was explode + shuffle + collect per iteration): the bias
+      // component is the plain residual sum, each weight component
+      // sums the residual where its dim is present — identical
+      // order-free integer sums, no shuffle, one job per step
+      val gradRow = feats
+        .select(residualUnits(wx, col("__y")).as("__r"), col("__d"))
+        .agg(sum(col("__r")),
+          (0 until dims).map(d =>
+            sum(when(array_contains(col("__d"), d), col("__r")))): _*)
+        .head()
+      val grad = Array.tabulate(dims + 1)(i =>
+        if (gradRow.isNullAt(i)) 0L else gradRow.getLong(i))
       // Robbins–Monro 1/t step decay keeps full-batch GD from
       // oscillating at count-scale margins — and `lrDen·n·t` stays an
       // integer denominator, so the decayed step is still exact
       def step(g: Long): Long = Math.floorDiv(lrNum * g, lrDen * n * it)
       model = LrModel(
-        model.bias - step(grad.getOrElse(-1, 0L)),
-        Vector.tabulate(dims)(d => model.w(d) - step(grad.getOrElse(d, 0L))))
+        model.bias - step(grad(0)),
+        Vector.tabulate(dims)(d => model.w(d) - step(grad(d + 1))))
     }
     (model, traced)
   }

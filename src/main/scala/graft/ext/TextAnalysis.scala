@@ -472,13 +472,21 @@ object TextAnalysis {
   /** First occurrence per content key — lexicographic min of
     * (doc_id, pos), a deterministic order-free aggregation — then
     * per-doc pos-ordered reassembly over each doc's own survivors.
+    * The winning occurrence's TEXT rides inside the min struct
+    * (round 19: (doc_id, __p) is already unique per group, so the
+    * third field never decides the min — and every group's rows share
+    * one text anyway), which makes the aggregation output THE kept
+    * rows directly: the former `ex` semi-join re-evaluated the whole
+    * upstream explode chain a second time (q197's plan showed the
+    * regex-heavy clean chain three times — measured ~2.1 s per
+    * evaluation at sf0.1) and paid an extra join shuffle.
     */
   private def firstOccurrenceRebuild(base: DataFrame, ex: DataFrame,
                                      sep: String): DataFrame = {
-    val winners = ex.groupBy(col("__h"))
-      .agg(min(struct(col("doc_id"), col("__p"))).as("__w"))
-      .select(col("__h"), col("__w.doc_id").as("doc_id"), col("__w.__p").as("__p"))
-    val kept = ex.join(winners, Seq("__h", "doc_id", "__p"), "left_semi")
+    val kept = ex.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("__p"), col("__t"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.__p").as("__p"),
+        col("__w.__t").as("__t"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_kept"),
         array_join(transform(array_sort(collect_list(
@@ -762,8 +770,15 @@ object TextAnalysis {
     * vocabulary-sized (≤ alphabet², tiny).
     */
   def charBigramLm(train: DataFrame, text: Column): DataFrame = {
+    // persisted (round 19): the model row set feeds the normalizer agg
+    // here AND the scoring-side broadcast AND [[lmScore]]'s OOV-floor
+    // agg — unpersisted, each consumer re-ran the corpus bigram
+    // explode (measured: the train-half explode evaluated 3× in q93's
+    // plan). The cache is vocabulary-sized (distinct bigrams), never
+    // corpus-sized.
     val counts = train.select(explode(charBigrams(text)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("__c"))
+      .persist()
     val total = counts.agg(sum(col("__c")).as("__total"))
     counts.crossJoin(broadcast(total)) // single-row normalizer
       .select(col("bg"),
@@ -818,13 +833,21 @@ object TextAnalysis {
     // scoring join touches each doc-bigram once, with the mean taken
     // count-weighted (identical value; round absorbs the summation-
     // order ulps, the q01 convention)
+    // persisted (round 19): bgc feeds the model-count branch AND the
+    // scoring pass, and `counts` feeds the normalizer agg AND the
+    // model projection — unpersisted, the corpus bigram explode
+    // evaluated 3× in q107's executed plan (three concurrent ~1.9 s
+    // jobs at sf0.1). bgc is distinct-(doc, bigram)-sized (~50× fewer
+    // than occurrences), counts vocabulary-sized.
     val bgc = docs.select(id.as("doc_id"), isTarget.as("__t"),
         explode(charBigrams(text)).as("bg"))
       .groupBy(col("doc_id"), col("__t"), col("bg"))
       .agg(count(lit(1)).as("__n"))
+      .persist()
     val counts = bgc.groupBy(col("bg")).agg(
       sum(col("__n")).as("__cr"),
       sum(when(col("__t"), col("__n"))).as("__ct"))
+      .persist()
     // single row: both normalizers and both OOV floors
     val tots = counts.agg(
       sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
