@@ -1643,6 +1643,11 @@ object SparkEntry {
       .withColumnRenamed("lm_score", "__r")
     val sp = ext.TextAnalysis.lmScore(docs, col("doc_id"), col("text"), prox)
       .withColumnRenamed("lm_score", "__p")
+    // persisted (round 19): the source rollup feeds the token-total
+    // agg, the weight projection AND the normalizer agg — unstaged,
+    // the two full-corpus scoring chains behind it re-evaluated ~3×
+    // (eight ~1 s jobs in the warm plan); the cache is one row per
+    // source
     val per = docs.select(col("doc_id"), col("source"),
         ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
       .join(sr, Seq("doc_id")).join(sp, Seq("doc_id"))
@@ -1650,6 +1655,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_toks"),
         round(avg(col("__r")), 4).as("mean_ref"),
         round(avg(col("__p")), 4).as("mean_proxy"))
+      .persist()
     val tot = per.agg(sum(col("n_toks")).as("__tt"))
     val u = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_toks"),
@@ -2147,9 +2153,12 @@ object SparkEntry {
     // staged once: the scored table feeds the boundary aggregation AND
     // the flag join — unstaged, the LM train+score chain runs twice
     // (measured 4.4 s -> see BENCH_NOTES; q196's counter-measurement
-    // went the other way on its lighter shape)
+    // went the other way on its lighter shape). Round 19: staged via
+    // lazy persist instead of the eager checkpoint — the (doc_id,
+    // score) table materializes inside the first consuming action with
+    // full parallelism instead of on the sequential driver path.
     val scored = ext.TextAnalysis.lmScore(dec, col("doc_id"), col("__t"), model)
-      .localCheckpoint()
+      .persist()
     val bound = scored.agg(percentile(col("lm_score"), lit(1.0 / 3)).as("__b"))
     val dict = graft.functions.DictMatch.automaton(blocklistTerms)
     // r15: the composed pipeline (q240) now gates on the q204
@@ -4921,8 +4930,13 @@ object SparkEntry {
     val labeled = ext.Chunker.contentChunks(Tables.documents(s, dir), col("text"))
       .select(col("doc_id"),
         ext.TextAnalysis.classifyByLexicon(col("chunk"), topicLexicons).as("topic"))
+    // persisted (round 19): perTopic feeds BOTH the top-topic pick and
+    // the n_chunks rollup — unpersisted, the chunk+classify chain
+    // behind it re-evaluated once per consumer; the cache is
+    // (doc, topic)-sized
     val perTopic = labeled.groupBy(col("doc_id"), col("topic"))
       .agg(count(lit(1)).as("top_cnt"))
+      .persist()
     val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
       Seq(desc("top_cnt"), asc("topic")), 1)
     // n_chunks = Σ top_cnt over the doc's topics — derived from the
@@ -5093,8 +5107,13 @@ object SparkEntry {
         s1.select(col("doc_id"), col("text")), col("text"))
       .select(col("doc_id"),
         ext.TextAnalysis.classifyByLexicon(col("chunk"), topicLexicons).as("topic"))
+    // persisted (round 19): perTopic feeds BOTH the top-topic pick and
+    // the n_chunks rollup — unpersisted, the chunk+classify chain
+    // behind it re-evaluated once per consumer; the cache is
+    // (doc, topic)-sized
     val perTopic = labeled.groupBy(col("doc_id"), col("topic"))
       .agg(count(lit(1)).as("top_cnt"))
+      .persist()
     val top = ops.TopK.perGroupTopK(perTopic, Seq(col("doc_id")),
       Seq(desc("top_cnt"), asc("topic")), 1)
     // n_chunks = Σ top_cnt over the doc's topics — derived from the

@@ -546,18 +546,21 @@ object TextAnalysis {
     * square.
     */
   def dedupLines(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("doc_id"), split(text, "\n").as("__ls"))
-    val firsts = base
-      .select(col("doc_id"), posexplode(col("__ls")).as(Seq("__p", "__l")))
+    // n_lines rides the aggregation as max(position)+1 (every position
+    // 0..n−1 appears in the explode, so the max is exact) — the former
+    // separate `size(__ls)` branch re-evaluated the input text chain a
+    // second time and paid a join shuffle just to attach one integer
+    // (round 19; both forms drop null-text docs: posexplode emits
+    // nothing and the former inner join had no right side)
+    df.select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("__p", "__l")))
       .groupBy(col("doc_id"), col("__l"))
-      .agg(min(col("__p")).as("__fp"))
+      .agg(min(col("__p")).as("__fp"), max(col("__p")).as("__mp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_unique"),
+      .agg((max(col("__mp")) + 1).cast("int").as("n_lines"),
+        count(lit(1)).as("n_unique"),
         array_join(transform(array_sort(collect_list(
           struct(col("__fp"), col("__l")))), s => s.getField("__l")), "\n")
           .as("text_clean"))
-    base.select(col("doc_id"), size(col("__ls")).as("n_lines"))
-      .join(firsts, Seq("doc_id"))
       .select(col("doc_id"), col("n_lines"), col("n_unique").cast("int").as("n_unique"),
         col("text_clean"))
   }
@@ -706,15 +709,9 @@ object TextAnalysis {
     * lesson, avoided here without a custom expression). Docs shorter
     * than 2 cleaned chars yield an empty array.
     */
-  def charBigrams(text: Column): Column = {
-    val c = graft.ops.Text.cleanText(lower(text))
-    val chars = split(c, "")
-    val n = size(chars)
-    when(length(c) >= 2,
-      zip_with(slice(chars, lit(1), n - 1), slice(chars, lit(2), n - 1),
-        (a, b) => concat(a, b)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def charBigrams(text: Column): Column =
+    graft.functions.CharBigrams.char_bigrams(
+      graft.ops.Text.cleanText(lower(text)))
 
   /** ⊕ Windowed co-occurrence counts + PMI — the corpus statistic
     * word-embedding training preps (the GloVe/word2vec input): every
