@@ -11,6 +11,33 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The sequential suite outgrew the CI window (round 19: 489 tests in
+// ~24 min; the harness's test budget killed the run mid-suite with zero
+// failures). Split the suites into parallel forked JVM groups: each
+// group gets its OWN JVM and SparkSession, so suites that mutate
+// session conf (AggregatorFallbackSpec, ScaleSpec, StreamingSpec) stay
+// isolated — unlike in-JVM parallel suites, which would race on the
+// shared SQLConf. Round-robin over sorted names spreads the heavy
+// suites; group count 6 × 8g heap fits the sandbox comfortably.
+val testGroupCount = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = ForkOptions()
+    .withJavaHome(javaHome.value)
+    .withOutputStrategy(outputStrategy.value)
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+    .withWorkingDirectory((Test / baseDirectory).value)
+  tests.zipWithIndex
+    .groupBy(_._2 % testGroupCount)
+    .toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(32))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2167,6 +2167,18 @@ object SparkEntry {
     val rep = ext.TextAnalysis.gopherRepetitionGate(
         dec, col("doc_id"), col("__t"))
       .select(col("doc_id"), not(col("passes")).as("rp"))
+      .persist()
+    // Round 20 (guide §2.6): the one downstream action used to run
+    // these two chains SERIALLY — broadcast(bound)'s subtree
+    // materializes the whole LM train+score chain on the driver's
+    // broadcast await before the job carrying the repetition-gate
+    // chain is even submitted (measured: 1.9 s counts job → 2.4 s
+    // scored job → 1.0 s gate+assembly job, back to back). Both
+    // stages are persisted, so count them concurrently and let the
+    // final action read only caches: wall = max(lm, gate) + assembly.
+    // The rp cache is one (long, boolean) row per doc — the same
+    // per-doc-verdict size class as the scored cache next to it.
+    ops.Overlap.materialize(scored, rep)
     val flags = dec.join(scored, Seq("doc_id")).join(rep, Seq("doc_id"))
       .crossJoin(broadcast(bound))
       .select(
@@ -5207,11 +5219,24 @@ object SparkEntry {
     * `encodeOn` with them, return per-doc BPE token counts
     * `(doc_id, n_toks)`.
     */
-  private def bpeTokenCounts(trainOn: DataFrame, encodeOn: DataFrame): DataFrame = {
-    val merges = ext.Bpe.learnMerges(
+  private def bpeTokenCounts(trainOn: DataFrame, encodeOn: DataFrame): DataFrame =
+    bpeEncodeCounts(encodeOn, bpeMerges(trainOn))
+
+  /** The LEARN half of [[bpeTokenCounts]] — eager (one corpus pass +
+    * the in-memory merge loop's collect); split out so q177 can
+    * overlap it with its independent cluster chain (guide §2.6).
+    */
+  private def bpeMerges(trainOn: DataFrame): Seq[(String, String)] =
+    ext.Bpe.learnMerges(
         ext.Bpe.wordFreqs(trainOn, col("text")), nMerges = 8)
       .orderBy(col("merge_rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The ENCODE half of [[bpeTokenCounts]] — a pure projection +
+    * per-doc aggregation over already-learned merges.
+    */
+  private def bpeEncodeCounts(encodeOn: DataFrame,
+                              merges: Seq[(String, String)]): DataFrame =
     encodeOn.select(col("doc_id"),
         explode(ext.TextAnalysis.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -5219,7 +5244,6 @@ object SparkEntry {
         size(ext.Bpe.symbolsOf(ext.Bpe.applyMerges(col("word"), merges)))
           .cast("long").as("nt"))
       .groupBy(col("doc_id")).agg(sum(col("nt")).as("n_toks"))
-  }
 
   private val q170BpePacking: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -5601,31 +5625,46 @@ object SparkEntry {
     */
   private val q256DedupFunnel: Q = (s, dir) => {
     val em = Tables.embeddings(s, dir)
-    val state = ext.Spectral.fitState(em, col("vec_id"), col("embedding"),
-      iterations = 4)
-    // the footprint table feeds the coarse dedup AND the n_input
-    // readout; without staging, each consumer replays the whole
-    // power-iteration fit (measured: 17.9 s -> the staged form) —
-    // localCheckpoint, the in-tree staging idiom (eager, like every
-    // checkpoint in-tree)
-    val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
-        state, roundTo = 4)
-      .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
-      .localCheckpoint()
-    // NOT persisted (round-19 measurement): each kept set is consumed
-    // 2-3×, but its recompute is one pair join over ivfFit's already-
-    // persisted assignment (~0.1 s); adding kept-set persists measured
-    // 6.2 s warm vs 5.8 s without — the materialization barriers cost
-    // more than the recompute saves.
-    val (coarseAsg, coarseKept) = ext.Similarity.semDedupParts(wc,
-      col("id"), col("w"), k = 16, iters = 2, tau = 0.9999, quantize = Some(9))
-    val (directAsg, directKept) = ext.Similarity.semDedupParts(em,
-      col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
-      quantize = Some(9))
-    val surv = em.join(coarseKept.select(col("id").as("vec_id")), Seq("vec_id"))
-    val (funAsg, funKept) = ext.Similarity.semDedupParts(surv,
-      col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
-      quantize = Some(9))
+    // Round 20 (guide §2.6): the DIRECT fit is independent of the
+    // spectral-footprint → coarse → funnel ladder (the funnel join is
+    // the first place they meet), yet all three k-means fits used to
+    // run strictly sequentially on the driver (measured: 120 jobs at
+    // round-19 start, 111 at round-20 start, wall 6.5 s warm with no
+    // job over 0.35 s — pure ladder latency). Run the direct fit on
+    // its own thread while the dependent chain runs on this one.
+    val (directParts, funnelParts) = ops.Overlap.inParallel(
+      ext.Similarity.semDedupParts(em,
+        col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
+        quantize = Some(9)),
+      {
+        val state = ext.Spectral.fitState(em, col("vec_id"), col("embedding"),
+          iterations = 4)
+        // the footprint table feeds the coarse dedup AND the n_input
+        // readout; without staging, each consumer replays the whole
+        // power-iteration fit (measured: 17.9 s -> the staged form) —
+        // localCheckpoint, the in-tree staging idiom (eager, like every
+        // checkpoint in-tree)
+        val wc = ext.Spectral.projectWith(em, col("vec_id"), col("embedding"),
+            state, roundTo = 4)
+          .select(col("id"), array(col("proj"), sqrt(col("resid_sq"))).as("w"))
+          .localCheckpoint()
+        // NOT persisted (round-19 measurement): each kept set is consumed
+        // 2-3×, but its recompute is one pair join over ivfFit's already-
+        // persisted assignment (~0.1 s); adding kept-set persists measured
+        // 6.2 s warm vs 5.8 s without — the materialization barriers cost
+        // more than the recompute saves.
+        val (coarseAsg, coarseKept) = ext.Similarity.semDedupParts(wc,
+          col("id"), col("w"), k = 16, iters = 2, tau = 0.9999,
+          quantize = Some(9))
+        val surv = em.join(coarseKept.select(col("id").as("vec_id")),
+          Seq("vec_id"))
+        val (funAsg, funKept) = ext.Similarity.semDedupParts(surv,
+          col("vec_id"), col("embedding"), k = 16, iters = 2, tau = 0.42,
+          quantize = Some(9))
+        (wc, coarseAsg, coarseKept, funAsg, funKept)
+      })
+    val (directAsg, directKept) = directParts
+    val (wc, coarseAsg, coarseKept, funAsg, funKept) = funnelParts
     def pairWork(asg: org.apache.spark.sql.DataFrame, as_ : String) = asg
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= lit(graft.ext.Dedup.DefaultMaxBucket.toLong))
@@ -5921,23 +5960,42 @@ object SparkEntry {
     */
   private val q177TrainReady: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val ent = ext.TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
-    val kept = docs.join(
-      ent.filter(col("entropy_nano").between(2800000000L, 3200000000L))
-        .select(col("id").as("doc_id")), Seq("doc_id"))
-    val clusters = ext.Dedup.dupClusters(
-      ext.Dedup.nearDupPairs(kept, col("doc_id"), col("text")))
-    val train = kept
-      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split", ops.Sampling.assignSplit("cluster_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
-      .filter(col("split") === "train")
-      // the train split is the between-stages materialization point of
-      // any real pipeline; without it the entropy-gate + dup-cluster
-      // chain re-evaluates under the encode pass (the q166 lesson)
-      .localCheckpoint()
-    val toks = bpeTokenCounts(docs, train)
+    // Round 20 (guide §2.6): BPE merge learning reads only the RAW
+    // corpus — independent of the entropy-gate → near-dup → cluster →
+    // split chain, which is a serial ladder of small eager jobs
+    // (measured: 51 jobs, 7.1 s warm, no single job over 0.9 s). Run
+    // the two driver-side chains on two threads so one chain's stage
+    // tails back-fill the other's idle cores; the encode pass below
+    // needs both results.
+    val (merges, train) = ops.Overlap.inParallel(
+      bpeMerges(docs),
+      {
+        val ent = ext.TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+        // the gate id set feeds near-dup pair generation AND the split
+        // join — persisted (doc_id-only rows) so the entropy
+        // aggregation runs once, not once per consumer; released after
+        // the train checkpoint lands (nothing reads it later)
+        val keptIds = ent
+          .filter(col("entropy_nano").between(2800000000L, 3200000000L))
+          .select(col("id").as("doc_id"))
+          .persist()
+        val kept = docs.join(keptIds, Seq("doc_id"))
+        val clusters = ext.Dedup.dupClusters(
+          ext.Dedup.nearDupPairs(kept, col("doc_id"), col("text")))
+        val t = kept
+          .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split", ops.Sampling.assignSplit("cluster_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+          .filter(col("split") === "train")
+          // the train split is the between-stages materialization point of
+          // any real pipeline; without it the entropy-gate + dup-cluster
+          // chain re-evaluates under the encode pass (the q166 lesson)
+          .localCheckpoint()
+        keptIds.unpersist()
+        t
+      })
+    val toks = bpeEncodeCounts(train, merges)
     ops.Packing.packSequences(toks, Seq(col("doc_id")), "n_toks", 512L)
       .select(col("doc_id"), col("n_toks"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("n_seqs"))

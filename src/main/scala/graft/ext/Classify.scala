@@ -210,6 +210,14 @@ object Classify {
     * [[logisticFit]] runs it for the model, [[residualInputs]] runs
     * it with the trace on; ONE loop so the audited residuals are
     * exactly the residuals the fit quantizes (the [[fitRaw]] stance).
+    *
+    * Dims assumption: the no-shuffle gradient evaluates `dims`
+    * `array_contains` scans per row (O(dims·|__d|)) and codegens a
+    * dims+1-wide aggregate — the right trade at the default dims=64,
+    * but it degrades quadratically and risks a whole-stage-codegen
+    * fallback if a caller pushes dims into the hundreds; above that,
+    * revert to the explode + groupBy(__j) form this replaced
+    * (identical order-free integer sums).
     */
   private def gdLoop(feats: DataFrame, dims: Int, iters: Int,
                      lrNum: Long, lrDen: Long,
@@ -366,9 +374,9 @@ object Classify {
     // (silently diverging from an oracle that truncates to the row's
     // own length) — fail loudly instead, from the same setup readout.
     require(setup.getInt(2) == dim,
-      s"denseLogisticFit: training rows span feature lengths " +
-        s"${dim - 1}..${setup.getInt(2) - 1}; dense LR needs " +
-        "uniform-length vectors")
+      s"denseLogisticFit: training rows span vector lengths " +
+        s"${dim - 1}..${setup.getInt(2) - 1} (bias slot excluded); " +
+        "dense LR needs uniform-length vectors")
     var model = DenseLrModel(Vector.fill(dim)(0L))
     var traced: Option[DataFrame] = None
     for (it <- 1 to iters) {

@@ -136,6 +136,19 @@ object Curation {
     // via its own handle.
     val exact = graft.ops.TopK.perGroupHead(gated, col("fp"), col("doc_id"), 1)
       .persist()
+    // Cache size-class audit (round 20): `exact` is SURVIVOR-rows-sized
+    // (the smallest set in the pipeline — the checkpoint a curation job
+    // would write anyway) and lives until session end. `rowGated` is
+    // CORPUS-SURVIVOR-sized including text and every feature column —
+    // too big to pin for a session at 100 TB — so when the gate is on,
+    // `exact` is materialized eagerly (one action; the gate scans +
+    // semi-join + exact dedup all ride the rowGated cache inside it)
+    // and rowGated is released immediately after, the Bpe.scala
+    // materialize-then-unpersist discipline.
+    if (p.repetitionGate) {
+      exact.count()
+      rowGated.unpersist()
+    }
     // near-dup removal among exact survivors, at the geometry the
     // Params' recall contract derives (fixed 8×2 when none given)
     val (numHashes, rowsPerBand) = p.bandGeometry
