@@ -17,9 +17,30 @@ run / fork := true
 // group gets its OWN JVM and SparkSession, so suites that mutate
 // session conf (AggregatorFallbackSpec, ScaleSpec, StreamingSpec) stay
 // isolated — unlike in-JVM parallel suites, which would race on the
-// shared SQLConf. Round-robin over sorted names spreads the heavy
-// suites; group count 6 × 8g heap fits the sandbox comfortably.
-val testGroupCount = 6
+// shared SQLConf. Grouping is weighted LPT (heaviest suite into the
+// lightest bucket): plain round-robin measured 16:12 wall because one
+// bucket stacked GuardBandSweepSpec (4:28 solo — the 61-query rounded-
+// publish sweep) with the other sweep/streaming heavies while five
+// buckets sat idle after ~6 min. Weights are coarse measured/estimated
+// seconds; only their ORDER matters for balance. 8 groups × local[4]
+// sessions = 32 cores; 8 × 8g heap fits the sandbox.
+val testGroupCount = 8
+val testSuiteWeight: Map[String, Int] = Map(
+  "graft.GuardBandSweepSpec"   -> 270, // measured 4:28 solo
+  "graft.DecisionBandSweepSpec" -> 150,
+  "graft.StreamingSpec"        -> 130,
+  "graft.CoreQueriesSpec"      -> 90,
+  "graft.AnalyticsSpec"        -> 90,
+  "graft.PipelinesSpec"        -> 60,
+  "graft.ScaleSpec"            -> 60,
+  "graft.PropertySpec"         -> 60,
+  "graft.DedupSpec"            -> 60,
+  "graft.SimilaritySpec"       -> 60,
+  "graft.CurationSpec"         -> 45,
+  "graft.SpectralSpec"         -> 45,
+  "graft.MultimodalSpec"       -> 45,
+  "graft.TextAnalysisSpec"     -> 45,
+).withDefaultValue(15)
 Test / testGrouping := {
   val tests = (Test / definedTests).value.sortBy(_.name)
   val opts = ForkOptions()
@@ -28,13 +49,20 @@ Test / testGrouping := {
     .withRunJVMOptions((Test / javaOptions).value.toVector)
     .withEnvVars((Test / envVars).value)
     .withWorkingDirectory((Test / baseDirectory).value)
-  tests.zipWithIndex
-    .groupBy(_._2 % testGroupCount)
-    .toSeq.sortBy(_._1)
-    .map { case (i, ts) =>
-      Tests.Group(s"g$i", ts.map(_._1), Tests.SubProcess(opts))
-    }
+  val buckets = Array.fill(testGroupCount)(
+    (0L, List.empty[sbt.TestDefinition]))
+  tests.sortBy(t => (-testSuiteWeight(t.name), t.name)).foreach { t =>
+    val i = buckets.zipWithIndex.minBy(_._1._1)._2
+    val (w, ts) = buckets(i)
+    buckets(i) = (w + testSuiteWeight(t.name), t :: ts)
+  }
+  buckets.toSeq.zipWithIndex.filter(_._1._2.nonEmpty).map { case ((_, ts), i) =>
+    Tests.Group(s"g$i", ts.reverse, Tests.SubProcess(opts))
+  }
 }
+// Per-test durations in the output (-oD), so future rebalancing reads
+// real numbers instead of estimates.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 Global / concurrentRestrictions := Seq(
   Tags.limit(Tags.ForkedTestGroup, testGroupCount),
   Tags.limitAll(32))

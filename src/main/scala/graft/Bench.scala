@@ -95,7 +95,17 @@ object Bench {
     // ratio-vs-reference rides in the JSON, and every query gets a
     // `normalized_s` = raw / (ambient factor linearly interpolated
     // between its two bracketing checkpoints by suite position).
-    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q93_lm_quality")
+    // CONTROL INVARIANT (round 20): controls exist to measure MACHINE
+    // conditions, so they must be queries no optimization round ever
+    // touches — q93_lm_quality was optimized 3.7× in round 19 (the
+    // CharBigrams expression + LM persists), which turned its ratio
+    // into code signal and poisoned one of three trio members; it is
+    // replaced by q90_jpeg_decode (codec path, byte-identical since
+    // r15 — `git log 40c08f1..HEAD -- ext/JpegCodec.scala` is empty).
+    // If a future round optimizes a control's code path, re-pick the
+    // control FIRST and note it here; the r15 epoch file carries raw
+    // times for every query, so any never-touched query can serve.
+    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q90_jpeg_decode")
     // reference vector: explicit SPARK_GRAFT_CONTROL_REF, else the
     // CANONICAL pinned epoch (BENCH_LOCAL_r15.json — the idle-machine
     // epoch all committed records since r18 normalize against; see

@@ -1208,16 +1208,24 @@ object SparkEntry {
           col("prompt").as("text")),
         evalSet, col("id"), col("text"), k = 3, minOverlap = 3)
       .select(col("train_id")).distinct()
+      .persist()
     val lm = ext.TextAnalysis.charBigramLm(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), col("text"))
     // the scored-rewards table (one row per pair) also stages: both
     // the tercile bound and the assembly join consume it, and without
     // staging the reward LM TRAINS TWICE (measured: q217's decade-1
-    // slope drops from 2.3x to the family band once staged)
+    // slope drops from 2.3x to the family band once staged). Round 20:
+    // staged via lazy persist and materialized CONCURRENTLY with the
+    // decontamination screen (guide §2.6) — the two chains are
+    // independent above the checkpointed pairs table, but the eager
+    // rewards checkpoint used to run the reward-LM chain to completion
+    // before the contamination chain's first job. The contaminated
+    // cache is distinct-train-id-sized.
     val rewards = ext.TextAnalysis.lmScore(pairs, col("post_id"),
         col("response"), lm)
       .select(col("doc_id").as("post_id"), col("lm_score").as("reward"))
-      .localCheckpoint()
+      .persist()
+    ops.Overlap.materialize(rewards, contaminated)
     val bound = rewards.agg(
       percentile(col("reward"), typedLit(Seq(1.0 / 3))).as("bs"))
     pairs

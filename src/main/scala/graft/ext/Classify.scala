@@ -222,7 +222,13 @@ object Classify {
   private def gdLoop(feats: DataFrame, dims: Int, iters: Int,
                      lrNum: Long, lrDen: Long,
                      trace: Boolean): (LrModel, Option[DataFrame]) = {
-    val n = feats.count()
+    // The training-row count rides the FIRST gradient aggregation
+    // (round 20: a separate feats.count() setup job paid one extra
+    // action barrier per fit just to learn n before iteration 1; n is
+    // only consumed by step()'s denominator AFTER the first agg
+    // returns). The first iteration's aggregation also materializes
+    // the feats cache, exactly as the count did.
+    var n = 0L
     var model = LrModel(0L, Vector.fill(dims)(0L))
     var traced: Option[DataFrame] = None
     for (it <- 1 to iters) {
@@ -240,12 +246,14 @@ object Classify {
       // order-free integer sums, no shuffle, one job per step
       val gradRow = feats
         .select(residualUnits(wx, col("__y")).as("__r"), col("__d"))
-        .agg(sum(col("__r")),
-          (0 until dims).map(d =>
-            sum(when(array_contains(col("__d"), d), col("__r")))): _*)
+        .agg(count(lit(1)),
+          sum(col("__r")) +:
+            (0 until dims).map(d =>
+              sum(when(array_contains(col("__d"), d), col("__r")))): _*)
         .head()
+      if (it == 1) n = gradRow.getLong(0)
       val grad = Array.tabulate(dims + 1)(i =>
-        if (gradRow.isNullAt(i)) 0L else gradRow.getLong(i))
+        if (gradRow.isNullAt(i + 1)) 0L else gradRow.getLong(i + 1))
       // Robbins–Monro 1/t step decay keeps full-batch GD from
       // oscillating at count-scale margins — and `lrDen·n·t` stays an
       // integer denominator, so the decayed step is still exact
