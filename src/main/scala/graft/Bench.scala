@@ -96,16 +96,21 @@ object Bench {
     // `normalized_s` = raw / (ambient factor linearly interpolated
     // between its two bracketing checkpoints by suite position).
     // CONTROL INVARIANT (round 20): controls exist to measure MACHINE
-    // conditions, so they must be queries no optimization round ever
-    // touches — q93_lm_quality was optimized 3.7× in round 19 (the
-    // CharBigrams expression + LM persists), which turned its ratio
-    // into code signal and poisoned one of three trio members; it is
-    // replaced by q90_jpeg_decode (codec path, byte-identical since
-    // r15 — `git log 40c08f1..HEAD -- ext/JpegCodec.scala` is empty).
-    // If a future round optimizes a control's code path, re-pick the
-    // control FIRST and note it here; the r15 epoch file carries raw
-    // times for every query, so any never-touched query can serve.
-    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf", "q90_jpeg_decode")
+    // conditions, so they must be (a) queries no optimization round
+    // ever touches AND (b) queries whose idle-machine time still
+    // matches their epoch ref ≈1.0 — q93_lm_quality was optimized
+    // 3.7× in round 19 (ratio became code signal, not ambient);
+    // q90_jpeg_decode was tried as the replacement and measured a
+    // stable ~0.7 idle ratio vs its r15 epoch value despite a
+    // byte-identical codec (epoch drift on that row — its ref was cut
+    // high), which would bias every normalized_s UP ~10%. Final pick:
+    // q45_community_comments — untouched by any optimization round and
+    // idle ratio 1.01 vs the epoch in the round-20 full vector. If a
+    // future round optimizes a control's code path, re-pick FIRST by
+    // scanning the newest idle vector for untouched rows with ratio
+    // ≈1.0 vs the epoch (the r15 epoch file carries every query).
+    val controlNames = Seq("q22_minhash_neardup", "q38_ann_ivf",
+      "q45_community_comments")
     // reference vector: explicit SPARK_GRAFT_CONTROL_REF, else the
     // CANONICAL pinned epoch (BENCH_LOCAL_r15.json — the idle-machine
     // epoch all committed records since r18 normalize against; see
