@@ -18,13 +18,11 @@ class CoreQueriesSpec extends SparkSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
   }
 
-  test("all queries run and are deterministic on sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val a = fn(spark, sfDir).collect()
-      val b = fn(spark, sfDir).collect()
-      assert(a.toSeq == b.toSeq, s"$name not deterministic")
-    }
-  }
+  // The "all queries run and are deterministic" sweep lives in the
+  // CoreQueriesDeterminismSpec0-3 shard suites below this file —
+  // measured 6:40 as one monolithic test, which made it the wall-clock
+  // bound of the whole grouped parallel suite; the shards partition
+  // the sorted query list with identical total coverage.
 
   test("q06 top-k emits at most k rows per group") {
     val df = SparkEntry.queries("q06_topk_per_group")(spark, sfDir)
